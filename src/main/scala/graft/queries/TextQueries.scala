@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over the documents table (SURVEY.md §2 rows 28,
+  * 34-37). Each oracle mirrors the Spark expression tree exactly; all
+  * counts are integer-exact, all ratios are rounded to 4 on both sides.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"))
+
+  /** SQL fragment mirroring norm(). */
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup: md5 over normalized text; canonical = min doc_id per
+    * hash group. Single shuffle on the hash (window over h). */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("h")
+    docs(spark, dir)
+      .select(col("doc_id"), md5(norm(col("text"))).as("h"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("h"), col("canonical_id"), col("n_copies"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
+  // -------------------------------------------------------------- language
+
+  /** N-gram/stopword language-ID heuristic: score = standalone stopword
+    * hits per language; argmax with fixed tie order (en,de,es,fr,zh). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("t", norm(col("text")))
+    val scored = langStopwords.foldLeft(d) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang", stopwordCount(col("t"), words))
+    }
+    val scores = langStopwords.map { case (l, _) => col(s"score_$l") }
+    val best = greatest(scores: _*)
+    // argmax with first-wins tie order: chained CASE in list order.
+    val predExpr = langStopwords.reverse.foldLeft(lit("und")) {
+      case (acc, (l, _)) => when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.select(
+      (col("doc_id") +: langStopwords.map { case (l, _) => col(s"score_$l") }) ++
+        Seq(predExpr.as("pred_lang"), col("lang"),
+          (predExpr === col("lang")).as("correct")): _*)
+  }
+
+  // --------------------------------------------------------------- quality
+
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nChars = length(col("text")).cast("long")
+    val nWords = wordCount(col("text"))
+    val nPunct = reCount(col("text"), "[.,;:!?]")
+    val nUpper = reCount(col("text"), "[A-Z]")
+    val nDigit = reCount(col("text"), "[0-9]")
+    val nStop = stopwordCount(norm(col("text")), langStopwords.head._2)
+    val nCharsNoWs = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    d.select(col("doc_id"),
+        nChars.as("n_chars"), nWords.as("n_words"), nPunct.as("n_punct"),
+        nUpper.as("n_upper"), nDigit.as("n_digit"), nStop.as("n_stop"),
+        round(nCharsNoWs.cast("double") / nWords.cast("double"), 4)
+          .as("avg_word_len"),
+        round(nStop.cast("double") / nWords.cast("double"), 4)
+          .as("stop_ratio"),
+        round(nUpper.cast("double") / nChars.cast("double"), 4)
+          .as("upper_ratio"))
+      .withColumn("passes",
+        col("n_words") >= 10 && col("stop_ratio") >= 0.02)
+  }
+
+  // ---------------------------------------------------------------- tokens
+
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nChars = length(col("text")).cast("long")
+    val ws = wordCount(col("text"))
+    val re = reCount(col("text"), tokenPattern)
+    d.select(col("doc_id"),
+      ws.as("ws_tokens"), re.as("re_tokens"),
+      ceil(nChars.cast("double") / lit(4.0)).cast("long").as("est_bpe_tokens"),
+      round(nChars.cast("double") / ws.cast("double"), 4)
+        .as("chars_per_token"))
+  }
+
+  // ----------------------------------------------------------- fingerprint
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      rollingFingerprint(col("text")).as("fp"),
+      rollingFingerprint(norm(col("text"))).as("fp_norm"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  // --------------------------------------------------------------- oracles
+
+  private val docsSql =
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source FROM documents"
+
+  private def stopSql(src: String, words: Seq[String]): String =
+    s"len(regexp_extract_all($src, '\\b(${words.mkString("|")})\\b'))"
+
+  private val fpSql = (src: String) =>
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(list_filter(string_split($src, ''), c -> len(c) > 0),
+       |                 c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH d AS ($docsSql),
+         |h AS (SELECT doc_id, md5($normSql) AS h FROM d)
+         |SELECT doc_id, h,
+         |  MIN(doc_id) OVER (PARTITION BY h) AS canonical_id,
+         |  COUNT(*) OVER (PARTITION BY h) AS n_copies,
+         |  doc_id <> MIN(doc_id) OVER (PARTITION BY h) AS is_dup
+         |FROM h""".stripMargin,
+
+    "q_lang_id" -> {
+      val scoreCols = langStopwords.map { case (l, ws) =>
+        s"${stopSql("t", ws)} AS score_$l"
+      }.mkString(",\n  ")
+      val best = "GREATEST(" + langStopwords.map(l => s"score_${l._1}").mkString(", ") + ")"
+      val pred = langStopwords.reverse.foldLeft("'und'") { case (acc, (l, _)) =>
+        s"CASE WHEN score_$l = $best THEN '$l' ELSE $acc END"
+      }
+      s"""WITH d AS ($docsSql),
+         |t AS (SELECT doc_id, lang, $normSql AS t FROM d),
+         |s AS (SELECT doc_id, lang,
+         |  $scoreCols
+         |FROM t)
+         |SELECT doc_id, ${langStopwords.map(l => s"score_${l._1}").mkString(", ")},
+         |  $pred AS pred_lang, lang,
+         |  ($pred) = lang AS correct
+         |FROM s""".stripMargin
+    },
+
+    "q_text_quality" ->
+      s"""WITH d AS ($docsSql)
+         |SELECT doc_id,
+         |  CAST(len(text) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         |  CAST(${stopSql(normSql, langStopwords.head._2)} AS BIGINT) AS n_stop,
+         |  ROUND(CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4) AS avg_word_len,
+         |  ROUND(CAST(${stopSql(normSql, langStopwords.head._2)} AS DOUBLE)
+         |      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4) AS stop_ratio,
+         |  ROUND(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+         |      / CAST(len(text) AS DOUBLE), 4) AS upper_ratio,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) >= 10
+         |    AND ROUND(CAST(${stopSql(normSql, langStopwords.head._2)} AS DOUBLE)
+         |      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4) >= 0.02 AS passes
+         |FROM d""".stripMargin,
+
+    "q_token_count" ->
+      s"""WITH d AS ($docsSql)
+         |SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$tokenPattern')) AS BIGINT) AS re_tokens,
+         |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
+         |  ROUND(CAST(len(text) AS DOUBLE)
+         |      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4) AS chars_per_token
+         |FROM d""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""WITH d AS ($docsSql)
+         |SELECT doc_id,
+         |  ${fpSql("text")} AS fp,
+         |  ${fpSql(normSql)} AS fp_norm,
+         |  CAST(len(text) AS BIGINT) AS n_chars
+         |FROM d""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_lang_id" -> (qLangId _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _))
+}
