@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora (SURVEY.md §2 rows 29-31).
+  *
+  * Scale design: never all-pairs. Every variant generates candidate pairs
+  * through an equi-join on a bounded-width key (rare shingle, minhash band
+  * bucket, simhash band), so the shuffle is O(n·k) and the pair count is
+  * bounded by posting-list caps — the standard LSH scale story. All hot
+  * paths are codegen'd expressions (xxhash64, bit ops, higher-order array
+  * functions); no UDFs.
+  */
+object Dedup {
+
+  /** Mersenne-ish prime for minhash universal hashing; small enough that
+    * a*h+b stays well inside a 64-bit long under ANSI arithmetic. */
+  private val P = 2147483647L
+
+  /** Deterministic universal-hash coefficients (odd a, spread b). */
+  private def coef(i: Int): (Long, Long) = {
+    val a = ((i * 2654435761L + 1) % P) | 1L
+    val b = (i * 40503L * 104729L + 12345L) % P
+    (a, b)
+  }
+
+  /** Distinct k-character shingles per document over lowercased text.
+    * One row per (doc_id, shingle). */
+  def shingles(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))))
+          .as("i"),
+        col("t"))
+      .select(col("doc_id"), col("t").substr(col("i"), lit(k)).as("s"))
+      .filter(length(col("s")) === k)
+      .distinct()
+
+  /** N-gram Jaccard near-dup pairs over rare shingles.
+    *
+    * Shingles with document frequency > maxDf are dropped before candidate
+    * generation (they would blow the posting-list self-join and carry no
+    * signal); Jaccard is computed over each document's *rare* shingle set.
+    * Returns (ida, idb, shared, na, nb, jac) for jac >= minJac.
+    */
+  def ngramJaccard(docs: DataFrame, k: Int, maxDf: Int,
+                   minJac: Double): DataFrame = {
+    val sh = shingles(docs, k)
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("s")
+    val shr = sh.join(rare, "s")
+    val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shr.select(col("doc_id").as("ida"), col("s"))
+    val b = shr.select(col("doc_id").as("idb"), col("s"))
+    val shared = a.join(b, Seq("s"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+      .withColumn("jac",
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")).cast("double"), 4))
+      .filter(col("jac") >= minJac)
+      .select("ida", "idb", "shared", "na", "nb", "jac")
+  }
+
+  /** MinHash signatures: one row per doc with array<long> of numHashes
+    * minimums. Single shuffle (groupBy doc_id) with map-side partial
+    * aggregation — the 64 mins fold before the exchange. */
+  def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(docs, k)
+      .withColumn("hp", pmod(xxhash64(col("s")), lit(P)))
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = coef(i)
+      min((lit(a) * col("hp") + lit(b)) % lit(P)).as(s"m$i")
+    }
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: candidate pairs from band-bucket equi-joins,
+    * verified by signature agreement (estimated Jaccard) >= minEst.
+    * numHashes must be bands * rowsPerBand. */
+  def minhashPairs(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
+                   minEst: Double): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, k, numHashes)
+    val bandHashes = array((0 until bands).map { bi =>
+      xxhash64(lit(bi), slice(col("sig"), bi * rows + 1, rows))
+    }: _*)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandHashes).as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"),
+      col("doc_id").as("ida"), col("sig").as("siga"))
+    val b = banded.select(col("band"), col("bh"),
+      col("doc_id").as("idb"), col("sig").as("sigb"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("siga"), col("sigb"))
+      .dropDuplicates("ida", "idb")
+      .withColumn("est",
+        round(aggregate(
+          zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4))
+      .filter(col("est") >= minEst)
+      .select("ida", "idb", "est")
+  }
+
+  /** 64-bit SimHash over whitespace tokens; near-dup pairs via 4x16-bit
+    * band buckets, verified by Hamming distance <= maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val sigs = toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }.reduceLeft((a, c) => a.bitwiseOR(c)).as("sig"))
+    val bandVals = array((0 until 4).map { j =>
+      shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))
+    }: _*)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandVals).as(Seq("band", "bv")))
+    val a = banded.select(col("band"), col("bv"),
+      col("doc_id").as("ida"), col("sig").as("siga"))
+    val b = banded.select(col("band"), col("bv"),
+      col("doc_id").as("idb"), col("sig").as("sigb"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("siga"), col("sigb"))
+      .dropDuplicates("ida", "idb")
+      .withColumn("hamming",
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
+  }
+}
