@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2 rows 32-33).
+  *
+  * Scale design: the query side is small (a sample / user-supplied set) and
+  * is broadcast; the corpus side streams. Brute force is the exact baseline
+  * (one broadcast-nested-loop over the corpus, no shuffle of the corpus);
+  * the LSH variant replaces the full scan with a random-hyperplane bucket
+  * equi-join so corpus rows only meet queries in their own bucket — that is
+  * the 100 TB path. Dot products are `zip_with`+`aggregate` folds over
+  * array<double>, fully codegen'd.
+  */
+object Ann {
+
+  /** Cast a float embedding to double and attach its L2 norm. */
+  private def withNorm(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0),
+          (acc, v) => acc + v)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Exact brute-force cosine top-k: queries (small, broadcast) against the
+    * full corpus. Rank on round(cos,4) with id tie-break so results are
+    * stable across engines and runs. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = withNorm(corpus, "vec_id")
+      .select(col("vec_id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+    val q = withNorm(queries, "vec_id")
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos4",
+        round(dot(col("qe"), col("ne"))
+          / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos4").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos4")
+  }
+
+  /** Deterministic pseudo-random hyperplane component i of plane j. */
+  def hyperplane(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => ((j * dim + i) * 2654435761L % 1000003L)
+      / 1000003.0 - 0.5)
+
+  /** LSH variant: `planes` random hyperplanes -> sign-bit bucket; queries
+    * and corpus meet only within a bucket. Returns per-query top-k among
+    * bucket mates (approximate — trades recall for a bounded join). */
+  def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+                    planes: Int, dim: Int): DataFrame = {
+    def bucket(e: Column): Column =
+      (0 until planes).map { j =>
+        val hp = array(hyperplane(j, dim).map(lit): _*)
+        when(dot(e, hp) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduceLeft((a, b) => a.bitwiseOR(b))
+    val c = withNorm(corpus, "vec_id")
+      .select(col("vec_id").as("nid"), col("e").as("ne"), col("nrm").as("nn"),
+        bucket(col("e")).as("bucket"))
+    val q = withNorm(queries, "vec_id")
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        bucket(col("e")).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos4",
+        round(dot(col("qe"), col("ne"))
+          / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos4").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos4", "bucket")
+  }
+}
