@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventsStream
+
+/** Event-stream queries (SURVEY.md §2 rows 39-40): windowed aggregation
+  * (batch twin of the streaming path) and gap-based sessionization.
+  * All time arithmetic stays in exact epoch-nanos integer space;
+  * DuckDB mirrors via epoch_ns(ts).
+  */
+object EventQueries {
+
+  /** Session gap: 30 minutes, in micros. Session math runs at microsecond
+    * resolution — ts arrives as epoch nanos but DuckDB timestamps are
+    * µs-precision, so both sides truncate nanos -> micros (exact DIV). */
+  private val GapUs = 30L * 60 * 1000000L
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  def qEventsWindowed(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.hourlyAgg(events(spark, dir))
+
+  /** Gap-based sessionization: a new session starts after >30 min of user
+    * inactivity. One shuffle on user_id (window), one on (user_id,
+    * session) for the rollup — at scale both are the same hash key family.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(spark, dir)
+      .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapUs)
+          .cast("long"))
+      .withColumn("sess_idx",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"),
+        ((max("ts_us") - min("ts_us")) / lit(1000000L)).as("dur_sec"),
+        round(sum("value"), 4).as("sum_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_windowed" -> (qEventsWindowed _),
+    "q_sessionize" -> (qSessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q_events_windowed" ->
+      """SELECT event_type,
+        |  epoch_ns(ts) // 3600000000000 AS hour,
+        |  COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 4) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *,
+         |    CASE WHEN LAG(ts_us) OVER w IS NULL
+         |           OR ts_us - LAG(ts_us) OVER w > $GapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |sess AS (
+         |  SELECT *,
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS sess_idx
+         |  FROM flagged)
+         |SELECT user_id, sess_idx,
+         |  COUNT(*) AS n_events,
+         |  MIN(ts_us) AS start_us,
+         |  MAX(ts_us) AS end_us,
+         |  (MAX(ts_us) - MIN(ts_us)) / CAST(1000000 AS BIGINT) AS dur_sec,
+         |  ROUND(SUM(value), 4) AS sum_value
+         |FROM sess
+         |GROUP BY 1, 2""".stripMargin)
+}

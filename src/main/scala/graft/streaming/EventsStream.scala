@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY.md §2 row 39).
+  *
+  * The hourly aggregation is ONE transform shared by the batch query
+  * (q_events_windowed, oracle-checked) and the streaming path — write the
+  * logical plan once, run it in either mode. The streaming side adds a
+  * watermark so state for closed windows is dropped (bounded state at
+  * 100 TB/day event volumes); partitioning is by (event_type, window),
+  * i.e. the natural shuffle key of the aggregation.
+  *
+  * events.ts arrives as epoch-nanos LONG (parquet ns + nanosAsLong);
+  * `DIV` keeps the conversion in exact integer space.
+  */
+object EventsStream {
+
+  /** Schema of the events parquet under nanosAsLong. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly tumbling aggregation per event_type. Works on both batch and
+    * streaming DataFrames (the window/groupBy plan is mode-agnostic;
+    * the streaming variant drops n_users — distinct aggregation is not
+    * available in streaming mode). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("tsw", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(col("event_type"), window(col("tsw"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(col("event_type"),
+        expr("unix_timestamp(w.start) DIV 3600").as("hour"),
+        col("n_events"), col("sum_value"), col("n_users"))
+
+  /** Streaming variant: file source over the events parquet, 2h watermark,
+    * update-mode sink provided by the caller (memory sink in tests). */
+  def hourlyStream(spark: SparkSession, dir: String,
+                   queryName: String): StreamingQuery = {
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("tsw", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("tsw", "2 hours")
+      .groupBy(col("event_type"), window(col("tsw"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("event_type"),
+        expr("unix_timestamp(w.start) DIV 3600").as("hour"),
+        col("n_events"), col("sum_value"))
+    src.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start()
+  }
+}
