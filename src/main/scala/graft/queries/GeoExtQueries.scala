@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GeoData, Tables}
+import graft.geom.Geom
+import graft.operators.{MatchLines, RandomPoints}
+
+/** Geo operators round-out (SURVEY.md §2 rows 14, 15, 18, 22):
+  * line matching by bucketed hausdorff, descriptor-space matching,
+  * deterministic random points, haversine distances.
+  */
+object GeoExtQueries {
+
+  private val CellTenths = 50 // 5.0-unit centroid cells for line matching
+
+  /** Integer-tenth line vertices from lineitem (same scatter arithmetic as
+    * GeoData.linesOrders, kept integral for exact cell bucketing). */
+  private def lineVertices(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem").select(
+      col("l_orderkey").cast("long").as("lid"),
+      col("l_linenumber").as("seq"),
+      (col("l_partkey") * 61 % 1000).cast("long").as("xi"),
+      (col("l_suppkey") * 157 % 1000).cast("long").as("yi"))
+
+  private val lineVerticesSql =
+    """SELECT CAST(l_orderkey AS BIGINT) AS lid, l_linenumber AS seq,
+      |  CAST(l_partkey * 61 % 1000 AS BIGINT) AS xi,
+      |  CAST(l_suppkey * 157 % 1000 AS BIGINT) AS yi
+      |FROM lineitem""".stripMargin
+
+  def qMatchLines(spark: SparkSession, dir: String): DataFrame = {
+    val lines = MatchLines.linesWithCells(lineVertices(spark, dir), CellTenths)
+    MatchLines.matchByHausdorff(
+      lines.filter(col("lid") % 20 === 0),
+      lines.filter(col("lid") % 2 === 1))
+  }
+
+  def qMatchLinesCluster(spark: SparkSession, dir: String): DataFrame = {
+    val lines = MatchLines.linesWithCells(lineVertices(spark, dir), CellTenths)
+    MatchLines.matchByDescriptors(
+      lines.filter(col("lid") % 20 === 0),
+      lines.filter(col("lid") % 2 === 1))
+  }
+
+  def qRandomPts(spark: SparkSession, dir: String): DataFrame =
+    RandomPoints.inRects(
+      GeoData.polyNation(spark, dir).select("pid", "x0", "y0", "x1", "y1"),
+      kMod = 3)
+
+  /** Haversine km from each event point (scaled onto the globe) to the
+    * origin. Reference: hav_dist, gpd_lite_toolbox/utils.py:83-91. */
+  def qHavDist(spark: SparkSession, dir: String): DataFrame = {
+    val p = GeoData.ptsEvents(spark, dir)
+      .select(col("id"),
+        (col("y") * 0.9 - 45.0).as("lat"),
+        (col("x") * 3.6 - 180.0).as("lon"))
+    p.select(col("id"), round(col("lat"), 4).as("lat"),
+      round(col("lon"), 4).as("lon"),
+      round(Geom.haversineKm(col("lat"), col("lon"), lit(0.0), lit(0.0)), 3)
+        .as("dist_km"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_match_lines" -> (qMatchLines _),
+    "q_match_lines_cluster" -> (qMatchLinesCluster _),
+    "q_random_pts" -> (qRandomPts _),
+    "q_hav_dist" -> (qHavDist _))
+
+  val oracles: Map[String, String] = Map(
+    "q_match_lines" ->
+      s"""WITH v AS ($lineVerticesSql),
+         |lines AS (SELECT lid, COUNT(*) AS n, SUM(xi) AS sx, SUM(yi) AS sy
+         |          FROM v GROUP BY lid),
+         |cells AS (SELECT lid, sx // (n * $CellTenths) AS cx,
+         |                 sy // (n * $CellTenths) AS cy FROM lines),
+         |a AS (SELECT * FROM cells WHERE lid % 20 = 0),
+         |b AS (SELECT * FROM cells WHERE lid % 2 = 1),
+         |cand AS (SELECT a.lid AS la, b.lid AS lb FROM a JOIN b
+         |         ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+         |av AS (SELECT lid, seq, xi / 10.0 AS x, yi / 10.0 AS y FROM v),
+         |bv AS (SELECT lid, seq, xi / 10.0 AS x, yi / 10.0 AS y FROM v),
+         |dab AS (
+         |  SELECT c.la, c.lb, pa.seq,
+         |    MIN(sqrt((pa.x - pb.x) * (pa.x - pb.x)
+         |           + (pa.y - pb.y) * (pa.y - pb.y))) AS md
+         |  FROM cand c JOIN av pa ON pa.lid = c.la
+         |              JOIN bv pb ON pb.lid = c.lb
+         |  GROUP BY 1, 2, 3, pa.x, pa.y),
+         |hab AS (SELECT la, lb, MAX(md) AS h FROM dab GROUP BY 1, 2),
+         |dba AS (
+         |  SELECT c.la, c.lb, pb.seq,
+         |    MIN(sqrt((pa.x - pb.x) * (pa.x - pb.x)
+         |           + (pa.y - pb.y) * (pa.y - pb.y))) AS md
+         |  FROM cand c JOIN av pa ON pa.lid = c.la
+         |              JOIN bv pb ON pb.lid = c.lb
+         |  GROUP BY 1, 2, 3, pb.x, pb.y),
+         |hba AS (SELECT la, lb, MAX(md) AS h FROM dba GROUP BY 1, 2),
+         |hd AS (SELECT hab.la, hab.lb,
+         |         ROUND(GREATEST(hab.h, hba.h), 4) AS hd
+         |       FROM hab JOIN hba ON hab.la = hba.la AND hab.lb = hba.lb)
+         |SELECT la, lb, hd FROM hd
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY la ORDER BY hd, lb) = 1""".stripMargin,
+
+    "q_random_pts" ->
+      s"""WITH poly AS (${GeoData.polyNationSql}),
+         |e AS (SELECT pid, x0, y0, x1, y1, CAST(i AS BIGINT) AS i
+         |      FROM poly, LATERAL (SELECT unnest(generate_series(1,
+         |             CAST(pid % 3 + 1 AS INT))) AS i) u)
+         |SELECT pid, i,
+         |  ROUND(x0 + (((pid % 100000) * 2654435761 + i * 40503) % 100000 + 1)
+         |      / 100001.0 * (x1 - x0), 4) AS px,
+         |  ROUND(y0 + (((pid % 100000) * 1566083941 + i * 69069) % 100000 + 1)
+         |      / 100001.0 * (y1 - y0), 4) AS py
+         |FROM e""".stripMargin,
+
+    "q_hav_dist" ->
+      s"""WITH pts AS (${GeoData.ptsEventsSql}),
+         |ll AS (SELECT id, y * 0.9 - 45.0 AS lat, x * 3.6 - 180.0 AS lon
+         |       FROM pts)
+         |SELECT id, ROUND(lat, 4) AS lat, ROUND(lon, 4) AS lon,
+         |  ROUND(6367 * ACOS(COS((lat - 0.0) * 0.0174532925)
+         |    - COS(lat * 0.0174532925) * COS(0.0 * 0.0174532925)
+         |    * (1 - COS((lon - 0.0) * 0.0174532925))), 3) AS dist_km
+         |FROM ll""".stripMargin)
+}
