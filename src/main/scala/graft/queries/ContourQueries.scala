@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GeoData
+import graft.operators.Contour
+
+/** Contour/isochrone queries (SURVEY.md §2 rows 19-20) over the events
+  * point layer. The oracle computes the UN-bucketed full cell-point join —
+  * proving the engine's bucketed explode is a pure optimization.
+  */
+object ContourQueries {
+
+  def qContour(spark: SparkSession, dir: String): DataFrame =
+    Contour.idwIsobands(
+      GeoData.ptsEvents(spark, dir)
+        .select(col("x"), col("y"), col("weight").as("val")),
+      cell = 10.0, radius = 15.0, bandWidth = 10.0)
+
+  def qIsochrone(spark: SparkSession, dir: String): DataFrame =
+    Contour.isochrone(spark,
+      GeoData.ptsEvents(spark, dir).select(col("x"), col("y")),
+      cell = 10.0, bandMinutes = 10.0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contour" -> (qContour _),
+    "q_isochrone" -> (qIsochrone _))
+
+  private val boundsCte =
+    """b AS (SELECT MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax,
+      |             MAX(y) AS ymax,
+      |             CAST(CEIL((MAX(x) - MIN(x)) / 10.0) AS BIGINT) AS cols_,
+      |             CAST(CEIL((MAX(y) - MIN(y)) / 10.0) AS BIGINT) AS rows_
+      |      FROM pts)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_contour" ->
+      s"""WITH pts AS (${GeoData.ptsEventsSql}),
+         |$boundsCte,
+         |cells AS (
+         |  SELECT cx, cy,
+         |    b.xmin + (cx + 0.5) * 10.0 AS xc,
+         |    b.ymin + (cy + 0.5) * 10.0 AS yc
+         |  FROM b,
+         |  LATERAL (SELECT unnest(generate_series(0, b.cols_ - 1)) AS cx) u,
+         |  LATERAL (SELECT unnest(generate_series(0, b.rows_ - 1)) AS cy) v),
+         |j AS (
+         |  SELECT c.cx, c.cy, p.weight,
+         |    (p.x - c.xc) * (p.x - c.xc) + (p.y - c.yc) * (p.y - c.yc) AS d2
+         |  FROM cells c, pts p
+         |  WHERE (p.x - c.xc) * (p.x - c.xc)
+         |      + (p.y - c.yc) * (p.y - c.yc) <= 225.0),
+         |agg AS (
+         |  SELECT cx, cy, COUNT(*) AS n_src,
+         |    ROUND(SUM(CAST(weight AS DOUBLE) / GREATEST(d2, 1e-6))
+         |        / SUM(1.0 / GREATEST(d2, 1e-6)), 4) AS idw
+         |  FROM j GROUP BY 1, 2)
+         |SELECT cx, cy, n_src, idw,
+         |  CAST(FLOOR(idw / 10.0) AS BIGINT) AS band
+         |FROM agg""".stripMargin,
+
+    "q_isochrone" ->
+      s"""WITH pts AS (SELECT ((event_id * 73) % 1000) / 10.0 AS x,
+         |  ((event_id * 179) % 1000) / 10.0 AS y FROM events),
+         |$boundsCte
+         |SELECT cx, cy,
+         |  ROUND((ABS(b.xmin + (cx + 0.5) * 10.0 - (b.xmin + b.xmax) / 2.0)
+         |       + ABS(b.ymin + (cy + 0.5) * 10.0 - (b.ymin + b.ymax) / 2.0))
+         |      / 1.2
+         |      + CAST((cx * 31 + cy * 17) % 7 AS DOUBLE), 4) AS tt_min,
+         |  CAST(FLOOR(ROUND((ABS(b.xmin + (cx + 0.5) * 10.0
+         |         - (b.xmin + b.xmax) / 2.0)
+         |       + ABS(b.ymin + (cy + 0.5) * 10.0 - (b.ymin + b.ymax) / 2.0))
+         |      / 1.2
+         |      + CAST((cx * 31 + cy * 17) % 7 AS DOUBLE), 4) / 10.0)
+         |    AS BIGINT) AS band
+         |FROM b,
+         |LATERAL (SELECT unnest(generate_series(0, b.cols_ - 1)) AS cx) u,
+         |LATERAL (SELECT unnest(generate_series(0, b.rows_ - 1)) AS cy) v""".stripMargin)
+}
