@@ -50,7 +50,8 @@ object EventsStream {
                    queryName: String): StreamingQuery = {
     val src = spark.readStream
       .schema(eventsSchema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet") // stream source wants a dir
+      .parquet(dir)
       .withColumn("tsw", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("tsw", "2 hours")
       .groupBy(col("event_type"), window(col("tsw"), "1 hour").as("w"))

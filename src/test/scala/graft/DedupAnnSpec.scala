@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Dedup}
+
+class DedupAnnSpec extends AnyFunSuite with SharedSpark {
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("ngramJaccard: identical docs score 1.0, disjoint absent") {
+    val d = docsOf(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "completely different content with nothing shared whatsoever!!")
+    val out = Dedup.ngramJaccard(d, k = 8, maxDf = 10, minJac = 0.5)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("ida") === 1L)
+    assert(out.head.getAs[Long]("idb") === 2L)
+    assert(out.head.getAs[Double]("jac") === 1.0)
+  }
+
+  test("minhashPairs: identical docs have estimate 1.0") {
+    val d = docsOf(
+      1L -> ("spark catalyst tungsten codegen shuffle partition " * 3),
+      2L -> ("spark catalyst tungsten codegen shuffle partition " * 3),
+      3L -> "orthogonal text payload about entirely unrelated matters here")
+    val out = Dedup.minhashPairs(d, k = 8, numHashes = 64, bands = 16,
+      minEst = 0.5).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("est") === 1.0)
+  }
+
+  test("simhashPairs: identical docs at hamming 0") {
+    val d = docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "unrelated words entirely: zymurgy quixotic jabberwocky phlegm")
+    val out = Dedup.simhashPairs(d, maxHamming = 0).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("hamming") === 0L)
+  }
+
+  test("dedup plans: no cartesian product") {
+    val d = Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val plan = Dedup.ngramJaccard(d, 16, 20, 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("cosineTopK: nearest neighbor is the most aligned vector") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nid")).toSeq === Seq(1L, 2L))
+  }
+
+  test("cosineTopK plan: query side is broadcast") {
+    val e = Tables.load(spark, SfDir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val plan = Ann.cosineTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}

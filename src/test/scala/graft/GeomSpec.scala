@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.Geom
+
+class GeomSpec extends AnyFunSuite with SharedSpark {
+
+  private def one(c: org.apache.spark.sql.Column): Any = {
+    import scala.jdk.CollectionConverters._
+    spark.range(1).select(c.as("v")).head().get(0)
+  }
+
+  private val unitSquare =
+    "array(struct(0.0d x, 0.0d y), struct(1.0d x, 0.0d y), " +
+      "struct(1.0d x, 1.0d y), struct(0.0d x, 1.0d y))"
+
+  test("ringArea: unit square = 1 (open ring auto-closes)") {
+    assert(one(Geom.ringArea(expr(unitSquare))) === 1.0)
+  }
+
+  test("ringPerimeter: unit square = 4") {
+    assert(one(Geom.ringPerimeter(expr(unitSquare))) === 4.0)
+  }
+
+  test("pointInRing: center in, outside out") {
+    assert(one(Geom.pointInRing(lit(0.5), lit(0.5), expr(unitSquare)))
+      === true)
+    assert(one(Geom.pointInRing(lit(1.5), lit(0.5), expr(unitSquare)))
+      === false)
+  }
+
+  test("lineLength: 3-4-5 triangle legs") {
+    val line = "array(struct(0.0d x, 0.0d y), struct(3.0d x, 0.0d y), " +
+      "struct(3.0d x, 4.0d y))"
+    assert(one(Geom.lineLength(expr(line))) === 7.0)
+  }
+
+  test("hausdorff: identical lines = 0, known offset") {
+    val a = "array(struct(0.0d x, 0.0d y), struct(1.0d x, 0.0d y))"
+    val b = "array(struct(0.0d x, 2.0d y), struct(1.0d x, 2.0d y))"
+    assert(one(Geom.hausdorff(expr(a), expr(a))) === 0.0)
+    assert(one(Geom.hausdorff(expr(a), expr(b))) === 2.0)
+  }
+
+  test("haversine: zero distance at same point; equator quarter") {
+    assert(one(Geom.haversineKm(lit(10.0), lit(20.0), lit(10.0), lit(20.0)))
+      === 0.0)
+    val d = one(Geom.haversineKm(lit(0.0), lit(0.0), lit(0.0), lit(90.0)))
+      .asInstanceOf[Double]
+    assert(math.abs(d - 10007.0) < 20.0) // quarter circumference, r=6367
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.sources.Wkt
+
+class OperatorsSpec extends AnyFunSuite with SharedSpark {
+
+  test("random points fall strictly inside their rectangles") {
+    val polys = GeoData.polyNation(spark, SfDir)
+      .select("pid", "x0", "y0", "x1", "y1")
+    val pts = RandomPoints.inRects(polys, kMod = 3)
+      .join(polys, "pid")
+      .filter(col("px") <= col("x0") || col("px") >= col("x1") ||
+        col("py") <= col("y0") || col("py") >= col("y1"))
+    assert(pts.count() === 0)
+  }
+
+  test("random points count = sum of k(pid)") {
+    val n = RandomPoints.inRects(
+      GeoData.polyNation(spark, SfDir).select("pid", "x0", "y0", "x1", "y1"),
+      kMod = 3).count()
+    // pids 0..24 -> k = pid % 3 + 1: sum = 25/3 groups of (1+2+3)=6 + extra
+    val expected = (0L until 25L).map(p => p % 3 + 1).sum
+    assert(n === expected)
+  }
+
+  test("non-contiguous cartogram: anchor region keeps scale 1, others shrink") {
+    val out = CartogramTestData.nc(spark, SfDir).collect()
+    assert(out.map(_.getAs[Double]("scale")).max === 1.0)
+    assert(out.forall(_.getAs[Double]("scale") > 0.0))
+  }
+
+  test("dougenik cartogram preserves region count and stays finite") {
+    val out = CartogramTestData.dougenik(spark, SfDir).collect()
+    assert(out.length === 25)
+    assert(out.forall(r => !r.getAs[Double]("new_area").isNaN &&
+      r.getAs[Double]("new_area") > 0.0))
+  }
+
+  test("contour: every cell band consistent with its idw value") {
+    val out = Contour.idwIsobands(
+      GeoData.ptsEvents(spark, SfDir)
+        .select(col("x"), col("y"), col("weight").as("val")),
+      10.0, 15.0, 10.0).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r =>
+      r.getAs[Long]("band") === math.floor(r.getAs[Double]("idw") / 10.0).toLong))
+  }
+
+  test("wkt: point and linestring round-trip") {
+    val df = spark.range(1).select(
+      Wkt.parsePoint(lit("POINT (12.5 -3.25)")).as("p"),
+      Wkt.parseLineString(lit("LINESTRING (0 0, 3 0, 3 4)")).as("l"))
+    val r = df.select(col("p.x"), col("p.y"),
+      graft.geom.Geom.lineLength(col("l")).as("len")).head()
+    assert(r.getDouble(0) === 12.5)
+    assert(r.getDouble(1) === -3.25)
+    assert(r.getDouble(2) === 7.0)
+  }
+
+  test("multimodal: features are deterministic and byte-length exact") {
+    val media = Multimodal.mediaTable(Tables.load(spark, SfDir, "documents"))
+    val a = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val b = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(a.toSeq === b.toSeq)
+    val lens = Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.forall(f => f.n_bytes === lens(f.doc_id)))
+  }
+
+  test("match_lines plan: equi-join on cells, no cartesian product") {
+    val plan = graft.queries.GeoExtQueries.qMatchLines(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
+
+/** Cartogram fixtures shared with the query layer. */
+object CartogramTestData {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  def nc(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.CartogramQueries.queries("q_nc_cartogram")(spark, dir)
+  def dougenik(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.CartogramQueries.queries("q_cartogram")(spark, dir)
+}
