@@ -47,11 +47,15 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, k: Int, maxDf: Int,
                    minJac: Double): DataFrame = {
-    val sh = shingles(docs, k)
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // Document frequency via a window over the shingle key (one shuffle,
+    // no join-back), then persist the filtered posting list: it feeds the
+    // set sizes and both sides of the candidate self-join.
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val shr = shingles(docs, k)
+      .withColumn("df", count(lit(1)).over(wS))
       .filter(col("df") <= maxDf)
-      .select("s")
-    val shr = sh.join(rare, "s")
+      .select("doc_id", "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shr.select(col("doc_id").as("ida"), col("s"))
     val b = shr.select(col("doc_id").as("idb"), col("s"))
@@ -59,6 +63,9 @@ object Dedup {
       .filter(col("ida") < col("idb"))
       .groupBy("ida", "idb")
       .agg(count(lit(1)).as("shared"))
+    // sizes is one row per doc: small here, but NOT broadcast-safe at
+    // corpus scale — leave join strategy to AQE (it broadcasts when the
+    // runtime size allows).
     shared
       .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
       .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")

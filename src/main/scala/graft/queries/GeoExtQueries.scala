@@ -73,12 +73,18 @@ object GeoExtQueries {
       s"""WITH v AS ($lineVerticesSql),
          |lines AS (SELECT lid, COUNT(*) AS n, SUM(xi) AS sx, SUM(yi) AS sy
          |          FROM v GROUP BY lid),
-         |cells AS (SELECT lid, sx // (n * $CellTenths) AS cx,
+         |cells AS (SELECT lid, n, sx, sy, sx // (n * $CellTenths) AS cx,
          |                 sy // (n * $CellTenths) AS cy FROM lines),
          |a AS (SELECT * FROM cells WHERE lid % 20 = 0),
          |b AS (SELECT * FROM cells WHERE lid % 2 = 1),
-         |cand AS (SELECT a.lid AS la, b.lid AS lb FROM a JOIN b
-         |         ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+         |cand AS (
+         |  SELECT a.lid AS la, b.lid AS lb FROM a JOIN b
+         |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.lid ORDER BY
+         |    CAST((a.sx * b.n - b.sx * a.n) * (a.sx * b.n - b.sx * a.n)
+         |       + (a.sy * b.n - b.sy * a.n) * (a.sy * b.n - b.sy * a.n)
+         |      AS DOUBLE)
+         |    / CAST((a.n * b.n) * (a.n * b.n) AS DOUBLE), b.lid) <= 25),
          |av AS (SELECT lid, seq, xi / 10.0 AS x, yi / 10.0 AS y FROM v),
          |bv AS (SELECT lid, seq, xi / 10.0 AS x, yi / 10.0 AS y FROM v),
          |dab AS (
