@@ -43,13 +43,21 @@ object Rects {
       col("cx"), col("cy"), col("rid").as("idb"),
       col("x0").as("bx0"), col("y0").as("by0"),
       col("x1").as("bx1"), col("y1").as("by1"))
+    // Reference-point dedup: a pair overlapping k cells would surface k
+    // times; instead of a (wide, shuffling) dropDuplicates, emit the pair
+    // only in the single cell containing the intersection's min corner —
+    // a point both padded boxes cover, so exactly one (cx, cy) survives.
+    // floor(x/c) is monotone, so the FP cell ranges in `cells` always
+    // include it.
     la.join(lb, Seq("cx", "cy"))
       .filter(
         col("ax0") <= col("bx1") + tol && col("bx0") - tol <= col("ax1") &&
         col("ay0") <= col("by1") + tol && col("by0") - tol <= col("ay1"))
+      .filter(
+        col("cx") === floor(greatest(col("ax0"), col("bx0") - tol) / cellSize) &&
+        col("cy") === floor(greatest(col("ay0"), col("by0") - tol) / cellSize))
       .select("ida", "idb", "ax0", "ay0", "ax1", "ay1",
               "bx0", "by0", "bx1", "by1")
-      .dropDuplicates("ida", "idb")
   }
 
   /** intersects_byid as a pair table (ida, idb). */
