@@ -1,0 +1,98 @@
+package graft.geom
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Symmetric (cheap) Hausdorff distance between two vertex arrays
+  * (array<struct<x:double, y:double>>) as a NATIVE Catalyst expression
+  * with whole-stage codegen (SURVEY.md §5).
+  *
+  * The higher-order-function formulation (Geom.hausdorff — nested
+  * aggregate/least/greatest lambdas) allocates a lambda frame per vertex
+  * pair; this expression compiles to two tight Java loops inside the
+  * generated stage. Arithmetic is IDENTICAL (dx*dx + dy*dy -> sqrt,
+  * exact min/max comparisons), so it is drop-in oracle-compatible with
+  * the lambda version — same bits, ~10x less per-pair overhead.
+  *
+  * Reference semantics: gpd_lite_toolbox/core.py:104-131 (fh_dist_lines),
+  * made symmetric via max of both directions.
+  */
+case class HausdorffDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HausdorffDistance =
+    copy(left = newLeft, right = newRight)
+
+  private def directed(a: ArrayData, b: ArrayData): Double = {
+    var maxMin = 0.0
+    var i = 0
+    while (i < a.numElements()) {
+      val pa = a.getStruct(i, 2)
+      val ax = pa.getDouble(0)
+      val ay = pa.getDouble(1)
+      var best = Double.MaxValue
+      var j = 0
+      while (j < b.numElements()) {
+        val pb = b.getStruct(j, 2)
+        val dx = ax - pb.getDouble(0)
+        val dy = ay - pb.getDouble(1)
+        val d = math.sqrt(dx * dx + dy * dy)
+        if (d < best) best = d
+        j += 1
+      }
+      if (best > maxMin) maxMin = best
+      i += 1
+    }
+    maxMin
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    math.max(directed(aa, bb), directed(bb, aa))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val fn = ctx.addNewFunction("graftDirectedHausdorff",
+      s"""
+         |private double graftDirectedHausdorff(
+         |    org.apache.spark.sql.catalyst.util.ArrayData a,
+         |    org.apache.spark.sql.catalyst.util.ArrayData b) {
+         |  double maxMin = 0.0;
+         |  for (int i = 0; i < a.numElements(); i++) {
+         |    org.apache.spark.sql.catalyst.InternalRow pa = a.getStruct(i, 2);
+         |    double ax = pa.getDouble(0);
+         |    double ay = pa.getDouble(1);
+         |    double best = Double.MAX_VALUE;
+         |    for (int j = 0; j < b.numElements(); j++) {
+         |      org.apache.spark.sql.catalyst.InternalRow pb = b.getStruct(j, 2);
+         |      double dx = ax - pb.getDouble(0);
+         |      double dy = ay - pb.getDouble(1);
+         |      double d = Math.sqrt(dx * dx + dy * dy);
+         |      if (d < best) best = d;
+         |    }
+         |    if (best > maxMin) maxMin = best;
+         |  }
+         |  return maxMin;
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = Math.max($fn($a, $b), $fn($b, $a));")
+  }
+}
+
+object HausdorffDistance {
+  /** Column API: native codegen'd hausdorff over two vertex arrays. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(HausdorffDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -1,0 +1,31 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.geom.HausdorffDistance
+
+/** SparkSessionExtensions injector: registers graft's native expressions
+  * into the session's function registry so plain SQL can call them:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   ...
+  * spark.sql("SELECT graft_hausdorff(a.pts, b.pts) FROM ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.hausdorffFunction)
+  }
+}
+
+object GraftExtensions {
+  val hausdorffFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hausdorff"),
+    new ExpressionInfo(classOf[HausdorffDistance].getName, "graft_hausdorff"),
+    (args: Seq[Expression]) => HausdorffDistance(args(0), args(1)))
+}

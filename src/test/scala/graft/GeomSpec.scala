@@ -51,4 +51,28 @@ class GeomSpec extends AnyFunSuite with SharedSpark {
       .asInstanceOf[Double]
     assert(math.abs(d - 10007.0) < 20.0) // quarter circumference, r=6367
   }
+
+  test("native HausdorffDistance matches the lambda formulation bit-for-bit") {
+    import graft.geom.HausdorffDistance
+    val lines = GeoData.linesOrders(spark, SfDir).limit(200)
+    val a = lines.select(col("lid").as("la"), col("pts").as("pa"))
+    val b = lines.select(col("lid").as("lb"), col("pts").as("pb"))
+    val pairs = a.crossJoin(b.limit(20))
+    val diff = pairs.select(
+        HausdorffDistance(col("pa"), col("pb")).as("native"),
+        Geom.hausdorff(col("pa"), col("pb")).as("lambda"))
+      .filter(col("native") =!= col("lambda"))
+    assert(diff.count() === 0)
+  }
+
+  test("graft_hausdorff is callable from SQL via extensions registration") {
+    val (ident, info, builder) = graft.plans.GraftExtensions.hausdorffFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val d = spark.sql(
+      """SELECT graft_hausdorff(
+        |  array(named_struct('x', 0.0d, 'y', 0.0d)),
+        |  array(named_struct('x', 3.0d, 'y', 4.0d))) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(d === 5.0)
+  }
 }
