@@ -20,4 +20,23 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       assert(batch.exceptAll(streamed).count() === 0)
     } finally q.stop()
   }
+
+  test("stateful streaming sessionization matches the batch sessionizer") {
+    import graft.streaming.SessionStream
+    val q = SessionStream.run(spark, SfDir, "sess_test")
+    try {
+      q.processAllAvailable()
+      // update mode re-emits per batch; keep the last row per user
+      val streamed = spark.table("sess_test")
+        .groupBy("user_id")
+        .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      val batch = graft.queries.EventQueries.qSessionize(spark, SfDir)
+        .groupBy("user_id")
+        .agg(max("sess_idx").as("n_sessions"),
+          sum("n_events").as("n_events"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
 }
