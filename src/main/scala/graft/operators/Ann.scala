@@ -47,6 +47,63 @@ object Ann {
       .select("qid", "nid", "rank", "cos4")
   }
 
+  /** IVF (inverted-file) index: a coarse k-means quantizer partitions the
+    * corpus into nlist cells; a query probes only its nprobe nearest
+    * cells and brute-forces within them. Seeds are the nlist smallest
+    * vec_ids (deterministic); `iters` Lloyd rounds refine them. The
+    * centroid table (nlist x dim) is tiny and broadcast at every step;
+    * the corpus is touched once per iteration with a map-side argmin —
+    * the classic FAISS-style layout expressed as DataFrames. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+              nprobe: Int, iters: Int): DataFrame = {
+    val c = withNorm(corpus, "vec_id")
+    def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
+      val scored = vectors.crossJoin(broadcast(cents))
+        .withColumn("d2", aggregate(
+          zip_with(col("e"), col("ce"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+    }
+    var cents = c.orderBy("vec_id").limit(nlist)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("vec_id")).as("cluster"), col("e").as("ce"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(c, cents)
+        .select(col("cluster"), posexplode(col("e")).as(Seq("idx", "v")))
+      cents = assigned.groupBy("cluster", "idx").agg(avg("v").as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("idx"), col("m")))).as("sm"))
+        .select(col("cluster"), transform(col("sm"), s => s("m")).as("ce"))
+    }
+    val indexed = assign(c, cents)
+      .select(col("vec_id").as("nid"), col("e").as("ne"),
+        col("nrm").as("nn"), col("cluster"))
+    val q = withNorm(queries, "vec_id")
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("qe"), col("ce"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("prn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("d2"), col("cluster"))))
+      .filter(col("prn") <= nprobe)
+      .select("qid", "qe", "qn", "cluster")
+    val scored = indexed.join(broadcast(probes), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos4",
+        round(dot(col("qe"), col("ne"))
+          / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos4").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos4", "cluster")
+  }
+
   /** Deterministic pseudo-random hyperplane component i of plane j. */
   def hyperplane(j: Int, dim: Int): Seq[Double] =
     (0 until dim).map(i => ((j * dim + i) * 2654435761L % 1000003L)

@@ -30,9 +30,16 @@ object AnnQueries {
       planes = 8, dim = 64)
   }
 
+  def qCosineIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.ivfTopK(e, e.filter(col("vec_id") % QueryMod === 0), K,
+      nlist = 16, nprobe = 2, iters = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine_topk" -> (qCosineTopK _),
-    "q_ann_lsh" -> (qCosineLsh _))
+    "q_ann_lsh" -> (qCosineLsh _),
+    "q_ann_ivf" -> (qCosineIvf _))
 
   val oracles: Map[String, String] = Map(
     "q_ann_cosine_topk" ->

@@ -75,4 +75,19 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("Broadcast"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("ivfTopK: finds same top-1 as brute force for most queries") {
+    val e = Tables.load(spark, SfDir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = graft.operators.Ann.cosineTopK(e, q, 1)
+      .select(col("qid"), col("nid").as("exact_nid"))
+    val ivf = graft.operators.Ann.ivfTopK(e, q, 1, nlist = 16, nprobe = 2,
+      iters = 2).select(col("qid"), col("nid").as("ivf_nid"))
+    val joined = exact.join(ivf, "qid")
+    val agree = joined.filter(col("exact_nid") === col("ivf_nid")).count()
+    val total = joined.count()
+    assert(total > 0)
+    assert(agree.toDouble / total >= 0.5) // recall@1 of a 2-probe IVF
+  }
 }
