@@ -73,7 +73,12 @@ object Cartogram {
   /** n Dougenik iterations; returns per-region summary (new area/centroid
     * and achieved-vs-desired error). */
   def dougenik(polys: DataFrame, iterations: Int): DataFrame = {
-    val end = (1 to iterations).foldLeft(polys)((df, _) => dougenikIter(df))
+    // Persist each iteration's rings: dougenikIter reads its input twice
+    // (stats + vertices), so an unpersisted chain doubles the recompute
+    // per iteration — exponential lineage by iteration count.
+    val end = (1 to iterations).foldLeft(polys)((df, _) =>
+      dougenikIter(df)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     end.select(col("pid"), col("value"),
       round(Geom.ringArea(col("ring")), 4).as("new_area"),
       round(col("ring")(0)("x"), 4).as("v0x"),

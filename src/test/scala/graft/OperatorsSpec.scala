@@ -78,6 +78,21 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+  test("GeoSink: partitioned layer prunes partitions on cell filter") {
+    import graft.sources.GeoSink
+    val out = "/tmp/graft_sink_test"
+    val layer = graft.operators.Grid.gridify(
+      GeoData.ptsEvents(spark, SfDir), 10.0, "weight")
+      .withColumn("cell_bucket", (col("cell_id") % 10).cast("int"))
+    GeoSink.writePartitioned(layer, out, "cell_bucket")
+    val back = GeoSink.readPartitioned(spark, out)
+      .filter(col("cell_bucket") === 3)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("cell_bucket"))
+    assert(back.count() > 0)
+  }
+
 }
 
 /** Cartogram fixtures shared with the query layer. */
