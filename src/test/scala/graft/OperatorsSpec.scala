@@ -93,6 +93,14 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(back.count() > 0)
   }
 
+  test("q1 pricing: shipdate predicate and column pruning reach the scan") {
+    val plan = graft.queries.Analytics.q1Pricing(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(plan).get
+    assert(!read.contains("l_comment") && !read.contains("l_orderkey"))
+  }
+
 }
 
 /** Cartogram fixtures shared with the query layer. */
