@@ -47,21 +47,32 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, k: Int, maxDf: Int,
                    minJac: Double): DataFrame = {
-    // Document frequency via a window over the shingle key (one shuffle,
-    // no join-back), then persist the filtered posting list: it feeds the
-    // set sizes and both sides of the candidate self-join.
-    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
-    val shr = shingles(docs, k)
-      .withColumn("df", count(lit(1)).over(wS))
-      .filter(col("df") <= maxDf)
-      .select("doc_id", "s")
+    // One shuffle builds per-shingle posting ARRAYS (collect_set dedups
+    // repeated shingles within a doc); the df cap is a size filter on the
+    // array; candidate pairs are in-array combinations (<= maxDf^2 per
+    // shingle) — no distinct, no df window, no posting self-join.
+    // Set semantics make collect_set's nondeterministic order irrelevant.
+    val postings = docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))))
+          .as("i"),
+        col("t"))
+      .select(col("doc_id"), col("t").substr(col("i"), lit(k)).as("s"))
+      .filter(length(col("s")) === k)
+      .groupBy("s")
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = shr.select(col("doc_id").as("ida"), col("s"))
-    val b = shr.select(col("doc_id").as("idb"), col("s"))
-    val shared = a.join(b, Seq("s"))
-      .filter(col("ida") < col("idb"))
-      .groupBy("ida", "idb")
+    val sizes = postings
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = postings
+      .select(explode(filter(
+        flatten(transform(col("ds"), a =>
+          transform(col("ds"), b => struct(a.as("ida"), b.as("idb"))))),
+        p => p("ida") < p("idb"))).as("pr"))
+      .groupBy(col("pr.ida").as("ida"), col("pr.idb").as("idb"))
       .agg(count(lit(1)).as("shared"))
     // sizes is one row per doc: small here, but NOT broadcast-safe at
     // corpus scale — leave join strategy to AQE (it broadcasts when the
