@@ -25,8 +25,10 @@ object Dedup {
     (a, b)
   }
 
-  /** Distinct k-character shingles per document over lowercased text.
-    * One row per (doc_id, shingle). */
+  /** K-character shingles per document over lowercased text, one row per
+    * occurrence (NOT deduplicated: the minhash min-fold is idempotent
+    * under duplicates, so a distinct here would be a wasted shuffle;
+    * consumers needing set semantics dedup in their own aggregation). */
   def shingles(docs: DataFrame, k: Int): DataFrame =
     docs
       .select(col("doc_id"), lower(col("text")).as("t"))
@@ -36,7 +38,6 @@ object Dedup {
         col("t"))
       .select(col("doc_id"), col("t").substr(col("i"), lit(k)).as("s"))
       .filter(length(col("s")) === k)
-      .distinct()
 
   /** N-gram Jaccard near-dup pairs over rare shingles.
     *
