@@ -13,7 +13,7 @@ import graft.operators.{MatchLines, RandomPoints}
   */
 object GeoExtQueries {
 
-  private val CellTenths = 50 // 5.0-unit centroid cells for line matching
+  private val CellTenths = 30 // 3.0-unit centroid cells for line matching
 
   /** Integer-tenth line vertices from lineitem (same scatter arithmetic as
     * GeoData.linesOrders, kept integral for exact cell bucketing). */
