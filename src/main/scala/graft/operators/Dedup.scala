@@ -133,6 +133,37 @@ object Dedup {
       .select("ida", "idb", "est")
   }
 
+  /** Transitive dedup clustering: connected components over a near-dup
+    * pair table via min-label propagation, then a canonical (minimum)
+    * doc id per component. `iters` bounds the component diameter handled
+    * (near-dup components are shallow in practice; raise it for longer
+    * chains). Each iteration is one equi-join + one min-aggregate —
+    * no driver-side graph state. Docs in no pair are their own canonical.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    iters: Int = 4): DataFrame = {
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      labels = labels.union(fromNeighbors)
+        .groupBy("node")
+        .agg(min("label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+  }
+
   /** 64-bit SimHash over whitespace tokens; near-dup pairs via 4x16-bit
     * band buckets, verified by Hamming distance <= maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {

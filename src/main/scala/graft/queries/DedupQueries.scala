@@ -30,10 +30,19 @@ object DedupQueries {
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), maxHamming = 6)
 
+  /** Canonical doc per transitive near-dup cluster (minhash pairs as the
+    * edge set). Rows-only check (minhash is engine-side). */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.dedupClusters(d,
+      Dedup.minhashPairs(d, K, numHashes = 64, bands = 16, minEst = 0.2))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_minhash" -> (qMinhash _),
-    "q_dedup_simhash" -> (qSimhash _))
+    "q_dedup_simhash" -> (qSimhash _),
+    "q_dedup_clusters" -> (qDedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_ngram_jaccard" ->

@@ -90,4 +90,13 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(total > 0)
     assert(agree.toDouble / total >= 0.5) // recall@1 of a 2-probe IVF
   }
+
+  test("dedupClusters: transitive chain collapses to one canonical id") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 3L, 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("ida", "idb")
+    val out = graft.operators.Dedup.dedupClusters(d, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
 }
