@@ -39,9 +39,52 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q3-style shipping priority: filtered 3-way join, top-20 orders
+    * by revenue (rank on rounded revenue with orderkey tie-break so the
+    * cut is engine-stable). */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q5-style local-supplier volume: 6-table join (dimensions
+    * broadcast), revenue per nation within one region. */
+  def q5Local(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
-    "q_top_revenue" -> (qTopRevenue _))
+    "q_top_revenue" -> (qTopRevenue _),
+    "q3_shipping" -> (q3Shipping _),
+    "q5_local" -> (q5Local _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -63,5 +106,31 @@ object Analytics {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q5_local" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin)
 }
