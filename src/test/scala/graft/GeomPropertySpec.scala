@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.Geom
+
+/** Property-style checks of the geometry kernels: algebraic invariants
+  * over seeded random inputs, evaluated through the real Catalyst
+  * expressions (one local projection per case). */
+class GeomPropertySpec extends AnyFunSuite with SharedSpark {
+
+  private def evalD(c: org.apache.spark.sql.Column): Double =
+    spark.range(1).select(c.cast("double")).head().getDouble(0)
+
+  private val rnd = new scala.util.Random(42)
+  private def coord(): Double = math.rint(rnd.between(-1000.0, 1000.0) * 10) / 10
+
+  test("rect ring area = w*h and perimeter = 2(w+h) for random rects") {
+    for (_ <- 1 to 25) {
+      val (x0, y0) = (coord(), coord())
+      val w = rnd.between(0.1, 500.0)
+      val h = rnd.between(0.1, 500.0)
+      val ring = Geom.rectRing(lit(x0), lit(y0), lit(x0 + w), lit(y0 + h))
+      assert(math.abs(evalD(Geom.ringArea(ring)) - w * h) < 1e-6 * (w * h + 1))
+      assert(math.abs(evalD(Geom.ringPerimeter(ring)) - 2 * (w + h)) < 1e-6)
+    }
+  }
+
+  test("point-in-ring: interior points in, translated-out points out") {
+    for (_ <- 1 to 25) {
+      val (x0, y0) = (coord(), coord())
+      val s = rnd.between(1.0, 100.0)
+      val px = x0 + rnd.between(0.1, 0.9) * s
+      val py = y0 + rnd.between(0.1, 0.9) * s
+      val ring = Geom.rectRing(lit(x0), lit(y0), lit(x0 + s), lit(y0 + s))
+      assert(evalD(Geom.pointInRing(lit(px), lit(py), ring).cast("int")) === 1.0)
+      assert(evalD(Geom.pointInRing(lit(px + 2 * s), lit(py), ring)
+        .cast("int")) === 0.0)
+    }
+  }
+
+  test("haversine: symmetric and non-negative") {
+    for (_ <- 1 to 25) {
+      val (a1, a2) = (rnd.between(-80.0, 80.0), rnd.between(-80.0, 80.0))
+      val (o1, o2) = (rnd.between(-179.0, 179.0), rnd.between(-179.0, 179.0))
+      val d12 = evalD(Geom.haversineKm(lit(a1), lit(o1), lit(a2), lit(o2)))
+      val d21 = evalD(Geom.haversineKm(lit(a2), lit(o2), lit(a1), lit(o1)))
+      assert(!d12.isNaN && d12 >= 0.0)
+      assert(math.abs(d12 - d21) < 1e-6)
+    }
+  }
+
+  test("native hausdorff: zero on same set, symmetric, non-negative") {
+    import graft.geom.HausdorffDistance
+    for (_ <- 1 to 25) {
+      def arr() = array(List.fill(rnd.between(1, 5))(
+        struct(lit(coord()).as("x"), lit(coord()).as("y"))): _*)
+      val a = arr()
+      val b = arr()
+      val ab = evalD(HausdorffDistance(a, b))
+      val ba = evalD(HausdorffDistance(b, a))
+      assert(evalD(HausdorffDistance(a, a)) === 0.0)
+      assert(ab === ba)
+      assert(ab >= 0.0)
+    }
+  }
+}
