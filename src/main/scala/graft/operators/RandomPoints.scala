@@ -34,7 +34,7 @@ object RandomPoints {
     exploded
       .withColumn("px", px)
       .withColumn("py", py)
-      .filter(Geom.pointInRing(col("px"), col("py"),
+      .filter(graft.geom.PointInRing(col("px"), col("py"),
         Geom.rectRing(col("x0"), col("y0"), col("x1"), col("y1"))))
       .select(col("pid"), col("i").cast("long").as("i"),
         round(col("px"), 4).as("px"), round(col("py"), 4).as("py"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.geom.HausdorffDistance
+import graft.geom.{HausdorffDistance, PointInRing}
 
 /** SparkSessionExtensions injector: registers graft's native expressions
   * into the session's function registry so plain SQL can call them:
@@ -19,6 +19,7 @@ import graft.geom.HausdorffDistance
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hausdorffFunction)
+    ext.injectFunction(GraftExtensions.pointInRingFunction)
   }
 }
 
@@ -28,4 +29,10 @@ object GraftExtensions {
     FunctionIdentifier("graft_hausdorff"),
     new ExpressionInfo(classOf[HausdorffDistance].getName, "graft_hausdorff"),
     (args: Seq[Expression]) => HausdorffDistance(args(0), args(1)))
+
+  val pointInRingFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_point_in_ring"),
+    new ExpressionInfo(classOf[PointInRing].getName, "graft_point_in_ring"),
+    (args: Seq[Expression]) => PointInRing(args(0), args(1), args(2)))
 }

@@ -65,4 +65,31 @@ class GeomPropertySpec extends AnyFunSuite with SharedSpark {
       assert(ab >= 0.0)
     }
   }
+
+  test("native PointInRing matches the lambda formulation on random cases") {
+    import graft.geom.PointInRing
+    for (_ <- 1 to 50) {
+      val (x0, y0) = (coord(), coord())
+      val s = rnd.between(1.0, 100.0)
+      val px = x0 + rnd.between(-1.5, 1.5) * s
+      val py = y0 + rnd.between(-1.5, 1.5) * s
+      val ring = Geom.rectRing(lit(x0), lit(y0), lit(x0 + s), lit(y0 + s))
+      val native = evalD(PointInRing(lit(px), lit(py), ring).cast("int"))
+      val lambda = evalD(Geom.pointInRing(lit(px), lit(py), ring).cast("int"))
+      assert(native === lambda)
+    }
+  }
+
+  test("graft_point_in_ring callable from SQL") {
+    val (ident, info, builder) = graft.plans.GraftExtensions.pointInRingFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val in = spark.sql(
+      """SELECT graft_point_in_ring(0.5d, 0.5d, array(
+        |  named_struct('x', 0.0d, 'y', 0.0d),
+        |  named_struct('x', 1.0d, 'y', 0.0d),
+        |  named_struct('x', 1.0d, 'y', 1.0d),
+        |  named_struct('x', 0.0d, 'y', 1.0d))) AS v""".stripMargin)
+      .head().getBoolean(0)
+    assert(in)
+  }
 }
