@@ -101,6 +101,20 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(!read.contains("l_comment") && !read.contains("l_orderkey"))
   }
 
+  test("saltedJoin produces exactly the plain join's rows") {
+    import graft.operators.Skew
+    val li = Tables.load(spark, SfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val o = Tables.load(spark, SfDir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", salts = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
 }
 
 /** Cartogram fixtures shared with the query layer. */
