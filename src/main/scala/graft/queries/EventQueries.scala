@@ -49,9 +49,36 @@ object EventQueries {
         round(sum("value"), 4).as("sum_value"))
   }
 
+  /** view -> click -> purchase funnel per user: earliest view, earliest
+    * click after it, earliest purchase after that. Three conditional-min
+    * aggregations on the same user_id shuffle key; exact integer micros.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"))
+    val tv = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("tv"))
+    val tc = ev.join(tv, "user_id")
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "click" && col("ts_us") > col("tv"),
+        col("ts_us"))).as("tc"))
+    val tp = ev.join(tc, "user_id")
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "purchase" && col("ts_us") > col("tc"),
+        col("ts_us"))).as("tp"))
+    tv.join(tc, "user_id").join(tp, "user_id")
+      .select(col("user_id"), col("tv"), col("tc"), col("tp"),
+        (when(col("tp").isNotNull, 3)
+          .when(col("tc").isNotNull, 2)
+          .when(col("tv").isNotNull, 1)
+          .otherwise(0)).cast("long").as("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_windowed" -> (qEventsWindowed _),
-    "q_sessionize" -> (qSessionize _))
+    "q_sessionize" -> (qSessionize _),
+    "q_funnel" -> (qFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q_events_windowed" ->
@@ -87,5 +114,31 @@ object EventQueries {
          |  (MAX(ts_us) - MIN(ts_us)) / CAST(1000000 AS BIGINT) AS dur_sec,
          |  ROUND(SUM(value), 4) AS sum_value
          |FROM sess
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |tv AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS tv
+        |  FROM e GROUP BY 1),
+        |tc AS (
+        |  SELECT e.user_id,
+        |    MIN(CASE WHEN event_type = 'click' AND ts_us > tv
+        |        THEN ts_us END) AS tc
+        |  FROM e JOIN tv ON e.user_id = tv.user_id GROUP BY 1),
+        |tp AS (
+        |  SELECT e.user_id,
+        |    MIN(CASE WHEN event_type = 'purchase' AND ts_us > tc
+        |        THEN ts_us END) AS tp
+        |  FROM e JOIN tc ON e.user_id = tc.user_id GROUP BY 1)
+        |SELECT tv.user_id, tv, tc, tp,
+        |  CAST(CASE WHEN tp IS NOT NULL THEN 3
+        |            WHEN tc IS NOT NULL THEN 2
+        |            WHEN tv IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM tv
+        |JOIN tc ON tv.user_id = tc.user_id
+        |JOIN tp ON tv.user_id = tp.user_id""".stripMargin)
 }

@@ -115,6 +115,21 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("sampleFrames: frame bytes reassemble to payload length") {
+    import graft.operators.Multimodal
+    val media = Multimodal.mediaTable(Tables.load(spark, SfDir, "documents"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyN = 1)
+    val sums = frames.groupBy("doc_id")
+      .agg(sum("frame_bytes").as("total"))
+    val lens = media.select(col("doc_id"),
+      length(col("payload")).cast("long").as("len"))
+    assert(sums.join(lens, "doc_id")
+      .filter(col("total") =!= col("len")).count() === 0)
+    // sampling every 2nd frame yields no more than half+1 per doc
+    val sampled = Multimodal.sampleFrames(media, 64, 2).count()
+    assert(sampled < frames.count())
+  }
+
 }
 
 /** Cartogram fixtures shared with the query layer. */
