@@ -142,8 +142,11 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     iters: Int = 4): DataFrame = {
+    // The pair table may be an expensive pipeline (e.g. minhash LSH) and
+    // every propagation iteration consumes it — materialize it once.
     val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
       .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))

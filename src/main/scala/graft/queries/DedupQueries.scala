@@ -35,7 +35,8 @@ object DedupQueries {
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     Dedup.dedupClusters(d,
-      Dedup.minhashPairs(d, K, numHashes = 64, bands = 16, minEst = 0.2))
+      Dedup.minhashPairs(d, K, numHashes = 64, bands = 16, minEst = 0.2),
+      iters = 3) // near-dup components are shallow; 3 hops covers them
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
