@@ -109,6 +109,44 @@ object GeoExtQueries {
          |SELECT la, lb, hd FROM hd
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY la ORDER BY hd, lb) = 1""".stripMargin,
 
+    "q_match_lines_cluster" ->
+      s"""WITH v AS ($lineVerticesSql),
+         |vo AS (SELECT lid, xi, yi, xi / 10.0 AS x, yi / 10.0 AS y,
+         |         ROW_NUMBER() OVER (PARTITION BY lid ORDER BY seq, xi, yi)
+         |           AS rn,
+         |         COUNT(*) OVER (PARTITION BY lid) AS n
+         |       FROM v),
+         |segs AS (SELECT a.lid,
+         |           SQRT((a.x - b.x) * (a.x - b.x)
+         |              + (a.y - b.y) * (a.y - b.y)) AS slen
+         |         FROM vo a JOIN vo b ON b.lid = a.lid AND b.rn = a.rn + 1),
+         |lens AS (SELECT lid, SUM(slen) AS len FROM segs GROUP BY lid),
+         |d AS (
+         |  SELECT vo.lid,
+         |    SUM(xi) // (MAX(n) * $CellTenths) AS cx,
+         |    SUM(yi) // (MAX(n) * $CellTenths) AS cy,
+         |    SUM(x) / MAX(n) AS ctrx,
+         |    SUM(y) / MAX(n) AS ctry,
+         |    180.0 + ATAN2(
+         |      MIN(CASE WHEN rn = 1 THEN x END)
+         |        - MIN(CASE WHEN rn = n THEN x END),
+         |      MIN(CASE WHEN rn = 1 THEN y END)
+         |        - MIN(CASE WHEN rn = n THEN y END)) * (180.0 / PI()) AS brg
+         |  FROM vo GROUP BY vo.lid),
+         |dl AS (SELECT d.*, COALESCE(lens.len, 0.0) AS len
+         |       FROM d LEFT JOIN lens ON d.lid = lens.lid),
+         |a AS (SELECT * FROM dl WHERE lid % 20 = 0),
+         |b AS (SELECT * FROM dl WHERE lid % 2 = 1),
+         |scored AS (
+         |  SELECT a.lid AS la, b.lid AS lb,
+         |    ROUND(ABS(a.ctrx - b.ctrx) + ABS(a.ctry - b.ctry)
+         |        + ABS(a.len - b.len)
+         |        + LEAST(ABS(a.brg - b.brg), 360.0 - ABS(a.brg - b.brg)),
+         |      4) AS score
+         |  FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy)
+         |SELECT la, lb, score FROM scored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY la ORDER BY score, lb) = 1""".stripMargin,
+
     "q_random_pts" ->
       s"""WITH poly AS (${GeoData.polyNationSql}),
          |e AS (SELECT pid, x0, y0, x1, y1, CAST(i AS BIGINT) AS i
