@@ -57,11 +57,14 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
               nprobe: Int, iters: Int): DataFrame = {
     val c = withNorm(corpus, "vec_id")
+    // Rank assignments on round(d2, 6) with a cluster tie-break: centroid
+    // coordinates are unordered-FP averages, so raw-d2 argmins could flip
+    // on last-ulp differences between runs/engines.
     def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
       val scored = vectors.crossJoin(broadcast(cents))
-        .withColumn("d2", aggregate(
+        .withColumn("d2", round(aggregate(
           zip_with(col("e"), col("ce"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v))
+          lit(0.0), (acc, v) => acc + v), 6))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
       scored.withColumn("rn", row_number().over(w))
@@ -84,9 +87,9 @@ object Ann {
     val q = withNorm(queries, "vec_id")
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d2", aggregate(
+      .withColumn("d2", round(aggregate(
         zip_with(col("qe"), col("ce"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v))
+        lit(0.0), (acc, v) => acc + v), 6))
       .withColumn("prn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("d2"), col("cluster"))))

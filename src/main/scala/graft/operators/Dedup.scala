@@ -90,10 +90,15 @@ object Dedup {
 
   /** MinHash signatures: one row per doc with array<long> of numHashes
     * minimums. Single shuffle (groupBy doc_id) with map-side partial
-    * aggregation — the 64 mins fold before the exchange. */
+    * aggregation — the 64 mins fold before the exchange. The shingle
+    * hash is a polynomial rolling hash mod 2^31-1 (not xxhash64) so the
+    * whole pipeline is engine-portable and oracle-checkable. */
   def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
     val sh = shingles(docs, k)
-      .withColumn("hp", pmod(xxhash64(col("s")), lit(P)))
+      .withColumn("hp",
+        aggregate(filter(split(col("s"), ""), c => length(c) > lit(0)),
+          lit(0L),
+          (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(P)))
     val mins = (0 until numHashes).map { i =>
       val (a, b) = coef(i)
       min((lit(a) * col("hp") + lit(b)) % lit(P)).as(s"m$i")
@@ -112,7 +117,8 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, k, numHashes)
     val bandHashes = array((0 until bands).map { bi =>
-      xxhash64(lit(bi), slice(col("sig"), bi * rows + 1, rows))
+      aggregate(slice(col("sig"), bi * rows + 1, rows), lit(0L),
+        (acc, m) => (acc * lit(33L) + m) % lit(P))
     }: _*)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(bandHashes).as(Seq("band", "bh")))
@@ -167,26 +173,39 @@ object Dedup {
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
   }
 
-  /** 64-bit SimHash over whitespace tokens; near-dup pairs via 4x16-bit
-    * band buckets, verified by Hamming distance <= maxHamming. */
+  /** 60-bit SimHash over whitespace tokens; near-dup pairs via 4x15-bit
+    * band buckets, verified by Hamming distance <= maxHamming. Token
+    * bits come from two polynomial rolling hashes (31x / 37x, mod 2^31-1,
+    * 30 bits each) instead of xxhash64 so the pipeline has an exact
+    * DuckDB twin. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // Final 2654435761x mixing multiply spreads short tokens' small hash
+    // values across all 30 bits (a bare rolling hash of a 3-char word
+    // never touches the high bits, which would blow up band collisions).
+    def fold(mult: Long) =
+      (aggregate(filter(split(col("w"), ""), c => length(c) > lit(0)),
+        lit(0L),
+        (acc, c) => (acc * lit(mult) + ascii(c).cast("long")) % lit(P))
+        * lit(2654435761L)) % lit(P)
     val toks = docs
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+      .withColumn("h1", fold(31L))
+      .withColumn("h2", fold(37L))
+    val bitSums = (0 until 60).map { i =>
+      val src = if (i < 30) col("h1") else col("h2")
+      sum(when(shiftright(src, i % 30).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$i")
     }
     val sigs = toks.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map { i =>
+        (0 until 60).map { i =>
           when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
         }.reduceLeft((a, c) => a.bitwiseOR(c)).as("sig"))
     val bandVals = array((0 until 4).map { j =>
-      shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))
+      shiftright(col("sig"), j * 15).bitwiseAND(lit(0x7FFFL))
     }: _*)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(bandVals).as(Seq("band", "bv")))

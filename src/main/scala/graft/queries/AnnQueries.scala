@@ -41,7 +41,106 @@ object AnnQueries {
     "q_ann_lsh" -> (qCosineLsh _),
     "q_ann_ivf" -> (qCosineIvf _))
 
+  /** DuckDB twin of the LSH path: the hyperplane components are the same
+    * closed-form modular arithmetic, so buckets, candidates and scores
+    * all reproduce exactly. */
+  private val lshOracle: String =
+    s"""WITH v AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |      FROM v),
+       |planes AS (SELECT CAST(j AS BIGINT) AS j
+       |           FROM (SELECT unnest(generate_series(0, 7)) AS j) g),
+       |b AS (SELECT n.vec_id,
+       |        CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+       |              i -> n.e[i] * (((j * 64 + i - 1) * 2654435761)
+       |                   % 1000003 / 1000003.0 - 0.5))) > 0
+       |            THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END)
+       |          AS BIGINT) AS bucket
+       |      FROM n, planes GROUP BY n.vec_id),
+       |sv AS (SELECT n.vec_id, n.e, n.nrm, b.bucket
+       |       FROM n JOIN b ON b.vec_id = n.vec_id),
+       |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM sv
+       |      WHERE vec_id % $QueryMod = 0),
+       |scored AS (
+       |  SELECT q.qid, sv.vec_id AS nid, q.bucket,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |            i -> q.qe[i] * sv.e[i]))
+       |        / greatest(q.qn * sv.nrm, 1e-12), 4) AS cos4
+       |  FROM sv JOIN q ON sv.bucket = q.bucket AND q.qid <> sv.vec_id)
+       |SELECT qid, nid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, nid)
+       |    AS INT) AS rank, cos4, bucket
+       |FROM scored
+       |QUALIFY rank <= $K""".stripMargin
+
+  /** DuckDB twin of the IVF pipeline: same seeds (16 smallest vec_ids),
+    * two Lloyd rounds with round(d2,6)-ranked assignment, probe-2 search.
+    * Assignment/centroid math is element-ordered list arithmetic, so the
+    * only FP divergence (unordered AVG) is absorbed by the rounded
+    * ranking — mirroring the engine exactly. */
+  private val ivfOracle: String = {
+    def d2(e1: String, e2: String) =
+      s"""ROUND(list_sum(list_transform(range(1, 65),
+         |        i -> ($e1[i] - $e2[i]) * ($e1[i] - $e2[i]))), 6)""".stripMargin
+    def assign(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, e, nrm, cluster FROM (
+         |    SELECT n.vec_id, n.e, n.nrm, c.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d2("n.e", "c.ce")}, c.cluster) AS rn
+         |    FROM n, $cents c) WHERE rn = 1)""".stripMargin
+    def recenter(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT cluster, list(m ORDER BY i) AS ce FROM (
+         |    SELECT a.cluster, u.i, AVG(a.e[u.i]) AS m
+         |    FROM $assigned a,
+         |         (SELECT unnest(generate_series(1, 64)) AS i) u
+         |    GROUP BY 1, 2)
+         |  GROUP BY cluster)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |      FROM v),
+       |c0 AS (SELECT CAST(rn AS BIGINT) AS cluster, e AS ce FROM
+       |         (SELECT e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |          FROM n) WHERE rn <= 16),
+       |${assign("c0", "a1")},
+       |${recenter("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${recenter("a2", "c2")},
+       |${assign("c2", "idx")},
+       |q0 AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+       |       WHERE vec_id % $QueryMod = 0),
+       |probes AS (
+       |  SELECT qid, qe, qn, cluster FROM (
+       |    SELECT q0.qid, q0.qe, q0.qn, c.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY q0.qid
+       |        ORDER BY ${d2("q0.qe", "c.ce")}, c.cluster) AS prn
+       |    FROM q0, c2 c) WHERE prn <= 2),
+       |scored AS (
+       |  SELECT p.qid, x.vec_id AS nid, x.cluster,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |            i -> p.qe[i] * x.e[i]))
+       |        / greatest(p.qn * x.nrm, 1e-12), 4) AS cos4
+       |  FROM idx x JOIN probes p ON x.cluster = p.cluster
+       |  WHERE p.qid <> x.vec_id)
+       |SELECT qid, nid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, nid)
+       |    AS INT) AS rank, cos4, cluster
+       |FROM scored
+       |QUALIFY rank <= $K""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ann_lsh" -> lshOracle,
+    "q_ann_ivf" -> ivfOracle,
     "q_ann_cosine_topk" ->
       s"""WITH v AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -7,8 +7,10 @@ import graft.Tables
 import graft.operators.Dedup
 
 /** Near-dup queries over documents (SURVEY.md §2 rows 29-31).
-  * q_dedup_ngram_jaccard has a full SQL oracle (integer set arithmetic);
-  * minhash/simhash use xxhash64 (no DuckDB equivalent) → rows-only check.
+  * ALL four are fully hash-checked against DuckDB: the shingle/token
+  * hashes are engine-portable rolling hashes (mod 2^31-1), so the oracle
+  * replays minhash banding, simhash bit-sums, jaccard set arithmetic and
+  * the min-label cluster recurrence exactly.
   */
 object DedupQueries {
 
@@ -31,7 +33,7 @@ object DedupQueries {
     Dedup.simhashPairs(docs(spark, dir), maxHamming = 6)
 
   /** Canonical doc per transitive near-dup cluster (minhash pairs as the
-    * edge set). Rows-only check (minhash is engine-side). */
+    * edge set). */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     Dedup.dedupClusters(d,
@@ -45,7 +47,124 @@ object DedupQueries {
     "q_dedup_simhash" -> (qSimhash _),
     "q_dedup_clusters" -> (qDedupClusters _))
 
+  /** DuckDB twin of operators.Dedup's minhash pipeline: same rolling
+    * shingle hash, same universal-hash coefficients (note `|1` / exact
+    * integer arithmetic), same band fold — the full LSH path is
+    * hash-checked, not just row-counted. */
+  private val minhashOracle: String = {
+    val P = 2147483647L
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
+       |           FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $K) AS s
+       |       FROM d, LATERAL (SELECT unnest(generate_series(1,
+       |              greatest(len(t) - ${K - 1}, 1))) AS i) u
+       |       WHERE len(substr(t, CAST(i AS INT), $K)) = $K),
+       |shh AS (SELECT doc_id,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(list_filter(string_split(s, ''),
+       |                                       c -> len(c) > 0),
+       |                           c -> CAST(ascii(c) AS BIGINT))),
+       |            (a, b) -> (a * 31 + b) % $P) AS hp
+       |        FROM sh),
+       |coefs AS (SELECT CAST(i AS BIGINT) AS i,
+       |            ((i * 2654435761 + 1) % $P) | 1 AS a,
+       |            (i * 40503 * 104729 + 12345) % $P AS b
+       |          FROM (SELECT unnest(generate_series(0, 63)) AS i) g),
+       |mins AS (SELECT doc_id, i, MIN((a * hp + b) % $P) AS m
+       |         FROM shh, coefs GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // 4 AS band,
+       |            list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              list(m ORDER BY i)), (x, y) -> (x * 33 + y) % $P) AS bh
+       |          FROM mins GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bh = b.bh
+       |          AND a.doc_id < b.doc_id),
+       |est AS (SELECT ida, idb,
+       |          ROUND(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END)
+       |              / 64.0, 4) AS est
+       |        FROM cand
+       |        JOIN mins ma ON ma.doc_id = ida
+       |        JOIN mins mb ON mb.doc_id = idb AND mb.i = ma.i
+       |        GROUP BY 1, 2)
+       |SELECT ida, idb, est FROM est WHERE est >= 0.2""".stripMargin
+  }
+
+  /** Mirrors Dedup.dedupClusters' exact 3-iteration min-label recurrence
+    * over the minhash pair graph (the same UNION ALL + per-node MIN per
+    * hop), then the left join back to all docs. */
+  private val clustersOracle: String = {
+    def hop(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT node, MIN(label) AS label FROM (
+         |    SELECT node, label FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.label FROM e JOIN $prev p
+         |      ON p.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH pairs AS ($minhashOracle),
+       |e AS (SELECT ida AS src, idb AS dst FROM pairs
+       |      UNION ALL SELECT idb, ida FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${hop("l0", "l1")},
+       |${hop("l1", "l2")},
+       |${hop("l2", "l3")}
+       |SELECT d.doc_id,
+       |  COALESCE(l3.label, d.doc_id) AS canonical_id,
+       |  d.doc_id <> COALESCE(l3.label, d.doc_id) AS is_dup
+       |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+       |LEFT JOIN l3 ON l3.node = d.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of the 60-bit simhash band pipeline (same double
+    * rolling hash, bit sums, band split, Hamming verification). */
+  private val simhashOracle: String = {
+    val P = 2147483647L
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |             lower(trim(text)) AS t FROM documents),
+       |toks AS (
+       |  SELECT doc_id, w,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_filter(string_split(w, ''), c -> len(c) > 0),
+       |                     c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % $P) * 2654435761 % $P AS h1,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_filter(string_split(w, ''), c -> len(c) > 0),
+       |                     c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 37 + b) % $P) * 2654435761 % $P AS h2
+       |  FROM d, LATERAL (SELECT unnest(regexp_split_to_array(t, '\\s+'))
+       |                   AS w) u
+       |  WHERE len(w) > 0),
+       |bits AS (
+       |  SELECT doc_id, CAST(j AS BIGINT) AS j,
+       |    SUM(CASE WHEN (((CASE WHEN j < 30 THEN h1 ELSE h2 END)
+       |          >> CAST(j % 30 AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM toks, (SELECT unnest(generate_series(0, 59)) AS j) g
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, sig, b AS band, (sig >> CAST(b * 15 AS INT)) & 32767
+       |    AS bv
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) g),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+       |    a.sig AS siga, b.sig AS sigb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT ida, idb,
+       |  CAST(bit_count(xor(siga, sigb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(siga, sigb)) <= 6""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_clusters" -> clustersOracle,
+    "q_dedup_simhash" -> simhashOracle,
     "q_dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
          |           FROM documents),

@@ -35,6 +35,28 @@ object SourceQueries {
     "q_multimodal" -> (qMultimodal _))
 
   val oracles: Map[String, String] = Map(
+    // The "decode" is a deterministic stub (polynomial checksum over the
+    // payload bytes); with ASCII text payloads the byte stream equals the
+    // char stream, so DuckDB can replay the exact fold — making even the
+    // stubbed pipeline hash-checked end to end.
+    "q_multimodal" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+        |          AS kind,
+        |        CAST(len(text) AS BIGINT) AS n_bytes,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(list_filter(string_split(text, ''),
+        |                                     c -> len(c) > 0),
+        |                         c -> CAST(ascii(c) AS BIGINT))),
+        |          (a, b) -> (a * 131 + b) % 1000000007) AS checksum
+        |      FROM d)
+        |SELECT doc_id, kind, n_bytes, checksum,
+        |  16 + checksum % 16 AS width,
+        |  16 + (checksum // 16) % 16 AS height
+        |FROM f""".stripMargin,
+
     "q_read_wkt" ->
       """WITH w AS (
         |  SELECT CAST(event_id AS BIGINT) AS id,
