@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * through an equi-join on a bounded-width key (rare shingle, minhash band
   * bucket, simhash band), so the shuffle is O(n·k) and the pair count is
   * bounded by posting-list caps — the standard LSH scale story. All hot
-  * paths are codegen'd expressions (xxhash64, bit ops, higher-order array
-  * functions); no UDFs.
+  * paths are codegen'd expressions (engine-portable rolling hashes, bit
+  * ops, higher-order array functions); no UDFs — and because the hashes
+  * are portable, every variant is hash-checked against the DuckDB oracle.
   */
 object Dedup {
 
