@@ -150,10 +150,15 @@ object Dedup {
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     iters: Int = 4): DataFrame = {
     // The pair table may be an expensive pipeline (e.g. minhash LSH) and
-    // every propagation iteration consumes it — materialize it once.
+    // every propagation iteration consumes it — materialize it EAGERLY
+    // (persist + count): a lazily-cached stage consumed by several
+    // branches of one job can still be recomputed per branch; the count
+    // pins it. The graph state is tiny relative to the corpus, so the
+    // extra job per iteration is noise at any scale.
     val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
       .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
@@ -166,6 +171,7 @@ object Dedup {
         .groupBy("node")
         .agg(min("label").as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labels.count()
     }
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
