@@ -130,6 +130,17 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(sampled < frames.count())
   }
 
+  test("Graft facade mirrors the reference __all__ surface") {
+    val polys = GeoData.polyNation(spark, SfDir)
+    assert(Graft.dissolve(polys, "rkey").count() === 5)
+    assert(Graft.getBorders(polys, "name", 21.0, 0.01).count() === 80)
+    val pts = GeoData.ptsEvents(spark, SfDir)
+    assert(Graft.gridifyData(pts, 10.0, "weight").count() > 0)
+    intercept[IllegalArgumentException] {
+      Graft.matchLines(polys, polys, method = "nope")
+    }
+  }
+
 }
 
 /** Cartogram fixtures shared with the query layer. */
