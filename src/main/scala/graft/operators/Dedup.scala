@@ -54,6 +54,9 @@ object Dedup {
     // array; candidate pairs are in-array combinations (<= maxDf^2 per
     // shingle) — no distinct, no df window, no posting self-join.
     // Set semantics make collect_set's nondeterministic order irrelevant.
+    // Shingles are hashed to BIGINT (portable rolling hash) BEFORE the
+    // shuffle: 8-byte keys instead of k-char strings. The oracle replays
+    // the same hash, so results (collisions included) match exactly.
     val postings = docs
       .select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"),
@@ -62,6 +65,11 @@ object Dedup {
         col("t"))
       .select(col("doc_id"), col("t").substr(col("i"), lit(k)).as("s"))
       .filter(length(col("s")) === k)
+      .select(col("doc_id"),
+        aggregate(filter(split(col("s"), ""), c => length(c) > lit(0)),
+          lit(0L),
+          (acc, c) => (acc * lit(131L) + ascii(c).cast("long"))
+            % lit(1000000007L)).as("s"))
       .groupBy("s")
       .agg(collect_set(col("doc_id")).as("ds"))
       .filter(size(col("ds")) <= maxDf)

@@ -168,7 +168,13 @@ object DedupQueries {
     "q_dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
          |           FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $K) AS s
+         |sh AS (SELECT DISTINCT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(list_filter(
+         |               string_split(substr(t, CAST(i AS INT), $K), ''),
+         |               c -> len(c) > 0),
+         |             c -> CAST(ascii(c) AS BIGINT))),
+         |           (a, b) -> (a * 131 + b) % 1000000007) AS s
          |       FROM d, LATERAL (SELECT unnest(generate_series(1,
          |              greatest(len(t) - ${K - 1}, 1))) AS i) u
          |       WHERE len(substr(t, CAST(i AS INT), $K)) = $K),
