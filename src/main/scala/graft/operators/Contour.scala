@@ -52,6 +52,23 @@ object Contour {
       .withColumn("band", floor(col("idw") / bandWidth).cast("long"))
   }
 
+  /** Isoband OUTLINES (the reference's isopoly_to_gdf geometry,
+    * core.py:839-871): cells of the IDW surface merge into per-band
+    * regions via the same boundary-edge cancellation dissolve uses — the
+    * surviving edges are each band's polygon outline. Two groupBys end
+    * to end; entirely distributed. */
+  def isobandOutlines(pts: DataFrame, cell: Double, radius: Double,
+                      bandWidth: Double): DataFrame = {
+    val (xmin, ymin, _, _) = Grid.bounds(pts)
+    val cellRects = idwIsobands(pts, cell, radius, bandWidth)
+      .select(col("band"),
+        (lit(xmin) + col("cx") * cell).as("x0"),
+        (lit(ymin) + col("cy") * cell).as("y0"),
+        (lit(xmin) + (col("cx") + 1) * cell).as("x1"),
+        (lit(ymin) + (col("cy") + 1) * cell).as("y1"))
+    Dissolve.boundaryEdges(cellRects, "band")
+  }
+
   /** Access isochrone over the grid covering `pts`.
     *
     * STUB: the travel-time backend is a deterministic fake (manhattan

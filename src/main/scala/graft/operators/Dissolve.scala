@@ -54,6 +54,28 @@ object Dissolve {
       .select(col("key").as(keyCol), col("n_parts"), col("area"), col("perimeter"))
   }
 
+  /** The dissolved union's boundary GEOMETRY: the edges that survive
+    * cancellation (appear once within their group), one row per boundary
+    * edge. This is the actual union outline the reference's dissolve
+    * returns as a (Multi)Polygon — here in the engine's edge-set form,
+    * ready for rendering or downstream joins. */
+  def boundaryEdges(polys: DataFrame, keyCol: String): DataFrame = {
+    val edges = polys.select(col(keyCol).as("key"),
+      explode(array(
+        struct(col("x0").as("ex0"), col("y0").as("ey0"), col("x1").as("ex1"), col("y0").as("ey1")),
+        struct(col("x0").as("ex0"), col("y1").as("ey0"), col("x1").as("ex1"), col("y1").as("ey1")),
+        struct(col("x0").as("ex0"), col("y0").as("ey0"), col("x0").as("ex1"), col("y1").as("ey1")),
+        struct(col("x1").as("ex0"), col("y0").as("ey0"), col("x1").as("ex1"), col("y1").as("ey1"))
+      )).as("e"))
+    edges
+      .groupBy(col("key"), col("e"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1)
+      .select(col("key").as(keyCol),
+        col("e.ex0").as("ex0"), col("e.ey0").as("ey0"),
+        col("e.ex1").as("ex1"), col("e.ey1").as("ey1"))
+  }
+
   /** multi_to_single: explode an array-of-parts geometry column; every other
     * column is carried through (reference core.py:285-317). Parts are sorted
     * before exploding so output is deterministic. */

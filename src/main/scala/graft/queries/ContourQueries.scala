@@ -23,9 +23,16 @@ object ContourQueries {
       GeoData.ptsEvents(spark, dir).select(col("x"), col("y")),
       cell = 10.0, bandMinutes = 10.0)
 
+  def qIsobandEdges(spark: SparkSession, dir: String): DataFrame =
+    Contour.isobandOutlines(
+      GeoData.ptsEvents(spark, dir)
+        .select(col("x"), col("y"), col("weight").as("val")),
+      cell = 10.0, radius = 15.0, bandWidth = 10.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_contour" -> (qContour _),
-    "q_isochrone" -> (qIsochrone _))
+    "q_isochrone" -> (qIsochrone _),
+    "q_isoband_edges" -> (qIsobandEdges _))
 
   private val boundsCte =
     """b AS (SELECT MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax,
@@ -59,6 +66,42 @@ object ContourQueries {
          |SELECT cx, cy, n_src, idw,
          |  CAST(FLOOR(idw / 10.0) AS BIGINT) AS band
          |FROM agg""".stripMargin,
+
+    "q_isoband_edges" ->
+      s"""WITH pts AS (${GeoData.ptsEventsSql}),
+         |$boundsCte,
+         |cells AS (
+         |  SELECT cx, cy,
+         |    b.xmin + (cx + 0.5) * 10.0 AS xc,
+         |    b.ymin + (cy + 0.5) * 10.0 AS yc
+         |  FROM b,
+         |  LATERAL (SELECT unnest(generate_series(0, b.cols_ - 1)) AS cx) u,
+         |  LATERAL (SELECT unnest(generate_series(0, b.rows_ - 1)) AS cy) v),
+         |j AS (
+         |  SELECT c.cx, c.cy, p.weight,
+         |    (p.x - c.xc) * (p.x - c.xc) + (p.y - c.yc) * (p.y - c.yc) AS d2
+         |  FROM cells c, pts p
+         |  WHERE (p.x - c.xc) * (p.x - c.xc)
+         |      + (p.y - c.yc) * (p.y - c.yc) <= 225.0),
+         |agg AS (
+         |  SELECT cx, cy,
+         |    ROUND(SUM(CAST(weight AS DOUBLE) / GREATEST(d2, 1e-6))
+         |        / SUM(1.0 / GREATEST(d2, 1e-6)), 4) AS idw
+         |  FROM j GROUP BY 1, 2),
+         |rects AS (
+         |  SELECT CAST(FLOOR(idw / 10.0) AS BIGINT) AS band,
+         |    b.xmin + cx * 10.0 AS x0, b.ymin + cy * 10.0 AS y0,
+         |    b.xmin + (cx + 1) * 10.0 AS x1, b.ymin + (cy + 1) * 10.0 AS y1
+         |  FROM agg, b),
+         |edges AS (
+         |  SELECT band, UNNEST([
+         |    {'ex0': x0, 'ey0': y0, 'ex1': x1, 'ey1': y0},
+         |    {'ex0': x0, 'ey0': y1, 'ex1': x1, 'ey1': y1},
+         |    {'ex0': x0, 'ey0': y0, 'ex1': x0, 'ey1': y1},
+         |    {'ex0': x1, 'ey0': y0, 'ex1': x1, 'ey1': y1}]) AS e
+         |  FROM rects)
+         |SELECT band, e.ex0 AS ex0, e.ey0 AS ey0, e.ex1 AS ex1, e.ey1 AS ey1
+         |FROM edges GROUP BY band, e HAVING COUNT(*) = 1""".stripMargin,
 
     "q_isochrone" ->
       s"""WITH pts AS (SELECT ((event_id * 73) % 1000) / 10.0 AS x,

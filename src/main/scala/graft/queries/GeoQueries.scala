@@ -62,6 +62,10 @@ object GeoQueries {
   def qDissolve(spark: SparkSession, dir: String): DataFrame =
     Dissolve(GeoData.polyNation(spark, dir), "rkey")
 
+  /** The dissolved regions' actual boundary geometry (edge set). */
+  def qDissolveBorders(spark: SparkSession, dir: String): DataFrame =
+    Dissolve.boundaryEdges(GeoData.polyNation(spark, dir), "rkey")
+
   /** Region multipolygons (parts collected per region), then exploded back —
     * the multi_to_single path. */
   def qMultiToSingle(spark: SparkSession, dir: String): DataFrame = {
@@ -169,6 +173,18 @@ object GeoQueries {
          |  WHERE ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1)
          |SELECT ida, idb, part FROM parts WHERE part > 0.0""".stripMargin,
 
+    "q_dissolve_borders" ->
+      s"""WITH poly AS (${GeoData.polyNationSql}),
+         |edges AS (
+         |  SELECT rkey, UNNEST([
+         |    {'ex0': x0, 'ey0': y0, 'ex1': x1, 'ey1': y0},
+         |    {'ex0': x0, 'ey0': y1, 'ex1': x1, 'ey1': y1},
+         |    {'ex0': x0, 'ey0': y0, 'ex1': x0, 'ey1': y1},
+         |    {'ex0': x1, 'ey0': y0, 'ex1': x1, 'ey1': y1}]) AS e
+         |  FROM poly)
+         |SELECT rkey, e.ex0 AS ex0, e.ey0 AS ey0, e.ex1 AS ex1, e.ey1 AS ey1
+         |FROM edges GROUP BY rkey, e HAVING COUNT(*) = 1""".stripMargin,
+
     "q_get_borders" -> borderSql(directed = true),
     "q_find_borders" -> borderSql(directed = false),
 
@@ -249,6 +265,7 @@ object GeoQueries {
     "q_find_borders" -> (qFindBorders _),
     "q_shared_border" -> (qSharedBorder _),
     "q_dissolve" -> (qDissolve _),
+    "q_dissolve_borders" -> (qDissolveBorders _),
     "q_multi_to_single" -> (qMultiToSingle _),
     "q_dumb_multi_to_single" -> (qDumbMultiToSingle _))
 }
