@@ -44,6 +44,26 @@ object EventsStream {
         expr("unix_timestamp(w.start) DIV 3600").as("hour"),
         col("n_events"), col("sum_value"), col("n_users"))
 
+  /** Streaming exact dedup: drop duplicate events by key within the
+    * watermark window — the streaming face of the dedup family
+    * (state is bounded by the watermark; at 100 TB/day the key set for
+    * the open window is all an executor ever holds). */
+  def dedupStream(spark: SparkSession, dir: String,
+                  queryName: String): StreamingQuery =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("tsw", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("tsw", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+
   /** Streaming variant: file source over the events parquet, 2h watermark,
     * update-mode sink provided by the caller (memory sink in tests). */
   def hourlyStream(spark: SparkSession, dir: String,

@@ -39,4 +39,16 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       assert(batch.exceptAll(streamed).count() === 0)
     } finally q.stop()
   }
+
+  test("streaming dedup emits at most one row per key") {
+    val q = EventsStream.dedupStream(spark, SfDir, "dedup_test")
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_test")
+      assert(out.count() > 0)
+      val dups = out.groupBy("user_id", "event_type")
+        .count().filter(col("count") > 1).count()
+      assert(dups === 0)
+    } finally q.stop()
+  }
 }
