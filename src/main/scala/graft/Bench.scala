@@ -23,7 +23,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // sbt prefixes stdout with [info], which can defeat line-level JSON
+    // parsing downstream — also drop the bare line in a file.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LATEST.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
