@@ -80,11 +80,39 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q9-style profit: revenue minus a retail-cost proxy, per
+    * supplier nation per order year, ECONOMY parts only. Exercises a
+    * fact-to-fact join plus three broadcast dimensions and a date
+    * extraction. */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      // money terms scale to exact integer ten-thousandths per ROW (a
+      // deterministic row-level expression), so the SUM is exact integer
+      // arithmetic — immune to unordered-FP penny flips
+      .agg(round(sum(
+        round((col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity") * 0.1) * 10000.0, 0)
+          .cast("long")) / 10000.0, 2)
+        .as("profit"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q_top_revenue" -> (qTopRevenue _),
     "q3_shipping" -> (q3Shipping _),
-    "q5_local" -> (q5Local _))
+    "q5_local" -> (q5Local _),
+    "q9_profit" -> (q9Profit _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -132,5 +160,19 @@ object Analytics {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY n_name""".stripMargin)
+        |GROUP BY n_name""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+        |      - p_retailprice * l_quantity * 0.1) * 10000.0, 0)
+        |    AS BIGINT)) / 10000.0, 2) AS profit,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'ECONOMY'
+        |GROUP BY 1, 2""".stripMargin)
 }
