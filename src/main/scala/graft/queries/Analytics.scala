@@ -5,8 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** TPC-H-style analytics queries (engine credibility + bench headliners). */
+/** TPC-H-style analytics queries (engine credibility + bench headliners).
+  *
+  * Money aggregations use exact-integer scaling: each row's money term
+  * rounds to integer ten-thousandths (a deterministic row-level
+  * expression), the SUM is exact long arithmetic, and the result scales
+  * back — immune to the unordered-FP penny flips a plain double sum can
+  * produce at round-2 boundaries.
+  */
 object Analytics {
+
+  /** Exact money sum: round-2 of an integer-ten-thousandths aggregation. */
+  private def moneySum(term: org.apache.spark.sql.Column) =
+    round(sum(round(term * 10000.0, 0).cast("long")) / 10000.0, 2)
 
   /** TPC-H Q1-style pricing summary (flagship). */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame =
@@ -15,11 +26,12 @@ object Analytics {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(sum(round(col("l_discount") * 100.0, 0).cast("long"))
+          / (count(lit(1)) * lit(100.0)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** Revenue per nation: lineitem join orders join customer join nation —
@@ -34,7 +46,7 @@ object Analytics {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"),
         count(lit(1)).as("n_items"))
   }
@@ -52,7 +64,7 @@ object Analytics {
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(20)
@@ -118,17 +130,18 @@ object Analytics {
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(SUM(CAST(ROUND((l_extendedprice) * 10000.0, 0) AS BIGINT)) / 10000.0, 2) AS sum_base_price,
+        |  ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0, 0) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
         |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  ROUND(SUM(CAST(ROUND(l_discount * 100.0, 0) AS BIGINT))
+        |      / (COUNT(*) * 100.0), 4) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_top_revenue" ->
       """SELECT n_name,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -138,7 +151,7 @@ object Analytics {
 
     "q3_shipping" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0, 0) AS BIGINT)) / 10000.0, 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -151,7 +164,7 @@ object Analytics {
 
     "q5_local" ->
       """SELECT n_name,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
