@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // warm-up scale: tiny data, same query plans — triggers JIT/codegen
+    // compilation before anything is timed, so per-query numbers reflect
+    // steady-state execution, not whichever query ran first.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,19 +17,36 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed (sorted) order so round-over-round comparisons line up
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    if (new java.io.File(warmDir).isDirectory) ordered.foreach {
+      case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failure is recorded as an err string, never as a timing — a
+      // broken query must not look like a fast green bar
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       // operators persist multi-consumer stages internally; drop them so
       // successive queries don't compete for executor memory
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ").take(200) + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = results.map { case (k, _, e) =>
+      s"\"" + k + "\":" + e.map(jstr).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with [info], which can defeat line-level JSON
     // parsing downstream — also drop the bare line in a file.

@@ -70,9 +70,12 @@ object Ann {
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
     }
+    // Cluster label = the seed's own vec_id: deterministic, needs no
+    // global row_number window (which would move the frame to a single
+    // partition), and — because seed ids are taken in ascending order —
+    // ORDER BY cluster tie-breaks identically to dense 1..nlist ranks.
     var cents = c.orderBy("vec_id").limit(nlist)
-      .select(row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy("vec_id")).as("cluster"), col("e").as("ce"))
+      .select(col("vec_id").as("cluster"), col("e").as("ce"))
     for (_ <- 1 to iters) {
       val assigned = assign(c, cents)
         .select(col("cluster"), posexplode(col("e")).as(Seq("idx", "v")))

@@ -26,19 +26,29 @@ object Dedup {
     (a, b)
   }
 
-  /** K-character shingles per document over lowercased text, one row per
-    * occurrence (NOT deduplicated: the minhash min-fold is idempotent
-    * under duplicates, so a distinct here would be a wasted shuffle;
-    * consumers needing set semantics dedup in their own aggregation). */
-  def shingles(docs: DataFrame, k: Int): DataFrame =
+  /** Rolling polynomial hash of every k-shingle, one row per occurrence
+    * (doc_id, s: long). Hash values are identical to folding
+    * `(acc*mult + ascii(c)) % mod` over the shingle's characters — the
+    * engine-portable form the DuckDB oracles replay — but computed from a
+    * per-document char-code array built ONCE (one split per doc), with an
+    * O(k) long-array slice fold per position. The naive form (substr +
+    * split + ascii per position) allocates k strings per shingle; this
+    * allocates none, which is the difference between the shingle scan
+    * being CPU-bound and being free at corpus scale. */
+  def shingleHashes(docs: DataFrame, k: Int, mult: Long, mod: Long): DataFrame =
     docs
       .select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"),
-        explode(sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))))
-          .as("i"),
-        col("t"))
-      .select(col("doc_id"), col("t").substr(col("i"), lit(k)).as("s"))
-      .filter(length(col("s")) === k)
+        transform(filter(split(col("t"), ""), c => length(c) > lit(0)),
+          c => ascii(c).cast("long")).as("codes"))
+      .select(col("doc_id"),
+        // docs shorter than k chars produce NULL -> explode emits nothing,
+        // matching the length(s)=k filter of the naive form
+        explode(when(size(col("codes")) >= k,
+          transform(
+            sequence(lit(1), size(col("codes")) - (k - 1)),
+            i => aggregate(slice(col("codes"), i, lit(k)), lit(0L),
+              (acc, c) => (acc * lit(mult) + c) % lit(mod))))).as("s"))
 
   /** N-gram Jaccard near-dup pairs over rare shingles.
     *
@@ -57,19 +67,7 @@ object Dedup {
     // Shingles are hashed to BIGINT (portable rolling hash) BEFORE the
     // shuffle: 8-byte keys instead of k-char strings. The oracle replays
     // the same hash, so results (collisions included) match exactly.
-    val postings = docs
-      .select(col("doc_id"), lower(col("text")).as("t"))
-      .select(col("doc_id"),
-        explode(sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))))
-          .as("i"),
-        col("t"))
-      .select(col("doc_id"), col("t").substr(col("i"), lit(k)).as("s"))
-      .filter(length(col("s")) === k)
-      .select(col("doc_id"),
-        aggregate(filter(split(col("s"), ""), c => length(c) > lit(0)),
-          lit(0L),
-          (acc, c) => (acc * lit(131L) + ascii(c).cast("long"))
-            % lit(1000000007L)).as("s"))
+    val postings = shingleHashes(docs, k, 131L, 1000000007L)
       .groupBy("s")
       .agg(collect_set(col("doc_id")).as("ds"))
       .filter(size(col("ds")) <= maxDf)
@@ -103,11 +101,7 @@ object Dedup {
     * hash is a polynomial rolling hash mod 2^31-1 (not xxhash64) so the
     * whole pipeline is engine-portable and oracle-checkable. */
   def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(docs, k)
-      .withColumn("hp",
-        aggregate(filter(split(col("s"), ""), c => length(c) > lit(0)),
-          lit(0L),
-          (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(P)))
+    val sh = shingleHashes(docs, k, 31L, P).withColumnRenamed("s", "hp")
     val mins = (0 until numHashes).map { i =>
       val (a, b) = coef(i)
       min((lit(a) * col("hp") + lit(b)) % lit(P)).as(s"m$i")
@@ -158,28 +152,31 @@ object Dedup {
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     iters: Int = 4): DataFrame = {
     // The pair table may be an expensive pipeline (e.g. minhash LSH) and
-    // every propagation iteration consumes it — materialize it EAGERLY
-    // (persist + count): a lazily-cached stage consumed by several
-    // branches of one job can still be recomputed per branch; the count
-    // pins it. The graph state is tiny relative to the corpus, so the
-    // extra job per iteration is noise at any scale.
-    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
-      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count()
+    // every propagation iteration consumes it. localCheckpoint (eager)
+    // runs that pipeline EXACTLY ONCE — before the src/dst union can
+    // consume it twice — and, unlike persist, replaces the plan with a
+    // flat scan of the materialized partitions. Without the lineage cut,
+    // every hop's plan embeds the whole upstream tree plus all prior
+    // hops, and Catalyst re-analyzes a super-linearly growing plan per
+    // iteration — at scale, driver-side planning alone dominates.
+    val p = pairs.select(col("ida"), col("idb")).localCheckpoint()
+    val edges = p.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(p.select(col("idb").as("src"), col("ida").as("dst")))
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
+      // eager checkpoint: materializes this hop and frees its lineage;
+      // the label table is O(docs-in-pairs) rows of two longs — tiny
+      // relative to the corpus at any scale.
       labels = labels.union(fromNeighbors)
         .groupBy("node")
         .agg(min("label").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      labels.count()
+        .localCheckpoint()
     }
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")

@@ -87,7 +87,7 @@ object Analytics {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"),
         count(lit(1)).as("n_items"))
   }

@@ -108,9 +108,8 @@ object AnnQueries {
        |n AS (SELECT vec_id, e,
        |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
        |      FROM v),
-       |c0 AS (SELECT CAST(rn AS BIGINT) AS cluster, e AS ce FROM
-       |         (SELECT e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-       |          FROM n) WHERE rn <= 16),
+       |c0 AS (SELECT vec_id AS cluster, e AS ce FROM n
+       |       ORDER BY vec_id LIMIT 16),
        |${assign("c0", "a1")},
        |${recenter("a1", "c1")},
        |${assign("c1", "a2")},
