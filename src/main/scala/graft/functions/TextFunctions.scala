@@ -15,9 +15,12 @@ object TextFunctions {
   def norm(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
-  /** Number of whitespace-separated words. */
+  /** Number of whitespace-separated words; 0 for blank/whitespace-only
+    * text (split of an empty string yields one empty element, which
+    * would overstate blank documents by one). */
   def wordCount(text: Column): Column =
-    size(split(trim(text), "\\s+")).cast("long")
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
   /** Count of regex matches (non-overlapping). */
   def reCount(text: Column, pattern: String): Column =

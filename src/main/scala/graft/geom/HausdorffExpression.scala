@@ -27,6 +27,12 @@ case class HausdorffDistance(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // empty vertex arrays yield NULL (a directed distance to nothing is
+  // undefined; returning Double.MaxValue or 0.0 would silently poison
+  // downstream mins/maxes), so the expression is nullable regardless of
+  // its inputs' nullability
+  override def nullable: Boolean = true
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HausdorffDistance =
     copy(left = newLeft, right = newRight)
@@ -57,7 +63,8 @@ case class HausdorffDistance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
-    math.max(directed(aa, bb), directed(bb, aa))
+    if (aa.numElements() == 0 || bb.numElements() == 0) null
+    else math.max(directed(aa, bb), directed(bb, aa))
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -86,7 +93,13 @@ case class HausdorffDistance(left: Expression, right: Expression)
          |}
        """.stripMargin)
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = Math.max($fn($a, $b), $fn($b, $a));")
+      s"""
+         |if ($a.numElements() == 0 || $b.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = Math.max($fn($a, $b), $fn($b, $a));
+         |}
+       """.stripMargin)
   }
 }
 

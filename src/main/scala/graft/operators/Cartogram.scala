@@ -73,12 +73,15 @@ object Cartogram {
   /** n Dougenik iterations; returns per-region summary (new area/centroid
     * and achieved-vs-desired error). */
   def dougenik(polys: DataFrame, iterations: Int): DataFrame = {
-    // Persist each iteration's rings: dougenikIter reads its input twice
-    // (stats + vertices), so an unpersisted chain doubles the recompute
-    // per iteration — exponential lineage by iteration count.
+    // Eagerly checkpoint each iteration's rings: dougenikIter reads its
+    // input twice (stats + vertices), so an unmaterialized chain doubles
+    // the recompute per iteration — exponential lineage by iteration
+    // count. localCheckpoint (vs persist) also truncates lineage and
+    // lets the context cleaner free each iteration's blocks as soon as
+    // the next one no longer references them — nothing accumulates for
+    // the job's lifetime.
     val end = (1 to iterations).foldLeft(polys)((df, _) =>
-      dougenikIter(df)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      dougenikIter(df).localCheckpoint())
     end.select(col("pid"), col("value"),
       round(Geom.ringArea(col("ring")), 4).as("new_area"),
       round(col("ring")(0)("x"), 4).as("v0x"),

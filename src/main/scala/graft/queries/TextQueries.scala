@@ -68,13 +68,16 @@ object TextQueries {
     val nDigit = reCount(col("text"), "[0-9]")
     val nStop = stopwordCount(norm(col("text")), langStopwords.head._2)
     val nCharsNoWs = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    // per-word ratios are NULL for 0-word documents (0/0 is engine-
+    // dependent; NULL is the same on both sides) — `passes` stays false
+    // because n_words >= 10 is already false
+    def perWord(c: org.apache.spark.sql.Column) =
+      when(nWords === 0, lit(null)).otherwise(round(c / nWords.cast("double"), 4))
     d.select(col("doc_id"),
         nChars.as("n_chars"), nWords.as("n_words"), nPunct.as("n_punct"),
         nUpper.as("n_upper"), nDigit.as("n_digit"), nStop.as("n_stop"),
-        round(nCharsNoWs.cast("double") / nWords.cast("double"), 4)
-          .as("avg_word_len"),
-        round(nStop.cast("double") / nWords.cast("double"), 4)
-          .as("stop_ratio"),
+        perWord(nCharsNoWs.cast("double")).as("avg_word_len"),
+        perWord(nStop.cast("double")).as("stop_ratio"),
         round(nUpper.cast("double") / nChars.cast("double"), 4)
           .as("upper_ratio"))
       .withColumn("passes",
@@ -91,7 +94,8 @@ object TextQueries {
     d.select(col("doc_id"),
       ws.as("ws_tokens"), re.as("re_tokens"),
       ceil(nChars.cast("double") / lit(4.0)).cast("long").as("est_bpe_tokens"),
-      round(nChars.cast("double") / ws.cast("double"), 4)
+      when(ws === 0, lit(null))
+        .otherwise(round(nChars.cast("double") / ws.cast("double"), 4))
         .as("chars_per_token"))
   }
 
@@ -110,6 +114,16 @@ object TextQueries {
 
   private def stopSql(src: String, words: Seq[String]): String =
     s"len(regexp_extract_all($src, '\\b(${words.mkString("|")})\\b'))"
+
+  /** SQL fragment mirroring wordCount() (0 for blank text). */
+  private val wcSql =
+    """CASE WHEN len(trim(text)) = 0 THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+      .stripMargin.replace("\n", " ").replaceAll(" +", " ")
+
+  /** SQL fragment mirroring the NULL-for-0-words per-word ratios. */
+  private def perWordSql(num: String): String =
+    s"CASE WHEN $wcSql = 0 THEN NULL ELSE ROUND(CAST($num AS DOUBLE) / CAST($wcSql AS DOUBLE), 4) END"
 
   private val fpSql = (src: String) =>
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -150,30 +164,26 @@ object TextQueries {
       s"""WITH d AS ($docsSql)
          |SELECT doc_id,
          |  CAST(len(text) AS BIGINT) AS n_chars,
-         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         |  CAST($wcSql AS BIGINT) AS n_words,
          |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
          |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
          |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
          |  CAST(${stopSql(normSql, langStopwords.head._2)} AS BIGINT) AS n_stop,
-         |  ROUND(CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-         |      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4) AS avg_word_len,
-         |  ROUND(CAST(${stopSql(normSql, langStopwords.head._2)} AS DOUBLE)
-         |      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4) AS stop_ratio,
+         |  ${perWordSql("len(regexp_replace(text, '\\s', '', 'g'))")} AS avg_word_len,
+         |  ${perWordSql(stopSql(normSql, langStopwords.head._2))} AS stop_ratio,
          |  ROUND(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          |      / CAST(len(text) AS DOUBLE), 4) AS upper_ratio,
-         |  len(regexp_split_to_array(trim(text), '\\s+')) >= 10
-         |    AND ROUND(CAST(${stopSql(normSql, langStopwords.head._2)} AS DOUBLE)
-         |      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4) >= 0.02 AS passes
+         |  $wcSql >= 10
+         |    AND ${perWordSql(stopSql(normSql, langStopwords.head._2))} >= 0.02 AS passes
          |FROM d""".stripMargin,
 
     "q_token_count" ->
       s"""WITH d AS ($docsSql)
          |SELECT doc_id,
-         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+         |  CAST($wcSql AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '$tokenPattern')) AS BIGINT) AS re_tokens,
          |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
-         |  ROUND(CAST(len(text) AS DOUBLE)
-         |      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4) AS chars_per_token
+         |  ${perWordSql("len(text)")} AS chars_per_token
          |FROM d""".stripMargin,
 
     "q_fingerprint" ->

@@ -25,6 +25,19 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(out.head.getAs[Double]("jac") === 1.0)
   }
 
+  test("wordCount: 0 for blank text, shingleHashes skips short docs") {
+    import graft.functions.TextFunctions
+    val counts = docsOf(1L -> "", 2L -> "   ", 3L -> "two words")
+      .select(col("doc_id"), TextFunctions.wordCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
+    // docs shorter than k produce no shingles (naive form's length filter)
+    val sh = Dedup.shingleHashes(docsOf(1L -> "abc", 2L -> "abcdefgh"),
+      k = 5, mult = 31L, mod = 2147483647L)
+    assert(sh.filter(col("doc_id") === 1L).count() === 0)
+    assert(sh.filter(col("doc_id") === 2L).count() === 4)
+  }
+
   test("minhashPairs: identical docs have estimate 1.0") {
     val d = docsOf(
       1L -> ("spark catalyst tungsten codegen shuffle partition " * 3),

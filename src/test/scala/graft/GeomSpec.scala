@@ -65,6 +65,20 @@ class GeomSpec extends AnyFunSuite with SharedSpark {
     assert(diff.count() === 0)
   }
 
+  test("native HausdorffDistance returns NULL for empty vertex arrays") {
+    import graft.geom.HausdorffDistance
+    val full = "array(struct(0.0d x, 0.0d y))"
+    val empty = "array_remove(array(struct(0.0d x, 0.0d y)), struct(0.0d x, 0.0d y))"
+    // one side empty, other side empty, both empty — all NULL, in both
+    // the interpreted and the codegen path (the df.select goes through
+    // whole-stage codegen)
+    val r = spark.range(1).select(
+      HausdorffDistance(expr(full), expr(empty)).as("a"),
+      HausdorffDistance(expr(empty), expr(full)).as("b"),
+      HausdorffDistance(expr(empty), expr(empty)).as("c")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("graft_hausdorff is callable from SQL via extensions registration") {
     val (ident, info, builder) = graft.plans.GraftExtensions.hausdorffFunction
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
