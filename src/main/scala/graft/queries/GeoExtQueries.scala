@@ -143,7 +143,7 @@ object GeoExtQueries {
          |        + ABS(a.len - b.len)
          |        + LEAST(ABS(a.brg - b.brg), 360.0 - ABS(a.brg - b.brg)),
          |      4) AS score
-         |  FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy)
+         |  FROM a JOIN b ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1)
          |SELECT la, lb, score FROM scored
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY la ORDER BY score, lb) = 1""".stripMargin,
 
