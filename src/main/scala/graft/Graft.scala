@@ -115,6 +115,10 @@ object Graft {
     sources.Wkt.parseLineString(wkt)
   def parsePolygonWkt(wkt: Column): Column = sources.Wkt.parsePolygon(wkt)
 
+  /** multi_to_single round-trip support (core.py:285-317): every ring of
+    * a POLYGON-with-holes or MULTIPOLYGON as array<array<struct<x,y>>>. */
+  def parseRingsWkt(wkt: Column): Column = sources.Wkt.parseRings(wkt)
+
   /** hav_dist (utils.py:83). */
   def havDist(lat1: Column, lon1: Column, lat2: Column,
               lon2: Column): Column =

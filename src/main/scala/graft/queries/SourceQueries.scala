@@ -26,12 +26,52 @@ object SourceQueries {
       (p("x") / 10.0).as("px"), (p("y") / 10.0).as("py"))
   }
 
+  /** MULTIPOLYGON-with-holes round trip: build a deterministic two-part
+    * multipolygon per nation (part 1 carries a hole) as WKT, parse it
+    * with the Catalyst ring parser, and emit per-ring vertex count,
+    * shoelace area, perimeter and the ring body written back out —
+    * parse -> compute -> write, all hash-checked. Integer-valued
+    * coordinates make the string formatting identical across engines. */
+  def qReadWktMultiPolygon(spark: SparkSession, dir: String): DataFrame = {
+    import graft.geom.Geom
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val g = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("pid"))
+      .withColumn("x0", col("pid") * 7 % 50)
+      .withColumn("y0", col("pid") * 13 % 50)
+      .withColumn("w", lit(10) + col("pid") % 5)
+      .withColumn("h", lit(8) + col("pid") % 7)
+    def ringStr(xs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      concat(lit("(") +: xs.grouped(2).map { case Seq(x, y) =>
+        concat(s(x), lit(" "), s(y))
+      }.toSeq.flatMap(c => Seq(c, lit(", "))).dropRight(1) :+ lit(")"): _*)
+    val x0 = col("x0"); val y0 = col("y0"); val w = col("w"); val h = col("h")
+    val outer = ringStr(Seq(x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h,
+      x0, y0))
+    val hole = ringStr(Seq(x0 + 2, y0 + 2, x0 + 4, y0 + 2, x0 + 4, y0 + 4,
+      x0 + 2, y0 + 4, x0 + 2, y0 + 2))
+    val part2 = ringStr(Seq(x0 + 100, y0, x0 + 105, y0, x0 + 105, y0 + 5,
+      x0 + 100, y0 + 5, x0 + 100, y0))
+    val raw = g.select(col("pid"),
+      concat(lit("MULTIPOLYGON (("), outer, lit(", "), hole, lit("), ("),
+        part2, lit("))")).as("wkt"))
+    raw
+      .select(col("pid"),
+        posexplode(Wkt.parseRings(col("wkt"))).as(Seq("ri0", "ring")))
+      .select(col("pid"), (col("ri0") + 1).cast("long").as("ri"),
+        size(col("ring")).cast("long").as("n_pts"),
+        round(Geom.ringArea(col("ring")), 4).as("area"),
+        round(Geom.ringPerimeter(col("ring")), 4).as("peri"),
+        Wkt.toWktRing(col("ring")).as("ring_wkt"))
+  }
+
   def qMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.mediaTable(Tables.load(spark, dir, "documents"))).toDF()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_read_wkt" -> (qReadWkt _),
+    "q_read_wkt_multipolygon" -> (qReadWktMultiPolygon _),
     "q_multimodal" -> (qMultimodal _))
 
   val oracles: Map[String, String] = Map(
@@ -56,6 +96,49 @@ object SourceQueries {
         |  16 + checksum % 16 AS width,
         |  16 + (checksum // 16) % 16 AS height
         |FROM f""".stripMargin,
+
+    "q_read_wkt_multipolygon" -> {
+      def pt(x: String, y: String) =
+        s"CAST($x AS VARCHAR) || ' ' || CAST($y AS VARCHAR)"
+      def ring(pts: Seq[(String, String)]) =
+        "'(' || " + pts.map { case (x, y) => pt(x, y) }
+          .mkString(" || ', ' || ") + " || ')'"
+      val outer = ring(Seq("x0" -> "y0", "x0+w" -> "y0", "x0+w" -> "y0+h",
+        "x0" -> "y0+h", "x0" -> "y0"))
+      val hole = ring(Seq("x0+2" -> "y0+2", "x0+4" -> "y0+2",
+        "x0+4" -> "y0+4", "x0+2" -> "y0+4", "x0+2" -> "y0+2"))
+      val part2 = ring(Seq("x0+100" -> "y0", "x0+105" -> "y0",
+        "x0+105" -> "y0+5", "x0+100" -> "y0+5", "x0+100" -> "y0"))
+      s"""WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS pid FROM nation),
+         |g AS (SELECT pid, pid*7%50 AS x0, pid*13%50 AS y0,
+         |        10 + pid%5 AS w, 8 + pid%7 AS h FROM n),
+         |wk AS (SELECT pid, 'MULTIPOLYGON ((' || $outer || ', ' || $hole
+         |        || '), (' || $part2 || '))' AS wkt FROM g),
+         |rings AS (
+         |  SELECT pid, CAST(ri AS BIGINT) AS ri,
+         |    regexp_extract_all(wkt, '\\(([^()]+)\\)', 1)[CAST(ri AS INT)]
+         |      AS ring
+         |  FROM wk, LATERAL (SELECT unnest(generate_series(1,
+         |         len(regexp_extract_all(wkt, '\\(([^()]+)\\)', 1)))) AS ri) u),
+         |parsed AS (
+         |  SELECT pid, ri,
+         |    list_transform(string_split(ring, ', '),
+         |      p -> CAST(string_split(p, ' ')[1] AS DOUBLE)) AS xs,
+         |    list_transform(string_split(ring, ', '),
+         |      p -> CAST(string_split(p, ' ')[2] AS DOUBLE)) AS ys,
+         |    CAST(len(string_split(ring, ', ')) AS BIGINT) AS n_pts
+         |  FROM rings)
+         |SELECT pid, ri, n_pts,
+         |  ROUND(ABS(list_sum(list_transform(range(1, CAST(n_pts AS INT)),
+         |      i -> xs[i]*ys[i+1] - xs[i+1]*ys[i]))) / 2.0, 4) AS area,
+         |  ROUND(list_sum(list_transform(range(1, CAST(n_pts AS INT)),
+         |      i -> sqrt((xs[i+1]-xs[i])*(xs[i+1]-xs[i])
+         |             + (ys[i+1]-ys[i])*(ys[i+1]-ys[i])))), 4) AS peri,
+         |  '(' || array_to_string(list_transform(range(1, CAST(n_pts AS INT)+1),
+         |      i -> CAST(xs[i] AS VARCHAR) || ' ' || CAST(ys[i] AS VARCHAR)),
+         |      ', ') || ')' AS ring_wkt
+         |FROM parsed""".stripMargin
+    },
 
     "q_read_wkt" ->
       """WITH w AS (

@@ -37,6 +37,35 @@ object Wkt {
         split(trim(p), " ")(0).cast("double").as("x"),
         split(trim(p), " ")(1).cast("double").as("y")))
 
+  /** Every ring of a 'POLYGON ((outer), (hole), ...)' or a
+    * 'MULTIPOLYGON (((outer), (hole)), ((outer)), ...)' ->
+    * array<array<struct<x:double, y:double>>> — the SURVEY §1 multi-part
+    * geometry model. Each innermost parenthesized group is one ring, in
+    * document order (a POLYGON's outer ring first, then its holes; a
+    * MULTIPOLYGON's parts left to right). Pure regexp + split + nested
+    * transform — codegen'd, no driver parsing. */
+  def parseRings(wkt: Column): Column =
+    transform(
+      regexp_extract_all(wkt, lit("\\(([^()]+)\\)"), lit(1)),
+      ring => transform(split(ring, ",\\s*"), p =>
+        struct(
+          split(trim(p), " ")(0).cast("double").as("x"),
+          split(trim(p), " ")(1).cast("double").as("y"))))
+
+  /** array<struct<x,y>> -> '(x y, x y, ...)' — one WKT ring body. */
+  def toWktRing(ring: Column): Column =
+    concat(lit("("),
+      concat_ws(", ", transform(ring, p =>
+        concat(p("x").cast("string"), lit(" "), p("y").cast("string")))),
+      lit(")"))
+
+  /** array<array<struct<x,y>>> -> 'POLYGON ((...), (...))' (first ring
+    * outer, rest holes). */
+  def toWktPolygon(rings: Column): Column =
+    concat(lit("POLYGON ("),
+      concat_ws(", ", transform(rings, r => toWktRing(r))),
+      lit(")"))
+
   /** struct<x,y> -> 'POINT (x y)'. */
   def toWktPoint(x: Column, y: Column): Column =
     concat(lit("POINT ("), x.cast("string"), lit(" "),

@@ -61,6 +61,29 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(r.getDouble(2) === 7.0)
   }
 
+  test("wkt: multipolygon with holes parses all rings in document order") {
+    val wkt = "MULTIPOLYGON (((0 0, 10 0, 10 8, 0 8, 0 0), " +
+      "(2 2, 4 2, 4 4, 2 4, 2 2)), ((100 0, 105 0, 105 5, 100 5, 100 0)))"
+    val r = spark.range(1)
+      .select(Wkt.parseRings(lit(wkt)).as("rings"))
+      .select(size(col("rings")).as("n"),
+        graft.geom.Geom.ringArea(col("rings")(0)).as("a0"),
+        graft.geom.Geom.ringArea(col("rings")(1)).as("a1"),
+        graft.geom.Geom.ringArea(col("rings")(2)).as("a2"),
+        Wkt.toWktRing(col("rings")(1)).as("rw"))
+      .head()
+    assert(r.getAs[Int]("n") === 3)
+    assert(r.getAs[Double]("a0") === 80.0)
+    assert(r.getAs[Double]("a1") === 4.0)
+    assert(r.getAs[Double]("a2") === 25.0)
+    assert(r.getAs[String]("rw") === "(2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0)")
+    // POLYGON with a hole goes through the same parser
+    val p = spark.range(1).select(size(Wkt.parseRings(
+      lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")))
+      .as("n")).head()
+    assert(p.getAs[Int]("n") === 2)
+  }
+
   test("multimodal: features are deterministic and byte-length exact") {
     val media = Multimodal.mediaTable(Tables.load(spark, SfDir, "documents"))
     val a = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
