@@ -24,8 +24,8 @@ object Dissolve {
 
   /** Dissolve a box layer (pid, x0, y0, x1, y1) by `keyCol`.
     * Assumes parts within a group tile without partial overlap (as in the
-    * reference's admin-boundary use cases); overlapping-part union at scale
-    * is the Rects.intersectionPart + clipping path.
+    * reference's admin-boundary use cases); for layers with partial
+    * overlap use `dissolveUnionArea`, which computes the exact union.
     */
   def apply(polys: DataFrame, keyCol: String): DataFrame = {
     // 4 directed edges per box, normalized to (x0,y0,x1,y1) key order
@@ -74,6 +74,57 @@ object Dissolve {
       .select(col("key").as(keyCol),
         col("e.ex0").as("ex0"), col("e.ey0").as("ey0"),
         col("e.ex1").as("ex1"), col("e.ey1").as("ey1"))
+  }
+
+  /** Overlap-safe dissolve: EXACT union area of overlapping axis-aligned
+    * parts (gid, x0, y0, x1, y1) per group — the unary_union semantics
+    * the edge-cancellation dissolve can't give when parts partially
+    * overlap (reference core.py:276).
+    *
+    * Slab sweep, fully distributed: the distinct x edges of a group cut
+    * it into vertical slabs; within a slab the union is a 1-D interval
+    * union over the y ranges of the boxes covering it, computed with a
+    * running-max window (classic merge-intervals, no driver state). The
+    * slab-to-box match is bucketed by coarse x cells so the join is a
+    * (gid, bucket) hash equi-join, not a per-group product; groups and
+    * buckets partition independently, so the plan holds with millions of
+    * groups. Per-row terms land on exact integer hundredths (coordinates
+    * are integer tenths), so the final sums are exact long arithmetic —
+    * order-independent across engines. */
+  def dissolveUnionArea(parts: DataFrame, bucket: Double): DataFrame = {
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy("gid").orderBy("x")
+    val slabs = parts
+      .select(col("gid"), explode(array(col("x0"), col("x1"))).as("x"))
+      .distinct()
+      .withColumn("xr", lead("x", 1).over(wx))
+      .filter(col("xr").isNotNull)
+      .withColumn("bx", floor(col("x") / bucket))
+    // a box covering slab [x, xr) covers its left edge x, and the box's
+    // bucket range [floor(x0/b), floor(x1/b)] always contains floor(x/b)
+    val pb = parts.withColumn("bx", explode(sequence(
+      floor(col("x0") / bucket).cast("long"),
+      floor(col("x1") / bucket).cast("long"))))
+    val sv = slabs.join(pb, Seq("gid", "bx"))
+      .filter(col("x0") <= col("x") && col("xr") <= col("x1"))
+      .select(col("gid"), col("x"), col("xr"), col("y0"), col("y1"))
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy("gid", "x").orderBy("y0", "y1")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val terms = sv
+      .withColumn("pm", max("y1").over(wy))
+      .withColumn("term", (col("xr") - col("x")) * greatest(lit(0.0),
+        col("y1") - greatest(col("y0"), coalesce(col("pm"), col("y0")))))
+    val union = terms.groupBy("gid")
+      .agg(round(sum(round(col("term") * 100.0, 0).cast("long")) / 100.0, 2)
+        .as("union_area"))
+    parts.groupBy("gid")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(round((col("x1") - col("x0")) * (col("y1") - col("y0"))
+          * 100.0, 0).cast("long")) / 100.0, 2).as("sum_area"))
+      .join(union, Seq("gid"), "left")
+      .select(col("gid"), col("n_parts"), col("sum_area"),
+        coalesce(col("union_area"), lit(0.0)).as("union_area"))
   }
 
   /** multi_to_single: explode an array-of-parts geometry column; every other

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GeoData
+import graft.geom.PolyClip
+import graft.operators.{Dissolve, Rects}
+
+/** General-polygon pairwise operations (the non-rectilinear upgrade of
+  * SURVEY.md §2 rows 7/11): Sutherland–Hodgman intersection areas for
+  * octagon-x-square pairs, and exact union area for OVERLAPPING box
+  * layers (unary_union semantics, reference core.py:276).
+  *
+  * Both oracles replay the geometry term-for-term: the DuckDB side runs
+  * the same S-H fold (one CTE per clip edge) and the same slab-sweep
+  * window — identical IEEE arithmetic, so the hash check covers the
+  * full algorithm, not just row counts.
+  */
+object PolyQueries {
+
+  private val Bucket = 10.0
+
+  /** Octagon subject ring (CCW) rebuilt from a bbox: corners cut by a
+    * quarter of the side. A non-rectilinear convex polygon whose
+    * coordinates stay on exact binary fractions. */
+  private def octagon(x0: Column, y0: Column, x1: Column, y1: Column): Column = {
+    val c = (x1 - x0) / 4.0
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    array(
+      pt(x0 + c, y0), pt(x1 - c, y0), pt(x1, y0 + c), pt(x1, y1 - c),
+      pt(x1 - c, y1), pt(x0 + c, y1), pt(x0, y1 - c), pt(x0, y0 + c))
+  }
+
+  /** CCW rectangle ring from a bbox. */
+  private def rectRing(x0: Column, y0: Column, x1: Column, y1: Column): Column = {
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1))
+  }
+
+  /** Intersection AREA of customer octagons with nation squares: grid
+    * candidate join on bboxes (reference-point dedup), then the S-H
+    * clip fold on each surviving pair. */
+  def qIntersectionAreaPoly(spark: SparkSession, dir: String): DataFrame = {
+    val a = GeoData.rectCustomer(spark, dir)
+    val b = GeoData.polyNation(spark, dir)
+      .select(col("pid").as("rid"), col("x0"), col("y0"), col("x1"), col("y1"))
+    val subject = octagon(col("ax0"), col("ay0"), col("ax1"), col("ay1"))
+    val clip = rectRing(col("bx0"), col("by0"), col("bx1"), col("by1"))
+    Rects.intersectPairs(a, b, cellSize = 20.0)
+      .withColumn("ix_area", PolyClip.intersectionArea(subject, clip))
+      .filter(col("ix_area") > 0.0)
+      .select("ida", "idb", "ix_area")
+  }
+
+  /** Overlap-safe dissolve: exact union area per group of (heavily
+    * overlapping) customer rectangles, grouped by rid % 40. */
+  def qDissolveOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dissolve.dissolveUnionArea(
+      GeoData.rectCustomer(spark, dir)
+        .withColumn("gid", col("rid") % 40),
+      bucket = Bucket)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_intersection_area_poly" -> (qIntersectionAreaPoly _),
+    "q_dissolve_overlap" -> (qDissolveOverlap _))
+
+  // ---------------------------------------------------------------- oracles
+
+  /** One DuckDB S-H clip step against the directed clip edge
+    * (e1x,e1y)->(e2x,e2y): the exact SQL twin of PolyClip.clipStep. */
+  private def shStepSql(poly: String, e1x: String, e1y: String,
+                        e2x: String, e2y: String): String = {
+    val n = s"len($poly)"
+    val sPt = s"$poly[i]"
+    val pPt = s"$poly[1 + i % $n]"
+    def sideOf(q: String) =
+      s"(($e2x) - ($e1x)) * ($q.y - ($e1y)) - (($e2y) - ($e1y)) * ($q.x - ($e1x))"
+    val insS = s"${sideOf(sPt)} >= 0"
+    val insP = s"${sideOf(pPt)} >= 0"
+    val n1 = s"(($e1x) * ($e2y) - ($e1y) * ($e2x))"
+    val n2 = s"($sPt.x * $pPt.y - $sPt.y * $pPt.x)"
+    val den = s"((($e1x) - ($e2x)) * ($sPt.y - $pPt.y) - (($e1y) - ($e2y)) * ($sPt.x - $pPt.x))"
+    val ix = s"{'x': ($n1 * ($sPt.x - $pPt.x) - $n2 * (($e1x) - ($e2x))) / $den, " +
+      s"'y': ($n1 * ($sPt.y - $pPt.y) - $n2 * (($e1y) - ($e2y))) / $den}"
+    s"""CASE WHEN $n < 3 THEN $poly[2:1] ELSE
+       |  flatten(list_transform(range(1, $n + 1), i ->
+       |    CASE WHEN ($insP) AND ($insS) THEN [$pPt]
+       |         WHEN ($insP) AND NOT ($insS) THEN [$ix, $pPt]
+       |         WHEN NOT ($insP) AND ($insS) THEN [$ix]
+       |         ELSE $poly[2:1] END)) END""".stripMargin
+  }
+
+  private val intersectionAreaOracle: String = {
+    // octagon literal from the a-side bbox, CCW, same order as octagon()
+    val oct = {
+      def pt(x: String, y: String) = s"{'x': $x, 'y': $y}"
+      val c = "((ax1 - ax0) / 4.0)"
+      Seq(
+        pt(s"ax0 + $c", "ay0"), pt(s"ax1 - $c", "ay0"),
+        pt("ax1", s"ay0 + $c"), pt("ax1", s"ay1 - $c"),
+        pt(s"ax1 - $c", "ay1"), pt(s"ax0 + $c", "ay1"),
+        pt("ax0", s"ay1 - $c"), pt("ax0", s"ay0 + $c")).mkString("[", ", ", "]")
+    }
+    // clip square edges CCW, same order as rectRing's cyclic edges
+    val steps = Seq(
+      ("bx0", "by0", "bx1", "by0"),
+      ("bx1", "by0", "bx1", "by1"),
+      ("bx1", "by1", "bx0", "by1"),
+      ("bx0", "by1", "bx0", "by0"))
+      .zipWithIndex.map { case ((x1s, y1s, x2s, y2s), i) =>
+        // MATERIALIZED is load-bearing: each step references `poly`
+        // ~20 times, and DuckDB inlines plain CTEs — four chained
+        // steps would otherwise expand to a 20^4-node expression tree
+        s"""s${i + 1} AS MATERIALIZED (SELECT ida, idb, bx0, by0, bx1, by1,
+           |  ${shStepSql("poly", x1s, y1s, x2s, y2s)} AS poly FROM s$i)"""
+          .stripMargin
+      }.mkString(",\n")
+    s"""WITH a AS (${GeoData.rectCustomerSql}),
+       |b AS (${GeoData.polyNationSql}),
+       |pairs AS (
+       |  SELECT a.rid AS ida, b.pid AS idb,
+       |    a.x0 AS ax0, a.y0 AS ay0, a.x1 AS ax1, a.y1 AS ay1,
+       |    b.x0 AS bx0, b.y0 AS by0, b.x1 AS bx1, b.y1 AS by1
+       |  FROM a JOIN b ON a.x0 <= b.x1 AND b.x0 <= a.x1
+       |                AND a.y0 <= b.y1 AND b.y0 <= a.y1),
+       |s0 AS MATERIALIZED (SELECT ida, idb, bx0, by0, bx1, by1, $oct AS poly
+       |      FROM pairs),
+       |$steps,
+       |areas AS (
+       |  SELECT ida, idb,
+       |    CASE WHEN len(poly) < 3 THEN 0.0
+       |         ELSE FLOOR(ABS(list_sum(list_transform(range(1, len(poly) + 1),
+       |                i -> poly[i].x * poly[1 + i % len(poly)].y
+       |                   - poly[1 + i % len(poly)].x * poly[i].y))) / 2.0
+       |              * 10000.0 + 0.5) / 10000.0 END AS ix_area
+       |  FROM s4)
+       |SELECT ida, idb, ix_area FROM areas WHERE ix_area > 0.0""".stripMargin
+  }
+
+  private val dissolveOverlapOracle: String =
+    s"""WITH r0 AS (${GeoData.rectCustomerSql}),
+       |r AS (SELECT rid % 40 AS gid, x0, y0, x1, y1 FROM r0),
+       |xs AS (SELECT DISTINCT gid, x FROM (
+       |         SELECT gid, x0 AS x FROM r
+       |         UNION ALL SELECT gid, x1 FROM r)),
+       |slabs AS (SELECT gid, x,
+       |            LEAD(x) OVER (PARTITION BY gid ORDER BY x) AS xr
+       |          FROM xs),
+       |sv AS (SELECT s.gid, s.x, s.xr, r.y0, r.y1
+       |       FROM slabs s JOIN r ON r.gid = s.gid
+       |        AND r.x0 <= s.x AND s.xr <= r.x1
+       |       WHERE s.xr IS NOT NULL),
+       |c AS (SELECT gid, x, xr, y0, y1,
+       |        MAX(y1) OVER (PARTITION BY gid, x ORDER BY y0, y1
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |      FROM sv),
+       |t AS (SELECT gid, (xr - x) * GREATEST(0.0,
+       |        y1 - GREATEST(y0, COALESCE(pm, y0))) AS term FROM c),
+       |u AS (SELECT gid,
+       |        ROUND(SUM(CAST(ROUND(term * 100.0, 0) AS BIGINT)) / 100.0, 2)
+       |          AS union_area
+       |      FROM t GROUP BY gid),
+       |p AS (SELECT gid, COUNT(*) AS n_parts,
+       |        ROUND(SUM(CAST(ROUND((x1 - x0) * (y1 - y0) * 100.0, 0)
+       |          AS BIGINT)) / 100.0, 2) AS sum_area
+       |      FROM r GROUP BY gid)
+       |SELECT p.gid, p.n_parts, p.sum_area,
+       |  COALESCE(u.union_area, 0.0) AS union_area
+       |FROM p LEFT JOIN u ON u.gid = p.gid""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_intersection_area_poly" -> intersectionAreaOracle,
+    "q_dissolve_overlap" -> dissolveOverlapOracle)
+}

@@ -84,6 +84,45 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(p.getAs[Int]("n") === 2)
   }
 
+  test("sutherland-hodgman clip: known intersection areas") {
+    import graft.geom.PolyClip
+    def ring(pts: (Double, Double)*) = array(pts.map { case (x, y) =>
+      struct(lit(x).as("x"), lit(y).as("y"))
+    }: _*)
+    val sq1 = ring((0, 0), (4, 0), (4, 4), (0, 4))          // 4x4 at origin
+    val sq2 = ring((2, 2), (6, 2), (6, 6), (2, 6))          // shifted -> 2x2 overlap
+    val tri = ring((0, 0), (6, 0), (0, 6))                  // right triangle
+    val far = ring((100, 100), (104, 100), (104, 104), (100, 104))
+    val r = spark.range(1).select(
+      PolyClip.intersectionArea(sq1, sq2).as("a"),   // 2*2 = 4
+      PolyClip.intersectionArea(tri, sq1).as("b"),   // 4x4 square minus corner tri(2) -> 14
+      PolyClip.intersectionArea(sq1, far).as("c"),   // disjoint -> 0
+      PolyClip.intersectionArea(sq1, sq1).as("d"))   // self -> 16
+      .head()
+    assert(r.getDouble(0) === 4.0)
+    assert(r.getDouble(1) === 14.0)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(3) === 16.0)
+  }
+
+  test("dissolveUnionArea: overlap counted once, disjoint summed") {
+    import spark.implicits._
+    val parts = Seq(
+      // gid 0: two 4x4 boxes overlapping in a 2x2 corner -> union 28
+      (0L, 0.0, 0.0, 4.0, 4.0), (0L, 2.0, 2.0, 6.0, 6.0),
+      // gid 1: identical boxes -> union 16, sum 32
+      (1L, 0.0, 0.0, 4.0, 4.0), (1L, 0.0, 0.0, 4.0, 4.0),
+      // gid 2: disjoint boxes -> union = sum = 8
+      (2L, 0.0, 0.0, 2.0, 2.0), (2L, 10.0, 10.0, 12.0, 12.0))
+      .toDF("gid", "x0", "y0", "x1", "y1")
+    val r = graft.operators.Dissolve.dissolveUnionArea(parts, bucket = 10.0)
+      .collect().map(x => x.getAs[Long]("gid") ->
+        (x.getAs[Double]("sum_area"), x.getAs[Double]("union_area"))).toMap
+    assert(r(0L) === ((32.0, 28.0)))
+    assert(r(1L) === ((32.0, 16.0)))
+    assert(r(2L) === ((8.0, 8.0)))
+  }
+
   test("multimodal: features are deterministic and byte-length exact") {
     val media = Multimodal.mediaTable(Tables.load(spark, SfDir, "documents"))
     val a = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
