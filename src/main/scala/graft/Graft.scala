@@ -103,10 +103,18 @@ object Graft {
                   bandWidth: Double): DataFrame =
     Contour.idwIsobands(pts, cell, radius, bandWidth)
 
-  /** access_isocrone (core.py:873) — stubbed travel-time backend. */
+  /** countour_poly with KDE semantics (core.py:783) — truncated
+    * Epanechnikov kernel instead of gaussian (engine-portable). */
+  def contourPolyKde(pts: DataFrame, cell: Double, radius: Double,
+                     bandWidth: Double): DataFrame =
+    Contour.kdeIsobands(pts, cell, radius, bandWidth)
+
+  /** access_isocrone (core.py:873) — pluggable travel-time matrix
+    * (cx, cy, tt_min), OSRM-analogue; deterministic stub by default. */
   def accessIsocrone(spark: SparkSession, pts: DataFrame, cell: Double,
-                     bandMinutes: Double): DataFrame =
-    Contour.isochrone(spark, pts, cell, bandMinutes)
+                     bandMinutes: Double,
+                     travelTimes: Option[DataFrame] = None): DataFrame =
+    Contour.isochrone(spark, pts, cell, bandMinutes, travelTimes)
 
   /** read_spatialite analogue (core.py:423): WKT columns from any Spark
     * source — see sources.Wkt for the parsers. */

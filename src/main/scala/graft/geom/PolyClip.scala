@@ -71,12 +71,22 @@ object PolyClip {
     aggregate(cyclicEdges(clipRing), subject,
       (acc, e) => clipStep(acc, e("s"), e("p")))
 
-  /** Intersection area of subject x convex clip, 0.0 when empty.
+  /** Area of an already-MATERIALIZED clipped ring (0.0 when degenerate).
     * Floor-rounded to 4 decimals (floor(x*1e4+0.5)/1e4 is pure IEEE
-    * arithmetic, so .xxxx5 ties behave identically across engines). */
-  def intersectionArea(subject: Column, clipRing: Column): Column = {
-    val c = clip(subject, clipRing)
-    when(size(c) < 3, lit(0.0))
-      .otherwise(floor(Geom.ringArea(c) * 10000.0 + 0.5) / 10000.0)
-  }
+    * arithmetic, so .xxxx5 ties behave identically across engines).
+    *
+    * Pass an attribute (a `.withColumn` of `clip(...)`), NOT the clip
+    * expression itself: this expression references its argument several
+    * times (size guard + ring auto-close), and an inlined clip fold
+    * would re-evaluate once per reference — the same re-expansion
+    * hazard the oracle avoids with MATERIALIZED CTEs. */
+  def clippedArea(clipped: Column): Column =
+    when(size(clipped) < 3, lit(0.0))
+      .otherwise(floor(Geom.ringArea(clipped) * 10000.0 + 0.5) / 10000.0)
+
+  /** Convenience one-shot: intersection area of subject x convex clip.
+    * For hot paths materialize `clip(...)` in its own projection and
+    * use `clippedArea` (see its scaladoc). */
+  def intersectionArea(subject: Column, clipRing: Column): Column =
+    clippedArea(clip(subject, clipRing))
 }

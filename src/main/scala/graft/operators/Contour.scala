@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
   * gpd_lite_toolbox/core.py:751-871 — gaussian KDE + matplotlib contourf;
   * access_isocrone core.py:873-932 — OSRM travel-time matrix + contours).
   *
-  * Spark-first re-expression: a regular grid is interpolated by
-  * inverse-distance weighting from the sample points, then classified
-  * into bands (isobands). The interpolation join is GRID-BUCKETED: each
+  * Spark-first re-expression: a regular grid is interpolated from the
+  * sample points — IDW or a truncated-kernel KDE — then classified into
+  * bands (isobands). The interpolation join is GRID-BUCKETED: each
   * point is exploded only onto the cells its radius covers (bounded
   * fan-out of ceil(r/cell)^2), so the shuffle is O(points·k) and there is
   * no all-pairs product — at 100 TB the points meet only their nearby
@@ -19,6 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object Contour {
 
+  /** Bucketed point-to-cell join: one row per (point, covered cell)
+    * with the squared center distance, filtered to d2 <= radius^2.
+    * Shared by the IDW and KDE surfaces. */
+  private def cellPointD2(pts: DataFrame, cell: Double, radius: Double,
+                          xmin: Double, ymin: Double,
+                          rows: Long, cols: Long): DataFrame = {
+    def cover(p: org.apache.spark.sql.Column, mn: Double, n: Long) =
+      sequence(
+        greatest(floor((p - mn - radius) / cell), lit(0L)).cast("long"),
+        least(floor((p - mn + radius) / cell), lit(n - 1)).cast("long"))
+    val xc = lit(xmin) + (col("cx") + 0.5) * cell
+    val yc = lit(ymin) + (col("cy") + 0.5) * cell
+    val d2 = (col("x") - xc) * (col("x") - xc) +
+      (col("y") - yc) * (col("y") - yc)
+    pts
+      .select(col("x"), col("y"), col("val"),
+        explode(cover(col("x"), xmin, cols)).as("cx"),
+        cover(col("y"), ymin, rows).as("cys"))
+      .select(col("x"), col("y"), col("val"), col("cx"),
+        explode(col("cys")).as("cy"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= radius * radius)
+  }
+
   /** IDW isobands over (x, y, val) points. Returns one row per grid cell
     * reached by >=1 point within `radius`: (cx, cy, n_src, idw, band). */
   def idwIsobands(pts: DataFrame, cell: Double, radius: Double,
@@ -26,30 +50,36 @@ object Contour {
     val (xmin, ymin, xmax, ymax) = Grid.bounds(pts)
     val rows = math.ceil((ymax - ymin) / cell).toLong
     val cols = math.ceil((xmax - xmin) / cell).toLong
-    def cover(p: org.apache.spark.sql.Column, mn: Double, n: Long) =
-      sequence(
-        greatest(floor((p - mn - radius) / cell), lit(0L)).cast("long"),
-        least(floor((p - mn + radius) / cell), lit(n - 1)).cast("long"))
-    val exploded = pts
-      .select(col("x"), col("y"), col("val"),
-        explode(cover(col("x"), xmin, cols)).as("cx"),
-        cover(col("y"), ymin, rows).as("cys"))
-      .select(col("x"), col("y"), col("val"), col("cx"),
-        explode(col("cys")).as("cy"))
-    val xc = lit(xmin) + (col("cx") + 0.5) * cell
-    val yc = lit(ymin) + (col("cy") + 0.5) * cell
-    val d2 = (col("x") - xc) * (col("x") - xc) +
-      (col("y") - yc) * (col("y") - yc)
     val gr = greatest(col("d2"), lit(1e-6))
-    exploded
-      .withColumn("d2", d2)
-      .filter(col("d2") <= radius * radius)
+    cellPointD2(pts, cell, radius, xmin, ymin, rows, cols)
       .groupBy("cx", "cy")
       .agg(
         count(lit(1)).as("n_src"),
         round(sum(col("val").cast("double") / gr) / sum(lit(1.0) / gr), 4)
           .as("idw"))
       .withColumn("band", floor(col("idw") / bandWidth).cast("long"))
+  }
+
+  /** KDE isobands: kernel-density surface over the same bucketed grid
+    * shuffle. The kernel is the truncated Epanechnikov parabola
+    * w * (1 - d2/r^2) — the classical density kernel (optimal in the
+    * MISE sense) whose arithmetic is pure add/multiply, so, unlike the
+    * reference's gaussian (core.py:783), the surface reproduces
+    * bit-for-bit across engines (exp() is libm-dependent in its last
+    * ulp; a polynomial kernel is not). Returns (cx, cy, n_src, kde,
+    * band). */
+  def kdeIsobands(pts: DataFrame, cell: Double, radius: Double,
+                  bandWidth: Double): DataFrame = {
+    val (xmin, ymin, xmax, ymax) = Grid.bounds(pts)
+    val rows = math.ceil((ymax - ymin) / cell).toLong
+    val cols = math.ceil((xmax - xmin) / cell).toLong
+    cellPointD2(pts, cell, radius, xmin, ymin, rows, cols)
+      .groupBy("cx", "cy")
+      .agg(
+        count(lit(1)).as("n_src"),
+        round(sum(col("val").cast("double")
+          * (lit(1.0) - col("d2") / (radius * radius))), 4).as("kde"))
+      .withColumn("band", floor(col("kde") / bandWidth).cast("long"))
   }
 
   /** Isoband OUTLINES (the reference's isopoly_to_gdf geometry,
@@ -71,14 +101,18 @@ object Contour {
 
   /** Access isochrone over the grid covering `pts`.
     *
-    * STUB: the travel-time backend is a deterministic fake (manhattan
-    * distance from the grid center at road speed + a hash-derived road
-    * factor) because no routing engine is available in this environment;
-    * the reference queries OSRM (core.py:907). The grid enumeration,
-    * banding, and distributed shape are the real machinery — swap
-    * `travelTime` for a real matrix lookup to productionize. */
+    * The travel-time backend is PLUGGABLE: pass `travelTimes` as a
+    * (cx, cy, tt_min) DataFrame — the Spark-side analogue of the
+    * reference's OSRM matrix response (core.py:907); cells appear in
+    * the output iff the matrix covers them. With no matrix supplied the
+    * default provider is a deterministic STUB (manhattan distance from
+    * the grid center at road speed + a hash-derived road factor) —
+    * documented fake, since no routing engine exists in this
+    * environment; the grid enumeration, banding, and distributed shape
+    * are the real machinery either way. */
   def isochrone(spark: SparkSession, pts: DataFrame, cell: Double,
-                bandMinutes: Double): DataFrame = {
+                bandMinutes: Double,
+                travelTimes: Option[DataFrame] = None): DataFrame = {
     val (xmin, ymin, xmax, ymax) = Grid.bounds(pts)
     val rows = math.ceil((ymax - ymin) / cell).toLong
     val cols = math.ceil((xmax - xmin) / cell).toLong
@@ -87,13 +121,19 @@ object Contour {
     val grid = spark.range(rows * cols).select(
       floor(col("id") / rows).cast("long").as("cx"),
       (col("id") % rows).cast("long").as("cy"))
-    val xc = lit(xmin) + (col("cx") + 0.5) * cell
-    val yc = lit(ymin) + (col("cy") + 0.5) * cell
-    val travelTime =
-      (abs(xc - centerX) + abs(yc - centerY)) / lit(1.2) +
-        ((col("cx") * 31 + col("cy") * 17) % 7).cast("double")
-    grid
-      .withColumn("tt_min", round(travelTime, 4))
+    val timed = travelTimes match {
+      case Some(m) =>
+        grid.join(m.select(col("cx"), col("cy"),
+          col("tt_min").cast("double").as("tt_min")), Seq("cx", "cy"))
+      case None =>
+        val xc = lit(xmin) + (col("cx") + 0.5) * cell
+        val yc = lit(ymin) + (col("cy") + 0.5) * cell
+        grid.withColumn("tt_min",
+          (abs(xc - centerX) + abs(yc - centerY)) / lit(1.2) +
+            ((col("cx") * 31 + col("cy") * 17) % 7).cast("double"))
+    }
+    timed
+      .withColumn("tt_min", round(col("tt_min"), 4))
       .withColumn("band", floor(col("tt_min") / bandMinutes).cast("long"))
   }
 }

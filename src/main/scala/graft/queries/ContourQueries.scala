@@ -23,6 +23,12 @@ object ContourQueries {
       GeoData.ptsEvents(spark, dir).select(col("x"), col("y")),
       cell = 10.0, bandMinutes = 10.0)
 
+  def qContourKde(spark: SparkSession, dir: String): DataFrame =
+    Contour.kdeIsobands(
+      GeoData.ptsEvents(spark, dir)
+        .select(col("x"), col("y"), col("weight").as("val")),
+      cell = 10.0, radius = 15.0, bandWidth = 50.0)
+
   def qIsobandEdges(spark: SparkSession, dir: String): DataFrame =
     Contour.isobandOutlines(
       GeoData.ptsEvents(spark, dir)
@@ -31,6 +37,7 @@ object ContourQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_contour" -> (qContour _),
+    "q_contour_kde" -> (qContourKde _),
     "q_isochrone" -> (qIsochrone _),
     "q_isoband_edges" -> (qIsobandEdges _))
 
@@ -65,6 +72,31 @@ object ContourQueries {
          |  FROM j GROUP BY 1, 2)
          |SELECT cx, cy, n_src, idw,
          |  CAST(FLOOR(idw / 10.0) AS BIGINT) AS band
+         |FROM agg""".stripMargin,
+
+    "q_contour_kde" ->
+      s"""WITH pts AS (${GeoData.ptsEventsSql}),
+         |$boundsCte,
+         |cells AS (
+         |  SELECT cx, cy,
+         |    b.xmin + (cx + 0.5) * 10.0 AS xc,
+         |    b.ymin + (cy + 0.5) * 10.0 AS yc
+         |  FROM b,
+         |  LATERAL (SELECT unnest(generate_series(0, b.cols_ - 1)) AS cx) u,
+         |  LATERAL (SELECT unnest(generate_series(0, b.rows_ - 1)) AS cy) v),
+         |j AS (
+         |  SELECT c.cx, c.cy, p.weight,
+         |    (p.x - c.xc) * (p.x - c.xc) + (p.y - c.yc) * (p.y - c.yc) AS d2
+         |  FROM cells c, pts p
+         |  WHERE (p.x - c.xc) * (p.x - c.xc)
+         |      + (p.y - c.yc) * (p.y - c.yc) <= 225.0),
+         |agg AS (
+         |  SELECT cx, cy, COUNT(*) AS n_src,
+         |    ROUND(SUM(CAST(weight AS DOUBLE) * (1.0 - d2 / 225.0)), 4)
+         |      AS kde
+         |  FROM j GROUP BY 1, 2)
+         |SELECT cx, cy, n_src, kde,
+         |  CAST(FLOOR(kde / 50.0) AS BIGINT) AS band
          |FROM agg""".stripMargin,
 
     "q_isoband_edges" ->

@@ -47,8 +47,17 @@ object PolyQueries {
       .select(col("pid").as("rid"), col("x0"), col("y0"), col("x1"), col("y1"))
     val subject = octagon(col("ax0"), col("ay0"), col("ax1"), col("ay1"))
     val clip = rectRing(col("bx0"), col("by0"), col("bx1"), col("by1"))
-    Rects.intersectPairs(a, b, cellSize = 20.0)
-      .withColumn("ix_area", PolyClip.intersectionArea(subject, clip))
+    // The persist is a plan BARRIER, not (only) a cache: without it,
+    // predicate pushdown substitutes ix_area -> clippedArea -> the full
+    // clip fold into the filter, re-evaluating the fold ~8x per row
+    // (24s -> 2.3s at sf0.1). Behind the barrier the fold runs once per
+    // pair and the filter reads the materialized column.
+    val scored = Rects.intersectPairs(a, b, cellSize = 20.0)
+      .select(col("ida"), col("idb"),
+        PolyClip.clip(subject, clip).as("clipped"))
+      .withColumn("ix_area", PolyClip.clippedArea(col("clipped")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored
       .filter(col("ix_area") > 0.0)
       .select("ida", "idb", "ix_area")
   }

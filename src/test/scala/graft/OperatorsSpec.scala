@@ -84,6 +84,24 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(p.getAs[Int]("n") === 2)
   }
 
+  test("isochrone accepts an injected travel-time matrix") {
+    import spark.implicits._
+    val pts = Seq((0.0, 0.0), (30.0, 30.0)).toDF("x", "y")
+    // matrix covers only two cells; tt drives the band directly
+    val matrix = Seq((0L, 0L, 5.0), (1L, 2L, 25.0)).toDF("cx", "cy", "tt_min")
+    val r = graft.operators.Contour
+      .isochrone(spark, pts, cell = 10.0, bandMinutes = 10.0, Some(matrix))
+      .collect().map(x => (x.getAs[Long]("cx"), x.getAs[Long]("cy")) ->
+        (x.getAs[Double]("tt_min"), x.getAs[Long]("band"))).toMap
+    assert(r.size === 2)
+    assert(r((0L, 0L)) === ((5.0, 0L)))
+    assert(r((1L, 2L)) === ((25.0, 2L)))
+    // default provider (stub) still covers the whole grid
+    val full = graft.operators.Contour
+      .isochrone(spark, pts, cell = 10.0, bandMinutes = 10.0)
+    assert(full.count() === 9)
+  }
+
   test("sutherland-hodgman clip: known intersection areas") {
     import graft.geom.PolyClip
     def ring(pts: (Double, Double)*) = array(pts.map { case (x, y) =>
