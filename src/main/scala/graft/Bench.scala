@@ -4,11 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // warm-up scale: tiny data, same query plans — triggers JIT/codegen
-    // compilation before anything is timed, so per-query numbers reflect
-    // steady-state execution, not whichever query ran first.
+    // warm-up scale: small data, SAME PHYSICAL plans — sf0.01 (not
+    // sf0.001) because AQE picks different join strategies on tiny
+    // inputs, which compiles different generated code and leaves the
+    // measured-scale variant cold. Warm-up time is excluded from the
+    // reported numbers.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-      "/root/testdata/sf0.001")
+      "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -115,16 +115,19 @@ object Ann {
     (0 until dim).map(i => ((j * dim + i) * 2654435761L % 1000003L)
       / 1000003.0 - 0.5)
 
+  /** Sign-bit bucket of `planes` deterministic random hyperplanes. */
+  private def hyperplaneBucket(e: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { j =>
+      val hp = array(hyperplane(j, dim).map(lit): _*)
+      when(dot(e, hp) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduceLeft((a, b) => a.bitwiseOR(b))
+
   /** LSH variant: `planes` random hyperplanes -> sign-bit bucket; queries
     * and corpus meet only within a bucket. Returns per-query top-k among
     * bucket mates (approximate — trades recall for a bounded join). */
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
                     planes: Int, dim: Int): DataFrame = {
-    def bucket(e: Column): Column =
-      (0 until planes).map { j =>
-        val hp = array(hyperplane(j, dim).map(lit): _*)
-        when(dot(e, hp) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-      }.reduceLeft((a, b) => a.bitwiseOR(b))
+    def bucket(e: Column): Column = hyperplaneBucket(e, planes, dim)
     val c = withNorm(corpus, "vec_id")
       .select(col("vec_id").as("nid"), col("e").as("ne"), col("nrm").as("nn"),
         bucket(col("e")).as("bucket"))
@@ -142,5 +145,28 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "nid", "rank", "cos4", "bucket")
+  }
+
+  /** Embedding-cosine near-dup PAIRS over the whole corpus — the dedup
+    * counterpart of cosineTopKLsh: every (ida < idb) pair with
+    * round(cos, 4) >= minCos among hyperplane-bucket mates. The bucket
+    * equi-join bounds the self-join to bucket-local products (the
+    * corpus never meets itself whole), which is the 100 TB path for
+    * near-dup sweeps over embedding columns. */
+  def cosineNearDupPairs(corpus: DataFrame, planes: Int, dim: Int,
+                         minCos: Double): DataFrame = {
+    val c = withNorm(corpus, "vec_id")
+      .withColumn("bucket", hyperplaneBucket(col("e"), planes, dim))
+    val a = c.select(col("bucket"), col("vec_id").as("ida"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = c.select(col("bucket"), col("vec_id").as("idb"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("cos4",
+        round(dot(col("ea"), col("eb"))
+          / greatest(col("na") * col("nb"), lit(1e-12)), 4))
+      .filter(col("cos4") >= minCos)
+      .select("ida", "idb", "cos4", "bucket")
   }
 }

@@ -36,10 +36,18 @@ object AnnQueries {
       nlist = 16, nprobe = 2, iters = 2)
   }
 
+  /** Embedding-cosine near-dup sweep over the whole corpus (threshold
+    * tuned so the synthetic random embeddings yield a non-trivial pair
+    * set; real corpora use ~0.95+). */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Ann.cosineNearDupPairs(emb(spark, dir), planes = 8, dim = 64,
+      minCos = 0.3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qCosineLsh _),
-    "q_ann_ivf" -> (qCosineIvf _))
+    "q_ann_ivf" -> (qCosineIvf _),
+    "q_dedup_embedding" -> (qDedupEmbedding _))
 
   /** DuckDB twin of the LSH path: the hyperplane components are the same
     * closed-form modular arithmetic, so buckets, candidates and scores
@@ -137,9 +145,41 @@ object AnnQueries {
        |QUALIFY rank <= $K""".stripMargin
   }
 
+  /** DuckDB twin of the near-dup sweep: same hyperplane buckets, same
+    * rounded cosine, full self-join within buckets. */
+  private val dedupEmbeddingOracle: String =
+    s"""WITH v AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |      FROM v),
+       |planes AS (SELECT CAST(j AS BIGINT) AS j
+       |           FROM (SELECT unnest(generate_series(0, 7)) AS j) g),
+       |b AS (SELECT n.vec_id,
+       |        CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+       |              i -> n.e[i] * (((j * 64 + i - 1) * 2654435761)
+       |                   % 1000003 / 1000003.0 - 0.5))) > 0
+       |            THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END)
+       |          AS BIGINT) AS bucket
+       |      FROM n, planes GROUP BY n.vec_id),
+       |sv AS (SELECT n.vec_id, n.e, n.nrm, b.bucket
+       |       FROM n JOIN b ON b.vec_id = n.vec_id)
+       |SELECT a.vec_id AS ida, c.vec_id AS idb,
+       |  ROUND(list_sum(list_transform(range(1, 65),
+       |          i -> a.e[i] * c.e[i]))
+       |      / greatest(a.nrm * c.nrm, 1e-12), 4) AS cos4,
+       |  a.bucket
+       |FROM sv a JOIN sv c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |WHERE ROUND(list_sum(list_transform(range(1, 65),
+       |          i -> a.e[i] * c.e[i]))
+       |      / greatest(a.nrm * c.nrm, 1e-12), 4) >= 0.3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
+    "q_dedup_embedding" -> dedupEmbeddingOracle,
     "q_ann_cosine_topk" ->
       s"""WITH v AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -44,6 +44,13 @@ object GeoExtQueries {
       lines.filter(col("lid") % 2 === 1))
   }
 
+  /** Reference-faithful cluster matching: Lloyd k-means over per-line
+    * shape descriptors (core.py:70), every line labeled. */
+  def qMatchLinesKmeans(spark: SparkSession, dir: String): DataFrame =
+    MatchLines.kmeansDescriptors(
+      MatchLines.linesWithCells(lineVertices(spark, dir), CellTenths),
+      k = 16, iters = 2)
+
   def qRandomPts(spark: SparkSession, dir: String): DataFrame =
     RandomPoints.inRects(
       GeoData.polyNation(spark, dir).select("pid", "x0", "y0", "x1", "y1"),
@@ -65,8 +72,38 @@ object GeoExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_match_lines" -> (qMatchLines _),
     "q_match_lines_cluster" -> (qMatchLinesCluster _),
+    "q_match_lines_kmeans" -> (qMatchLinesKmeans _),
     "q_random_pts" -> (qRandomPts _),
     "q_hav_dist" -> (qHavDist _))
+
+  /** Per-line descriptor CTEs (ctrx, ctry, brg, len per lid) — the SQL
+    * twin of MatchLines' descriptor block; shared by the cluster and
+    * kmeans oracles. Expects a CTE `v` with (lid, seq, xi, yi). */
+  private val descriptorCtes: String =
+    s"""vo AS (SELECT lid, xi, yi, xi / 10.0 AS x, yi / 10.0 AS y,
+       |         ROW_NUMBER() OVER (PARTITION BY lid ORDER BY seq, xi, yi)
+       |           AS rn,
+       |         COUNT(*) OVER (PARTITION BY lid) AS n
+       |       FROM v),
+       |segs AS (SELECT a.lid,
+       |           SQRT((a.x - b.x) * (a.x - b.x)
+       |              + (a.y - b.y) * (a.y - b.y)) AS slen
+       |         FROM vo a JOIN vo b ON b.lid = a.lid AND b.rn = a.rn + 1),
+       |lens AS (SELECT lid, SUM(slen) AS len FROM segs GROUP BY lid),
+       |d AS (
+       |  SELECT vo.lid,
+       |    SUM(xi) // (MAX(n) * $CellTenths) AS cx,
+       |    SUM(yi) // (MAX(n) * $CellTenths) AS cy,
+       |    SUM(x) / MAX(n) AS ctrx,
+       |    SUM(y) / MAX(n) AS ctry,
+       |    180.0 + ATAN2(
+       |      MIN(CASE WHEN rn = 1 THEN x END)
+       |        - MIN(CASE WHEN rn = n THEN x END),
+       |      MIN(CASE WHEN rn = 1 THEN y END)
+       |        - MIN(CASE WHEN rn = n THEN y END)) * (180.0 / PI()) AS brg
+       |  FROM vo GROUP BY vo.lid),
+       |dl AS (SELECT d.*, COALESCE(lens.len, 0.0) AS len
+       |       FROM d LEFT JOIN lens ON d.lid = lens.lid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_match_lines" ->
@@ -111,30 +148,7 @@ object GeoExtQueries {
 
     "q_match_lines_cluster" ->
       s"""WITH v AS ($lineVerticesSql),
-         |vo AS (SELECT lid, xi, yi, xi / 10.0 AS x, yi / 10.0 AS y,
-         |         ROW_NUMBER() OVER (PARTITION BY lid ORDER BY seq, xi, yi)
-         |           AS rn,
-         |         COUNT(*) OVER (PARTITION BY lid) AS n
-         |       FROM v),
-         |segs AS (SELECT a.lid,
-         |           SQRT((a.x - b.x) * (a.x - b.x)
-         |              + (a.y - b.y) * (a.y - b.y)) AS slen
-         |         FROM vo a JOIN vo b ON b.lid = a.lid AND b.rn = a.rn + 1),
-         |lens AS (SELECT lid, SUM(slen) AS len FROM segs GROUP BY lid),
-         |d AS (
-         |  SELECT vo.lid,
-         |    SUM(xi) // (MAX(n) * $CellTenths) AS cx,
-         |    SUM(yi) // (MAX(n) * $CellTenths) AS cy,
-         |    SUM(x) / MAX(n) AS ctrx,
-         |    SUM(y) / MAX(n) AS ctry,
-         |    180.0 + ATAN2(
-         |      MIN(CASE WHEN rn = 1 THEN x END)
-         |        - MIN(CASE WHEN rn = n THEN x END),
-         |      MIN(CASE WHEN rn = 1 THEN y END)
-         |        - MIN(CASE WHEN rn = n THEN y END)) * (180.0 / PI()) AS brg
-         |  FROM vo GROUP BY vo.lid),
-         |dl AS (SELECT d.*, COALESCE(lens.len, 0.0) AS len
-         |       FROM d LEFT JOIN lens ON d.lid = lens.lid),
+         |$descriptorCtes,
          |a AS (SELECT * FROM dl WHERE lid % 20 = 0),
          |b AS (SELECT * FROM dl WHERE lid % 2 = 1),
          |scored AS (
@@ -146,6 +160,39 @@ object GeoExtQueries {
          |  FROM a JOIN b ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1)
          |SELECT la, lb, score FROM scored
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY la ORDER BY score, lb) = 1""".stripMargin,
+
+    "q_match_lines_kmeans" -> {
+      def d2(e1: String, e2: String) =
+        s"""ROUND(list_sum(list_transform(range(1, 5),
+           |        i -> ($e1[i] - $e2[i]) * ($e1[i] - $e2[i]))), 6)""".stripMargin
+      def assign(cents: String, out: String) =
+        s"""$out AS (
+           |  SELECT lid, e, cluster FROM (
+           |    SELECT e0.lid, e0.e, c.cluster,
+           |      ROW_NUMBER() OVER (PARTITION BY e0.lid
+           |        ORDER BY ${d2("e0.e", "c.ce")}, c.cluster) AS rn
+           |    FROM e0, $cents c) WHERE rn = 1)""".stripMargin
+      def recenter(assigned: String, out: String) =
+        s"""$out AS (
+           |  SELECT cluster, list(m ORDER BY i) AS ce FROM (
+           |    SELECT a.cluster, u.i, AVG(a.e[u.i]) AS m
+           |    FROM $assigned a,
+           |         (SELECT unnest(generate_series(1, 4)) AS i) u
+           |    GROUP BY 1, 2)
+           |  GROUP BY cluster)""".stripMargin
+      s"""WITH v AS ($lineVerticesSql),
+         |$descriptorCtes,
+         |e0 AS (SELECT lid, [ROUND(ctrx, 4), ROUND(ctry, 4),
+         |         ROUND(len, 4), ROUND(brg, 4)] AS e FROM dl),
+         |c0 AS (SELECT lid AS cluster, e AS ce FROM e0
+         |       ORDER BY lid LIMIT 16),
+         |${assign("c0", "a1")},
+         |${recenter("a1", "c1")},
+         |${assign("c1", "a2")},
+         |${recenter("a2", "c2")},
+         |${assign("c2", "fin")}
+         |SELECT lid, cluster FROM fin""".stripMargin
+    },
 
     "q_random_pts" ->
       s"""WITH poly AS (${GeoData.polyNationSql}),

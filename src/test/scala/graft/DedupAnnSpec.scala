@@ -104,6 +104,44 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(agree.toDouble / total >= 0.5) // recall@1 of a 2-probe IVF
   }
 
+  test("cosineNearDupPairs: duplicate vectors pair at cos 1.0") {
+    import spark.implicits._
+    val vecs = Seq(
+      1L -> Array.tabulate(64)(i => (i + 1).toFloat),
+      2L -> Array.tabulate(64)(i => (i + 1).toFloat),      // dup of 1
+      3L -> Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))
+      .toDF("vec_id", "embedding")
+    val out = Ann.cosineNearDupPairs(vecs, planes = 8, dim = 64,
+      minCos = 0.95).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("ida") === 1L)
+    assert(out.head.getAs[Long]("idb") === 2L)
+    assert(out.head.getAs[Double]("cos4") === 1.0)
+  }
+
+  test("kmeansDescriptors: identical lines land in the same cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two tight families of lines (near origin / far away), 3 of each
+    val verts = Seq(
+      (1L, 1, 0L, 0L), (1L, 2, 100L, 0L),
+      (2L, 1, 0L, 10L), (2L, 2, 100L, 10L),
+      (3L, 1, 0L, 20L), (3L, 2, 100L, 20L),
+      (4L, 1, 5000L, 5000L), (4L, 2, 5100L, 5000L),
+      (5L, 1, 5000L, 5010L), (5L, 2, 5100L, 5010L),
+      (6L, 1, 5000L, 5020L), (6L, 2, 5100L, 5020L))
+      .toDF("lid", "seq", "xi", "yi")
+    val lines = graft.operators.MatchLines.linesWithCells(verts, 30)
+    val out = graft.operators.MatchLines
+      .kmeansDescriptors(lines, k = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("lid") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert(out.size === 6)
+    assert(Set(out(1L), out(2L), out(3L)).size === 1) // family 1 together
+    assert(Set(out(4L), out(5L), out(6L)).size === 1) // family 2 together
+    assert(out(1L) !== out(4L))                       // families apart
+  }
+
   test("dedupClusters: transitive chain collapses to one canonical id") {
     import spark.implicits._
     val d = Seq(1L, 2L, 3L, 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
