@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.geom.{HausdorffDistance, PointInRing}
+import graft.geom.{HausdorffDistance, PointInRing, PolygonClipArea}
 
 /** SparkSessionExtensions injector: registers graft's native expressions
   * into the session's function registry so plain SQL can call them:
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hausdorffFunction)
     ext.injectFunction(GraftExtensions.pointInRingFunction)
+    ext.injectFunction(GraftExtensions.clipAreaFunction)
   }
 }
 
@@ -35,4 +36,10 @@ object GraftExtensions {
     FunctionIdentifier("graft_point_in_ring"),
     new ExpressionInfo(classOf[PointInRing].getName, "graft_point_in_ring"),
     (args: Seq[Expression]) => PointInRing(args(0), args(1), args(2)))
+
+  val clipAreaFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_clip_area"),
+    new ExpressionInfo(classOf[PolygonClipArea].getName, "graft_clip_area"),
+    (args: Seq[Expression]) => PolygonClipArea(args(0), args(1)))
 }

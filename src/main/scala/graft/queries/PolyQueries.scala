@@ -47,17 +47,14 @@ object PolyQueries {
       .select(col("pid").as("rid"), col("x0"), col("y0"), col("x1"), col("y1"))
     val subject = octagon(col("ax0"), col("ay0"), col("ax1"), col("ay1"))
     val clip = rectRing(col("bx0"), col("by0"), col("bx1"), col("by1"))
-    // The persist is a plan BARRIER, not (only) a cache: without it,
-    // predicate pushdown substitutes ix_area -> clippedArea -> the full
-    // clip fold into the filter, re-evaluating the fold ~8x per row
-    // (24s -> 2.3s at sf0.1). Behind the barrier the fold runs once per
-    // pair and the filter reads the materialized column.
-    val scored = Rects.intersectPairs(a, b, cellSize = 20.0)
-      .select(col("ida"), col("idb"),
-        PolyClip.clip(subject, clip).as("clipped"))
-      .withColumn("ix_area", PolyClip.clippedArea(col("clipped")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scored
+    // Native codegen'd S-H expression (bit-identical to the PolyClip
+    // lambda fold — asserted by spec); floor-round mirrors
+    // PolyClip.clippedArea. Cheap enough that the pushed-down filter
+    // re-evaluating it is fine — no persist barrier needed.
+    val area = floor(graft.geom.PolygonClipArea(subject, clip)
+      * 10000.0 + 0.5) / 10000.0
+    Rects.intersectPairs(a, b, cellSize = 20.0)
+      .withColumn("ix_area", area)
       .filter(col("ix_area") > 0.0)
       .select("ida", "idb", "ix_area")
   }

@@ -123,6 +123,34 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(r.getDouble(3) === 16.0)
   }
 
+  test("native PolygonClipArea matches the lambda clip fold bit-for-bit") {
+    import graft.geom.{PolyClip, PolygonClipArea}
+    // real pair data: customer octagons x nation squares at test SF
+    val a = graft.GeoData.rectCustomer(spark, SfDir)
+    val b = graft.GeoData.polyNation(spark, SfDir)
+      .select(col("pid").as("rid"), col("x0"), col("y0"), col("x1"), col("y1"))
+    val pairs = graft.operators.Rects.intersectPairs(a, b, cellSize = 20.0)
+    val c = (col("ax1") - col("ax0")) / 4.0
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.as("x"), y.as("y"))
+    val subject = array(
+      pt(col("ax0") + c, col("ay0")), pt(col("ax1") - c, col("ay0")),
+      pt(col("ax1"), col("ay0") + c), pt(col("ax1"), col("ay1") - c),
+      pt(col("ax1") - c, col("ay1")), pt(col("ax0") + c, col("ay1")),
+      pt(col("ax0"), col("ay1") - c), pt(col("ax0"), col("ay0") + c))
+    val clipRing = array(
+      pt(col("bx0"), col("by0")), pt(col("bx1"), col("by0")),
+      pt(col("bx1"), col("by1")), pt(col("bx0"), col("by1")))
+    val scored = pairs
+      .select(PolygonClipArea(subject, clipRing).as("native"),
+        PolyClip.clip(subject, clipRing).as("clipped"))
+      .withColumn("lambda",
+        when(size(col("clipped")) < 3, lit(0.0))
+          .otherwise(graft.geom.Geom.ringArea(col("clipped"))))
+    assert(scored.filter(col("native") =!= col("lambda")).count() === 0)
+    assert(scored.filter(col("native") > 0.0).count() > 0)
+  }
+
   test("dissolveUnionArea: overlap counted once, disjoint summed") {
     import spark.implicits._
     val parts = Seq(
