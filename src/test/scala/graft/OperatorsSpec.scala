@@ -186,6 +186,23 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+  test("new-op plans: hash equi-joins only; kmeans broadcasts centroids") {
+    // S-H area + union-area sweep: bucketed equi-joins, never a product
+    for (q <- Seq(
+        graft.queries.PolyQueries.qIntersectionAreaPoly(spark, SfDir),
+        graft.queries.PolyQueries.qDissolveOverlap(spark, SfDir))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+    }
+    // k-means: the only product is corpus x BROADCAST centroid table
+    val kplan = graft.queries.GeoExtQueries.qMatchLinesKmeans(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!kplan.contains("CartesianProduct"))
+    assert(kplan.contains("BroadcastNestedLoopJoin")
+      || kplan.contains("BroadcastExchange"))
+  }
+
   test("GeoSink: partitioned layer prunes partitions on cell filter") {
     import graft.sources.GeoSink
     val out = "/tmp/graft_sink_test"
