@@ -25,6 +25,16 @@ object EventQueries {
   def qEventsWindowed(spark: SparkSession, dir: String): DataFrame =
     EventsStream.hourlyAgg(events(spark, dir))
 
+  /** View-to-click interval join: every click by the same user within 30
+    * minutes after a view. One transform shared with the streaming path
+    * (EventsStream.intervalJoin) — batch here, watermarked stream-stream
+    * join there. The join is a user_id hash equi-join with a range
+    * predicate; all time arithmetic in exact integer micros. */
+  def qEventIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.intervalJoin(
+      events(spark, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts DIV 1000").as("tus")))
+
   /** Gap-based sessionization: a new session starts after >30 min of user
     * inactivity. One shuffle on user_id (window), one on (user_id,
     * session) for the rollup — at scale both are the same hash key family.
@@ -77,6 +87,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_windowed" -> (qEventsWindowed _),
+    "q_event_interval_join" -> (qEventIntervalJoin _),
     "q_sessionize" -> (qSessionize _),
     "q_funnel" -> (qFunnel _))
 
@@ -89,6 +100,22 @@ object EventQueries {
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_interval_join" ->
+      s"""WITH e AS (
+         |  SELECT CAST(event_id AS BIGINT) AS event_id,
+         |    CAST(user_id AS BIGINT) AS user_id, event_type,
+         |    epoch_us(ts) AS tus
+         |  FROM events),
+         |v AS (SELECT user_id, event_id AS view_id, tus AS view_us
+         |      FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, event_id AS click_id, tus AS click_us
+         |      FROM e WHERE event_type = 'click')
+         |SELECT v.user_id, v.view_id, c.click_id,
+         |  c.click_us - v.view_us AS gap_us
+         |FROM v JOIN c ON v.user_id = c.user_id
+         |WHERE c.click_us >= v.view_us
+         |  AND c.click_us - v.view_us <= $GapUs""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS (

@@ -44,6 +44,59 @@ object EventsStream {
         expr("unix_timestamp(w.start) DIV 3600").as("hour"),
         col("n_events"), col("sum_value"), col("n_users"))
 
+  /** View-to-click interval join over (event_id, user_id, event_type,
+    * tus: long micros): every click by the same user within `gapUs`
+    * after a view. Mode-agnostic — the batch query (oracle-checked) and
+    * the watermarked stream-stream join below share it. The join is a
+    * user_id hash equi-join plus a range predicate in exact integer
+    * micros. */
+  def intervalJoin(events: DataFrame,
+                   gapUs: Long = 30L * 60 * 1000000L): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("tus").as("view_us"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("tus").as("click_us"))
+    v.join(c, col("user_id") === col("c_user_id") &&
+        col("click_us") >= col("view_us") &&
+        col("click_us") - col("view_us") <= gapUs)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (col("click_us") - col("view_us")).as("gap_us"))
+  }
+
+  /** Stream-stream interval join: both sides watermarked so the view
+    * state for users whose join window has passed is dropped — the
+    * event-time range condition bounds state exactly as Structured
+    * Streaming requires for stream-stream joins. */
+  def intervalJoinStream(spark: SparkSession, dir: String,
+                         queryName: String): StreamingQuery = {
+    def src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("tsw", timestamp_micros(expr("ts DIV 1000")))
+    val v = src.filter(col("event_type") === "view")
+      .withWatermark("tsw", "2 hours")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("tsw").as("view_tsw"))
+    val c = src.filter(col("event_type") === "click")
+      .withWatermark("tsw", "2 hours")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("tsw").as("click_tsw"))
+    v.join(c, col("user_id") === col("c_user_id") &&
+        col("click_tsw") >= col("view_tsw") &&
+        col("click_tsw") <= col("view_tsw") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_tsw")) - unix_micros(col("view_tsw")))
+          .as("gap_us"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming exact dedup: drop duplicate events by key within the
     * watermark window — the streaming face of the dedup family
     * (state is bounded by the watermark; at 100 TB/day the key set for

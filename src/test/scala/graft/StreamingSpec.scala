@@ -40,6 +40,21 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val q = EventsStream.intervalJoinStream(spark, SfDir, "ivj_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ivj_test")
+        .select("user_id", "view_id", "click_id", "gap_us")
+      val batch = graft.queries.EventQueries
+        .qEventIntervalJoin(spark, SfDir)
+        .select("user_id", "view_id", "click_id", "gap_us")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits at most one row per key") {
     val q = EventsStream.dedupStream(spark, SfDir, "dedup_test")
     try {
