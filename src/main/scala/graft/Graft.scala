@@ -66,6 +66,16 @@ object Graft {
   def dissolve(polys: DataFrame, colName: String): DataFrame =
     Dissolve(polys, colName)
 
+  /** dissolve with OVERLAPPING parts (unary_union semantics,
+    * core.py:276): exact union area per gid via slab sweep. */
+  def dissolveOverlapping(parts: DataFrame, bucket: Double): DataFrame =
+    Dissolve.dissolveUnionArea(parts, bucket)
+
+  /** General polygon-x-convex-clip intersection area (utils.py:188-211
+    * beyond boxes): native Sutherland-Hodgman expression. */
+  def intersectionAreaPoly(subject: Column, clipRing: Column): Column =
+    geom.PolygonClipArea(subject, clipRing)
+
   /** multi_to_single (core.py:285). */
   def multiToSingle(gdf: DataFrame, partsCol: String): DataFrame =
     Dissolve.multiToSingle(gdf, partsCol)
@@ -85,6 +95,11 @@ object Graft {
     case other => throw new IllegalArgumentException(
       s"match_lines method must be cheap_hausdorff or cluster, got $other")
   }
+
+  /** match_lines' underlying KMeans clustering (core.py:70), exposed
+    * directly: label every line with its descriptor-space cluster. */
+  def matchLinesKmeans(lines: DataFrame, k: Int, iters: Int): DataFrame =
+    MatchLines.kmeansDescriptors(lines, k, iters)
 
   /** transform_cartogram (core.py:199, Dougenik et al. 1985). */
   def transformCartogram(polys: DataFrame, iterations: Int): DataFrame =
