@@ -89,4 +89,14 @@ object PolyClip {
     * use `clippedArea` (see its scaladoc). */
   def intersectionArea(subject: Column, clipRing: Column): Column =
     clippedArea(clip(subject, clipRing))
+
+  /** Intersection area of subject x a CONCAVE clip polygon given as an
+    * array of CONVEX parts with disjoint interiors (the standard
+    * decompose-once-reuse path for non-convex zones; any simple polygon
+    * admits such a decomposition). Sum of per-part native S-H areas —
+    * parts tile the clip polygon, so areas add exactly. Returns the RAW
+    * (unrounded) area; round once at the end. */
+  def clipAreaConvexParts(subject: Column, parts: Column): Column =
+    aggregate(parts, lit(0.0),
+      (acc, ring) => acc + PolygonClipArea(subject, ring))
 }

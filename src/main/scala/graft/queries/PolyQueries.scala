@@ -59,6 +59,26 @@ object PolyQueries {
       .select("ida", "idb", "ix_area")
   }
 
+  /** Intersection AREA of customer octagons with CONCAVE L-shaped nation
+    * zones, the L given as two convex parts with disjoint interiors
+    * (bottom bar + upper-left column of each nation square): per-part
+    * native S-H areas summed by clipAreaConvexParts. */
+  def qIntersectionAreaConcave(spark: SparkSession, dir: String): DataFrame = {
+    val a = GeoData.rectCustomer(spark, dir)
+    val b = GeoData.polyNation(spark, dir)
+      .select(col("pid").as("rid"), col("x0"), col("y0"), col("x1"), col("y1"))
+    val subject = octagon(col("ax0"), col("ay0"), col("ax1"), col("ay1"))
+    val r1 = rectRing(col("bx0"), col("by0"), col("bx1"), col("by0") + 10.0)
+    val r2 = rectRing(col("bx0"), col("by0") + 10.0, col("bx0") + 8.0,
+      col("by1"))
+    val area = floor(PolyClip.clipAreaConvexParts(subject, array(r1, r2))
+      * 10000.0 + 0.5) / 10000.0
+    Rects.intersectPairs(a, b, cellSize = 20.0)
+      .withColumn("ix_area", area)
+      .filter(col("ix_area") > 0.0)
+      .select("ida", "idb", "ix_area")
+  }
+
   /** Overlap-safe dissolve: exact union area per group of (heavily
     * overlapping) customer rectangles, grouped by rid % 40. */
   def qDissolveOverlap(spark: SparkSession, dir: String): DataFrame =
@@ -69,6 +89,7 @@ object PolyQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_intersection_area_poly" -> (qIntersectionAreaPoly _),
+    "q_intersection_area_concave" -> (qIntersectionAreaConcave _),
     "q_dissolve_overlap" -> (qDissolveOverlap _))
 
   // ---------------------------------------------------------------- oracles
@@ -144,6 +165,58 @@ object PolyQueries {
        |SELECT ida, idb, ix_area FROM areas WHERE ix_area > 0.0""".stripMargin
   }
 
+  /** DuckDB twin of the concave (two-convex-part) clip: two S-H chains
+    * run in parallel columns (poly1 vs the bottom bar, poly2 vs the
+    * upper-left column), raw areas summed before the single floor-round
+    * — mirroring clipAreaConvexParts' fold order (0 + a1 + a2). */
+  private val intersectionAreaConcaveOracle: String = {
+    val oct = {
+      def pt(x: String, y: String) = s"{'x': $x, 'y': $y}"
+      val c = "((ax1 - ax0) / 4.0)"
+      Seq(
+        pt(s"ax0 + $c", "ay0"), pt(s"ax1 - $c", "ay0"),
+        pt("ax1", s"ay0 + $c"), pt("ax1", s"ay1 - $c"),
+        pt(s"ax1 - $c", "ay1"), pt(s"ax0 + $c", "ay1"),
+        pt("ax0", s"ay1 - $c"), pt("ax0", s"ay0 + $c")).mkString("[", ", ", "]")
+    }
+    // CCW corners of the two convex parts; edge k = corner k -> k+1
+    val c1 = Seq(("bx0", "by0"), ("bx1", "by0"),
+      ("bx1", "by0 + 10.0"), ("bx0", "by0 + 10.0"))
+    val c2 = Seq(("bx0", "by0 + 10.0"), ("bx0 + 8.0", "by0 + 10.0"),
+      ("bx0 + 8.0", "by1"), ("bx0", "by1"))
+    val steps = (0 until 4).map { k =>
+      val (e1x1, e1y1) = c1(k); val (e2x1, e2y1) = c1((k + 1) % 4)
+      val (e1x2, e1y2) = c2(k); val (e2x2, e2y2) = c2((k + 1) % 4)
+      s"""s${k + 1} AS MATERIALIZED (SELECT ida, idb, bx0, by0, bx1, by1,
+         |  ${shStepSql("poly1", e1x1, e1y1, e2x1, e2y1)} AS poly1,
+         |  ${shStepSql("poly2", e1x2, e1y2, e2x2, e2y2)} AS poly2
+         |  FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    def raw(p: String) =
+      s"""CASE WHEN len($p) < 3 THEN 0.0
+         |     ELSE ABS(list_sum(list_transform(range(1, len($p) + 1),
+         |            i -> $p[i].x * $p[1 + i % len($p)].y
+         |               - $p[1 + i % len($p)].x * $p[i].y))) / 2.0 END"""
+        .stripMargin
+    s"""WITH a AS (${GeoData.rectCustomerSql}),
+       |b AS (${GeoData.polyNationSql}),
+       |pairs AS (
+       |  SELECT a.rid AS ida, b.pid AS idb,
+       |    a.x0 AS ax0, a.y0 AS ay0, a.x1 AS ax1, a.y1 AS ay1,
+       |    b.x0 AS bx0, b.y0 AS by0, b.x1 AS bx1, b.y1 AS by1
+       |  FROM a JOIN b ON a.x0 <= b.x1 AND b.x0 <= a.x1
+       |                AND a.y0 <= b.y1 AND b.y0 <= a.y1),
+       |s0 AS MATERIALIZED (SELECT ida, idb, bx0, by0, bx1, by1,
+       |      $oct AS poly1, $oct AS poly2 FROM pairs),
+       |$steps,
+       |areas AS (
+       |  SELECT ida, idb,
+       |    FLOOR((0.0 + ${raw("poly1")} + ${raw("poly2")})
+       |          * 10000.0 + 0.5) / 10000.0 AS ix_area
+       |  FROM s4)
+       |SELECT ida, idb, ix_area FROM areas WHERE ix_area > 0.0""".stripMargin
+  }
+
   private val dissolveOverlapOracle: String =
     s"""WITH r0 AS (${GeoData.rectCustomerSql}),
        |r AS (SELECT rid % 40 AS gid, x0, y0, x1, y1 FROM r0),
@@ -177,5 +250,6 @@ object PolyQueries {
 
   val oracles: Map[String, String] = Map(
     "q_intersection_area_poly" -> intersectionAreaOracle,
+    "q_intersection_area_concave" -> intersectionAreaConcaveOracle,
     "q_dissolve_overlap" -> dissolveOverlapOracle)
 }

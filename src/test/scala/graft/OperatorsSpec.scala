@@ -151,6 +151,23 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(scored.filter(col("native") > 0.0).count() > 0)
   }
 
+  test("clipAreaConvexParts: concave L-shape clip via two convex parts") {
+    import graft.geom.PolyClip
+    def ring(pts: (Double, Double)*) = array(pts.map { case (x, y) =>
+      struct(lit(x).as("x"), lit(y).as("y"))
+    }: _*)
+    val subj = ring((0, 0), (10, 0), (10, 10), (0, 10))     // 10x10 square
+    val lShape = array(
+      ring((0, 0), (10, 0), (10, 4), (0, 4)),               // bottom bar 40
+      ring((0, 4), (4, 4), (4, 10), (0, 10)))               // column 24
+    val half = ring((5, 0), (15, 0), (15, 15), (5, 15))     // x >= 5 window
+    val r = spark.range(1).select(
+      PolyClip.clipAreaConvexParts(subj, lShape).as("full"),
+      PolyClip.clipAreaConvexParts(half, lShape).as("partial")).head()
+    assert(r.getDouble(0) === 64.0)  // whole L inside the subject
+    assert(r.getDouble(1) === 20.0)  // only the bar's right half (5..10 x 0..4)
+  }
+
   test("dissolveUnionArea: overlap counted once, disjoint summed") {
     import spark.implicits._
     val parts = Seq(
