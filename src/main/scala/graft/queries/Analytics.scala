@@ -119,12 +119,57 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q10-style returned-item report: top-20 customers by revenue
+    * lost to returns (rank on rounded revenue, custkey tie-break). */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q7-style volume shipping: revenue flow between two customer
+    * nations per order year (supplier nation x customer nation). */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n1 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") < col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("volume"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q_top_revenue" -> (qTopRevenue _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local" -> (q5Local _),
-    "q9_profit" -> (q9Profit _))
+    "q7_volume" -> (q7Volume _),
+    "q9_profit" -> (q9Profit _),
+    "q10_returns" -> (q10Returns _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -174,6 +219,33 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0, 0) AS BIGINT)) / 10000.0, 2) AS volume,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q9_profit" ->
       """SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
