@@ -186,6 +186,33 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(r(2L) === ((8.0, 8.0)))
   }
 
+  test("wkt parsers work from a CSV source (read_spatialite analogue)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "geo.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      """id|wkt
+        |1|POINT (3.5 -2)
+        |2|LINESTRING (0 0, 3 4, 6 8)
+        |3|POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))
+        |""".stripMargin)
+    val df = spark.read.option("header", "true").option("sep", "|")
+      .csv(dir.getAbsolutePath)
+    val pt = df.filter(col("id") === "1")
+      .select(Wkt.parsePoint(col("wkt")).as("p")).head()
+    assert(pt.getStruct(0).getDouble(0) === 3.5)
+    assert(pt.getStruct(0).getDouble(1) === -2.0)
+    val len = df.filter(col("id") === "2")
+      .select(graft.geom.Geom.lineLength(
+        Wkt.parseLineString(col("wkt"))).as("l")).head().getDouble(0)
+    assert(len === 10.0)
+    val rings = df.filter(col("id") === "3")
+      .select(size(Wkt.parseRings(col("wkt"))).as("n"),
+        graft.geom.Geom.ringArea(Wkt.parseRings(col("wkt"))(0)).as("a"))
+      .head()
+    assert(rings.getInt(0) === 2)
+    assert(rings.getDouble(1) === 16.0)
+  }
+
   test("multimodal: features are deterministic and byte-length exact") {
     val media = Multimodal.mediaTable(Tables.load(spark, SfDir, "documents"))
     val a = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
