@@ -80,6 +80,34 @@ class GeomPropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("native clip area: symmetric for convex pairs, bounded, exact for nesting") {
+    import graft.geom.PolygonClipArea
+    for (_ <- 1 to 25) {
+      val (x0, y0) = (coord(), coord())
+      val (w1, h1) = (rnd.between(1.0, 200.0), rnd.between(1.0, 200.0))
+      // second rect overlaps the first with a random offset
+      val (dx, dy) = (rnd.between(-0.9, 0.9) * w1, rnd.between(-0.9, 0.9) * h1)
+      val (w2, h2) = (rnd.between(1.0, 200.0), rnd.between(1.0, 200.0))
+      val r1 = Geom.rectRing(lit(x0), lit(y0), lit(x0 + w1), lit(y0 + h1))
+      val r2 = Geom.rectRing(lit(x0 + dx), lit(y0 + dy),
+        lit(x0 + dx + w2), lit(y0 + dy + h2))
+      val a12 = evalD(PolygonClipArea(r1, r2))
+      val a21 = evalD(PolygonClipArea(r2, r1))
+      // convex-x-convex intersection is the same region either way
+      assert(math.abs(a12 - a21) < 1e-6 * (a12 + 1))
+      assert(a12 >= 0.0 && a12 <= math.min(w1 * h1, w2 * h2) + 1e-6)
+      // interval-arithmetic ground truth for axis-aligned rects
+      val exact = math.max(0.0,
+        math.min(x0 + w1, x0 + dx + w2) - math.max(x0, x0 + dx)) *
+        math.max(0.0,
+          math.min(y0 + h1, y0 + dy + h2) - math.max(y0, y0 + dy))
+      assert(math.abs(a12 - exact) < 1e-6 * (exact + 1))
+      // self-clip returns own area
+      assert(math.abs(evalD(PolygonClipArea(r1, r1)) - w1 * h1)
+        < 1e-6 * (w1 * h1 + 1))
+    }
+  }
+
   test("graft_point_in_ring callable from SQL") {
     val (ident, info, builder) = graft.plans.GraftExtensions.pointInRingFunction
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
