@@ -119,6 +119,19 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(out.head.getAs[Double]("cos4") === 1.0)
   }
 
+  test("autoCellTenths shrinks the cell as line density grows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def layer(n: Int) = (1 to n).flatMap { lid =>
+      Seq((lid.toLong, 1, (lid * 37L) % 1000, (lid * 73L) % 1000),
+        (lid.toLong, 2, (lid * 41L) % 1000, (lid * 79L) % 1000))
+    }.toDF("lid", "seq", "xi", "yi")
+    val c1 = graft.operators.MatchLines.autoCellTenths(layer(500))
+    val c4 = graft.operators.MatchLines.autoCellTenths(layer(2000))
+    assert(c1 > c4)                      // denser layer -> smaller cells
+    assert(math.abs(c1.toDouble / c4 - 2.0) < 0.35) // ~1/sqrt(4) = half
+  }
+
   test("kmeansDescriptors: identical lines land in the same cluster") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
