@@ -28,8 +28,6 @@ object Bench {
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // a failure is recorded as an err string, never as a timing — a
-      // broken query must not look like a fast green bar
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
@@ -37,17 +35,28 @@ object Bench {
       // operators persist multi-consumer stages internally; drop them so
       // successive queries don't compete for executor memory
       spark.catalog.clearCache()
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // a failed query's timing is NEGATED: the errors field carries the
+      // cause, and the sign makes a fast crash unmistakable to consumers
+      // that only read the timings
+      (name, if (err.isEmpty) elapsed else -elapsed, err)
     }
+    // truncate the RAW message BEFORE escaping (a cut can't split an
+    // escape pair), then escape quotes, backslashes and ALL control chars
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ").take(200) + "\""
+      "\"" + s.take(200).flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.map { case (k, _, e) =>
       s"\"" + k + "\":" + e.map(jstr).getOrElse("null")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // only successful timings count toward the headline total
+    val total = results.collect { case (_, v, None) => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with [info], which can defeat line-level JSON

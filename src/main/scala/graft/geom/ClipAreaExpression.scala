@@ -41,8 +41,10 @@ case class PolygonClipArea(left: Expression, right: Expression)
     val clip = b.asInstanceOf[ArrayData]
     val n0 = subj.numElements()
     val m = clip.numElements()
-    // S-H output of an n-gon against an m-gon has at most n + m vertices
-    val cap = n0 + m + 1
+    // one half-plane step emits at most 2 points per input edge (the
+    // crossing plus the endpoint), so a CONCAVE subject can grow a step's
+    // output past n + m — buffers resize to 2*curN before each step
+    var cap = math.max(2 * n0, 8)
     var curX = new Array[Double](cap)
     var curY = new Array[Double](cap)
     var nxtX = new Array[Double](cap)
@@ -60,6 +62,10 @@ case class PolygonClipArea(left: Expression, right: Expression)
       val c2 = clip.getStruct((k + 1) % m, 2)
       val e1x = c1.getDouble(0); val e1y = c1.getDouble(1)
       val e2x = c2.getDouble(0); val e2y = c2.getDouble(1)
+      if (2 * curN > cap) {
+        cap = 2 * curN
+        nxtX = new Array[Double](cap); nxtY = new Array[Double](cap)
+      }
       var outN = 0
       if (curN >= 3) {
         var j = 0
@@ -82,7 +88,11 @@ case class PolygonClipArea(left: Expression, right: Expression)
         }
       }
       val tx = curX; val ty = curY
-      curX = nxtX; curY = nxtY; nxtX = tx; nxtY = ty
+      curX = nxtX; curY = nxtY
+      // the old cur arrays may be smaller than cap after a resize; only
+      // reuse them as the next scratch if they still fit
+      if (tx.length >= cap) { nxtX = tx; nxtY = ty }
+      else { nxtX = new Array[Double](cap); nxtY = new Array[Double](cap) }
       curN = outN
       k += 1
     }
@@ -108,7 +118,9 @@ case class PolygonClipArea(left: Expression, right: Expression)
          |    org.apache.spark.sql.catalyst.util.ArrayData clip) {
          |  int n0 = subj.numElements();
          |  int m = clip.numElements();
-         |  int cap = n0 + m + 1;
+         |  // concave subjects can grow a step's output to 2*curN; buffers
+         |  // resize before each step (mirrors the interpreted path)
+         |  int cap = Math.max(2 * n0, 8);
          |  double[] curX = new double[cap]; double[] curY = new double[cap];
          |  double[] nxtX = new double[cap]; double[] nxtY = new double[cap];
          |  int curN = n0;
@@ -122,6 +134,10 @@ case class PolygonClipArea(left: Expression, right: Expression)
          |        clip.getStruct((k + 1) % m, 2);
          |    double e1x = c1.getDouble(0); double e1y = c1.getDouble(1);
          |    double e2x = c2.getDouble(0); double e2y = c2.getDouble(1);
+         |    if (2 * curN > cap) {
+         |      cap = 2 * curN;
+         |      nxtX = new double[cap]; nxtY = new double[cap];
+         |    }
          |    int outN = 0;
          |    if (curN >= 3) {
          |      for (int j = 0; j < curN; j++) {
@@ -145,7 +161,9 @@ case class PolygonClipArea(left: Expression, right: Expression)
          |      }
          |    }
          |    double[] tx = curX; double[] ty = curY;
-         |    curX = nxtX; curY = nxtY; nxtX = tx; nxtY = ty;
+         |    curX = nxtX; curY = nxtY;
+         |    if (tx.length >= cap) { nxtX = tx; nxtY = ty; }
+         |    else { nxtX = new double[cap]; nxtY = new double[cap]; }
          |    curN = outN;
          |  }
          |  if (curN < 3) return 0.0;

@@ -79,10 +79,15 @@ object Ann {
     for (_ <- 1 to iters) {
       val assigned = assign(c, cents)
         .select(col("cluster"), posexplode(col("e")).as(Seq("idx", "v")))
+      // eager checkpoint per Lloyd round: the centroid table is nlist x
+      // dim, tiny, but its plan would otherwise embed every prior
+      // round's assign+recenter tree (super-linear re-analysis at
+      // higher iters — the dedupClusters lineage lesson)
       cents = assigned.groupBy("cluster", "idx").agg(avg("v").as("m"))
         .groupBy("cluster")
         .agg(array_sort(collect_list(struct(col("idx"), col("m")))).as("sm"))
         .select(col("cluster"), transform(col("sm"), s => s("m")).as("ce"))
+        .localCheckpoint()
     }
     val indexed = assign(c, cents)
       .select(col("vec_id").as("nid"), col("e").as("ne"),

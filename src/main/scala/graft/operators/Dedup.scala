@@ -159,6 +159,10 @@ object Dedup {
     // every hop's plan embeds the whole upstream tree plus all prior
     // hops, and Catalyst re-analyzes a super-linearly growing plan per
     // iteration — at scale, driver-side planning alone dominates.
+    // Tradeoff: local checkpoints live on executors, so losing one mid-
+    // job fails the job instead of recomputing from lineage. On
+    // preemption-prone clusters set a reliable checkpoint dir and swap
+    // these for Dataset.checkpoint — the plan shape is unchanged.
     val p = pairs.select(col("ida"), col("idb")).localCheckpoint()
     val edges = p.select(col("ida").as("src"), col("idb").as("dst"))
       .union(p.select(col("idb").as("src"), col("ida").as("dst")))

@@ -78,7 +78,10 @@ object TextQueries {
         nUpper.as("n_upper"), nDigit.as("n_digit"), nStop.as("n_stop"),
         perWord(nCharsNoWs.cast("double")).as("avg_word_len"),
         perWord(nStop.cast("double")).as("stop_ratio"),
-        round(nUpper.cast("double") / nChars.cast("double"), 4)
+        // same NULL guard for the per-char ratio: an empty document has
+        // n_chars = 0 and 0/0 is engine-dependent
+        when(nChars === 0, lit(null))
+          .otherwise(round(nUpper.cast("double") / nChars.cast("double"), 4))
           .as("upper_ratio"))
       .withColumn("passes",
         col("n_words") >= 10 && col("stop_ratio") >= 0.02)
@@ -171,8 +174,9 @@ object TextQueries {
          |  CAST(${stopSql(normSql, langStopwords.head._2)} AS BIGINT) AS n_stop,
          |  ${perWordSql("len(regexp_replace(text, '\\s', '', 'g'))")} AS avg_word_len,
          |  ${perWordSql(stopSql(normSql, langStopwords.head._2))} AS stop_ratio,
-         |  ROUND(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
-         |      / CAST(len(text) AS DOUBLE), 4) AS upper_ratio,
+         |  CASE WHEN len(text) = 0 THEN NULL
+         |       ELSE ROUND(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+         |            / CAST(len(text) AS DOUBLE), 4) END AS upper_ratio,
          |  $wcSql >= 10
          |    AND ${perWordSql(stopSql(normSql, langStopwords.head._2))} >= 0.02 AS passes
          |FROM d""".stripMargin,

@@ -151,6 +151,34 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(scored.filter(col("native") > 0.0).count() > 0)
   }
 
+  test("native clip handles CONCAVE subjects (buffer growth) = lambda fold") {
+    import graft.geom.{PolyClip, PolygonClipArea}
+    def ring(pts: (Double, Double)*) = array(pts.map { case (x, y) =>
+      struct(lit(x).as("x"), lit(y).as("y"))
+    }: _*)
+    // 6-tooth comb: one half-plane step emits far more than n+m points
+    val comb = ring(
+      (Seq((0.0, 0.0), (12.0, 0.0), (12.0, 1.0)) ++
+        (5 to 0 by -1).flatMap { k =>
+          Seq((2.0 * k + 1, 1.0), (2.0 * k + 1, 3.0),
+            (2.0 * k, 3.0), (2.0 * k, 1.0))
+        }): _*)
+    val all = ring((0, 0), (12, 0), (12, 3), (0, 3))
+    val tips = ring((0, 2), (12, 2), (12, 3), (0, 3))
+    def lambdaArea(subj: org.apache.spark.sql.Column,
+                   clip: org.apache.spark.sql.Column) =
+      PolyClip.clippedArea(PolyClip.clip(subj, clip))
+    val r = spark.range(1).select(
+      PolygonClipArea(comb, all).as("na"),
+      lambdaArea(comb, all).as("la"),
+      PolygonClipArea(comb, tips).as("nt"),
+      lambdaArea(comb, tips).as("lt")).head()
+    assert(r.getDouble(0) === 24.0)          // base 12 + 6 teeth x 2
+    assert(r.getDouble(1) === 24.0)
+    assert(r.getDouble(2) === 6.0)           // six 1x1 tooth tips
+    assert(r.getDouble(3) === 6.0)
+  }
+
   test("clipAreaConvexParts: concave L-shape clip via two convex parts") {
     import graft.geom.PolyClip
     def ring(pts: (Double, Double)*) = array(pts.map { case (x, y) =>
