@@ -152,6 +152,25 @@ object Ann {
       .select("qid", "nid", "rank", "cos4", "bucket")
   }
 
+  /** Recall of an approximate top-k result against the exact one:
+    * per-query overlap fraction of neighbor sets (rank-agnostic
+    * recall@k). Both inputs are (qid, nid, ...) top-k tables; the
+    * measurement is one equi-join + two tiny aggregations — cheap
+    * enough to run continuously beside an ANN pipeline as an index
+    * quality monitor. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select(col("qid"), col("nid"))
+      .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_exact"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double"), 4).as("recall"))
+  }
+
   /** Embedding-cosine near-dup PAIRS over the whole corpus — the dedup
     * counterpart of cosineTopKLsh: every (ida < idb) pair with
     * round(cos, 4) >= minCos among hyperplane-bucket mates. The bucket

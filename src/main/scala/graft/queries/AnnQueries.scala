@@ -43,10 +43,17 @@ object AnnQueries {
     Ann.cosineNearDupPairs(emb(spark, dir), planes = 8, dim = 64,
       minCos = 0.3)
 
+  /** Recall@k of the LSH index against the exact brute-force top-k —
+    * the quality monitor a production ANN deployment runs beside the
+    * index build. */
+  def qAnnRecallLsh(spark: SparkSession, dir: String): DataFrame =
+    Ann.recallAtK(qCosineLsh(spark, dir), qCosineTopK(spark, dir), K)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qCosineLsh _),
     "q_ann_ivf" -> (qCosineIvf _),
+    "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   /** DuckDB twin of the LSH path: the hyperplane components are the same
@@ -176,12 +183,23 @@ object AnnQueries {
        |          i -> a.e[i] * c.e[i]))
        |      / greatest(a.nrm * c.nrm, 1e-12), 4) >= 0.3""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q_ann_lsh" -> lshOracle,
-    "q_ann_ivf" -> ivfOracle,
-    "q_dedup_embedding" -> dedupEmbeddingOracle,
-    "q_ann_cosine_topk" ->
-      s"""WITH v AS (
+  /** Recall oracle: both topk oracles as CTEs, same join + left-join
+    * aggregation as Ann.recallAtK. */
+  private def recallOracle(approxSql: String, exactSql: String): String =
+    s"""WITH approx AS ($approxSql),
+       |exact AS ($exactSql),
+       |hits AS (
+       |  SELECT a.qid, COUNT(*) AS n_hits
+       |  FROM approx a JOIN exact e ON a.qid = e.qid AND a.nid = e.nid
+       |  GROUP BY 1),
+       |ex AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+       |SELECT ex.qid, COALESCE(hits.n_hits, 0) AS n_hits, ex.n_exact,
+       |  ROUND(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE)
+       |      / CAST(ex.n_exact AS DOUBLE), 4) AS recall
+       |FROM ex LEFT JOIN hits ON hits.qid = ex.qid""".stripMargin
+
+  private val topkOracle: String =
+    s"""WITH v AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |  FROM embeddings),
@@ -200,5 +218,12 @@ object AnnQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, nid)
          |    AS INT) AS rank, cos4
          |FROM scored
-         |QUALIFY rank <= $K""".stripMargin)
+         |QUALIFY rank <= $K""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_lsh" -> lshOracle,
+    "q_ann_ivf" -> ivfOracle,
+    "q_dedup_embedding" -> dedupEmbeddingOracle,
+    "q_ann_cosine_topk" -> topkOracle,
+    "q_ann_recall_lsh" -> recallOracle(lshOracle, topkOracle))
 }
