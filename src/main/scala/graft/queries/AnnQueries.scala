@@ -49,11 +49,16 @@ object AnnQueries {
   def qAnnRecallLsh(spark: SparkSession, dir: String): DataFrame =
     Ann.recallAtK(qCosineLsh(spark, dir), qCosineTopK(spark, dir), K)
 
+  /** Recall@k of the IVF index (nprobe=2 of nlist=16 cells). */
+  def qAnnRecallIvf(spark: SparkSession, dir: String): DataFrame =
+    Ann.recallAtK(qCosineIvf(spark, dir), qCosineTopK(spark, dir), K)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qCosineLsh _),
     "q_ann_ivf" -> (qCosineIvf _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
+    "q_ann_recall_ivf" -> (qAnnRecallIvf _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   /** DuckDB twin of the LSH path: the hyperplane components are the same
@@ -225,5 +230,6 @@ object AnnQueries {
     "q_ann_ivf" -> ivfOracle,
     "q_dedup_embedding" -> dedupEmbeddingOracle,
     "q_ann_cosine_topk" -> topkOracle,
-    "q_ann_recall_lsh" -> recallOracle(lshOracle, topkOracle))
+    "q_ann_recall_lsh" -> recallOracle(lshOracle, topkOracle),
+    "q_ann_recall_ivf" -> recallOracle(ivfOracle, topkOracle))
 }

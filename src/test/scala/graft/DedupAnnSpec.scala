@@ -119,6 +119,20 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(out.head.getAs[Double]("cos4") === 1.0)
   }
 
+  test("typed Dataset views bind to the stable output shapes") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val d = docsOf(1L -> "same text here", 2L -> "same text here")
+    val clusters = graft.Types.canonicalDocs(
+      Dedup.dedupClusters(d, Dedup.minhashPairs(d, 4, 64, 16, 0.5), 2))
+    // typed transformations: compile-time field access
+    val dups = clusters.filter(_.is_dup).collect()
+    assert(dups.length === 1 && dups.head.canonical_id === 1L)
+    val e = docsOf(1L -> "", 2L -> "").select(col("doc_id").as("vec_id"),
+      typedLit(Array.tabulate(64)(_.toFloat)).as("embedding"))
+    val ann = graft.Types.annMatches(Ann.cosineTopK(e, e.limit(1), 1))
+    assert(ann.collect().forall(m => m.rank === 1 && m.cos4 === 1.0))
+  }
+
   test("autoCellTenths shrinks the cell as line density grows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
