@@ -1,0 +1,93 @@
+package graft.dev
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+/** Scaling probe: heavy operators on 1x vs 4x inputs (4 key-shifted,
+  * text-mutated copies so data properties stay comparable). Near-linear
+  * wall-clock ratios = the bucketed plans hold under growth. */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    def docs1 = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // mutate per copy: vowel translation scrambles the shingle space so
+    // copies are NOT near-dups of each other (pair counts stay ~linear)
+    def docs4 = (0 until 4).map { i =>
+      val t = i match {
+        case 0 => col("text")
+        case 1 => translate(col("text"), "aeiou", "12345")
+        case 2 => translate(col("text"), "aeiou", "67890")
+        case 3 => reverse(col("text"))
+      }
+      docs1.select((col("doc_id") + i * 1000000L).as("doc_id"), t.as("text"))
+    }.reduce(_ union _)
+    def emb1 = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    def emb4 = (0 until 4).map { i =>
+      emb1.select((col("vec_id") + i * 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.0f + i * 0.13f) + lit(i * 0.07f)).as("embedding"))
+    }.reduce(_ union _)
+    def verts1 = graft.Tables.load(spark, dir, "lineitem").select(
+      col("l_orderkey").cast("long").as("lid"),
+      col("l_linenumber").as("seq"),
+      (col("l_partkey") * 61 % 1000).cast("long").as("xi"),
+      (col("l_suppkey") * 157 % 1000).cast("long").as("yi"))
+    def verts4 = (0 until 4).map { i =>
+      verts1.select((col("lid") + i * 100000000L).as("lid"), col("seq"),
+        ((col("xi") + i * 37) % 1000).as("xi"),
+        ((col("yi") + i * 53) % 1000).as("yi"))
+    }.reduce(_ union _)
+    def time(label: String)(f: => Long): Double = {
+      val t = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t) / 1e9
+      println(f"SCALE $label n=$n%d t=$s%.1f"); spark.catalog.clearCache(); s
+    }
+    def ratio(label: String, t1: Double, t4: Double): Unit =
+      println(f"SCALE $label RATIO ${t4 / t1}%.2f (linear=4.0)")
+    // warm-up round at 1x so JIT doesn't pollute the 1x numbers
+    graft.operators.Dedup.minhashPairs(docs1, 16, 64, 16, 0.2).count()
+    graft.operators.Ann.cosineNearDupPairs(emb1, 8, 64, 0.3).count()
+    spark.catalog.clearCache()
+    val a1 = time("minhash 1x")(graft.operators.Dedup.minhashPairs(docs1, 16, 64, 16, 0.2).count())
+    val a4 = time("minhash 4x")(graft.operators.Dedup.minhashPairs(docs4, 16, 64, 16, 0.2).count())
+    ratio("minhash", a1, a4)
+    val b1 = time("jaccard 1x")(graft.operators.Dedup.ngramJaccard(docs1, 16, 20, 0.2).count())
+    val b4 = time("jaccard 4x")(graft.operators.Dedup.ngramJaccard(docs4, 16, 20, 0.2).count())
+    ratio("jaccard", b1, b4)
+    val c1 = time("clusters 1x")(graft.operators.Dedup.dedupClusters(docs1,
+      graft.operators.Dedup.minhashPairs(docs1, 16, 64, 16, 0.2), 3).count())
+    val c4 = time("clusters 4x")(graft.operators.Dedup.dedupClusters(docs4,
+      graft.operators.Dedup.minhashPairs(docs4, 16, 64, 16, 0.2), 3).count())
+    ratio("clusters", c1, c4)
+    val d1 = time("neardup 1x")(graft.operators.Ann.cosineNearDupPairs(emb1, 8, 64, 0.3).count())
+    val d4 = time("neardup 4x")(graft.operators.Ann.cosineNearDupPairs(emb4, 8, 64, 0.3).count())
+    ratio("neardup", d1, d4)
+    def lines(v: DataFrame) = graft.operators.MatchLines.linesWithCells(v, 30)
+    val e1 = time("matchlines 1x") {
+      val l = lines(verts1)
+      graft.operators.MatchLines.matchByHausdorff(
+        l.filter(col("lid") % 20 === 0), l.filter(col("lid") % 2 === 1)).count()
+    }
+    val e4 = time("matchlines 4x") {
+      val l = lines(verts4)
+      graft.operators.MatchLines.matchByHausdorff(
+        l.filter(col("lid") % 20 === 0), l.filter(col("lid") % 2 === 1)).count()
+    }
+    ratio("matchlines", e1, e4)
+    // density-matched cell size: 4x lines in the same domain -> halve the
+    // cell edge so per-cell candidate counts stay constant
+    val e4t = time("matchlines 4x cell15") {
+      val l = graft.operators.MatchLines.linesWithCells(verts4, 15)
+      graft.operators.MatchLines.matchByHausdorff(
+        l.filter(col("lid") % 20 === 0), l.filter(col("lid") % 2 === 1)).count()
+    }
+    ratio("matchlines tuned", e1, e4t)
+    spark.stop()
+  }
+}
