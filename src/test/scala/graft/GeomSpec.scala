@@ -79,6 +79,23 @@ class GeomSpec extends AnyFunSuite with SharedSpark {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("graft_clip_area is callable from SQL via extensions registration") {
+    val (ident, info, builder) = graft.plans.GraftExtensions.clipAreaFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val a = spark.sql(
+      """SELECT graft_clip_area(
+        |  array(named_struct('x', 0.0d, 'y', 0.0d),
+        |        named_struct('x', 4.0d, 'y', 0.0d),
+        |        named_struct('x', 4.0d, 'y', 4.0d),
+        |        named_struct('x', 0.0d, 'y', 4.0d)),
+        |  array(named_struct('x', 2.0d, 'y', 2.0d),
+        |        named_struct('x', 6.0d, 'y', 2.0d),
+        |        named_struct('x', 6.0d, 'y', 6.0d),
+        |        named_struct('x', 2.0d, 'y', 6.0d))) AS a""".stripMargin)
+      .head().getDouble(0)
+    assert(a === 4.0)
+  }
+
   test("graft_hausdorff is callable from SQL via extensions registration") {
     val (ident, info, builder) = graft.plans.GraftExtensions.hausdorffFunction
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

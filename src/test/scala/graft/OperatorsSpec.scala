@@ -204,7 +204,9 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       // gid 1: identical boxes -> union 16, sum 32
       (1L, 0.0, 0.0, 4.0, 4.0), (1L, 0.0, 0.0, 4.0, 4.0),
       // gid 2: disjoint boxes -> union = sum = 8
-      (2L, 0.0, 0.0, 2.0, 2.0), (2L, 10.0, 10.0, 12.0, 12.0))
+      (2L, 0.0, 0.0, 2.0, 2.0), (2L, 10.0, 10.0, 12.0, 12.0),
+      // gid 3: box fully contained in another -> union = outer 36
+      (3L, 0.0, 0.0, 6.0, 6.0), (3L, 2.0, 2.0, 4.0, 4.0))
       .toDF("gid", "x0", "y0", "x1", "y1")
     val r = graft.operators.Dissolve.dissolveUnionArea(parts, bucket = 10.0)
       .collect().map(x => x.getAs[Long]("gid") ->
@@ -212,6 +214,7 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(r(0L) === ((32.0, 28.0)))
     assert(r(1L) === ((32.0, 16.0)))
     assert(r(2L) === ((8.0, 8.0)))
+    assert(r(3L) === ((40.0, 36.0)))
   }
 
   test("wkt parsers work from a CSV source (read_spatialite analogue)") {
