@@ -38,10 +38,14 @@ object GeoExtQueries {
   }
 
   def qMatchLinesCluster(spark: SparkSession, dir: String): DataFrame = {
-    val lines = MatchLines.linesWithCells(lineVertices(spark, dir), CellTenths)
-    MatchLines.matchByDescriptors(
-      lines.filter(col("lid") % 20 === 0),
-      lines.filter(col("lid") % 2 === 1))
+    // vertex-level descriptor pipeline: no vertex arrays are built when
+    // only shape descriptors are consumed (the lid filters push below
+    // the window/aggregation to the parquet scan)
+    val d = MatchLines.descriptorsFromVertices(
+      lineVertices(spark, dir), CellTenths)
+    MatchLines.matchByDescriptorTables(
+      d.filter(col("lid") % 20 === 0),
+      d.filter(col("lid") % 2 === 1))
   }
 
   /** Reference-faithful cluster matching: Lloyd k-means over per-line
