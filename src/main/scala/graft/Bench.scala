@@ -50,14 +50,18 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // COMPACT line: the consumer keeps only the last ~2000 chars of
+    // stdout, so 3-decimal timings and a failures-only errors map (empty
+    // object when all green) keep the whole line inside that window.
+    def num(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val errs = results.map { case (k, _, e) =>
-      s"\"" + k + "\":" + e.map(jstr).getOrElse("null")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":" + jstr(e)
     }.mkString("{", ",", "}")
     // only successful timings count toward the headline total
     val total = results.collect { case (_, v, None) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with [info], which can defeat line-level JSON
     // parsing downstream — also drop the bare line in a file.
