@@ -79,6 +79,39 @@ object PolyQueries {
       .select("ida", "idb", "ix_area")
   }
 
+  /** TRUE general-general intersection: a CONCAVE subject (pentagon with
+    * a deep notch — its middle fan triangle has NEGATIVE sign) clipped by
+    * a CONCAVE L-shaped zone given as ONE ring (fanned from its second
+    * vertex so one clip triangle is negative too). No caller-side convex
+    * decomposition: PolyClip.generalIntersectionAreaMicro fan-triangulates
+    * both rings and sums signed triangle-pair S-H areas row-locally. */
+  def qIntersectionAreaGeneral(spark: SparkSession, dir: String): DataFrame = {
+    val a = GeoData.rectCustomer(spark, dir)
+    val b = GeoData.polyNation(spark, dir)
+      .select(col("pid").as("rid"), col("x0"), col("y0"), col("x1"), col("y1"))
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    // notched pentagon (CCW, concave at v4): notch dips to 1/4 height
+    val midX = (col("ax0") + col("ax1")) / 2.0
+    val notchY = col("ay0") + (col("ay1") - col("ay0")) * 0.25
+    val subject = array(
+      pt(col("ax0"), col("ay0")), pt(col("ax1"), col("ay0")),
+      pt(col("ax1"), col("ay1")), pt(midX, notchY),
+      pt(col("ax0"), col("ay1")))
+    // L-shaped nation zone as ONE CCW ring, starting at the bottom-RIGHT
+    // corner so the fan from v1 produces a negative triangle
+    val clip = array(
+      pt(col("bx1"), col("by0")), pt(col("bx1"), col("by0") + 10.0),
+      pt(col("bx0") + 8.0, col("by0") + 10.0),
+      pt(col("bx0") + 8.0, col("by1")),
+      pt(col("bx0"), col("by1")), pt(col("bx0"), col("by0")))
+    val micro = PolyClip.generalIntersectionAreaMicro(subject, clip)
+    Rects.intersectPairs(a, b, cellSize = 20.0)
+      .withColumn("ix_area",
+        floor(abs(micro) / 1000000.0 * 10000.0 + lit(0.5)) / 10000.0)
+      .filter(col("ix_area") > 0.0)
+      .select("ida", "idb", "ix_area")
+  }
+
   /** Overlap-safe dissolve: exact union area per group of (heavily
     * overlapping) customer rectangles, grouped by rid % 40. */
   def qDissolveOverlap(spark: SparkSession, dir: String): DataFrame =
@@ -90,6 +123,7 @@ object PolyQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_intersection_area_poly" -> (qIntersectionAreaPoly _),
     "q_intersection_area_concave" -> (qIntersectionAreaConcave _),
+    "q_intersection_area_general" -> (qIntersectionAreaGeneral _),
     "q_dissolve_overlap" -> (qDissolveOverlap _))
 
   // ---------------------------------------------------------------- oracles
@@ -217,6 +251,94 @@ object PolyQueries {
        |SELECT ida, idb, ix_area FROM areas WHERE ix_area > 0.0""".stripMargin
   }
 
+  /** DuckDB twin of the general-general signed-fan clip: triangle pairs
+    * exploded into rows (3 subject-fan x 4 clip-fan triangles per
+    * candidate pair), corner coordinates by CASE over the fan index, the
+    * same 3 S-H steps against the CCW-rewound clip triangle, each term
+    * rounded to integer micro-units before the unordered SUM — exactly
+    * the arithmetic of generalIntersectionAreaMicro, so it hash-matches
+    * bit-for-bit. */
+  private val intersectionAreaGeneralOracle: String = {
+    // subject pentagon fan from v1=(ax0,ay0): (v1,v2,v3),(v1,v3,v4),(v1,v4,v5)
+    val midX = "(ax0 + ax1) / 2.0"
+    val notchY = "ay0 + (ay1 - ay0) * 0.25"
+    val sbx = s"CASE ti WHEN 1 THEN ax1 WHEN 2 THEN ax1 ELSE $midX END"
+    val sby = s"CASE ti WHEN 1 THEN ay0 WHEN 2 THEN ay1 ELSE $notchY END"
+    val scx = s"CASE ti WHEN 1 THEN ax1 WHEN 2 THEN $midX ELSE ax0 END"
+    val scy = s"CASE ti WHEN 1 THEN ay1 WHEN 2 THEN $notchY ELSE ay1 END"
+    // clip L ring [c2,c3,c4,c5,c6,c1] fanned from c2=(bx1,by0)
+    val tbx = "CASE tj WHEN 1 THEN bx1 WHEN 2 THEN bx0 + 8.0 " +
+      "WHEN 3 THEN bx0 + 8.0 ELSE bx0 END"
+    val tby = "CASE tj WHEN 1 THEN by0 + 10.0 WHEN 2 THEN by0 + 10.0 " +
+      "WHEN 3 THEN by1 ELSE by1 END"
+    val tcx = "CASE tj WHEN 1 THEN bx0 + 8.0 WHEN 2 THEN bx0 + 8.0 " +
+      "WHEN 3 THEN bx0 ELSE bx0 END"
+    val tcy = "CASE tj WHEN 1 THEN by0 + 10.0 WHEN 2 THEN by1 " +
+      "WHEN 3 THEN by1 ELSE by0 END"
+    // fanTriangles' cross products, verbatim
+    val cra = "(sbx - ax0) * (scy - ay0) - (sby - ay0) * (scx - ax0)"
+    val crb = "(tbx - bx1) * (tcy - by0) - (tby - by0) * (tcx - bx1)"
+    def sgn(cr: String) =
+      s"CASE WHEN $cr > 0 THEN 1.0 WHEN $cr < 0 THEN -1.0 ELSE 0.0 END"
+    val steps = Seq(
+      ("o1x", "o1y", "o2x", "o2y"),
+      ("o2x", "o2y", "o3x", "o3y"),
+      ("o3x", "o3y", "o1x", "o1y"))
+      .zipWithIndex.map { case ((x1s, y1s, x2s, y2s), i) =>
+        s"""s${i + 1} AS MATERIALIZED (SELECT ida, idb, sa, sb,
+           |  o1x, o1y, o2x, o2y, o3x, o3y,
+           |  ${shStepSql("poly", x1s, y1s, x2s, y2s)} AS poly FROM s$i)"""
+          .stripMargin
+      }.mkString(",\n")
+    val rawArea =
+      """CASE WHEN len(poly) < 3 THEN 0.0
+        |     ELSE ABS(list_sum(list_transform(range(1, len(poly) + 1),
+        |            i -> poly[i].x * poly[1 + i % len(poly)].y
+        |               - poly[1 + i % len(poly)].x * poly[i].y))) / 2.0 END"""
+        .stripMargin
+    s"""WITH a AS (${GeoData.rectCustomerSql}),
+       |b AS (${GeoData.polyNationSql}),
+       |pairs AS (
+       |  SELECT a.rid AS ida, b.pid AS idb,
+       |    a.x0 AS ax0, a.y0 AS ay0, a.x1 AS ax1, a.y1 AS ay1,
+       |    b.x0 AS bx0, b.y0 AS by0, b.x1 AS bx1, b.y1 AS by1
+       |  FROM a JOIN b ON a.x0 <= b.x1 AND b.x0 <= a.x1
+       |                AND a.y0 <= b.y1 AND b.y0 <= a.y1),
+       |tp AS MATERIALIZED (
+       |  SELECT p.*, $sbx AS sbx, $sby AS sby, $scx AS scx, $scy AS scy,
+       |         $tbx AS tbx, $tby AS tby, $tcx AS tcx, $tcy AS tcy
+       |  FROM pairs p,
+       |       (SELECT unnest([1, 2, 3]) AS ti),
+       |       (SELECT unnest([1, 2, 3, 4]) AS tj)),
+       |tq AS MATERIALIZED (
+       |  SELECT ida, idb, ${sgn(cra)} AS sa, ${sgn(crb)} AS sb,
+       |    bx1 AS o1x, by0 AS o1y,
+       |    CASE WHEN ${sgn(crb)} < 0 THEN tcx ELSE tbx END AS o2x,
+       |    CASE WHEN ${sgn(crb)} < 0 THEN tcy ELSE tby END AS o2y,
+       |    CASE WHEN ${sgn(crb)} < 0 THEN tbx ELSE tcx END AS o3x,
+       |    CASE WHEN ${sgn(crb)} < 0 THEN tby ELSE tcy END AS o3y,
+       |    [{'x': ax0, 'y': ay0}, {'x': sbx, 'y': sby},
+       |     {'x': scx, 'y': scy}] AS poly
+       |  FROM tp),
+       |s0 AS MATERIALIZED (SELECT ida, idb, sa, sb,
+       |  o1x, o1y, o2x, o2y, o3x, o3y, poly FROM tq),
+       |$steps,
+       |terms AS (
+       |  SELECT ida, idb,
+       |    CASE WHEN sa = 0.0 OR sb = 0.0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(ROUND(sa * sb * ($rawArea) * 1000000.0, 0)
+       |                   AS BIGINT) END AS term
+       |  FROM s3),
+       |sums AS (
+       |  SELECT ida, idb, CAST(SUM(term) AS BIGINT) AS micro
+       |  FROM terms GROUP BY ida, idb),
+       |areas AS (
+       |  SELECT ida, idb,
+       |    FLOOR(ABS(micro) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS ix_area
+       |  FROM sums)
+       |SELECT ida, idb, ix_area FROM areas WHERE ix_area > 0.0""".stripMargin
+  }
+
   private val dissolveOverlapOracle: String =
     s"""WITH r0 AS (${GeoData.rectCustomerSql}),
        |r AS (SELECT rid % 40 AS gid, x0, y0, x1, y1 FROM r0),
@@ -251,5 +373,6 @@ object PolyQueries {
   val oracles: Map[String, String] = Map(
     "q_intersection_area_poly" -> intersectionAreaOracle,
     "q_intersection_area_concave" -> intersectionAreaConcaveOracle,
+    "q_intersection_area_general" -> intersectionAreaGeneralOracle,
     "q_dissolve_overlap" -> dissolveOverlapOracle)
 }

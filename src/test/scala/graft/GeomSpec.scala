@@ -79,6 +79,65 @@ class GeomSpec extends AnyFunSuite with SharedSpark {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("fanTriangles: notched pentagon has a negative middle triangle") {
+    import graft.geom.PolyClip
+    val pent = "array(struct(0.0d x, 0.0d y), struct(10.0d x, 0.0d y), " +
+      "struct(10.0d x, 10.0d y), struct(5.0d x, 2.5d y), struct(0.0d x, 10.0d y))"
+    val signs = spark.range(1)
+      .select(transform(PolyClip.fanTriangles(expr(pent)), t => t("s")).as("s"))
+      .head().getSeq[Double](0)
+    assert(signs === Seq(1.0, -1.0, 1.0))
+  }
+
+  test("generalIntersectionAreaMicro: convex case matches direct S-H") {
+    import graft.geom.PolyClip
+    // two overlapping axis-aligned squares -> area 1.0 exactly
+    val s1 = "array(struct(0.0d x, 0.0d y), struct(2.0d x, 0.0d y), " +
+      "struct(2.0d x, 2.0d y), struct(0.0d x, 2.0d y))"
+    val s2 = "array(struct(1.0d x, 1.0d y), struct(3.0d x, 1.0d y), " +
+      "struct(3.0d x, 3.0d y), struct(1.0d x, 3.0d y))"
+    val m = one(PolyClip.generalIntersectionAreaMicro(expr(s1), expr(s2)))
+      .asInstanceOf[Long]
+    assert(m === 1000000L)
+  }
+
+  test("generalIntersectionAreaMicro: concave x concave matches the " +
+    "convex-parts decomposition") {
+    import graft.geom.PolyClip
+    // notched pentagon subjects (concave) x an L-shaped clip given BOTH
+    // as one concave ring (general path, fanned from the bottom-right so
+    // a clip triangle is negative) and as two convex parts (proven path)
+    val pents = spark.range(60).selectExpr(
+      "id",
+      "CAST(id % 8 AS DOUBLE) * 2.5 AS x0",
+      "CAST(id % 7 AS DOUBLE) * 2.5 AS y0",
+      "CAST(id % 8 AS DOUBLE) * 2.5 + 6.0 AS x1",
+      "CAST(id % 7 AS DOUBLE) * 2.5 + 6.0 AS y1")
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.as("x"), y.as("y"))
+    val subject = array(
+      pt(col("x0"), col("y0")), pt(col("x1"), col("y0")),
+      pt(col("x1"), col("y1")),
+      pt((col("x0") + col("x1")) / 2.0,
+        col("y0") + (col("y1") - col("y0")) * 0.25),
+      pt(col("x0"), col("y1")))
+    // L over [0,20]^2: bottom bar [0,20]x[0,10] + column [0,8]x[10,20]
+    val lRing = array(
+      pt(lit(20.0), lit(0.0)), pt(lit(20.0), lit(10.0)),
+      pt(lit(8.0), lit(10.0)), pt(lit(8.0), lit(20.0)),
+      pt(lit(0.0), lit(20.0)), pt(lit(0.0), lit(0.0)))
+    val part1 = array(pt(lit(0.0), lit(0.0)), pt(lit(20.0), lit(0.0)),
+      pt(lit(20.0), lit(10.0)), pt(lit(0.0), lit(10.0)))
+    val part2 = array(pt(lit(0.0), lit(10.0)), pt(lit(8.0), lit(10.0)),
+      pt(lit(8.0), lit(20.0)), pt(lit(0.0), lit(20.0)))
+    val general = abs(PolyClip.generalIntersectionAreaMicro(subject, lRing))
+      .cast("double") / 1000000.0
+    val parts = PolyClip.clipAreaConvexParts(subject, array(part1, part2))
+    val bad = pents.select(general.as("g"), parts.as("p"))
+      .filter(abs(col("g") - col("p")) > 1e-3)
+    assert(bad.count() === 0)
+  }
+
   test("graft_clip_area is callable from SQL via extensions registration") {
     val (ident, info, builder) = graft.plans.GraftExtensions.clipAreaFunction
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
