@@ -1,0 +1,27 @@
+package graft.dev
+import org.apache.spark.sql.SparkSession
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val names = args.toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      // warm-up at sf0.01, then 2 measured runs at target scale
+      try { graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count() } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val c = graft.SparkEntry.queries(n)(spark, sfDir).count()
+        spark.catalog.clearCache()
+        println(f"[time] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+      }
+    }
+    spark.stop()
+  }
+}
