@@ -47,6 +47,43 @@ object Ann {
       .select("qid", "nid", "rank", "cos4")
   }
 
+  /** Per-vector symmetric int8 scalar quantization: scale = 127/max|x_i|,
+    * q_i = round(x_i * scale). The compressed form an embedding store
+    * ships at scale — 8 bytes/dim -> 1, exact integer dot products (64
+    * dims x 127^2 stays far under Long range, ANSI-safe), and the scale
+    * never needs to be kept for cosine (it cancels in the ratio). */
+  private def quantize(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+      .withColumn("q", transform(col("e"),
+        x => round(x * 127.0 / greatest(col("mx"), lit(1e-12))).cast("long")))
+      .withColumn("nq", aggregate(col("q"), lit(0L), (acc, v) => acc + v * v))
+
+  /** Brute-force cosine top-k over int8-QUANTIZED vectors — the
+    * compressed-index twin of cosineTopK (quality measured against it the
+    * same way recallAtK measures LSH/IVF). Integer dots, one double
+    * division at the end; rank on round(qcos,4) with id tie-break. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = quantize(corpus, "vec_id")
+      .select(col("vec_id").as("nid"), col("q").as("nqv"), col("nq").as("nn"))
+    val q = quantize(queries, "vec_id")
+      .select(col("vec_id").as("qid"), col("q").as("qqv"), col("nq").as("qn"))
+    val idot = aggregate(zip_with(col("qqv"), col("nqv"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("qcos4",
+        round(idot.cast("double")
+          / greatest(sqrt(col("qn").cast("double"))
+            * sqrt(col("nn").cast("double")), lit(1e-12)), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("qcos4").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "qcos4")
+  }
+
   /** IVF (inverted-file) index: a coarse k-means quantizer partitions the
     * corpus into nlist cells; a query probes only its nprobe nearest
     * cells and brute-forces within them. Seeds are the nlist smallest

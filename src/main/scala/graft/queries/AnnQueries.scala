@@ -43,6 +43,17 @@ object AnnQueries {
     Ann.cosineNearDupPairs(emb(spark, dir), planes = 8, dim = 64,
       minCos = 0.3)
 
+  /** Top-k over int8-quantized vectors (compressed-index baseline). */
+  def qQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.quantizedTopK(e, e.filter(col("vec_id") % QueryMod === 0), K)
+  }
+
+  /** Recall@k of the quantized index against the float brute force —
+    * measures what int8 compression costs in ranking quality. */
+  def qAnnRecallQuantized(spark: SparkSession, dir: String): DataFrame =
+    Ann.recallAtK(qQuantizedTopK(spark, dir), qCosineTopK(spark, dir), K)
+
   /** Recall@k of the LSH index against the exact brute-force top-k —
     * the quality monitor a production ANN deployment runs beside the
     * index build. */
@@ -57,8 +68,10 @@ object AnnQueries {
     "q_ann_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qCosineLsh _),
     "q_ann_ivf" -> (qCosineIvf _),
+    "q_ann_quantized" -> (qQuantizedTopK _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
+    "q_ann_recall_quantized" -> (qAnnRecallQuantized _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   /** DuckDB twin of the LSH path: the hyperplane components are the same
@@ -225,7 +238,41 @@ object AnnQueries {
          |FROM scored
          |QUALIFY rank <= $K""".stripMargin
 
+  /** DuckDB twin of the int8 quantization: same scale formula, same
+    * round-to-integer, exact integer dots, one double division. */
+  private val quantizedOracle: String =
+    s"""WITH v AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, e,
+       |        list_max(list_transform(e, x -> abs(x))) AS mx
+       |      FROM v),
+       |qz AS (SELECT vec_id,
+       |        list_transform(e, x ->
+       |          CAST(ROUND(x * 127.0 / greatest(mx, 1e-12)) AS BIGINT)) AS q
+       |      FROM m),
+       |nz AS (SELECT vec_id, q,
+       |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq
+       |      FROM qz),
+       |qs AS (SELECT vec_id AS qid, q AS qq, nq AS qn FROM nz
+       |       WHERE vec_id % $QueryMod = 0),
+       |scored AS (
+       |  SELECT qs.qid, nz.vec_id AS nid,
+       |    ROUND(CAST(list_sum(list_transform(range(1, 65),
+       |            i -> qs.qq[i] * nz.q[i])) AS DOUBLE)
+       |        / greatest(sqrt(CAST(qs.qn AS DOUBLE))
+       |            * sqrt(CAST(nz.nq AS DOUBLE)), 1e-12), 4) AS qcos4
+       |  FROM nz, qs WHERE qs.qid <> nz.vec_id)
+       |SELECT qid, nid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos4 DESC, nid)
+       |    AS INT) AS rank, qcos4
+       |FROM scored
+       |QUALIFY rank <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ann_quantized" -> quantizedOracle,
+    "q_ann_recall_quantized" -> recallOracle(quantizedOracle, topkOracle),
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
     "q_dedup_embedding" -> dedupEmbeddingOracle,

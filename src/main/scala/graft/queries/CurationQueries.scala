@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators a training-data pipeline runs after
+  * filtering/dedup: deterministic quota sampling (data mixing) and
+  * sequence packing (token-budget binning). The reference has no text
+  * surface — these extend the engine the same way the dedup/ANN families
+  * do, with exact integer arithmetic so every step has a full DuckDB
+  * oracle.
+  *
+  * Scale notes: both queries shuffle once on `lang` (the mixture key —
+  * low cardinality, high volume per key). At 100 TB the same plans hold
+  * with a composite (lang, shard) partition key: quota sampling ranks
+  * within shards then re-ranks the per-shard survivors (a tiny second
+  * pass), and packing bins are per-shard by construction (bins never
+  * straddle partitions, so parallelizing the key does not change any
+  * bin's contents).
+  */
+object CurationQueries {
+
+  private val Budget = 512L // tokens per packed sequence
+  private val Quota = 50 // docs kept per language
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"))
+
+  /** Sequence packing, next-fit by running token count: per language,
+    * documents ordered by (est_tokens DESC, doc_id) accumulate into the
+    * current bin until the budget would overflow — expressed as one
+    * running-sum window (bin = tokens-before DIV budget), no iteration.
+    * Output: one row per packed bin with its fill statistics. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val toks = ceil(length(col("text")).cast("double") / lit(4.0))
+      .cast("long")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("tokens"))
+      .withColumn("cum", sum("tokens").over(w))
+      .withColumn("bin", expr(s"(cum - tokens) DIV $Budget"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"))
+      .select(col("lang"), col("bin"), col("n_docs"), col("sum_tokens"),
+        round(col("sum_tokens").cast("double") / lit(Budget.toDouble), 4)
+          .as("fill_ratio"))
+  }
+
+  /** Deterministic quota sampling (data mixing): per language keep the
+    * `Quota` documents with the smallest (content hash, doc_id) — a
+    * stable pseudo-random sample that never changes across runs,
+    * partitions, or engines, because the hash is the exact-integer
+    * rolling fingerprint of the normalized text. */
+  def qSampleQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        rollingFingerprint(norm(col("text"))).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Quota)
+      .select("doc_id", "lang", "h", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_sample_quota" -> (qSampleQuota _))
+
+  // ---------------------------------------------------------------- oracles
+
+  private val docsSql =
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang FROM documents"
+
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** SQL twin of TextFunctions.rollingFingerprint. */
+  private def fpSql(src: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(list_filter(string_split($src, ''), c -> len(c) > 0),
+       |                 c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      s"""WITH d AS ($docsSql),
+         |t AS (SELECT doc_id, lang,
+         |        CAST(CEIL(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT)
+         |          AS tokens
+         |      FROM d),
+         |c AS (SELECT doc_id, lang, tokens,
+         |        CAST(SUM(tokens) OVER (PARTITION BY lang
+         |          ORDER BY tokens DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS cum
+         |      FROM t),
+         |g AS (SELECT lang, (cum - tokens) // $Budget AS bin,
+         |        COUNT(*) AS n_docs,
+         |        CAST(SUM(tokens) AS BIGINT) AS sum_tokens
+         |      FROM c GROUP BY 1, 2)
+         |SELECT lang, bin, n_docs, sum_tokens,
+         |  ROUND(CAST(sum_tokens AS DOUBLE) / ${Budget}.0, 4) AS fill_ratio
+         |FROM g""".stripMargin,
+
+    "q_sample_quota" ->
+      s"""WITH d AS ($docsSql),
+         |h AS (SELECT doc_id, lang, ${fpSql(normSql)} AS h FROM d),
+         |r AS (SELECT doc_id, lang, h,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |          ORDER BY h, doc_id) AS INT) AS rk
+         |      FROM h)
+         |SELECT doc_id, lang, h, rk FROM r WHERE rk <= $Quota""".stripMargin)
+}
