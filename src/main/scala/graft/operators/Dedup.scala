@@ -112,6 +112,45 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** ROW-LOCAL minhash LSH band keys: (doc_id, band, bh) computed entirely
+    * inside one projection — shingle hashes, the numHashes minima and the
+    * band hashes are all array folds over a per-document char-code array,
+    * with no explode and no groupBy. Values are IDENTICAL to the
+    * shuffle-based minhashSignatures+banding pipeline (same rolling hash,
+    * same coefficients, same band fold — asserted by spec); min over all
+    * shingle occurrences equals min over the distinct set.
+    *
+    * This is the form a STREAMING near-dup filter needs: stateless until
+    * the per-bucket keyed state, so it runs under Structured Streaming
+    * where a groupBy-per-doc signature build could not (no event-time on
+    * a document corpus). Batch pipelines can use either form. */
+  def minhashBandKeysRowLocal(docs: DataFrame, k: Int, numHashes: Int,
+                              bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val codes = transform(
+      filter(split(lower(col("text")), ""), c => length(c) > lit(0)),
+      c => ascii(c).cast("long"))
+    val shingles = when(size(col("codes")) >= k,
+      transform(
+        sequence(lit(1), size(col("codes")) - (k - 1)),
+        i => aggregate(slice(col("codes"), i, lit(k)), lit(0L),
+          (acc, c) => (acc * lit(31L) + c) % lit(P))))
+    val sig = array((0 until numHashes).map { i =>
+      val (a, b) = coef(i)
+      array_min(transform(col("sh"), s => (lit(a) * s + lit(b)) % lit(P)))
+    }: _*)
+    val bandHashes = array((0 until bands).map { bi =>
+      aggregate(slice(col("sig"), bi * rows + 1, rows), lit(0L),
+        (acc, m) => (acc * lit(33L) + m) % lit(P))
+    }: _*)
+    docs
+      .select(col("doc_id"), codes.as("codes"))
+      .select(col("doc_id"), shingles.as("sh"))
+      .filter(col("sh").isNotNull && size(col("sh")) > 0)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+  }
+
   /** MinHash + LSH banding: candidate pairs from band-bucket equi-joins,
     * verified by signature agreement (estimated Jaccard) >= minEst.
     * numHashes must be bands * rowsPerBand. */

@@ -55,6 +55,61 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("row-local minhash band keys equal the shuffle-based pipeline") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val rowLocal = Dedup.minhashBandKeysRowLocal(docs, k = 5,
+      numHashes = 64, bands = 16)
+    val viaShuffle = {
+      val sigs = Dedup.minhashSignatures(docs, 5, 64)
+      val bandHashes = array((0 until 16).map { bi =>
+        aggregate(slice(col("sig"), bi * 4 + 1, 4), lit(0L),
+          (acc, m) => (acc * lit(33L) + m) % lit(2147483647L))
+      }: _*)
+      sigs.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+    }
+    assert(rowLocal.count() > 0)
+    assert(rowLocal.exceptAll(viaShuffle).count() === 0)
+    assert(viaShuffle.exceptAll(rowLocal).count() === 0)
+  }
+
+  test("streaming near-dup candidates equal the batch band-bucket join") {
+    import graft.streaming.NearDupStream
+    val q = NearDupStream.nearDupStream(spark, SfDir, "neardup_test")
+    try {
+      q.processAllAvailable()
+      // orientation of (anchor, doc) depends on arrival order; compare
+      // unordered candidate PAIRS per bucket against the batch equi-join
+      val streamed = spark.table("neardup_test")
+        .select(col("band"), col("bh"),
+          least(col("anchor_id"), col("doc_id")).as("ida"),
+          greatest(col("anchor_id"), col("doc_id")).as("idb"))
+      val keys = graft.operators.Dedup.minhashBandKeysRowLocal(
+        Tables.load(spark, SfDir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        k = 5, numHashes = 64, bands = 16)
+      val a = keys.select(col("band"), col("bh"), col("doc_id").as("ida"))
+      val b = keys.select(col("band"), col("bh"), col("doc_id").as("idb"))
+      // batch: every unordered pair sharing a bucket, anchored anywhere
+      val batch = a.join(b, Seq("band", "bh"))
+        .filter(col("ida") < col("idb"))
+      assert(streamed.count() > 0)
+      // streamed pairs all tie back to a shared bucket...
+      assert(streamed.exceptAll(batch).count() === 0)
+      // ...and every bucket with >= 2 docs produced >= its size - 1 pairs:
+      // the streamed pair count per bucket is exactly n - 1 (one anchor)
+      val bucketSizes = keys.groupBy("band", "bh")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      val streamedCounts = streamed.groupBy("band", "bh")
+        .agg(count(lit(1)).as("c"))
+      val mismatched = bucketSizes.join(streamedCounts, Seq("band", "bh"),
+          "left")
+        .filter(coalesce(col("c"), lit(0L)) =!= col("n") - 1)
+      assert(mismatched.count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits at most one row per key") {
     val q = EventsStream.dedupStream(spark, SfDir, "dedup_test")
     try {
