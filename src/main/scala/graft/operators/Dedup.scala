@@ -124,9 +124,18 @@ object Dedup {
     * the per-bucket keyed state, so it runs under Structured Streaming
     * where a groupBy-per-doc signature build could not (no event-time on
     * a document corpus). Batch pipelines can use either form. */
-  def minhashBandKeysRowLocal(docs: DataFrame, k: Int, numHashes: Int,
-                              bands: Int): DataFrame = {
-    val rows = numHashes / bands
+  /** ROW-LOCAL minhash signatures: same (doc_id, sig) as
+    * minhashSignatures but computed entirely inside one projection —
+    * shingle hashes and the numHashes minima are array folds over a
+    * per-document char-code array, with no explode and no groupBy (min
+    * over all occurrences equals min over the distinct set). Docs
+    * shorter than k chars drop out, as in the shuffle form. This is the
+    * STREAMING-legal form (no per-doc aggregation); batch pipelines keep
+    * the shuffle form, whose minima are codegen'd partial aggregates —
+    * the interpreted HOF folds here are ~60x slower per doc and only
+    * acceptable at micro-batch sizes. */
+  def minhashSignaturesRowLocal(docs: DataFrame, k: Int,
+                                numHashes: Int): DataFrame = {
     val codes = transform(
       filter(split(lower(col("text")), ""), c => length(c) > lit(0)),
       c => ascii(c).cast("long"))
@@ -139,31 +148,44 @@ object Dedup {
       val (a, b) = coef(i)
       array_min(transform(col("sh"), s => (lit(a) * s + lit(b)) % lit(P)))
     }: _*)
-    val bandHashes = array((0 until bands).map { bi =>
-      aggregate(slice(col("sig"), bi * rows + 1, rows), lit(0L),
-        (acc, m) => (acc * lit(33L) + m) % lit(P))
-    }: _*)
     docs
       .select(col("doc_id"), codes.as("codes"))
       .select(col("doc_id"), shingles.as("sh"))
       .filter(col("sh").isNotNull && size(col("sh")) > 0)
       .select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
   }
+
+  /** Band hashes of a signature array (bands x rowsPerBand fold). */
+  private def bandHashExprs(numHashes: Int, bands: Int) = {
+    val rows = numHashes / bands
+    array((0 until bands).map { bi =>
+      aggregate(slice(col("sig"), bi * rows + 1, rows), lit(0L),
+        (acc, m) => (acc * lit(33L) + m) % lit(P))
+    }: _*)
+  }
+
+  /** Row-local LSH band keys (doc_id, band, bh) — see
+    * minhashSignaturesRowLocal for why this form exists. */
+  def minhashBandKeysRowLocal(docs: DataFrame, k: Int, numHashes: Int,
+                              bands: Int): DataFrame =
+    minhashSignaturesRowLocal(docs, k, numHashes)
+      .select(col("doc_id"),
+        posexplode(bandHashExprs(numHashes, bands)).as(Seq("band", "bh")))
 
   /** MinHash + LSH banding: candidate pairs from band-bucket equi-joins,
     * verified by signature agreement (estimated Jaccard) >= minEst.
     * numHashes must be bands * rowsPerBand. */
   def minhashPairs(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
                    minEst: Double): DataFrame = {
-    val rows = numHashes / bands
+    // Shuffle-based signature build, NOT the row-local form: the 64
+    // minima here are codegen'd partial aggregates that fold BEFORE the
+    // exchange, while the row-local array folds are interpreted
+    // CodegenFallback lambdas — measured 60x slower at sf0.1 (280s vs
+    // 4.8s). Row-local stays the STREAMING form, where per-doc
+    // aggregation is illegal and micro-batches are small.
     val sigs = minhashSignatures(docs, k, numHashes)
-    val bandHashes = array((0 until bands).map { bi =>
-      aggregate(slice(col("sig"), bi * rows + 1, rows), lit(0L),
-        (acc, m) => (acc * lit(33L) + m) % lit(P))
-    }: _*)
     val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(bandHashes).as(Seq("band", "bh")))
+      posexplode(bandHashExprs(numHashes, bands)).as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"),
       col("doc_id").as("ida"), col("sig").as("siga"))
     val b = banded.select(col("band"), col("bh"),

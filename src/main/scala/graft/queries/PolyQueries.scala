@@ -104,7 +104,10 @@ object PolyQueries {
       pt(col("bx0") + 8.0, col("by0") + 10.0),
       pt(col("bx0") + 8.0, col("by1")),
       pt(col("bx0"), col("by1")), pt(col("bx0"), col("by0")))
-    val micro = PolyClip.generalIntersectionAreaMicro(subject, clip)
+    // native codegen'd signed-fan expression (bit-equal to the PolyClip
+    // HOF twin — asserted by spec); cheap enough that the pushed-down
+    // ix_area filter re-evaluating it is fine
+    val micro = graft.geom.GeneralClipAreaMicro(subject, clip)
     Rects.intersectPairs(a, b, cellSize = 20.0)
       .withColumn("ix_area",
         floor(abs(micro) / 1000000.0 * 10000.0 + lit(0.5)) / 10000.0)

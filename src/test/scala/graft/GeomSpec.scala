@@ -138,6 +138,35 @@ class GeomSpec extends AnyFunSuite with SharedSpark {
     assert(bad.count() === 0)
   }
 
+  test("native GeneralClipAreaMicro matches the HOF twin bit-for-bit") {
+    import graft.geom.{GeneralClipAreaMicro, PolyClip}
+    // notched pentagons x L-rings over shifted frames — negative fan
+    // triangles on both sides, evaluated through whole-stage codegen
+    val frames = spark.range(80).selectExpr(
+      "id",
+      "CAST(id % 9 AS DOUBLE) * 2.0 AS x0",
+      "CAST(id % 11 AS DOUBLE) * 1.5 AS y0",
+      "CAST(id % 9 AS DOUBLE) * 2.0 + CAST(id % 4 + 4 AS DOUBLE) AS x1",
+      "CAST(id % 11 AS DOUBLE) * 1.5 + CAST(id % 5 + 4 AS DOUBLE) AS y1")
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.as("x"), y.as("y"))
+    val subject = array(
+      pt(col("x0"), col("y0")), pt(col("x1"), col("y0")),
+      pt(col("x1"), col("y1")),
+      pt((col("x0") + col("x1")) / 2.0,
+        col("y0") + (col("y1") - col("y0")) * 0.25),
+      pt(col("x0"), col("y1")))
+    val lRing = array(
+      pt(lit(20.0), lit(0.0)), pt(lit(20.0), lit(10.0)),
+      pt(lit(8.0), lit(10.0)), pt(lit(8.0), lit(20.0)),
+      pt(lit(0.0), lit(20.0)), pt(lit(0.0), lit(0.0)))
+    val diff = frames.select(
+        GeneralClipAreaMicro(subject, lRing).as("native"),
+        PolyClip.generalIntersectionAreaMicro(subject, lRing).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
   test("graft_clip_area is callable from SQL via extensions registration") {
     val (ident, info, builder) = graft.plans.GraftExtensions.clipAreaFunction
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
