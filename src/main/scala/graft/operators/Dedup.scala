@@ -203,6 +203,35 @@ object Dedup {
       .select("ida", "idb", "est")
   }
 
+  /** Benchmark DECONTAMINATION: per corpus document, the fraction of its
+    * distinct k-shingles that also appear anywhere in a benchmark set —
+    * the n-gram-overlap test a training pipeline runs so evaluation data
+    * does not leak into the corpus.
+    *
+    * Scale design: benchmark suites are orders of magnitude smaller than
+    * the corpus, so the distinct benchmark-shingle set is BROADCAST and
+    * the contamination count is a map-side semi-join — the corpus
+    * streams once, no corpus-sized shuffle beyond the per-doc distinct.
+    * Returns (doc_id, n_shingles, n_hits, ratio, flagged); docs shorter
+    * than k chars have no shingles and drop out (mirrored by oracle). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int,
+                    flagAt: Double): DataFrame = {
+    val corpusSh = shingleHashes(corpus, k, 131L, 1000000007L)
+      .select(col("doc_id"), col("s")).distinct()
+    val benchSh = shingleHashes(benchmark, k, 131L, 1000000007L)
+      .select(col("s")).distinct()
+    val totals = corpusSh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpusSh.join(broadcast(benchSh), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("h"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double")
+          / col("n_shingles").cast("double"), 4).as("ratio"))
+      .withColumn("flagged", col("ratio") >= flagAt)
+  }
+
   /** Transitive dedup clustering: connected components over a near-dup
     * pair table via min-label propagation, then a canonical (minimum)
     * doc id per component. `iters` bounds the component diameter handled

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.geom.{HausdorffDistance, PointInRing, PolygonClipArea}
+import graft.geom.{GeneralClipAreaMicro, HausdorffDistance, PointInRing,
+  PolygonClipArea}
 
 /** SparkSessionExtensions injector: registers graft's native expressions
   * into the session's function registry so plain SQL can call them:
@@ -21,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hausdorffFunction)
     ext.injectFunction(GraftExtensions.pointInRingFunction)
     ext.injectFunction(GraftExtensions.clipAreaFunction)
+    ext.injectFunction(GraftExtensions.generalClipAreaFunction)
   }
 }
 
@@ -42,4 +44,13 @@ object GraftExtensions {
     FunctionIdentifier("graft_clip_area"),
     new ExpressionInfo(classOf[PolygonClipArea].getName, "graft_clip_area"),
     (args: Seq[Expression]) => PolygonClipArea(args(0), args(1)))
+
+  /** graft_general_clip_area_micro(subject, clip): signed-fan general
+    * (concave x concave) intersection area in integer micro-units. */
+  val generalClipAreaFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_general_clip_area_micro"),
+    new ExpressionInfo(classOf[GeneralClipAreaMicro].getName,
+      "graft_general_clip_area_micro"),
+    (args: Seq[Expression]) => GeneralClipAreaMicro(args(0), args(1)))
 }

@@ -69,9 +69,28 @@ object CurationQueries {
       .select("doc_id", "lang", "h", "rk")
   }
 
+  /** Mixture report: per (lang, source) token mass and its share of the
+    * corpus — the table a data-mixing step reweights against. The grand
+    * total is a broadcast 1-row aggregate (not an unpartitioned window);
+    * token sums are exact integers, so the share is deterministic. */
+  def qMixReport(spark: SparkSession, dir: String): DataFrame = {
+    val toks = ceil(length(col("text")).cast("double") / lit(4.0))
+      .cast("long")
+    val g = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("source"), toks.as("tokens"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"))
+    val total = g.agg(sum("sum_tokens").as("total_tokens"))
+    g.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("sum_tokens"),
+        round(col("sum_tokens").cast("double")
+          / col("total_tokens").cast("double"), 6).as("token_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (qPackSequences _),
-    "q_sample_quota" -> (qSampleQuota _))
+    "q_sample_quota" -> (qSampleQuota _),
+    "q_mix_report" -> (qMixReport _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -116,5 +135,19 @@ object CurationQueries {
          |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
          |          ORDER BY h, doc_id) AS INT) AS rk
          |      FROM h)
-         |SELECT doc_id, lang, h, rk FROM r WHERE rk <= $Quota""".stripMargin)
+         |SELECT doc_id, lang, h, rk FROM r WHERE rk <= $Quota""".stripMargin,
+
+    "q_mix_report" ->
+      """WITH d AS (SELECT lang, source,
+        |             CAST(CEIL(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT)
+        |               AS tokens
+        |           FROM documents),
+        |g AS (SELECT lang, source, COUNT(*) AS n_docs,
+        |        CAST(SUM(tokens) AS BIGINT) AS sum_tokens
+        |      FROM d GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(sum_tokens) AS BIGINT) AS total_tokens FROM g)
+        |SELECT g.lang, g.source, g.n_docs, g.sum_tokens,
+        |  ROUND(CAST(g.sum_tokens AS DOUBLE)
+        |      / CAST(t.total_tokens AS DOUBLE), 6) AS token_share
+        |FROM g, t""".stripMargin)
 }

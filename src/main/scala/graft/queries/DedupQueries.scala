@@ -41,11 +41,25 @@ object DedupQueries {
       iters = 3) // near-dup components are shallow; 3 hops covers them
   }
 
+  /** Benchmark decontamination: docs from source 'src0' play the
+    * held-out benchmark; every other doc reports what fraction of its
+    * distinct 16-shingles leak from that set. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"))
+    Dedup.decontaminate(
+      d.filter(col("source") =!= "src0").select("doc_id", "text"),
+      d.filter(col("source") === "src0").select("doc_id", "text"),
+      K, flagAt = 0.2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_minhash" -> (qMinhash _),
     "q_dedup_simhash" -> (qSimhash _),
-    "q_dedup_clusters" -> (qDedupClusters _))
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_decontaminate" -> (qDecontaminate _))
 
   /** DuckDB twin of operators.Dedup's minhash pipeline: same rolling
     * shingle hash, same universal-hash coefficients (note `|1` / exact
@@ -192,5 +206,32 @@ object DedupQueries {
          |JOIN sizes na ON na.doc_id = ida
          |JOIN sizes nb ON nb.doc_id = idb
          |WHERE ROUND(CAST(shared AS DOUBLE)
-         |      / CAST(na.n + nb.n - shared AS DOUBLE), 4) >= $MinJac""".stripMargin)
+         |      / CAST(na.n + nb.n - shared AS DOUBLE), 4) >= $MinJac""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |             lower(text) AS t, source FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(list_filter(
+         |               string_split(substr(t, CAST(i AS INT), $K), ''),
+         |               c -> len(c) > 0),
+         |             c -> CAST(ascii(c) AS BIGINT))),
+         |           (a, b) -> (a * 131 + b) % 1000000007) AS s
+         |       FROM d, LATERAL (SELECT unnest(generate_series(1,
+         |              greatest(len(t) - ${K - 1}, 1))) AS i) u
+         |       WHERE len(substr(t, CAST(i AS INT), $K)) = $K),
+         |cor AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+         |ben AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cor GROUP BY 1),
+         |hit AS (SELECT cor.doc_id, COUNT(*) AS h
+         |        FROM cor JOIN ben USING (s) GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(t.n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(hit.h, 0) AS BIGINT) AS n_hits,
+         |  ROUND(CAST(COALESCE(hit.h, 0) AS DOUBLE)
+         |      / CAST(t.n_shingles AS DOUBLE), 4) AS ratio,
+         |  ROUND(CAST(COALESCE(hit.h, 0) AS DOUBLE)
+         |      / CAST(t.n_shingles AS DOUBLE), 4) >= 0.2 AS flagged
+         |FROM tot t LEFT JOIN hit ON hit.doc_id = t.doc_id""".stripMargin)
 }

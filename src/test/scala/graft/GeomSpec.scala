@@ -184,6 +184,25 @@ class GeomSpec extends AnyFunSuite with SharedSpark {
     assert(a === 4.0)
   }
 
+  test("graft_general_clip_area_micro is callable from SQL") {
+    val (ident, info, builder) =
+      graft.plans.GraftExtensions.generalClipAreaFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    // overlapping unit squares -> exactly 1.0 = 1,000,000 micro-units
+    val m = spark.sql(
+      """SELECT graft_general_clip_area_micro(
+        |  array(named_struct('x', 0.0d, 'y', 0.0d),
+        |        named_struct('x', 2.0d, 'y', 0.0d),
+        |        named_struct('x', 2.0d, 'y', 2.0d),
+        |        named_struct('x', 0.0d, 'y', 2.0d)),
+        |  array(named_struct('x', 1.0d, 'y', 1.0d),
+        |        named_struct('x', 3.0d, 'y', 1.0d),
+        |        named_struct('x', 3.0d, 'y', 3.0d),
+        |        named_struct('x', 1.0d, 'y', 3.0d))) AS m""".stripMargin)
+      .head().getLong(0)
+    assert(m === 1000000L)
+  }
+
   test("graft_hausdorff is callable from SQL via extensions registration") {
     val (ident, info, builder) = graft.plans.GraftExtensions.hausdorffFunction
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
