@@ -278,6 +278,27 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       || kplan.contains("BroadcastExchange"))
   }
 
+  test("round-4 plans: decontaminate broadcasts the benchmark set; " +
+    "general clip joins on cells; packing shuffles once on lang") {
+    // decontaminate: the benchmark shingle set is the broadcast side of
+    // a hash join — the corpus never shuffles against it
+    val dplan = graft.queries.DedupQueries.qDecontaminate(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(dplan.contains("BroadcastHashJoin"))
+    assert(!dplan.contains("CartesianProduct"))
+    // general intersection: bucketed equi-join, never a product
+    val gplan = graft.queries.PolyQueries
+      .qIntersectionAreaGeneral(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!gplan.contains("CartesianProduct"))
+    assert(!gplan.contains("BroadcastNestedLoopJoin"))
+    // packing: the lang-partitioned window's exchange also serves the
+    // (lang, bin) aggregation — exactly one shuffle in the whole plan
+    val pplan = graft.queries.CurationQueries.qPackSequences(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(pplan).size === 1)
+  }
+
   test("GeoSink: partitioned layer prunes partitions on cell filter") {
     import graft.sources.GeoSink
     val out = "/tmp/graft_sink_test"
