@@ -88,6 +88,61 @@ object ScaleCheck {
         l.filter(col("lid") % 20 === 0), l.filter(col("lid") % 2 === 1)).count()
     }
     ratio("matchlines tuned", e1, e4t)
+    // ---- round-4 operators ----
+    // decontaminate: benchmark side FIXED (realistic — eval suites don't
+    // grow with the corpus); corpus 1x vs 4x
+    val bench = docs1.filter(col("doc_id") % 20 === 0)
+    val f1 = time("decontam 1x")(graft.operators.Dedup.decontaminate(
+      docs1.filter(col("doc_id") % 20 =!= 0), bench, 16, 0.2).count())
+    val f4 = time("decontam 4x")(graft.operators.Dedup.decontaminate(
+      docs4.filter(col("doc_id") % 20 =!= 0), bench, 16, 0.2).count())
+    ratio("decontam", f1, f4)
+    // quantized ANN: query set FIXED, corpus 1x vs 4x (brute-force scan
+    // is linear in the corpus by design)
+    val qset = emb1.filter(col("vec_id") % 50 === 0)
+    val g1 = time("quantized 1x")(
+      graft.operators.Ann.quantizedTopK(emb1, qset, 10).count())
+    val g4 = time("quantized 4x")(
+      graft.operators.Ann.quantizedTopK(emb4, qset, 10).count())
+    ratio("quantized", g1, g4)
+    // general intersection: 4 copies shifted to DISJOINT x-frames so the
+    // pair count scales 4x exactly
+    def rect1 = graft.GeoData.rectCustomer(spark, dir)
+    def nat1 = graft.GeoData.polyNation(spark, dir)
+      .select(col("pid").as("rid"), col("x0"), col("y0"), col("x1"),
+        col("y1"))
+    def shift4(df: DataFrame) = (0 until 4).map { i =>
+      df.select((col("rid") + i * 1000000L).as("rid"),
+        (col("x0") + i * 200.0).as("x0"), col("y0"),
+        (col("x1") + i * 200.0).as("x1"), col("y1"))
+    }.reduce(_ union _)
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.as("x"), y.as("y"))
+    def generalArea(a: DataFrame, b: DataFrame): Long = {
+      val midX = (col("ax0") + col("ax1")) / 2.0
+      val notchY = col("ay0") + (col("ay1") - col("ay0")) * 0.25
+      val subject = array(
+        pt(col("ax0"), col("ay0")), pt(col("ax1"), col("ay0")),
+        pt(col("ax1"), col("ay1")), pt(midX, notchY),
+        pt(col("ax0"), col("ay1")))
+      val clip = array(
+        pt(col("bx1"), col("by0")), pt(col("bx1"), col("by0") + 10.0),
+        pt(col("bx0") + 8.0, col("by0") + 10.0),
+        pt(col("bx0") + 8.0, col("by1")),
+        pt(col("bx0"), col("by1")), pt(col("bx0"), col("by0")))
+      graft.operators.Rects.intersectPairs(a, b, cellSize = 20.0)
+        .withColumn("m", graft.geom.GeneralClipAreaMicro(subject, clip))
+        .filter(col("m") =!= 0L).count()
+    }
+    val h1 = time("generalclip 1x")(generalArea(rect1, nat1))
+    val h4 = time("generalclip 4x")(generalArea(shift4(rect1), shift4(nat1)))
+    ratio("generalclip", h1, h4)
+    // line k-means: corpus 1x vs 4x, k and iterations fixed
+    val i1 = time("kmeans 1x")(graft.operators.MatchLines
+      .kmeansDescriptors(lines(verts1), 16, 2).count())
+    val i4 = time("kmeans 4x")(graft.operators.MatchLines
+      .kmeansDescriptors(lines(verts4), 16, 2).count())
+    ratio("kmeans", i1, i4)
     spark.stop()
   }
 }
