@@ -322,6 +322,30 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(!read.contains("l_comment") && !read.contains("l_orderkey"))
   }
 
+  test("bucketed tables join with zero exchanges") {
+    import graft.sources.Bucketed
+    val li = Tables.load(spark, SfDir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("k"), col("l_quantity"))
+    val o = Tables.load(spark, SfDir, "orders")
+      .select(col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority"))
+    Bucketed.writeBucketed(li, "graft_li_b", "/tmp/graft_bucket_li", "k", 8)
+    Bucketed.writeBucketed(o, "graft_o_b", "/tmp/graft_bucket_o", "k", 8)
+    // force the sort-merge path so the assertion is about bucketing, not
+    // broadcast; restore the threshold afterwards
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketed.readBucketed(spark, "graft_li_b")
+        .join(Bucketed.readBucketed(spark, "graft_o_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"))
+      assert(joined.count() ===
+        li.join(o, "k").count())
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("saltedJoin produces exactly the plain join's rows") {
     import graft.operators.Skew
     val li = Tables.load(spark, SfDir, "lineitem")
