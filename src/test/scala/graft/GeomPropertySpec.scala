@@ -108,6 +108,31 @@ class GeomPropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("signed-fan general area equals direct convex S-H on random " +
+    "convex polygon pairs") {
+    import graft.geom.{GeneralClipAreaMicro, PolygonClipArea}
+    def longOf(c: org.apache.spark.sql.Column): Long =
+      spark.range(1).select(c).head().getLong(0)
+    // random convex CCW polygon: points on a circle at sorted angles
+    def convex(cx: Double, cy: Double, r: Double, n: Int) = {
+      val angles = Seq.fill(n)(rnd.between(0.0, 2 * math.Pi)).sorted
+      array(angles.map(a => struct(
+        lit(cx + r * math.cos(a)).as("x"),
+        lit(cy + r * math.sin(a)).as("y"))): _*)
+    }
+    for (_ <- 1 to 25) {
+      val (cx, cy) = (coord() / 10, coord() / 10)
+      val p = convex(cx, cy, rnd.between(5.0, 50.0), rnd.between(3, 8))
+      val q = convex(cx + rnd.between(-20.0, 20.0),
+        cy + rnd.between(-20.0, 20.0), rnd.between(5.0, 50.0),
+        rnd.between(3, 8))
+      val general = math.abs(longOf(GeneralClipAreaMicro(p, q))) / 1e6
+      val direct = evalD(PolygonClipArea(p, q))
+      // each of the <= 36 fan terms carries <= 0.5 micro of rounding
+      assert(math.abs(general - direct) < 5e-5 + 1e-9 * direct)
+    }
+  }
+
   test("graft_point_in_ring callable from SQL") {
     val (ident, info, builder) = graft.plans.GraftExtensions.pointInRingFunction
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
