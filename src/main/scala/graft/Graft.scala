@@ -76,6 +76,15 @@ object Graft {
   def intersectionAreaPoly(subject: Column, clipRing: Column): Column =
     geom.PolygonClipArea(subject, clipRing)
 
+  /** TRUE general intersection area — BOTH rings may be concave, no
+    * pre-decomposition (shapely `intersection` parity, utils.py:188-211):
+    * native signed-fan expression; returns the area as a double. */
+  def intersectionAreaGeneral(subject: Column, clipRing: Column): Column = {
+    import org.apache.spark.sql.functions.abs
+    abs(geom.GeneralClipAreaMicro(subject, clipRing)).cast("double") /
+      1000000.0
+  }
+
   /** multi_to_single (core.py:285). */
   def multiToSingle(gdf: DataFrame, partsCol: String): DataFrame =
     Dissolve.multiToSingle(gdf, partsCol)
