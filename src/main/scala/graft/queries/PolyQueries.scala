@@ -115,6 +115,30 @@ object PolyQueries {
       .select("ida", "idb", "ix_area")
   }
 
+  /** Intersection GEOMETRY, not just area: the clipped ring's vertices
+    * (octagon subject x nation-square clip), one row per vertex in ring
+    * order — shapely-`intersection`-returns-a-polygon parity. The S-H
+    * fold is materialized once per pair via withColumn (its own
+    * projection — the multi-reference clip expression must not be
+    * re-inlined), vertices explode from it, coordinates round to 4. */
+  def qClipRings(spark: SparkSession, dir: String): DataFrame = {
+    val a = GeoData.rectCustomer(spark, dir)
+    val b = GeoData.polyNation(spark, dir)
+      .select(col("pid").as("rid"), col("x0"), col("y0"), col("x1"), col("y1"))
+    val subject = octagon(col("ax0"), col("ay0"), col("ax1"), col("ay1"))
+    val clip = rectRing(col("bx0"), col("by0"), col("bx1"), col("by1"))
+    Rects.intersectPairs(a, b, cellSize = 20.0)
+      .withColumn("ring", PolyClip.clip(subject, clip))
+      .filter(size(col("ring")) >= 3)
+      .select(col("ida"), col("idb"),
+        posexplode(col("ring")).as(Seq("vi", "v")))
+      .select(col("ida"), col("idb"), col("vi").cast("int").as("vi"),
+        // + 0.0 collapses IEEE negative zero (DuckDB's ROUND preserves
+        // -0.0, Spark's does not; -0.0 + 0.0 = +0.0 in both)
+        (round(col("v.x"), 4) + 0.0).as("x"),
+        (round(col("v.y"), 4) + 0.0).as("y"))
+  }
+
   /** Overlap-safe dissolve: exact union area per group of (heavily
     * overlapping) customer rectangles, grouped by rid % 40. */
   def qDissolveOverlap(spark: SparkSession, dir: String): DataFrame =
@@ -127,6 +151,7 @@ object PolyQueries {
     "q_intersection_area_poly" -> (qIntersectionAreaPoly _),
     "q_intersection_area_concave" -> (qIntersectionAreaConcave _),
     "q_intersection_area_general" -> (qIntersectionAreaGeneral _),
+    "q_clip_rings" -> (qClipRings _),
     "q_dissolve_overlap" -> (qDissolveOverlap _))
 
   // ---------------------------------------------------------------- oracles
@@ -155,7 +180,11 @@ object PolyQueries {
        |         ELSE $poly[2:1] END)) END""".stripMargin
   }
 
-  private val intersectionAreaOracle: String = {
+  /** Shared WITH-prefix: candidate pairs, octagon subject, and the four
+    * MATERIALIZED S-H steps against the nation square — ends at CTE
+    * `s4` holding the clipped ring. Used by the area AND the ring-
+    * vertex oracles. */
+  private val octSquareClipCtes: String = {
     // octagon literal from the a-side bbox, CCW, same order as octagon()
     val oct = {
       def pt(x: String, y: String) = s"{'x': $x, 'y': $y}"
@@ -190,7 +219,11 @@ object PolyQueries {
        |                AND a.y0 <= b.y1 AND b.y0 <= a.y1),
        |s0 AS MATERIALIZED (SELECT ida, idb, bx0, by0, bx1, by1, $oct AS poly
        |      FROM pairs),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  private val intersectionAreaOracle: String = {
+    s"""$octSquareClipCtes,
        |areas AS (
        |  SELECT ida, idb,
        |    CASE WHEN len(poly) < 3 THEN 0.0
@@ -201,6 +234,15 @@ object PolyQueries {
        |  FROM s4)
        |SELECT ida, idb, ix_area FROM areas WHERE ix_area > 0.0""".stripMargin
   }
+
+  /** DuckDB twin of the ring-vertex emission: the same s4 clipped ring,
+    * unnested in ring order (vi is 0-based to match posexplode). */
+  private val clipRingsOracle: String =
+    s"""$octSquareClipCtes
+       |SELECT ida, idb, CAST(i - 1 AS INT) AS vi,
+       |  ROUND(poly[i].x, 4) + 0.0 AS x, ROUND(poly[i].y, 4) + 0.0 AS y
+       |FROM s4, LATERAL (SELECT unnest(generate_series(1, len(poly))) AS i) u
+       |WHERE len(poly) >= 3""".stripMargin
 
   /** DuckDB twin of the concave (two-convex-part) clip: two S-H chains
     * run in parallel columns (poly1 vs the bottom bar, poly2 vs the
@@ -377,5 +419,6 @@ object PolyQueries {
     "q_intersection_area_poly" -> intersectionAreaOracle,
     "q_intersection_area_concave" -> intersectionAreaConcaveOracle,
     "q_intersection_area_general" -> intersectionAreaGeneralOracle,
+    "q_clip_rings" -> clipRingsOracle,
     "q_dissolve_overlap" -> dissolveOverlapOracle)
 }
