@@ -37,6 +37,17 @@ object Types {
   case class AnnRecall(qid: Long, n_hits: Long, n_exact: Long,
                        recall: Double)
 
+  /** decontaminate output row (r4). */
+  case class Contamination(doc_id: Long, n_shingles: Long, n_hits: Long,
+                           ratio: Double, flagged: Boolean)
+
+  /** qPackSequences output row (r4). */
+  case class PackedBin(lang: String, bin: Long, n_docs: Long,
+                       sum_tokens: Long, fill_ratio: Double)
+
+  /** A clipped-ring vertex (qClipRings output, r4). */
+  case class RingVertex(ida: Long, idb: Long, vi: Int, x: Double, y: Double)
+
   /** Typed views: select the stable columns and bind the encoder. */
   def lineMatches(df: DataFrame)(implicit s: SparkSession): Dataset[LineMatch] = {
     import s.implicits._
@@ -51,5 +62,16 @@ object Types {
   def annMatches(df: DataFrame)(implicit s: SparkSession): Dataset[AnnMatch] = {
     import s.implicits._
     df.select("qid", "nid", "rank", "cos4").as[AnnMatch]
+  }
+
+  def contaminations(df: DataFrame)(implicit s: SparkSession): Dataset[Contamination] = {
+    import s.implicits._
+    df.select("doc_id", "n_shingles", "n_hits", "ratio", "flagged")
+      .as[Contamination]
+  }
+
+  def ringVertices(df: DataFrame)(implicit s: SparkSession): Dataset[RingVertex] = {
+    import s.implicits._
+    df.select("ida", "idb", "vi", "x", "y").as[RingVertex]
   }
 }

@@ -131,6 +131,14 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
       typedLit(Array.tabulate(64)(_.toFloat)).as("embedding"))
     val ann = graft.Types.annMatches(Ann.cosineTopK(e, e.limit(1), 1))
     assert(ann.collect().forall(m => m.rank === 1 && m.cos4 === 1.0))
+    // r4 views: contamination report + clipped-ring vertices
+    val contam = graft.Types.contaminations(
+      Dedup.decontaminate(docsOf(3L -> "abcdefgh unique"), d, 4, 0.5))
+      .collect()
+    assert(contam.forall(c => c.n_shingles > 0 && !c.ratio.isNaN))
+    val rings = graft.Types.ringVertices(
+      graft.queries.PolyQueries.qClipRings(spark, SfDir).limit(5))
+    assert(rings.collect().forall(v => v.vi >= 0))
   }
 
   test("autoCellTenths shrinks the cell as line density grows") {
