@@ -169,13 +169,15 @@ object Dedup {
     * numHashes must be bands * rowsPerBand. */
   def minhashPairs(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
                    minEst: Double): DataFrame = {
-    // Shuffle-based signature build, NOT the row-local form: the 64
-    // minima here are codegen'd partial aggregates that fold BEFORE the
-    // exchange, while the row-local array folds are interpreted
-    // CodegenFallback lambdas — measured 60x slower at sf0.1 (280s vs
-    // 4.8s). Row-local stays the STREAMING form, where per-doc
-    // aggregation is illegal and micro-batches are small.
-    val sigs = minhashSignatures(docs, k, numHashes)
+    // NATIVE row-local signature build (functions.MinHashSig): one tight
+    // JVM loop per document, no shingle explode, no exchange. Bit-equal
+    // to the shuffle pipeline AND the HOF row-local form (spec-asserted).
+    // History: the HOF row-local form was 60x SLOWER than the shuffle
+    // form (interpreted lambda folds); the native kernel beats both.
+    val sigs = docs
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(bandHashExprs(numHashes, bands)).as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"),

@@ -55,6 +55,19 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("native MinHashSig equals the shuffle-based signature pipeline") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.MinHashSig(col("text"), 5, 64).as("sig"))
+      .filter(col("sig").isNotNull)
+    val shuffle = Dedup.minhashSignatures(docs, 5, 64)
+    assert(native.count() > 0)
+    assert(native.exceptAll(shuffle).count() === 0)
+    assert(shuffle.exceptAll(native).count() === 0)
+  }
+
   test("row-local minhash band keys equal the shuffle-based pipeline") {
     import graft.operators.Dedup
     val docs = Tables.load(spark, SfDir, "documents")
