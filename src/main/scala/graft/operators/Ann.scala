@@ -11,33 +11,57 @@ import org.apache.spark.sql.functions._
   * (one broadcast-nested-loop over the corpus, no shuffle of the corpus);
   * the LSH variant replaces the full scan with a random-hyperplane bucket
   * equi-join so corpus rows only meet queries in their own bucket — that is
-  * the 100 TB path. Dot products are `zip_with`+`aggregate` folds over
-  * array<double>, fully codegen'd.
+  * the 100 TB path.
+  *
+  * Hot arithmetic (dots, squared distances) is FLAT SCALAR getItem sums,
+  * not `zip_with`+`aggregate` lambdas: higher-order functions are
+  * CodegenFallback, and a fold interpreted once per JOINED PAIR (n x q
+  * rows) dominated the round-4 bench (q_ann_cosine_topk 7.8 s,
+  * q_ann_ivf 23.9 s). The scalar chain `((0 + t0) + t1) + ...` reproduces
+  * the lambda fold's accumulation order bit-for-bit, so every oracle is
+  * untouched. Per-ROW prep (norms, quantization) may stay in HOF form —
+  * it runs once per corpus row, not once per pair.
   */
 object Ann {
 
-  /** Cast a float embedding to double and attach its L2 norm. */
-  private def withNorm(df: DataFrame, idCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as(idCol),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0),
-          (acc, v) => acc + v)))
+  /** Embedding width of the documents/embeddings testdata. */
+  val DefaultDim = 64
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Flat codegen'd dot product over two array<double> columns:
+    * same left fold (0 + t0) + t1 ... as the zip_with/aggregate form. */
+  private def dot(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i => a.getItem(i) * b.getItem(i))
+      .foldLeft(lit(0.0))(_ + _)
+
+  /** Flat codegen'd squared distance, rounded to 6 like every IVF/k-means
+    * assignment key (absorbs unordered-average ulps in the centroids). */
+  private def d2(a: Column, b: Column, dim: Int): Column =
+    round((0 until dim).map { i =>
+      (a.getItem(i) - b.getItem(i)) * (a.getItem(i) - b.getItem(i))
+    }.foldLeft(lit(0.0))(_ + _), 6)
+
+  /** Cast a float embedding to double and attach its L2 norm. Flat scalar
+    * projection (one getItem per element) so the stage stays inside
+    * whole-stage codegen; values match the transform/aggregate form. */
+  private def withNorm(df: DataFrame, idCol: String, dim: Int): DataFrame = {
+    val ei = (0 until dim).map(i => col("embedding").getItem(i).cast("double"))
+    df.select(col(idCol).cast("long").as(idCol),
+      array(ei: _*).as("e"),
+      sqrt(ei.map(x => x * x).foldLeft(lit(0.0))(_ + _)).as("nrm"))
+  }
 
   /** Exact brute-force cosine top-k: queries (small, broadcast) against the
     * full corpus. Rank on round(cos,4) with id tie-break so results are
     * stable across engines and runs. */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = withNorm(corpus, "vec_id")
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 dim: Int = DefaultDim): DataFrame = {
+    val c = withNorm(corpus, "vec_id", dim)
       .select(col("vec_id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
-    val q = withNorm(queries, "vec_id")
+    val q = withNorm(queries, "vec_id", dim)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("cos4",
-        round(dot(col("qe"), col("ne"))
+        round(dot(col("qe"), col("ne"), dim)
           / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos4").desc, col("nid"))
@@ -51,7 +75,8 @@ object Ann {
     * q_i = round(x_i * scale). The compressed form an embedding store
     * ships at scale — 8 bytes/dim -> 1, exact integer dot products (64
     * dims x 127^2 stays far under Long range, ANSI-safe), and the scale
-    * never needs to be kept for cosine (it cancels in the ratio). */
+    * never needs to be kept for cosine (it cancels in the ratio).
+    * Per-row prep: the HOF transforms here run once per corpus row. */
   private def quantize(df: DataFrame, idCol: String): DataFrame =
     df.select(col(idCol).cast("long").as(idCol),
         transform(col("embedding"), x => x.cast("double")).as("e"))
@@ -64,13 +89,16 @@ object Ann {
     * compressed-index twin of cosineTopK (quality measured against it the
     * same way recallAtK measures LSH/IVF). Integer dots, one double
     * division at the end; rank on round(qcos,4) with id tie-break. */
-  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    dim: Int = DefaultDim): DataFrame = {
     val c = quantize(corpus, "vec_id")
       .select(col("vec_id").as("nid"), col("q").as("nqv"), col("nq").as("nn"))
     val q = quantize(queries, "vec_id")
       .select(col("vec_id").as("qid"), col("q").as("qqv"), col("nq").as("qn"))
-    val idot = aggregate(zip_with(col("qqv"), col("nqv"), (x, y) => x * y),
-      lit(0L), (acc, v) => acc + v)
+    // integer dot as a flat scalar chain — evaluated once per PAIR, so it
+    // must stay inside whole-stage codegen (same fold order as the lambda)
+    val idot = (0 until dim).map(i => col("qqv").getItem(i) * col("nqv").getItem(i))
+      .foldLeft(lit(0L))(_ + _)
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("qcos4",
         round(idot.cast("double")
@@ -87,63 +115,68 @@ object Ann {
   /** IVF (inverted-file) index: a coarse k-means quantizer partitions the
     * corpus into nlist cells; a query probes only its nprobe nearest
     * cells and brute-forces within them. Seeds are the nlist smallest
-    * vec_ids (deterministic); `iters` Lloyd rounds refine them. The
-    * centroid table (nlist x dim) is tiny and broadcast at every step;
-    * the corpus is touched once per iteration with a map-side argmin —
-    * the classic FAISS-style layout expressed as DataFrames. */
+    * vec_ids (deterministic); `iters` Lloyd rounds refine them.
+    *
+    * The centroid table is O(nlist x dim) — driver-sized BY CONSTRUCTION
+    * (FAISS trains its coarse quantizer centrally for the same reason), so
+    * each Lloyd round collects it and ships the matrix inside a native
+    * [[graft.functions.IvfDistances]] expression: the assignment argmin
+    * becomes element 0 of the kernel's sorted (d2, cluster) table — a
+    * pure map-only projection in whole-stage codegen. No crossJoin, no
+    * shuffle of an nlist-expanded corpus, no window: the only shuffle per
+    * round is the partial-aggregated recenter (nlist x dim rows out of
+    * each map partition). This replaces the round-4 plan (crossJoin x
+    * nlist -> row_number window over the expanded table, with an
+    * interpreted HOF distance) that cost 23.9 s at sf0.1 and would
+    * full-shuffle a 16x-expanded corpus at 100 TB. (A literal-inlined
+    * flat-scalar argmin was tried in between: correct plan shape, but
+    * nlist x dim ~ 4k expression nodes spend seconds per round in Janino
+    * — the kernel call keeps the generated method tiny.)
+    *
+    * Selection is the lexicographic min of (round(d2,6), cluster) —
+    * identical to the window form, so the DuckDB oracle is untouched. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
-              nprobe: Int, iters: Int): DataFrame = {
-    val c = withNorm(corpus, "vec_id")
-    // Rank assignments on round(d2, 6) with a cluster tie-break: centroid
-    // coordinates are unordered-FP averages, so raw-d2 argmins could flip
-    // on last-ulp differences between runs/engines.
-    def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
-      val scored = vectors.crossJoin(broadcast(cents))
-        .withColumn("d2", round(aggregate(
-          zip_with(col("e"), col("ce"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-    }
-    // Cluster label = the seed's own vec_id: deterministic, needs no
-    // global row_number window (which would move the frame to a single
-    // partition), and — because seed ids are taken in ascending order —
-    // ORDER BY cluster tie-breaks identically to dense 1..nlist ranks.
-    var cents = c.orderBy("vec_id").limit(nlist)
-      .select(col("vec_id").as("cluster"), col("e").as("ce"))
+              nprobe: Int, iters: Int, dim: Int = DefaultDim): DataFrame = {
+    val c = withNorm(corpus, "vec_id", dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // argmin cluster = element 0 of the kernel's sorted (d2, cluster)
+    // table — the same key a row_number window would order by
+    def assignExpr(cents: Seq[(Long, Array[Double])]): Column =
+      graft.functions.IvfDistances(col("e"), cents)
+        .getItem(0).getField("cluster")
+    // seeds: the nlist smallest vec_ids (tiny, deterministic)
+    var cents: Seq[(Long, Array[Double])] =
+      c.orderBy("vec_id").limit(nlist).select("vec_id", "e").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     for (_ <- 1 to iters) {
-      val assigned = assign(c, cents)
+      // recenter: one partial-aggregated shuffle of (cluster, idx) means,
+      // then the nlist x dim result comes back to the driver
+      val means = c.withColumn("cluster", assignExpr(cents))
         .select(col("cluster"), posexplode(col("e")).as(Seq("idx", "v")))
-      // eager checkpoint per Lloyd round: the centroid table is nlist x
-      // dim, tiny, but its plan would otherwise embed every prior
-      // round's assign+recenter tree (super-linear re-analysis at
-      // higher iters — the dedupClusters lineage lesson)
-      cents = assigned.groupBy("cluster", "idx").agg(avg("v").as("m"))
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("idx"), col("m")))).as("sm"))
-        .select(col("cluster"), transform(col("sm"), s => s("m")).as("ce"))
-        .localCheckpoint()
+        .groupBy("cluster", "idx").agg(avg("v").as("m"))
+        .collect()
+      cents = means.groupBy(_.getLong(0)).map { case (cl, rows) =>
+        val ce = new Array[Double](dim)
+        rows.foreach(r => ce(r.getInt(1)) = r.getDouble(2))
+        (cl, ce)
+      }.toSeq.sortBy(_._1)
     }
-    val indexed = assign(c, cents)
+    val indexed = c.withColumn("cluster", assignExpr(cents))
       .select(col("vec_id").as("nid"), col("e").as("ne"),
         col("nrm").as("nn"), col("cluster"))
-    val q = withNorm(queries, "vec_id")
+    // probe selection: per query, the nprobe smallest (d2, cluster) keys —
+    // the head of the same sorted kernel table (queries are tiny)
+    val q = withNorm(queries, "vec_id", dim)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d2", round(aggregate(
-        zip_with(col("qe"), col("ce"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v), 6))
-      .withColumn("prn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("d2"), col("cluster"))))
-      .filter(col("prn") <= nprobe)
-      .select("qid", "qe", "qn", "cluster")
+    val probes = q
+      .withColumn("pr", explode(slice(
+        graft.functions.IvfDistances(col("qe"), cents), 1, nprobe)))
+      .select(col("qid"), col("qe"), col("qn"),
+        col("pr").getField("cluster").as("cluster"))
     val scored = indexed.join(broadcast(probes), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos4",
-        round(dot(col("qe"), col("ne"))
+        round(dot(col("qe"), col("ne"), dim)
           / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos4").desc, col("nid"))
@@ -157,11 +190,15 @@ object Ann {
     (0 until dim).map(i => ((j * dim + i) * 2654435761L % 1000003L)
       / 1000003.0 - 0.5)
 
-  /** Sign-bit bucket of `planes` deterministic random hyperplanes. */
+  /** Sign-bit bucket of `planes` deterministic random hyperplanes —
+    * flat scalar dots against literal components (same fold order as the
+    * zip_with form, so DuckDB's bucket replay is unchanged). */
   private def hyperplaneBucket(e: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { j =>
-      val hp = array(hyperplane(j, dim).map(lit): _*)
-      when(dot(e, hp) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      val hp = hyperplane(j, dim)
+      val d = (0 until dim).map(i => e.getItem(i) * lit(hp(i)))
+        .foldLeft(lit(0.0))(_ + _)
+      when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduceLeft((a, b) => a.bitwiseOR(b))
 
   /** LSH variant: `planes` random hyperplanes -> sign-bit bucket; queries
@@ -170,16 +207,16 @@ object Ann {
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
                     planes: Int, dim: Int): DataFrame = {
     def bucket(e: Column): Column = hyperplaneBucket(e, planes, dim)
-    val c = withNorm(corpus, "vec_id")
+    val c = withNorm(corpus, "vec_id", dim)
       .select(col("vec_id").as("nid"), col("e").as("ne"), col("nrm").as("nn"),
         bucket(col("e")).as("bucket"))
-    val q = withNorm(queries, "vec_id")
+    val q = withNorm(queries, "vec_id", dim)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
         bucket(col("e")).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos4",
-        round(dot(col("qe"), col("ne"))
+        round(dot(col("qe"), col("ne"), dim)
           / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos4").desc, col("nid"))
@@ -216,7 +253,7 @@ object Ann {
     * near-dup sweeps over embedding columns. */
   def cosineNearDupPairs(corpus: DataFrame, planes: Int, dim: Int,
                          minCos: Double): DataFrame = {
-    val c = withNorm(corpus, "vec_id")
+    val c = withNorm(corpus, "vec_id", dim)
       .withColumn("bucket", hyperplaneBucket(col("e"), planes, dim))
     val a = c.select(col("bucket"), col("vec_id").as("ida"),
       col("e").as("ea"), col("nrm").as("na"))
@@ -225,7 +262,7 @@ object Ann {
     a.join(b, Seq("bucket"))
       .filter(col("ida") < col("idb"))
       .withColumn("cos4",
-        round(dot(col("ea"), col("eb"))
+        round(dot(col("ea"), col("eb"), dim)
           / greatest(col("na") * col("nb"), lit(1e-12)), 4))
       .filter(col("cos4") >= minCos)
       .select("ida", "idb", "cos4", "bucket")

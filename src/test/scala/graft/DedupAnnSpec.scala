@@ -75,7 +75,8 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
       (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
       (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val out = Ann.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+    val out = Ann.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2,
+      dim = 4)
       .orderBy("rank").collect()
     assert(out.map(_.getAs[Long]("nid")).toSeq === Seq(1L, 2L))
   }
