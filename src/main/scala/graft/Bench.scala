@@ -17,15 +17,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // default codegen cache (100 classes) evicts its own warmed plans
+      // over a 65-query x multi-stage run, re-paying ~2s Janino+JIT per
+      // query at measure time — exactly the uniform inflation the round-4
+      // numbers showed on trivial unchanged queries
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fixed (sorted) order so round-over-round comparisons line up
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    if (new java.io.File(warmDir).isDirectory) ordered.foreach {
+    val tWarm0 = System.nanoTime()
+    val warmed = new java.io.File(warmDir).isDirectory
+    if (warmed) ordered.foreach {
       case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()
     }
+    val warmSec = (System.nanoTime() - tWarm0) / 1e9
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
@@ -61,7 +69,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // only successful timings count toward the headline total
     val total = results.collect { case (_, v, None) => v }.sum
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","warmed":$warmed,"warm_sec":${num(warmSec)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with [info], which can defeat line-level JSON
     // parsing downstream — also drop the bare line in a file.

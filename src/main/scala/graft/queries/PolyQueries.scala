@@ -117,10 +117,12 @@ object PolyQueries {
 
   /** Intersection GEOMETRY, not just area: the clipped ring's vertices
     * (octagon subject x nation-square clip), one row per vertex in ring
-    * order — shapely-`intersection`-returns-a-polygon parity. The S-H
-    * fold is materialized once per pair via withColumn (its own
-    * projection — the multi-reference clip expression must not be
-    * re-inlined), vertices explode from it, coordinates round to 4. */
+    * order — shapely-`intersection`-returns-a-polygon parity. The clip
+    * runs in the native PolygonClipRing kernel (bit-equal to the
+    * PolyClip.clip HOF fold, asserted by spec; the fold is interpreted
+    * CodegenFallback and cost 7.1 s here at sf0.1), materialized once
+    * per pair via withColumn, vertices explode from it, coordinates
+    * round to 4. */
   def qClipRings(spark: SparkSession, dir: String): DataFrame = {
     val a = GeoData.rectCustomer(spark, dir)
     val b = GeoData.polyNation(spark, dir)
@@ -128,7 +130,7 @@ object PolyQueries {
     val subject = octagon(col("ax0"), col("ay0"), col("ax1"), col("ay1"))
     val clip = rectRing(col("bx0"), col("by0"), col("bx1"), col("by1"))
     Rects.intersectPairs(a, b, cellSize = 20.0)
-      .withColumn("ring", PolyClip.clip(subject, clip))
+      .withColumn("ring", graft.geom.PolygonClipRing(subject, clip))
       .filter(size(col("ring")) >= 3)
       .select(col("ida"), col("idb"),
         posexplode(col("ring")).as(Seq("vi", "v")))

@@ -151,6 +151,31 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(scored.filter(col("native") > 0.0).count() > 0)
   }
 
+  test("native PolygonClipRing matches the lambda clip fold bit-for-bit") {
+    import graft.geom.{PolyClip, PolygonClipRing}
+    val a = graft.GeoData.rectCustomer(spark, SfDir)
+    val b = graft.GeoData.polyNation(spark, SfDir)
+      .select(col("pid").as("rid"), col("x0"), col("y0"), col("x1"), col("y1"))
+    val pairs = graft.operators.Rects.intersectPairs(a, b, cellSize = 20.0)
+    val c = (col("ax1") - col("ax0")) / 4.0
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.as("x"), y.as("y"))
+    val subject = array(
+      pt(col("ax0") + c, col("ay0")), pt(col("ax1") - c, col("ay0")),
+      pt(col("ax1"), col("ay0") + c), pt(col("ax1"), col("ay1") - c),
+      pt(col("ax1") - c, col("ay1")), pt(col("ax0") + c, col("ay1")),
+      pt(col("ax0"), col("ay1") - c), pt(col("ax0"), col("ay0") + c))
+    val clipRing = array(
+      pt(col("bx0"), col("by0")), pt(col("bx1"), col("by0")),
+      pt(col("bx1"), col("by1")), pt(col("bx0"), col("by1")))
+    // identical vertex SEQUENCES (order + exact doubles), not just areas
+    val scored = pairs.select(
+      PolygonClipRing(subject, clipRing).as("native"),
+      PolyClip.clip(subject, clipRing).as("lambda"))
+    assert(scored.filter(col("native") =!= col("lambda")).count() === 0)
+    assert(scored.filter(size(col("native")) >= 3).count() > 0)
+  }
+
   test("native clip handles CONCAVE subjects (buffer growth) = lambda fold") {
     import graft.geom.{PolyClip, PolygonClipArea}
     def ring(pts: (Double, Double)*) = array(pts.map { case (x, y) =>
