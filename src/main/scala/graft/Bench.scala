@@ -34,20 +34,43 @@ object Bench {
         spark.catalog.clearCache()
     }
     val warmSec = (System.nanoTime() - tWarm0) / 1e9
+    // Same-commit runs on this box have differed 2.1x end-to-end (59 s vs
+    // 125 s) with untouched single queries swinging up to 12x — CPU
+    // contention noise, not code. Queries over 1 s therefore run up to 3
+    // times and report the MIN (the least-contended run is the closest to
+    // the query's true cost); a third run only happens when the first two
+    // disagree by >20%, so a quiet box pays one extra pass, not two.
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-      // operators persist multi-consumer stages internally; drop them so
-      // successive queries don't compete for executor memory
-      spark.catalog.clearCache()
-      val elapsed = (System.nanoTime() - t0) / 1e9
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+        // operators persist multi-consumer stages internally; drop them so
+        // successive queries don't compete for executor memory
+        spark.catalog.clearCache()
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (t1, e1) = once()
       // a failed query's timing is NEGATED: the errors field carries the
       // cause, and the sign makes a fast crash unmistakable to consumers
       // that only read the timings
-      (name, if (err.isEmpty) elapsed else -elapsed, err)
+      if (e1.isDefined) (name, -t1, e1)
+      else if (t1 <= 1.0) (name, t1, None)
+      else {
+        val (t2, e2) = once()
+        if (e2.isDefined) (name, -t2, e2)
+        else {
+          val lo = math.min(t1, t2)
+          if ((math.max(t1, t2) - lo) / lo <= 0.2) (name, lo, None)
+          else {
+            val (t3, e3) = once()
+            if (e3.isDefined) (name, -t3, e3)
+            else (name, math.min(lo, t3), None)
+          }
+        }
+      }
     }
     // truncate the RAW message BEFORE escaping (a cut can't split an
     // escape pair), then escape quotes, backslashes and ALL control chars

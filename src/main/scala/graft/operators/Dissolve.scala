@@ -76,6 +76,26 @@ object Dissolve {
         col("e.ex1").as("ex1"), col("e.ey1").as("ey1"))
   }
 
+  /** The dissolved union's MERGED RING GEOMETRY: the cancelled boundary
+    * edge set ordered into closed ring vertex sequences (rightmost-turn
+    * walk, see [[graft.geom.RingAssembly]]) — the (Multi)Polygon return
+    * value of the reference's dissolve (core.py:257-282, shapely
+    * `unary_union`), one row per ring vertex in walk order.
+    *
+    * Plan shape: the edge-cancellation groupBy (distributed, billions of
+    * parts fine), then ONE row per dissolve group through collect_list —
+    * per-group boundary complexity is the reference's own per-group
+    * unary_union contract — then the row-local walk kernel and a
+    * posexplode back to distributed vertex rows. */
+  def dissolveRings(polys: DataFrame, keyCol: String): DataFrame =
+    boundaryEdges(polys, keyCol)
+      .groupBy(col(keyCol))
+      .agg(collect_list(struct(
+        col("ex0"), col("ey0"), col("ex1"), col("ey1"))).as("es"))
+      .select(col(keyCol), explode(graft.geom.DissolveRings(col("es"))).as("v"))
+      .select(col(keyCol), col("v.ring").as("ring"), col("v.vi").as("vi"),
+        col("v.x").as("x"), col("v.y").as("y"))
+
   /** Overlap-safe dissolve: EXACT union area of overlapping axis-aligned
     * parts (gid, x0, y0, x1, y1) per group — the unary_union semantics
     * the edge-cancellation dissolve can't give when parts partially

@@ -66,6 +66,12 @@ object GeoQueries {
   def qDissolveBorders(spark: SparkSession, dir: String): DataFrame =
     Dissolve.boundaryEdges(GeoData.polyNation(spark, dir), "rkey")
 
+  /** The dissolved regions' MERGED RING geometry: boundary edges ordered
+    * into closed rings by the deterministic rightmost-turn walk — the
+    * reference dissolve's returned (Multi)Polygon (core.py:257-282). */
+  def qDissolveRings(spark: SparkSession, dir: String): DataFrame =
+    Dissolve.dissolveRings(GeoData.polyNation(spark, dir), "rkey")
+
   /** Region multipolygons (parts collected per region), then exploded back —
     * the multi_to_single path. */
   def qMultiToSingle(spark: SparkSession, dir: String): DataFrame = {
@@ -212,6 +218,8 @@ object GeoQueries {
          |SELECT st.rkey, st.n_parts, st.area, bnd.perimeter
          |FROM st JOIN bnd USING (rkey)""".stripMargin,
 
+    "q_dissolve_rings" -> dissolveRingsOracle,
+
     "q_multi_to_single" ->
       s"""WITH poly AS (${GeoData.polyNationSql})
          |SELECT rkey,
@@ -224,6 +232,89 @@ object GeoQueries {
          |SELECT rkey, pid, x0, y0, x1, y1
          |FROM poly
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY rkey ORDER BY pid) = 1""".stripMargin)
+
+  /** DuckDB twin of the rightmost-turn boundary-ring walk
+    * (graft.geom.RingAssembly): one recursive-CTE step consumes one edge
+    * and emits one vertex. State per group = sorted edge list `es`, used
+    * edge indexes, current vertex (cx,cy), incoming direction (dx,dy),
+    * ring start (sx,sy). `pick` = at a ring start the min unused index
+    * (es is sorted, so that's the lexicographically least unused edge);
+    * mid-ring the unused incident edge minimizing turn-score*1000+index
+    * with score right(0) < straight(1) < left(2) — exactly the kernel's
+    * priority and tie-break. */
+  private lazy val dissolveRingsOracle: String = {
+    // direction of edge i leaving (cx,cy): +-1/0 per axis, like the
+    // kernel's sgn()
+    def od(axis: String): String =
+      s"""(CASE WHEN es[i].ex0 = cx AND es[i].ey0 = cy
+         |      THEN CAST(SIGN(es[i].e${axis}1 - es[i].e${axis}0) AS INT)
+         |      ELSE CAST(SIGN(es[i].e${axis}0 - es[i].e${axis}1) AS INT) END)"""
+        .stripMargin
+    s"""WITH RECURSIVE poly AS (${GeoData.polyNationSql}),
+       |edges0 AS (
+       |  SELECT rkey, UNNEST([
+       |    {'ex0': x0, 'ey0': y0, 'ex1': x1, 'ey1': y0},
+       |    {'ex0': x0, 'ey0': y1, 'ex1': x1, 'ey1': y1},
+       |    {'ex0': x0, 'ey0': y0, 'ex1': x0, 'ey1': y1},
+       |    {'ex0': x1, 'ey0': y0, 'ex1': x1, 'ey1': y1}]) AS e
+       |  FROM poly),
+       |uniq AS (SELECT rkey, e FROM edges0 GROUP BY rkey, e HAVING COUNT(*) = 1),
+       |el AS MATERIALIZED (
+       |  SELECT rkey, list(e ORDER BY e.ex0, e.ey0, e.ex1, e.ey1) AS es
+       |  FROM uniq GROUP BY rkey),
+       |walk AS (
+       |  SELECT rkey, es,
+       |    CAST([] AS BIGINT[]) AS used,
+       |    -1 AS ring, 0 AS vi,
+       |    CAST(NULL AS DOUBLE) AS cx, CAST(NULL AS DOUBLE) AS cy,
+       |    0 AS dx, 0 AS dy,
+       |    CAST(NULL AS DOUBLE) AS sx, CAST(NULL AS DOUBLE) AS sy,
+       |    CAST(NULL AS DOUBLE) AS vx, CAST(NULL AS DOUBLE) AS vy
+       |  FROM el
+       |  UNION ALL
+       |  SELECT rkey, es,
+       |    list_append(used, pick) AS used,
+       |    CASE WHEN starting THEN ring + 1 ELSE ring END AS ring,
+       |    CASE WHEN starting THEN 0 ELSE vi + 1 END AS vi,
+       |    CASE WHEN starting THEN es[pick].ex1
+       |         WHEN es[pick].ex0 = cx AND es[pick].ey0 = cy THEN es[pick].ex1
+       |         ELSE es[pick].ex0 END AS cx,
+       |    CASE WHEN starting THEN es[pick].ey1
+       |         WHEN es[pick].ex0 = cx AND es[pick].ey0 = cy THEN es[pick].ey1
+       |         ELSE es[pick].ey0 END AS cy,
+       |    CASE WHEN starting OR (es[pick].ex0 = cx AND es[pick].ey0 = cy)
+       |         THEN CAST(SIGN(es[pick].ex1 - es[pick].ex0) AS INT)
+       |         ELSE CAST(SIGN(es[pick].ex0 - es[pick].ex1) AS INT) END AS dx,
+       |    CASE WHEN starting OR (es[pick].ex0 = cx AND es[pick].ey0 = cy)
+       |         THEN CAST(SIGN(es[pick].ey1 - es[pick].ey0) AS INT)
+       |         ELSE CAST(SIGN(es[pick].ey0 - es[pick].ey1) AS INT) END AS dy,
+       |    CASE WHEN starting THEN es[pick].ex0 ELSE sx END AS sx,
+       |    CASE WHEN starting THEN es[pick].ey0 ELSE sy END AS sy,
+       |    CASE WHEN starting THEN es[pick].ex0 ELSE cx END AS vx,
+       |    CASE WHEN starting THEN es[pick].ey0 ELSE cy END AS vy
+       |  FROM (
+       |    SELECT *,
+       |      (cx IS NULL OR (cx = sx AND cy = sy)) AS starting,
+       |      CASE WHEN cx IS NULL OR (cx = sx AND cy = sy)
+       |        THEN list_min(list_filter(range(1, len(es) + 1),
+       |               i -> NOT list_contains(used, i)))
+       |        ELSE list_min(list_transform(
+       |               list_filter(range(1, len(es) + 1),
+       |                 i -> NOT list_contains(used, i)
+       |                      AND ((es[i].ex0 = cx AND es[i].ey0 = cy)
+       |                        OR (es[i].ex1 = cx AND es[i].ey1 = cy))),
+       |               i -> (CASE
+       |                 WHEN ${od("x")} = dy AND ${od("y")} = -dx THEN 0
+       |                 WHEN ${od("x")} = dx AND ${od("y")} = dy THEN 1
+       |                 WHEN ${od("x")} = -dy AND ${od("y")} = dx THEN 2
+       |                 ELSE 3 END) * 1000 + i)) % 1000
+       |      END AS pick
+       |    FROM walk
+       |    WHERE len(used) < len(es)) s)
+       |SELECT rkey, CAST(ring AS INT) AS ring, CAST(vi AS INT) AS vi,
+       |  vx AS x, vy AS y
+       |FROM walk WHERE vx IS NOT NULL""".stripMargin
+  }
 
   /** Adjacency (touch within tol, overlap on the other axis) over nation
     * squares — shared SQL for the borders family. Mirrors Borders.getBorders.
@@ -266,6 +357,7 @@ object GeoQueries {
     "q_shared_border" -> (qSharedBorder _),
     "q_dissolve" -> (qDissolve _),
     "q_dissolve_borders" -> (qDissolveBorders _),
+    "q_dissolve_rings" -> (qDissolveRings _),
     "q_multi_to_single" -> (qMultiToSingle _),
     "q_dumb_multi_to_single" -> (qDumbMultiToSingle _))
 }

@@ -242,6 +242,40 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(r(3L) === ((40.0, 36.0)))
   }
 
+  test("dissolveRings: walk splits corner-touch, keeps concave rings simple") {
+    import spark.implicits._
+    val boxes = Seq(
+      // gid 0: two squares corner-touching at (20,20) -> TWO simple rings
+      (0L, 0.0, 0.0, 20.0, 20.0), (0L, 20.0, 20.0, 40.0, 40.0),
+      // gid 1: disjoint squares -> two rings
+      (1L, 0.0, 0.0, 10.0, 10.0), (1L, 50.0, 50.0, 60.0, 60.0),
+      // gid 2: plus-shape from 5 squares -> ONE 12-vertex concave ring
+      (2L, 20.0, 0.0, 40.0, 20.0), (2L, 0.0, 20.0, 20.0, 40.0),
+      (2L, 20.0, 20.0, 40.0, 40.0), (2L, 40.0, 20.0, 60.0, 40.0),
+      (2L, 20.0, 40.0, 40.0, 60.0))
+      .toDF("pid", "x0", "y0", "x1", "y1").withColumn("gid", col("pid"))
+    val out = graft.operators.Dissolve.dissolveRings(boxes, "gid")
+      .collect()
+      .groupBy(r => (r.getAs[Long]("gid"), r.getAs[Int]("ring")))
+      .view.mapValues(_.sortBy(_.getAs[Int]("vi"))
+        .map(r => (r.getAs[Double]("x"), r.getAs[Double]("y"))).toSeq).toMap
+    // corner-touch: two 4-vertex rings, no shared-vertex figure-eight
+    assert(out((0L, 0)) ===
+      Seq((0.0, 0.0), (0.0, 20.0), (20.0, 20.0), (20.0, 0.0)))
+    assert(out((0L, 1)) ===
+      Seq((20.0, 20.0), (20.0, 40.0), (40.0, 40.0), (40.0, 20.0)))
+    assert(out((1L, 0)).length === 4 && out((1L, 1)).length === 4)
+    // plus: one simple ring, 12 distinct vertices
+    val plus = out((2L, 0))
+    assert(!out.contains((2L, 1)))
+    assert(plus.length === 12 && plus.distinct.length === 12)
+    // every ring closes: last vertex is one axis-step from the first
+    out.values.foreach { vs =>
+      val (x0, y0) = vs.head; val (xn, yn) = vs.last
+      assert((x0 == xn) != (y0 == yn))
+    }
+  }
+
   test("wkt parsers work from a CSV source (read_spatialite analogue)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
     val f = new java.io.File(dir, "geo.csv")
