@@ -100,6 +100,9 @@ case class IvfDistances(child: Expression, cents: Array[Double],
 object IvfDistances {
   /** Column API. centroids = (cluster label, centroid vector) pairs. */
   def apply(e: Column, centroids: Seq[(Long, Array[Double])]): Column = {
+    require(centroids.nonEmpty,
+      "IvfDistances: empty centroid seq (corpus smaller than nlist, or a " +
+        "Lloyd round emptied every cluster)")
     val dim = centroids.head._2.length
     ColumnBridge.column(IvfDistances(ColumnBridge.expression(e),
       centroids.flatMap(_._2).toArray, centroids.map(_._1).toArray, dim))

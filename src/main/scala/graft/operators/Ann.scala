@@ -33,19 +33,24 @@ object Ann {
     (0 until dim).map(i => a.getItem(i) * b.getItem(i))
       .foldLeft(lit(0.0))(_ + _)
 
-  /** Flat codegen'd squared distance, rounded to 6 like every IVF/k-means
-    * assignment key (absorbs unordered-average ulps in the centroids). */
-  private def d2(a: Column, b: Column, dim: Int): Column =
-    round((0 until dim).map { i =>
-      (a.getItem(i) - b.getItem(i)) * (a.getItem(i) - b.getItem(i))
-    }.foldLeft(lit(0.0))(_ + _), 6)
-
   /** Cast a float embedding to double and attach its L2 norm. Flat scalar
     * projection (one getItem per element) so the stage stays inside
-    * whole-stage codegen; values match the transform/aggregate form. */
+    * whole-stage codegen; values match the transform/aggregate form.
+    *
+    * The fixed-dim getItem projection would silently null out (short
+    * array) or truncate (long array) a mismatched embedding — so the dim
+    * contract is enforced here, once, for every ANN entry point: a row
+    * whose embedding size differs from `dim` fails the query loudly. */
   private def withNorm(df: DataFrame, idCol: String, dim: Int): DataFrame = {
+    // one guarded projection, then the flat getItems read the checked
+    // column (not 2*dim inlined copies of the CASE)
+    val guarded = df.select(col(idCol),
+      when(size(col("embedding")) === dim, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit(s"embedding size != $dim for $idCol="),
+          col(idCol).cast("string")))).as("embedding"))
     val ei = (0 until dim).map(i => col("embedding").getItem(i).cast("double"))
-    df.select(col(idCol).cast("long").as(idCol),
+    guarded.select(col(idCol).cast("long").as(idCol),
       array(ei: _*).as("e"),
       sqrt(ei.map(x => x * x).foldLeft(lit(0.0))(_ + _)).as("nrm"))
   }
@@ -164,6 +169,10 @@ object Ann {
     val indexed = c.withColumn("cluster", assignExpr(cents))
       .select(col("vec_id").as("nid"), col("e").as("ne"),
         col("nrm").as("nn"), col("cluster"))
+    // the cache amortized the Lloyd rounds' collect()s, which are done;
+    // release it so long-lived sessions don't accumulate cached stages
+    // (the returned plan re-derives the map-only norm projection once)
+    c.unpersist(blocking = false)
     // probe selection: per query, the nprobe smallest (d2, cluster) keys —
     // the head of the same sorted kernel table (queries are tiny)
     val q = withNorm(queries, "vec_id", dim)

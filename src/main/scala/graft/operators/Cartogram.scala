@@ -88,6 +88,22 @@ object Cartogram {
       round(col("ring")(0)("y"), 4).as("v0y"))
   }
 
+  /** n Dougenik iterations, returning the DISPLACED RING GEOMETRY itself —
+    * one row per ring vertex in ring order (reference transform_cartogram
+    * returns the transformed GeoDataFrame, core.py:199-231; `dougenik`
+    * above is the summary twin). Coordinates round to 4 with the -0.0
+    * collapse (`+ 0.0`) so the unordered-FP last-ulp differences and IEEE
+    * negative zero both disappear before the oracle hash. */
+  def dougenikRings(polys: DataFrame, iterations: Int): DataFrame = {
+    val end = (1 to iterations).foldLeft(polys)((df, _) =>
+      dougenikIter(df).localCheckpoint())
+    end.select(col("pid"), col("value"),
+      posexplode(col("ring")).as(Seq("seq", "v")))
+      .select(col("pid"), col("value"), col("seq").cast("int").as("seq"),
+        (round(col("v.x"), 4) + 0.0).as("x"),
+        (round(col("v.y"), 4) + 0.0).as("y"))
+  }
+
   /** Non-contiguous cartogram: each polygon scales about its own centroid
     * by sqrt(density ratio) relative to the densest (anchor) region —
     * closed-form, one tiny global max broadcast. Axis-aligned rects in,

@@ -24,6 +24,11 @@ object CartogramQueries {
   def qCartogram(spark: SparkSession, dir: String): DataFrame =
     Cartogram.dougenik(polys(spark, dir), iterations = 2)
 
+  /** The displaced rings themselves after 2 Dougenik iterations —
+    * transform_cartogram's returned geometry (core.py:199-231). */
+  def qCartogramRings(spark: SparkSession, dir: String): DataFrame =
+    Cartogram.dougenikRings(polys(spark, dir), iterations = 2)
+
   def qNcCartogram(spark: SparkSession, dir: String): DataFrame =
     Cartogram.nonContiguous(
       GeoData.polyNation(spark, dir)
@@ -32,6 +37,7 @@ object CartogramQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cartogram" -> (qCartogram _),
+    "q_cartogram_rings" -> (qCartogramRings _),
     "q_nc_cartogram" -> (qNcCartogram _))
 
   /** DuckDB twin of two Dougenik iterations. Vertices, stats, forces and
@@ -39,7 +45,9 @@ object CartogramQueries {
     * expression; the unordered-FP sums differ from Spark's fold order
     * only at last-ulp, absorbed by the round-4 outputs (the force branch
     * is continuous at d = radius, so branch flips are harmless). */
-  private val dougenikOracle: String = {
+  /** Shared WITH-prefix ending at CTE `v2` (the displaced vertices after
+    * two iterations) — used by the summary AND the ring-vertex oracles. */
+  private lazy val dougenikCtes: String = {
     def iteration(vin: String, vout: String, n: Int): String =
       s"""st$n AS (
          |  SELECT a.pid,
@@ -113,7 +121,11 @@ object CartogramQueries {
        |               WHEN 3 THEN y1 ELSE y0 END AS y
        |  FROM poly, (SELECT unnest(generate_series(0, 4)) AS seq) u),
        |${iteration("v0", "v1", 1)},
-       |${iteration("v1", "v2", 2)},
+       |${iteration("v1", "v2", 2)}""".stripMargin
+  }
+
+  private lazy val dougenikOracle: String =
+    s"""$dougenikCtes,
        |fin AS (
        |  SELECT a.pid,
        |    ABS(SUM(a.x * b.y - b.x * a.y)) / 2.0 AS area
@@ -124,10 +136,18 @@ object CartogramQueries {
        |  ROUND(v2.x, 4) AS v0x, ROUND(v2.y, 4) AS v0y
        |FROM v2 JOIN fin ON fin.pid = v2.pid
        |WHERE v2.seq = 0""".stripMargin
-  }
+
+  /** DuckDB twin of the displaced-ring emission: all of v2's vertices in
+    * ring order, round-4 with the -0.0 collapse. */
+  private lazy val dougenikRingsOracle: String =
+    s"""$dougenikCtes
+       |SELECT pid, CAST(value AS BIGINT) AS value, CAST(seq AS INT) AS seq,
+       |  ROUND(x, 4) + 0.0 AS x, ROUND(y, 4) + 0.0 AS y
+       |FROM v2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_cartogram" -> dougenikOracle,
+    "q_cartogram_rings" -> dougenikRingsOracle,
     "q_nc_cartogram" ->
       s"""WITH poly AS (${GeoData.polyNationSql}),
          |r AS (SELECT pid, (pid % 7 + 1) * 50 AS value, x0, y0, x1, y1,
