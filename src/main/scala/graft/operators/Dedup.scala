@@ -29,26 +29,16 @@ object Dedup {
   /** Rolling polynomial hash of every k-shingle, one row per occurrence
     * (doc_id, s: long). Hash values are identical to folding
     * `(acc*mult + ascii(c)) % mod` over the shingle's characters — the
-    * engine-portable form the DuckDB oracles replay — but computed from a
-    * per-document char-code array built ONCE (one split per doc), with an
-    * O(k) long-array slice fold per position. The naive form (substr +
-    * split + ascii per position) allocates k strings per shingle; this
-    * allocates none, which is the difference between the shingle scan
-    * being CPU-bound and being free at corpus scale. */
+    * engine-portable form the DuckDB oracles replay — computed by the
+    * native O(len) rolling-hash kernel (functions.ShingleHash): one tight
+    * codegen'd loop per document, no per-char string rows, no interpreted
+    * lambda folds. (History: the HOF form — split + per-position
+    * aggregate-slice fold — measured 2.2 s of q_dedup_ngram_jaccard's
+    * 5.7 s at sf0.1; the kernel makes the scan I/O-bound.) Docs shorter
+    * than k chars hash to NULL -> explode emits nothing. */
   def shingleHashes(docs: DataFrame, k: Int, mult: Long, mod: Long): DataFrame =
-    docs
-      .select(col("doc_id"), lower(col("text")).as("t"))
-      .select(col("doc_id"),
-        transform(filter(split(col("t"), ""), c => length(c) > lit(0)),
-          c => ascii(c).cast("long")).as("codes"))
-      .select(col("doc_id"),
-        // docs shorter than k chars produce NULL -> explode emits nothing,
-        // matching the length(s)=k filter of the naive form
-        explode(when(size(col("codes")) >= k,
-          transform(
-            sequence(lit(1), size(col("codes")) - (k - 1)),
-            i => aggregate(slice(col("codes"), i, lit(k)), lit(0L),
-              (acc, c) => (acc * lit(mult) + c) % lit(mod))))).as("s"))
+    docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHash(col("text"), k, mult, mod)).as("s"))
 
   /** N-gram Jaccard near-dup pairs over rare shingles.
     *

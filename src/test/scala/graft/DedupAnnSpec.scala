@@ -38,6 +38,29 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(sh.filter(col("doc_id") === 2L).count() === 4)
   }
 
+  test("native ShingleHash equals the HOF slice-fold form bit-for-bit") {
+    val docs = Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val (k, mult, mod) = (16, 131L, 1000000007L)
+    val native = Dedup.shingleHashes(docs, k, mult, mod)
+    // the pre-kernel HOF pipeline, verbatim: per-char split + ascii,
+    // then an O(k) aggregate-slice fold per position
+    val hof = docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        transform(filter(split(col("t"), ""), c => length(c) > lit(0)),
+          c => ascii(c).cast("long")).as("codes"))
+      .select(col("doc_id"),
+        explode(when(size(col("codes")) >= k,
+          transform(
+            sequence(lit(1), size(col("codes")) - (k - 1)),
+            i => aggregate(slice(col("codes"), i, lit(k)), lit(0L),
+              (acc, c) => (acc * lit(mult) + c) % lit(mod))))).as("s"))
+    assert(native.count() > 0)
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+  }
+
   test("minhashPairs: identical docs have estimate 1.0") {
     val d = docsOf(
       1L -> ("spark catalyst tungsten codegen shuffle partition " * 3),
