@@ -14,18 +14,20 @@ import graft.functions.TextFunctions._
   * do, with exact integer arithmetic so every step has a full DuckDB
   * oracle.
   *
-  * Scale notes: both queries shuffle once on `lang` (the mixture key —
-  * low cardinality, high volume per key). At 100 TB the same plans hold
-  * with a composite (lang, shard) partition key: quota sampling ranks
-  * within shards then re-ranks the per-shard survivors (a tiny second
-  * pass), and packing bins are per-shard by construction (bins never
-  * straddle partitions, so parallelizing the key does not change any
-  * bin's contents).
+  * Scale notes: the single-level queries shuffle once on `lang` (the
+  * mixture key — low cardinality, high volume per key), which serializes
+  * a dominant language through one task at corpus scale.
+  * qPackSequencesSharded is the 100 TB form: the heavy window runs per
+  * (lang, shard) and only ≤ Shards open-bin remainders per lang flow
+  * through the per-lang merge window. The same composite-key treatment
+  * applies to quota sampling when needed (rank within shards, re-rank
+  * the ≤ Shards*Quota survivors).
   */
 object CurationQueries {
 
   private val Budget = 512L // tokens per packed sequence
   private val Quota = 50 // docs kept per language
+  private val Shards = 8 // per-lang parallelism of two-level packing
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -50,6 +52,53 @@ object CurationQueries {
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"))
       .select(col("lang"), col("bin"), col("n_docs"), col("sum_tokens"),
+        round(col("sum_tokens").cast("double") / lit(Budget.toDouble), 4)
+          .as("fill_ratio"))
+  }
+
+  /** TWO-LEVEL sequence packing — the 100 TB form of qPackSequences. The
+    * single-level query's window partitions by `lang` alone, which at
+    * corpus scale serializes a dominant language through ONE task. Here
+    * the heavy running-sum window partitions by (lang, shard = doc_id %
+    * Shards) — per-lang parallelism = Shards — and only each shard's OPEN
+    * bin (its last, the one next-fit leaves underfull) flows into a
+    * second next-fit pass per lang over ≤ Shards rows. Closed shard-local
+    * bins are final; merged remainder bins are emitted with shard = -1.
+    * Bin contents differ from the single-level packing (sharding changes
+    * neighbor order), so the exact-semantics twin stays available as
+    * qPackSequences; both are fully oracle-checked. */
+  def qPackSequencesSharded(spark: SparkSession, dir: String): DataFrame = {
+    val toks = ceil(length(col("text")).cast("double") / lit(4.0))
+      .cast("long")
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("tokens"))
+      .withColumn("shard", (col("doc_id") % Shards).cast("int"))
+    val w1 = Window.partitionBy("lang", "shard")
+      .orderBy(col("tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base
+      .withColumn("cum", sum("tokens").over(w1))
+      .withColumn("bin", expr(s"(cum - tokens) DIV $Budget"))
+      .groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"))
+    val marked = local.withColumn("mx",
+      max("bin").over(Window.partitionBy("lang", "shard")))
+    val closed = marked.filter(col("bin") =!= col("mx"))
+      .select("lang", "shard", "bin", "n_docs", "sum_tokens")
+    val w2 = Window.partitionBy("lang")
+      .orderBy(col("sum_tokens").desc, col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = marked.filter(col("bin") === col("mx"))
+      .select("lang", "shard", "n_docs", "sum_tokens")
+      .withColumn("cum", sum("sum_tokens").over(w2))
+      .withColumn("mbin", expr(s"(cum - sum_tokens) DIV $Budget"))
+      .groupBy("lang", "mbin")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_tokens").as("sum_tokens"))
+      .select(col("lang"), lit(-1).cast("int").as("shard"),
+        col("mbin").as("bin"), col("n_docs"), col("sum_tokens"))
+    closed.union(merged)
+      .select(col("lang"), col("shard"), col("bin"), col("n_docs"),
+        col("sum_tokens"),
         round(col("sum_tokens").cast("double") / lit(Budget.toDouble), 4)
           .as("fill_ratio"))
   }
@@ -89,6 +138,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (qPackSequences _),
+    "q_pack_sequences_sharded" -> (qPackSequencesSharded _),
     "q_sample_quota" -> (qSampleQuota _),
     "q_mix_report" -> (qMixReport _))
 
@@ -127,6 +177,44 @@ object CurationQueries {
          |SELECT lang, bin, n_docs, sum_tokens,
          |  ROUND(CAST(sum_tokens AS DOUBLE) / ${Budget}.0, 4) AS fill_ratio
          |FROM g""".stripMargin,
+
+    "q_pack_sequences_sharded" ->
+      s"""WITH d AS ($docsSql),
+         |t AS (SELECT doc_id, lang,
+         |        CAST(doc_id % $Shards AS INT) AS shard,
+         |        CAST(CEIL(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT)
+         |          AS tokens
+         |      FROM d),
+         |c AS (SELECT doc_id, lang, shard, tokens,
+         |        CAST(SUM(tokens) OVER (PARTITION BY lang, shard
+         |          ORDER BY tokens DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS cum
+         |      FROM t),
+         |g AS (SELECT lang, shard, (cum - tokens) // $Budget AS bin,
+         |        COUNT(*) AS n_docs,
+         |        CAST(SUM(tokens) AS BIGINT) AS sum_tokens
+         |      FROM c GROUP BY 1, 2, 3),
+         |m AS (SELECT *, MAX(bin) OVER (PARTITION BY lang, shard) AS mx
+         |      FROM g),
+         |rc AS (SELECT lang, shard, n_docs, sum_tokens,
+         |         CAST(SUM(sum_tokens) OVER (PARTITION BY lang
+         |           ORDER BY sum_tokens DESC, shard
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum
+         |       FROM m WHERE bin = mx),
+         |mg AS (SELECT lang, (cum - sum_tokens) // $Budget AS bin,
+         |         CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |         CAST(SUM(sum_tokens) AS BIGINT) AS sum_tokens
+         |       FROM rc GROUP BY 1, 2),
+         |u AS (SELECT lang, shard, bin, n_docs, sum_tokens
+         |      FROM m WHERE bin <> mx
+         |      UNION ALL
+         |      SELECT lang, CAST(-1 AS INT), bin, n_docs, sum_tokens
+         |      FROM mg)
+         |SELECT lang, shard, bin, n_docs, sum_tokens,
+         |  ROUND(CAST(sum_tokens AS DOUBLE) / ${Budget}.0, 4) AS fill_ratio
+         |FROM u""".stripMargin,
 
     "q_sample_quota" ->
       s"""WITH d AS ($docsSql),

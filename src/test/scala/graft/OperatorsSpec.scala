@@ -358,6 +358,26 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert("Exchange hashpartitioning".r.findAllIn(pplan).size === 1)
   }
 
+  test("two-level packing plan: heavy window partitions by (lang, shard); " +
+    "results conserve tokens") {
+    val q = graft.queries.CurationQueries.qPackSequencesSharded(spark, SfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the document-volume window runs at per-lang parallelism = Shards:
+    // its sort/window keys are (lang, shard), not lang alone
+    assert(plan.contains("windowspecdefinition(lang"))
+    assert("hashpartitioning\\(lang[^,]*, shard".r.findAllIn(plan).nonEmpty)
+    val rows = q.collect()
+    // every language's docs are packed at shard parallelism: closed bins
+    // carry a real shard id, merged remainders shard = -1
+    val shards = rows.map(_.getAs[Int]("shard")).distinct
+    assert(shards.count(_ >= 0) > 1)
+    // token conservation vs the single-level twin (same corpus mass)
+    val single = graft.queries.CurationQueries.qPackSequences(spark, SfDir)
+      .agg(sum("sum_tokens")).head().getLong(0)
+    val sharded = q.agg(sum("sum_tokens")).head().getLong(0)
+    assert(single === sharded)
+  }
+
   test("GeoSink: partitioned layer prunes partitions on cell filter") {
     import graft.sources.GeoSink
     val out = "/tmp/graft_sink_test"
