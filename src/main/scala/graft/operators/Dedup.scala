@@ -138,10 +138,13 @@ object Dedup {
   }
 
   /** Band hashes of a signature array (bands x rowsPerBand fold). */
-  private def bandHashExprs(numHashes: Int, bands: Int) = {
+  private def bandHashExprs(numHashes: Int, bands: Int): Column =
+    bandHashesOf(col("sig"), numHashes, bands)
+
+  private def bandHashesOf(sig: Column, numHashes: Int, bands: Int): Column = {
     val rows = numHashes / bands
     array((0 until bands).map { bi =>
-      aggregate(slice(col("sig"), bi * rows + 1, rows), lit(0L),
+      aggregate(slice(sig, bi * rows + 1, rows), lit(0L),
         (acc, m) => (acc * lit(33L) + m) % lit(P))
     }: _*)
   }
@@ -174,10 +177,20 @@ object Dedup {
       col("doc_id").as("ida"), col("sig").as("siga"))
     val b = banded.select(col("band"), col("bh"),
       col("doc_id").as("idb"), col("sig").as("sigb"))
+    // MIN-BAND pair dedup (the reference-point trick from Rects): a pair
+    // matching in several bands would emerge once per band; instead of a
+    // dropDuplicates shuffle over rows still carrying both 64-long sigs,
+    // each joined row recomputes both docs' band-hash arrays ROW-LOCALLY
+    // and survives only in the FIRST band where they agree — the exact
+    // join multiplicity, so the candidate set is unchanged (spec-
+    // asserted) and the plan's only exchange is the band-bucket join.
+    val firstMatchingBand = org.apache.spark.sql.functions.array_position(
+      zip_with(bandHashesOf(col("siga"), numHashes, bands),
+        bandHashesOf(col("sigb"), numHashes, bands),
+        (x, y) => x === y), true) - 1
     a.join(b, Seq("band", "bh"))
       .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("siga"), col("sigb"))
-      .dropDuplicates("ida", "idb")
+      .filter(col("band") === firstMatchingBand)
       .withColumn("est",
         round(aggregate(
           zip_with(col("siga"), col("sigb"),
@@ -303,10 +316,19 @@ object Dedup {
       col("doc_id").as("ida"), col("sig").as("siga"))
     val b = banded.select(col("band"), col("bv"),
       col("doc_id").as("idb"), col("sig").as("sigb"))
+    // min-band pair dedup, as in minhashPairs: the 4 band values of each
+    // 60-bit sig are recomputed row-locally, and the pair survives only
+    // in the first band where they agree — no dropDuplicates shuffle.
+    def bandOf(sig: Column, j: Int): Column =
+      shiftright(sig, j * 15).bitwiseAND(lit(0x7FFFL))
+    val firstMatchingBand = (0 until 4).reverse
+      .foldLeft(lit(-1): Column) { (els, j) =>
+        when(bandOf(col("siga"), j) === bandOf(col("sigb"), j), j)
+          .otherwise(els)
+      }
     a.join(b, Seq("band", "bv"))
       .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("siga"), col("sigb"))
-      .dropDuplicates("ida", "idb")
+      .filter(col("band") === firstMatchingBand)
       .withColumn("hamming",
         bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

@@ -90,6 +90,22 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("pair pipelines: min-band filter, no dropDuplicates shuffle") {
+    val d = Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    for (plan <- Seq(
+        Dedup.minhashPairs(d, 5, 64, 16, 0.2)
+          .queryExecution.executedPlan.toString,
+        Dedup.simhashPairs(d, 6)
+          .queryExecution.executedPlan.toString)) {
+      // a (ida, idb)-keyed aggregate would be the old wide-row dedup
+      // exchange; the min-band filter keeps pair dedup row-local
+      assert(!plan.contains("HashAggregate(keys=[ida"))
+      assert(!plan.contains("SortAggregate(keys=[ida"))
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
   test("cosineTopK: nearest neighbor is the most aligned vector") {
     import spark.implicits._
     val vecs = Seq(
