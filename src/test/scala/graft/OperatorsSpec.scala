@@ -378,6 +378,42 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(single === sharded)
   }
 
+  test("shortestPaths: hand-computed graph, improvement beats first-found") {
+    import spark.implicits._
+    // (0,0) -1-> (0,1) -1-> (1,1) -2-> (1,0); direct (0,0) -5-> (1,0).
+    // Hop 1 reaches (1,0) at cost 5; round 3 must improve it to 4 —
+    // distinguishes Bellman-Ford relaxation from plain hop-order BFS.
+    val edges = Seq(
+      (0L, 0L, 0L, 1L, 1L), (0L, 1L, 1L, 1L, 1L),
+      (1L, 1L, 1L, 0L, 2L), (0L, 0L, 1L, 0L, 5L),
+      (7L, 7L, 8L, 8L, 1L) // disconnected component, never reached
+    ).toDF("cx", "cy", "dcx", "dcy", "w")
+    val source = Seq((0L, 0L)).toDF("cx", "cy")
+    val got = Contour.shortestPaths(edges, source).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map((0L, 0L) -> 0L, (0L, 1L) -> 1L,
+      (1L, 1L) -> 2L, (1L, 0L) -> 4L))
+  }
+
+  test("isochrone BFS covers the full grid with center distance 0") {
+    val out = graft.queries.ContourQueries.qIsochroneBfs(spark, SfDir)
+      .collect()
+    val byCell = out.map(r => ((r.getAs[Long]("cx"), r.getAs[Long]("cy")),
+      r.getAs[Long]("tt_min"))).toMap
+    val cols = byCell.keys.map(_._1).max + 1
+    val rows = byCell.keys.map(_._2).max + 1
+    assert(byCell.size === cols * rows) // connected grid: all reachable
+    assert(byCell((cols / 2, rows / 2)) === 0L)
+    // triangle sanity: every neighbor differs by at most the edge weight
+    out.foreach { r =>
+      val (cx, cy, d) = (r.getAs[Long]("cx"), r.getAs[Long]("cy"),
+        r.getAs[Long]("tt_min"))
+      byCell.get((cx + 1, cy)).foreach { dn =>
+        assert(dn <= d + 1 + ((cx + 1) * 31 + cy * 17) % 5)
+      }
+    }
+  }
+
   test("GeoSink: partitioned layer prunes partitions on cell filter") {
     import graft.sources.GeoSink
     val out = "/tmp/graft_sink_test"
