@@ -199,16 +199,15 @@ object Ann {
     (0 until dim).map(i => ((j * dim + i) * 2654435761L % 1000003L)
       / 1000003.0 - 0.5)
 
-  /** Sign-bit bucket of `planes` deterministic random hyperplanes —
-    * flat scalar dots against literal components (same fold order as the
-    * zip_with form, so DuckDB's bucket replay is unchanged). */
+  /** Sign-bit bucket of `planes` deterministic random hyperplanes — a
+    * native kernel expression (graft.functions.HyperplaneBucket) with
+    * the same ascending-element fold order as the flat-scalar/zip_with
+    * forms, so DuckDB's bucket replay is unchanged. The inlined
+    * flat-scalar chain (planes x dim ~ 1k nodes) blew past Janino's
+    * method limits and silently dropped the whole stage out of codegen. */
   private def hyperplaneBucket(e: Column, planes: Int, dim: Int): Column =
-    (0 until planes).map { j =>
-      val hp = hyperplane(j, dim)
-      val d = (0 until dim).map(i => e.getItem(i) * lit(hp(i)))
-        .foldLeft(lit(0.0))(_ + _)
-      when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduceLeft((a, b) => a.bitwiseOR(b))
+    graft.functions.HyperplaneBucket(e,
+      (0 until planes).map(j => hyperplane(j, dim)))
 
   /** LSH variant: `planes` random hyperplanes -> sign-bit bucket; queries
     * and corpus meet only within a bucket. Returns per-query top-k among
