@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared kernel for the native minhash signature — called by BOTH the
@@ -96,4 +97,87 @@ object MinHashSig {
   def apply(text: Column, k: Int, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(text), k,
       numHashes))
+}
+
+/** Shared kernel for the per-candidate-pair LSH verification — called by
+  * BOTH paths of [[MinHashPairEval]]. Replicates, in one compiled pass
+  * over the two signatures:
+  *
+  * - the band hashes `fold (acc * 33 + m) % P` of both sigs and the
+  *   FIRST band index where they agree (-1 if none) — exactly
+  *   `array_position(zip_with(bandHashes(a), bandHashes(b), ==), true)-1`;
+  * - the signature agreement estimate `round(nAgree / numHashes, 4)`
+  *   (Spark round = BigDecimal HALF_UP).
+  *
+  * Why a native expression: these ran as higher-order functions
+  * (2 x bands aggregate-folds + two zip_withs + array_position) which
+  * are CodegenFallback — interpreted allocation-heavy evaluation once
+  * per JOINED ROW, i.e. per band-bucket candidate, the hot row count of
+  * the whole minhash pipeline. */
+object MinHashKernel2 {
+  private val P = 2147483647L
+
+  def pairEval(siga: ArrayData, sigb: ArrayData, numHashes: Int,
+               bands: Int): InternalRow = {
+    val a = siga.toLongArray()
+    val b = sigb.toLongArray()
+    val rows = numHashes / bands
+    var firstBand = -1L
+    var j = 0
+    while (j < bands && firstBand < 0) {
+      val base = j * rows
+      var ha = 0L
+      var hb = 0L
+      var i = 0
+      while (i < rows) {
+        ha = (ha * 33L + a(base + i)) % P
+        hb = (hb * 33L + b(base + i)) % P
+        i += 1
+      }
+      if (ha == hb) firstBand = j
+      j += 1
+    }
+    var agree = 0
+    var i = 0
+    while (i < numHashes) {
+      if (a(i) == b(i)) agree += 1
+      i += 1
+    }
+    val est = java.math.BigDecimal.valueOf(agree.toDouble / numHashes)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    InternalRow(firstBand, est)
+  }
+}
+
+/** Native codegen'd LSH pair verification:
+  * struct<first_band: long, est: double> of two minhash signatures. */
+case class MinHashPairEval(left: Expression, right: Expression,
+                           numHashes: Int, bands: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("first_band", LongType, nullable = false),
+    StructField("est", DoubleType, nullable = false)))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashPairEval =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHashKernel2.pairEval(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.MinHashKernel2.pairEval(
+         |  $a, $b, $numHashes, $bands);""".stripMargin)
+}
+
+object MinHashPairEval {
+  /** Column API: band-match index + agreement estimate of two sigs. */
+  def apply(siga: Column, sigb: Column, numHashes: Int,
+            bands: Int): Column =
+    ColumnBridge.column(MinHashPairEval(ColumnBridge.expression(siga),
+      ColumnBridge.expression(sigb), numHashes, bands))
 }

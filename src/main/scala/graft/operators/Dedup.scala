@@ -167,10 +167,16 @@ object Dedup {
     // to the shuffle pipeline AND the HOF row-local form (spec-asserted).
     // History: the HOF row-local form was 60x SLOWER than the shuffle
     // form (interpreted lambda folds); the native kernel beats both.
+    // Materialize the signature table ONCE: both join sides consume it,
+    // and without the lineage cut the kernel scans the corpus text twice
+    // (once per side). 64 longs/doc is the standard signature-table
+    // footprint an LSH dedup materializes at any scale — far smaller
+    // than the text column it replaces.
     val sigs = docs
       .select(col("doc_id"),
         graft.functions.MinHashSig(col("text"), k, numHashes).as("sig"))
       .filter(col("sig").isNotNull)
+      .localCheckpoint()
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(bandHashExprs(numHashes, bands)).as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"),
@@ -180,22 +186,19 @@ object Dedup {
     // MIN-BAND pair dedup (the reference-point trick from Rects): a pair
     // matching in several bands would emerge once per band; instead of a
     // dropDuplicates shuffle over rows still carrying both 64-long sigs,
-    // each joined row recomputes both docs' band-hash arrays ROW-LOCALLY
-    // and survives only in the FIRST band where they agree — the exact
-    // join multiplicity, so the candidate set is unchanged (spec-
-    // asserted) and the plan's only exchange is the band-bucket join.
-    val firstMatchingBand = org.apache.spark.sql.functions.array_position(
-      zip_with(bandHashesOf(col("siga"), numHashes, bands),
-        bandHashesOf(col("sigb"), numHashes, bands),
-        (x, y) => x === y), true) - 1
+    // each joined row recomputes both docs' band hashes ROW-LOCALLY and
+    // survives only in the FIRST band where they agree — the exact join
+    // multiplicity, so the candidate set is unchanged (spec-asserted)
+    // and the plan's only exchange is the band-bucket join. Band match
+    // + signature agreement run as ONE native kernel call per candidate
+    // (functions.MinHashPairEval) — the HOF fold/zip_with form of the
+    // same math is CodegenFallback, interpreted once per joined row.
     a.join(b, Seq("band", "bh"))
       .filter(col("ida") < col("idb"))
-      .filter(col("band") === firstMatchingBand)
-      .withColumn("est",
-        round(aggregate(
-          zip_with(col("siga"), col("sigb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4))
+      .withColumn("pe", graft.functions.MinHashPairEval(
+        col("siga"), col("sigb"), numHashes, bands))
+      .filter(col("band") === col("pe.first_band"))
+      .withColumn("est", col("pe.est"))
       .filter(col("est") >= minEst)
       .select("ida", "idb", "est")
   }

@@ -90,6 +90,36 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("MinHashPairEval kernel == HOF band-match + agreement, bit-equal") {
+    val sigs = Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .limit(60)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), 5, 64).as("sig"))
+      .filter(col("sig").isNotNull)
+    val pairs = sigs.as("x").crossJoin(sigs.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.sig").as("siga"), col("y.sig").as("sigb"))
+    def bandHashesOf(sig: org.apache.spark.sql.Column) =
+      array((0 until 16).map { bi =>
+        aggregate(slice(sig, bi * 4 + 1, 4), lit(0L),
+          (acc, m) => (acc * lit(33L) + m) % lit(2147483647L))
+      }: _*)
+    val hofFirst = array_position(
+      zip_with(bandHashesOf(col("siga")), bandHashesOf(col("sigb")),
+        (x, y) => x === y), true) - 1
+    val hofEst = round(aggregate(
+      zip_with(col("siga"), col("sigb"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / 64, 4)
+    val diff = pairs
+      .withColumn("pe", graft.functions.MinHashPairEval(
+        col("siga"), col("sigb"), 64, 16))
+      .filter(col("pe.first_band") =!= hofFirst ||
+        col("pe.est") =!= hofEst)
+    assert(diff.count() === 0)
+  }
+
   test("pair pipelines: min-band filter, no dropDuplicates shuffle") {
     val d = Tables.load(spark, SfDir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
