@@ -68,12 +68,28 @@ object Ann {
       .withColumn("cos4",
         round(dot(col("qe"), col("ne"), dim)
           / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos4").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "rank", "cos4")
+    topKByCos(scored, k)
+  }
+
+  /** Per-query top-k on (cos4 DESC, nid ASC) via the bounded-heap
+    * aggregate (functions.TopKAgg): identical selection and rank order
+    * to `row_number() OVER (PARTITION BY qid ORDER BY cos4 DESC, nid)`,
+    * but map-side partial aggregation collapses the scored candidates
+    * to <= k rows per partition BEFORE the shuffle, where the window
+    * sorted every candidate through one exchange. key = -cos4 (exact
+    * double negation) makes ascending heap order the descending cosine
+    * rank; `extra` columns (bucket/cluster) ride in the payload slot. */
+  private def topKByCos(scored: DataFrame, k: Int, cosCol: String = "cos4",
+                        extra: Option[String] = None): DataFrame = {
+    val out = scored
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg(-col(cosCol), col("nid"),
+        extra.map(col).getOrElse(lit(0L)), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(Seq(col("qid"), col("t.tie").as("nid"),
+        (col("pos") + 1).as("rank"), (-col("t.key")).as(cosCol)) ++
+        extra.map(e => col("t.payload").as(e)): _*)
+    out
   }
 
   /** Per-vector symmetric int8 scalar quantization: scale = 127/max|x_i|,
@@ -109,12 +125,7 @@ object Ann {
         round(idot.cast("double")
           / greatest(sqrt(col("qn").cast("double"))
             * sqrt(col("nn").cast("double")), lit(1e-12)), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("qcos4").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "rank", "qcos4")
+    topKByCos(scored, k, cosCol = "qcos4")
   }
 
   /** IVF (inverted-file) index: a coarse k-means quantizer partitions the
@@ -187,10 +198,7 @@ object Ann {
       .withColumn("cos4",
         round(dot(col("qe"), col("ne"), dim)
           / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos4").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKByCos(scored, k, extra = Some("cluster"))
       .select("qid", "nid", "rank", "cos4", "cluster")
   }
 
@@ -226,11 +234,7 @@ object Ann {
       .withColumn("cos4",
         round(dot(col("qe"), col("ne"), dim)
           / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos4").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKByCos(scored, k, extra = Some("bucket"))
       .select("qid", "nid", "rank", "cos4", "bucket")
   }
 

@@ -31,7 +31,12 @@ object GeoExtQueries {
       |FROM lineitem""".stripMargin
 
   def qMatchLines(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the line table once: probe/target filters and the
+    // pa/pb vertex joins make four consumers, and without the lineage
+    // cut the collect_list aggregation re-runs for each of them inside
+    // the single fused job (measured 3x the whole-query cost at sf0.1)
     val lines = MatchLines.linesWithCells(lineVertices(spark, dir), CellTenths)
+      .localCheckpoint()
     MatchLines.matchByHausdorff(
       lines.filter(col("lid") % 20 === 0),
       lines.filter(col("lid") % 2 === 1))

@@ -378,6 +378,34 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(single === sharded)
   }
 
+  test("TopKAgg == row_number window: selection, order, null keys, ties") {
+    import spark.implicits._
+    // keys with duplicates (tie-break on id), a null key (skipped), and
+    // more rows than k per group
+    val rows = Seq(
+      (1L, Some(3.0), 10L), (1L, Some(1.0), 11L), (1L, Some(1.0), 9L),
+      (1L, None, 1L), (1L, Some(2.0), 12L), (1L, Some(0.5), 13L),
+      (2L, Some(7.0), 20L), (2L, None, 21L),
+      (3L, None, 30L) // all-null group: must vanish entirely
+    ).toDF("g", "key", "id")
+    val viaAgg = rows.groupBy("g")
+      .agg(graft.functions.TopKAgg(col("key"), col("id"), col("id"), 3)
+        .as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("g"), (col("pos") + 1).as("rk"),
+        col("t.key").as("key"), col("t.tie").as("id"),
+        col("t.payload").as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("key").asc_nulls_last, col("id"))
+    val viaWin = rows
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3 && col("key").isNotNull)
+      .select(col("g"), col("rk"), col("key"), col("id"),
+        col("id").as("p"))
+    assert(viaAgg.exceptAll(viaWin).count() === 0)
+    assert(viaWin.exceptAll(viaAgg).count() === 0)
+  }
+
   test("shortestPaths: hand-computed graph, improvement beats first-found") {
     import spark.implicits._
     // (0,0) -1-> (0,1) -1-> (1,1) -2-> (1,0); direct (0,0) -5-> (1,0).
