@@ -107,16 +107,26 @@ object CurationQueries {
     * `Quota` documents with the smallest (content hash, doc_id) — a
     * stable pseudo-random sample that never changes across runs,
     * partitions, or engines, because the hash is the exact-integer
-    * rolling fingerprint of the normalized text. */
-  def qSampleQuota(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    * rolling fingerprint of the normalized text.
+    *
+    * Top-Quota per lang runs through the bounded-heap aggregate
+    * (functions.TopKAgg), NOT a rank window: `lang` is the same
+    * low-cardinality/high-volume key that made single-level packing a
+    * scale-killer, and a per-lang row_number sorts a dominant
+    * language's whole corpus through one task. The heap aggregate
+    * partial-combines to <= Quota rows per (map partition x lang)
+    * before the shuffle — selection identical (h < 2^30, so the double
+    * key is exact; doc_id breaks ties; rank = array position). */
+  def qSampleQuota(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         rollingFingerprint(norm(col("text"))).as("h"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= Quota)
-      .select("doc_id", "lang", "h", "rk")
-  }
+      .groupBy("lang")
+      .agg(graft.functions.TopKAgg(col("h").cast("double"), col("doc_id"),
+        col("h"), Quota).as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("t.tie").as("doc_id"), col("lang"),
+        col("t.payload").as("h"), (col("pos") + 1).as("rk"))
 
   /** Mixture report: per (lang, source) token mass and its share of the
     * corpus — the table a data-mixing step reweights against. The grand
