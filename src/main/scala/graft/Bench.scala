@@ -13,11 +13,6 @@ object Bench {
       "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // graft's TopKAgg (a TypedImperativeAggregate) groups by probe/query
-      // id — thousands of keys; the 128-key default would silently flip
-      // ObjectHashAggregate to its sort-based fallback mid-stream
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

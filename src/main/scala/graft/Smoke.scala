@@ -7,11 +7,6 @@ object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
-      // graft's TopKAgg (a TypedImperativeAggregate) groups by probe/query
-      // id — thousands of keys; the 128-key default would silently flip
-      // ObjectHashAggregate to its sort-based fallback mid-stream
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

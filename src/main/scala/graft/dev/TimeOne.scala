@@ -5,11 +5,6 @@ object TimeOne {
     val names = args.toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
-      // graft's TopKAgg (a TypedImperativeAggregate) groups by probe/query
-      // id — thousands of keys; the 128-key default would silently flip
-      // ObjectHashAggregate to its sort-based fallback mid-stream
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -18,8 +18,6 @@ object SharedSpark {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
