@@ -157,31 +157,37 @@ object Contour {
     */
   def shortestPaths(edges: DataFrame, source: DataFrame,
                     maxRounds: Int = 256): DataFrame = {
-    var dist = source.select(col("cx").cast("long"), col("cy").cast("long"),
-      lit(0L).as("tt_min")).localCheckpoint()
-    var frontier = dist
+    // state carries (node, best distance, improved-last-round flag) in
+    // ONE table so each round is a single aggregation + localCheckpoint
+    // (one materialization per round, not separate frontier/dist jobs):
+    // union the relaxed frontier (flag 1) with the old state (flag 0),
+    // take the per-node min distance, and a node is the next frontier
+    // iff a flagged row strictly beat every unflagged one — computed in
+    // the same aggregate as min(old-only distance) vs min(overall).
+    var state = source.select(col("cx").cast("long"), col("cy").cast("long"),
+      lit(0L).as("tt_min"), lit(1).as("fr")).localCheckpoint()
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val relaxed = frontier.join(edges, Seq("cx", "cy"))
+      val relaxed = state.filter(col("fr") === 1)
+        .join(edges, Seq("cx", "cy"))
         .select(col("dcx").as("cx"), col("dcy").as("cy"),
-          (col("tt_min") + col("w")).as("tt_min"))
-        .groupBy("cx", "cy").agg(min("tt_min").as("tt_min"))
-      val improved = relaxed.alias("r")
-        .join(dist.select(col("cx"), col("cy"),
-          col("tt_min").as("tt_old")), Seq("cx", "cy"), "left")
-        .where(col("tt_old").isNull || col("tt_min") < col("tt_old"))
-        .select(col("cx"), col("cy"), col("tt_min"))
+          (col("tt_min") + col("w")).as("tt_min"), lit(1).as("fr"))
+      state = state.select(col("cx"), col("cy"), col("tt_min"),
+          lit(0).as("fr"))
+        .union(relaxed)
+        .groupBy("cx", "cy")
+        .agg(min("tt_min").as("tt_min"),
+          // improved iff the overall min beats the best PRE-EXISTING
+          // distance (min over fr=0 rows; null for a first-seen node)
+          when(min(when(col("fr") === 0, col("tt_min"))).isNull ||
+            min("tt_min") < min(when(col("fr") === 0, col("tt_min"))),
+            1).otherwise(0).as("fr"))
         .localCheckpoint()
-      if (improved.isEmpty) done = true
-      else {
-        dist = dist.union(improved).groupBy("cx", "cy")
-          .agg(min("tt_min").as("tt_min")).localCheckpoint()
-        frontier = improved
-        rounds += 1
-      }
+      if (state.filter(col("fr") === 1).isEmpty) done = true
+      else rounds += 1
     }
-    dist
+    state.select("cx", "cy", "tt_min")
   }
 
   /** 4-neighborhood road-grid edges over a cols × rows cell grid. The
