@@ -54,6 +54,124 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.map(decodeStub))
   }
 
+  // ---------------------------------------------------------------
+  // REAL media decode: RIFF/WAVE 16-bit PCM. Unlike decodeStub above,
+  // this is an actual audio container parser — deterministic synthetic
+  // PCM is encoded to genuine WAV bytes and decoded back by walking
+  // RIFF chunks, so the "media" column carries a real format and the
+  // features come from real decoded samples. No external codec needed:
+  // WAV/PCM is pure byte layout. (Compressed formats — JPEG/MP4 —
+  // remain the documented stub; their containers need codec libs.)
+  // ---------------------------------------------------------------
+
+  case class WavRow(doc_id: Long, payload: Array[Byte])
+  case class WavFeatures(doc_id: Long, n_samples: Long, sample_rate: Long,
+                         duration_ms: Long, sum_sq: Long, peak: Long)
+
+  /** Deterministic synthetic 16-bit PCM sample i of document d —
+    * exact integer arithmetic so an engine-independent oracle can
+    * replay the decoded features analytically. */
+  private def pcmSample(d: Long, i: Long): Int =
+    (((d * 31 + i * 17) % 2003) - 1001).toInt
+
+  /** Encode document `docId`'s synthetic audio as a REAL WAV file:
+    * RIFF header, fmt chunk (PCM, mono, 8 kHz, 16-bit), data chunk of
+    * little-endian samples. 256 + docId % 256 samples. */
+  def synthWavBytes(docId: Long): Array[Byte] = {
+    val n = (256 + docId % 256).toInt
+    val dataBytes = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(8000) // sample rate
+    bb.putInt(8000 * 2) // byte rate
+    bb.putShort(2) // block align
+    bb.putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { bb.putShort(pcmSample(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** REAL WAV decode: walk the RIFF chunk list (unknown chunks are
+    * skipped by their declared length), validate the fmt chunk
+    * (PCM / mono / 16-bit), stream the data chunk's little-endian
+    * samples, and fold sample statistics. Malformed input fails loudly
+    * with the offending reason. Returns
+    * (n_samples, sample_rate, sum of squared samples, peak |sample|). */
+  def decodeWav(payload: Array[Byte]): (Long, Long, Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def str4(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(bb.remaining() >= 12, "wav: truncated header")
+    require(str4() == "RIFF", "wav: missing RIFF magic")
+    bb.getInt // declared riff payload length (unchecked: stream-style)
+    require(str4() == "WAVE", "wav: not a WAVE form")
+    var sampleRate = 0L
+    var seenFmt = false
+    var seenData = false
+    var nSamples = 0L
+    var sumSq = 0L
+    var peak = 0L
+    while (bb.remaining() >= 8) {
+      val id = str4()
+      val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining(), s"wav: bad $id chunk length")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "wav: short fmt chunk")
+          val fmt = bb.getShort()
+          val channels = bb.getShort()
+          sampleRate = bb.getInt().toLong
+          bb.getInt() // byte rate
+          bb.getShort() // block align
+          val bits = bb.getShort()
+          require(fmt == 1, s"wav: not PCM (fmt=$fmt)")
+          require(channels == 1, s"wav: not mono (channels=$channels)")
+          require(bits == 16, s"wav: not 16-bit (bits=$bits)")
+          if (len > 16) bb.position(bb.position() + len - 16)
+          seenFmt = true
+        case "data" =>
+          require(seenFmt, "wav: data chunk before fmt")
+          var i = 0
+          while (i + 1 < len) {
+            val s = bb.getShort().toLong
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            nSamples += 1
+            i += 2
+          }
+          seenData = true
+        case _ =>
+          bb.position(bb.position() + len) // skip unknown chunk
+      }
+    }
+    require(seenData, "wav: no data chunk")
+    (nSamples, sampleRate, sumSq, peak)
+  }
+
+  /** documents -> real WAV media table (one genuine WAV payload per
+    * doc), then decode back to audio features — the whole round trip
+    * runs distributed, one tight JVM loop per partition. A feature row
+    * hash-matches the analytic oracle ONLY if the encoder wrote a valid
+    * container and the decoder read exactly the samples written. */
+  def wavFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[WavFeatures]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        val (n, sr, ss, pk) = decodeWav(synthWavBytes(d))
+        WavFeatures(d, n, sr, n * 1000L / sr, ss, pk)
+      }).toDF()
+  }
+
   /** Frame sampling over binary payloads: every `everyN`-th fixed-size
     * frame, with offset and content hash — pure expressions (binary
     * substring + xxhash64), no UDF. For real video this is where a codec

@@ -69,12 +69,36 @@ object SourceQueries {
     Multimodal.extractFeatures(
       Multimodal.mediaTable(Tables.load(spark, dir, "documents"))).toDF()
 
+  def qMultimodalWav(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.wavFeatures(Tables.load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_read_wkt" -> (qReadWkt _),
     "q_read_wkt_multipolygon" -> (qReadWktMultiPolygon _),
-    "q_multimodal" -> (qMultimodal _))
+    "q_multimodal" -> (qMultimodal _),
+    "q_multimodal_wav" -> (qMultimodalWav _))
 
   val oracles: Map[String, String] = Map(
+    // REAL round-trip check: Spark encodes genuine RIFF/WAVE PCM bytes
+    // and decodes them back with a real chunk-walking parser; the
+    // oracle computes the same features ANALYTICALLY from the synth
+    // parameters (sample i of doc d = ((d*31 + i*17) % 2003) - 1001,
+    // 256 + d % 256 samples at 8 kHz). Hash equality holds ONLY if the
+    // encoder wrote a valid container and the decoder read back exactly
+    // the samples written — the byte layer cannot silently drift.
+    "q_multimodal_wav" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |s AS (SELECT doc_id, 256 + doc_id % 256 AS n FROM d),
+        |samp AS (SELECT doc_id, n,
+        |           ((doc_id * 31 + i * 17) % 2003) - 1001 AS v
+        |         FROM s,
+        |         LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) u)
+        |SELECT doc_id, n AS n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+        |  n * 1000 // 8000 AS duration_ms,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq, MAX(ABS(v)) AS peak
+        |FROM samp GROUP BY doc_id, n""".stripMargin,
+
     // The "decode" is a deterministic stub (polynomial checksum over the
     // payload bytes); with ASCII text payloads the byte stream equals the
     // char stream, so DuckDB can replay the exact fold — making even the

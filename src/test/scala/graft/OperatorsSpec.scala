@@ -378,6 +378,46 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(single === sharded)
   }
 
+  test("WAV codec: encode/decode round-trip, chunk skip, malformed input") {
+    import graft.operators.Multimodal
+    // round-trip: decoded stats equal the synth parameters, computed
+    // independently here
+    val d = 42L
+    val n = (256 + d % 256).toInt
+    val samples = (0 until n).map(i => (((d * 31 + i * 17) % 2003) - 1001))
+    val (ns, sr, ss, pk) = Multimodal.decodeWav(Multimodal.synthWavBytes(d))
+    assert(ns === n.toLong)
+    assert(sr === 8000L)
+    assert(ss === samples.map(s => s * s).sum)
+    assert(pk === samples.map(math.abs).max)
+    // a real decoder walks chunks: splice an unknown chunk BEFORE data
+    // and the parse must skip it by declared length
+    val base = Multimodal.synthWavBytes(d)
+    val extra = java.nio.ByteBuffer.allocate(base.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(base, 0, 36) // RIFF..fmt chunk end
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII"))
+    extra.put(base, 36, base.length - 36) // data chunk
+    val withChunk = extra.array()
+    // fix the RIFF length field for the added 12 bytes
+    java.nio.ByteBuffer.wrap(withChunk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withChunk.length - 8)
+    assert(Multimodal.decodeWav(withChunk) === ((ns, sr, ss, pk)))
+    // malformed inputs fail loudly, not silently
+    val notRiff = base.clone(); notRiff(0) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeWav(notRiff)).getMessage.contains("RIFF"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeWav(base.take(10))).getMessage.contains("truncated"))
+    // a fmt chunk claiming stereo is rejected
+    val stereo = base.clone()
+    stereo(22) = 2 // channels field
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeWav(stereo)).getMessage.contains("mono"))
+  }
+
   test("TopKAgg == row_number window: selection, order, null keys, ties") {
     import spark.implicits._
     // keys with duplicates (tie-break on id), a null key (skipped), and
