@@ -172,6 +172,162 @@ object Multimodal {
       }).toDF()
   }
 
+  // ---------------------------------------------------------------
+  // REAL image decode: 24-bit uncompressed BMP (BITMAPFILEHEADER +
+  // BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes). Like the
+  // WAV path, deterministic synthetic pixels are encoded into a
+  // genuine container and decoded back by a real parser, then a REAL
+  // nearest-neighbor resize runs on the decoded pixels — decode,
+  // feature-extract and resize are all actual image operations, and
+  // the analytic oracle catches any byte-layout drift (padding,
+  // bottom-up row order, BGR channel order are all load-bearing).
+  // ---------------------------------------------------------------
+
+  case class BmpImage(width: Int, height: Int, rgb: Array[Int])
+  case class BmpFeatures(doc_id: Long, width: Long, height: Long,
+                         sum_r: Long, sum_g: Long, sum_b: Long,
+                         rwidth: Long, rheight: Long,
+                         rsum_r: Long, rsum_g: Long, rsum_b: Long)
+
+  private def pxR(d: Long, x: Int, y: Int): Int =
+    ((d * 3 + x * 29 + y * 23) % 256).toInt
+  private def pxG(d: Long, x: Int, y: Int): Int =
+    ((d * 11 + x * 17 + y * 5) % 256).toInt
+  private def pxB(d: Long, x: Int, y: Int): Int =
+    ((d * 7 + x * 13 + y * 31) % 256).toInt
+
+  /** Encode document `docId`'s synthetic image as a REAL BMP file:
+    * 8..16 px wide (exercising every 4-byte row-padding case) by
+    * 8..12 px tall, 24-bit BI_RGB, bottom-up BGR rows. */
+  def synthBmpBytes(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 5).toInt
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imgSize = (rowBytes + pad) * h
+    val bb = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + imgSize).putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h)
+    bb.putShort(1).putShort(24)
+    bb.putInt(0) // BI_RGB
+    bb.putInt(imgSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy // file rows are bottom-up
+      var x = 0
+      while (x < w) {
+        bb.put(pxB(docId, x, y).toByte)
+        bb.put(pxG(docId, x, y).toByte)
+        bb.put(pxR(docId, x, y).toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { bb.put(0.toByte); p += 1 }
+      fy += 1
+    }
+    bb.array()
+  }
+
+  /** REAL BMP decode: header validation (magic, 24-bit, BI_RGB,
+    * positive dims), seek to the declared pixel offset, un-flip the
+    * bottom-up padded BGR rows into a top-down RGB pixel array.
+    * Malformed input fails loudly. */
+  def decodeBmp(payload: Array[Byte]): BmpImage = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54, "bmp: truncated header")
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte,
+      "bmp: missing BM magic")
+    bb.getInt // declared file size
+    bb.getInt // reserved
+    val offset = bb.getInt
+    val biSize = bb.getInt
+    require(biSize >= 40, s"bmp: unsupported header size $biSize")
+    val w = bb.getInt
+    val h = bb.getInt
+    require(w > 0 && h > 0, s"bmp: bad dimensions ${w}x$h")
+    bb.getShort // planes
+    val bits = bb.getShort
+    require(bits == 24, s"bmp: not 24-bit (bits=$bits)")
+    val compression = bb.getInt
+    require(compression == 0, s"bmp: compressed (type=$compression)")
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    require(offset >= 54 && offset.toLong + (rowBytes + pad).toLong * h
+      <= payload.length, "bmp: pixel data out of bounds")
+    bb.position(offset)
+    val rgb = new Array[Int](w * h * 3)
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy
+      var x = 0
+      while (x < w) {
+        val b = bb.get() & 0xff
+        val g = bb.get() & 0xff
+        val r = bb.get() & 0xff
+        val base = (y * w + x) * 3
+        rgb(base) = r; rgb(base + 1) = g; rgb(base + 2) = b
+        x += 1
+      }
+      bb.position(bb.position() + pad)
+      fy += 1
+    }
+    BmpImage(w, h, rgb)
+  }
+
+  /** REAL nearest-neighbor downsample by `factor` on decoded pixels:
+    * out(x, y) = in(factor*x, factor*y). */
+  def resizeNearest(img: BmpImage, factor: Int): BmpImage = {
+    val rw = img.width / factor
+    val rh = img.height / factor
+    val out = new Array[Int](rw * rh * 3)
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) {
+        val src = ((y * factor) * img.width + x * factor) * 3
+        val dst = (y * rw + x) * 3
+        out(dst) = img.rgb(src)
+        out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(rw, rh, out)
+  }
+
+  private def channelSums(img: BmpImage): (Long, Long, Long) = {
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < img.rgb.length) {
+      r += img.rgb(i); g += img.rgb(i + 1); b += img.rgb(i + 2)
+      i += 3
+    }
+    (r, g, b)
+  }
+
+  /** documents -> real BMP encode -> real decode -> channel features of
+    * the full image AND of a real 2x nearest-neighbor downsample, all
+    * distributed. Hash-matches the analytic oracle only if padding,
+    * bottom-up row order, BGR ordering and the resize sampling grid are
+    * all byte-exact. */
+  def bmpFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[BmpFeatures]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        val img = decodeBmp(synthBmpBytes(d))
+        val (r, g, b) = channelSums(img)
+        val small = resizeNearest(img, 2)
+        val (rr, rg, rb) = channelSums(small)
+        BmpFeatures(d, img.width, img.height, r, g, b,
+          small.width, small.height, rr, rg, rb)
+      }).toDF()
+  }
+
   /** Frame sampling over binary payloads: every `everyN`-th fixed-size
     * frame, with offset and content hash — pure expressions (binary
     * substring + xxhash64), no UDF. For real video this is where a codec

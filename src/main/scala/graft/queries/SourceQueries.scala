@@ -72,11 +72,15 @@ object SourceQueries {
   def qMultimodalWav(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFeatures(Tables.load(spark, dir, "documents"))
 
+  def qMultimodalBmp(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.bmpFeatures(Tables.load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_read_wkt" -> (qReadWkt _),
     "q_read_wkt_multipolygon" -> (qReadWktMultiPolygon _),
     "q_multimodal" -> (qMultimodal _),
-    "q_multimodal_wav" -> (qMultimodalWav _))
+    "q_multimodal_wav" -> (qMultimodalWav _),
+    "q_multimodal_bmp" -> (qMultimodalBmp _))
 
   val oracles: Map[String, String] = Map(
     // REAL round-trip check: Spark encodes genuine RIFF/WAVE PCM bytes
@@ -98,6 +102,40 @@ object SourceQueries {
         |  n * 1000 // 8000 AS duration_ms,
         |  CAST(SUM(v * v) AS BIGINT) AS sum_sq, MAX(ABS(v)) AS peak
         |FROM samp GROUP BY doc_id, n""".stripMargin,
+
+    // Same round-trip idea for images: Spark encodes genuine 24-bit BMP
+    // bytes (bottom-up padded BGR rows) per document, decodes them with
+    // a real parser, and runs a real 2x nearest-neighbor resize on the
+    // decoded pixels; the oracle computes full-image and resized
+    // channel sums analytically (pixel (x,y) of doc d given by exact
+    // integer formulas, resize samples even coordinates).
+    "q_multimodal_bmp" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |dim AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+        |        FROM d),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |         (doc_id * 3 + x * 29 + y * 23) % 256 AS r,
+        |         (doc_id * 11 + x * 17 + y * 5) % 256 AS g,
+        |         (doc_id * 7 + x * 13 + y * 31) % 256 AS b
+        |       FROM dim,
+        |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) u,
+        |       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) v)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  w // 2 AS rwidth, h // 2 AS rheight,
+        |  CAST(SUM(CASE WHEN x % 2 = 0 AND x < (w // 2) * 2
+        |                 AND y % 2 = 0 AND y < (h // 2) * 2
+        |            THEN r END) AS BIGINT) AS rsum_r,
+        |  CAST(SUM(CASE WHEN x % 2 = 0 AND x < (w // 2) * 2
+        |                 AND y % 2 = 0 AND y < (h // 2) * 2
+        |            THEN g END) AS BIGINT) AS rsum_g,
+        |  CAST(SUM(CASE WHEN x % 2 = 0 AND x < (w // 2) * 2
+        |                 AND y % 2 = 0 AND y < (h // 2) * 2
+        |            THEN b END) AS BIGINT) AS rsum_b
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
 
     // The "decode" is a deterministic stub (polynomial checksum over the
     // payload bytes); with ASCII text payloads the byte stream equals the

@@ -418,6 +418,41 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       Multimodal.decodeWav(stereo)).getMessage.contains("mono"))
   }
 
+  test("BMP codec: round-trip across padding widths, resize, malformed") {
+    import graft.operators.Multimodal
+    // widths 8..16 cover all four row-padding cases (pad 0,1,2,3)
+    for (d <- 0L to 8L) {
+      val img = Multimodal.decodeBmp(Multimodal.synthBmpBytes(d))
+      val w = (8 + d % 9).toInt
+      val h = (8 + d % 5).toInt
+      assert(img.width === w && img.height === h)
+      // spot-check pixels at corners against the synth formulas
+      for ((x, y) <- Seq((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1))) {
+        val base = (y * w + x) * 3
+        assert(img.rgb(base) === ((d * 3 + x * 29 + y * 23) % 256).toInt)
+        assert(img.rgb(base + 1) === ((d * 11 + x * 17 + y * 5) % 256).toInt)
+        assert(img.rgb(base + 2) === ((d * 7 + x * 13 + y * 31) % 256).toInt)
+      }
+      // resize samples exactly the even coordinates
+      val small = Multimodal.resizeNearest(img, 2)
+      assert(small.width === w / 2 && small.height === h / 2)
+      assert(small.rgb(0) === img.rgb(0))
+      assert(small.rgb(3) === img.rgb(2 * 3)) // out(1,0) = in(2,0)
+    }
+    val ok = Multimodal.synthBmpBytes(7L)
+    val notBm = ok.clone(); notBm(0) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(notBm)).getMessage.contains("BM"))
+    val bits8 = ok.clone(); bits8(28) = 8 // bitCount field
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(bits8)).getMessage.contains("24-bit"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(ok.take(53))).getMessage.contains("truncated"))
+    val shortPix = ok.take(ok.length - 4) // pixel data cut short
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(shortPix)).getMessage.contains("out of bounds"))
+  }
+
   test("TopKAgg == row_number window: selection, order, null keys, ties") {
     import spark.implicits._
     // keys with duplicates (tie-break on id), a null key (skipped), and
