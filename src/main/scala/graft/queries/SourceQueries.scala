@@ -75,12 +75,16 @@ object SourceQueries {
   def qMultimodalBmp(spark: SparkSession, dir: String): DataFrame =
     Multimodal.bmpFeatures(Tables.load(spark, dir, "documents"))
 
+  def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrameFeatures(Tables.load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_read_wkt" -> (qReadWkt _),
     "q_read_wkt_multipolygon" -> (qReadWktMultiPolygon _),
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_wav" -> (qMultimodalWav _),
-    "q_multimodal_bmp" -> (qMultimodalBmp _))
+    "q_multimodal_bmp" -> (qMultimodalBmp _),
+    "q_multimodal_video" -> (qMultimodalVideo _))
 
   val oracles: Map[String, String] = Map(
     // REAL round-trip check: Spark encodes genuine RIFF/WAVE PCM bytes
@@ -102,6 +106,34 @@ object SourceQueries {
         |  n * 1000 // 8000 AS duration_ms,
         |  CAST(SUM(v * v) AS BIGINT) AS sum_sq, MAX(ABS(v)) AS peak
         |FROM samp GROUP BY doc_id, n""".stripMargin,
+
+    // Video: the GVID container (magic + frame table + concatenated
+    // real BMP frames) is encoded, then every 2nd frame is sliced by
+    // the declared frame size and decoded with the real BMP parser.
+    // Frame f of doc d carries the pixels of synthetic image id
+    // 45*(d+f) (45 = lcm(9,5) pins frame dims at 8x8 so the frame
+    // table is uniform); the oracle replays the sampled frames'
+    // channel sums analytically.
+    "q_multimodal_video" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |fr AS (SELECT doc_id, f FROM d,
+        |       LATERAL (SELECT unnest(generate_series(0,
+        |                  4 + doc_id % 8 - 1)) AS f) u
+        |       WHERE f % 2 = 0),
+        |px AS (SELECT doc_id, f, (doc_id + f) * 45 AS id45, x, y
+        |       FROM fr,
+        |       LATERAL (SELECT unnest(generate_series(0, 7)) AS x) u,
+        |       LATERAL (SELECT unnest(generate_series(0, 7)) AS y) v)
+        |SELECT doc_id, f AS frame_idx,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(SUM((id45 * 3 + x * 29 + y * 23) % 256) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(SUM((id45 * 11 + x * 17 + y * 5) % 256) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(SUM((id45 * 7 + x * 13 + y * 31) % 256) AS BIGINT)
+        |    AS sum_b
+        |FROM px GROUP BY doc_id, f""".stripMargin,
 
     // Same round-trip idea for images: Spark encodes genuine 24-bit BMP
     // bytes (bottom-up padded BGR rows) per document, decodes them with

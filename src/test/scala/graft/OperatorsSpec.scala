@@ -453,6 +453,32 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       Multimodal.decodeBmp(shortPix)).getMessage.contains("out of bounds"))
   }
 
+  test("GVID container: frame sampling, frame content, malformed input") {
+    import graft.operators.Multimodal
+    val d = 5L
+    val n = (4 + d % 8).toInt
+    val clip = Multimodal.synthVideoBytes(d)
+    val sampled = Multimodal.decodeVideoFrames(d, clip, 2).toSeq
+    assert(sampled.map(_.frame_idx) === (0 until n).filter(_ % 2 == 0)
+      .map(_.toLong))
+    // each sampled frame's features equal a direct decode of the same
+    // synthetic image id (real BMP bytes, not the formulas)
+    sampled.foreach { ff =>
+      val img = Multimodal.decodeBmp(
+        Multimodal.synthBmpBytes(d * 45 + ff.frame_idx * 45))
+      assert((ff.width, ff.height) === ((8L, 8L)))
+      assert(img.width === 8 && img.height === 8)
+      assert(ff.sum_r === img.rgb.grouped(3).map(_(0).toLong).sum)
+    }
+    val badMagic = clip.clone(); badMagic(0) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeVideoFrames(d, badMagic, 2).toSeq)
+      .getMessage.contains("magic"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeVideoFrames(d, clip.take(clip.length - 1), 2).toSeq)
+      .getMessage.contains("out of bounds"))
+  }
+
   test("TopKAgg == row_number window: selection, order, null keys, ties") {
     import spark.implicits._
     // keys with duplicates (tie-break on id), a null key (skipped), and
