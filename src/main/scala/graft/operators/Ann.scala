@@ -55,19 +55,28 @@ object Ann {
       sqrt(ei.map(x => x * x).foldLeft(lit(0.0))(_ + _)).as("nrm"))
   }
 
-  /** Exact brute-force cosine top-k: queries (small, broadcast) against the
-    * full corpus. Rank on round(cos,4) with id tie-break so results are
-    * stable across engines and runs. */
+  /** Exact brute-force cosine top-k: queries (small, driver-sized)
+    * against the full corpus. Rank on round(cos,4) with id tie-break so
+    * results are stable across engines and runs.
+    *
+    * MAP-ONLY scoring: the query matrix is collected (it was broadcast
+    * before — same driver-sized contract) and embedded in a native
+    * kernel expression (functions.CosineScores) that scores one corpus
+    * row against every query in a tight queries x dim loop — the
+    * broadcast-nested-loop join and its per-pair dim-term codegen
+    * chains disappear; the plan is scan -> kernel -> explode -> top-k
+    * aggregate, like IvfDistances' assignment. Arithmetic (fold order,
+    * denominator, round-4) is bit-identical to the join form. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  dim: Int = DefaultDim): DataFrame = {
     val c = withNorm(corpus, "vec_id", dim)
       .select(col("vec_id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
-    val q = withNorm(queries, "vec_id", dim)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("cos4",
-        round(dot(col("qe"), col("ne"), dim)
-          / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
+    val qrows = withNorm(queries, "vec_id", dim).collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val scored = c
+      .select(col("nid"), explode(graft.functions.CosineScores(
+        col("nid"), col("ne"), col("nn"), qrows.toSeq, dim)).as("s"))
+      .select(col("s.qid").as("qid"), col("nid"), col("s.cos4").as("cos4"))
     topKByCos(scored, k)
   }
 
@@ -114,17 +123,15 @@ object Ann {
                     dim: Int = DefaultDim): DataFrame = {
     val c = quantize(corpus, "vec_id")
       .select(col("vec_id").as("nid"), col("q").as("nqv"), col("nq").as("nn"))
-    val q = quantize(queries, "vec_id")
-      .select(col("vec_id").as("qid"), col("q").as("qqv"), col("nq").as("qn"))
-    // integer dot as a flat scalar chain — evaluated once per PAIR, so it
-    // must stay inside whole-stage codegen (same fold order as the lambda)
-    val idot = (0 until dim).map(i => col("qqv").getItem(i) * col("nqv").getItem(i))
-      .foldLeft(lit(0L))(_ + _)
-    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("qcos4",
-        round(idot.cast("double")
-          / greatest(sqrt(col("qn").cast("double"))
-            * sqrt(col("nn").cast("double")), lit(1e-12)), 4))
+    // map-only integer scoring against the embedded query code matrix —
+    // same kernel shape as cosineTopK (functions.IntDotScores)
+    val qrows = quantize(queries, "vec_id").collect().map(r =>
+      (r.getLong(0), r.getAs[Seq[Long]]("q").toArray, r.getAs[Long]("nq")))
+    val scored = c
+      .select(col("nid"), explode(graft.functions.IntDotScores(
+        col("nid"), col("nqv"), col("nn"), qrows.toSeq, dim)).as("s"))
+      .select(col("s.qid").as("qid"), col("nid"),
+        col("s.qcos4").as("qcos4"))
     topKByCos(scored, k, cosCol = "qcos4")
   }
 

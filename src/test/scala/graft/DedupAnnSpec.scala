@@ -150,13 +150,18 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(out.map(_.getAs[Long]("nid")).toSeq === Seq(1L, 2L))
   }
 
-  test("cosineTopK plan: query side is broadcast") {
+  test("cosineTopK plan: MAP-ONLY scoring — no join, kernel + top-k agg") {
     val e = Tables.load(spark, SfDir, "embeddings")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val plan = Ann.cosineTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Broadcast"))
-    assert(!plan.contains("SortMergeJoin"))
+    // the query matrix lives inside the CosineScores kernel: scoring is
+    // scan -> kernel explode -> partial top-k, with the ONLY exchange
+    // being the per-query aggregate — no join of any kind
+    assert(plan.contains("cosinescores"))
+    assert(plan.contains("partial_topkagg"))
+    assert(!plan.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1)
   }
 
   test("ivfTopK: finds same top-1 as brute force for most queries") {
