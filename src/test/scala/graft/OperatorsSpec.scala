@@ -320,7 +320,7 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
-  test("new-op plans: hash equi-joins only; kmeans broadcasts centroids") {
+  test("new-op plans: hash equi-joins only; kmeans assigns map-only") {
     // S-H area + union-area sweep: bucketed equi-joins, never a product
     for (q <- Seq(
         graft.queries.PolyQueries.qIntersectionAreaPoly(spark, SfDir),
@@ -329,12 +329,15 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       assert(!plan.contains("CartesianProduct"))
       assert(!plan.contains("BroadcastNestedLoopJoin"))
     }
-    // k-means: the only product is corpus x BROADCAST centroid table
+    // k-means: the final assignment is a pure projection calling the
+    // IvfDistances kernel (the k x 4 centroid matrix rides inside the
+    // expression) — no crossJoin, no broadcast, no aggregate, and the
+    // whole stage is codegen'd
     val kplan = graft.queries.GeoExtQueries.qMatchLinesKmeans(spark, SfDir)
       .queryExecution.executedPlan.toString
-    assert(!kplan.contains("CartesianProduct"))
-    assert(kplan.contains("BroadcastNestedLoopJoin")
-      || kplan.contains("BroadcastExchange"))
+    assert(!kplan.contains("Join"))
+    assert(kplan.contains("ivfdistances"))
+    assert(kplan.contains("*(1) Project")) // inside whole-stage codegen
   }
 
   test("round-4 plans: decontaminate broadcasts the benchmark set; " +
