@@ -150,6 +150,39 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(out.map(_.getAs[Long]("nid")).toSeq === Seq(1L, 2L))
   }
 
+  test("CosineScores kernel == join-form flat-scalar scoring, bit-equal") {
+    val e = Tables.load(spark, SfDir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val dim = 64
+    val ei = (0 until dim).map(i =>
+      col("embedding").getItem(i).cast("double"))
+    val withNorm = e.select(col("vec_id"), array(ei: _*).as("ev"),
+      sqrt(ei.map(x => x * x).foldLeft(lit(0.0))(_ + _)).as("nrm"))
+    val q = withNorm.filter(col("vec_id") % 50 === 0)
+    val qrows = q.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))).toSeq
+    val viaKernel = withNorm
+      .select(col("vec_id").as("nid"), explode(
+        graft.functions.CosineScores(col("vec_id"), col("ev"), col("nrm"),
+          qrows, dim)).as("s"))
+      .select(col("s.qid").as("qid"), col("nid"), col("s.cos4").as("cos4"))
+    // the old formulation: broadcast join + flat-scalar dot chain
+    val dot = (0 until dim).map(i =>
+      col("qe").getItem(i) * col("ne").getItem(i))
+      .foldLeft(lit(0.0))(_ + _)
+    val viaJoin = withNorm
+      .select(col("vec_id").as("nid"), col("ev").as("ne"),
+        col("nrm").as("nn"))
+      .join(broadcast(q.select(col("vec_id").as("qid"),
+        col("ev").as("qe"), col("nrm").as("qn"))),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot / greatest(col("qn") * col("nn"), lit(1e-12)), 4)
+          .as("cos4"))
+    assert(viaKernel.exceptAll(viaJoin).count() === 0)
+    assert(viaJoin.exceptAll(viaKernel).count() === 0)
+  }
+
   test("cosineTopK plan: MAP-ONLY scoring — no join, kernel + top-k agg") {
     val e = Tables.load(spark, SfDir, "embeddings")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
