@@ -227,4 +227,23 @@ object Contour {
     shortestPaths(roadGridEdges(spark, cols, rows), source)
       .withColumn("band", expr(s"tt_min DIV $bandMinutes"))
   }
+
+  /** MULTI-SOURCE (closest-facility) isochrone: travel time to the
+    * NEAREST of several origins — the access_isocrone question asked of
+    * a facility set instead of one point. shortestPaths is already
+    * multi-source (seed every origin at distance 0 and the per-node min
+    * IS the closest-facility time); origins here are the grid's center
+    * and its four corners. Output: (cx, cy, tt_min, band), all BIGINT. */
+  def isochroneBfsMulti(spark: SparkSession, pts: DataFrame, cell: Double,
+                        bandMinutes: Long): DataFrame = {
+    val (xmin, ymin, xmax, ymax) = Grid.bounds(pts)
+    val rows = math.ceil((ymax - ymin) / cell).toLong
+    val cols = math.ceil((xmax - xmin) / cell).toLong
+    import spark.implicits._
+    val sources = Seq(
+      (cols / 2, rows / 2), (0L, 0L), (cols - 1, 0L),
+      (0L, rows - 1), (cols - 1, rows - 1)).toDF("cx", "cy")
+    shortestPaths(roadGridEdges(spark, cols, rows), sources)
+      .withColumn("band", expr(s"tt_min DIV $bandMinutes"))
+  }
 }

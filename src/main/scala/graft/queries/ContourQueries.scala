@@ -34,6 +34,11 @@ object ContourQueries {
       GeoData.ptsEvents(spark, dir).select(col("x"), col("y")),
       cell = 10.0, bandMinutes = 10L)
 
+  def qIsochroneBfsMulti(spark: SparkSession, dir: String): DataFrame =
+    Contour.isochroneBfsMulti(spark,
+      GeoData.ptsEvents(spark, dir).select(col("x"), col("y")),
+      cell = 10.0, bandMinutes = 10L)
+
   def qIsobandEdges(spark: SparkSession, dir: String): DataFrame =
     Contour.isobandOutlines(
       GeoData.ptsEvents(spark, dir)
@@ -45,6 +50,7 @@ object ContourQueries {
     "q_contour_kde" -> (qContourKde _),
     "q_isochrone" -> (qIsochrone _),
     "q_isochrone_bfs" -> (qIsochroneBfs _),
+    "q_isochrone_bfs_multi" -> (qIsochroneBfsMulti _),
     "q_isoband_edges" -> (qIsobandEdges _))
 
   private val boundsCte =
@@ -140,6 +146,46 @@ object ContourQueries {
          |  FROM rects)
          |SELECT band, e.ex0 AS ex0, e.ey0 AS ey0, e.ex1 AS ex1, e.ey1 AS ey1
          |FROM edges GROUP BY band, e HAVING COUNT(*) = 1""".stripMargin,
+
+    // Closest-facility variant: same recursive CTE seeded with FIVE
+    // origins (center + corners); the per-cell MIN over all walk states
+    // is the distance to the nearest origin.
+    "q_isochrone_bfs_multi" ->
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT ((event_id * 73) % 1000) / 10.0 AS x,
+         |    ((event_id * 179) % 1000) / 10.0 AS y FROM events),
+         |b AS (SELECT CAST(CEIL((MAX(x) - MIN(x)) / 10.0) AS BIGINT)
+         |               AS cols_,
+         |             CAST(CEIL((MAX(y) - MIN(y)) / 10.0) AS BIGINT)
+         |               AS rows_ FROM pts),
+         |cells AS (SELECT cx, cy FROM b,
+         |  LATERAL (SELECT unnest(generate_series(0, b.cols_ - 1)) AS cx) u,
+         |  LATERAL (SELECT unnest(generate_series(0, b.rows_ - 1)) AS cy) v),
+         |edges AS (
+         |  SELECT c.cx, c.cy, n.dcx, n.dcy,
+         |         1 + (n.dcx * 31 + n.dcy * 17) % 5 AS w
+         |  FROM cells c, b,
+         |  LATERAL (SELECT unnest([
+         |    {'dcx': c.cx + 1, 'dcy': c.cy},
+         |    {'dcx': c.cx - 1, 'dcy': c.cy},
+         |    {'dcx': c.cx, 'dcy': c.cy + 1},
+         |    {'dcx': c.cx, 'dcy': c.cy - 1}]) AS n) t
+         |  WHERE n.dcx >= 0 AND n.dcx < b.cols_
+         |    AND n.dcy >= 0 AND n.dcy < b.rows_),
+         |walk(cx, cy, d) AS (
+         |  SELECT s.scx, s.scy, CAST(0 AS BIGINT) FROM b,
+         |  LATERAL (SELECT unnest([
+         |    {'scx': b.cols_ // 2, 'scy': b.rows_ // 2},
+         |    {'scx': CAST(0 AS BIGINT), 'scy': CAST(0 AS BIGINT)},
+         |    {'scx': b.cols_ - 1, 'scy': CAST(0 AS BIGINT)},
+         |    {'scx': CAST(0 AS BIGINT), 'scy': b.rows_ - 1},
+         |    {'scx': b.cols_ - 1, 'scy': b.rows_ - 1}]) AS s) t
+         |  UNION
+         |  SELECT e.dcx, e.dcy, w.d + e.w FROM walk w
+         |  JOIN edges e ON e.cx = w.cx AND e.cy = w.cy
+         |  WHERE w.d + e.w <= 200)
+         |SELECT cx, cy, MIN(d) AS tt_min, MIN(d) // 10 AS band
+         |FROM walk GROUP BY cx, cy""".stripMargin,
 
     // Single-source shortest path as a recursive CTE: UNION (distinct)
     // bounds the state space to (cell, distance) pairs; the 200-minute

@@ -546,6 +546,24 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("multi-source isochrone: dominated by single-source, origins at 0") {
+    val single = graft.queries.ContourQueries.qIsochroneBfs(spark, SfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val multi = graft.queries.ContourQueries
+      .qIsochroneBfsMulti(spark, SfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(multi.keySet === single.keySet)
+    // closest-facility time never exceeds the center-only time
+    multi.foreach { case (cell, d) => assert(d <= single(cell)) }
+    // all five origins are at distance 0
+    val cols = multi.keys.map(_._1).max + 1
+    val rows = multi.keys.map(_._2).max + 1
+    for (o <- Seq((cols / 2, rows / 2), (0L, 0L), (cols - 1, 0L),
+        (0L, rows - 1), (cols - 1, rows - 1))) {
+      assert(multi(o) === 0L)
+    }
+  }
+
   test("GeoSink: partitioned layer prunes partitions on cell filter") {
     import graft.sources.GeoSink
     val out = "/tmp/graft_sink_test"
