@@ -192,3 +192,101 @@ object TopKAgg {
       ColumnBridge.expression(tie), ColumnBridge.expression(payload), k)
       .toAggregateExpression())
 }
+
+/** Top-k merge over PRE-BEAMED arrays: each input row carries an
+  * array<struct<key: double, tie: long>> (a CellBeam output) and one
+  * update call folds the whole array into the bounded heap — top-k of a
+  * union of per-cell top-k's, without exploding the arrays into k rows
+  * each first. Same compare, same NULL-array skip, same sorted-ascending
+  * result shape as [[TopKAgg]] (payload fixed at 0). At sf0.1 this turns
+  * the beam merge's 1.6M-row aggregate input into 66k array rows. */
+case class TopKArrAgg(arr: Expression, k: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKHeap] {
+
+  require(k > 0, "TopKArrAgg: k must be positive")
+
+  override def children: Seq[Expression] = Seq(arr)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKArrAgg =
+    copy(arr = newChildren(0))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKArrAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKArrAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", DoubleType, nullable = false),
+    StructField("tie", LongType, nullable = false),
+    StructField("payload", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  // see TopKAgg.inputProj: keep the (possibly inlined) child compiled
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(arr))
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val r = inputProj(input)
+    if (!r.isNullAt(0)) {
+      val a = r.getArray(0)
+      val n = a.numElements()
+      var i = 0
+      while (i < n) {
+        val s = a.getStruct(i, 2)
+        buf.insert(s.getDouble(0), s.getLong(1), 0L)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: TopKHeap, other: TopKHeap): TopKHeap = {
+    var i = 0
+    while (i < other.size) {
+      buf.insert(other.key(i), other.tie(i), other.pay(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: TopKHeap): Any =
+    new GenericArrayData(buf.sortedRows())
+
+  override def serialize(buf: TopKHeap): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.size * 24)
+    bb.putInt(buf.cap).putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.key(i)).putLong(buf.tie(i)).putLong(buf.pay(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val h = new TopKHeap(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      h.insert(bb.getDouble(), bb.getLong(), bb.getLong())
+      i += 1
+    }
+    h
+  }
+}
+
+object TopKArrAgg {
+  /** Column API. `arr` = array<struct<key, tie>> per row. */
+  def apply(arr: Column, k: Int): Column =
+    ColumnBridge.column(TopKArrAgg(ColumnBridge.expression(arr), k)
+      .toAggregateExpression())
+}

@@ -34,8 +34,14 @@ object GeoExtQueries {
     // materialize the line table once: probe/target filters and the
     // pa/pb vertex joins make four consumers, and without the lineage
     // cut the collect_list aggregation re-runs for each of them inside
-    // the single fused job (measured 3x the whole-query cost at sf0.1)
-    val lines = MatchLines.linesWithCells(lineVertices(spark, dir), CellTenths)
+    // the single fused job (measured 3x the whole-query cost at sf0.1).
+    // The probe|target lid disjunction goes BELOW the vertex-array
+    // build, down to the parquet scan: lines outside both roles (45%
+    // here) never pay collect_list or the checkpoint write.
+    val lines = MatchLines.linesWithCells(
+      lineVertices(spark, dir)
+        .filter(col("lid") % 20 === 0 || col("lid") % 2 === 1),
+      CellTenths)
       .localCheckpoint()
     MatchLines.matchByHausdorff(
       lines.filter(col("lid") % 20 === 0),

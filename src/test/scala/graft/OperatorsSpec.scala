@@ -510,6 +510,55 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(viaWin.exceptAll(viaAgg).count() === 0)
   }
 
+  test("CellBeam digest beam == row-per-candidate window beam") {
+    import spark.implicits._
+    // synthetic layer: 40 probe lines x 200 targets in a handful of
+    // cells, with proxy ties (same centroid) to exercise the lb
+    // tie-break, and a probe whose neighborhood is empty
+    val verts = (0 until 240).flatMap { lid =>
+      val base = (lid * 37) % 120
+      (0 until 3).map(s => (lid.toLong, s, (base * 10 + s * 7).toLong,
+        ((lid % 5) * 40 + s * 3).toLong))
+    }.toDF("lid", "seq", "xi", "yi")
+    val lines = graft.operators.MatchLines.linesWithCells(verts, 12)
+    val probe = lines.filter(col("lid") < 40)
+    val target = lines.filter(col("lid") >= 40)
+    val got = graft.operators.MatchLines
+      .matchByHausdorff(probe, target, beam = 7)
+    // reference: enumerate every 3x3-cell candidate row, window top-7 by
+    // (exact proxy, lb), then the same hausdorff argmin
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
+    val a = probe.select(col("lid").as("la"), col("n").as("na"),
+      col("sx").as("sxa"), col("sy").as("sya"), col("pts").as("pa"),
+      col("cx"), col("cy"), explode(offsets).as("o"))
+      .select(col("la"), col("na"), col("sxa"), col("sya"), col("pa"),
+        (col("cx") + col("o.dx")).as("jx"),
+        (col("cy") + col("o.dy")).as("jy"))
+    val b = target.select(col("lid").as("lb"), col("n").as("nb"),
+      col("sx").as("sxb"), col("sy").as("syb"), col("pts").as("pb"),
+      col("cx").as("jx"), col("cy").as("jy"))
+    val ddx = col("sxa") * col("nb") - col("sxb") * col("na")
+    val ddy = col("sya") * col("nb") - col("syb") * col("na")
+    val proxy = (ddx * ddx + ddy * ddy).cast("double") /
+      ((col("na") * col("nb")) * (col("na") * col("nb"))).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("la").orderBy(col("proxy"), col("lb"))
+    val want = a.join(b, Seq("jx", "jy"))
+      .withColumn("proxy", proxy)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 7)
+      .withColumn("hd",
+        round(graft.operators.MatchLines.hausdorff(col("pa"), col("pb")), 4))
+      .withColumn("rk2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("la")
+          .orderBy(col("hd").asc_nulls_last, col("lb"))))
+      .filter(col("rk2") === 1 && col("hd").isNotNull)
+      .select(col("la"), col("lb"), col("hd"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    assert(got.count() > 0)
+  }
+
   test("shortestPaths: hand-computed graph, improvement beats first-found") {
     import spark.implicits._
     // (0,0) -1-> (0,1) -1-> (1,1) -2-> (1,0); direct (0,0) -5-> (1,0).
