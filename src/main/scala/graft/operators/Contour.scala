@@ -183,8 +183,13 @@ object Contour {
           when(min(when(col("fr") === 0, col("tt_min"))).isNull ||
             min("tt_min") < min(when(col("fr") === 0, col("tt_min"))),
             1).otherwise(0).as("fr"))
-        .localCheckpoint()
-      if (state.filter(col("fr") === 1).isEmpty) done = true
+        // LAZY checkpoint + frontier count in ONE action: the count job
+        // is what materializes (and locally checkpoints) the round's
+        // state, so each BFS round schedules exactly one job — the
+        // eager-checkpoint-then-isEmpty form ran two, doubling driver
+        // round-trips on large-diameter graphs.
+        .localCheckpoint(eager = false)
+      if (state.filter(col("fr") === 1).count() == 0L) done = true
       else rounds += 1
     }
     state.select("cx", "cy", "tt_min")
