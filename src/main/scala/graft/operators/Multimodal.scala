@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * vectorized pandas UDF: one JVM call per partition, tight loop per
   * batch, no per-row SerDe to a foreign runtime).
   *
-  * STUB: `decodeStub` is a deterministic fake — image/audio codecs are
-  * not available in this container. The Spark-side plumbing (binary
-  * schema, typed rows, per-partition batch shape, partition-preserving
-  * pipeline) is real; swap `decodeStub`'s body for a codec call
-  * (e.g. libjpeg/ffmpeg via JNI) to productionize.
+  * REAL codecs in this file: RIFF/WAVE PCM audio, 24-bit BMP images
+  * (+ nearest-neighbor resize), the GVID frame container, and PNG
+  * (zlib-compressed, all five scanline filters, CRC-checked chunks —
+  * java.util.zip supplies the deflate layer). Only formats whose
+  * compression needs external codec libraries (JPEG/MP3/MP4) keep the
+  * `decodeStub` fake; its Spark-side plumbing (binary schema, typed
+  * rows, per-partition batch shape) is the same as the real paths, so
+  * swapping in a codec call (e.g. libjpeg via JNI) is local.
   */
 object Multimodal {
 
@@ -60,8 +63,9 @@ object Multimodal {
   // PCM is encoded to genuine WAV bytes and decoded back by walking
   // RIFF chunks, so the "media" column carries a real format and the
   // features come from real decoded samples. No external codec needed:
-  // WAV/PCM is pure byte layout. (Compressed formats — JPEG/MP4 —
-  // remain the documented stub; their containers need codec libs.)
+  // WAV/PCM is pure byte layout. (PNG below covers the compressed
+  // case via the JDK's zlib; JPEG/MP3/MP4 remain the documented stub —
+  // their codecs aren't in the JDK.)
   // ---------------------------------------------------------------
 
   case class WavRow(doc_id: Long, payload: Array[Byte])
@@ -396,6 +400,236 @@ object Multimodal {
     docs.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.flatMap { d =>
         decodeVideoFrames(d, synthVideoBytes(d), everyN)
+      }).toDF()
+  }
+
+  // ---------------------------------------------------------------
+  // REAL compressed image decode: PNG (RFC 2083), truecolor 8-bit.
+  // The one genuinely-compressed format implementable without codec
+  // libraries: zlib IS in the JDK (java.util.zip Deflater/Inflater),
+  // and everything else — signature, length/type/CRC chunk framing,
+  // IHDR, scanline filters — is pure public-spec byte walking, same
+  // discipline as the WAV/BMP codecs above. The encoder cycles ALL
+  // FIVE filter types (row y uses filter y % 5) and splits the zlib
+  // stream across two IDAT chunks, so a hash-green round trip proves
+  // real deflate/inflate, chunk CRC validation, multi-IDAT
+  // concatenation, and every unfilter path (None/Sub/Up/Average/
+  // Paeth) byte-exact.
+  // ---------------------------------------------------------------
+
+  case class PngFeatures(doc_id: Long, width: Long, height: Long,
+                         sum_r: Long, sum_g: Long, sum_b: Long,
+                         grad_r: Long)
+
+  private def pngR(d: Long, x: Int, y: Int): Int =
+    ((d * 5 + x * 19 + y * 37) % 256).toInt
+  private def pngG(d: Long, x: Int, y: Int): Int =
+    ((d * 23 + x * 7 + y * 11) % 256).toInt
+  private def pngB(d: Long, x: Int, y: Int): Int =
+    ((d * 13 + x * 3 + y * 29) % 256).toInt
+
+  /** Paeth predictor (PNG spec §6.6). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(c.update)
+    c.getValue.toInt
+  }
+
+  /** Encode document `docId`'s synthetic image as a REAL PNG: 8-bit
+    * truecolor, 12..18 px wide by 9..14 px tall, scanline filters
+    * cycling None/Sub/Up/Average/Paeth by row, zlib-deflated pixel
+    * stream split across TWO IDAT chunks, CRC on every chunk. */
+  def synthPngBytes(docId: Long): Array[Byte] = {
+    val w = (12 + docId % 7).toInt
+    val h = (9 + docId % 6).toInt
+    val bpp = 3
+    val stride = w * bpp
+    // raw top-down RGB scanlines
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = y * stride + x * bpp
+        raw(o) = pngR(docId, x, y).toByte
+        raw(o + 1) = pngG(docId, x, y).toByte
+        raw(o + 2) = pngB(docId, x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // filtered stream: one filter-type byte + filtered bytes per row
+    val filtered = new Array[Byte](h * (1 + stride))
+    y = 0
+    while (y < h) {
+      val ft = y % 5
+      filtered(y * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = raw(y * stride + i) & 0xff
+        val left = if (i >= bpp) raw(y * stride + i - bpp) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) raw((y - 1) * stride + i - bpp) & 0xff
+                 else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        filtered(y * (1 + stride) + 1 + i) = f.toByte
+        i += 1
+      }
+      y += 1
+    }
+    // zlib-compress the filtered stream
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zbuf = new Array[Byte](filtered.length + 64)
+    var zlen = 0
+    while (!defl.finished()) zlen += defl.deflate(zbuf, zlen, zbuf.length - zlen)
+    defl.end()
+    val z = java.util.Arrays.copyOf(zbuf, zlen)
+    // chunk framing
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data)
+        .putInt(crc32(t, data)).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, none
+      .array()
+    val split = z.length / 2 // two IDAT chunks: decoders must concatenate
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", java.util.Arrays.copyOfRange(z, 0, split)) ++
+      chunk("IDAT", java.util.Arrays.copyOfRange(z, split, z.length)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL PNG decode: signature check, chunk walk with CRC validation
+    * on every chunk, IHDR validation (8-bit truecolor, deflate,
+    * non-interlaced), multi-IDAT concatenation, zlib inflate, and
+    * per-row unfiltering of all five filter types. Malformed input —
+    * including a corrupted CRC — fails loudly. Returns top-down RGB
+    * (reuses [[BmpImage]] as the decoded-pixels carrier). */
+  def decodePng(payload: Array[Byte]): BmpImage = {
+    require(payload.length >= 8, "png: truncated signature")
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    require(java.util.Arrays.equals(
+      java.util.Arrays.copyOf(payload, 8), sig), "png: bad signature")
+    val bb = java.nio.ByteBuffer.wrap(payload, 8, payload.length - 8)
+    var w = 0; var h = 0; var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(bb.remaining() >= 12, "png: truncated chunk")
+      val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining() - 8, "png: bad chunk length")
+      val t = new Array[Byte](4); bb.get(t)
+      val typ = new String(t, "US-ASCII")
+      val data = new Array[Byte](len); bb.get(data)
+      require(bb.getInt == crc32(t, data), s"png: bad CRC on $typ")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, "png: bad IHDR length")
+          val ib = java.nio.ByteBuffer.wrap(data)
+          w = ib.getInt; h = ib.getInt
+          require(w > 0 && h > 0, s"png: bad dimensions ${w}x$h")
+          val (depth, color) = (ib.get(), ib.get())
+          require(depth == 8, s"png: unsupported bit depth $depth")
+          require(color == 2, s"png: unsupported color type $color")
+          require(ib.get() == 0 && ib.get() == 0 && ib.get() == 0,
+            "png: unsupported compression/filter/interlace")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "png: IDAT before IHDR")
+          idat.write(data)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunk: CRC checked, content skipped
+      }
+    }
+    require(seenIhdr, "png: no IHDR")
+    val bpp = 3
+    val stride = w * bpp
+    // zlib inflate of the concatenated IDAT stream
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    val filtered = new Array[Byte](h * (1 + stride))
+    var got = 0
+    while (got < filtered.length && !infl.finished()) {
+      val n = infl.inflate(filtered, got, filtered.length - got)
+      require(n > 0 || infl.finished(), "png: truncated IDAT stream")
+      got += n
+    }
+    infl.end()
+    require(got == filtered.length, "png: short pixel stream")
+    // unfilter into top-down RGB
+    val rgb = new Array[Int](w * h * 3)
+    val prior = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val ft = filtered(y * (1 + stride)) & 0xff
+      require(ft <= 4, s"png: bad filter type $ft")
+      var i = 0
+      while (i < stride) {
+        val f = filtered(y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = prior(i)
+        val ul = if (i >= bpp) prior(i - bpp) else 0
+        cur(i) = ft match {
+          case 0 => f
+          case 1 => (f + left) & 0xff
+          case 2 => (f + up) & 0xff
+          case 3 => (f + (left + up) / 2) & 0xff
+          case 4 => (f + paeth(left, up, ul)) & 0xff
+        }
+        rgb(y * stride + i) = cur(i)
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    BmpImage(w, h, rgb)
+  }
+
+  /** documents -> real PNG encode -> real decode -> channel sums plus a
+    * horizontal-gradient feature (sum of |r(x,y) - r(x-1,y)|), all
+    * distributed. The gradient term makes pixel ADJACENCY load-bearing:
+    * a decoder that got row order or any unfilter path wrong could
+    * still match plain channel sums, but not the gradient. */
+  def pngFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[PngFeatures]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        val img = decodePng(synthPngBytes(d))
+        val (r, g, b) = channelSums(img)
+        var grad = 0L
+        var y = 0
+        while (y < img.height) {
+          var x = 1
+          while (x < img.width) {
+            val o = (y * img.width + x) * 3
+            grad += math.abs(img.rgb(o) - img.rgb(o - 3))
+            x += 1
+          }
+          y += 1
+        }
+        PngFeatures(d, img.width, img.height, r, g, b, grad)
       }).toDF()
   }
 

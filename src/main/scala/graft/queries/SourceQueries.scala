@@ -78,13 +78,17 @@ object SourceQueries {
   def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame =
     Multimodal.videoFrameFeatures(Tables.load(spark, dir, "documents"))
 
+  def qMultimodalPng(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pngFeatures(Tables.load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_read_wkt" -> (qReadWkt _),
     "q_read_wkt_multipolygon" -> (qReadWktMultiPolygon _),
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
-    "q_multimodal_video" -> (qMultimodalVideo _))
+    "q_multimodal_video" -> (qMultimodalVideo _),
+    "q_multimodal_png" -> (qMultimodalPng _))
 
   val oracles: Map[String, String] = Map(
     // REAL round-trip check: Spark encodes genuine RIFF/WAVE PCM bytes
@@ -167,6 +171,37 @@ object SourceQueries {
         |  CAST(SUM(CASE WHEN x % 2 = 0 AND x < (w // 2) * 2
         |                 AND y % 2 = 0 AND y < (h // 2) * 2
         |            THEN b END) AS BIGINT) AS rsum_b
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    // PNG: Spark encodes a genuine PNG per document (zlib-deflated
+    // scanlines, filters cycling None/Sub/Up/Average/Paeth by row,
+    // two IDAT chunks, CRC on every chunk) and decodes it back with a
+    // real chunk-walking, CRC-checking, inflating, unfiltering parser.
+    // The oracle replays the decoded pixels analytically (pixel (x,y)
+    // of doc d by exact integer formulas); the grad_r term (sum of
+    // horizontal neighbor |differences| in the red channel) makes row
+    // order and every unfilter path load-bearing, not just the sums.
+    "q_multimodal_png" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |dim AS (SELECT doc_id, 12 + doc_id % 7 AS w, 9 + doc_id % 6 AS h
+        |        FROM d),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |         (doc_id * 5 + x * 19 + y * 37) % 256 AS r,
+        |         (doc_id * 23 + x * 7 + y * 11) % 256 AS g,
+        |         (doc_id * 13 + x * 3 + y * 29) % 256 AS b,
+        |         CASE WHEN x > 0 THEN
+        |           ABS((doc_id * 5 + x * 19 + y * 37) % 256
+        |             - (doc_id * 5 + (x - 1) * 19 + y * 37) % 256)
+        |         ELSE 0 END AS dr
+        |       FROM dim,
+        |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) u,
+        |       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) v)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(dr) AS BIGINT) AS grad_r
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
 
     // The "decode" is a deterministic stub (polynomial checksum over the

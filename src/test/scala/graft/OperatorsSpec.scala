@@ -456,6 +456,48 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       Multimodal.decodeBmp(shortPix)).getMessage.contains("out of bounds"))
   }
 
+  test("PNG codec: round-trip through zlib + all five filters, CRC, malformed") {
+    import graft.operators.Multimodal
+    // heights 9..14 guarantee every doc's rows cycle through ALL FIVE
+    // filter types (row y uses y % 5); every pixel is checked, so each
+    // unfilter path (None/Sub/Up/Average/Paeth) is fully exercised
+    for (d <- 0L to 9L) {
+      val img = Multimodal.decodePng(Multimodal.synthPngBytes(d))
+      val w = (12 + d % 7).toInt
+      val h = (9 + d % 6).toInt
+      assert(img.width === w && img.height === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (y * w + x) * 3
+        assert(img.rgb(base) === ((d * 5 + x * 19 + y * 37) % 256).toInt)
+        assert(img.rgb(base + 1) === ((d * 23 + x * 7 + y * 11) % 256).toInt)
+        assert(img.rgb(base + 2) === ((d * 13 + x * 3 + y * 29) % 256).toInt)
+      }
+    }
+    val ok = Multimodal.synthPngBytes(5L)
+    val badSig = ok.clone(); badSig(1) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodePng(badSig)).getMessage.contains("signature"))
+    // flip one byte inside the first IDAT chunk's data: CRC must catch it
+    val crcBroken = ok.clone()
+    val firstIdat = {
+      var i = 8
+      var at = -1
+      while (at < 0) {
+        val len = java.nio.ByteBuffer.wrap(crcBroken, i, 4).getInt
+        val typ = new String(crcBroken, i + 4, 4, "US-ASCII")
+        if (typ == "IDAT") at = i + 8 else i += 12 + len
+      }
+      at
+    }
+    crcBroken(firstIdat) = (crcBroken(firstIdat) ^ 0x41).toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodePng(crcBroken)).getMessage.contains("CRC"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodePng(ok.take(15))).getMessage.contains("truncated"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodePng(ok.take(20))).getMessage.contains("chunk length"))
+  }
+
   test("GVID container: frame sampling, frame content, malformed input") {
     import graft.operators.Multimodal
     val d = 5L
