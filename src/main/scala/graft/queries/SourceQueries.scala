@@ -65,6 +65,48 @@ object SourceQueries {
         Wkt.toWktRing(col("ring")).as("ring_wkt"))
   }
 
+  /** WKB round trip: build deterministic three-ring polygons per nation
+    * (same generator as the WKT multipolygon query), WRITE them as real
+    * OGC WKB bytes — alternating little/big endian by pid, so both byte
+    * orders are load-bearing — PARSE the bytes back with the Catalyst
+    * WKB reader, and emit per-ring vertex count, shoelace area,
+    * perimeter and the ring re-serialized as text. n_bytes pins the
+    * writer's exact layout size. Reference: read_spatialite
+    * (core.py:423) reads geometry from a binary DB format; this is the
+    * standard-layout binary analogue. */
+  def qReadWkb(spark: SparkSession, dir: String): DataFrame = {
+    import graft.geom.Geom
+    import graft.sources.Wkb
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.cast("double").as("x"), y.cast("double").as("y"))
+    val g = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("pid"))
+      .withColumn("x0", col("pid") * 7 % 50)
+      .withColumn("y0", col("pid") * 13 % 50)
+      .withColumn("w", lit(10) + col("pid") % 5)
+      .withColumn("h", lit(8) + col("pid") % 7)
+    val x0 = col("x0"); val y0 = col("y0"); val w = col("w"); val h = col("h")
+    val outer = array(pt(x0, y0), pt(x0 + w, y0), pt(x0 + w, y0 + h),
+      pt(x0, y0 + h), pt(x0, y0))
+    val hole = array(pt(x0 + 2, y0 + 2), pt(x0 + 4, y0 + 2),
+      pt(x0 + 4, y0 + 4), pt(x0 + 2, y0 + 4), pt(x0 + 2, y0 + 2))
+    val part2 = array(pt(x0 + 100, y0), pt(x0 + 105, y0),
+      pt(x0 + 105, y0 + 5), pt(x0 + 100, y0 + 5), pt(x0 + 100, y0))
+    val withWkb = g.select(col("pid"), (col("pid") % 2 === 0).as("ndr"),
+      Wkb.writePolygon(array(outer, hole, part2),
+        col("pid") % 2 === 0).as("wkb"))
+    withWkb
+      .select(col("pid"), col("ndr"),
+        length(col("wkb")).cast("long").as("n_bytes"),
+        posexplode(Wkb.parseRings(col("wkb"))).as(Seq("ri0", "ring")))
+      .select(col("pid"), col("ndr"), col("n_bytes"),
+        (col("ri0") + 1).cast("long").as("ri"),
+        size(col("ring")).cast("long").as("n_pts"),
+        round(Geom.ringArea(col("ring")), 4).as("area"),
+        round(Geom.ringPerimeter(col("ring")), 4).as("peri"),
+        Wkt.toWktRing(col("ring")).as("ring_wkt"))
+  }
+
   def qMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.mediaTable(Tables.load(spark, dir, "documents"))).toDF()
@@ -84,6 +126,7 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_read_wkt" -> (qReadWkt _),
     "q_read_wkt_multipolygon" -> (qReadWktMultiPolygon _),
+    "q_read_wkb" -> (qReadWkb _),
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
@@ -91,6 +134,38 @@ object SourceQueries {
     "q_multimodal_png" -> (qMultimodalPng _))
 
   val oracles: Map[String, String] = Map(
+    // WKB: the engine writes real OGC WKB bytes (both byte orders) and
+    // parses them back; the oracle replays the ring geometry
+    // analytically from the same generating formulas, and n_bytes pins
+    // the writer's layout (1 order byte + uint32 type + uint32 ring
+    // count + per ring uint32 count + 16 bytes/point).
+    "q_read_wkb" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS pid FROM nation),
+        |g AS (SELECT pid, pid*7%50 AS x0, pid*13%50 AS y0,
+        |        10 + pid%5 AS w, 8 + pid%7 AS h FROM n),
+        |r AS (
+        |  SELECT pid, 1 AS ri,
+        |    [CAST(x0 AS DOUBLE), x0+w, x0+w, x0, x0] AS xs,
+        |    [CAST(y0 AS DOUBLE), y0, y0+h, y0+h, y0] AS ys FROM g
+        |  UNION ALL SELECT pid, 2,
+        |    [CAST(x0+2 AS DOUBLE), x0+4, x0+4, x0+2, x0+2],
+        |    [CAST(y0+2 AS DOUBLE), y0+2, y0+4, y0+4, y0+2] FROM g
+        |  UNION ALL SELECT pid, 3,
+        |    [CAST(x0+100 AS DOUBLE), x0+105, x0+105, x0+100, x0+100],
+        |    [CAST(y0 AS DOUBLE), y0, y0+5, y0+5, y0] FROM g)
+        |SELECT pid, pid % 2 = 0 AS ndr,
+        |  CAST(9 + 3 * (4 + 16 * 5) AS BIGINT) AS n_bytes,
+        |  CAST(ri AS BIGINT) AS ri, CAST(5 AS BIGINT) AS n_pts,
+        |  ROUND(ABS(list_sum(list_transform(range(1, 5),
+        |      i -> xs[i]*ys[i+1] - xs[i+1]*ys[i]))) / 2.0, 4) AS area,
+        |  ROUND(list_sum(list_transform(range(1, 5),
+        |      i -> sqrt((xs[i+1]-xs[i])*(xs[i+1]-xs[i])
+        |             + (ys[i+1]-ys[i])*(ys[i+1]-ys[i])))), 4) AS peri,
+        |  '(' || array_to_string(list_transform(range(1, 6),
+        |      i -> CAST(xs[i] AS VARCHAR) || ' ' || CAST(ys[i] AS VARCHAR)),
+        |      ', ') || ')' AS ring_wkt
+        |FROM r""".stripMargin,
+
     // REAL round-trip check: Spark encodes genuine RIFF/WAVE PCM bytes
     // and decodes them back with a real chunk-walking parser; the
     // oracle computes the same features ANALYTICALLY from the synth

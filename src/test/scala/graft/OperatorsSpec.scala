@@ -456,6 +456,72 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       Multimodal.decodeBmp(shortPix)).getMessage.contains("out of bounds"))
   }
 
+  test("WKB: golden bytes both endian, multipolygon, writer layout, malformed") {
+    import spark.implicits._
+    import graft.sources.Wkb
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte)
+        .toArray
+    def ringsOf(bin: Array[Byte]): Seq[Seq[(Double, Double)]] = {
+      val row = Seq(bin).toDF("b")
+        .select(Wkb.parseRings(col("b")).as("r")).head()
+      row.getAs[scala.collection.Seq[scala.collection.Seq[
+        org.apache.spark.sql.Row]]](0)
+        .map(_.map(r => (r.getDouble(0), r.getDouble(1))).toSeq).toSeq
+    }
+    // golden XDR (big-endian) POINT (1 2) — hand-written per OGC spec
+    assert(ringsOf(hex("00 00000001 3FF0000000000000 4000000000000000"))
+      === Seq(Seq((1.0, 2.0))))
+    // golden NDR (little-endian) LINESTRING (1 2, 3 4)
+    assert(ringsOf(hex("01 02000000 02000000" +
+      " 000000000000F03F 0000000000000040" +
+      " 0000000000000840 0000000000001040"))
+      === Seq(Seq((1.0, 2.0), (3.0, 4.0))))
+    // golden NDR MULTIPOLYGON of two single-ring triangles: rings
+    // concatenate in document order (Wkt.parseRings convention)
+    val tri1 = "01 03000000 01000000 03000000" +
+      " 0000000000000000 0000000000000000" +
+      " 000000000000F03F 0000000000000000" +
+      " 0000000000000000 000000000000F03F"
+    val tri2 = "00 00000003 00000001 00000003" + // second part big-endian
+      " 4010000000000000 0000000000000000" +
+      " 4014000000000000 0000000000000000" +
+      " 4010000000000000 3FF0000000000000"
+    assert(ringsOf(hex("01 06000000 02000000" + tri1 + tri2))
+      === Seq(Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0)),
+        Seq((4.0, 0.0), (5.0, 0.0), (4.0, 1.0))))
+    // writer golden bytes: one-ring polygon, both byte orders, and
+    // write -> parse identity
+    val ring = Seq(Seq((0.0, 0.0), (2.0, 0.0), (0.0, 3.0)))
+    val rdf = Seq(1).toDF("i").select(typedLit(ring).as("r"))
+    val ndrBytes = rdf.select(Wkb.writePolygon(col("r"), lit(true))).head()
+      .getAs[Array[Byte]](0)
+    assert(ndrBytes === hex("01 03000000 01000000 03000000" +
+      " 0000000000000000 0000000000000000" +
+      " 0000000000000040 0000000000000000" +
+      " 0000000000000000 0000000000000840"))
+    val xdrBytes = rdf.select(Wkb.writePolygon(col("r"), lit(false))).head()
+      .getAs[Array[Byte]](0)
+    assert(xdrBytes === hex("00 00000003 00000001 00000003" +
+      " 0000000000000000 0000000000000000" +
+      " 4000000000000000 0000000000000000" +
+      " 0000000000000000 4008000000000000"))
+    assert(ringsOf(ndrBytes) === ring && ringsOf(xdrBytes) === ring)
+    // malformed: bad order byte, unsupported type, truncated ring,
+    // trailing garbage
+    def fails(b: Array[Byte], msg: String): Unit = {
+      val e = intercept[Throwable](ringsOf(b))
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains(msg))
+    }
+    fails(hex("02 00000001"), "byte order")
+    fails(hex("00 00000007"), "unsupported type")
+    fails(hex("01 02000000 05000000 000000000000F03F"), "out of bounds")
+    fails(hex("00 00000001 3FF0000000000000 4000000000000000 FF"),
+      "trailing")
+  }
+
   test("PNG codec: round-trip through zlib + all five filters, CRC, malformed") {
     import graft.operators.Multimodal
     // heights 9..14 guarantee every doc's rows cycle through ALL FIVE
