@@ -54,20 +54,32 @@ object DedupQueries {
       K, flagAt = 0.2)
   }
 
+  /** Deterministic batch twin of the STREAMING near-dup filter
+    * (streaming.NearDupStream): per LSH bucket, one anchor (min doc id
+    * in batch; first arrival in the stream) and a candidate pair for
+    * every other member — the stream's state transition replayed with a
+    * per-bucket aggregate, making the streaming component a first-class
+    * CORRECTNESS row. */
+  def qNearDupAnchor(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.NearDupStream.candidatePairsBatch(
+      docs(spark, dir), K, numHashes = 64, bands = 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_minhash" -> (qMinhash _),
     "q_dedup_simhash" -> (qSimhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_neardup_anchor" -> (qNearDupAnchor _),
     "q_decontaminate" -> (qDecontaminate _))
 
-  /** DuckDB twin of operators.Dedup's minhash pipeline: same rolling
+  /** Shared band-hash CTE prefix (through `bands`): the DuckDB twin of
+    * the engine's minhash signature + LSH band fold — same rolling
     * shingle hash, same universal-hash coefficients (note `|1` / exact
-    * integer arithmetic), same band fold — the full LSH path is
-    * hash-checked, not just row-counted. */
-  private val minhashOracle: String = {
+    * integer arithmetic), same band fold. Used by the pair, cluster AND
+    * bucket-anchor oracles, so the replayed LSH path is written once. */
+  private val minhashBandCtes: String = {
     val P = 2147483647L
-    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
+    s"""d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
        |           FROM documents),
        |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $K) AS s
        |       FROM d, LATERAL (SELECT unnest(generate_series(1,
@@ -89,7 +101,13 @@ object DedupQueries {
        |bands AS (SELECT doc_id, i // 4 AS band,
        |            list_reduce(list_prepend(CAST(0 AS BIGINT),
        |              list(m ORDER BY i)), (x, y) -> (x * 33 + y) % $P) AS bh
-       |          FROM mins GROUP BY doc_id, i // 4),
+       |          FROM mins GROUP BY doc_id, i // 4)""".stripMargin
+  }
+
+  /** Full minhash-pair oracle: band CTEs + candidate join + signature
+    * agreement — the full LSH path hash-checked, not just row-counted. */
+  private val minhashOracle: String =
+    s"""WITH $minhashBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bh = b.bh
@@ -102,7 +120,6 @@ object DedupQueries {
        |        JOIN mins mb ON mb.doc_id = idb AND mb.i = ma.i
        |        GROUP BY 1, 2)
        |SELECT ida, idb, est FROM est WHERE est >= 0.2""".stripMargin
-  }
 
   /** Mirrors Dedup.dedupClusters' exact 3-iteration min-label recurrence
     * over the minhash pair graph (the same UNION ALL + per-node MIN per
@@ -177,6 +194,18 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
+
+    // streaming near-dup filter's batch twin: same band CTEs, then the
+    // bucket-anchor (min id) state transition as one aggregate + join
+    "q_neardup_anchor" ->
+      s"""WITH $minhashBandCtes,
+         |anch AS (SELECT band, bh, MIN(doc_id) AS anchor_id,
+         |           COUNT(*) AS n
+         |         FROM bands GROUP BY 1, 2)
+         |SELECT CAST(b.band AS BIGINT) AS band, b.bh, a.anchor_id,
+         |  b.doc_id
+         |FROM bands b JOIN anch a ON b.band = a.band AND b.bh = a.bh
+         |WHERE a.n >= 2 AND b.doc_id <> a.anchor_id""".stripMargin,
     "q_dedup_clusters" -> clustersOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_ngram_jaccard" ->

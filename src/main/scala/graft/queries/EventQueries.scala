@@ -59,6 +59,17 @@ object EventQueries {
         round(sum("value"), 4).as("sum_value"))
   }
 
+  /** The STATEFUL sessionizer (streaming.SessionStream) run in batch
+    * mode — flatMapGroupsWithState over a bounded Dataset processes each
+    * user's full history in one group, so the final state equals what
+    * the unbounded stream would hold after draining the same events.
+    * Session totals depend only on sorted timestamps (ties cannot flip
+    * a gap), so the output is deterministic and oracle-checkable: this
+    * makes the streaming component a first-class CORRECTNESS row, not
+    * just a parity spec. */
+  def qSessionizeStateful(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.SessionStream.sessionCounts(events(spark, dir)).toDF()
+
   /** view -> click -> purchase funnel per user: earliest view, earliest
     * click after it, earliest purchase after that. Three conditional-min
     * aggregations on the same user_id shuffle key; exact integer micros.
@@ -89,6 +100,7 @@ object EventQueries {
     "q_events_windowed" -> (qEventsWindowed _),
     "q_event_interval_join" -> (qEventIntervalJoin _),
     "q_sessionize" -> (qSessionize _),
+    "q_sessionize_stateful" -> (qSessionizeStateful _),
     "q_funnel" -> (qFunnel _))
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +154,24 @@ object EventQueries {
          |  ROUND(SUM(value), 4) AS sum_value
          |FROM sess
          |GROUP BY 1, 2""".stripMargin,
+
+    // per-user totals of the gap-sessionizer: the stateful streaming
+    // operator's final state, replayed with a window + one aggregate
+    "q_sessionize_stateful" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         |flagged AS (
+         |  SELECT user_id,
+         |    CASE WHEN LAG(ts_us) OVER w IS NULL
+         |           OR ts_us - LAG(ts_us) OVER w > $GapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         |t AS (
+         |  SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+         |    COUNT(*) AS n_events
+         |  FROM flagged GROUP BY user_id)
+         |SELECT user_id, n_sessions, n_events FROM t""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (

@@ -107,6 +107,34 @@ object SourceQueries {
         Wkt.toWktRing(col("ring")).as("ring_wkt"))
   }
 
+  /** Bucketed co-located join as a first-class result row: write orders
+    * and lineitem bucketed+sorted by order key (the shuffle paid ONCE,
+    * at write time), read them back through the catalog, join on the
+    * bucket key and roll up per order. The zero-exchange property of
+    * this join is plan-asserted in OperatorsSpec ("bucketed tables join
+    * with zero exchanges"); this query makes the component's RESULTS
+    * oracle-checked too (the oracle is the plain join — bucketing must
+    * never change answers). l_quantity values are small integers in
+    * doubles, so the per-order sums are exact in either engine. */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Bucketed
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("k"), col("l_quantity"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("o_custkey"))
+    Bucketed.writeBucketed(li, s"graft_li_q$tag",
+      s"/tmp/graft_bucket_q/li$tag", "k", 8)
+    Bucketed.writeBucketed(o, s"graft_o_q$tag",
+      s"/tmp/graft_bucket_q/o$tag", "k", 8)
+    Bucketed.readBucketed(spark, s"graft_o_q$tag")
+      .join(Bucketed.readBucketed(spark, s"graft_li_q$tag"), "k")
+      .groupBy(col("k").as("o_orderkey"), col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+  }
+
   def qMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.mediaTable(Tables.load(spark, dir, "documents"))).toDF()
@@ -127,6 +155,7 @@ object SourceQueries {
     "q_read_wkt" -> (qReadWkt _),
     "q_read_wkt_multipolygon" -> (qReadWktMultiPolygon _),
     "q_read_wkb" -> (qReadWkb _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
@@ -134,6 +163,15 @@ object SourceQueries {
     "q_multimodal_png" -> (qMultimodalPng _))
 
   val oracles: Map[String, String] = Map(
+    // bucketing must never change answers: the oracle is the plain join
+    "q_bucketed_join" ->
+      """SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o.o_custkey AS BIGINT) AS o_custkey,
+        |  COUNT(*) AS n_items,
+        |  ROUND(SUM(l.l_quantity), 2) AS sum_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
     // WKB: the engine writes real OGC WKB bytes (both byte orders) and
     // parses them back; the oracle replays the ring geometry
     // analytically from the same generating formulas, and n_bytes pins

@@ -72,6 +72,31 @@ object NearDupStream {
       .toDF()
   }
 
+  /** Deterministic batch twin of the stream's bucket-anchor semantics:
+    * same row-local band keys, same one-anchor-per-bucket candidate
+    * shape, but the anchor is the bucket's MINIMUM doc id instead of
+    * its first arrival (stream order does not exist in batch). The
+    * candidate pair SET matches the stream run on the same corpus
+    * modulo orientation (spec-asserted); this form is fully
+    * deterministic, so it carries the family's CORRECTNESS row.
+    * Plan: one kernel scan for signatures (checkpointed — two
+    * consumers), a per-bucket min/count aggregate, and a band-bucket
+    * equi-join — no all-pairs stage, the LSH scale shape. */
+  def candidatePairsBatch(docs: DataFrame, k: Int = 5, numHashes: Int = 64,
+                          bands: Int = 16): DataFrame = {
+    val keys = Dedup.minhashBandKeysRowLocal(docs, k, numHashes, bands)
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("bh"))
+      .localCheckpoint()
+    val anchors = keys.groupBy("band", "bh")
+      .agg(min("doc_id").as("anchor_id"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(col("n") >= 2).drop("n")
+    keys.join(anchors, Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("anchor_id"))
+      .select(col("band"), col("bh"), col("anchor_id"), col("doc_id"))
+  }
+
   /** File-source stream over a documents directory -> memory sink. */
   def nearDupStream(spark: SparkSession, dir: String,
                     queryName: String): StreamingQuery =

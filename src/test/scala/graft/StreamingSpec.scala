@@ -120,6 +120,19 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
           "left")
         .filter(coalesce(col("c"), lit(0L)) =!= col("n") - 1)
       assert(mismatched.count() === 0)
+      // the deterministic batch twin (q_neardup_anchor's operator) hits
+      // exactly the same buckets with the same per-bucket pair counts —
+      // only anchor CHOICE (min id vs first arrival) may differ, so pair
+      // sets can diverge in >= 3-member buckets but counts cannot
+      val twin = graft.streaming.NearDupStream.candidatePairsBatch(
+        Tables.load(spark, SfDir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        k = 5, numHashes = 64, bands = 16)
+        .groupBy("band", "bh").agg(count(lit(1)).as("tc"))
+      val diverged = twin.join(streamedCounts, Seq("band", "bh"), "full")
+        .filter(coalesce(col("tc"), lit(0L)) =!=
+          coalesce(col("c"), lit(0L)))
+      assert(diverged.count() === 0)
     } finally q.stop()
   }
 
