@@ -25,7 +25,7 @@ object ProfileMatch {
       (col("l_partkey") * 61 % 1000).cast("long").as("xi"),
       (col("l_suppkey") * 157 % 1000).cast("long").as("yi"))
 
-    val auto = MatchLines.autoCellTenths(verts)
+    val auto = MatchLines.autoCellTenths(MatchLines.linesAgg(verts))
     println(s"[prof] autoCellTenths = $auto")
 
     def candCount(cell: Int): Long = {

@@ -31,18 +31,21 @@ object GeoExtQueries {
       |FROM lineitem""".stripMargin
 
   def qMatchLines(spark: SparkSession, dir: String): DataFrame = {
-    // materialize the line table once: probe/target filters and the
-    // pa/pb vertex joins make four consumers, and without the lineage
-    // cut the collect_list aggregation re-runs for each of them inside
-    // the single fused job (measured 3x the whole-query cost at sf0.1).
-    // The probe|target lid disjunction goes BELOW the vertex-array
-    // build, down to the parquet scan: lines outside both roles (45%
-    // here) never pay collect_list or the checkpoint write.
-    val lines = MatchLines.linesWithCells(
+    // materialize the line table once: probe/target filters, the cell
+    // autosizing agg and the pa/pb vertex joins all consume it, and
+    // without the lineage cut the collect_list aggregation re-runs for
+    // each of them inside the single fused job (measured 3x the
+    // whole-query cost at sf0.1). The probe|target lid disjunction goes
+    // BELOW the vertex-array build, down to the parquet scan: lines
+    // outside both roles (45% here) never pay collect_list or the
+    // checkpoint write. Cell size is the DENSITY-ADAPTIVE rule — engine
+    // behavior, not a hand-tuned constant (the oracle derives the same
+    // cell from the same density agg).
+    val base = MatchLines.linesAgg(
       lineVertices(spark, dir)
-        .filter(col("lid") % 20 === 0 || col("lid") % 2 === 1),
-      CellTenths)
+        .filter(col("lid") % 20 === 0 || col("lid") % 2 === 1))
       .localCheckpoint()
+    val lines = MatchLines.withCells(base, MatchLines.autoCellTenths(base))
     MatchLines.matchByHausdorff(
       lines.filter(col("lid") % 20 === 0),
       lines.filter(col("lid") % 2 === 1))
@@ -122,11 +125,18 @@ object GeoExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q_match_lines" ->
-      s"""WITH v AS ($lineVerticesSql),
+      s"""WITH v0 AS ($lineVerticesSql),
+         |v AS (SELECT * FROM v0 WHERE lid % 20 = 0 OR lid % 2 = 1),
          |lines AS (SELECT lid, COUNT(*) AS n, SUM(xi) AS sx, SUM(yi) AS sy
          |          FROM v GROUP BY lid),
-         |cells AS (SELECT lid, n, sx, sy, sx // (n * $CellTenths) AS cx,
-         |                 sy // (n * $CellTenths) AS cy FROM lines),
+         |cellp AS (SELECT GREATEST(2, CAST(FLOOR(
+         |            (GREATEST(MAX(sx / n) - MIN(sx / n),
+         |                      MAX(sy / n) - MIN(sy / n)) + 1)
+         |            / SQRT(COUNT(*) / 135.0) + 0.5) AS BIGINT)) AS ct
+         |          FROM lines),
+         |cells AS (SELECT lid, n, sx, sy,
+         |            sx // (n * (SELECT ct FROM cellp)) AS cx,
+         |            sy // (n * (SELECT ct FROM cellp)) AS cy FROM lines),
          |a AS (SELECT * FROM cells WHERE lid % 20 = 0),
          |b AS (SELECT * FROM cells WHERE lid % 2 = 1),
          |cand AS (

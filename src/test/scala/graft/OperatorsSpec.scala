@@ -618,6 +618,39 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(viaWin.exceptAll(viaAgg).count() === 0)
   }
 
+  test("autoCellTenths: closed form, density scaling, match output parity") {
+    import spark.implicits._
+    import graft.operators.MatchLines
+    // layer engineered so the rule lands exactly on the hand-tuned 30:
+    // extent 60 tenths, 540 lines -> round(60 / sqrt(540/135)) = 30
+    def layer(nLines: Int, spread: Int) = (0 until nLines).flatMap { lid =>
+      (0 until 3).map(s => (lid.toLong, s,
+        ((lid * 7919) % spread + s).toLong, ((lid * 104729) % spread + s).toLong))
+    }.toDF("lid", "seq", "xi", "yi")
+    val base = MatchLines.linesAgg(layer(540, 60))
+    val auto = MatchLines.autoCellTenths(base)
+    // centroids of 3 consecutive offsets span ~spread, extent = max-min+1
+    assert(auto === math.round(
+      ((0 until 540).map(l => (3 * ((l * 7919) % 60) + 3) / 3.0).max -
+       (0 until 540).map(l => (3 * ((l * 7919) % 60) + 3) / 3.0).min + 1)
+        / math.sqrt(540 / 135.0)).toInt)
+    // density scaling: 4x the lines in the same extent -> cell halves
+    val auto4 = MatchLines.autoCellTenths(MatchLines.linesAgg(layer(2160, 60)))
+    assert(math.abs(auto4 * 2 - auto) <= 1)
+    // engine behavior == explicit cell: the auto-sized match output is
+    // identical to passing the computed constant by hand
+    val probe = MatchLines.withCells(base, auto).filter(col("lid") % 4 === 0)
+    val target = MatchLines.withCells(base, auto).filter(col("lid") % 4 =!= 0)
+    val got = MatchLines.matchByHausdorff(probe, target, beam = 5)
+    val explicitLines = MatchLines.linesWithCells(layer(540, 60), auto)
+    val want = MatchLines.matchByHausdorff(
+      explicitLines.filter(col("lid") % 4 === 0),
+      explicitLines.filter(col("lid") % 4 =!= 0), beam = 5)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    assert(got.count() > 0)
+  }
+
   test("CellBeam digest beam == row-per-candidate window beam") {
     import spark.implicits._
     // synthetic layer: 40 probe lines x 200 targets in a handful of
