@@ -149,11 +149,20 @@ object Dedup {
     }: _*)
   }
 
-  /** Row-local LSH band keys (doc_id, band, bh) — see
-    * minhashSignaturesRowLocal for why this form exists. */
+  /** Row-local LSH band keys (doc_id, band, bh) — the streaming-legal
+    * signature path (no per-doc aggregation). Signatures come from the
+    * NATIVE MinHashSig kernel (bit-equal to both the shuffle pipeline
+    * and the HOF row-local form, spec-asserted); the interpreted HOF
+    * form this used to call is ~60x slower per doc, which made the
+    * batch twin query the whole suite's straggler (164s of a 214s
+    * bench run) before the switch. minhashSignaturesRowLocal stays as
+    * the executable spec of the row-local semantics. */
   def minhashBandKeysRowLocal(docs: DataFrame, k: Int, numHashes: Int,
                               bands: Int): DataFrame =
-    minhashSignaturesRowLocal(docs, k, numHashes)
+    docs
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
       .select(col("doc_id"),
         posexplode(bandHashExprs(numHashes, bands)).as(Seq("band", "bh")))
 

@@ -23,33 +23,64 @@ object Snap {
 
   /** @param pts     point layer: id, x, y
     * @param targets target point layer: tid, tx, ty
+    * @param salts   >1 splits each grid cell's shuffle bucket `salts`
+    *                ways (see [[Skew.saltedJoin]]): the point side gets a
+    *                deterministic per-row salt, the candidate side is
+    *                replicated once per salt value. Output is identical
+    *                to salts=1 (spec-asserted); use when one cell holds
+    *                a large share of the layer — an urban-core hot cell —
+    *                and AQE's skew split can't engage (broadcast-hash or
+    *                shuffled-hash join, no sort-merge to split).
     * @return one row per input point: id, x, y (possibly moved), tid
     *         (nullable: null = nothing within frame), snapped flag
     */
-  def apply(pts: DataFrame, targets: DataFrame, maxSearchframe: Double): DataFrame = {
+  def apply(pts: DataFrame, targets: DataFrame, maxSearchframe: Double,
+            salts: Int = 1): DataFrame = {
     val g = maxSearchframe
     val d2max = maxSearchframe * maxSearchframe
 
-    val cands = targets.select(
+    val cands0 = targets.select(
       col("tid"), col("tx"), col("ty"),
       explode(sequence(floor(col("tx") / g) - 1, floor(col("tx") / g) + 1)).as("cx"))
       .select(col("tid"), col("tx"), col("ty"), col("cx"),
         explode(sequence(floor(col("ty") / g) - 1, floor(col("ty") / g) + 1)).as("cy"))
 
-    val bucketed = pts
+    val bucketed0 = pts
       .withColumn("cx", floor(col("x") / g))
       .withColumn("cy", floor(col("y") / g))
+
+    // hot-cell salting: the salt is derived from the point id (stable
+    // across retries, unlike a partition-dependent row counter), so the
+    // join stays deterministic; the candidate replication rides the
+    // join's own exchange exactly as in Skew.saltedJoin.
+    val (bucketed, cands, joinKeys) =
+      if (salts <= 1) (bucketed0, cands0, Seq("cx", "cy"))
+      else (
+        bucketed0.withColumn("_salt", pmod(hash(col("id")), lit(salts))),
+        cands0.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1)))),
+        Seq("cx", "cy", "_salt"))
 
     val d2 = (col("x") - col("tx")) * (col("x") - col("tx")) +
              (col("y") - col("ty")) * (col("y") - col("ty"))
 
-    val best = bucketed.join(cands, Seq("cx", "cy"))
+    // Argmin as the bounded-heap TopKAgg (k=1), not min(struct(...)):
+    // a struct-typed min buffer can't live in a HashAggregate, so the
+    // plan silently degraded to SortAggregate — SORTING the full
+    // candidate stream (points x 3x3-cell targets) in every map task.
+    // The heap aggregate is ObjectHashAggregate with a compiled input
+    // projection: O(1) per candidate, map-side combine intact. The
+    // nearest target's coordinates come back via a unique-key join on
+    // tid (tid determines tx/ty, so ordering by (d2, tid) IS ordering
+    // by (d2, tid, tx, ty) — tie-break semantics unchanged).
+    val best = bucketed.join(cands, joinKeys)
       .withColumn("d2", d2)
       .filter(col("d2") <= d2max)
       .groupBy(col("id"))
-      .agg(min(struct(col("d2"), col("tid"), col("tx"), col("ty"))).as("best"))
-      .select(col("id"), col("best.tid").as("tid"),
-        col("best.tx").as("bx"), col("best.ty").as("by"))
+      .agg(graft.functions.TopKAgg(col("d2"), col("tid"), lit(0L), 1)
+        .as("beam"))
+      .select(col("id"), col("beam").getItem(0).getField("tie").as("tid"))
+      .join(targets.select(col("tid"), col("tx").as("bx"),
+        col("ty").as("by")), Seq("tid"))
 
     pts.join(best, Seq("id"), "left")
       .select(

@@ -256,8 +256,10 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
       Seq((lid.toLong, 1, (lid * 37L) % 1000, (lid * 73L) % 1000),
         (lid.toLong, 2, (lid * 41L) % 1000, (lid * 79L) % 1000))
     }.toDF("lid", "seq", "xi", "yi")
-    val c1 = graft.operators.MatchLines.autoCellTenths(layer(500))
-    val c4 = graft.operators.MatchLines.autoCellTenths(layer(2000))
+    val c1 = graft.operators.MatchLines.autoCellTenths(
+      graft.operators.MatchLines.linesAgg(layer(500)))
+    val c4 = graft.operators.MatchLines.autoCellTenths(
+      graft.operators.MatchLines.linesAgg(layer(2000)))
     assert(c1 > c4)                      // denser layer -> smaller cells
     assert(math.abs(c1.toDouble / c4 - 2.0) < 0.35) // ~1/sqrt(4) = half
   }

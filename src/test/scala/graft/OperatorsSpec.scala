@@ -815,6 +815,28 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("salted Snap matches plain Snap on a hot-cell layer") {
+    import graft.operators.Snap
+    // half the points in one cell, matching dev.SkewProbe's shape
+    val pts = Tables.load(spark, SfDir, "lineitem")
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        when(col("l_orderkey") % 2 === 0,
+          lit(500.0) + (col("l_partkey") % 1000) / 100.0)
+          .otherwise((col("l_partkey") * 7919 % 100000) / 100.0).as("x"),
+        when(col("l_orderkey") % 2 === 0,
+          lit(500.0) + (col("l_suppkey") % 1000) / 100.0)
+          .otherwise((col("l_suppkey") * 104729 % 100000) / 100.0).as("y"))
+    val targets = Tables.load(spark, SfDir, "part")
+      .select(col("p_partkey").as("tid"),
+        ((col("p_partkey") * 7919 % 100000) / 100.0).as("tx"),
+        ((col("p_partkey") * 104729 % 100000) / 100.0).as("ty"))
+    val plain = Snap(pts, targets, 10.0)
+    val salted = Snap(pts, targets, 10.0, salts = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("sampleFrames: frame bytes reassemble to payload length") {
     import graft.operators.Multimodal
     val media = Multimodal.mediaTable(Tables.load(spark, SfDir, "documents"))
