@@ -12,14 +12,15 @@ import org.apache.spark.sql.functions._
   * vectorized pandas UDF: one JVM call per partition, tight loop per
   * batch, no per-row SerDe to a foreign runtime).
   *
-  * REAL codecs in this file: RIFF/WAVE PCM audio, 24-bit BMP images
-  * (+ nearest-neighbor resize), the GVID frame container, and PNG
-  * (zlib-compressed, all five scanline filters, CRC-checked chunks —
-  * java.util.zip supplies the deflate layer). Only formats whose
-  * compression needs external codec libraries (JPEG/MP3/MP4) keep the
+  * REAL codecs: RIFF/WAVE PCM audio, 24-bit BMP images (+ nearest-
+  * neighbor resize), the GVID frame container, PNG (zlib-compressed,
+  * all five scanline filters, CRC-checked chunks — java.util.zip
+  * supplies the deflate layer), and baseline JPEG (operators.Jpeg —
+  * full sequential-DCT entropy layer). Only formats needing external
+  * DSP codec libraries (MP3/MP4 audio/video compression) keep the
   * `decodeStub` fake; its Spark-side plumbing (binary schema, typed
   * rows, per-partition batch shape) is the same as the real paths, so
-  * swapping in a codec call (e.g. libjpeg via JNI) is local.
+  * swapping in a codec call (e.g. libavcodec via JNI) is local.
   */
 object Multimodal {
 

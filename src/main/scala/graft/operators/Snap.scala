@@ -13,13 +13,45 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first design: grid-bucketed nearest-neighbor join. Targets are
   * replicated into their 3x3 cell neighborhood (cell size = max search
-  * frame), points shuffle once on their cell id, and the per-point argmin is
-  * a deterministic min(struct(d2, tid)) aggregation — ties break on target
-  * id. Cost is O(points + 9*targets) through one shuffle; at 100 TB the
-  * replication factor stays 9 regardless of data size, and a small target
-  * layer is broadcast by AQE instead of shuffled.
+  * frame), points shuffle once on their cell id, and the per-point argmin
+  * is a deterministic bounded-heap aggregate (TopKAgg k=1) — ties break
+  * on target id. Cost is O(points + 9*targets) through one shuffle; at
+  * 100 TB the replication factor stays 9 regardless of data size, and a
+  * small target layer is broadcast by AQE instead of shuffled.
   */
 object Snap {
+
+  /** Skew-derived salt count for [[apply]]: one cheap (cell -> count)
+    * aggregate (map-side combine; the shuffle moves one row per
+    * non-empty cell) reads the layer's hot-cell share, and the salt
+    * count is how many average tasks the hottest cell's work is worth:
+    * `round(hotShare * parallelism)`, clamped to [1, maxSalts]. A
+    * uniform layer prices to 1 (the salting machinery switches off);
+    * the SkewProbe layer (43% of points in one cell) prices to 14 at
+    * parallelism 32. Same design as MatchLines.autoCellTenths: the
+    * documented manual tuning rule becomes one tiny agg the engine
+    * runs itself. Measured (dev/SkewProbe): static salting is the
+    * mitigation that actually engages on fan-out skew — AQE's
+    * byte-based detector never fires on a modest-byte hot key. */
+  def autoSalts(pts: DataFrame, maxSearchframe: Double,
+                parallelism: Int = 32, maxSalts: Int = 64): Int = {
+    val g = maxSearchframe
+    val r = pts
+      .groupBy(floor(col("x") / g).as("cx"), floor(col("y") / g).as("cy"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("hot"), sum(col("n")).as("total"))
+      .head()
+    if (r.isNullAt(0) || r.getAs[Long]("total") == 0L) 1
+    else {
+      val share = r.getAs[Long]("hot").toDouble / r.getAs[Long]("total")
+      math.max(1, math.min(maxSalts, math.round(share * parallelism).toInt))
+    }
+  }
+
+  /** [[apply]] with the salt count priced from the layer itself. */
+  def auto(pts: DataFrame, targets: DataFrame,
+           maxSearchframe: Double): DataFrame =
+    apply(pts, targets, maxSearchframe, autoSalts(pts, maxSearchframe))
 
   /** @param pts     point layer: id, x, y
     * @param targets target point layer: tid, tx, ty

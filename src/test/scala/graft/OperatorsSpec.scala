@@ -564,6 +564,59 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       Multimodal.decodePng(ok.take(20))).getMessage.contains("chunk length"))
   }
 
+  test("JPEG codec: DC-exact round-trip, lossy AC path, restarts, malformed") {
+    import graft.operators.Jpeg
+    // constant-per-block corpus images decode BIT-exactly (DC-only
+    // blocks, even values, Q[0][0]=16 — see Jpeg.scala header)
+    for (d <- 0L to 19L) {
+      val img = Jpeg.synthPlanes(d)
+      val dec = Jpeg.decode(Jpeg.synthJpegBytes(d))
+      assert(dec.width === Jpeg.jpegW(d) && dec.height === Jpeg.jpegH(d))
+      assert(dec.yPlane.toSeq === img.yPlane.toSeq)
+      assert(dec.cbPlane.toSeq === img.cbPlane.toSeq)
+      assert(dec.crPlane.toSeq === img.crPlane.toSeq)
+    }
+    // the general lossy path: a gradient image has nonzero quantized AC
+    // coefficients in every block; encode emits real (run,size) symbols
+    // and decode must land within the quantization error envelope
+    val w = 23; val h = 19
+    def grad(c: Int) = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      math.min(255, x * 11 + y * 5 + c * 7)
+    }
+    val gimg = Jpeg.JpegImage(w, h, grad(0), grad(1), grad(2))
+    val genc = Jpeg.encode(gimg)
+    val gdec = Jpeg.decode(genc)
+    var maxErr = 0
+    for (i <- 0 until w * h)
+      maxErr = math.max(maxErr, math.abs(gdec.yPlane(i) - gimg.yPlane(i)))
+    assert(maxErr > 0)     // it IS lossy — AC was exercised
+    assert(maxErr <= 8)    // and bounded by the quant tables
+    // restart markers really are in the stream (RST0.. = FFD0..FFD7)
+    val rsts = genc.sliding(2).count(p =>
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) >= 0xD0 && (p(1) & 0xFF) <= 0xD7)
+    val nMcus = ((w + 7) / 8) * ((h + 7) / 8)
+    assert(rsts === (nMcus - 1) / Jpeg.RestartInterval) // 9 MCUs -> 2
+    // malformed input fails loudly
+    val ok = Jpeg.synthJpegBytes(3L)
+    val noSoi = ok.clone(); noSoi(1) = 0x00
+    assert(intercept[IllegalArgumentException](
+      Jpeg.decode(noSoi)).getMessage.contains("SOI"))
+    assert(intercept[IllegalArgumentException](
+      Jpeg.decode(ok.take(40))).getMessage.contains("truncated"))
+    // flip the SOF0 marker to progressive (SOF2): baseline-only decoder
+    val prog = ok.clone()
+    var i = 2
+    var done = false
+    while (!done) {
+      if ((prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0) {
+        prog(i + 1) = 0xC2.toByte; done = true
+      } else i += 1
+    }
+    assert(intercept[IllegalArgumentException](
+      Jpeg.decode(prog)).getMessage.contains("baseline"))
+  }
+
   test("GVID container: frame sampling, frame content, malformed input") {
     import graft.operators.Multimodal
     val d = 5L
@@ -835,6 +888,16 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(salted.count() === plain.count())
     assert(salted.exceptAll(plain).count() === 0)
     assert(plain.exceptAll(salted).count() === 0)
+    // auto-pricing: the hot-cell layer prices salts > 1, a uniform
+    // layer prices exactly 1, and the auto path's output is the plain
+    // output (it IS apply with a derived salt count)
+    assert(Snap.autoSalts(pts, 10.0) > 1)
+    assert(Snap.autoSalts(    // same layer minus the hot cell: uniform
+      pts.filter(!(col("x") >= 500 && col("x") < 510 &&
+        col("y") >= 500 && col("y") < 510)), 10.0) === 1)
+    val auto = Snap.auto(pts, targets, 10.0)
+    assert(auto.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(auto).count() === 0)
   }
 
   test("sampleFrames: frame bytes reassemble to payload length") {
