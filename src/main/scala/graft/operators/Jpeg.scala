@@ -177,29 +177,43 @@ object Jpeg {
     s
   }
 
+  /** Cosine basis, Cos(x)(u) = cos((2x+1)·u·π/16) — computing this in
+    * the DCT inner loops (128 math.cos calls per coefficient) made the
+    * sf0.1 feature query a 12s straggler; the cached basis runs it with
+    * plain multiply-adds. */
+  private val Cos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val InvSqrt2 = 1.0 / math.sqrt(2)
+
   /** Forward 8x8 DCT-II (orthonormal JPEG normalization) of a
-    * level-shifted block; plain O(64^2) double loops — block count per
-    * image is tiny and the work is per-row inside mapPartitions. */
+    * level-shifted block, separable: rows then columns — 8+8 basis
+    * products per coefficient instead of 64. */
   private def fdct(px: Array[Int]): Array[Double] = {
-    val out = new Array[Double](64)
-    var u = 0
-    while (u < 8) {
+    // pass 1: 1-D DCT along each row -> tmp(y)(v)
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
       var v = 0
       while (v < 8) {
         var s = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            s += (px(y * 8 + x) - 128) *
-              math.cos((2 * x + 1) * v * math.Pi / 16) *
-              math.cos((2 * y + 1) * u * math.Pi / 16)
-            x += 1
-          }
-          y += 1
-        }
-        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+        var x = 0
+        while (x < 8) { s += (px(y * 8 + x) - 128) * Cos(x)(v); x += 1 }
+        tmp(y * 8 + v) = s
+        v += 1
+      }
+      y += 1
+    }
+    // pass 2: 1-D DCT down each column + normalization
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) InvSqrt2 else 1.0
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + v) * Cos(yy)(u); yy += 1 }
+        val cv = if (v == 0) InvSqrt2 else 1.0
         out(u * 8 + v) = 0.25 * cu * cv * s
         v += 1
       }
@@ -209,34 +223,43 @@ object Jpeg {
   }
 
   /** Inverse 8x8 DCT (same normalization), rounding to int, no clamp
-    * (caller clamps). */
+    * (caller clamps); separable like [[fdct]]. */
   private def idct(coef: Array[Int]): Array[Int] = {
-    val out = new Array[Int](64)
-    var y = 0
-    while (y < 8) {
-      var x = 0
-      while (x < 8) {
+    // pass 1: un-normalize + 1-D inverse down each column -> tmp(y)(v)
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      val cv = if (v == 0) InvSqrt2 else 1.0
+      var y = 0
+      while (y < 8) {
         var s = 0.0
         var u = 0
         while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            val c = coef(u * 8 + v)
-            if (c != 0) {
-              val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-              val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-              s += cu * cv * c *
-                math.cos((2 * x + 1) * v * math.Pi / 16) *
-                math.cos((2 * y + 1) * u * math.Pi / 16)
-            }
-            v += 1
+          val c = coef(u * 8 + v)
+          if (c != 0) {
+            val cu = if (u == 0) InvSqrt2 else 1.0
+            s += cu * c * Cos(y)(u)
           }
           u += 1
         }
-        out(y * 8 + x) = math.round(0.25 * s).toInt + 128
+        tmp(y * 8 + v) = cv * s
+        y += 1
+      }
+      v += 1
+    }
+    // pass 2: 1-D inverse along each row
+    val out = new Array[Int](64)
+    var y2 = 0
+    while (y2 < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += tmp(y2 * 8 + vv) * Cos(x)(vv); vv += 1 }
+        out(y2 * 8 + x) = math.round(0.25 * s).toInt + 128
         x += 1
       }
-      y += 1
+      y2 += 1
     }
     out
   }
