@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Execute the query's OWN plan, not `count()`'s: a bare count lets
+    * Catalyst prune every unused column — including whole aggregate
+    * functions — and ELIMINATE left joins against unique-key subplans,
+    * so a query ending in such a join measures as if the operator never
+    * ran (q_snap_to_nearest benched 0.14s for two rounds while its
+    * actual cost was ~2.5s). `toRdd.count()` runs the un-pruned
+    * physical plan and materializes every output row, which is what
+    * Verify (parquet write) pays too — bench and correctness now
+    * measure the same work. */
+  private def exec(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,7 +42,7 @@ object Bench {
     val warmed = new java.io.File(warmDir).isDirectory
     if (warmed) ordered.foreach {
       case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { exec(fn(spark, warmDir)) } catch { case _: Throwable => () }
         spark.catalog.clearCache()
     }
     val warmSec = (System.nanoTime() - tWarm0) / 1e9
@@ -44,7 +56,7 @@ object Bench {
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
-          try { fn(spark, sfDir).count(); None }
+          try { exec(fn(spark, sfDir)); None }
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
         // operators persist multi-consumer stages internally; drop them so

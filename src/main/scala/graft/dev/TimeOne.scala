@@ -13,11 +13,14 @@ object TimeOne {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       // warm-up at sf0.01, then 2 measured runs at target scale
-      try { graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count() } catch { case _: Throwable => () }
+      // toRdd.count() = full un-pruned plan, matching Bench.exec
+      try { graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+        .queryExecution.toRdd.count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val c = graft.SparkEntry.queries(n)(spark, sfDir).count()
+        val c = graft.SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.toRdd.count()
         spark.catalog.clearCache()
         println(f"[time] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
       }
