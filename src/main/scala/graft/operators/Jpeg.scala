@@ -287,7 +287,54 @@ object Jpeg {
     * file. General path: every block goes through fdct + quantize +
     * zigzag + DC-diff/AC-run Huffman; MCU padding replicates the
     * block's last row/column sample. */
-  def encode(img: JpegImage): Array[Byte] = {
+  def encode(img: JpegImage): Array[Byte] =
+    encodeSampled(img, subsample = false)
+
+  /** Encode with 4:2:0 chroma subsampling: Y at (2,2), Cb/Cr at (1,1) —
+    * 16x16-pixel interleaved MCUs (4 Y blocks + Cb + Cr), chroma
+    * averaged 2x2 down before encoding (edge-clamped for odd dims). */
+  def encode420(img: JpegImage): Array[Byte] =
+    encodeSampled(img, subsample = true)
+
+  private def encodeSampled(img: JpegImage, subsample: Boolean): Array[Byte] = {
+    val w = img.width; val h = img.height
+    // per-component sampling factors and component-resolution planes
+    val hv: Array[(Int, Int)] =
+      if (subsample) Array((2, 2), (1, 1), (1, 1))
+      else Array((1, 1), (1, 1), (1, 1))
+    val hMax = hv.map(_._1).max; val vMax = hv.map(_._2).max
+    val compW = hv.map { case (hi, _) => (w * hi + hMax - 1) / hMax }
+    val compH = hv.map { case (_, vi) => (h * vi + vMax - 1) / vMax }
+    val full = Array(img.yPlane, img.cbPlane, img.crPlane)
+    val planes = Array.tabulate(3) { c =>
+      if (compW(c) == w && compH(c) == h) full(c)
+      else { // box-average downsample, edge-clamped
+        val fx = hMax / hv(c)._1; val fy = vMax / hv(c)._2
+        val p = new Array[Int](compW(c) * compH(c))
+        var y = 0
+        while (y < compH(c)) {
+          var x = 0
+          while (x < compW(c)) {
+            var s = 0
+            var j = 0
+            while (j < fy) {
+              var i = 0
+              while (i < fx) {
+                val sx = math.min(x * fx + i, w - 1)
+                val sy = math.min(y * fy + j, h - 1)
+                s += full(c)(sy * w + sx)
+                i += 1
+              }
+              j += 1
+            }
+            p(y * compW(c) + x) = (s + fx * fy / 2) / (fx * fy)
+            x += 1
+          }
+          y += 1
+        }
+        p
+      }
+    }
     val out = new java.io.ByteArrayOutputStream()
     marker(out, 0xD8) // SOI
     segment(out, 0xE0, Array[Byte]( // APP0 JFIF, 1.1, no units, no thumb
@@ -301,15 +348,14 @@ object Jpeg {
     }
     segment(out, 0xDB, dqt(0, QLuma))
     segment(out, 0xDB, dqt(1, QChroma))
-    val w = img.width; val h = img.height
-    segment(out, 0xC0, Array[Byte]( // SOF0: 8-bit, 3 components, 4:4:4
+    segment(out, 0xC0, Array[Byte]( // SOF0: 8-bit, 3 components
       8,
       ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
       ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte,
       3,
-      1, 0x11, 0, // Y: h1v1, quant table 0
-      2, 0x11, 1, // Cb: quant table 1
-      3, 0x11, 1)) // Cr: quant table 1
+      1, ((hv(0)._1 << 4) | hv(0)._2).toByte, 0, // Y: quant table 0
+      2, ((hv(1)._1 << 4) | hv(1)._2).toByte, 1, // Cb: quant table 1
+      3, ((hv(2)._1 << 4) | hv(2)._2).toByte, 1)) // Cr: quant table 1
     def dht(clazz: Int, id: Int, counts: Array[Int],
             symbols: Array[Int]): Array[Byte] =
       Array(((clazz << 4) | id).toByte) ++ counts.map(_.toByte) ++
@@ -329,17 +375,74 @@ object Jpeg {
       2, 0x11, // Cb: DC 1, AC 1
       3, 0x11, // Cr
       0, 63, 0)) // baseline spectral selection
-    // entropy-coded scan
+    // entropy-coded scan: MCU = (8·hMax) x (8·vMax) pixels, hi x vi
+    // blocks per component, interleaved in component order
     val bw = new BitWriter(out)
-    val mcuX = (w + 7) / 8; val mcuY = (h + 7) / 8
-    val planes = Array(img.yPlane, img.cbPlane, img.crPlane)
+    val mcuX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuY = (h + 8 * vMax - 1) / (8 * vMax)
     val quant = Array(QLuma, QChroma, QChroma)
     val pred = new Array[Int](3)
     var mcu = 0; var rst = 0
-    var by = 0
-    while (by < mcuY) {
-      var bx = 0
-      while (bx < mcuX) {
+
+    def encodeBlock(c: Int, bx: Int, by: Int): Unit = {
+      // gather the block, replicating the edge sample into padding
+      val cw = compW(c); val ch = compH(c)
+      val px = new Array[Int](64)
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          val sx = math.min(bx * 8 + xx, cw - 1)
+          val sy = math.min(by * 8 + yy, ch - 1)
+          px(yy * 8 + xx) = planes(c)(sy * cw + sx)
+          xx += 1
+        }
+        yy += 1
+      }
+      val f = fdct(px)
+      val zz = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        val q = quant(c)(ZigZag(i))
+        zz(i) = math.round(f(ZigZag(i)) / q).toInt
+        i += 1
+      }
+      // DC difference
+      val diff = zz(0) - pred(c)
+      pred(c) = zz(0)
+      val s = bitSize(diff)
+      require(s <= 11, s"jpeg encode: DC category $s out of range")
+      val (dcode, dlen) = dcEnc(s)
+      bw.put(dcode, dlen)
+      if (s > 0) {
+        val bits = if (diff < 0) diff + (1 << s) - 1 else diff
+        bw.put(bits, s)
+      }
+      // AC run-length
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        val v = zz(k)
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { val (zc, zl) = acEnc(0xF0); bw.put(zc, zl); run -= 16 }
+          val sz = bitSize(v)
+          require(sz <= 10, s"jpeg encode: AC size $sz out of range")
+          val (acode, alen) = acEnc((run << 4) | sz)
+          bw.put(acode, alen)
+          val bits = if (v < 0) v + (1 << sz) - 1 else v
+          bw.put(bits, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (ec, el) = acEnc(0x00); bw.put(ec, el) } // EOB
+    }
+
+    var my = 0
+    while (my < mcuY) {
+      var mx = 0
+      while (mx < mcuX) {
         if (RestartInterval > 0 && mcu > 0 &&
             mcu % RestartInterval == 0) {
           bw.align()
@@ -348,63 +451,22 @@ object Jpeg {
         }
         var c = 0
         while (c < 3) {
-          // gather the block, replicating the edge sample into padding
-          val px = new Array[Int](64)
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              val sx = math.min(bx * 8 + xx, w - 1)
-              val sy = math.min(by * 8 + yy, h - 1)
-              px(yy * 8 + xx) = planes(c)(sy * w + sx)
-              xx += 1
+          val (hi, vi) = hv(c)
+          var v2 = 0
+          while (v2 < vi) {
+            var h2 = 0
+            while (h2 < hi) {
+              encodeBlock(c, mx * hi + h2, my * vi + v2)
+              h2 += 1
             }
-            yy += 1
+            v2 += 1
           }
-          val f = fdct(px)
-          val zz = new Array[Int](64)
-          var i = 0
-          while (i < 64) {
-            val q = quant(c)(ZigZag(i))
-            zz(i) = math.round(f(ZigZag(i)) / q).toInt
-            i += 1
-          }
-          // DC difference
-          val diff = zz(0) - pred(c)
-          pred(c) = zz(0)
-          val s = bitSize(diff)
-          require(s <= 11, s"jpeg encode: DC category $s out of range")
-          val (dcode, dlen) = dcEnc(s)
-          bw.put(dcode, dlen)
-          if (s > 0) {
-            val bits = if (diff < 0) diff + (1 << s) - 1 else diff
-            bw.put(bits, s)
-          }
-          // AC run-length
-          var run = 0
-          var k = 1
-          while (k < 64) {
-            val v = zz(k)
-            if (v == 0) run += 1
-            else {
-              while (run >= 16) { val (zc, zl) = acEnc(0xF0); bw.put(zc, zl); run -= 16 }
-              val sz = bitSize(v)
-              require(sz <= 10, s"jpeg encode: AC size $sz out of range")
-              val (acode, alen) = acEnc((run << 4) | sz)
-              bw.put(acode, alen)
-              val bits = if (v < 0) v + (1 << sz) - 1 else v
-              bw.put(bits, sz)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) { val (ec, el) = acEnc(0x00); bw.put(ec, el) } // EOB
           c += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     bw.align()
     marker(out, 0xD9) // EOI
@@ -413,6 +475,34 @@ object Jpeg {
 
   /** Document docId's synthetic image as a real JPEG file. */
   def synthJpegBytes(docId: Long): Array[Byte] = encode(synthPlanes(docId))
+
+  /** 4:2:0 corpus image: Y constant per 8x8 as in [[synthPlanes]], but
+    * chroma constant per 16x16 — the encoder's 2x2 box average of a
+    * constant region is that constant, the subsampled plane is then
+    * constant per 8x8 (DC-only, lossless), and the decoder's
+    * replication upsample restores the full-res plane bit-exactly. */
+  def synthPlanes420(docId: Long): JpegImage = {
+    val w = jpegW(docId); val h = jpegH(docId)
+    val planes = Array.tabulate(3) { c =>
+      val cell = if (c == 0) 8 else 16
+      val p = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          p(y * w + x) = blockValue(docId, x / cell, y / cell, c)
+          x += 1
+        }
+        y += 1
+      }
+      p
+    }
+    JpegImage(w, h, planes(0), planes(1), planes(2))
+  }
+
+  /** Document docId's synthetic image as a 4:2:0-subsampled JPEG. */
+  def synthJpeg420Bytes(docId: Long): Array[Byte] =
+    encode420(synthPlanes420(docId))
 
   // ---- decoder ----
 
@@ -499,6 +589,7 @@ object Jpeg {
     val acTabs = new Array[HuffTable](4)
     var w = 0; var h = 0
     var compQ: Array[Int] = null   // quant table id per component
+    var compHv: Array[(Int, Int)] = null // sampling factors per component
     var compDc: Array[Int] = null  // DC Huffman id per component
     var compAc: Array[Int] = null
     var restartInterval = 0
@@ -542,14 +633,17 @@ object Jpeg {
           val nc = payload(body + 5) & 0xFF
           require(nc == 3, "jpeg: expected 3 components")
           compQ = new Array[Int](3)
+          compHv = new Array[(Int, Int)](3)
           var c = 0
           while (c < 3) {
             val sampling = payload(body + 7 + c * 3) & 0xFF
-            require(sampling == 0x11,
-              "jpeg: only 4:4:4 (h1v1) sampling supported")
+            compHv(c) = (sampling >> 4, sampling & 0x0F)
             compQ(c) = payload(body + 8 + c * 3) & 0xFF
             c += 1
           }
+          require(compHv.forall { case (hi, vi) =>
+            hi >= 1 && hi <= 2 && vi >= 1 && vi <= 2 },
+            "jpeg: sampling factors beyond 2 not supported")
         case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
              0xCB | 0xCD | 0xCE | 0xCF =>
           throw new IllegalArgumentException(
@@ -571,70 +665,111 @@ object Jpeg {
       if (scanStart < 0) pos += 2 + len
     }
     require(w > 0 && h > 0, "jpeg: missing SOF0 before SOS")
-    val planes = Array.fill(3)(new Array[Int](w * h))
+    // component-resolution planes: compW = ceil(w·hi/hMax) etc.
+    val hMax = compHv.map(_._1).max; val vMax = compHv.map(_._2).max
+    val compW = compHv.map { case (hi, _) => (w * hi + hMax - 1) / hMax }
+    val compH = compHv.map { case (_, vi) => (h * vi + vMax - 1) / vMax }
+    val planes = Array.tabulate(3)(c => new Array[Int](compW(c) * compH(c)))
     val br = new BitReader(payload, scanStart)
-    val mcuX = (w + 7) / 8; val mcuY = (h + 7) / 8
+    val mcuX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuY = (h + 8 * vMax - 1) / (8 * vMax)
     val pred = new Array[Int](3)
     var mcu = 0; var rst = 0
-    var by = 0
-    while (by < mcuY) {
-      var bx = 0
-      while (bx < mcuX) {
+
+    def decodeBlock(c: Int, bx: Int, by: Int): Unit = {
+      val coef = new Array[Int](64)
+      val q = qtabs(compQ(c))
+      require(q != null, "jpeg: scan references missing quant table")
+      // DC
+      val s = dcTabs(compDc(c)).decode(br)
+      pred(c) += extend(br.bits(s), s)
+      coef(0) = pred(c) * q(0)
+      // AC
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = acTabs(compAc(c)).decode(br)
+        if (rs == 0x00) eob = true // EOB
+        else if (rs == 0xF0) k += 16 // ZRL
+        else {
+          k += rs >> 4
+          require(k < 64, "jpeg: AC run overflows block")
+          val sz = rs & 0x0F
+          coef(ZigZag(k)) = extend(br.bits(sz), sz) * q(ZigZag(k))
+          k += 1
+        }
+      }
+      val px = idct(coef)
+      // store with crop at component resolution
+      val cw = compW(c); val ch = compH(c)
+      var yy = 0
+      while (yy < 8) {
+        val sy = by * 8 + yy
+        if (sy < ch) {
+          var xx = 0
+          while (xx < 8) {
+            val sx = bx * 8 + xx
+            if (sx < cw) {
+              val v = px(yy * 8 + xx)
+              planes(c)(sy * cw + sx) =
+                if (v < 0) 0 else if (v > 255) 255 else v
+            }
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+    }
+
+    var my = 0
+    while (my < mcuY) {
+      var mx = 0
+      while (mx < mcuX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           br.restart(rst % 8); rst += 1
           pred(0) = 0; pred(1) = 0; pred(2) = 0
         }
         var c = 0
         while (c < 3) {
-          val coef = new Array[Int](64)
-          val q = qtabs(compQ(c))
-          require(q != null, "jpeg: scan references missing quant table")
-          // DC
-          val s = dcTabs(compDc(c)).decode(br)
-          pred(c) += extend(br.bits(s), s)
-          coef(0) = pred(c) * q(0)
-          // AC
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = acTabs(compAc(c)).decode(br)
-            if (rs == 0x00) eob = true // EOB
-            else if (rs == 0xF0) k += 16 // ZRL
-            else {
-              k += rs >> 4
-              require(k < 64, "jpeg: AC run overflows block")
-              val sz = rs & 0x0F
-              coef(ZigZag(k)) = extend(br.bits(sz), sz) * q(ZigZag(k))
-              k += 1
+          val (hi, vi) = compHv(c)
+          var v2 = 0
+          while (v2 < vi) {
+            var h2 = 0
+            while (h2 < hi) {
+              decodeBlock(c, mx * hi + h2, my * vi + v2)
+              h2 += 1
             }
-          }
-          val px = idct(coef)
-          // store with crop
-          var yy = 0
-          while (yy < 8) {
-            val sy = by * 8 + yy
-            if (sy < h) {
-              var xx = 0
-              while (xx < 8) {
-                val sx = bx * 8 + xx
-                if (sx < w) {
-                  val v = px(yy * 8 + xx)
-                  planes(c)(sy * w + sx) =
-                    if (v < 0) 0 else if (v > 255) 255 else v
-                }
-                xx += 1
-              }
-            }
-            yy += 1
+            v2 += 1
           }
           c += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    JpegImage(w, h, planes(0), planes(1), planes(2))
+    // nearest-neighbor upsample any subsampled component to full
+    // resolution (replication — exact for the constant-region corpus)
+    val fullPlanes = Array.tabulate(3) { c =>
+      if (compW(c) == w && compH(c) == h) planes(c)
+      else {
+        val fx = hMax / compHv(c)._1; val fy = vMax / compHv(c)._2
+        val p = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            p(y * w + x) = planes(c)(
+              math.min(y / fy, compH(c) - 1) * compW(c) +
+                math.min(x / fx, compW(c) - 1))
+            x += 1
+          }
+          y += 1
+        }
+        p
+      }
+    }
+    JpegImage(w, h, fullPlanes(0), fullPlanes(1), fullPlanes(2))
   }
 
   /** JFIF YCbCr -> RGB (BT.601 full range), clamped — the presentation
@@ -655,31 +790,45 @@ object Jpeg {
     * YCbCr planes (horizontal gradient on Y — nonzero exactly at block
     * boundaries for the constant-block corpus, which the SQL oracle
     * replays). Same mapPartitions batch shape as the other codecs. */
+  private def featuresOf(d: Long, img: JpegImage): JpegFeatures = {
+    var sy = 0L; var scb = 0L; var scr = 0L; var grad = 0L
+    var i = 0
+    while (i < img.yPlane.length) {
+      sy += img.yPlane(i); scb += img.cbPlane(i); scr += img.crPlane(i)
+      i += 1
+    }
+    var y = 0
+    while (y < img.height) {
+      var x = 1
+      while (x < img.width) {
+        grad += math.abs(img.yPlane(y * img.width + x) -
+          img.yPlane(y * img.width + x - 1))
+        x += 1
+      }
+      y += 1
+    }
+    JpegFeatures(d, img.width, img.height, sy, scb, scr, grad)
+  }
+
   def jpegFeatures(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Encoders, functions => F}
     implicit val encL = Encoders.scalaLong
     implicit val encF = Encoders.product[JpegFeatures]
     docs.select(F.col("doc_id").cast("long")).as[Long]
-      .mapPartitions(_.map { d =>
-        val img = decode(synthJpegBytes(d))
-        var sy = 0L; var scb = 0L; var scr = 0L; var grad = 0L
-        var i = 0
-        while (i < img.yPlane.length) {
-          sy += img.yPlane(i); scb += img.cbPlane(i); scr += img.crPlane(i)
-          i += 1
-        }
-        var y = 0
-        while (y < img.height) {
-          var x = 1
-          while (x < img.width) {
-            grad += math.abs(img.yPlane(y * img.width + x) -
-              img.yPlane(y * img.width + x - 1))
-            x += 1
-          }
-          y += 1
-        }
-        JpegFeatures(d, img.width, img.height, sy, scb, scr, grad)
-      }).toDF()
+      .mapPartitions(_.map(d => featuresOf(d, decode(synthJpegBytes(d)))))
+      .toDF()
+  }
+
+  /** Features over the 4:2:0 path — full encode420/decode round trip,
+    * still bit-exact by construction (see [[synthPlanes420]]). */
+  def jpeg420Features(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, functions => F}
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[JpegFeatures]
+    docs.select(F.col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(d => featuresOf(d, decode(synthJpeg420Bytes(d)))))
+      .toDF()
   }
 }

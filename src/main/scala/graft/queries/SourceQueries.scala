@@ -154,6 +154,9 @@ object SourceQueries {
   def qMultimodalJpeg(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Jpeg.jpegFeatures(Tables.load(spark, dir, "documents"))
 
+  def qMultimodalJpeg420(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Jpeg.jpeg420Features(Tables.load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_read_wkt" -> (qReadWkt _),
     "q_read_wkt_multipolygon" -> (qReadWktMultiPolygon _),
@@ -164,7 +167,8 @@ object SourceQueries {
     "q_multimodal_bmp" -> (qMultimodalBmp _),
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_multimodal_png" -> (qMultimodalPng _),
-    "q_multimodal_jpeg" -> (qMultimodalJpeg _))
+    "q_multimodal_jpeg" -> (qMultimodalJpeg _),
+    "q_multimodal_jpeg420" -> (qMultimodalJpeg420 _))
 
   val oracles: Map[String, String] = Map(
     // bucketing must never change answers: the oracle is the plain join
@@ -334,6 +338,33 @@ object SourceQueries {
         |         ((doc_id * 17 + (x // 8) * 29 + (y // 8) * 41) % 128) * 2 AS yy,
         |         ((doc_id * 7 + (x // 8) * 13 + (y // 8) * 23) % 128) * 2 AS cb,
         |         ((doc_id * 11 + (x // 8) * 19 + (y // 8) * 31) % 128) * 2 AS cr,
+        |         CASE WHEN x > 0 THEN
+        |           ABS(((doc_id * 17 + (x // 8) * 29 + (y // 8) * 41) % 128) * 2
+        |             - ((doc_id * 17 + ((x - 1) // 8) * 29 + (y // 8) * 41) % 128) * 2)
+        |         ELSE 0 END AS dy
+        |       FROM dim,
+        |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) u,
+        |       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) v)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(SUM(yy) AS BIGINT) AS sum_y,
+        |  CAST(SUM(cb) AS BIGINT) AS sum_cb,
+        |  CAST(SUM(cr) AS BIGINT) AS sum_cr,
+        |  CAST(SUM(dy) AS BIGINT) AS grad_y
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    // 4:2:0 twin: Y constant per 8x8 as above, chroma constant per
+    // 16x16 — the box-average subsample and replication upsample are
+    // both exact on constant regions, so this oracle replays the
+    // decoded planes of the SUBSAMPLED file analytically.
+    "q_multimodal_jpeg420" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |dim AS (SELECT doc_id, 20 + doc_id % 13 AS w, 16 + doc_id % 11 AS h
+        |        FROM d),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |         ((doc_id * 17 + (x // 8) * 29 + (y // 8) * 41) % 128) * 2 AS yy,
+        |         ((doc_id * 7 + (x // 16) * 13 + (y // 16) * 23) % 128) * 2 AS cb,
+        |         ((doc_id * 11 + (x // 16) * 19 + (y // 16) * 31) % 128) * 2 AS cr,
         |         CASE WHEN x > 0 THEN
         |           ABS(((doc_id * 17 + (x // 8) * 29 + (y // 8) * 41) % 128) * 2
         |             - ((doc_id * 17 + ((x - 1) // 8) * 29 + (y // 8) * 41) % 128) * 2)

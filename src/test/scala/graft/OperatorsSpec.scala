@@ -597,6 +597,25 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) >= 0xD0 && (p(1) & 0xFF) <= 0xD7)
     val nMcus = ((w + 7) / 8) * ((h + 7) / 8)
     assert(rsts === (nMcus - 1) / Jpeg.RestartInterval) // 9 MCUs -> 2
+    // 4:2:0: interleaved 16x16 MCUs, chroma subsampled then upsampled —
+    // bit-exact for the constant-region corpus (chroma per 16x16)
+    for (d <- 0L to 9L) {
+      val img = Jpeg.synthPlanes420(d)
+      val dec = Jpeg.decode(Jpeg.synthJpeg420Bytes(d))
+      assert(dec.yPlane.toSeq === img.yPlane.toSeq)
+      assert(dec.cbPlane.toSeq === img.cbPlane.toSeq)
+      assert(dec.crPlane.toSeq === img.crPlane.toSeq)
+    }
+    // the 4:2:0 file really is smaller: 6 blocks per 16x16 vs 12
+    assert(Jpeg.synthJpeg420Bytes(3L).length < Jpeg.synthJpegBytes(3L).length)
+    // and the lossy gradient survives subsampling within a looser bound
+    // (chroma is both quantized AND box-averaged)
+    val gdec420 = Jpeg.decode(Jpeg.encode420(gimg))
+    var maxErr420 = 0
+    for (i <- 0 until w * h)
+      maxErr420 = math.max(maxErr420,
+        math.abs(gdec420.yPlane(i) - gimg.yPlane(i)))
+    assert(maxErr420 <= 8) // Y is NOT subsampled: same envelope as 4:4:4
     // malformed input fails loudly
     val ok = Jpeg.synthJpegBytes(3L)
     val noSoi = ok.clone(); noSoi(1) = 0x00
