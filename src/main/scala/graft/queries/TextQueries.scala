@@ -110,6 +110,61 @@ object TextQueries {
       rollingFingerprint(norm(col("text"))).as("fp_norm"),
       length(col("text")).cast("long").as("n_chars"))
 
+  // ----------------------------------------------------------- repetition
+
+  /** Within-document repetition (Gopher/RefinedWeb-style quality
+    * signal): duplicate 8-char-shingle fraction per document. Two hash
+    * aggregates — (doc, shingle) multiplicity, then per-doc totals —
+    * both map-side combined; the shingle scan is the native ShingleHash
+    * kernel. dup_frac 0 = all n-grams unique; max_rep = the most
+    * repeated shingle's multiplicity. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    graft.operators.Dedup.shingleHashes(d, 8, 131L, 1000000007L)
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum("c").cast("long").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("max_rep"))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_grams").cast("double"), 4))
+  }
+
+  // ---------------------------------------------------------- PII redaction
+
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+  private val IpPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction (row-local, codegen'd regex — the
+    * pre-training scrub pass). The synthetic corpus carries no PII, so
+    * the query plants deterministic contact strings derived from
+    * doc_id (two emails, a phone, an IPv4) and the oracle plants the
+    * same — the regexes then have real work to do and the counts and
+    * redacted length are exact on both sides. Patterns are restricted
+    * to the Java-regex/RE2 common subset (char classes, bounded
+    * repetition — no lookaround) so both engines match identically. */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val t = concat(lower(col("text")),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or admin"), col("doc_id").cast("string"),
+      lit("@mail.test call +1 555-0199 ip 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0.1"))
+    val red = regexp_replace(regexp_replace(regexp_replace(
+      col("t"), EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), IpPat, "<IP>")
+    docs(spark, dir).select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(IpPat), lit(0)))
+          .cast("long").as("n_ips"),
+        length(red).cast("long").as("red_len"))
+  }
+
   // --------------------------------------------------------------- oracles
 
   private val docsSql =
@@ -135,6 +190,45 @@ object TextQueries {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_filter(
+        |               string_split(substr(t, CAST(i AS INT), 8), ''),
+        |               c -> len(c) > 0),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (a, b) -> (a * 131 + b) % 1000000007) AS s
+        |       FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |              greatest(len(t) - 7, 1))) AS i) u
+        |       WHERE len(substr(t, CAST(i AS INT), 8)) = 8),
+        |g AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(MAX(c) AS BIGINT) AS max_rep,
+        |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4)
+        |    AS dup_frac
+        |FROM g GROUP BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  lower(text) || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or admin' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.test call +1 555-0199 ip 10.'
+         |    || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailPat')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PhonePat')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$IpPat')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$EmailPat', '<EMAIL>', 'g'),
+         |    '$PhonePat', '<PHONE>', 'g'),
+         |    '$IpPat', '<IP>', 'g')) AS BIGINT) AS red_len
+         |FROM d""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH d AS ($docsSql),
          |h AS (SELECT doc_id, md5($normSql) AS h FROM d)
@@ -203,5 +297,7 @@ object TextQueries {
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
-    "q_fingerprint" -> (qFingerprint _))
+    "q_fingerprint" -> (qFingerprint _),
+    "q_repetition" -> (qRepetition _),
+    "q_pii_redact" -> (qPiiRedact _))
 }
