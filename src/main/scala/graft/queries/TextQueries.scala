@@ -132,6 +132,52 @@ object TextQueries {
           / col("n_grams").cast("double"), 4))
   }
 
+  // ------------------------------------------------------- LM perplexity
+
+  /** CCNet-style language-model quality scoring: an order-3 add-one-
+    * smoothed character LM is "trained" on a deterministic reference
+    * slice of the corpus (doc_id % 5 == 0 — standing in for CCNet's
+    * Wikipedia LM) and every document is scored by mean conditional
+    * surprisal -log2 P(c3 | c1c2). The model IS a broadcast dimension:
+    * the trigram-count table (bounded by charset^3, a few thousand
+    * rows) broadcasts to every executor, so scoring is one corpus scan
+    * + two broadcast hash joins + one hash aggregate — the 100 TB
+    * plan. Bigram context counts are derived from trigram-prefix sums
+    * (no second corpus scan). Integer outputs (n_tri, n_oov) are
+    * exact; the mean-bits aggregate is rounded to 2 per SURVEY §3
+    * float discipline. */
+  def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    def tris(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(t) - 2, 1))," +
+          " i -> substring(t, i, 3))")).as("tri"))
+      .where(length(col("tri")) === 3)
+    val triCnt = tris(d.where(col("doc_id") % 5 === 0))
+      .groupBy("tri").agg(count(lit(1)).as("c3"))
+    val biCnt = triCnt
+      .groupBy(substring(col("tri"), 1, 2).as("bi"))
+      .agg(sum("c3").as("c2"))
+    val scored = tris(d)
+      .join(broadcast(triCnt), Seq("tri"), "left")
+      .join(broadcast(biCnt),
+        substring(col("tri"), 1, 2) === col("bi"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c3"), lit(0L)).as("c3"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val bits = round(
+      sum(-log2((col("c3") + 1.0) / (col("c2") + 128.0)))
+        / count(lit(1)).cast("double"), 2)
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("c3") === 0, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(when(col("c3") === 0, 1.0).otherwise(0.0))
+          / count(lit(1)).cast("double"), 4).as("oov_frac"),
+        bits.as("bits"))
+      .withColumn("ppl", round(pow(lit(2.0), col("bits")), 2))
+  }
+
   // ---------------------------------------------------------- PII redaction
 
   private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -190,6 +236,33 @@ object TextQueries {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_lm_perplexity" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
+        |           FROM documents),
+        |tr AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+        |       FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |              greatest(len(t) - 2, 1))) AS i) u
+        |       WHERE len(substr(t, CAST(i AS INT), 3)) = 3),
+        |ref AS (SELECT tri, COUNT(*) AS c3 FROM tr
+        |        WHERE doc_id % 5 = 0 GROUP BY 1),
+        |bi AS (SELECT substr(tri, 1, 2) AS bi, SUM(c3) AS c2
+        |       FROM ref GROUP BY 1),
+        |s AS (SELECT t.doc_id, COALESCE(r.c3, 0) AS c3,
+        |        COALESCE(b.c2, 0) AS c2
+        |      FROM tr t LEFT JOIN ref r ON t.tri = r.tri
+        |      LEFT JOIN bi b ON substr(t.tri, 1, 2) = b.bi),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+        |        CAST(SUM(CASE WHEN c3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_oov,
+        |        ROUND(SUM(CASE WHEN c3 = 0 THEN 1.0 ELSE 0.0 END)
+        |          / CAST(COUNT(*) AS DOUBLE), 4) AS oov_frac,
+        |        ROUND(SUM(-log2((c3 + 1.0) / (c2 + 128.0)))
+        |          / CAST(COUNT(*) AS DOUBLE), 2) AS bits
+        |      FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_tri, n_oov, oov_frac, bits,
+        |  ROUND(POW(2.0, bits), 2) AS ppl
+        |FROM g""".stripMargin,
+
     "q_repetition" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
         |           FROM documents),
@@ -299,5 +372,6 @@ object TextQueries {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_repetition" -> (qRepetition _),
-    "q_pii_redact" -> (qPiiRedact _))
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_lm_perplexity" -> (qLmPerplexity _))
 }
