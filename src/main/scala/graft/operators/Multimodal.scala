@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   * neighbor resize), the GVID frame container, PNG (zlib-compressed,
   * all five scanline filters, CRC-checked chunks — java.util.zip
   * supplies the deflate layer), and baseline JPEG (operators.Jpeg —
-  * full sequential-DCT entropy layer). Only formats needing external
-  * DSP codec libraries (MP3/MP4 audio/video compression) keep the
-  * `decodeStub` fake; its Spark-side plumbing (binary schema, typed
-  * rows, per-partition batch shape) is the same as the real paths, so
-  * swapping in a codec call (e.g. libavcodec via JNI) is local.
+  * full sequential-DCT entropy layer), and MP4 (ISO BMFF box tree +
+  * complete stsd/stts/stsc/stsz/stco sample table, below). Only
+  * payloads needing external DSP codec libraries (H.264/MP3 bit
+  * streams) keep a stub: the MP4 track carries BMP frames under a
+  * private sample entry, and `decodeStub` remains for opaque bytes.
+  * The Spark-side plumbing (binary schema, typed rows, per-partition
+  * batch shape) is identical across stub and real paths, so swapping
+  * in a codec call (e.g. libavcodec via JNI) is local.
   */
 object Multimodal {
 
@@ -631,6 +634,246 @@ object Multimodal {
           y += 1
         }
         PngFeatures(d, img.width, img.height, r, g, b, grad)
+      }).toDF()
+  }
+
+  // ---------------------------------------------------------------
+  // REAL MP4 container: ISO BMFF (ISO/IEC 14496-12). The box grammar —
+  // 32-bit size + fourcc, nested containers, full-box version/flags —
+  // and the sample-table machinery (stsd/stts/stsc/stsz/stco) are pure
+  // public-spec byte walking, same discipline as the WAV/BMP/PNG
+  // codecs. The writer emits a genuine ftyp/moov/mdat file whose track
+  // carries REAL BMP frames as samples under a private 'gbmp' sample
+  // entry (an H.264 payload would need a DSP codec; the CONTAINER
+  // layer, which is what a curation pipeline's frame sampler actually
+  // walks, is fully real). Sample sizes VARY per frame and samples are
+  // grouped two-per-chunk with a possible short last chunk, so
+  // stsz/stsc/stco are all load-bearing: a decoder that mis-walks any
+  // of them slices the wrong bytes and the BMP parse fails or the
+  // channel sums drift. decodeMp4Frames walks the real box tree
+  // (skipping unknown boxes by declared size, handling 64-bit
+  // largesize), reconstructs per-sample absolute offsets from the
+  // chunk map, and frame-samples every k-th sample.
+  // ---------------------------------------------------------------
+
+  case class Mp4Frame(doc_id: Long, sample_idx: Long, n_samples: Long,
+                      duration_ms: Long, sample_bytes: Long, width: Long,
+                      height: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** ISO BMFF box: uint32 size + fourcc + payload. */
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val len = 8 + payload.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(len)
+    bb.putInt(len).put(typ.getBytes("US-ASCII"))
+    payload.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Full box payload prefix: version + 24-bit flags. */
+  private def vflags(version: Int, flags: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt((version << 24) | flags).array()
+
+  private def be32(vs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(bb.putInt)
+    bb.array()
+  }
+
+  /** Encode document `docId`'s clip as a REAL MP4: ftyp(isom), moov
+    * with a full video track — mvhd/tkhd, mdhd at timescale 1000,
+    * hdlr('vide'), vmhd/dinf/dref, and a complete sample table: stsd
+    * ('gbmp' sample entry), stts (n samples x 40 ms), stsc (2 samples
+    * per chunk, short last chunk when n is odd), stsz (per-sample
+    * sizes — frames are REAL BMPs of varying dimensions), stco
+    * (absolute chunk offsets into mdat) — then mdat with the
+    * concatenated frames. 3..8 samples; frame f carries the pixels of
+    * synthetic BMP id (docId + 7f). */
+  def synthMp4Bytes(docId: Long): Array[Byte] = {
+    val n = (3 + docId % 6).toInt
+    val frames = (0 until n).map(f => synthBmpBytes(docId + 7L * f))
+    val sizes = frames.map(_.length)
+    val nChunks = (n + 1) / 2
+    val dur = n * 40
+
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isomiso2".getBytes("US-ASCII"))
+
+    def moovOf(chunkOffsets: Seq[Int]): Array[Byte] = {
+      val matrix = be32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+      val mvhd = box("mvhd", vflags(0, 0), be32(0, 0, 1000, dur),
+        be32(0x10000), Array[Byte](1, 0, 0, 0), be32(0, 0), matrix,
+        be32(0, 0, 0, 0, 0, 0), be32(2))
+      val tkhd = box("tkhd", vflags(0, 7), be32(0, 0, 1, 0, dur),
+        be32(0, 0), be32(0, 0), matrix, be32(0, 0))
+      val mdhd = box("mdhd", vflags(0, 0), be32(0, 0, 1000, dur),
+        Array[Byte](0x55, (0xc4 - 256).toByte, 0, 0))
+      val hdlr = box("hdlr", vflags(0, 0), be32(0),
+        "vide".getBytes("US-ASCII"), be32(0, 0, 0),
+        "graft\u0000".getBytes("US-ASCII"))
+      val vmhd = box("vmhd", vflags(0, 1), new Array[Byte](8))
+      val dref = box("dref", vflags(0, 0), be32(1),
+        box("url ", vflags(0, 1)))
+      val dinf = box("dinf", dref)
+      // minimal SampleEntry: 6 reserved bytes + uint16 data-ref index
+      val entry = box("gbmp", new Array[Byte](6), Array[Byte](0, 1))
+      val stsd = box("stsd", vflags(0, 0), be32(1), entry)
+      val stts = box("stts", vflags(0, 0), be32(1, n, 40))
+      val stscEntries =
+        if (n % 2 == 0) be32(1, 1, 2, 1)
+        else be32(2, 1, 2, 1, nChunks, 1, 1)
+      val stsc = box("stsc", vflags(0, 0), stscEntries)
+      val stsz = box("stsz", vflags(0, 0), be32(0, n), be32(sizes: _*))
+      val stco = box("stco", vflags(0, 0), be32(nChunks),
+        be32(chunkOffsets.map(o => o): _*))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = box("minf", vmhd, dinf, stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      box("moov", mvhd, trak)
+    }
+
+    // moov's length is independent of the offset VALUES (fixed-width
+    // uint32s), so build once with zeros to learn the length, then
+    // rebuild with real absolute offsets.
+    val moovLen = moovOf(Seq.fill(nChunks)(0)).length
+    val mdatStart = ftyp.length + moovLen + 8
+    val chunkOffsets = (0 until nChunks).map { c =>
+      mdatStart + sizes.take(c * 2).sum
+    }
+    val moov = moovOf(chunkOffsets)
+    val mdat = box("mdat", frames: _*)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Walk the children of an ISO BMFF byte range: returns (fourcc,
+    * payload-start, payload-end) triples, skipping every box by its
+    * declared size (64-bit largesize handled). Malformed sizes fail
+    * loudly. */
+  private def walkBoxes(buf: Array[Byte], from: Int,
+                        until: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    var p = from
+    while (p < until) {
+      require(p + 8 <= until, "mp4: truncated box header")
+      val bb = java.nio.ByteBuffer.wrap(buf, p, until - p)
+      val size32 = bb.getInt
+      val typ = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      val (hdr, size) =
+        if (size32 == 1) { require(p + 16 <= until, "mp4: truncated largesize")
+          (16, bb.getLong) }
+        else (8, size32.toLong)
+      require(size >= hdr && p + size <= until, s"mp4: bad $typ box size")
+      out += ((typ, p + hdr, p + size.toInt))
+      p += size.toInt
+    }
+    out.toSeq
+  }
+
+  private def child(boxes: Seq[(String, Int, Int)],
+                    typ: String): (Int, Int) =
+    boxes.find(_._1 == typ) match {
+      case Some((_, s, e)) => (s, e)
+      case None => throw new IllegalArgumentException(s"mp4: no $typ box")
+    }
+
+  /** REAL frame-sampled MP4 decode: walk ftyp/moov/mdat, descend
+    * moov > trak > mdia > minf > stbl, parse the full sample table
+    * (stsd fourcc check, stts durations, stsz sizes, stsc chunk map,
+    * stco offsets), reconstruct each sample's absolute byte range,
+    * slice every `everyN`-th sample and decode it with the real BMP
+    * parser. */
+  def decodeMp4Frames(docId: Long, payload: Array[Byte],
+                      everyN: Int): Iterator[Mp4Frame] = {
+    val top = walkBoxes(payload, 0, payload.length)
+    require(top.headOption.exists(_._1 == "ftyp"), "mp4: no leading ftyp")
+    val (moovS, moovE) = child(top, "moov")
+    val (mdatS, mdatE) = child(top, "mdat")
+    val moov = walkBoxes(payload, moovS, moovE)
+    val (trakS, trakE) = child(moov, "trak")
+    val (mdiaS, mdiaE) = child(walkBoxes(payload, trakS, trakE), "mdia")
+    val mdia = walkBoxes(payload, mdiaS, mdiaE)
+    val (mdhdS, _) = child(mdia, "mdhd")
+    val (minfS, minfE) = child(mdia, "minf")
+    val (stblS, stblE) = child(walkBoxes(payload, minfS, minfE), "stbl")
+    val stbl = walkBoxes(payload, stblS, stblE)
+
+    def full(at: Int): java.nio.ByteBuffer = {
+      val bb = java.nio.ByteBuffer.wrap(payload, at, payload.length - at)
+      val vf = bb.getInt
+      require((vf >>> 24) == 0, "mp4: unsupported box version")
+      bb
+    }
+    // mdhd: timescale + duration
+    val mb = full(mdhdS)
+    mb.getInt; mb.getInt // creation, modification
+    val timescale = mb.getInt
+    val duration = mb.getInt
+    require(timescale > 0, "mp4: bad timescale")
+    // stsd: require our sample-entry fourcc
+    val sd = full(child(stbl, "stsd")._1)
+    require(sd.getInt == 1, "mp4: expected one sample entry")
+    sd.getInt // entry size
+    val fourcc = { val a = new Array[Byte](4); sd.get(a)
+      new String(a, "US-ASCII") }
+    require(fourcc == "gbmp", s"mp4: unsupported sample entry $fourcc")
+    // stts: total sample count (sum over run-length entries)
+    val tt = full(child(stbl, "stts")._1)
+    val nStts = (0 until tt.getInt).map(_ => (tt.getInt, tt.getInt))
+    val nSamples = nStts.map(_._1).sum
+    // stsz: per-sample sizes (uniform-size shortcut honored)
+    val sz = full(child(stbl, "stsz")._1)
+    val uniform = sz.getInt
+    val nSz = sz.getInt
+    require(nSz == nSamples, "mp4: stsz/stts sample count mismatch")
+    val sizes = if (uniform != 0) Array.fill(nSz)(uniform)
+                else Array.fill(nSz)(sz.getInt)
+    // stsc: (first_chunk, samples_per_chunk) map
+    val sc = full(child(stbl, "stsc")._1)
+    val stsc = (0 until sc.getInt).map { _ =>
+      val fc = sc.getInt; val spc = sc.getInt; sc.getInt; (fc, spc)
+    }
+    require(stsc.nonEmpty && stsc.head._1 == 1, "mp4: bad stsc")
+    // stco: chunk offsets
+    val co = full(child(stbl, "stco")._1)
+    val offsets = (0 until co.getInt).map(_ => co.getInt)
+    // chunk map -> absolute per-sample offsets
+    val sampleOff = new Array[Int](nSamples)
+    var s = 0
+    offsets.zipWithIndex.foreach { case (chunkOff, ci) =>
+      val spc = stsc.takeWhile(_._1 <= ci + 1).last._2
+      var off = chunkOff
+      var i = 0
+      while (i < spc && s < nSamples) {
+        sampleOff(s) = off
+        off += sizes(s)
+        s += 1; i += 1
+      }
+    }
+    require(s == nSamples, "mp4: chunk map covers too few samples")
+    sampleOff.zip(sizes).foreach { case (o, len) =>
+      require(o >= mdatS && o + len <= mdatE, "mp4: sample outside mdat")
+    }
+    val durMs = duration.toLong * 1000L / timescale
+    Iterator.range(0, nSamples).filter(_ % everyN == 0).map { f =>
+      val frame = java.util.Arrays.copyOfRange(
+        payload, sampleOff(f), sampleOff(f) + sizes(f))
+      val img = decodeBmp(frame)
+      val (r, g, b) = channelSums(img)
+      Mp4Frame(docId, f.toLong, nSamples.toLong, durMs, sizes(f).toLong,
+        img.width, img.height, r, g, b)
+    }
+  }
+
+  /** documents -> real MP4 encode -> box-tree + sample-table decode of
+    * every 2nd sample, distributed one clip per row. */
+  def mp4FrameFeatures(docs: DataFrame, everyN: Int = 2): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[Mp4Frame]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        decodeMp4Frames(d, synthMp4Bytes(d), everyN)
       }).toDF()
   }
 

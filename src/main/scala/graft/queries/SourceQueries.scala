@@ -148,6 +148,9 @@ object SourceQueries {
   def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame =
     Multimodal.videoFrameFeatures(Tables.load(spark, dir, "documents"))
 
+  def qMultimodalMp4(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mp4FrameFeatures(Tables.load(spark, dir, "documents"))
+
   def qMultimodalPng(spark: SparkSession, dir: String): DataFrame =
     Multimodal.pngFeatures(Tables.load(spark, dir, "documents"))
 
@@ -166,6 +169,7 @@ object SourceQueries {
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
     "q_multimodal_video" -> (qMultimodalVideo _),
+    "q_multimodal_mp4" -> (qMultimodalMp4 _),
     "q_multimodal_png" -> (qMultimodalPng _),
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_jpeg420" -> (qMultimodalJpeg420 _))
@@ -259,6 +263,42 @@ object SourceQueries {
         |  CAST(SUM((id45 * 7 + x * 13 + y * 31) % 256) AS BIGINT)
         |    AS sum_b
         |FROM px GROUP BY doc_id, f""".stripMargin,
+
+    // MP4: a REAL ISO BMFF file per clip — ftyp/moov/mdat, full box
+    // tree, and a complete sample table (stsd/stts/stsc/stsz/stco)
+    // whose sample sizes VARY (each sample is a real BMP of dims keyed
+    // by doc_id + 7f) and whose samples pack two-per-chunk with a
+    // short last chunk — so the decoder's chunk-map walk and absolute
+    // offset reconstruction are load-bearing. Every 2nd sample is
+    // sliced and decoded by the real BMP parser; the oracle replays
+    // the sampled frames analytically: n = 3 + doc_id % 6 samples,
+    // 40 ms each at timescale 1000, frame f = BMP of id doc_id + 7f.
+    "q_multimodal_mp4" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |fr AS (SELECT doc_id, 3 + doc_id % 6 AS n, f FROM d,
+        |       LATERAL (SELECT unnest(generate_series(0,
+        |                  3 + doc_id % 6 - 1)) AS f) u
+        |       WHERE f % 2 = 0),
+        |dim AS (SELECT doc_id, n, f, doc_id + 7 * f AS id2,
+        |          8 + (doc_id + 7 * f) % 9 AS w,
+        |          8 + (doc_id + 7 * f) % 5 AS h
+        |        FROM fr),
+        |px AS (SELECT doc_id, n, f, w, h, x, y,
+        |         (id2 * 3 + x * 29 + y * 23) % 256 AS r,
+        |         (id2 * 11 + x * 17 + y * 5) % 256 AS g,
+        |         (id2 * 7 + x * 13 + y * 31) % 256 AS b
+        |       FROM dim,
+        |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) u,
+        |       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) v)
+        |SELECT doc_id, f AS sample_idx, n AS n_samples,
+        |  n * 40 AS duration_ms,
+        |  54 + (w * 3 + (4 - (w * 3) % 4) % 4) * h AS sample_bytes,
+        |  w AS width, h AS height,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, n, f, w, h""".stripMargin,
 
     // Same round-trip idea for images: Spark encodes genuine 24-bit BMP
     // bytes (bottom-up padded BGR rows) per document, decodes them with

@@ -456,6 +456,69 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       Multimodal.decodeBmp(shortPix)).getMessage.contains("out of bounds"))
   }
 
+  test("MP4 codec: box tree, sample table, frame sampling, malformed") {
+    import graft.operators.Multimodal
+    def idx(buf: Array[Byte], fourcc: String): Int = {
+      val pat = fourcc.getBytes("US-ASCII")
+      buf.indices.indexWhere(i => i + 4 <= buf.length &&
+        java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(buf, i, i + 4), pat))
+    }
+    // round-trip at every sample-count residue (3..8 samples, odd and
+    // even — odd counts exercise the short-last-chunk stsc entry)
+    for (d <- 0L to 5L) {
+      val n = (3 + d % 6).toInt
+      val all = Multimodal.decodeMp4Frames(
+        d, Multimodal.synthMp4Bytes(d), everyN = 1).toSeq
+      assert(all.map(_.sample_idx) === (0 until n).map(_.toLong))
+      assert(all.forall(_.duration_ms === n * 40L))
+      all.foreach { fr =>
+        val id2 = d + 7L * fr.sample_idx
+        val img = Multimodal.decodeBmp(Multimodal.synthBmpBytes(id2))
+        assert(fr.width === img.width.toLong
+          && fr.height === img.height.toLong)
+        val sums = img.rgb.grouped(3).toSeq
+        assert(fr.sum_r === sums.map(_(0).toLong).sum)
+        assert(fr.sum_g === sums.map(_(1).toLong).sum)
+        assert(fr.sum_b === sums.map(_(2).toLong).sum)
+      }
+      // frame sampling takes exactly the even sample indices
+      val sampled = Multimodal.decodeMp4Frames(
+        d, Multimodal.synthMp4Bytes(d), everyN = 2).toSeq
+      assert(sampled.map(_.sample_idx) ===
+        (0 until n).filter(_ % 2 == 0).map(_.toLong))
+    }
+    val ok = Multimodal.synthMp4Bytes(9L)
+    // an unknown top-level box after mdat is skipped by declared size
+    val free = java.nio.ByteBuffer.allocate(12).putInt(12)
+      .put("free".getBytes("US-ASCII")).putInt(0).array()
+    assert(Multimodal.decodeMp4Frames(9L, ok ++ free, 1).size ===
+      Multimodal.decodeMp4Frames(9L, ok, 1).size)
+    // the chunk map is load-bearing: nudge the first stco offset and
+    // the sliced bytes are no longer a BMP (or fall outside mdat)
+    val badStco = ok.clone()
+    badStco(idx(badStco, "stco") + 15) = (badStco(idx(badStco, "stco") + 15) + 1).toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeMp4Frames(9L, badStco, 1).toSeq).getMessage
+      .matches(".*(bmp|mp4).*"))
+    // a foreign sample-entry fourcc is rejected, not mis-decoded
+    val badEntry = ok.clone()
+    val ei = idx(badEntry, "gbmp")
+    "xxxx".getBytes("US-ASCII").copyToArray(badEntry, ei)
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeMp4Frames(9L, badEntry, 1).toSeq).getMessage
+      .contains("sample entry"))
+    // ftyp must lead; truncation fails loudly
+    val noFtyp = ok.clone()
+    "xxxx".getBytes("US-ASCII").copyToArray(noFtyp, 4)
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeMp4Frames(9L, noFtyp, 1).toSeq).getMessage
+      .contains("ftyp"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeMp4Frames(9L, ok.take(ok.length - 3), 1).toSeq)
+      .getMessage.contains("mp4"))
+  }
+
   test("WKB: golden bytes both endian, multipolygon, writer layout, malformed") {
     import spark.implicits._
     import graft.sources.Wkb
