@@ -151,6 +151,9 @@ object SourceQueries {
   def qMultimodalMp4(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mp4FrameFeatures(Tables.load(spark, dir, "documents"))
 
+  def qMultimodalMp3(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mp3Features(Tables.load(spark, dir, "documents"))
+
   def qMultimodalPng(spark: SparkSession, dir: String): DataFrame =
     Multimodal.pngFeatures(Tables.load(spark, dir, "documents"))
 
@@ -170,6 +173,7 @@ object SourceQueries {
     "q_multimodal_bmp" -> (qMultimodalBmp _),
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
+    "q_multimodal_mp3" -> (qMultimodalMp3 _),
     "q_multimodal_png" -> (qMultimodalPng _),
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_jpeg420" -> (qMultimodalJpeg420 _))
@@ -299,6 +303,31 @@ object SourceQueries {
         |  CAST(SUM(g) AS BIGINT) AS sum_g,
         |  CAST(SUM(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, n, f, w, h""".stripMargin,
+
+    // MP3: a real MPEG-1 Layer III frame stream per doc — leading
+    // ID3v2.3 tag (10 + 32 bytes, syncsafe length), then 4..8 VBR
+    // frames whose bitrate index walks the spec table; the walker's
+    // per-frame length formula 144*kbps*1000/sr + pad (integer
+    // division) and the table lookups are replayed analytically here.
+    // 1152 samples per frame gives the exact integer duration.
+    "q_multimodal_mp3" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |fr AS (SELECT doc_id, 4 + doc_id % 5 AS n, i,
+        |         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |              ELSE 32000 END AS sr,
+        |         [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+        |          256, 320][CAST(1 + (doc_id + i) % 14 AS INT)] AS kbps,
+        |         (doc_id + i) % 2 AS pad
+        |       FROM d,
+        |       LATERAL (SELECT unnest(generate_series(0,
+        |                  4 + doc_id % 5 - 1)) AS i) u)
+        |SELECT doc_id, n AS n_frames, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(42 + SUM(144 * kbps * 1000 // sr + pad) AS BIGINT)
+        |    AS n_bytes,
+        |  CAST(SUM(kbps) AS BIGINT) AS sum_kbps,
+        |  n * 1152 * 1000 // sr AS duration_ms
+        |FROM fr GROUP BY doc_id, n, sr""".stripMargin,
 
     // Same round-trip idea for images: Spark encodes genuine 24-bit BMP
     // bytes (bottom-up padded BGR rows) per document, decodes them with

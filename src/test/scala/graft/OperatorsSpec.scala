@@ -519,6 +519,47 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       .getMessage.contains("mp4"))
   }
 
+  test("MP3 walker: VBR frames, ID3 skip, spec lengths, malformed") {
+    import graft.operators.Multimodal
+    // round-trip across all sample-rate and frame-count residues,
+    // checked against the spec tables computed independently here
+    val kbpsTab = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+      192, 224, 256, 320)
+    for (d <- 0L to 5L) {
+      val n = (4 + d % 5).toInt
+      val sr = Array(44100, 48000, 32000)((d % 3).toInt)
+      val kbps = (0 until n).map(i => kbpsTab((1 + (d + i) % 14).toInt))
+      val bytes = 42 + (0 until n).map(i =>
+        144 * kbps(i) * 1000 / sr + ((d + i) % 2).toInt).sum
+      val (nf, srOut, sumK, nb) = Multimodal.walkMp3(
+        Multimodal.synthMp3Bytes(d))
+      assert(nf === n.toLong)
+      assert(srOut === sr.toLong)
+      assert(sumK === kbps.sum.toLong)
+      assert(nb === bytes.toLong)
+    }
+    val ok = Multimodal.synthMp3Bytes(3L)
+    // ID3 skip is by syncsafe length: grow the tag and the walker must
+    // still land exactly on the first frame header
+    // (synth uses 32; hand-build a 200-byte tag around the same frames)
+    val frames = ok.drop(42)
+    val bigTag = new Array[Byte](10 + 200)
+    "ID3".getBytes("US-ASCII").copyToArray(bigTag)
+    bigTag(3) = 3; bigTag(8) = (200 >> 7).toByte; bigTag(9) = (200 & 0x7f).toByte
+    assert(Multimodal.walkMp3(bigTag ++ frames)._1 ===
+      Multimodal.walkMp3(ok)._1)
+    // malformed inputs fail loudly
+    val badSync = ok.clone(); badSync(42) = 0x12
+    assert(intercept[IllegalArgumentException](
+      Multimodal.walkMp3(badSync)).getMessage.contains("sync"))
+    val freeBr = ok.clone(); freeBr(44) = (freeBr(44) & 0x0f).toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.walkMp3(freeBr)).getMessage.contains("bitrate"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.walkMp3(ok.take(ok.length - 5)))
+      .getMessage.matches(".*(truncated|garbage).*"))
+  }
+
   test("WKB: golden bytes both endian, multipolygon, writer layout, malformed") {
     import spark.implicits._
     import graft.sources.Wkb
