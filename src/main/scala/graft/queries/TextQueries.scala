@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -146,36 +146,77 @@ object TextQueries {
     * (no second corpus scan). Integer outputs (n_tri, n_oov) are
     * exact; the mean-bits aggregate is rounded to 2 per SURVEY §3
     * float discipline. */
+  case class LmScore(doc_id: Long, n_tri: Long, n_oov: Long,
+                     oov_frac: Double, bits: Double, ppl: Double)
+
+  /** Code-point trigram/bigram keys (21 bits per code point — covers
+    * all of Unicode; matches the engine-side substr semantics, which
+    * are code-point-based in both Spark and DuckDB). */
+  private def cpKey(cps: Array[Int], at: Int, k: Int): Long = {
+    var key = 0L
+    var i = 0
+    while (i < k) { key = (key << 21) | cps(at + i).toLong; i += 1 }
+    key
+  }
+
+  /** Spark `round()` semantics (HALF_UP decimal rounding). */
+  private def rnd(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"), lower(col("text")).as("t"))
-    def tris(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), explode(expr(
+    // model fit: one small job over the reference slice — the trigram
+    // table is bounded by charset^3 regardless of corpus size, so the
+    // collect is O(|charset|^3), not O(corpus) (the IVF-centroid
+    // pattern: fit small, embed in the scan)
+    val triRows = d.where(col("doc_id") % 5 === 0)
+      .select(explode(expr(
         "transform(sequence(1, greatest(length(t) - 2, 1))," +
           " i -> substring(t, i, 3))")).as("tri"))
       .where(length(col("tri")) === 3)
-    val triCnt = tris(d.where(col("doc_id") % 5 === 0))
       .groupBy("tri").agg(count(lit(1)).as("c3"))
-    val biCnt = triCnt
-      .groupBy(substring(col("tri"), 1, 2).as("bi"))
-      .agg(sum("c3").as("c2"))
-    val scored = tris(d)
-      .join(broadcast(triCnt), Seq("tri"), "left")
-      .join(broadcast(biCnt),
-        substring(col("tri"), 1, 2) === col("bi"), "left")
-      .select(col("doc_id"),
-        coalesce(col("c3"), lit(0L)).as("c3"),
-        coalesce(col("c2"), lit(0L)).as("c2"))
-    val bits = round(
-      sum(-log2((col("c3") + 1.0) / (col("c2") + 128.0)))
-        / count(lit(1)).cast("double"), 2)
-    scored.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tri"),
-        sum(when(col("c3") === 0, 1L).otherwise(0L)).as("n_oov"),
-        round(sum(when(col("c3") === 0, 1.0).otherwise(0.0))
-          / count(lit(1)).cast("double"), 4).as("oov_frac"),
-        bits.as("bits"))
-      .withColumn("ppl", round(pow(lit(2.0), col("bits")), 2))
+      .collect()
+    // sorted long-key arrays (binary search beats boxed maps in the
+    // per-position hot loop)
+    val tri = triRows.map { r =>
+      val cps = r.getString(0).codePoints().toArray
+      (cpKey(cps, 0, 3), r.getLong(1))
+    }.sortBy(_._1)
+    val triKeys = tri.map(_._1)
+    val triVals = tri.map(_._2)
+    val bi = tri.groupBy(_._1 >>> 21).view.mapValues(_.map(_._2).sum)
+      .toArray.sortBy(_._1)
+    val biKeys = bi.map(_._1)
+    val biVals = bi.map(_._2)
+    val ln2 = math.log(2.0)
+    // scoring: ONE map-only corpus pass with the LM embedded — no
+    // per-position explode, no shuffle, no join; per-doc surprisal
+    // accumulates in a tight primitive loop
+    implicit val encIn = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val encOut = Encoders.product[LmScore]
+    d.as[(Long, String)].mapPartitions(_.flatMap { case (id, t) =>
+      val cps = t.codePoints().toArray
+      val n = cps.length - 2
+      if (n <= 0) Iterator.empty
+      else {
+        var oov = 0L
+        var bitsSum = 0.0
+        var i = 0
+        while (i < n) {
+          val i3 = java.util.Arrays.binarySearch(triKeys, cpKey(cps, i, 3))
+          val c3 = if (i3 >= 0) triVals(i3) else 0L
+          if (c3 == 0) oov += 1
+          val i2 = java.util.Arrays.binarySearch(biKeys, cpKey(cps, i, 2))
+          val c2 = if (i2 >= 0) biVals(i2) else 0L
+          bitsSum += -(math.log((c3 + 1.0) / (c2 + 128.0)) / ln2)
+          i += 1
+        }
+        val bits = rnd(bitsSum / n, 2)
+        Iterator.single(LmScore(id, n.toLong, oov,
+          rnd(oov.toDouble / n, 4), bits, rnd(math.pow(2.0, bits), 2)))
+      }
+    }).toDF()
   }
 
   // ---------------------------------------------------------- PII redaction
