@@ -219,6 +219,51 @@ object TextQueries {
     }).toDF()
   }
 
+  // ------------------------------------------------------------ BPE train
+
+  /** Distributed BPE tokenizer training, two merge rounds: each round
+    * is ONE map-side-combined pair-count aggregate over the corpus
+    * (the standard distributed BPE/WordPiece counting job — the count
+    * table is bounded by |alphabet|², not corpus size), the argmax
+    * merge is collected to the driver (count desc, pair asc tiebreak —
+    * deterministic) and applied corpus-wide as a literal non-regex
+    * replace into a placeholder symbol, exactly the greedy
+    * left-to-right non-overlap semantics both engines share. Returns
+    * the top-10 adjacent-pair counts AFTER both merges (codepoints,
+    * not raw strings, so placeholders hash portably) — correct only if
+    * both rounds picked and applied the same merges as the oracle's
+    * independently-unrolled SQL. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    // pair counting rides the native ShingleHash kernel: with mult=2^16
+    // and mod=2^32 the k=2 rolling hash IS the invertible code-unit
+    // pair key (c1<<16 | c2) — no per-position string allocation, and
+    // the hash aggregate map-side combines down to the |alphabet|^2
+    // count table. Numeric key order equals the oracle's string order
+    // (UTF-8 byte order preserves code-point order), so the argmax
+    // tiebreak is identical.
+    def pairs(df: DataFrame): DataFrame =
+      graft.operators.Dedup.shingleHashes(
+        df.select(lit(0L).as("doc_id"), col("t").as("text")),
+        2, 65536L, 4294967296L)
+        .groupBy("s").agg(count(lit(1)).as("c"))
+    def bestMerge(counts: DataFrame): String = {
+      val s = counts.orderBy(col("c").desc, col("s").asc).limit(1)
+        .collect()(0).getLong(0)
+      new String(Array(((s >> 16) & 0xffff).toChar, (s & 0xffff).toChar))
+    }
+    val d0 = docs(spark, dir).select(lower(col("text")).as("t"))
+    val m1 = bestMerge(pairs(d0))
+    val d1 = d0.select(replace(col("t"), lit(m1), lit("\u0001")).as("t"))
+    val m2 = bestMerge(pairs(d1))
+    val d2 = d1.select(replace(col("t"), lit(m2), lit("\u0002")).as("t"))
+    pairs(d2)
+      .orderBy(col("c").desc, col("s").asc).limit(10)
+      .select(
+        shiftright(col("s"), 16).cast("long").as("a"),
+        col("s").bitwiseAND(lit(65535L)).cast("long").as("b"),
+        col("c").cast("long").as("cnt"))
+  }
+
   // ---------------------------------------------------------- PII redaction
 
   private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -277,6 +322,29 @@ object TextQueries {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> {
+      def pairsSql(src: String): String =
+        s"""SELECT substr(t, CAST(i AS INT), 2) AS pr, COUNT(*) AS c
+           |FROM $src, LATERAL (SELECT unnest(generate_series(1,
+           |       greatest(len(t) - 1, 1))) AS i) u
+           |WHERE len(substr(t, CAST(i AS INT), 2)) = 2 GROUP BY 1"""
+          .stripMargin
+      s"""WITH d0 AS (SELECT lower(text) AS t FROM documents),
+         |p1 AS (${pairsSql("d0")}),
+         |m1 AS (SELECT pr FROM p1 ORDER BY c DESC, pr ASC LIMIT 1),
+         |d1 AS (SELECT replace(t, (SELECT pr FROM m1), chr(1)) AS t
+         |       FROM d0),
+         |p2 AS (${pairsSql("d1")}),
+         |m2 AS (SELECT pr FROM p2 ORDER BY c DESC, pr ASC LIMIT 1),
+         |d2 AS (SELECT replace(t, (SELECT pr FROM m2), chr(2)) AS t
+         |       FROM d1),
+         |p3 AS (${pairsSql("d2")})
+         |SELECT CAST(unicode(substr(pr, 1, 1)) AS BIGINT) AS a,
+         |  CAST(unicode(substr(pr, 2, 1)) AS BIGINT) AS b,
+         |  CAST(c AS BIGINT) AS cnt
+         |FROM p3 ORDER BY c DESC, pr ASC LIMIT 10""".stripMargin
+    },
+
     "q_lm_perplexity" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
         |           FROM documents),
@@ -414,5 +482,6 @@ object TextQueries {
     "q_fingerprint" -> (qFingerprint _),
     "q_repetition" -> (qRepetition _),
     "q_pii_redact" -> (qPiiRedact _),
-    "q_lm_perplexity" -> (qLmPerplexity _))
+    "q_lm_perplexity" -> (qLmPerplexity _),
+    "q_bpe_train" -> (qBpeTrain _))
 }
