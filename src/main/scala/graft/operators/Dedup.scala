@@ -212,6 +212,51 @@ object Dedup {
       .select("ida", "idb", "est")
   }
 
+  /** INCREMENTAL near-dup: dedup a new batch against an existing corpus
+    * without comparing the corpus to itself — the production shape for
+    * rolling ingestion (the full-corpus pair join never reruns; only
+    * delta x index candidates are generated). Candidates come from the
+    * asymmetric band-bucket equi-join of the delta's band keys against
+    * the index's; each candidate is verified by ONE MinHashPairEval
+    * kernel call with min-band dedup (a pair agreeing in several bands
+    * survives only in its first agreeing band — no wide-row
+    * dropDuplicates). Per delta doc the BEST match (highest estimated
+    * Jaccard, smallest index id on ties — exact, since est = k/64 is a
+    * dyadic rational) is selected by a lexicographic struct max, and
+    * unmatched docs report (-1, 0.0, false).
+    *
+    * At corpus scale the index side is the PRECOMPUTED signature table
+    * (64 longs/doc, the standard LSH index artifact — bucketed by
+    * (band, bh) at write so the candidate join is co-located); here it
+    * is derived inline so the oracle can replay end to end. */
+  def minhashDelta(delta: DataFrame, index: DataFrame, k: Int,
+                   numHashes: Int, bands: Int, minEst: Double): DataFrame = {
+    def sigsOf(df: DataFrame) = df
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val dsig = sigsOf(delta).localCheckpoint()
+    val db = dsig.select(col("doc_id").as("nid"), col("sig").as("nsig"),
+      posexplode(bandHashExprs(numHashes, bands)).as(Seq("band", "bh")))
+    val ib = sigsOf(index)
+      .select(col("doc_id").as("iid"), col("sig").as("isig"),
+        posexplode(bandHashExprs(numHashes, bands)).as(Seq("band", "bh")))
+    val cand = db.join(ib, Seq("band", "bh"))
+      .withColumn("pe", graft.functions.MinHashPairEval(
+        col("nsig"), col("isig"), numHashes, bands))
+      .filter(col("band") === col("pe.first_band"))
+      .filter(col("pe.est") >= minEst)
+    val best = cand.groupBy("nid")
+      .agg(max(struct(col("pe.est").as("e"), (-col("iid")).as("ni")))
+        .as("m"))
+    dsig.select(col("doc_id"))
+      .join(best, col("doc_id") === col("nid"), "left")
+      .select(col("doc_id"),
+        coalesce(-col("m.ni"), lit(-1L)).as("matched_id"),
+        coalesce(round(col("m.e"), 4), lit(0.0)).as("est"),
+        col("nid").isNotNull.as("is_dup"))
+  }
+
   /** Benchmark DECONTAMINATION: per corpus document, the fraction of its
     * distinct k-shingles that also appear anywhere in a benchmark set —
     * the n-gram-overlap test a training pipeline runs so evaluation data

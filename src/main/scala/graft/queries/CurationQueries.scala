@@ -146,7 +146,40 @@ object CurationQueries {
           / col("total_tokens").cast("double"), 6).as("token_share"))
   }
 
+  /** Deterministic stratified train/val/test split (8/1/1): the bucket
+    * is the CONTENT hash (rolling fingerprint of normalized text) mod
+    * 10 — stable under re-sharding and doc_id renumbering, so a
+    * document can never migrate between train and eval across runs
+    * (the leakage-safety property decontamination assumes). Stratum
+    * stats come from a groupBy on (lang, split) broadcast-joined back,
+    * NOT a per-lang window — `lang` is the low-cardinality/high-volume
+    * key that must never sort a dominant language through one task;
+    * per-lang totals derive from the stratum counts without a second
+    * corpus scan. */
+  def qSplitStratified(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        rollingFingerprint(norm(col("text"))).as("h"))
+      .withColumn("bucket", col("h") % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")))
+    val strata = base.groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_stratum"))
+    val langTotals = strata.groupBy("lang")
+      .agg(sum("n_stratum").as("n_lang"))
+    base
+      .join(broadcast(strata), Seq("lang", "split"))
+      .join(broadcast(langTotals), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("h"), col("bucket"),
+        col("split"), col("n_stratum"),
+        round(col("n_stratum").cast("double")
+          / col("n_lang").cast("double"), 4).as("stratum_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_stratified" -> (qSplitStratified _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_sequences_sharded" -> (qPackSequencesSharded _),
     "q_sample_quota" -> (qSampleQuota _),
@@ -168,6 +201,25 @@ object CurationQueries {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_split_stratified" ->
+      s"""WITH d AS ($docsSql),
+         |h AS (SELECT doc_id, lang, ${fpSql(normSql)} AS h FROM d),
+         |b AS (SELECT doc_id, lang, h, h % 10 AS bucket,
+         |        CASE WHEN h % 10 < 8 THEN 'train'
+         |             WHEN h % 10 = 8 THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM h),
+         |g AS (SELECT lang, split, COUNT(*) AS n_stratum
+         |      FROM b GROUP BY 1, 2),
+         |l AS (SELECT lang, CAST(SUM(n_stratum) AS BIGINT) AS n_lang
+         |      FROM g GROUP BY 1)
+         |SELECT b.doc_id, b.lang, b.h, b.bucket, b.split, g.n_stratum,
+         |  ROUND(CAST(g.n_stratum AS DOUBLE) / l.n_lang, 4)
+         |    AS stratum_frac
+         |FROM b
+         |JOIN g ON b.lang = g.lang AND b.split = g.split
+         |JOIN l ON b.lang = l.lang""".stripMargin,
+
     "q_pack_sequences" ->
       s"""WITH d AS ($docsSql),
          |t AS (SELECT doc_id, lang,

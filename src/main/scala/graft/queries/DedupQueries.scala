@@ -64,7 +64,18 @@ object DedupQueries {
     graft.streaming.NearDupStream.candidatePairsBatch(
       docs(spark, dir), K, numHashes = 64, bands = 16)
 
+  /** Incremental dedup: docs with doc_id % 10 == 7 play the newly
+    * ingested batch, everything else is the standing corpus index. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.minhashDelta(
+      d.filter(col("doc_id") % 10 === 7),
+      d.filter(col("doc_id") % 10 =!= 7),
+      K, numHashes = 64, bands = 16, minEst = 0.2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_minhash" -> (qMinhash _),
     "q_dedup_simhash" -> (qSimhash _),
@@ -194,6 +205,38 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
+
+    // incremental dedup: same band CTEs, asymmetric delta-vs-index
+    // candidate join, signature-agreement estimate, best match per
+    // delta doc (est desc, index id asc), unmatched -> (-1, 0.0)
+    "q_dedup_incremental" ->
+      s"""WITH $minhashBandCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS iid
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh
+         |         WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+         |est AS (SELECT nid, iid,
+         |          SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END)
+         |            / 64.0 AS est
+         |        FROM cand
+         |        JOIN mins ma ON ma.doc_id = nid
+         |        JOIN mins mb ON mb.doc_id = iid AND mb.i = ma.i
+         |        GROUP BY 1, 2
+         |        HAVING SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END)
+         |            / 64.0 >= 0.2),
+         |best AS (SELECT nid, iid, est,
+         |           ROW_NUMBER() OVER (PARTITION BY nid
+         |             ORDER BY est DESC, iid ASC) AS rn
+         |         FROM est),
+         |alln AS (SELECT DISTINCT doc_id AS nid FROM mins
+         |         WHERE doc_id % 10 = 7)
+         |SELECT a.nid AS doc_id,
+         |  COALESCE(b.iid, -1) AS matched_id,
+         |  COALESCE(ROUND(b.est, 4), 0.0) AS est,
+         |  b.nid IS NOT NULL AS is_dup
+         |FROM alln a
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.nid = a.nid"""
+        .stripMargin,
 
     // streaming near-dup filter's batch twin: same band CTEs, then the
     // bucket-anchor (min id) state transition as one aggregate + join
