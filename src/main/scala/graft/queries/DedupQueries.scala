@@ -74,8 +74,16 @@ object DedupQueries {
       K, numHashes = 64, bands = 16, minEst = 0.2)
   }
 
+  private val SpanMaxDf = 50 // occurrence cap: stop-shingles drop out
+
+  /** Substring-level dedup: spans of >= 1 shared 16-shingle across
+    * distinct documents. */
+  def qDedupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(spark, dir), K, SpanMaxDf)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_minhash" -> (qMinhash _),
     "q_dedup_simhash" -> (qSimhash _),
@@ -205,6 +213,35 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
+
+    // duplicated spans: per-position shingle hashes, cross-doc shingles
+    // via min!=max, gaps-and-islands merge of consecutive positions
+    "q_dedup_spans" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |             lower(text) AS t FROM documents),
+         |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(list_filter(
+         |               string_split(substr(t, CAST(i AS INT), $K), ''),
+         |               c -> len(c) > 0),
+         |             c -> CAST(ascii(c) AS BIGINT))),
+         |           (a, b) -> (a * 131 + b) % 1000000007) AS s
+         |       FROM d, LATERAL (SELECT unnest(generate_series(1,
+         |              greatest(len(t) - ${K - 1}, 1))) AS i) u
+         |       WHERE len(substr(t, CAST(i AS INT), $K)) = $K),
+         |dup AS (SELECT s FROM sh GROUP BY s
+         |        HAVING MIN(doc_id) <> MAX(doc_id)
+         |           AND COUNT(*) <= $SpanMaxDf),
+         |f AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
+         |g AS (SELECT doc_id, pos,
+         |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+         |          ORDER BY pos) AS grp
+         |      FROM f)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |  CAST(MAX(pos) + $K AS BIGINT) AS span_end,
+         |  CAST(MAX(pos) + $K - MIN(pos) AS BIGINT) AS span_len,
+         |  COUNT(*) AS n_shingles
+         |FROM g GROUP BY doc_id, grp""".stripMargin,
 
     // incremental dedup: same band CTEs, asymmetric delta-vs-index
     // candidate join, signature-agreement estimate, best match per
