@@ -25,6 +25,50 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(out.head.getAs[Double]("jac") === 1.0)
   }
 
+  test("duplicatedSpans: shared passage found at exact offsets, df cap") {
+    // docs 1 and 2 share one 26-char passage at different offsets;
+    // doc 3 shares nothing. k=8 -> the span covers positions
+    // [start, start+26-8] and spans report [start, start+26).
+    val shared = "a shared verbatim passage!"
+    val d = docsOf(
+      1L -> s"XXXX${shared}YYYYYYYY",
+      2L -> s"zzzzzzzzzz${shared}wwww",
+      3L -> "totally unrelated body of text with no common run")
+    val out = Dedup.duplicatedSpans(d, k = 8, maxDf = 50)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_shingles")))
+      .sortBy(_._1)
+    assert(out === Seq(
+      (1L, 4L, (4 + shared.length).toLong, (shared.length - 7).toLong),
+      (2L, 10L, (10 + shared.length).toLong, (shared.length - 7).toLong)))
+    // a shingle above the occurrence cap is a stop-shingle: with the
+    // cap below the shared passage's occurrence count nothing is found
+    assert(Dedup.duplicatedSpans(d, k = 8, maxDf = 1).count() === 0)
+  }
+
+  test("minhashDelta: delta doc matches its index twin, unmatched -1") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docsOf(
+      7L -> base, // delta: near-identical to index doc 1
+      17L -> "completely different new content with nothing shared at all!",
+      1L -> base,
+      2L -> "some other standing corpus document about other things here")
+    val delta = d.filter(col("doc_id") % 10 === 7)
+    val index = d.filter(col("doc_id") % 10 =!= 7)
+    val out = Dedup.minhashDelta(delta, index, k = 8, numHashes = 64,
+      bands = 16, minEst = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_id"),
+        r.getAs[Boolean]("is_dup")))
+      .sortBy(_._1)
+    assert(out === Seq((7L, 1L, true), (17L, -1L, false)))
+    // identical text -> estimated jaccard 1.0 on the matched row
+    val est = Dedup.minhashDelta(delta, index, 8, 64, 16, 0.5)
+      .filter(col("doc_id") === 7L).collect().head.getAs[Double]("est")
+    assert(est === 1.0)
+  }
+
   test("wordCount: 0 for blank text, shingleHashes skips short docs") {
     import graft.functions.TextFunctions
     val counts = docsOf(1L -> "", 2L -> "   ", 3L -> "two words")
