@@ -24,7 +24,9 @@ object ProfileJaccard {
     def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val n = mk.count()
+        // un-pruned plan (matches Bench.exec): count() would let
+        // Catalyst eliminate aggregates and whole joins
+        val n = mk.queryExecution.toRdd.count()
         spark.catalog.clearCache()
         ((System.nanoTime() - t0) / 1e9, n)
       }

@@ -65,16 +65,21 @@ object Dedup {
     val sizes = postings
       .select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // NOTE (measured): generating only i<j combinations from a sorted
-    // posting array instead of this full product + filter changed
-    // nothing at sf0.1 (5.8s vs 5.3s, within box noise) — the expansion
-    // is not the bottleneck; keep the simpler form.
+    // Pair expansion as TWO chained generators (explode a, then explode
+    // the b > a survivors) instead of materializing the full n^2 struct
+    // array per posting and filtering it. MEASURED (r7, honest
+    // un-pruned plans): both forms time identically at sf0.1 (3.6s) —
+    // the cost after the posting shuffle is the ~1M-row pair AGGREGATE
+    // exchange, not the expansion — so the generator form is kept for
+    // its zero struct allocation, not a wall-clock claim. Stage profile
+    // (dev/ProfileJaccard, un-pruned): scan 0.33s, +postings 1.61s,
+    // full 3.64s; the intrinsic floor is the posting + pair-agg
+    // exchanges, the LSH-standard O(n·k) shape.
     val shared = postings
-      .select(explode(filter(
-        flatten(transform(col("ds"), a =>
-          transform(col("ds"), b => struct(a.as("ida"), b.as("idb"))))),
-        p => p("ida") < p("idb"))).as("pr"))
-      .groupBy(col("pr.ida").as("ida"), col("pr.idb").as("idb"))
+      .select(col("ds"), explode(col("ds")).as("ida"))
+      .select(col("ida"),
+        explode(filter(col("ds"), b => b > col("ida"))).as("idb"))
+      .groupBy("ida", "idb")
       .agg(count(lit(1)).as("shared"))
     // sizes is one row per doc: small here, but NOT broadcast-safe at
     // corpus scale — leave join strategy to AQE (it broadcasts when the
