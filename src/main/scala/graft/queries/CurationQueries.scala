@@ -183,7 +183,48 @@ object CurationQueries {
           / col("n_lang").cast("double"), 4).as("stratum_frac"))
   }
 
+  private val HistBucket = 64L // histogram bucket width in chars
+
+  /** Corpus length profiling with HISTOGRAM quantiles: per language,
+    * doc counts, total mass, and p50/p90 length read off a fixed-width
+    * bucket histogram. An exact percentile aggregate buffers every
+    * length of a language in one task (the TypedImperativeAggregate
+    * scale-killer); the histogram form is two map-side-combined
+    * aggregates plus a window over BUCKET rows (bounded by
+    * max_len/bucket_width, not corpus size) — the production sketch
+    * shape, deterministic by construction. Quantile = lower bound of
+    * the first bucket whose cumulative count reaches ceil(q*n). */
+  def qCorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val hist = docs(spark, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("lang"), (col("len") / HistBucket).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"), sum("len").as("mass"),
+        max("len").as("mx"))
+    val w = Window.partitionBy("lang").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+      .withColumn("total_chars",
+        sum("mass").over(Window.partitionBy("lang")))
+      .withColumn("max_len", max("mx").over(Window.partitionBy("lang")))
+    // ceil(q*n) in INTEGER arithmetic ((n*num + den - 1) div den):
+    // Spark parses 0.9 as an inexact double while DuckDB parses it as
+    // exact DECIMAL — ceil(0.9*1000) would be 901 vs 900 across engines
+    def qAt(num: Int, den: Int) = min(when(
+      col("cum") >= ((col("n") * num + den - 1) / den).cast("long"),
+      col("b") * HistBucket))
+    cum.groupBy("lang")
+      .agg(first("n").as("n_docs"),
+        first("total_chars").as("total_chars"),
+        first("max_len").as("max_len"),
+        qAt(1, 2).as("p50_len"), qAt(9, 10).as("p90_len"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("p50_len"), col("p90_len"), col("max_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_stats" -> (qCorpusStats _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_sequences_sharded" -> (qPackSequencesSharded _),
@@ -206,6 +247,29 @@ object CurationQueries {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_stats" ->
+      s"""WITH d AS (SELECT lang, CAST(len(text) AS BIGINT) AS len
+         |           FROM documents),
+         |h AS (SELECT lang, len // $HistBucket AS b, COUNT(*) AS c,
+         |        CAST(SUM(len) AS BIGINT) AS mass, MAX(len) AS mx
+         |      FROM d GROUP BY 1, 2),
+         |cw AS (SELECT lang, b, c, mass, mx,
+         |         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY b
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum,
+         |         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n,
+         |         CAST(SUM(mass) OVER (PARTITION BY lang) AS BIGINT)
+         |           AS total_chars,
+         |         MAX(mx) OVER (PARTITION BY lang) AS max_len
+         |       FROM h)
+         |SELECT lang, MIN(n) AS n_docs, MIN(total_chars) AS total_chars,
+         |  CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2
+         |           THEN b * $HistBucket END) AS BIGINT) AS p50_len,
+         |  CAST(MIN(CASE WHEN cum >= (n * 9 + 9) // 10
+         |           THEN b * $HistBucket END) AS BIGINT) AS p90_len,
+         |  MIN(max_len) AS max_len
+         |FROM cw GROUP BY lang""".stripMargin,
+
     "q_split_stratified" ->
       s"""WITH d AS ($docsSql),
          |h AS (SELECT doc_id, lang, ${fpSql(normSql)} AS h FROM d),
