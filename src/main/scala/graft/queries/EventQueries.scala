@@ -96,14 +96,99 @@ object EventQueries {
           .otherwise(0)).cast("long").as("stage"))
   }
 
+  /** PageRank over the page-transition graph (the URL-quality signal a
+    * web-corpus curation pipeline weights documents by — CommonCrawl
+    * rank lists are built this way). Pages are pseudo-URLs
+    * (event_id % 97); edges are each user's consecutive page visits
+    * (lead window per user — bounded per-key volume), aggregated to
+    * weighted transitions. Five power iterations of
+    * r'(v) = 0.15/N + 0.85 * Σ r(u)·w(u,v)/out(u): each iteration is
+    * ONE equi-join + ONE aggregate on the edge table (AQE broadcasts
+    * the rank table while it is small; at web scale the same plan is a
+    * shuffle join on src — no driver-side graph state either way). All
+    * math in IEEE doubles with explicit double literals (the oracle
+    * CASTs 0.85 to DOUBLE — DuckDB would otherwise use exact DECIMAL),
+    * final rank rounded to 6. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val seq = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        (col("event_id") % 97).as("p"))
+      .withColumn("np", lead("p", 1).over(byUser))
+    val ed = seq
+      .filter(col("np").isNotNull && col("np") =!= col("p"))
+      .groupBy(col("p").as("src"), col("np").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint() // 5 iterations re-read the edge table
+    val outd = ed.groupBy("src").agg(sum("w").cast("double").as("outw"))
+    val ew = ed.join(outd, "src").localCheckpoint()
+    val nodes = ed.select(col("src").as("p"))
+      .union(ed.select(col("dst").as("p"))).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to 5) {
+      val inc = ew.join(ranks, ew("src") === ranks("p"))
+        .groupBy(col("dst").as("p"))
+        .agg(sum(col("r") * col("w") / col("outw")).as("s"))
+      ranks = nodes.join(inc, Seq("p"), "left")
+        .select(col("p"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0)))
+            .as("r"))
+    }
+    ranks.select(col("p").cast("long").as("page"),
+      round(col("r"), 6).as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _),
     "q_events_windowed" -> (qEventsWindowed _),
     "q_event_interval_join" -> (qEventIntervalJoin _),
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_stateful" -> (qSessionizeStateful _),
     "q_funnel" -> (qFunnel _))
 
+  /** Unrolled 5-hop PageRank oracle (same edge derivation, same
+    * double-cast constants, same left-join teleport form per hop). */
+  private val pagerankOracle: String = {
+    def hop(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT nd.p,
+         |    (SELECT CAST(0.15 AS DOUBLE) / n FROM nn)
+         |      + CAST(0.85 AS DOUBLE)
+         |        * COALESCE(inc.s, CAST(0 AS DOUBLE)) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS p, SUM(pr.r * e.w / o.outw) AS s
+         |    FROM ed e
+         |    JOIN $prev pr ON pr.p = e.src
+         |    JOIN outd o ON o.src = e.src
+         |    GROUP BY 1) inc ON inc.p = nd.p)""".stripMargin
+    s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+       |              CAST(event_id AS BIGINT) AS eid,
+       |              CAST(event_id % 97 AS BIGINT) AS p FROM events),
+       |sq AS (SELECT u, p,
+       |         LEAD(p) OVER (PARTITION BY u ORDER BY eid) AS np
+       |       FROM ev),
+       |ed AS (SELECT p AS src, np AS dst, COUNT(*) AS w FROM sq
+       |       WHERE np IS NOT NULL AND np <> p GROUP BY 1, 2),
+       |outd AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS outw
+       |         FROM ed GROUP BY 1),
+       |nodes AS (SELECT DISTINCT p FROM
+       |          (SELECT src AS p FROM ed
+       |           UNION ALL SELECT dst FROM ed) q),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT p, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+       |       FROM nodes),
+       |${hop("r0", "r1")},
+       |${hop("r1", "r2")},
+       |${hop("r2", "r3")},
+       |${hop("r3", "r4")},
+       |${hop("r4", "r5")}
+       |SELECT p AS page, ROUND(r, 6) AS rank FROM r5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle,
+
     "q_events_windowed" ->
       """SELECT event_type,
         |  epoch_ns(ts) // 3600000000000 AS hour,
