@@ -139,7 +139,20 @@ object EventQueries {
       round(col("r"), 6).as("rank"))
   }
 
+  /** Semi-structured extraction: pull the integer field out of the
+    * events table's JSON `props` column (the JSONL-corpus shape) —
+    * row-local codegen'd path extraction, no UDF; every extraction is
+    * pinned by the per-row output. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("k_bucket", col("k") % 10)
+      .withColumn("has_k", col("k").isNotNull)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> (qJsonExtract _),
     "q_pagerank" -> (qPagerank _),
     "q_events_windowed" -> (qEventsWindowed _),
     "q_event_interval_join" -> (qEventIntervalJoin _),
@@ -187,6 +200,13 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  json_extract(props, '$.k') IS NOT NULL AS has_k
+        |FROM events""".stripMargin,
+
     "q_pagerank" -> pagerankOracle,
 
     "q_events_windowed" ->

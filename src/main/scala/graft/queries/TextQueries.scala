@@ -264,6 +264,38 @@ object TextQueries {
         col("c").cast("long").as("cnt"))
   }
 
+  // ------------------------------------------------------ NFC normalization
+
+  case class NfcRow(doc_id: Long, len_raw: Long, len_nfc: Long,
+                    changed: Boolean, cp_sum: Long)
+
+  /** Unicode NFC normalization (the canonicalization pass a multilingual
+    * corpus runs before hashing/dedup — decomposed accents must equal
+    * their precomposed forms or identical text dedups apart). The ASCII
+    * corpus is already NFC, so deterministic DECOMPOSED sequences
+    * (e + U+0301 combining acute, 1 + doc_id % 3 of them) are planted
+    * from doc_id on both sides — the JVM's java.text.Normalizer then has
+    * real compositions to perform, and the oracle's nfc_normalize must
+    * agree on every length and code-point checksum. Code-point counts
+    * (not UTF-16 units) mirror DuckDB len() semantics. */
+  def qNormalizeUnicode(spark: SparkSession, dir: String): DataFrame = {
+    implicit val encIn = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val encOut = Encoders.product[NfcRow]
+    val planted = concat(col("text"), lit(" cafe"),
+      repeat(lit("e\u0301"), (lit(1) + col("doc_id") % 3).cast("int")))
+    docs(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val nfc = java.text.Normalizer.normalize(
+          t, java.text.Normalizer.Form.NFC)
+        def cps(s: String): Long = s.codePointCount(0, s.length).toLong
+        var sum = 0L
+        nfc.codePoints().forEach(c => sum += c)
+        NfcRow(id, cps(t), cps(nfc), t != nfc, sum)
+      }).toDF()
+  }
+
   // ---------------------------------------------------------- PII redaction
 
   private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -322,6 +354,21 @@ object TextQueries {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_normalize_unicode" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  text || ' cafe'
+        |    || repeat('e' || chr(769), CAST(1 + doc_id % 3 AS INT)) AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, nfc_normalize(t) AS nfc FROM d)
+        |SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS len_raw,
+        |  CAST(len(nfc) AS BIGINT) AS len_nfc,
+        |  t <> nfc AS changed,
+        |  CAST(list_sum(list_transform(
+        |    list_filter(string_split(nfc, ''), c -> len(c) > 0),
+        |    c -> CAST(unicode(c) AS BIGINT))) AS BIGINT) AS cp_sum
+        |FROM n""".stripMargin,
+
     "q_bpe_train" -> {
       def pairsSql(src: String): String =
         s"""SELECT substr(t, CAST(i AS INT), 2) AS pr, COUNT(*) AS c
@@ -483,5 +530,6 @@ object TextQueries {
     "q_repetition" -> (qRepetition _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_lm_perplexity" -> (qLmPerplexity _),
-    "q_bpe_train" -> (qBpeTrain _))
+    "q_bpe_train" -> (qBpeTrain _),
+    "q_normalize_unicode" -> (qNormalizeUnicode _))
 }
