@@ -160,6 +160,15 @@ object Ann {
     * identical to the window form, so the DuckDB oracle is untouched. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
               nprobe: Int, iters: Int, dim: Int = DefaultDim): DataFrame = {
+    val (cents, indexed) = ivfTrainAssign(corpus, nlist, iters, dim)
+    ivfProbeScore(indexed, queries, cents, k, nprobe, dim)
+  }
+
+  /** IVF index build: Lloyd-train the coarse quantizer and assign every
+    * corpus vector to its cell. Returns (centroid model, indexed corpus
+    * DataFrame with columns nid/ne/nn/cluster). */
+  def ivfTrainAssign(corpus: DataFrame, nlist: Int, iters: Int,
+                     dim: Int): (Seq[(Long, Array[Double])], DataFrame) = {
     val c = withNorm(corpus, "vec_id", dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // argmin cluster = element 0 of the kernel's sorted (d2, cluster)
@@ -191,6 +200,14 @@ object Ann {
     // release it so long-lived sessions don't accumulate cached stages
     // (the returned plan re-derives the map-only norm projection once)
     c.unpersist(blocking = false)
+    (cents, indexed)
+  }
+
+  /** IVF query path over an already-indexed corpus (from
+    * [[ivfTrainAssign]] or a persisted index table). */
+  def ivfProbeScore(indexed: DataFrame, queries: DataFrame,
+                    cents: Seq[(Long, Array[Double])], k: Int,
+                    nprobe: Int, dim: Int): DataFrame = {
     // probe selection: per query, the nprobe smallest (d2, cluster) keys —
     // the head of the same sorted kernel table (queries are tiny)
     val q = withNorm(queries, "vec_id", dim)
@@ -207,6 +224,35 @@ object Ann {
           / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
     topKByCos(scored, k, extra = Some("cluster"))
       .select("qid", "nid", "rank", "cos4", "cluster")
+  }
+
+  /** PERSISTED-index IVF: build the index once — centroids plus the
+    * cluster-assigned corpus written as a parquet table BUCKETED on
+    * cluster — then serve queries from the stored index. This is the
+    * index-build / index-serve split every production ANN deployment
+    * has: the Lloyd training and assignment scans never rerun per
+    * query batch, cluster-restricted reads bucket-prune, and the
+    * centroid model is the only state beside the table (persisted as
+    * its own tiny parquet so a serving session needs no retraining).
+    * Results are IDENTICAL to the inline path — indexing must never
+    * change answers — so the oracle is the plain IVF oracle. */
+  def ivfTopKIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
+                     nlist: Int, nprobe: Int, iters: Int, table: String,
+                     path: String, dim: Int = DefaultDim): DataFrame = {
+    import graft.sources.Bucketed
+    val spark = corpus.sparkSession
+    val (cents, indexed) = ivfTrainAssign(corpus, nlist, iters, dim)
+    Bucketed.writeBucketed(indexed, table, s"$path/index", "cluster", 8)
+    // persist the centroid model beside the table (vec arrays as rows)
+    import spark.implicits._
+    cents.map { case (cl, e) => (cl, e.toSeq) }
+      .toDF("cluster", "e").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val servedCents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .toSeq.sortBy(_._1)
+    ivfProbeScore(Bucketed.readBucketed(spark, table), queries,
+      servedCents, k, nprobe, dim)
   }
 
   /** Deterministic pseudo-random hyperplane component i of plane j. */

@@ -64,7 +64,21 @@ object AnnQueries {
   def qAnnRecallIvf(spark: SparkSession, dir: String): DataFrame =
     Ann.recallAtK(qCosineIvf(spark, dir), qCosineTopK(spark, dir), K)
 
+  /** Persisted-index IVF: same parameters and RESULTS as q_ann_ivf, but
+    * served from a cluster-bucketed parquet index table + stored
+    * centroid model (the index-build/index-serve split); the oracle is
+    * therefore the plain IVF oracle — indexing must never change
+    * answers. */
+  def qAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    Ann.ivfTopKIndexed(e, e.filter(col("vec_id") % QueryMod === 0), K,
+      nlist = 16, nprobe = 2, iters = 2,
+      table = s"graft_ivf_idx$tag", path = s"/tmp/graft_ivf/$tag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_ann_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qCosineLsh _),
     "q_ann_ivf" -> (qCosineIvf _),
@@ -275,6 +289,7 @@ object AnnQueries {
     "q_ann_recall_quantized" -> recallOracle(quantizedOracle, topkOracle),
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
+    "q_ann_ivf_indexed" -> ivfOracle,
     "q_dedup_embedding" -> dedupEmbeddingOracle,
     "q_ann_cosine_topk" -> topkOracle,
     "q_ann_recall_lsh" -> recallOracle(lshOracle, topkOracle),

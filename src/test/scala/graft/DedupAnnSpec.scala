@@ -69,6 +69,27 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(est === 1.0)
   }
 
+  test("ivfTopKIndexed: persisted index returns identical results") {
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0L until 30L).map { i =>
+      (i, (0 until dim).map(j =>
+        ((i * 31 + j * 17) % 97).toDouble / 97.0 - 0.5).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 10 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cos4"))
+    val inline = Ann.ivfTopK(vecs, queries, k = 3, nlist = 4,
+      nprobe = 2, iters = 1, dim = dim).collect().map(key).sorted
+    val indexed = Ann.ivfTopKIndexed(vecs, queries, k = 3, nlist = 4,
+      nprobe = 2, iters = 1, table = "graft_ivf_spec",
+      path = "/tmp/graft_ivf_spec", dim = dim)
+      .collect().map(key).sorted
+    assert(indexed === inline)
+    assert(inline.nonEmpty)
+  }
+
   test("wordCount: 0 for blank text, shingleHashes skips short docs") {
     import graft.functions.TextFunctions
     val counts = docsOf(1L -> "", 2L -> "   ", 3L -> "two words")
