@@ -180,6 +180,82 @@ object Multimodal {
       }).toDF()
   }
 
+  case class WavFrame(doc_id: Long, frame_idx: Long, energy: Long,
+                      zcr: Long, peak: Long)
+
+  /** REAL WAV decode returning the raw samples (same chunk walk and
+    * validation as [[decodeWav]], but the data chunk is kept). */
+  def decodeWavSamples(payload: Array[Byte]): (Long, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def str4(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(bb.remaining() >= 12, "wav: truncated header")
+    require(str4() == "RIFF", "wav: missing RIFF magic")
+    bb.getInt
+    require(str4() == "WAVE", "wav: not a WAVE form")
+    var sampleRate = 0L
+    var samples: Array[Short] = null
+    var seenFmt = false
+    while (bb.remaining() >= 8) {
+      val id = str4()
+      val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining(), s"wav: bad $id chunk length")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "wav: short fmt chunk")
+          require(bb.getShort() == 1, "wav: not PCM")
+          require(bb.getShort() == 1, "wav: not mono")
+          sampleRate = bb.getInt().toLong
+          bb.getInt(); bb.getShort()
+          require(bb.getShort() == 16, "wav: not 16-bit")
+          if (len > 16) bb.position(bb.position() + len - 16)
+          seenFmt = true
+        case "data" =>
+          require(seenFmt, "wav: data chunk before fmt")
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
+        case _ => bb.position(bb.position() + len)
+      }
+    }
+    require(samples != null, "wav: no data chunk")
+    (sampleRate, samples)
+  }
+
+  /** Frame-level audio features over REAL decoded WAV samples — the
+    * VAD/speech-pipeline shape: the clip splits into fixed 64-sample
+    * frames (incomplete tail dropped) and each frame reports energy
+    * (sum of squares), zero-crossing count (sign transitions, s >= 0 vs
+    * s < 0) and peak |sample| — exact integers an analytic oracle
+    * replays from the synth formula. One clip per row in, one frame per
+    * row out, all distributed. */
+  def wavFrameFeatures(docs: DataFrame, frameLen: Int = 64): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[WavFrame]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val (_, s) = decodeWavSamples(synthWavBytes(d))
+        val nFrames = s.length / frameLen
+        Iterator.range(0, nFrames).map { f =>
+          var energy = 0L
+          var zcr = 0L
+          var peak = 0L
+          var i = 0
+          while (i < frameLen) {
+            val v = s(f * frameLen + i).toLong
+            energy += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && ((v >= 0) != (s(f * frameLen + i - 1) >= 0)))
+              zcr += 1
+            i += 1
+          }
+          WavFrame(d, f.toLong, energy, zcr, peak)
+        }
+      }).toDF()
+  }
+
   // ---------------------------------------------------------------
   // REAL image decode: 24-bit uncompressed BMP (BITMAPFILEHEADER +
   // BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes). Like the
@@ -333,6 +409,104 @@ object Multimodal {
         val (rr, rg, rb) = channelSums(small)
         BmpFeatures(d, img.width, img.height, r, g, b,
           small.width, small.height, rr, rg, rb)
+      }).toDF()
+  }
+
+  case class AugRow(doc_id: Long, variant: String, width: Long,
+                    height: Long, sum_r: Long, wsum_r: Long)
+
+  /** Horizontal flip on decoded pixels. */
+  def flipH(img: BmpImage): BmpImage = {
+    val out = new Array[Int](img.rgb.length)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val src = (y * img.width + (img.width - 1 - x)) * 3
+        val dst = (y * img.width + x) * 3
+        out(dst) = img.rgb(src)
+        out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(img.width, img.height, out)
+  }
+
+  /** 90° clockwise rotation: out(x, y) = in(y, h-1-x); dims swap. */
+  def rot90(img: BmpImage): BmpImage = {
+    val out = new Array[Int](img.rgb.length)
+    val rw = img.height
+    val rh = img.width
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) {
+        val src = ((img.height - 1 - x) * img.width + y) * 3
+        val dst = (y * rw + x) * 3
+        out(dst) = img.rgb(src)
+        out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(rw, rh, out)
+  }
+
+  /** Center crop to cw x ch (top-left at ((w-cw)/2, (h-ch)/2)). */
+  def centerCrop(img: BmpImage, cw: Int, ch: Int): BmpImage = {
+    val x0 = (img.width - cw) / 2
+    val y0 = (img.height - ch) / 2
+    val out = new Array[Int](cw * ch * 3)
+    var y = 0
+    while (y < ch) {
+      var x = 0
+      while (x < cw) {
+        val src = ((y0 + y) * img.width + x0 + x) * 3
+        val dst = (y * cw + x) * 3
+        out(dst) = img.rgb(src)
+        out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(cw, ch, out)
+  }
+
+  /** Image AUGMENTATION over real decoded pixels — the training-side
+    * transform stage: horizontal flip, 90° clockwise rotation and a
+    * 4x4 center crop of each document's BMP. Plain channel sums are
+    * flip/rotation-INVARIANT, so each variant also reports the
+    * position-weighted red checksum Σ (y*w + x + 1)·r in its own
+    * coordinate frame — wrong geometry cannot hash-match. */
+  def augmentFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[AugRow]
+    def row(d: Long, v: String, img: BmpImage): AugRow = {
+      var sum = 0L
+      var wsum = 0L
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val r = img.rgb((y * img.width + x) * 3)
+          sum += r
+          wsum += (y.toLong * img.width + x + 1) * r
+          x += 1
+        }
+        y += 1
+      }
+      AugRow(d, v, img.width, img.height, sum, wsum)
+    }
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val img = decodeBmp(synthBmpBytes(d))
+        Iterator(row(d, "orig", img), row(d, "flip", flipH(img)),
+          row(d, "rot90", rot90(img)),
+          row(d, "crop", centerCrop(img, 4, 4)))
       }).toDF()
   }
 

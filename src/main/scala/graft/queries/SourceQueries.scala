@@ -154,6 +154,12 @@ object SourceQueries {
   def qMultimodalMp3(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mp3Features(Tables.load(spark, dir, "documents"))
 
+  def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
+
+  def qMultimodalAugment(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.augmentFeatures(Tables.load(spark, dir, "documents"))
+
   def qMultimodalPng(spark: SparkSession, dir: String): DataFrame =
     Multimodal.pngFeatures(Tables.load(spark, dir, "documents"))
 
@@ -174,6 +180,8 @@ object SourceQueries {
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
     "q_multimodal_mp3" -> (qMultimodalMp3 _),
+    "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
+    "q_multimodal_augment" -> (qMultimodalAugment _),
     "q_multimodal_png" -> (qMultimodalPng _),
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_jpeg420" -> (qMultimodalJpeg420 _))
@@ -328,6 +336,68 @@ object SourceQueries {
         |  CAST(SUM(kbps) AS BIGINT) AS sum_kbps,
         |  n * 1152 * 1000 // sr AS duration_ms
         |FROM fr GROUP BY doc_id, n, sr""".stripMargin,
+
+    // Frame-level audio features (VAD shape) over REAL decoded WAV
+    // samples: 64-sample frames (incomplete tail dropped), per-frame
+    // energy / zero-crossing count / peak replayed analytically from
+    // the synth formula; zcr needs LAG within the frame.
+    "q_multimodal_audio_frames" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |sp AS (SELECT doc_id, i,
+        |         ((doc_id * 31 + i * 17) % 2003) - 1001 AS v,
+        |         i // 64 AS f, i % 64 AS j
+        |       FROM d,
+        |       LATERAL (SELECT unnest(generate_series(0,
+        |                  256 + doc_id % 256 - 1)) AS i) u
+        |       WHERE i // 64 < (256 + doc_id % 256) // 64),
+        |z AS (SELECT doc_id, f, j, v,
+        |        LAG(v) OVER (PARTITION BY doc_id, f ORDER BY j) AS pv
+        |      FROM sp)
+        |SELECT doc_id, f AS frame_idx,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL
+        |                 AND ((v >= 0) <> (pv >= 0))
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        |  MAX(ABS(v)) AS peak
+        |FROM z GROUP BY doc_id, f""".stripMargin,
+
+    // Image augmentation on real decoded BMP pixels: channel sums are
+    // flip/rotation-invariant, so each variant is pinned by the
+    // position-weighted red checksum in its OWN coordinate frame —
+    // the oracle iterates original coordinates with the transformed
+    // weights (flip: x -> w-1-x; rot90 cw: weight x*h + (h-1-y) + 1
+    // with dims swapped; crop: center 4x4 offsets).
+    "q_multimodal_augment" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |dim AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+        |        FROM d),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |         (doc_id * 3 + x * 29 + y * 23) % 256 AS r
+        |       FROM dim,
+        |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) u,
+        |       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) v)
+        |SELECT doc_id, 'orig' AS variant, w AS width, h AS height,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM((y * w + x + 1) * r) AS BIGINT) AS wsum_r
+        |FROM px GROUP BY doc_id, w, h
+        |UNION ALL
+        |SELECT doc_id, 'flip', w, h, CAST(SUM(r) AS BIGINT),
+        |  CAST(SUM((y * w + (w - 1 - x) + 1) * r) AS BIGINT)
+        |FROM px GROUP BY doc_id, w, h
+        |UNION ALL
+        |SELECT doc_id, 'rot90', h, w, CAST(SUM(r) AS BIGINT),
+        |  CAST(SUM((x * h + (h - 1 - y) + 1) * r) AS BIGINT)
+        |FROM px GROUP BY doc_id, w, h
+        |UNION ALL
+        |SELECT doc_id, 'crop', 4, 4, CAST(SUM(r) AS BIGINT),
+        |  CAST(SUM(((y - (h - 4) // 2) * 4
+        |            + (x - (w - 4) // 2) + 1) * r) AS BIGINT)
+        |FROM px
+        |WHERE x >= (w - 4) // 2 AND x < (w - 4) // 2 + 4
+        |  AND y >= (h - 4) // 2 AND y < (h - 4) // 2 + 4
+        |GROUP BY doc_id, w, h""".stripMargin,
 
     // Same round-trip idea for images: Spark encodes genuine 24-bit BMP
     // bytes (bottom-up padded BGR rows) per document, decodes them with
