@@ -41,13 +41,15 @@ object ScaleCheck7 {
     def run(q: String, d: String): Long =
       graft.SparkEntry.queries(q)(spark, d).queryExecution.toRdd.count()
 
+    val probed = Seq("q_lm_perplexity", "q_repetition", "q_bpe_train",
+      "q_dedup_incremental", "q_split_stratified", "q_dedup_spans",
+      "q_corpus_stats", "q_normalize_unicode")
+
     // JIT warm-up at 1x
-    Seq("q_lm_perplexity", "q_repetition", "q_bpe_train",
-      "q_dedup_incremental", "q_split_stratified").foreach(run(_, dir))
+    probed.foreach(run(_, dir))
     spark.catalog.clearCache()
 
-    for (q <- Seq("q_lm_perplexity", "q_repetition", "q_bpe_train",
-      "q_dedup_incremental", "q_split_stratified")) {
+    for (q <- probed) {
       val t1 = time(s"$q 1x")(run(q, dir))
       val t4 = time(s"$q 4x")(run(q, out4))
       ratio(q, t1, t4)
