@@ -264,6 +264,51 @@ object TextQueries {
         col("c").cast("long").as("cnt"))
   }
 
+  // ----------------------------------------------------------------- BM25
+
+  private val Bm25Terms = Seq("data", "model", "training")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 20
+
+  /** BM25 retrieval scoring — the index/rank shape a RAG or search
+    * pipeline builds over the corpus. Corpus-side stats are the
+    * standard index artifacts: per-doc length (one aggregate), query
+    * terms' tf per doc (the token scan filters to the query terms
+    * BEFORE the aggregate — postings for 3 terms, not the whole
+    * vocabulary) and df per term (derived from the tf table, no second
+    * scan). Score = Σ idf·tf·(k1+1)/(tf + k1·(1-b+b·len/avglen)) with
+    * idf = ln(1 + (N-df+0.5)/(df+0.5)); k1/b and the 0.5s are written
+    * as explicit doubles on both sides (DuckDB bare decimals are exact
+    * DECIMAL). Top-20 by (score desc, doc_id) — deterministic. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), lower(col("text")).as("t"))
+    val toks = d.select(col("doc_id"),
+      explode(split(col("t"), "\\W+")).as("w"))
+      .where(length(col("w")) > 0)
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n"),
+      sum("len").cast("double").as("total_len"))
+    val tf = toks.where(col("w").isInCollection(Bm25Terms))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val term = col("tf").cast("double")
+    val idf = log(lit(1.0) + (col("n").cast("double") - col("df") + 0.5)
+      / (col("df") + 0.5))
+    val norm = lit(Bm25K1) * (lit(1.0 - Bm25B)
+      + lit(Bm25B) * col("len").cast("double")
+        * col("n").cast("double") / col("total_len"))
+    val scored = tf
+      .join(broadcast(df), "w")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * term * lit(Bm25K1 + 1.0) / (term + norm))
+      .groupBy("doc_id")
+      .agg(round(sum("s"), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)
+  }
+
   // ------------------------------------------------------ NFC normalization
 
   case class NfcRow(doc_id: Long, len_raw: Long, len_nfc: Long,
@@ -354,6 +399,41 @@ object TextQueries {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_bm25" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |             lower(text) AS t FROM documents),
+         |tk AS (SELECT doc_id, w FROM d,
+         |       LATERAL (SELECT unnest(regexp_split_to_array(t, '\\W+'))
+         |                AS w) u
+         |       WHERE len(w) > 0),
+         |lens AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE)
+         |         AS total_len FROM lens),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tk
+         |       WHERE w IN ($terms) GROUP BY 1, 2),
+         |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |         ln(CAST(1.0 AS DOUBLE)
+         |            + (CAST(st.n AS DOUBLE) - df.df
+         |               + CAST(0.5 AS DOUBLE))
+         |              / (df.df + CAST(0.5 AS DOUBLE)))
+         |         * CAST(tf.tf AS DOUBLE)
+         |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         |         / (CAST(tf.tf AS DOUBLE)
+         |            + CAST(1.2 AS DOUBLE)
+         |              * (CAST(0.25 AS DOUBLE)
+         |                 + CAST(0.75 AS DOUBLE)
+         |                   * CAST(lens.len AS DOUBLE)
+         |                   * CAST(st.n AS DOUBLE) / st.total_len))
+         |           AS s
+         |       FROM tf JOIN df USING (w)
+         |       JOIN lens ON lens.doc_id = tf.doc_id, st)
+         |SELECT doc_id, ROUND(SUM(s), 4) AS score, COUNT(*) AS n_terms
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
+
     "q_normalize_unicode" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  text || ' cafe'
@@ -531,5 +611,6 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_bpe_train" -> (qBpeTrain _),
-    "q_normalize_unicode" -> (qNormalizeUnicode _))
+    "q_normalize_unicode" -> (qNormalizeUnicode _),
+    "q_bm25" -> (qBm25 _))
 }
