@@ -6,10 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // optional 3rd arg: only dump queries whose name contains the substring
-    // (dev iteration; the driver always runs the full set)
-    val nameFilter = args.lift(2)
-    def keep(name: String) = nameFilter.forall(name.contains)
+    // optional args 3+: only dump queries whose name contains ANY of the
+    // substrings (dev iteration; the driver always runs the full set)
+    val nameFilters = args.drop(2)
+    def keep(name: String) =
+      nameFilters.isEmpty || nameFilters.exists(name.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

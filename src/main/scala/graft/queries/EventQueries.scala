@@ -151,7 +151,32 @@ object EventQueries {
       .withColumn("k_bucket", col("k") % 10)
       .withColumn("has_k", col("k").isNotNull)
 
+  /** Weekly cohort retention — the product-analytics staple: cohort =
+    * the user's first-activity week, retention = fraction of the cohort
+    * active again k weeks later. Three stages on the SAME user_id hash
+    * key family (distinct user-weeks, per-user min, join-back), then a
+    * tiny (cohort, offset) rollup — at 100 TB every wide stage
+    * co-partitions on user_id and the final aggregate is bounded by
+    * weeks², not events. All time math in exact integer micros
+    * (week = us DIV 604800000000). */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("(ts DIV 1000) DIV 604800000000").as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("week").as("cw"))
+    val cohortSize = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_n"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cw"), (col("week") - col("cw")).as("wk_off"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(cohortSize, "cw")
+      .select(col("cw"), col("wk_off"), col("n_users"), col("cohort_n"),
+        round(col("n_users").cast("double")
+          / col("cohort_n").cast("double"), 4).as("retention"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> (qRetention _),
     "q_json_extract" -> (qJsonExtract _),
     "q_pagerank" -> (qPagerank _),
     "q_events_windowed" -> (qEventsWindowed _),
@@ -200,6 +225,18 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH uw AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+        |  (epoch_ns(ts) // 1000) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cw FROM uw GROUP BY 1),
+        |cs AS (SELECT cw, COUNT(*) AS cohort_n FROM c GROUP BY 1),
+        |r AS (SELECT c.cw, uw.week - c.cw AS wk_off, COUNT(*) AS n_users
+        |      FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cw, r.wk_off, r.n_users, cs.cohort_n,
+        |  ROUND(CAST(r.n_users AS DOUBLE)
+        |        / CAST(cs.cohort_n AS DOUBLE), 4) AS retention
+        |FROM r JOIN cs USING (cw)""".stripMargin,
+
     "q_json_extract" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,

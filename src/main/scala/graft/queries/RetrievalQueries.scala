@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Retrieval / tokenization pipeline queries over the documents table:
+  * RAG chunking, count-min-sketch heavy hitters, and BPE encoding with
+  * learned merges. The reference (gpd_lite_toolbox) has no text surface —
+  * these extend the engine for large-scale training-data pipelines.
+  * Oracles mirror every expression tree exactly (SURVEY.md §3).
+  */
+object RetrievalQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"))
+
+  // ------------------------------------------------------------- chunking
+
+  private val ChunkSize = 16
+  private val ChunkStride = 12
+
+  /** RAG document chunking: overlapping token windows of ChunkSize with
+    * stride ChunkStride (the standard embed-index preprocessing step).
+    * One map-only pass: tokenize once per doc, generate chunk starts with
+    * `sequence`, slice the token array per start — no shuffle at all;
+    * at 100 TB this is a pure scan→explode stage whose output partitions
+    * inherit the input split. Each chunk row pins its extent (n_tok,
+    * n_chars) and boundary tokens, so the hash compare verifies the
+    * exact slicing. */
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val arr = filter(split(lower(col("text")), "\\W+"),
+      c => length(c) > lit(0))
+    val withA = docs(spark, dir).select(col("doc_id"), arr.as("a"))
+      .where(size(col("a")) > 0)
+    withA
+      .select(col("doc_id"), col("a"),
+        explode(sequence(lit(0), size(col("a")) - 1,
+          lit(ChunkStride))).as("st"))
+      .select(col("doc_id"),
+        (col("st") / ChunkStride).cast("long").as("chunk_id"),
+        slice(col("a"), col("st") + 1, lit(ChunkSize)).as("ch"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ch")).cast("long").as("n_tok"),
+        aggregate(col("ch"), lit(0L),
+          (acc, w) => acc + length(w)).as("n_chars"),
+        element_at(col("ch"), 1).as("first_w"),
+        element_at(col("ch"), -1).as("last_w"))
+  }
+
+  // -------------------------------------------------- count-min heavy hitters
+
+  private val CmsP = 1000000007L
+  private val CmsWidth = 512L
+  private val CmsRows: Seq[(Long, Long)] =
+    Seq((31L, 7L), (131L, 11L), (1009L, 13L), (65599L, 17L))
+  private val CmsProbes: Seq[String] = Seq(
+    "the", "and", "of", "data", "model", "training", "quality",
+    "random", "protocol", "zebra")
+
+  /** Count-min-sketch heavy-hitter estimation — the bounded-memory way to
+    * get token frequencies at 100 TB, where an exact vocabulary groupBy
+    * has unbounded key space. The sketch build is ONE aggregate over the
+    * token stream with a FIXED 4×512-cell key space (each occurrence
+    * posts into 4 buckets via independent affine hashes of the rolling
+    * fingerprint), so map-side combine collapses every partition to ≤2048
+    * rows regardless of corpus size. Estimates for the probe words =
+    * min over the 4 bucket counts (missing bucket = 0); the exact counts
+    * joined alongside are the verification harness, not part of the
+    * production shape. Overestimate ≥ 0 always — the CMS guarantee. */
+  def qHeavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(explode(split(lower(col("text")), "\\W+")).as("w"))
+      .where(length(col("w")) > 0)
+
+    def buckets(h: org.apache.spark.sql.Column) =
+      array(CmsRows.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(i).as("i"),
+          (((lit(a) * h + lit(b)) % CmsP) % CmsWidth).as("bk"))
+      }: _*)
+
+    val sketch = toks
+      .select(explode(buckets(rollingFingerprint(col("w")))).as("x"))
+      .groupBy(col("x.i").as("i"), col("x.bk").as("bk"))
+      .agg(count(lit(1)).as("c"))
+
+    val probes = docs(spark, dir).sparkSession
+      .createDataFrame(CmsProbes.map(Tuple1(_))).toDF("w")
+    val probeBuckets = probes
+      .select(col("w"),
+        explode(buckets(rollingFingerprint(col("w")))).as("x"))
+      .select(col("w"), col("x.i").as("i"), col("x.bk").as("bk"))
+    val est = probeBuckets
+      .join(sketch, Seq("i", "bk"), "left")
+      .groupBy("w")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
+    val exact = toks.where(col("w").isInCollection(CmsProbes))
+      .groupBy("w").agg(count(lit(1)).as("exact"))
+
+    est.join(exact, Seq("w"), "left")
+      .select(col("w"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        col("est").cast("long").as("est"),
+        (col("est") - coalesce(col("exact"), lit(0L)))
+          .cast("long").as("overcount"))
+      .orderBy("w")
+  }
+
+  // ------------------------------------------------------------ BPE encode
+
+  /** BPE encoding with learned merges — the tokenize step that follows
+    * qBpeTrain: learn the top-2 merges (same two pair-count aggregates),
+    * then ONE map-only pass applies them corpus-wide as literal
+    * non-regex replaces (greedy left-to-right non-overlap — the
+    * semantics both engines share) and reports per-doc code-unit counts
+    * before/after. The trained model rides into the scan as two string
+    * literals — at 100 TB the encode is a pure scan with the tokenizer
+    * embedded, the same model-in-the-expression shape as LM scoring. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val m1 = TextQueries.bpeBestMerge(TextQueries.bpePairs(d0.select("t")))
+    val m2 = TextQueries.bpeBestMerge(TextQueries.bpePairs(
+      d0.select(replace(col("t"), lit(m1), lit("\u0001")).as("t"))))
+    val enc = replace(replace(col("t"), lit(m1), lit("\u0001")),
+      lit(m2), lit("\u0002"))
+    d0.select(col("doc_id"),
+        length(col("t")).cast("long").as("n_raw"),
+        length(enc).cast("long").as("n_enc"))
+      .withColumn("saved", (col("n_raw") - col("n_enc")).cast("long"))
+      .withColumn("ratio", round(col("n_enc").cast("double")
+        / col("n_raw").cast("double"), 4))
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  private val tokSql =
+    """SELECT doc_id, w FROM d,
+      |       LATERAL (SELECT unnest(regexp_split_to_array(t, '\W+'))
+      |                AS w) u
+      |       WHERE len(w) > 0""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_chunk_docs" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '\\W+'),
+         |              c -> len(c) > 0) AS a FROM documents),
+         |s AS (SELECT doc_id, a, unnest(generate_series(0,
+         |         len(a) - 1, $ChunkStride)) AS st
+         |      FROM d WHERE len(a) > 0),
+         |c AS (SELECT doc_id, CAST(st // $ChunkStride AS BIGINT)
+         |        AS chunk_id,
+         |        list_slice(a, st + 1, st + $ChunkSize) AS ch FROM s)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(ch) AS BIGINT) AS n_tok,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(ch, w -> CAST(len(w) AS BIGINT))),
+         |    (x, y) -> x + y) AS n_chars,
+         |  ch[1] AS first_w,
+         |  ch[-1] AS last_w
+         |FROM c""".stripMargin,
+
+    "q_heavy_hitters_cms" -> {
+      val rowsVals = CmsRows.zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      val probeVals = CmsProbes.map(w => s"('$w')").mkString(", ")
+      val fpW =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |  list_transform(list_filter(string_split(w, ''),
+          |                             c -> len(c) > 0),
+          |                 c -> CAST(ascii(c) AS BIGINT))),
+          |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |             lower(text) AS t FROM documents),
+         |tk AS ($tokSql),
+         |r(i, a, b) AS (VALUES $rowsVals),
+         |th AS (SELECT w, $fpW AS h FROM tk),
+         |sk AS (SELECT i, ((a * h + b) % $CmsP) % $CmsWidth AS bk,
+         |         COUNT(*) AS c
+         |       FROM th, r GROUP BY 1, 2),
+         |pr(w) AS (VALUES $probeVals),
+         |ph AS (SELECT w, $fpW AS h FROM pr),
+         |pb AS (SELECT w, i, ((a * h + b) % $CmsP) % $CmsWidth AS bk
+         |       FROM ph, r),
+         |est AS (SELECT w, MIN(COALESCE(c, 0)) AS est
+         |        FROM pb LEFT JOIN sk USING (i, bk) GROUP BY w),
+         |ex AS (SELECT w, COUNT(*) AS exact FROM tk
+         |       WHERE w IN (SELECT w FROM pr) GROUP BY w)
+         |SELECT est.w AS w,
+         |  CAST(COALESCE(ex.exact, 0) AS BIGINT) AS exact,
+         |  CAST(est.est AS BIGINT) AS est,
+         |  CAST(est.est - COALESCE(ex.exact, 0) AS BIGINT) AS overcount
+         |FROM est LEFT JOIN ex ON est.w = ex.w
+         |ORDER BY w""".stripMargin
+    },
+
+    "q_bpe_encode" -> {
+      def pairsSql(src: String): String =
+        s"""SELECT substr(t, CAST(i AS INT), 2) AS pr, COUNT(*) AS c
+           |FROM $src, LATERAL (SELECT unnest(generate_series(1,
+           |       greatest(len(t) - 1, 1))) AS i) u
+           |WHERE len(substr(t, CAST(i AS INT), 2)) = 2 GROUP BY 1"""
+          .stripMargin
+      s"""WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |              lower(text) AS t FROM documents),
+         |p1 AS (${pairsSql("d0")}),
+         |m1 AS (SELECT pr FROM p1 ORDER BY c DESC, pr ASC LIMIT 1),
+         |d1 AS (SELECT doc_id, t,
+         |         replace(t, (SELECT pr FROM m1), chr(1)) AS t1
+         |       FROM d0),
+         |p2 AS (SELECT substr(t1, CAST(i AS INT), 2) AS pr, COUNT(*) AS c
+         |       FROM d1, LATERAL (SELECT unnest(generate_series(1,
+         |              greatest(len(t1) - 1, 1))) AS i) u
+         |       WHERE len(substr(t1, CAST(i AS INT), 2)) = 2 GROUP BY 1),
+         |m2 AS (SELECT pr FROM p2 ORDER BY c DESC, pr ASC LIMIT 1),
+         |e AS (SELECT doc_id, len(t) AS n_raw,
+         |        len(replace(t1, (SELECT pr FROM m2), chr(2))) AS n_enc
+         |      FROM d1)
+         |SELECT doc_id, CAST(n_raw AS BIGINT) AS n_raw,
+         |  CAST(n_enc AS BIGINT) AS n_enc,
+         |  CAST(n_raw - n_enc AS BIGINT) AS saved,
+         |  ROUND(CAST(n_enc AS DOUBLE) / CAST(n_raw AS DOUBLE), 4)
+         |    AS ratio
+         |FROM e""".stripMargin
+    })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
+    "q_bpe_encode" -> (qBpeEncode _))
+}

@@ -233,24 +233,28 @@ object TextQueries {
     * not raw strings, so placeholders hash portably) — correct only if
     * both rounds picked and applied the same merges as the oracle's
     * independently-unrolled SQL. */
+  // pair counting rides the native ShingleHash kernel: with mult=2^16
+  // and mod=2^32 the k=2 rolling hash IS the invertible code-unit
+  // pair key (c1<<16 | c2) — no per-position string allocation, and
+  // the hash aggregate map-side combines down to the |alphabet|^2
+  // count table. Numeric key order equals the oracle's string order
+  // (UTF-8 byte order preserves code-point order), so the argmax
+  // tiebreak is identical.
+  private[queries] def bpePairs(df: DataFrame): DataFrame =
+    graft.operators.Dedup.shingleHashes(
+      df.select(lit(0L).as("doc_id"), col("t").as("text")),
+      2, 65536L, 4294967296L)
+      .groupBy("s").agg(count(lit(1)).as("c"))
+
+  private[queries] def bpeBestMerge(counts: DataFrame): String = {
+    val s = counts.orderBy(col("c").desc, col("s").asc).limit(1)
+      .collect()(0).getLong(0)
+    new String(Array(((s >> 16) & 0xffff).toChar, (s & 0xffff).toChar))
+  }
+
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    // pair counting rides the native ShingleHash kernel: with mult=2^16
-    // and mod=2^32 the k=2 rolling hash IS the invertible code-unit
-    // pair key (c1<<16 | c2) — no per-position string allocation, and
-    // the hash aggregate map-side combines down to the |alphabet|^2
-    // count table. Numeric key order equals the oracle's string order
-    // (UTF-8 byte order preserves code-point order), so the argmax
-    // tiebreak is identical.
-    def pairs(df: DataFrame): DataFrame =
-      graft.operators.Dedup.shingleHashes(
-        df.select(lit(0L).as("doc_id"), col("t").as("text")),
-        2, 65536L, 4294967296L)
-        .groupBy("s").agg(count(lit(1)).as("c"))
-    def bestMerge(counts: DataFrame): String = {
-      val s = counts.orderBy(col("c").desc, col("s").asc).limit(1)
-        .collect()(0).getLong(0)
-      new String(Array(((s >> 16) & 0xffff).toChar, (s & 0xffff).toChar))
-    }
+    def pairs(df: DataFrame): DataFrame = bpePairs(df)
+    def bestMerge(counts: DataFrame): String = bpeBestMerge(counts)
     val d0 = docs(spark, dir).select(lower(col("text")).as("t"))
     val m1 = bestMerge(pairs(d0))
     val d1 = d0.select(replace(col("t"), lit(m1), lit("\u0001")).as("t"))

@@ -1038,6 +1038,51 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(sampled < frames.count())
   }
 
+  test("CMS estimates never undercount (count-min guarantee)") {
+    val out = graft.queries.RetrievalQueries
+      .qHeavyHittersCms(spark, SfDir).collect()
+    assert(out.length === 10)
+    assert(out.forall(_.getAs[Long]("overcount") >= 0L))
+    assert(out.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("exact")))
+    // heavy hitters dominate: 'the' must estimate above the rare probes
+    val byW = out.map(r => r.getAs[String]("w") -> r.getAs[Long]("est")).toMap
+    assert(byW("the") > byW("zebra"))
+  }
+
+  test("chunking tiles every doc: strides cover, sizes bounded, ids dense") {
+    val ch = graft.queries.RetrievalQueries.qChunkDocs(spark, SfDir)
+    assert(ch.filter(col("n_tok") < 1 || col("n_tok") > 16).count() === 0)
+    // chunk ids are dense from 0: max_id + 1 == n_chunks per doc
+    val perDoc = ch.groupBy("doc_id")
+      .agg(max("chunk_id").as("mx"), count(lit(1)).as("n"))
+    assert(perDoc.filter(col("mx") + 1 =!= col("n")).count() === 0)
+    // exact tiling: n_tok == min(ChunkSize, total - stride*chunk_id),
+    // where total is recoverable from the last chunk's extent
+    val withTot = ch.join(
+      ch.groupBy("doc_id")
+        .agg(max(col("chunk_id") * 12 + col("n_tok")).as("tot")),
+      "doc_id")
+    assert(withTot
+      .filter(col("n_tok") =!= least(lit(16), col("tot") - col("chunk_id") * 12))
+      .count() === 0)
+  }
+
+  test("BPE encode strictly compresses and matches merge occurrences") {
+    val out = graft.queries.RetrievalQueries.qBpeEncode(spark, SfDir)
+    assert(out.filter(col("n_enc") > col("n_raw")).count() === 0)
+    // corpus-wide, two merges must save something on real text
+    assert(out.agg(sum("saved")).collect()(0).getLong(0) > 0L)
+  }
+
+  test("retention: offset-0 is the full cohort, later offsets never exceed it") {
+    val r = graft.queries.EventQueries.qRetention(spark, SfDir).collect()
+    val zero = r.filter(_.getAs[Long]("wk_off") == 0L)
+    assert(zero.nonEmpty)
+    assert(zero.forall(_.getAs[Double]("retention") === 1.0))
+    assert(r.forall(x =>
+      x.getAs[Long]("n_users") <= x.getAs[Long]("cohort_n")))
+  }
+
   test("Graft facade mirrors the reference __all__ surface") {
     val polys = GeoData.polyNation(spark, SfDir)
     assert(Graft.dissolve(polys, "rkey").count() === 5)
