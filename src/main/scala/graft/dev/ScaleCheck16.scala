@@ -56,8 +56,14 @@ object ScaleCheck16 {
       println(f"SCALE16 $label n=$n%d t=$s%.1f"); spark.catalog.clearCache(); s
     }
 
+    // Time the UN-PRUNED plan, as Bench/TimeOne do: df.count() lets
+    // Catalyst prune aggregates and drop join sides the count doesn't
+    // need, so the probe would measure a lighter plan than production
+    // executes (the r7 measurement-honesty finding).
+    def exec(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
     def jaccard(docs: DataFrame): Long =
-      graft.operators.Dedup.ngramJaccard(docs, 16, 20, 0.2).count()
+      exec(graft.operators.Dedup.ngramJaccard(docs, 16, 20, 0.2))
 
     // engine path exactly as q_match_lines: density-adaptive cell
     def matchlines(verts: DataFrame): Long = {
@@ -65,9 +71,8 @@ object ScaleCheck16 {
       val cell = graft.operators.MatchLines.autoCellTenths(base)
       println(s"SCALE16 matchlines autoCell=$cell")
       val l = graft.operators.MatchLines.withCells(base, cell)
-      graft.operators.MatchLines.matchByHausdorff(
-        l.filter(col("lid") % 20 === 0), l.filter(col("lid") % 2 === 1))
-        .count()
+      exec(graft.operators.MatchLines.matchByHausdorff(
+        l.filter(col("lid") % 20 === 0), l.filter(col("lid") % 2 === 1)))
     }
 
     // warm-up (JIT + parquet footer cache) so the 1x points are clean

@@ -241,10 +241,17 @@ object Dedup {
     * for AQE to broadcast it (Lee et al. cap duplicate-cluster sizes
     * the same way for tractability). */
   def duplicatedSpans(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
+    // The per-position shingle table feeds BOTH the dup-shingle aggregate
+    // and the join-back below; localCheckpoint materializes it once so the
+    // posexplode+ShingleHash corpus scan runs once, not twice (the same
+    // lineage cut that took qSplitStratified from 4.6x to 0.94x scaling).
+    // Footprint is (long, int, long) per shingle position — the standard
+    // positional-index artifact a substring-dedup pass materializes.
     val sh = docs
       .select(col("doc_id"),
         posexplode(graft.functions.ShingleHash(
           lower(col("text")), k, 131L, 1000000007L)).as(Seq("pos", "s")))
+      .localCheckpoint()
     val dup = sh.groupBy("s")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"),
         count(lit(1)).as("df"))

@@ -23,9 +23,11 @@ package graft.operators
   * coefficients, rounding) is exercised by specs on gradient images
   * with a +-1 tolerance, which is what lossy-codec parity means.
   *
-  * JPEG here is 4:4:4 (three full-resolution components, MCU = one
-  * block per component); subsampled MCU interleave is the one baseline
-  * feature not implemented, noted in SURVEY §2 row 38.
+  * Both sampling modes are implemented: 4:4:4 (three full-resolution
+  * components, MCU = one block per component) and 4:2:0 chroma
+  * subsampling (interleaved 16x16 MCUs — four Y blocks + one Cb + one
+  * Cr per MCU, box-average downsample on encode, replication upsample
+  * on decode; see synthJpeg420Bytes / q_multimodal_jpeg420).
   */
 object Jpeg {
 

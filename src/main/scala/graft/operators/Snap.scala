@@ -111,8 +111,14 @@ object Snap {
       .agg(graft.functions.TopKAgg(col("d2"), col("tid"), lit(0L), 1)
         .as("beam"))
       .select(col("id"), col("beam").getItem(0).getField("tie").as("tid"))
+      // Unlike the old min(struct(d2,tid,tx,ty)) form, this join-back
+      // assumes tid uniquely identifies a target row; a layer with
+      // duplicate tids would otherwise multiply output rows per snapped
+      // point. dropDuplicates enforces the contract (free on well-formed
+      // layers: the target table is the small side, and AQE coalesces
+      // the near-empty dedup exchange).
       .join(targets.select(col("tid"), col("tx").as("bx"),
-        col("ty").as("by")), Seq("tid"))
+        col("ty").as("by")).dropDuplicates("tid"), Seq("tid"))
 
     pts.join(best, Seq("id"), "left")
       .select(

@@ -71,7 +71,14 @@ object AnnQueries {
     * answers. */
   def qAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // Namespace the index per JVM (applicationId is unique per
+    // SparkContext): two sessions on the same data dir (e.g. Bench and
+    // the Verify driver) would otherwise overwrite each other's index
+    // files mid-read, and stale /tmp state would survive across runs.
+    // Within one session the id is stable, so the build-once /
+    // serve-many semantics of the persisted index are unchanged.
+    val tag = (dir + "_" + spark.sparkContext.applicationId)
+      .replaceAll("[^A-Za-z0-9]", "_")
     Ann.ivfTopKIndexed(e, e.filter(col("vec_id") % QueryMod === 0), K,
       nlist = 16, nprobe = 2, iters = 2,
       table = s"graft_ivf_idx$tag", path = s"/tmp/graft_ivf/$tag")

@@ -147,9 +147,15 @@ object EventQueries {
     events(spark, dir)
       .select(col("event_id").cast("long").as("event_id"),
         col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        get_json_object(col("props"), "$.k").as("k_raw"))
+      // has_k tests the RAW extraction (field present), matching the
+      // oracle's json_extract IS NOT NULL — testing after the long cast
+      // would report false for a present-but-non-numeric field while
+      // the oracle reports true.
+      .withColumn("has_k", col("k_raw").isNotNull)
+      .withColumn("k", col("k_raw").cast("long"))
       .withColumn("k_bucket", col("k") % 10)
-      .withColumn("has_k", col("k").isNotNull)
+      .select("event_id", "event_type", "k", "k_bucket", "has_k")
 
   /** Weekly cohort retention — the product-analytics staple: cohort =
     * the user's first-activity week, retention = fraction of the cohort

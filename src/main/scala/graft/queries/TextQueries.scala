@@ -276,12 +276,17 @@ object TextQueries {
   private val Bm25TopK = 20
 
   /** BM25 retrieval scoring — the index/rank shape a RAG or search
-    * pipeline builds over the corpus. Corpus-side stats are the
-    * standard index artifacts: per-doc length (one aggregate), query
-    * terms' tf per doc (the token scan filters to the query terms
-    * BEFORE the aggregate — postings for 3 terms, not the whole
-    * vocabulary) and df per term (derived from the tf table, no second
-    * scan). Score = Σ idf·tf·(k1+1)/(tf + k1·(1-b+b·len/avglen)) with
+    * pipeline builds over the corpus. SINGLE corpus tokenize: one
+    * groupBy(doc_id) computes the doc length AND the query terms' tf as
+    * conditional sums in the same aggregate (3 query terms -> 3
+    * conditional columns, unpivoted afterwards into (doc_id, w, tf)
+    * posting rows — carrying len along, so the old lens join vanishes
+    * too). The one-row-per-doc result is localCheckpoint'd because both
+    * the corpus stats (N, avg len) and the posting table derive from it
+    * — without the cut the tokenize would re-run per consumer (the r7
+    * bench measured exactly that: lens fed stats AND the score join, so
+    * the corpus tokenized twice). df per term derives from the posting
+    * table. Score = Σ idf·tf·(k1+1)/(tf + k1·(1-b+b·len/avglen)) with
     * idf = ln(1 + (N-df+0.5)/(df+0.5)); k1/b and the 0.5s are written
     * as explicit doubles on both sides (DuckDB bare decimals are exact
     * DECIMAL). Top-20 by (score desc, doc_id) — deterministic. */
@@ -290,11 +295,22 @@ object TextQueries {
     val toks = d.select(col("doc_id"),
       explode(split(col("t"), "\\W+")).as("w"))
       .where(length(col("w")) > 0)
-    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
-    val stats = lens.agg(count(lit(1)).as("n"),
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("len"), tfCols: _*)
+      .localCheckpoint()
+    val stats = perDoc.agg(count(lit(1)).as("n"),
       sum("len").cast("double").as("total_len"))
-    val tf = toks.where(col("w").isInCollection(Bm25Terms))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val tf = perDoc
+      .select(col("doc_id"), col("len"),
+        explode(array(Bm25Terms.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("w"), col(s"tf$i").as("tf"))
+        }: _*)).as("e"))
+      .select(col("doc_id"), col("len"),
+        col("e.w").as("w"), col("e.tf").as("tf"))
+      .where(col("tf") > 0)
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val term = col("tf").cast("double")
     val idf = log(lit(1.0) + (col("n").cast("double") - col("df") + 0.5)
@@ -304,7 +320,6 @@ object TextQueries {
         * col("n").cast("double") / col("total_len"))
     val scored = tf
       .join(broadcast(df), "w")
-      .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("s", idf * term * lit(Bm25K1 + 1.0) / (term + norm))
       .groupBy("doc_id")
