@@ -298,10 +298,17 @@ object Ann {
     * enough to run continuously beside an ANN pipeline as an index
     * quality monitor. */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    // The exact baseline feeds BOTH the hit join and the n_exact
+    // aggregate; without a lineage cut its whole subplan (a full exact
+    // top-k over the corpus) executes twice inside the monitor —
+    // measured as q_ann_recall_quantized's ~1.2 s of unexplained
+    // overhead (2.52 s vs ~1.3 s for its parts, r7 verdict). The top-k
+    // table is queries x k rows, so materializing it is ~free.
+    val ex = exact.select(col("qid"), col("nid")).localCheckpoint()
     val hits = approx.select(col("qid"), col("nid"))
-      .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"))
+      .join(ex, Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+    ex.groupBy("qid").agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

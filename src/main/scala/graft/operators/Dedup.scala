@@ -329,18 +329,26 @@ object Dedup {
     * than k chars have no shingles and drop out (mirrored by oracle). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int,
                     flagAt: Double): DataFrame = {
+    // SINGLE corpus pass: mark each distinct (doc_id, shingle) row by a
+    // broadcast LEFT join against the benchmark set, then count total
+    // and hit shingles in ONE conditional aggregate. The r7 shape
+    // derived `totals` and `hits` as two consumers of the distinct
+    // table, so the corpus shingle scan + per-doc distinct exchange
+    // executed twice and the results met in an extra join — 2.78 s at
+    // sf0.1 vs 1.75 s for this form (dev/ProfileWeak stage split in
+    // SURVEY §4: scan 0.34, +distinct 1.32 — the distinct exchange IS
+    // the intrinsic floor). The broadcast join stays map-side; the only
+    // exchanges are the (doc_id, s) distinct and the per-doc aggregate.
     val corpusSh = shingleHashes(corpus, k, 131L, 1000000007L)
       .select(col("doc_id"), col("s")).distinct()
     val benchSh = shingleHashes(benchmark, k, 131L, 1000000007L)
-      .select(col("s")).distinct()
-    val totals = corpusSh.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"))
-    val hits = corpusSh.join(broadcast(benchSh), "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("h"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("h"), lit(0L)).as("n_hits"),
-        round(coalesce(col("h"), lit(0L)).cast("double")
+      .select(col("s")).distinct().withColumn("hit", lit(1L))
+    corpusSh.join(broadcast(benchSh), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits").cast("double")
           / col("n_shingles").cast("double"), 4).as("ratio"))
       .withColumn("flagged", col("ratio") >= flagAt)
   }
