@@ -119,24 +119,13 @@ object EventQueries {
       .filter(col("np").isNotNull && col("np") =!= col("p"))
       .groupBy(col("p").as("src"), col("np").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint() // 5 iterations re-read the edge table
-    val outd = ed.groupBy("src").agg(sum("w").cast("double").as("outw"))
-    val ew = ed.join(outd, "src").localCheckpoint()
-    val nodes = ed.select(col("src").as("p"))
-      .union(ed.select(col("dst").as("p"))).distinct().localCheckpoint()
-    val n = nodes.count().toDouble
-    var ranks = nodes.withColumn("r", lit(1.0 / n))
-    for (_ <- 1 to 5) {
-      val inc = ew.join(ranks, ew("src") === ranks("p"))
-        .groupBy(col("dst").as("p"))
-        .agg(sum(col("r") * col("w") / col("outw")).as("s"))
-      ranks = nodes.join(inc, Seq("p"), "left")
-        .select(col("p"),
-          (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0)))
-            .as("r"))
-    }
-    ranks.select(col("p").cast("long").as("page"),
-      round(col("r"), 6).as("rank"))
+    // eps = 0: exactly 5 power iterations, the fixed-hop form the DuckDB
+    // oracle replays hop by hop. The data-driven convergence stop (the
+    // web-scale form) is the same operator with eps > 0 — covered by the
+    // OperatorsSpec convergence test.
+    graft.operators.PageRank.pageRank(ed, eps = 0.0, maxIters = 5)
+      .select(col("p").cast("long").as("page"),
+        round(col("r"), 6).as("rank"))
   }
 
   /** Semi-structured extraction: pull the integer field out of the

@@ -1083,6 +1083,34 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       x.getAs[Long]("n_users") <= x.getAs[Long]("cohort_n")))
   }
 
+  test("PageRank converges data-driven and the converged ranks are stable") {
+    import spark.implicits._
+    // small strongly-connected-ish graph: a 6-cycle with two chords
+    val ed = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L), (5L, 0L, 1L), (1L, 4L, 2L), (3L, 0L, 3L))
+      .toDF("src", "dst", "w")
+    val (ranks, iters) = PageRank.pageRankWithIters(ed, eps = 1e-7,
+      maxIters = 200)
+    // the delta stop must fire well before the iteration cap (damping
+    // 0.85 contracts the delta geometrically: ~0.85^k < 1e-7 at k~100)
+    assert(iters < 200, s"did not converge (ran $iters iterations)")
+    assert(iters > 1)
+    // converged ranks are a fixed point: a tighter-eps run (more hops)
+    // lands on the same ranks at 6 decimals. Both runs use the armed
+    // convergence path — per-hop checkpoints keep the plan flat at any
+    // hop count, which is why the long-run form REQUIRES eps > 0 (a
+    // 100+-hop fixed pipeline would drown the driver in plan analysis).
+    val more = PageRank.pageRank(ed, eps = 1e-9, maxIters = 300)
+    val a = ranks.select(col("p"), round(col("r"), 6).as("r"))
+    val b = more.select(col("p"), round(col("r"), 6).as("r"))
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    // rank mass is conserved (no dangling nodes in this graph)
+    val mass = ranks.agg(sum("r")).head.getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9)
+    // eps = 0 runs exactly maxIters — the fixed-hop oracle form
+    assert(PageRank.pageRankWithIters(ed, 0.0, 5)._2 === 5)
+  }
+
   test("Graft facade mirrors the reference __all__ surface") {
     val polys = GeoData.polyNation(spark, SfDir)
     assert(Graft.dissolve(polys, "rkey").count() === 5)
