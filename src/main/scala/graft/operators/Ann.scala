@@ -255,6 +255,129 @@ object Ann {
       servedCents, k, nprobe, dim)
   }
 
+  /** IVF-PQ: product-quantization residual encoding on top of the IVF
+    * coarse quantizer — the standard 100 TB ANN memory story (FAISS
+    * IVF-PQ; Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search" — public literature). Each corpus vector is
+    * stored as its cell id plus m sub-codes (here m bytes instead of
+    * dim doubles): the residual x - centroid(cell) is split into m
+    * dsub-wide subspaces, and each sub-vector quantizes to its nearest
+    * entry of a per-subspace Lloyd-trained codebook.
+    *
+    * Scale design mirrors the coarse quantizer's: every codebook is
+    * driver-sized BY CONSTRUCTION (m x ksub x dsub = m·ksub·dim/m =
+    * ksub·dim doubles total — FAISS trains PQ codebooks centrally for
+    * the same reason), so training collects only m·ksub·dsub-row
+    * aggregates (one partial-aggregated shuffle per Lloyd round, ALL
+    * subspaces trained in the same pass via one explode), and scoring
+    * is ADC (asymmetric distance computation): the query keeps its
+    * float residual per probed cell, each candidate costs m codebook
+    * lookups + dim subtract-square terms against the m x ksub x dsub
+    * literal embedded in the projection — map-only after the
+    * cluster-bucket equi-join, inside whole-stage codegen, no
+    * per-candidate decode of the original vector.
+    *
+    * Sub-code assignment reuses the IvfDistances kernel per subspace
+    * (round(d2,6)-then-code lexicographic argmin), so the DuckDB oracle
+    * replays training, encoding and ADC scoring exactly; approximate
+    * distances rank ascending with nid tie-break. Codes are 0..ksub-1
+    * by seed order (residuals of the ksub smallest ids). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int, nprobe: Int, coarseIters: Int,
+                m: Int, ksub: Int, pqIters: Int,
+                dim: Int = DefaultDim): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    val (cents, indexed) = ivfTrainAssign(corpus, nlist, coarseIters, dim)
+    import spark.implicits._
+    val centDf = cents.map { case (cl, e) => (cl, e.toSeq) }
+      .toDF("cluster", "ce")
+    val res = indexed.join(broadcast(centDf), "cluster")
+      .select(col("nid"), col("cluster"),
+        array((0 until dim).map(i =>
+          col("ne").getItem(i) - col("ce").getItem(i)): _*).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // codebook seeds: the residuals of the ksub smallest ids, sliced
+    // per subspace; codes are the seed rank 0..ksub-1 (deterministic)
+    var books: IndexedSeq[Seq[(Long, Array[Double])]] = {
+      val seedRows = res.orderBy("nid").limit(ksub).select("r").collect()
+        .map(_.getSeq[Double](0).toArray)
+      (0 until m).map(s => seedRows.zipWithIndex.map { case (r0, j) =>
+        (j.toLong, r0.slice(s * dsub, (s + 1) * dsub))
+      }.toSeq)
+    }
+    def codeExpr(s: Int): Column =
+      graft.functions.IvfDistances(
+        slice(col("r"), s * dsub + 1, dsub), books(s))
+        .getItem(0).getField("cluster")
+    for (_ <- 1 to pqIters) {
+      // ONE pass trains all m subspaces: explode (s, code, sub-vector)
+      // rows, recenter with a partial-aggregated shuffle, collect the
+      // m x ksub x dsub means (driver-sized). A code emptied by a round
+      // simply drops out of its book (same policy as the coarse Lloyd).
+      val rows = res.select(explode(array((0 until m).map(s =>
+          struct(lit(s.toLong).as("s"), codeExpr(s).as("code"),
+            slice(col("r"), s * dsub + 1, dsub).as("sub"))): _*)).as("x"))
+        .select(col("x.s").as("s"), col("x.code").as("code"),
+          posexplode(col("x.sub")).as(Seq("idx", "v")))
+        .groupBy("s", "code", "idx").agg(avg("v").as("mv"))
+        .collect()
+      books = (0 until m).map { s =>
+        rows.filter(_.getLong(0) == s).groupBy(_.getLong(1)).map {
+          case (code, rs) =>
+            val ce = new Array[Double](dsub)
+            rs.foreach(r => ce(r.getInt(2)) = r.getDouble(3))
+            (code, ce)
+        }.toSeq.sortBy(_._1)
+      }
+    }
+    // the encoded index: cell id + m sub-codes per vector — the compact
+    // artifact that persists at scale (codes are small ints; the float
+    // vector is no longer needed for scoring)
+    val enc = res.select(col("nid"), col("cluster"),
+      array((0 until m).map(codeExpr): _*).as("codes"))
+    // probe selection as in ivfProbeScore, then the query's residual
+    // against EACH probed cell's centroid (ADC is per-cell)
+    val probes = withNorm(queries, "vec_id", dim)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .withColumn("pr", explode(slice(
+        graft.functions.IvfDistances(col("qe"), cents), 1, nprobe)))
+      .select(col("qid"), col("qe"),
+        col("pr").getField("cluster").as("cluster"))
+      .join(centDf, "cluster")
+      .select(col("qid"), col("cluster"),
+        array((0 until dim).map(i =>
+          col("qe").getItem(i) - col("ce").getItem(i)): _*).as("qr"))
+    // dense m x ksub x dsub ADC literal (a dropped code is zero-filled
+    // and can never be referenced — no vector encodes to it)
+    val cbDense: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      val mp = books(s).toMap
+      (0 until ksub).map(j =>
+        mp.getOrElse(j.toLong, new Array[Double](dsub)).toSeq)
+    }
+    val cbLit = typedLit(cbDense)
+    val terms = (0 until m).flatMap { s =>
+      val entry = element_at(element_at(cbLit, s + 1),
+        col("codes").getItem(s).cast("int") + 1)
+      (0 until dsub).map { i =>
+        val d = col("qr").getItem(s * dsub + i) - element_at(entry, i + 1)
+        d * d
+      }
+    }
+    val scored = enc.join(broadcast(probes), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adist6", round(terms.foldLeft(lit(0.0))(_ + _), 6))
+    res.unpersist(blocking = false)
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKAgg(col("adist6"), col("nid"),
+        col("cluster"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.tie").as("nid"),
+        (col("pos") + 1).as("rank"), col("t.key").as("adist6"),
+        col("t.payload").as("cluster"))
+  }
+
   /** Deterministic pseudo-random hyperplane component i of plane j. */
   def hyperplane(j: Int, dim: Int): Seq[Double] =
     (0 until dim).map(i => ((j * dim + i) * 2654435761L % 1000003L)

@@ -84,7 +84,24 @@ object AnnQueries {
       table = s"graft_ivf_idx$tag", path = s"/tmp/graft_ivf/$tag")
   }
 
+  /** IVF-PQ top-k: product-quantized residual codes (m=8 subspaces of 8
+    * dims, ksub=8 codes each) served ADC-style from the probed cells —
+    * the compressed-index form whose memory story survives 100 TB. */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.ivfPqTopK(e, e.filter(col("vec_id") % QueryMod === 0), K,
+      nlist = 16, nprobe = 2, coarseIters = 2, m = 8, ksub = 8,
+      pqIters = 2)
+  }
+
+  /** Recall@k of the PQ-compressed index against the float brute force —
+    * what product quantization costs in ranking quality. */
+  def qAnnRecallPq(spark: SparkSession, dir: String): DataFrame =
+    Ann.recallAtK(qAnnPq(spark, dir), qCosineTopK(spark, dir), K)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_pq" -> (qAnnPq _),
+    "q_ann_recall_pq" -> (qAnnRecallPq _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_ann_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qCosineLsh _),
@@ -131,21 +148,24 @@ object AnnQueries {
        |FROM scored
        |QUALIFY rank <= $K""".stripMargin
 
-  /** DuckDB twin of the IVF pipeline: same seeds (16 smallest vec_ids),
-    * two Lloyd rounds with round(d2,6)-ranked assignment, probe-2 search.
-    * Assignment/centroid math is element-ordered list arithmetic, so the
-    * only FP divergence (unordered AVG) is absorbed by the rounded
-    * ranking — mirroring the engine exactly. */
-  private val ivfOracle: String = {
-    def d2(e1: String, e2: String) =
-      s"""ROUND(list_sum(list_transform(range(1, 65),
-         |        i -> ($e1[i] - $e2[i]) * ($e1[i] - $e2[i]))), 6)""".stripMargin
+  private def ivfD2(e1: String, e2: String) =
+    s"""ROUND(list_sum(list_transform(range(1, 65),
+       |        i -> ($e1[i] - $e2[i]) * ($e1[i] - $e2[i]))), 6)""".stripMargin
+
+  /** Shared coarse-quantizer CTE chain (through `idx`, `c2`, `probes`):
+    * same seeds (16 smallest vec_ids), two Lloyd rounds with
+    * round(d2,6)-ranked assignment, probe-2 selection. Assignment and
+    * centroid math is element-ordered list arithmetic, so the only FP
+    * divergence (unordered AVG) is absorbed by the rounded ranking —
+    * mirroring the engine exactly. Used by both the IVF and the IVF-PQ
+    * oracles. */
+  private val ivfCoarseCtes: String = {
     def assign(cents: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, e, nrm, cluster FROM (
          |    SELECT n.vec_id, n.e, n.nrm, c.cluster,
          |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-         |        ORDER BY ${d2("n.e", "c.ce")}, c.cluster) AS rn
+         |        ORDER BY ${ivfD2("n.e", "c.ce")}, c.cluster) AS rn
          |    FROM n, $cents c) WHERE rn = 1)""".stripMargin
     def recenter(assigned: String, out: String) =
       s"""$out AS (
@@ -155,7 +175,7 @@ object AnnQueries {
          |         (SELECT unnest(generate_series(1, 64)) AS i) u
          |    GROUP BY 1, 2)
          |  GROUP BY cluster)""".stripMargin
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),
@@ -175,8 +195,12 @@ object AnnQueries {
        |  SELECT qid, qe, qn, cluster FROM (
        |    SELECT q0.qid, q0.qe, q0.qn, c.cluster,
        |      ROW_NUMBER() OVER (PARTITION BY q0.qid
-       |        ORDER BY ${d2("q0.qe", "c.ce")}, c.cluster) AS prn
-       |    FROM q0, c2 c) WHERE prn <= 2),
+       |        ORDER BY ${ivfD2("q0.qe", "c.ce")}, c.cluster) AS prn
+       |    FROM q0, c2 c) WHERE prn <= 2)""".stripMargin
+  }
+
+  private val ivfOracle: String =
+    s"""WITH $ivfCoarseCtes,
        |scored AS (
        |  SELECT p.qid, x.vec_id AS nid, x.cluster,
        |    ROUND(list_sum(list_transform(range(1, 65),
@@ -187,6 +211,74 @@ object AnnQueries {
        |SELECT qid, nid,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, nid)
        |    AS INT) AS rank, cos4, cluster
+       |FROM scored
+       |QUALIFY rank <= $K""".stripMargin
+
+  /** DuckDB twin of the IVF-PQ pipeline: residuals against the final
+    * coarse centroids, per-subspace codebooks seeded from the 8 smallest
+    * ids' residuals and Lloyd-refined twice (round(d2,6)-then-code
+    * argmin, unordered-AVG recenter absorbed by the rounded ranking, a
+    * code emptied by a round drops out — all mirroring the engine), ADC
+    * scoring of the m sub-codes against each probed cell's query
+    * residual, rank by (round(adist,6), nid). */
+  private val pqOracle: String = {
+    def pd2(rcol: String, ce: String) =
+      s"""ROUND(list_sum(list_transform(range(1, 9),
+         |        i -> ($rcol[p.s * 8 + i] - $ce[i])
+         |           * ($rcol[p.s * 8 + i] - $ce[i]))), 6)""".stripMargin
+    def passign(books: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, s, code, sub_r FROM (
+         |    SELECT res.vec_id, p.s, p.code,
+         |      list_transform(range(1, 9),
+         |        i -> res.r[p.s * 8 + i]) AS sub_r,
+         |      ROW_NUMBER() OVER (PARTITION BY res.vec_id, p.s
+         |        ORDER BY ${pd2("res.r", "p.ce")}, p.code) AS rn
+         |    FROM res, $books p) WHERE rn = 1)""".stripMargin
+    def precenter(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT s, code, list(mv ORDER BY i) AS ce FROM (
+         |    SELECT a.s, a.code, u.i, AVG(a.sub_r[u.i]) AS mv
+         |    FROM $assigned a,
+         |         (SELECT unnest(generate_series(1, 8)) AS i) u
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY s, code)""".stripMargin
+    s"""WITH $ivfCoarseCtes,
+       |res AS (
+       |  SELECT x.vec_id, x.cluster,
+       |    list_transform(range(1, 65), i -> x.e[i] - c.ce[i]) AS r
+       |  FROM idx x JOIN c2 c ON c.cluster = x.cluster),
+       |pseed AS (
+       |  SELECT r, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+       |    AS BIGINT) AS code
+       |  FROM (SELECT * FROM res ORDER BY vec_id LIMIT 8)),
+       |pb0 AS (
+       |  SELECT u.s, p.code,
+       |    list_transform(range(1, 9), i -> p.r[u.s * 8 + i]) AS ce
+       |  FROM pseed p,
+       |       (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS s) u),
+       |${passign("pb0", "pa1")},
+       |${precenter("pa1", "pb1")},
+       |${passign("pb1", "pa2")},
+       |${precenter("pa2", "pb2")},
+       |${passign("pb2", "enc")},
+       |qres AS (
+       |  SELECT p.qid, p.cluster,
+       |    list_transform(range(1, 65), i -> p.qe[i] - c.ce[i]) AS qr
+       |  FROM probes p JOIN c2 c ON c.cluster = p.cluster),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id AS nid, r.cluster,
+       |    ROUND(SUM(list_sum(list_transform(range(1, 9),
+       |      i -> (q.qr[e.s * 8 + i] - cb.ce[i])
+       |         * (q.qr[e.s * 8 + i] - cb.ce[i])))), 6) AS adist6
+       |  FROM enc e
+       |  JOIN res r ON r.vec_id = e.vec_id
+       |  JOIN qres q ON q.cluster = r.cluster AND q.qid <> e.vec_id
+       |  JOIN pb2 cb ON cb.s = e.s AND cb.code = e.code
+       |  GROUP BY q.qid, e.vec_id, r.cluster)
+       |SELECT qid, nid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist6, nid)
+       |    AS INT) AS rank, adist6, cluster
        |FROM scored
        |QUALIFY rank <= $K""".stripMargin
   }
@@ -292,6 +384,8 @@ object AnnQueries {
        |QUALIFY rank <= $K""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ann_pq" -> pqOracle,
+    "q_ann_recall_pq" -> recallOracle(pqOracle, topkOracle),
     "q_ann_quantized" -> quantizedOracle,
     "q_ann_recall_quantized" -> recallOracle(quantizedOracle, topkOracle),
     "q_ann_lsh" -> lshOracle,

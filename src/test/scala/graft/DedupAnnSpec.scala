@@ -90,6 +90,33 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(inline.nonEmpty)
   }
 
+  test("ivfPqTopK: sane ADC ranking; exact duplicate is its query's top-1") {
+    import spark.implicits._
+    val dim = 8
+    // 40 deterministic vectors; vector 25 duplicates vector 0 (a query),
+    // so PQ must rank it first for qid=0: identical vectors share a cell
+    // and codes, giving the minimum possible ADC distance
+    val vecs = (0L until 40L).map { i =>
+      val src = if (i == 25L) 0L else i
+      (i, (0 until dim).map(j =>
+        ((src * 31 + j * 17) % 97).toDouble / 97.0 - 0.5).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 10 === 0)
+    val out = Ann.ivfPqTopK(vecs, queries, k = 3, nlist = 4, nprobe = 2,
+      coarseIters = 1, m = 4, ksub = 4, pqIters = 1, dim = dim).collect()
+    assert(out.nonEmpty)
+    // adist ascending within each query, non-negative
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Double]("adist6"))
+      assert(byRank.forall(_ >= 0.0))
+      assert(byRank.sameElements(byRank.sorted))
+    }
+    val q0top = out.filter(r => r.getAs[Long]("qid") == 0L &&
+      r.getAs[Int]("rank") == 1).head
+    assert(q0top.getAs[Long]("nid") === 25L)
+  }
+
   test("wordCount: 0 for blank text, shingleHashes skips short docs") {
     import graft.functions.TextFunctions
     val counts = docsOf(1L -> "", 2L -> "   ", 3L -> "two words")
