@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -176,7 +176,44 @@ object SourceQueries {
   def qMultimodalJpeg420(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Jpeg.jpeg420Features(Tables.load(spark, dir, "documents"))
 
+  /** CRS-tagged layer read: the same WKT point source read TWICE — once
+    * as a GEOGRAPHIC layer (EPSG:4326, integer-degree lon/lat) and once
+    * as a PROJECTED layer (EPSG:32633, integer meters) — with the
+    * distance semantics selected by the column-metadata CRS tag, not by
+    * the query: haversine km when the tag is geographic, planar
+    * euclidean in CRS units otherwise. Closes the reference
+    * read_spatialite `crs`/epsg parameter (core.py:423,460-463). */
+  def qCrsDistance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Crs
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id").cast("long").as("id"))
+    def layer(epsg: Long, x1: Column, y1: Column,
+              x2: Column, y2: Column): DataFrame =
+      e.select(col("id"),
+        Wkt.toWktPoint(x1, y1).as("w1"), Wkt.toWktPoint(x2, y2).as("w2"))
+        .select(col("id"),
+          Crs.withCrs(Wkt.parsePoint(col("w1")), "g1", epsg),
+          Crs.withCrs(Wkt.parsePoint(col("w2")), "g2", epsg))
+    val geo = layer(4326L,
+      col("id") * 73 % 360 - 180, col("id") * 179 % 160 - 80,
+      col("id") * 31 % 360 - 180, col("id") * 97 % 160 - 80)
+    val prj = layer(32633L,
+      col("id") * 73 % 100000, col("id") * 179 % 100000,
+      col("id") * 31 % 100000, col("id") * 97 % 100000)
+    // the OUTPUT epsg/geographic columns come from the tag the layer
+    // carries, not from this query's literals — reading them back is
+    // the point of the test
+    def out(df: DataFrame): DataFrame = {
+      val epsg = Crs.epsgOf(df, "g1").get
+      df.select(col("id"), lit(epsg).as("epsg"),
+        lit(Crs.isGeographic(epsg)).as("geographic"),
+        round(Crs.pointDistance(df, "g1", "g2"), 3).as("dist"))
+    }
+    out(geo).unionByName(out(prj))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crs_distance" -> (qCrsDistance _),
     "q_read_wkt" -> (qReadWkt _),
     "q_read_wkt_multipolygon" -> (qReadWktMultiPolygon _),
     "q_read_wkb" -> (qReadWkb _),
@@ -194,6 +231,30 @@ object SourceQueries {
     "q_multimodal_jpeg420" -> (qMultimodalJpeg420 _))
 
   val oracles: Map[String, String] = Map(
+    // geographic layer measured by haversine km, projected layer planar
+    // in meters — the CASE the engine decides from the CRS tag
+    "q_crs_distance" ->
+      """WITH e AS (SELECT CAST(event_id AS BIGINT) AS id FROM events),
+        |geo AS (SELECT id,
+        |  CAST(id * 73 % 360 - 180 AS DOUBLE) AS x1,
+        |  CAST(id * 179 % 160 - 80 AS DOUBLE) AS y1,
+        |  CAST(id * 31 % 360 - 180 AS DOUBLE) AS x2,
+        |  CAST(id * 97 % 160 - 80 AS DOUBLE) AS y2 FROM e),
+        |prj AS (SELECT id,
+        |  CAST(id * 73 % 100000 AS DOUBLE) AS x1,
+        |  CAST(id * 179 % 100000 AS DOUBLE) AS y1,
+        |  CAST(id * 31 % 100000 AS DOUBLE) AS x2,
+        |  CAST(id * 97 % 100000 AS DOUBLE) AS y2 FROM e)
+        |SELECT id, CAST(4326 AS BIGINT) AS epsg, TRUE AS geographic,
+        |  ROUND(6367 * ACOS(COS((y1 - y2) * 0.0174532925)
+        |    - COS(y1 * 0.0174532925) * COS(y2 * 0.0174532925)
+        |    * (1 - COS((x1 - x2) * 0.0174532925))), 3) AS dist
+        |FROM geo
+        |UNION ALL
+        |SELECT id, CAST(32633 AS BIGINT) AS epsg, FALSE AS geographic,
+        |  ROUND(SQRT((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)), 3)
+        |    AS dist
+        |FROM prj""".stripMargin,
     // bucketing must never change answers: the oracle is the plain join
     "q_bucketed_join" ->
       """SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,

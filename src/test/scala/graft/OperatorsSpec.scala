@@ -1083,6 +1083,40 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       x.getAs[Long]("n_users") <= x.getAs[Long]("cohort_n")))
   }
 
+  test("CRS tag rides the schema, survives parquet, and picks the formula") {
+    import graft.sources.{Crs, Wkt}
+    import spark.implicits._
+    val raw = Seq((1L, "POINT (10 50)", "POINT (11 50)"),
+      (2L, "POINT (0 0)", "POINT (3 4)")).toDF("id", "w1", "w2")
+    def tagged(epsg: Long) = raw.select(col("id"),
+      Crs.withCrs(Wkt.parsePoint(col("w1")), "g1", epsg),
+      Crs.withCrs(Wkt.parsePoint(col("w2")), "g2", epsg))
+    val geo = tagged(4326L)
+    assert(Crs.epsgOf(geo, "g1") === Some(4326L))
+    // geographic: 1 degree of longitude at lat 50 is ~71 km, not 1 unit
+    val dGeo = geo.filter(col("id") === 1)
+      .select(Crs.pointDistance(geo, "g1", "g2")).head.getDouble(0)
+    assert(dGeo > 60.0 && dGeo < 80.0)
+    // projected: plain euclidean in CRS units (3-4-5 triangle)
+    val prj = tagged(32633L)
+    val dPrj = prj.filter(col("id") === 2)
+      .select(Crs.pointDistance(prj, "g1", "g2")).head.getDouble(0)
+    assert(math.abs(dPrj - 5.0) < 1e-9)
+    // the tag survives a parquet round trip (schema metadata persists)
+    val path = "/tmp/graft_crs_spec"
+    geo.write.mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+    assert(Crs.epsgOf(back, "g1") === Some(4326L))
+    // untagged and mixed-CRS layers are refused loudly
+    intercept[RuntimeException] { Crs.pointDistance(raw, "w1", "w2") }
+    val mixed = raw.select(col("id"),
+      Crs.withCrs(Wkt.parsePoint(col("w1")), "g1", 4326L),
+      Crs.withCrs(Wkt.parsePoint(col("w2")), "g2", 32633L))
+    intercept[IllegalArgumentException] {
+      Crs.pointDistance(mixed, "g1", "g2")
+    }
+  }
+
   test("PageRank converges data-driven and the converged ranks are stable") {
     import spark.implicits._
     // small strongly-connected-ish graph: a 6-cycle with two chords
