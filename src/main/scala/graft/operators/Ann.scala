@@ -288,18 +288,49 @@ object Ann {
                 dim: Int = DefaultDim): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    val spark = corpus.sparkSession
     val (cents, indexed) = ivfTrainAssign(corpus, nlist, coarseIters, dim)
+    val res = pqResiduals(indexed, centroidsDf(corpus.sparkSession, cents),
+        dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = pqTrainBooks(res, m, ksub, dsub, pqIters)
+    val enc = pqEncode(res, books, m, dsub)
+    val out = ivfPqScore(enc, queries, cents, books, k, nprobe,
+      m, ksub, dim)
+    res.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver-sized centroid model as a (cluster, ce) DataFrame — the
+    * broadcast side of the residual join and the probe-residual join. */
+  private def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                          cents: Seq[(Long, Array[Double])]): DataFrame = {
     import spark.implicits._
-    val centDf = cents.map { case (cl, e) => (cl, e.toSeq) }
-      .toDF("cluster", "ce")
-    val res = indexed.join(broadcast(centDf), "cluster")
+    cents.map { case (cl, e) => (cl, e.toSeq) }.toDF("cluster", "ce")
+  }
+
+  /** Residual table (nid, cluster, r = x - centroid(cell)) of an
+    * IVF-assigned corpus — the PQ training/encoding input. */
+  private def pqResiduals(indexed: DataFrame, centDf: DataFrame,
+                          dim: Int): DataFrame =
+    indexed.join(broadcast(centDf), "cluster")
       .select(col("nid"), col("cluster"),
         array((0 until dim).map(i =>
           col("ne").getItem(i) - col("ce").getItem(i)): _*).as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // codebook seeds: the residuals of the ksub smallest ids, sliced
-    // per subspace; codes are the seed rank 0..ksub-1 (deterministic)
+
+  /** Sub-code of subspace `s`: lexicographic (round(d2,6), code) argmin
+    * against the subspace's codebook — element 0 of the sorted kernel
+    * table, same selection the coarse quantizer uses. */
+  private def pqCodeExpr(books: IndexedSeq[Seq[(Long, Array[Double])]],
+                         s: Int, dsub: Int): Column =
+    graft.functions.IvfDistances(
+      slice(col("r"), s * dsub + 1, dsub), books(s))
+      .getItem(0).getField("cluster")
+
+  /** Lloyd-train the m per-subspace codebooks over a residual table.
+    * Seeds are the residuals of the ksub smallest ids sliced per
+    * subspace (codes = seed rank 0..ksub-1, deterministic). */
+  private def pqTrainBooks(res: DataFrame, m: Int, ksub: Int, dsub: Int,
+      pqIters: Int): IndexedSeq[Seq[(Long, Array[Double])]] = {
     var books: IndexedSeq[Seq[(Long, Array[Double])]] = {
       val seedRows = res.orderBy("nid").limit(ksub).select("r").collect()
         .map(_.getSeq[Double](0).toArray)
@@ -307,17 +338,14 @@ object Ann {
         (j.toLong, r0.slice(s * dsub, (s + 1) * dsub))
       }.toSeq)
     }
-    def codeExpr(s: Int): Column =
-      graft.functions.IvfDistances(
-        slice(col("r"), s * dsub + 1, dsub), books(s))
-        .getItem(0).getField("cluster")
     for (_ <- 1 to pqIters) {
       // ONE pass trains all m subspaces: explode (s, code, sub-vector)
       // rows, recenter with a partial-aggregated shuffle, collect the
       // m x ksub x dsub means (driver-sized). A code emptied by a round
       // simply drops out of its book (same policy as the coarse Lloyd).
       val rows = res.select(explode(array((0 until m).map(s =>
-          struct(lit(s.toLong).as("s"), codeExpr(s).as("code"),
+          struct(lit(s.toLong).as("s"),
+            pqCodeExpr(books, s, dsub).as("code"),
             slice(col("r"), s * dsub + 1, dsub).as("sub"))): _*)).as("x"))
         .select(col("x.s").as("s"), col("x.code").as("code"),
           posexplode(col("x.sub")).as(Seq("idx", "v")))
@@ -332,13 +360,31 @@ object Ann {
         }.toSeq.sortBy(_._1)
       }
     }
-    // the encoded index: cell id + m sub-codes per vector — the compact
-    // artifact that persists at scale (codes are small ints; the float
-    // vector is no longer needed for scoring)
-    val enc = res.select(col("nid"), col("cluster"),
-      array((0 until m).map(codeExpr): _*).as("codes"))
-    // probe selection as in ivfProbeScore, then the query's residual
-    // against EACH probed cell's centroid (ADC is per-cell)
+    books
+  }
+
+  /** The encoded index: cell id + m sub-codes per vector — the compact
+    * artifact that persists at scale (codes are small ints; the float
+    * vector is no longer needed for scoring). */
+  private def pqEncode(res: DataFrame,
+                       books: IndexedSeq[Seq[(Long, Array[Double])]],
+                       m: Int, dsub: Int): DataFrame =
+    res.select(col("nid"), col("cluster"),
+      array((0 until m).map(s => pqCodeExpr(books, s, dsub)): _*)
+        .as("codes"))
+
+  /** ADC serving over an encoded index (from [[pqEncode]] or a persisted
+    * index table): probe selection as in ivfProbeScore, the query's
+    * residual against EACH probed cell's centroid (ADC is per-cell),
+    * then a map-only codebook-literal distance after the cluster
+    * equi-join. */
+  def ivfPqScore(enc: DataFrame, queries: DataFrame,
+                 cents: Seq[(Long, Array[Double])],
+                 books: IndexedSeq[Seq[(Long, Array[Double])]],
+                 k: Int, nprobe: Int, m: Int, ksub: Int,
+                 dim: Int): DataFrame = {
+    val dsub = dim / m
+    val centDf = centroidsDf(enc.sparkSession, cents)
     val probes = withNorm(queries, "vec_id", dim)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
       .withColumn("pr", explode(slice(
@@ -368,7 +414,6 @@ object Ann {
     val scored = enc.join(broadcast(probes), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("adist6", round(terms.foldLeft(lit(0.0))(_ + _), 6))
-    res.unpersist(blocking = false)
     scored.groupBy("qid")
       .agg(graft.functions.TopKAgg(col("adist6"), col("nid"),
         col("cluster"), k).as("tk"))
@@ -376,6 +421,56 @@ object Ann {
       .select(col("qid"), col("t.tie").as("nid"),
         (col("pos") + 1).as("rank"), col("t.key").as("adist6"),
         col("t.payload").as("cluster"))
+  }
+
+  /** PERSISTED-index IVF-PQ: the build/serve split the inline path
+    * lacks. Build (once per (table, session)): coarse-train + assign,
+    * PQ-train, and write three artifacts — the ENCODED index (nid,
+    * cluster, codes) as a cluster-bucketed parquet table, the centroid
+    * model, and the m codebooks, each as its own tiny parquet. Serve:
+    * read all three back and run [[ivfPqScore]] — NO training scan of
+    * the corpus ever reruns for a query batch, which is the difference
+    * between an ANN deployment and a benchmark artifact at 100 TB (a
+    * serving query must read an index, not rebuild it; FAISS ships
+    * exactly these three artifacts in an index file). Results are
+    * IDENTICAL to [[ivfPqTopK]] — indexing must never change answers —
+    * so the oracle is the inline PQ oracle. */
+  def ivfPqTopKIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nlist: Int, nprobe: Int, coarseIters: Int,
+                       m: Int, ksub: Int, pqIters: Int,
+                       table: String, path: String,
+                       dim: Int = DefaultDim): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    import graft.sources.Bucketed
+    val spark = corpus.sparkSession
+    val dsub = dim / m
+    if (!spark.catalog.tableExists(table)) {
+      val (cents, indexed) = ivfTrainAssign(corpus, nlist, coarseIters, dim)
+      val centDf = centroidsDf(spark, cents)
+      val res = pqResiduals(indexed, centDf, dim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val books = pqTrainBooks(res, m, ksub, dsub, pqIters)
+      Bucketed.writeBucketed(pqEncode(res, books, m, dsub), table,
+        s"$path/index", "cluster", 8)
+      res.unpersist(blocking = false)
+      centDf.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids")
+      import spark.implicits._
+      books.zipWithIndex.flatMap { case (bk, s) =>
+          bk.map { case (code, ce) => (s.toLong, code, ce.toSeq) } }
+        .toDF("s", "code", "ce").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/books")
+    }
+    val servedCents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .toSeq.sortBy(_._1)
+    val bookRows = spark.read.parquet(s"$path/books").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val servedBooks = (0 until m).map(s =>
+      bookRows.filter(_._1 == s).map(t => (t._2, t._3)).toSeq
+        .sortBy(_._1))
+    ivfPqScore(Bucketed.readBucketed(spark, table), queries,
+      servedCents, servedBooks, k, nprobe, m, ksub, dim)
   }
 
   /** Deterministic pseudo-random hyperplane component i of plane j. */

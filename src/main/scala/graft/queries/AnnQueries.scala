@@ -79,6 +79,7 @@ object AnnQueries {
     // serve-many semantics of the persisted index are unchanged.
     val tag = (dir + "_" + spark.sparkContext.applicationId)
       .replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_ivf/$tag")
     Ann.ivfTopKIndexed(e, e.filter(col("vec_id") % QueryMod === 0), K,
       nlist = 16, nprobe = 2, iters = 2,
       table = s"graft_ivf_idx$tag", path = s"/tmp/graft_ivf/$tag")
@@ -99,8 +100,25 @@ object AnnQueries {
   def qAnnRecallPq(spark: SparkSession, dir: String): DataFrame =
     Ann.recallAtK(qAnnPq(spark, dir), qCosineTopK(spark, dir), K)
 
+  /** Persisted-index IVF-PQ: same parameters and RESULTS as q_ann_pq,
+    * but built ONCE per session (encoded index + centroids + codebooks
+    * as parquet artifacts) and served by reading them back — no
+    * training scan reruns per query batch. The oracle is the inline PQ
+    * oracle: indexing must never change answers. */
+  def qAnnPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val tag = (dir + "_" + spark.sparkContext.applicationId)
+      .replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_pq/$tag")
+    Ann.ivfPqTopKIndexed(e, e.filter(col("vec_id") % QueryMod === 0), K,
+      nlist = 16, nprobe = 2, coarseIters = 2, m = 8, ksub = 8,
+      pqIters = 2, table = s"graft_pq_idx$tag",
+      path = s"/tmp/graft_pq/$tag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_pq_indexed" -> (qAnnPqIndexed _),
     "q_ann_recall_pq" -> (qAnnRecallPq _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_ann_cosine_topk" -> (qCosineTopK _),
@@ -267,15 +285,23 @@ object AnnQueries {
        |    list_transform(range(1, 65), i -> p.qe[i] - c.ce[i]) AS qr
        |  FROM probes p JOIN c2 c ON c.cluster = p.cluster),
        |scored AS (
-       |  SELECT q.qid, e.vec_id AS nid, r.cluster,
-       |    ROUND(SUM(list_sum(list_transform(range(1, 9),
-       |      i -> (q.qr[e.s * 8 + i] - cb.ce[i])
-       |         * (q.qr[e.s * 8 + i] - cb.ce[i])))), 6) AS adist6
-       |  FROM enc e
-       |  JOIN res r ON r.vec_id = e.vec_id
-       |  JOIN qres q ON q.cluster = r.cluster AND q.qid <> e.vec_id
-       |  JOIN pb2 cb ON cb.s = e.s AND cb.code = e.code
-       |  GROUP BY q.qid, e.vec_id, r.cluster)
+       |  -- element-ordered ADC fold: the engine sums all m x 8 terms in
+       |  -- one s-major, i-minor chain, so the oracle flattens the
+       |  -- s-ORDERED per-subspace term lists and list_sums ONCE — an
+       |  -- unordered SUM over subspace rows could flip round(,6) on a
+       |  -- knife-edge value (the ivfCoarseCtes discipline)
+       |  SELECT qid, nid, cluster,
+       |    ROUND(list_sum(flatten(list(sub_t ORDER BY s))), 6) AS adist6
+       |  FROM (
+       |    SELECT q.qid, e.vec_id AS nid, r.cluster, e.s,
+       |      list_transform(range(1, 9),
+       |        i -> (q.qr[e.s * 8 + i] - cb.ce[i])
+       |           * (q.qr[e.s * 8 + i] - cb.ce[i])) AS sub_t
+       |    FROM enc e
+       |    JOIN res r ON r.vec_id = e.vec_id
+       |    JOIN qres q ON q.cluster = r.cluster AND q.qid <> e.vec_id
+       |    JOIN pb2 cb ON cb.s = e.s AND cb.code = e.code)
+       |  GROUP BY qid, nid, cluster)
        |SELECT qid, nid,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist6, nid)
        |    AS INT) AS rank, adist6, cluster
@@ -385,6 +411,7 @@ object AnnQueries {
 
   val oracles: Map[String, String] = Map(
     "q_ann_pq" -> pqOracle,
+    "q_ann_pq_indexed" -> pqOracle,
     "q_ann_recall_pq" -> recallOracle(pqOracle, topkOracle),
     "q_ann_quantized" -> quantizedOracle,
     "q_ann_recall_quantized" -> recallOracle(quantizedOracle, topkOracle),

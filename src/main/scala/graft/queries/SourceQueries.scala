@@ -131,6 +131,8 @@ object SourceQueries {
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey").cast("long").as("k"),
         col("o_custkey").cast("long").as("o_custkey"))
+    Bucketed.cleanupOnExit(s"/tmp/graft_bucket_q/li$tag")
+    Bucketed.cleanupOnExit(s"/tmp/graft_bucket_q/o$tag")
     Bucketed.writeBucketedOnce(li, s"graft_li_q$tag",
       s"/tmp/graft_bucket_q/li$tag", "k", 8)
     Bucketed.writeBucketedOnce(o, s"graft_o_q$tag",

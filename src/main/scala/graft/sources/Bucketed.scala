@@ -50,4 +50,29 @@ object Bucketed {
     * catalog, which is why this is a table read, not a path read). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Per-RUN scratch paths (applicationId-tagged index dirs) registered
+    * here are recursively deleted by a JVM shutdown hook. The appId tag
+    * stops concurrent JVMs clobbering each other's index files; this
+    * hook closes the flip side — every run would otherwise leave its
+    * uniquely-named dirs behind, growing /tmp without bound across
+    * runs. (Catalog entries die with the JVM's in-memory metastore; the
+    * FILES are what persist, so files are what the hook deletes.) */
+  private val runScoped =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      runScoped.forEach(p => deleteRec(new java.io.File(p)))
+    }))
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete()
+    ()
+  }
+  def cleanupOnExit(path: String): Unit = {
+    hookInstalled
+    runScoped.add(path)
+    ()
+  }
 }

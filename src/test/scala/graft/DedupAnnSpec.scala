@@ -117,6 +117,35 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(q0top.getAs[Long]("nid") === 25L)
   }
 
+  test("ivfPqTopKIndexed: persisted PQ index returns identical results") {
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until dim).map(j =>
+        ((i * 31 + j * 17) % 97).toDouble / 97.0 - 0.5).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 10 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Int]("rank"), r.getAs[Double]("adist6"))
+    val inline = Ann.ivfPqTopK(vecs, queries, k = 3, nlist = 4,
+      nprobe = 2, coarseIters = 1, m = 4, ksub = 4, pqIters = 1,
+      dim = dim).collect().map(key).sorted
+    val indexed = Ann.ivfPqTopKIndexed(vecs, queries, k = 3, nlist = 4,
+      nprobe = 2, coarseIters = 1, m = 4, ksub = 4, pqIters = 1,
+      table = "graft_pq_spec", path = "/tmp/graft_pq_spec", dim = dim)
+      .collect().map(key).sorted
+    assert(indexed === inline)
+    assert(inline.nonEmpty)
+    // serve-only second call (the table exists): same results again,
+    // proving the persisted artifacts alone reproduce the answer
+    val served = Ann.ivfPqTopKIndexed(vecs, queries, k = 3, nlist = 4,
+      nprobe = 2, coarseIters = 1, m = 4, ksub = 4, pqIters = 1,
+      table = "graft_pq_spec", path = "/tmp/graft_pq_spec", dim = dim)
+      .collect().map(key).sorted
+    assert(served === inline)
+  }
+
   test("wordCount: 0 for blank text, shingleHashes skips short docs") {
     import graft.functions.TextFunctions
     val counts = docsOf(1L -> "", 2L -> "   ", 3L -> "two words")
