@@ -60,8 +60,13 @@ object Bench {
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
         // operators persist multi-consumer stages internally; drop them so
-        // successive queries don't compete for executor memory
+        // successive queries don't compete for executor memory. clearCache
+        // only drops Dataset caches — localCheckpoint blocks (the lineage
+        // cuts in recallAtK/BM25/spans/CMS) live in sc.persistentRdds and
+        // would otherwise linger until GC, so unpersist those explicitly.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val (t1, e1) = once()

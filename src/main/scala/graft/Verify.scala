@@ -29,8 +29,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators persist multi-consumer stages internally; drop them
-      // between queries so 42 pipelines don't stack up in memory
+      // between queries so the pipelines don't stack up in memory
+      // (localCheckpoint blocks aren't Dataset caches — drop them via
+      // the context's persistent-RDD registry)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

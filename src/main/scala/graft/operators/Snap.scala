@@ -114,11 +114,15 @@ object Snap {
       // Unlike the old min(struct(d2,tid,tx,ty)) form, this join-back
       // assumes tid uniquely identifies a target row; a layer with
       // duplicate tids would otherwise multiply output rows per snapped
-      // point. dropDuplicates enforces the contract (free on well-formed
-      // layers: the target table is the small side, and AQE coalesces
-      // the near-empty dedup exchange).
-      .join(targets.select(col("tid"), col("tx").as("bx"),
-        col("ty").as("by")).dropDuplicates("tid"), Seq("tid"))
+      // point. The dedup picks the lexicographic-min (tx, ty) pair per
+      // tid — DETERMINISTIC even on malformed layers, where a bare
+      // dropDuplicates("tid") keeps an arbitrary row per run. struct-min
+      // forces SortAggregate, but only over the SMALL target table (the
+      // hot point×candidate aggregate above stays on the heap path).
+      .join(targets.groupBy("tid")
+        .agg(min(struct(col("tx"), col("ty"))).as("b"))
+        .select(col("tid"), col("b.tx").as("bx"), col("b.ty").as("by")),
+        Seq("tid"))
 
     pts.join(best, Seq("id"), "left")
       .select(

@@ -233,10 +233,18 @@ object EventQueries {
         |FROM r JOIN cs USING (cw)""".stripMargin,
 
     "q_json_extract" ->
+      // has_k excludes a literal JSON null explicitly. Spark's
+      // get_json_object returns SQL NULL for {"k": null} (has_k =
+      // false); DuckDB versions differ on whether json_extract yields
+      // SQL NULL or a JSON 'null' VALUE there (the installed one yields
+      // SQL NULL — measured), so the json_type guard pins the engine's
+      // semantics instead of relying on the DuckDB version or on the
+      // testdata never containing JSON nulls.
       """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-        |  json_extract(props, '$.k') IS NOT NULL AS has_k
+        |  (json_extract(props, '$.k') IS NOT NULL
+        |   AND json_type(json_extract(props, '$.k')) <> 'NULL') AS has_k
         |FROM events""".stripMargin,
 
     "q_pagerank" -> pagerankOracle,

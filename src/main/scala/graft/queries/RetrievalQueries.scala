@@ -83,10 +83,41 @@ object RetrievalQueries {
           (((lit(a) * h + lit(b)) % CmsP) % CmsWidth).as("bk"))
       }: _*)
 
-    val sketch = toks
-      .select(explode(buckets(rollingFingerprint(col("w")))).as("x"))
-      .groupBy(col("x.i").as("i"), col("x.bk").as("bk"))
-      .agg(count(lit(1)).as("c"))
+    // ONE corpus scan, ONE shuffle: the exact-count verification rides
+    // INSIDE the sketch aggregate as ten conditional counters — probe
+    // word p's occurrences all land in cell (i, bk_i(p)) for every row
+    // i, so within any one of p's own cells the conditional count IS
+    // p's exact corpus count, and max() over all cells recovers it
+    // (non-matching cells contribute 0). The r8 shape scanned +
+    // tokenized the corpus once PER CONSUMER; a localCheckpoint of the
+    // raw token table measured a wash at sf0.1 (saves the rescan, pays
+    // materializing every token row — at 100 TB the worse trade), and a
+    // grouping-sets variant paid a 2x Expand on the exploded rows. This
+    // form keeps the hot path IDENTICAL to the sketch-only aggregate
+    // (10 extra codegen'd counters in the same hash buffer); map-side
+    // combine still bounds the shuffle at <= 2048 rows per partition.
+    val aggCols = count(lit(1)).as("c") +:
+      CmsProbes.zipWithIndex.map { case (p, j) =>
+        count(when(col("w") === p, 1)).as(s"e$j") }
+    val g = toks
+      .select(col("w"),
+        explode(buckets(rollingFingerprint(col("w")))).as("x"))
+      .select(col("w"), col("x.i").as("i"), col("x.bk").as("bk"))
+      .groupBy("i", "bk")
+      .agg(aggCols.head, aggCols.tail: _*)
+      // BOTH branches below consume this aggregate; the lineage cut
+      // makes the corpus scan run once, and is ~free because the
+      // aggregate is bounded at 4x512 rows BY CONSTRUCTION
+      .localCheckpoint()
+    val sketch = g.select("i", "bk", "c")
+    val stackArgs = CmsProbes.zipWithIndex
+      .map { case (p, j) => s"'$p', m$j" }.mkString(", ")
+    val exact = g
+      .groupBy()
+      .agg(max(col("e0")).as("m0"),
+        CmsProbes.indices.tail.map(j => max(col(s"e$j")).as(s"m$j")): _*)
+      .select(expr(s"stack(${CmsProbes.size}, $stackArgs)")
+        .as(Seq("w", "exact")))
 
     val probes = docs(spark, dir).sparkSession
       .createDataFrame(CmsProbes.map(Tuple1(_))).toDF("w")
@@ -98,9 +129,6 @@ object RetrievalQueries {
       .join(sketch, Seq("i", "bk"), "left")
       .groupBy("w")
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
-
-    val exact = toks.where(col("w").isInCollection(CmsProbes))
-      .groupBy("w").agg(count(lit(1)).as("exact"))
 
     est.join(exact, Seq("w"), "left")
       .select(col("w"),

@@ -340,6 +340,19 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(kplan.contains("*(1) Project")) // inside whole-stage codegen
   }
 
+  test("heavy-hitters plan: ONE corpus scan feeds sketch and exact " +
+    "(conditional counters + bounded checkpoint)") {
+    val plan = graft.queries.RetrievalQueries
+      .qHeavyHittersCms(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    // sketch cells AND exact probe counts come from a single grouping-
+    // sets aggregate, materialized once (bounded-size localCheckpoint)
+    // during query construction: the final plan reads the checkpointed
+    // rows and never touches the documents parquet again
+    assert("Scan parquet".r.findAllIn(plan).size === 0, plan.take(2000))
+    assert(plan.contains("ExistingRDD")) // both branches read the cut
+  }
+
   test("round-4 plans: decontaminate broadcasts the benchmark set; " +
     "general clip joins on cells; packing shuffles once on lang") {
     // decontaminate: the benchmark shingle set is the broadcast side of
