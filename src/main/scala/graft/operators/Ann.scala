@@ -535,6 +535,44 @@ object Ann {
           / col("n_exact").cast("double"), 4).as("recall"))
   }
 
+  /** Semantic dedup — the SemDeDup shape (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", public literature): cluster the embedding space
+    * with the IVF coarse quantizer, then look for near-duplicates
+    * WITHIN clusters only. The pairwise sweep is bounded by cluster
+    * size — nlist grows with the corpus at scale (the paper runs 11k
+    * clusters over 1.6B embeddings), so the corpus never meets itself
+    * whole; the cluster equi-join is the only shuffle beside training.
+    *
+    * Duplicate rule (deterministic, oracle-replayable): a row is a
+    * duplicate iff a LOWER-id row of the same cluster has
+    * round(cos, 4) >= minCos; dup_of = the smallest such id (min-id
+    * anchor, the same canonicalization the text near-dup pipeline
+    * uses), keep = not a duplicate. The cluster-assigned corpus feeds
+    * the pair join twice and the output projection once, so it is
+    * materialized with a lineage cut (the established multi-consumer
+    * policy; Bench/Verify free checkpoint blocks between queries). */
+  def semDedup(corpus: DataFrame, nlist: Int, iters: Int,
+               minCos: Double, dim: Int = DefaultDim): DataFrame = {
+    val (_, indexed) = ivfTrainAssign(corpus, nlist, iters, dim)
+    val idx = indexed.localCheckpoint()
+    val a = idx.select(col("cluster"), col("nid").as("ida"),
+      col("ne").as("ea"), col("nn").as("na"))
+    val b = idx.select(col("cluster"), col("nid").as("idb"),
+      col("ne").as("eb"), col("nn").as("nb"))
+    val anchors = a.join(b, Seq("cluster"))
+      .filter(col("ida") < col("idb"))
+      .filter(round(dot(col("ea"), col("eb"), dim)
+        / greatest(col("na") * col("nb"), lit(1e-12)), 4) >= minCos)
+      .groupBy(col("idb").as("vec_id"))
+      .agg(min(col("ida")).as("dup_of"))
+    idx.select(col("nid").as("vec_id"), col("cluster"))
+      .join(anchors, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** Embedding-cosine near-dup PAIRS over the whole corpus — the dedup
     * counterpart of cosineTopKLsh: every (ida < idb) pair with
     * round(cos, 4) >= minCos among hyperplane-bucket mates. The bucket

@@ -116,9 +116,19 @@ object AnnQueries {
       path = s"/tmp/graft_pq/$tag")
   }
 
+  /** SemDeDup over the embeddings table: coarse-cluster (same nlist/
+    * iters as the IVF queries — the oracle reuses the IVF CTE chain),
+    * then min-id-anchor near-dup within clusters. minCos matches the
+    * whole-corpus near-dup sweep so the two operators are comparable:
+    * this one trades the hyperplane-bucket bound for a semantic-
+    * cluster bound. */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame =
+    Ann.semDedup(emb(spark, dir), nlist = 16, iters = 2, minCos = 0.3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_pq_indexed" -> (qAnnPqIndexed _),
+    "q_semdedup" -> (qSemDedup _),
     "q_ann_recall_pq" -> (qAnnRecallPq _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_ann_cosine_topk" -> (qCosineTopK _),
@@ -309,6 +319,25 @@ object AnnQueries {
        |QUALIFY rank <= $K""".stripMargin
   }
 
+  /** DuckDB twin of SemDeDup: the shared IVF coarse CTE chain assigns
+    * clusters, then the within-cluster min-id-anchor rule replays with
+    * the same rounded cosine. */
+  private val semDedupOracle: String =
+    s"""WITH $ivfCoarseCtes,
+       |pairs AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM idx a JOIN idx b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ROUND(list_sum(list_transform(range(1, 65),
+       |          i -> a.e[i] * b.e[i]))
+       |      / greatest(a.nrm * b.nrm, 1e-12), 4) >= 0.3),
+       |anchors AS (
+       |  SELECT idb AS vec_id, MIN(ida) AS dup_of FROM pairs GROUP BY 1)
+       |SELECT x.vec_id, x.cluster,
+       |  COALESCE(an.dup_of, -1) AS dup_of,
+       |  an.vec_id IS NULL AS keep
+       |FROM idx x LEFT JOIN anchors an ON an.vec_id = x.vec_id""".stripMargin
+
   /** DuckDB twin of the near-dup sweep: same hyperplane buckets, same
     * rounded cosine, full self-join within buckets. */
   private val dedupEmbeddingOracle: String =
@@ -412,6 +441,7 @@ object AnnQueries {
   val oracles: Map[String, String] = Map(
     "q_ann_pq" -> pqOracle,
     "q_ann_pq_indexed" -> pqOracle,
+    "q_semdedup" -> semDedupOracle,
     "q_ann_recall_pq" -> recallOracle(pqOracle, topkOracle),
     "q_ann_quantized" -> quantizedOracle,
     "q_ann_recall_quantized" -> recallOracle(quantizedOracle, topkOracle),

@@ -146,6 +146,30 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(served === inline)
   }
 
+  test("semDedup: duplicate vector marked dup-of its lower-id twin") {
+    import spark.implicits._
+    val dim = 8
+    // vector 25 duplicates vector 3: identical embeddings land in the
+    // same cluster at cos 1.0, so 25 must be dup_of 3 and 3 kept
+    val vecs = (0L until 40L).map { i =>
+      val src = if (i == 25L) 3L else i
+      (i, (0 until dim).map(j =>
+        ((src * 31 + j * 17) % 97).toDouble / 97.0 - 0.5).toSeq)
+    }.toDF("vec_id", "embedding")
+    // minCos = 1.0: only the exact duplicate qualifies (the modular
+    // test vectors put constant-shift pairs near cos ~0.996, which
+    // rounds below 1.0)
+    val out = Ann.semDedup(vecs, nlist = 4, iters = 1, minCos = 1.0,
+      dim = dim).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("dup_of"), r.getAs[Boolean]("keep"))).toMap
+    assert(out.size === 40)
+    assert(out(25L) === (3L, false))
+    assert(out(3L) === (-1L, true))
+    // everything else is far apart at this threshold
+    assert(out.count(!_._2._2) === 1)
+  }
+
   test("wordCount: 0 for blank text, shingleHashes skips short docs") {
     import graft.functions.TextFunctions
     val counts = docsOf(1L -> "", 2L -> "   ", 3L -> "two words")
