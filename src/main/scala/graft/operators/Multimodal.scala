@@ -1069,9 +1069,9 @@ object Multimodal {
 
   /** MPEG-1 Layer III bitrate table, kbps by bitrate index (index 0 =
     * "free" and 15 = forbidden are not writable). */
-  private val Mp3Kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+  private[operators] val Mp3Kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
     160, 192, 224, 256, 320)
-  private val Mp3Rates = Array(44100, 48000, 32000)
+  private[operators] val Mp3Rates = Array(44100, 48000, 32000)
 
   /** Encode document `docId`'s synthetic audio as a REAL MP3 frame
     * stream: a leading ID3v2.3 tag (syncsafe length — walkers must

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Multimodal
+import graft.operators.{Mp3, Multimodal}
 import graft.sources.Wkt
 
 /** Source-layer queries (SURVEY.md §2 rows 21, 38): WKT round-trip parse
@@ -163,6 +163,15 @@ object SourceQueries {
   def qMultimodalMp3(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mp3Features(Tables.load(spark, dir, "documents"))
 
+  /** Full Layer III SPECTRAL decode (side info -> scalefactors ->
+    * Huffman -> requantize -> alias -> windowed IMDCT + overlap-add):
+    * per-granule per-subband energies over genuinely CODED frames. */
+  def qMultimodalMp3Spectral(spark: SparkSession, dir: String): DataFrame =
+    Mp3.mp3SpectralFeatures(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("gi"), col("subband"),
+        round(col("e_spec"), 6).as("e_spec"),
+        round(col("e_ola"), 6).as("e_ola"))
+
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -226,6 +235,7 @@ object SourceQueries {
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
     "q_multimodal_mp3" -> (qMultimodalMp3 _),
+    "q_multimodal_mp3_spectral" -> (qMultimodalMp3Spectral _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
     "q_multimodal_augment" -> (qMultimodalAugment _),
     "q_multimodal_png" -> (qMultimodalPng _),
@@ -406,6 +416,68 @@ object SourceQueries {
         |  CAST(SUM(kbps) AS BIGINT) AS sum_kbps,
         |  n * 1152 * 1000 // sr AS duration_ms
         |FROM fr GROUP BY doc_id, n, sr""".stripMargin,
+
+    // Layer III spectral decode replayed analytically: the coded
+    // spectrum is the closed-form {-1,0,1} pattern, so requantize is
+    // v * 2^((gg-210)/4) * 2^(-(1+sfs)*sf) (|v|^(4/3) = |v|), the alias
+    // butterflies act on lines 10..25 / 28..43 with the spec ci
+    // constants, and the windowed IMDCT + overlap-add is an 18-term
+    // cos sum per output sample (k ascending, matching the engine's
+    // fold order) with LAG carrying each granule's window tail.
+    "q_multimodal_mp3_spectral" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |ab AS (SELECT
+        |  list_transform([-0.6,-0.535,-0.33,-0.185,-0.095,-0.041,
+        |                  -0.0142,-0.0037], c -> 1.0/sqrt(1.0+c*c)) AS cs,
+        |  list_transform([-0.6,-0.535,-0.33,-0.185,-0.095,-0.041,
+        |                  -0.0142,-0.0037], c -> c/sqrt(1.0+c*c)) AS ca),
+        |g AS (SELECT doc_id, f, gr,
+        |        200 + (doc_id + f + gr) % 16 AS gg,
+        |        doc_id % 2 AS sfs
+        |      FROM d,
+        |      LATERAL (SELECT unnest(generate_series(0,
+        |                 2 + doc_id % 3 - 1)) AS f) u,
+        |      (SELECT unnest([0, 1]) AS gr) v),
+        |xr AS (SELECT doc_id, f, gr,
+        |        list_transform(range(0, 36), i ->
+        |          CAST((doc_id*7 + f*5 + gr*11 + i*13) % 3 - 1 AS DOUBLE)
+        |          * POWER(2.0, (gg - 210) / 4.0)
+        |          * POWER(2.0, -(1.0 + sfs) *
+        |              CAST((doc_id + gr + (CASE WHEN i < 24 THEN i // 4
+        |                WHEN i < 30 THEN 6 ELSE 7 END)) % 2 AS DOUBLE)))
+        |          AS x
+        |       FROM g),
+        |xal AS (SELECT doc_id, f, gr,
+        |        list_transform(range(0, 54), i -> CASE
+        |          WHEN i <= 9 THEN x[i+1]
+        |          WHEN i <= 17 THEN x[i+1]*cs[17-i+1] - x[35-i+1]*ca[17-i+1]
+        |          WHEN i <= 25 THEN x[i+1]*cs[i-18+1] + x[35-i+1]*ca[i-18+1]
+        |          WHEN i <= 27 THEN x[i+1]
+        |          WHEN i <= 35 THEN x[i+1]*cs[35-i+1]
+        |          WHEN i <= 43 THEN x[71-i+1]*ca[i-36+1]
+        |          ELSE 0.0 END) AS xa
+        |       FROM xr, ab),
+        |sbv AS (SELECT doc_id, f*2 + gr AS gi, sb,
+        |          list_transform(range(0, 18),
+        |            k -> xa[18*sb + k + 1]) AS xs
+        |        FROM xal, (SELECT unnest([0, 1, 2]) AS sb) s),
+        |zw AS (SELECT doc_id, gi, sb, xs,
+        |         list_transform(range(0, 36), i ->
+        |           list_sum(list_transform(range(0, 18), k ->
+        |             xs[k+1] * cos(pi() / 72.0 * (2*i + 19) * (2*k + 1))))
+        |           * sin(pi() / 36.0 * (i + 0.5))) AS z
+        |       FROM sbv),
+        |ola AS (SELECT doc_id, gi, sb, xs, z,
+        |          lag(z) OVER (PARTITION BY doc_id, sb ORDER BY gi) AS zp
+        |        FROM zw)
+        |SELECT doc_id, gi, CAST(sb AS BIGINT) AS subband,
+        |  ROUND(list_sum(list_transform(range(0, 18),
+        |    i -> xs[i+1] * xs[i+1])), 6) AS e_spec,
+        |  ROUND(list_sum(list_transform(range(0, 18),
+        |    i -> (z[i+1] + COALESCE(zp[i+19], 0.0))
+        |       * (z[i+1] + COALESCE(zp[i+19], 0.0)))), 6) AS e_ola
+        |FROM ola""".stripMargin,
 
     // Frame-level audio features (VAD shape) over REAL decoded WAV
     // samples: 64-sample frames (incomplete tail dropped), per-frame

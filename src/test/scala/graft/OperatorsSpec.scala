@@ -573,6 +573,41 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       .getMessage.matches(".*(truncated|garbage).*"))
   }
 
+  test("MP3 spectral decode: coded roundtrip recovers the requantize " +
+    "formula on butterfly-free lines; granule count; tampering caught") {
+    import graft.operators.Mp3
+    for (d <- 0L to 5L) {
+      val grs = Mp3.decodeMp3Spectral(Mp3.synthMp3Coded(d))
+      assert(grs.length === 2 * Mp3.synthNFrames(d))
+      for (gr <- grs) {
+        val gg = Mp3.synthGain(d, gr.frame, gr.granule)
+        val sfs = Mp3.synthSfScale(d)
+        // lines 0..9 are untouched by the alias butterflies (they act
+        // on lines 10..25 and 28..43), so the decoded spectrum there
+        // must equal the closed-form requantization EXACTLY (same
+        // double ops in the same order)
+        for (i <- 0 until 10) {
+          val v = Mp3.synthIs(d, gr.frame, gr.granule, i)
+          val sf = Mp3.synthSf(d, gr.granule, i / 4)
+          val want = math.signum(v.toDouble) *
+            math.pow(math.abs(v).toDouble, 4.0 / 3.0) *
+            math.pow(2.0, (gg - 210) / 4.0) *
+            math.pow(2.0, -(1.0 + sfs) * sf)
+          assert(gr.xa(i) === want, s"d=$d f=${gr.frame} g=${gr.granule} i=$i")
+        }
+        // everything above the aliased region is silent
+        assert((44 until 576).forall(gr.xa(_) === 0.0))
+      }
+    }
+    // part2_3_length is enforced: corrupting a Huffman byte desyncs the
+    // bit count and the decoder must refuse (byte 21+3 sits in granule
+    // 0's big_values run)
+    val ok = Mp3.synthMp3Coded(1L)
+    val bad = ok.clone(); bad(24) = (bad(24) ^ 0x55).toByte
+    assert(intercept[IllegalArgumentException](
+      Mp3.decodeMp3Spectral(bad)).getMessage.contains("part2_3"))
+  }
+
   test("WKB: golden bytes both endian, multipolygon, writer layout, malformed") {
     import spark.implicits._
     import graft.sources.Wkb
