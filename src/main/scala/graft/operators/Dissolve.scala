@@ -147,6 +147,77 @@ object Dissolve {
         coalesce(col("union_area"), lit(0.0)).as("union_area"))
   }
 
+  /** Overlap-union RING GEOMETRY: the merged boundary rings of
+    * overlapping axis-aligned parts — the (Multi)Polygon return value of
+    * shapely `unary_union` (reference core.py:276) for the overlapping
+    * case [[dissolveRings]] can't serve (partial overlaps don't cancel
+    * edge-for-edge).
+    *
+    * Construction: per group, COORDINATE COMPRESSION — the distinct
+    * x and y edges cut the group into grid cells (lead windows, no
+    * driver state); a cell is covered iff some part contains it
+    * (bucketed (gid, bx) equi-join, same trick as
+    * [[dissolveUnionArea]]'s slab-to-box match, never a per-group
+    * product); each covered cell emits its 4 edges; edges interior to
+    * the covered region appear exactly twice (cells share complete
+    * edges BY CONSTRUCTION — this is what makes cancellation valid
+    * where raw part edges partially overlap) and cancel; the surviving
+    * edges walk into rings with the same rightmost-turn kernel as
+    * [[dissolveRings]]. Ring vertices land on the compressed grid, so
+    * straight boundary runs carry their intermediate cell corners —
+    * deterministic, and holes come out as separate (clockwise-walked)
+    * rings for free.
+    *
+    * Scale: the grid is quadratic in per-group boundary complexity —
+    * the same per-group contract as dissolveRings' collect_list; groups
+    * partition independently, so the plan holds with millions of
+    * groups. */
+  def dissolveUnionRings(parts: DataFrame, bucket: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wx = Window.partitionBy("gid").orderBy("x")
+    val wy = Window.partitionBy("gid").orderBy("y")
+    val xs = parts
+      .select(col("gid"), explode(array(col("x0"), col("x1"))).as("x"))
+      .distinct()
+      .withColumn("xr", lead("x", 1).over(wx))
+      .filter(col("xr").isNotNull)
+      .withColumn("bx", floor(col("x") / bucket))
+    val ys = parts
+      .select(col("gid"), explode(array(col("y0"), col("y1"))).as("y"))
+      .distinct()
+      .withColumn("yr", lead("y", 1).over(wy))
+      .filter(col("yr").isNotNull)
+    val cells = xs.join(ys, Seq("gid"))
+    val pb = parts.withColumn("bx", explode(sequence(
+      floor(col("x0") / bucket).cast("long"),
+      floor(col("x1") / bucket).cast("long"))))
+    val cov = cells.join(pb, Seq("gid", "bx"))
+      .filter(col("x0") <= col("x") && col("xr") <= col("x1")
+        && col("y0") <= col("y") && col("yr") <= col("y1"))
+      .select("gid", "x", "xr", "y", "yr").distinct()
+    val edges = cov.select(col("gid").as("key"), explode(array(
+      struct(col("x").as("ex0"), col("y").as("ey0"),
+        col("xr").as("ex1"), col("y").as("ey1")),
+      struct(col("x").as("ex0"), col("yr").as("ey0"),
+        col("xr").as("ex1"), col("yr").as("ey1")),
+      struct(col("x").as("ex0"), col("y").as("ey0"),
+        col("x").as("ex1"), col("yr").as("ey1")),
+      struct(col("xr").as("ex0"), col("y").as("ey0"),
+        col("xr").as("ex1"), col("yr").as("ey1")))).as("e"))
+    edges
+      .groupBy(col("key"), col("e"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1)
+      .groupBy("key")
+      .agg(collect_list(struct(
+        col("e.ex0").as("ex0"), col("e.ey0").as("ey0"),
+        col("e.ex1").as("ex1"), col("e.ey1").as("ey1"))).as("es"))
+      .select(col("key").as("gid"),
+        explode(graft.geom.DissolveRings(col("es"))).as("v"))
+      .select(col("gid"), col("v.ring").as("ring"), col("v.vi").as("vi"),
+        col("v.x").as("x"), col("v.y").as("y"))
+  }
+
   /** multi_to_single: explode an array-of-parts geometry column; every other
     * column is carried through (reference core.py:285-317). Parts are sorted
     * before exploding so output is deterministic. */

@@ -242,7 +242,28 @@ object GeoQueries {
     * mid-ring the unused incident edge minimizing turn-score*1000+index
     * with score right(0) < straight(1) < left(2) — exactly the kernel's
     * priority and tie-break. */
-  private lazy val dissolveRingsOracle: String = {
+  private lazy val dissolveRingsOracle: String =
+    ringWalkOracle(
+      s"""poly AS (${GeoData.polyNationSql}),
+         |edges0 AS (
+         |  SELECT rkey, UNNEST([
+         |    {'ex0': x0, 'ey0': y0, 'ex1': x1, 'ey1': y0},
+         |    {'ex0': x0, 'ey0': y1, 'ex1': x1, 'ey1': y1},
+         |    {'ex0': x0, 'ey0': y0, 'ex1': x0, 'ey1': y1},
+         |    {'ex0': x1, 'ey0': y0, 'ex1': x1, 'ey1': y1}]) AS e
+         |  FROM poly),
+         |uniq AS (SELECT rkey, e FROM edges0
+         |         GROUP BY rkey, e HAVING COUNT(*) = 1)""".stripMargin,
+      "rkey")
+
+  /** The recursive ring walk over any prefix of CTEs ending in
+    * `uniq(rkey, e)` — the boundary edge set after cancellation. Shared
+    * by the tiling dissolve (q_dissolve_rings) and the overlap-union
+    * rings (q_dissolve_union_rings), which differ only in how the edge
+    * set is derived. The `% 1000` tie-break packing assumes < 1000
+    * boundary edges per group (holds at the oracle's sf0.01 scale). */
+  private[queries] def ringWalkOracle(prefixCtes: String,
+                                      keyAlias: String): String = {
     // direction of edge i leaving (cx,cy): +-1/0 per axis, like the
     // kernel's sgn()
     def od(axis: String): String =
@@ -250,15 +271,7 @@ object GeoQueries {
          |      THEN CAST(SIGN(es[i].e${axis}1 - es[i].e${axis}0) AS INT)
          |      ELSE CAST(SIGN(es[i].e${axis}0 - es[i].e${axis}1) AS INT) END)"""
         .stripMargin
-    s"""WITH RECURSIVE poly AS (${GeoData.polyNationSql}),
-       |edges0 AS (
-       |  SELECT rkey, UNNEST([
-       |    {'ex0': x0, 'ey0': y0, 'ex1': x1, 'ey1': y0},
-       |    {'ex0': x0, 'ey0': y1, 'ex1': x1, 'ey1': y1},
-       |    {'ex0': x0, 'ey0': y0, 'ex1': x0, 'ey1': y1},
-       |    {'ex0': x1, 'ey0': y0, 'ex1': x1, 'ey1': y1}]) AS e
-       |  FROM poly),
-       |uniq AS (SELECT rkey, e FROM edges0 GROUP BY rkey, e HAVING COUNT(*) = 1),
+    s"""WITH RECURSIVE $prefixCtes,
        |el AS MATERIALIZED (
        |  SELECT rkey, list(e ORDER BY e.ex0, e.ey0, e.ex1, e.ey1) AS es
        |  FROM uniq GROUP BY rkey),
@@ -311,8 +324,8 @@ object GeoQueries {
        |      END AS pick
        |    FROM walk
        |    WHERE len(used) < len(es)) s)
-       |SELECT rkey, CAST(ring AS INT) AS ring, CAST(vi AS INT) AS vi,
-       |  vx AS x, vy AS y
+       |SELECT rkey AS $keyAlias, CAST(ring AS INT) AS ring,
+       |  CAST(vi AS INT) AS vi, vx AS x, vy AS y
        |FROM walk WHERE vx IS NOT NULL""".stripMargin
   }
 

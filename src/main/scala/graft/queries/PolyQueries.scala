@@ -149,12 +149,26 @@ object PolyQueries {
         .withColumn("gid", col("rid") % 40),
       bucket = Bucket)
 
+  /** Merged ring GEOMETRY of the overlap union — the shapely
+    * unary_union (Multi)Polygon for overlapping parts, as walked ring
+    * vertices. gid is finer than q_dissolve_overlap's (% 200 vs % 40):
+    * the ring construction's per-group grid is quadratic in group
+    * complexity, and the finer key keeps every group's grid bounded
+    * while still exercising heavy overlap (the operator itself is
+    * group-size-agnostic). */
+  def qDissolveUnionRings(spark: SparkSession, dir: String): DataFrame =
+    Dissolve.dissolveUnionRings(
+      GeoData.rectCustomer(spark, dir)
+        .withColumn("gid", col("rid") % 200),
+      bucket = Bucket)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_intersection_area_poly" -> (qIntersectionAreaPoly _),
     "q_intersection_area_concave" -> (qIntersectionAreaConcave _),
     "q_intersection_area_general" -> (qIntersectionAreaGeneral _),
     "q_clip_rings" -> (qClipRings _),
-    "q_dissolve_overlap" -> (qDissolveOverlap _))
+    "q_dissolve_overlap" -> (qDissolveOverlap _),
+    "q_dissolve_union_rings" -> (qDissolveUnionRings _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -417,10 +431,48 @@ object PolyQueries {
        |  COALESCE(u.union_area, 0.0) AS union_area
        |FROM p LEFT JOIN u ON u.gid = p.gid""".stripMargin
 
+  /** Overlap-union rings: covered-cell edge derivation (coordinate
+    * compression + cover test + cancellation) feeding the SAME
+    * recursive ring walk as q_dissolve_rings. */
+  private lazy val dissolveUnionRingsOracle: String =
+    GeoQueries.ringWalkOracle(
+      s"""r0 AS (${GeoData.rectCustomerSql}),
+         |r AS (SELECT rid % 200 AS gid, x0, y0, x1, y1 FROM r0),
+         |xs AS (SELECT DISTINCT gid, x FROM (
+         |         SELECT gid, x0 AS x FROM r
+         |         UNION ALL SELECT gid, x1 FROM r)),
+         |slabs AS (SELECT gid, x,
+         |            LEAD(x) OVER (PARTITION BY gid ORDER BY x) AS xr
+         |          FROM xs),
+         |ys AS (SELECT DISTINCT gid, y FROM (
+         |         SELECT gid, y0 AS y FROM r
+         |         UNION ALL SELECT gid, y1 FROM r)),
+         |yslabs AS (SELECT gid, y,
+         |             LEAD(y) OVER (PARTITION BY gid ORDER BY y) AS yr
+         |           FROM ys),
+         |cov AS (SELECT DISTINCT c.gid, c.x, c.xr, c.y, c.yr
+         |        FROM (SELECT s.gid, s.x, s.xr, t.y, t.yr
+         |              FROM slabs s JOIN yslabs t ON t.gid = s.gid
+         |              WHERE s.xr IS NOT NULL AND t.yr IS NOT NULL) c
+         |        JOIN r ON r.gid = c.gid
+         |          AND r.x0 <= c.x AND c.xr <= r.x1
+         |          AND r.y0 <= c.y AND c.yr <= r.y1),
+         |edges0 AS (
+         |  SELECT gid AS rkey, UNNEST([
+         |    {'ex0': x, 'ey0': y, 'ex1': xr, 'ey1': y},
+         |    {'ex0': x, 'ey0': yr, 'ex1': xr, 'ey1': yr},
+         |    {'ex0': x, 'ey0': y, 'ex1': x, 'ey1': yr},
+         |    {'ex0': xr, 'ey0': y, 'ex1': xr, 'ey1': yr}]) AS e
+         |  FROM cov),
+         |uniq AS (SELECT rkey, e FROM edges0
+         |         GROUP BY rkey, e HAVING COUNT(*) = 1)""".stripMargin,
+      "gid")
+
   val oracles: Map[String, String] = Map(
     "q_intersection_area_poly" -> intersectionAreaOracle,
     "q_intersection_area_concave" -> intersectionAreaConcaveOracle,
     "q_intersection_area_general" -> intersectionAreaGeneralOracle,
     "q_clip_rings" -> clipRingsOracle,
-    "q_dissolve_overlap" -> dissolveOverlapOracle)
+    "q_dissolve_overlap" -> dissolveOverlapOracle,
+    "q_dissolve_union_rings" -> dissolveUnionRingsOracle)
 }

@@ -276,6 +276,57 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dissolveUnionRings: overlapping boxes merge into one ring; " +
+    "frame-with-hole yields an inner ring") {
+    import spark.implicits._
+    val parts = Seq(
+      // gid 0: two 4x4 boxes overlapping in a 2x2 corner -> ONE
+      // 8-corner staircase ring (plus compressed-grid intermediate
+      // vertices on the straight runs)
+      (0L, 0.0, 0.0, 4.0, 4.0), (0L, 2.0, 2.0, 6.0, 6.0),
+      // gid 1: four overlapping bars forming a frame -> outer ring +
+      // inner hole ring
+      (1L, 0.0, 0.0, 6.0, 1.0), (1L, 0.0, 5.0, 6.0, 6.0),
+      (1L, 0.0, 0.0, 1.0, 6.0), (1L, 5.0, 0.0, 6.0, 6.0))
+      .toDF("gid", "x0", "y0", "x1", "y1")
+    val out = graft.operators.Dissolve
+      .dissolveUnionRings(parts, bucket = 10.0)
+      .collect()
+      .groupBy(r => (r.getAs[Long]("gid"), r.getAs[Int]("ring")))
+      .view.mapValues(_.sortBy(_.getAs[Int]("vi"))
+        .map(r => (r.getAs[Double]("x"), r.getAs[Double]("y"))).toSeq)
+      .toMap
+    // gid 0: exactly one ring whose CORNER set is the 8-vertex
+    // staircase of the union (intermediate collinear vertices sit on
+    // the compressed grid and are allowed)
+    val r0 = out((0L, 0))
+    assert(!out.contains((0L, 1)))
+    def corners(vs: Seq[(Double, Double)]): Seq[(Double, Double)] =
+      vs.indices.filter { i =>
+        val (px, py) = vs((i - 1 + vs.length) % vs.length)
+        val (cx, cy) = vs(i)
+        val (nx, ny) = vs((i + 1) % vs.length)
+        (px == cx) != (cx == nx) || (py == cy) != (cy == ny)
+      }.map(vs)
+    assert(corners(r0).toSet === Set(
+      (0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (6.0, 2.0),
+      (6.0, 6.0), (2.0, 6.0), (2.0, 4.0), (0.0, 4.0)))
+    // gid 1: outer boundary ring + the 4x4 hole ring
+    val rings1 = out.keys.filter(_._1 == 1L).toSeq.sorted
+    assert(rings1.length === 2)
+    val holeCorners = corners(out((1L, 1))).toSet
+    val outerCorners = corners(out((1L, 0))).toSet
+    assert(Set(outerCorners, holeCorners).contains(
+      Set((0.0, 0.0), (6.0, 0.0), (6.0, 6.0), (0.0, 6.0))))
+    assert(Set(outerCorners, holeCorners).contains(
+      Set((1.0, 1.0), (5.0, 1.0), (5.0, 5.0), (1.0, 5.0))))
+    // rings close: last vertex is one axis-step from the first
+    out.values.foreach { vs =>
+      val (x0, y0) = vs.head; val (xn, yn) = vs.last
+      assert((x0 == xn) != (y0 == yn))
+    }
+  }
+
   test("wkt parsers work from a CSV source (read_spatialite analogue)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
     val f = new java.io.File(dir, "geo.csv")
