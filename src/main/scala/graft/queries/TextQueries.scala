@@ -87,6 +87,36 @@ object TextQueries {
         col("n_words") >= 10 && col("stop_ratio") >= 0.02)
   }
 
+  // ----------------------------------------------------- quality classifier
+
+  /** Distributed logistic-regression quality classifier
+    * (operators.Classifier): cheap deterministic features + an
+    * English-label target, 3 full-batch GD steps (each ONE aggregate,
+    * model driver-sized), then map-only scoring. The feature table is
+    * materialized once (lineage cut) for its 3 training scans + the
+    * scoring scan — at scale you extract features once, not per
+    * iteration. Every double on the path is IEEE-deterministic (no
+    * transcendentals) and gradients sum as exact integer nanos, so the
+    * oracle replays training bit-for-bit. */
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val nChars = length(col("text")).cast("long")
+    def ratio(c: org.apache.spark.sql.Column) =
+      c.cast("double") / (nChars + lit(1L)).cast("double")
+    val feats = docs(spark, dir).select(col("doc_id"),
+        (least(nChars, lit(2000L)).cast("double") / 1000.0).as("f_len"),
+        ratio(reCount(col("text"), "[.,;:!?]")).as("f_punct"),
+        ratio(reCount(col("text"), "[0-9]")).as("f_digit"),
+        ratio(reCount(col("text"), "[A-Z]")).as("f_upper"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint()
+    val fc = Seq("f_len", "f_punct", "f_digit", "f_upper")
+    val w = Classifier.trainLogistic(feats, fc, "y", iters = 3, lr = 2.0)
+    Classifier.scoreLogistic(feats, fc, w)
+      .select(col("doc_id"), col("y"), col("p"),
+        (col("p") >= 0.5).as("pred"))
+  }
+
   // ---------------------------------------------------------------- tokens
 
   def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
@@ -398,6 +428,57 @@ object TextQueries {
   private val docsSql =
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source FROM documents"
 
+  /** DuckDB twin of the logistic-regression classifier: the 3 GD steps
+    * unroll as CTE pairs (gradient aggregate, weight update). Exactness
+    * comes from the engine's determinism contract — rational sigmoid
+    * (no transcendentals) and integer-nano gradient sums — so every
+    * weight is replayed bit-for-bit; z and the quantized terms use the
+    * engine's exact fold orders. */
+  private lazy val qualityClassifierOracle: String = {
+    def zSql(w: String) =
+      s"(((($w.wb + f_len * $w.wl) + f_punct * $w.wp)" +
+        s" + f_digit * $w.wd) + f_upper * $w.wu)"
+    def step(prev: String, g: String, next: String) =
+      s"""$g AS (
+         |  SELECT SUM(CAST(ROUND(e * f_len * 1e9, 0) AS BIGINT)) AS sl,
+         |         SUM(CAST(ROUND(e * f_punct * 1e9, 0) AS BIGINT)) AS sp,
+         |         SUM(CAST(ROUND(e * f_digit * 1e9, 0) AS BIGINT)) AS sd,
+         |         SUM(CAST(ROUND(e * f_upper * 1e9, 0) AS BIGINT)) AS su,
+         |         SUM(CAST(ROUND(e * 1e9, 0) AS BIGINT)) AS sb,
+         |         COUNT(*) AS n
+         |  FROM (SELECT 0.5 + z / (2.0 * (1.0 + abs(z))) - y AS e,
+         |               f_len, f_punct, f_digit, f_upper
+         |        FROM (SELECT ff.*, ${zSql(prev)} AS z
+         |              FROM f ff, $prev) zz) ee),
+         |$next AS (SELECT
+         |    $prev.wl - 2.0 * (g.sl / 1e9) / g.n AS wl,
+         |    $prev.wp - 2.0 * (g.sp / 1e9) / g.n AS wp,
+         |    $prev.wd - 2.0 * (g.sd / 1e9) / g.n AS wd,
+         |    $prev.wu - 2.0 * (g.su / 1e9) / g.n AS wu,
+         |    $prev.wb - 2.0 * (g.sb / 1e9) / g.n AS wb
+         |  FROM $g g, $prev)""".stripMargin
+    s"""WITH d AS ($docsSql),
+       |f AS (SELECT doc_id,
+       |        LEAST(len(text), 2000) / 1000.0 AS f_len,
+       |        CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+       |          / CAST(len(text) + 1 AS DOUBLE) AS f_punct,
+       |        CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+       |          / CAST(len(text) + 1 AS DOUBLE) AS f_digit,
+       |        CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+       |          / CAST(len(text) + 1 AS DOUBLE) AS f_upper,
+       |        CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |      FROM d),
+       |w0 AS (SELECT 0.0 AS wl, 0.0 AS wp, 0.0 AS wd, 0.0 AS wu,
+       |              0.0 AS wb),
+       |${step("w0", "g1", "w1")},
+       |${step("w1", "g2", "w2")},
+       |${step("w2", "g3", "w3")}
+       |SELECT ff.doc_id, ff.y,
+       |  ROUND(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS p,
+       |  ROUND(0.5 + z / (2.0 * (1.0 + abs(z))), 6) >= 0.5 AS pred
+       |FROM (SELECT ff.*, ${zSql("w3")} AS z FROM f ff, w3) ff""".stripMargin
+  }
+
   private def stopSql(src: String, words: Seq[String]): String =
     s"len(regexp_extract_all($src, '\\b(${words.mkString("|")})\\b'))"
 
@@ -603,6 +684,8 @@ object TextQueries {
          |    AND ${perWordSql(stopSql(normSql, langStopwords.head._2))} >= 0.02 AS passes
          |FROM d""".stripMargin,
 
+    "q_quality_classifier" -> qualityClassifierOracle,
+
     "q_token_count" ->
       s"""WITH d AS ($docsSql)
          |SELECT doc_id,
@@ -624,6 +707,7 @@ object TextQueries {
     "q_dedup_exact" -> (qDedupExact _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
+    "q_quality_classifier" -> (qQualityClassifier _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_repetition" -> (qRepetition _),
