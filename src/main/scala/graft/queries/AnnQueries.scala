@@ -96,9 +96,13 @@ object AnnQueries {
   }
 
   /** Recall@k of the PQ-compressed index against the float brute force —
-    * what product quantization costs in ranking quality. */
+    * what product quantization costs in ranking quality. The monitor
+    * reads the PERSISTED index (qAnnPqIndexed), as a production recall
+    * monitor would — results are identical to the inline path (spec-
+    * asserted), so the oracle is unchanged; within a session the build
+    * is amortized across every consumer of the index. */
   def qAnnRecallPq(spark: SparkSession, dir: String): DataFrame =
-    Ann.recallAtK(qAnnPq(spark, dir), qCosineTopK(spark, dir), K)
+    Ann.recallAtK(qAnnPqIndexed(spark, dir), qCosineTopK(spark, dir), K)
 
   /** Persisted-index IVF-PQ: same parameters and RESULTS as q_ann_pq,
     * but built ONCE per session (encoded index + centroids + codebooks
