@@ -116,6 +116,21 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LATEST.json"), json + "\n")
     catch { case _: Throwable => () }
+    // The consumer parses only the LAST ~2000 chars of stdout; with 100+
+    // queries the full line above is ~2.6k chars, so its head is clipped
+    // and the parse has failed EVERY round (BENCH_r0*.json parsed=null).
+    // Emit a final COMPACT line that always fits: per-query timings as an
+    // array in sorted-key order (keys = sorted(SparkEntry.queries.keys),
+    // the same order CORRECTNESS rows sort to), full map in the file.
+    def snum(v: Double): String = {
+      val s = f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.')
+        .reverse
+      if (s.isEmpty || s == "-") "0" else s
+    }
+    val qt = results.map { case (_, v, _) => snum(v) }
+      .mkString("[", ",", "]")
+    val nerr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"warm_sec":${num(warmSec)},"err_n":$nerr,"key_order":"sorted(queries.keys)","qt":$qt,"queries_full":"BENCH_LATEST.json"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet table loaders for the driver-generated TPC-H-ish testdata.
   *
@@ -15,4 +17,29 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts as exact integer epoch-MICROS, whatever the file's
+    * physical representation. The driver has shipped the events table
+    * both as ns-annotated INT64 (reads as LONG under the nanosAsLong
+    * flag — rounds ≤8) and as µs TIMESTAMP/TIMESTAMP_NTZ (round 9+), so
+    * time normalization dispatches on the READ schema instead of
+    * assuming one encoding. The NTZ arm uses timestampdiff — pure
+    * wall-clock arithmetic, independent of the session time zone (a
+    * cast to TIMESTAMP would shift by the session offset). DuckDB's
+    * epoch_us(ts) produces the identical integer on every arm. */
+  def tsMicros(dt: DataType): Column = dt match {
+    case LongType          => expr("ts DIV 1000")
+    case TimestampNTZType  => expr(
+      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    case TimestampType     => unix_micros(col("ts"))
+    case t => throw new IllegalArgumentException(
+      s"events.ts: unsupported type $t")
+  }
+
+  /** The events table with `ts` replaced by normalized `ts_us` (long). */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.withColumn("ts_us", tsMicros(raw.schema("ts").dataType).cast("long"))
+      .drop("ts")
+  }
 }
