@@ -28,6 +28,11 @@ object Tables {
     * cast to TIMESTAMP would shift by the session offset). DuckDB's
     * epoch_us(ts) produces the identical integer on every arm. */
   def tsMicros(dt: DataType): Column = dt match {
+    // LONG is only reachable through the nanosAsLong session flag (ns-
+    // annotated INT64 parquet) or the specs' synthetic ns-long frames —
+    // a µs-encoded plain INT64 would silently shrink 1000×, but the
+    // driver has never shipped one and the default case keeps any new
+    // physical type loud instead of guessed-at.
     case LongType          => expr("ts DIV 1000")
     case TimestampNTZType  => expr(
       "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
@@ -36,10 +41,19 @@ object Tables {
       s"events.ts: unsupported type $t")
   }
 
-  /** The events table with `ts` replaced by normalized `ts_us` (long). */
-  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
-    raw.withColumn("ts_us", tsMicros(raw.schema("ts").dataType).cast("long"))
+  /** Normalize any events-shaped frame (batch or streaming) to the
+    * `ts_us` long-micros contract: replaces `ts` with `ts_us`; a frame
+    * already carrying `ts_us` passes through untouched. Every consumer
+    * of event time goes through this one boundary, so a driver-side
+    * physical re-encoding of events.ts is absorbed in exactly one
+    * place. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (df.columns.contains("ts_us")) df
+    else df.withColumn("ts_us",
+        tsMicros(df.schema("ts").dataType).cast("long"))
       .drop("ts")
-  }
+
+  /** The events table with `ts` replaced by normalized `ts_us` (long). */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "events"))
 }

@@ -9,18 +9,24 @@ import graft.streaming.EventsStream
 
 /** Event-stream queries (SURVEY.md §2 rows 39-40): windowed aggregation
   * (batch twin of the streaming path) and gap-based sessionization.
-  * All time arithmetic stays in exact epoch-nanos integer space;
-  * DuckDB mirrors via epoch_ns(ts).
+  * All time arithmetic stays in exact epoch-micros integer space
+  * (`ts_us`, normalized at the Tables.eventsUs boundary); DuckDB
+  * mirrors via epoch_us(ts).
   */
 object EventQueries {
 
   /** Session gap: 30 minutes, in micros. Session math runs at microsecond
-    * resolution — ts arrives as epoch nanos but DuckDB timestamps are
-    * µs-precision, so both sides truncate nanos -> micros (exact DIV). */
+    * resolution — DuckDB timestamps are µs-precision, so whatever the
+    * parquet encoding, both sides agree at micros exactly. */
   private val GapUs = 30L * 60 * 1000000L
 
+  /** Events normalized to the `ts_us` long-micros contract
+    * (Tables.eventsUs) — the one boundary that absorbs the driver's
+    * physical ts encoding (ns INT64 through r8, µs TIMESTAMP_NTZ from
+    * r9). DuckDB oracles mirror with epoch_us(ts)/epoch_ns(ts), both
+    * timestamp-native. */
   private def events(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    Tables.eventsUs(spark, dir)
 
   def qEventsWindowed(spark: SparkSession, dir: String): DataFrame =
     EventsStream.hourlyAgg(events(spark, dir))
@@ -33,7 +39,7 @@ object EventQueries {
   def qEventIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     EventsStream.intervalJoin(
       events(spark, dir).select(col("event_id"), col("user_id"),
-        col("event_type"), expr("ts DIV 1000").as("tus")))
+        col("event_type"), col("ts_us").as("tus")))
 
   /** Gap-based sessionization: a new session starts after >30 min of user
     * inactivity. One shuffle on user_id (window), one on (user_id,
@@ -42,7 +48,7 @@ object EventQueries {
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     events(spark, dir)
-      .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+      .select(col("event_id"), col("ts_us"),
         col("user_id"), col("event_type"), col("value"))
       .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
       .withColumn("new_sess",
@@ -76,8 +82,7 @@ object EventQueries {
     */
   def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
-      .select(col("user_id"), col("event_type"),
-        expr("ts DIV 1000").as("ts_us"))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
     val tv = ev.groupBy("user_id")
       .agg(min(when(col("event_type") === "view", col("ts_us"))).as("tv"))
     val tc = ev.join(tv, "user_id")
@@ -157,7 +162,7 @@ object EventQueries {
   def qRetention(spark: SparkSession, dir: String): DataFrame = {
     val uw = events(spark, dir)
       .select(col("user_id").cast("long").as("user_id"),
-        expr("(ts DIV 1000) DIV 604800000000").as("week"))
+        expr("ts_us DIV 604800000000").as("week"))
       .distinct()
     val cohort = uw.groupBy("user_id").agg(min("week").as("cw"))
     val cohortSize = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_n"))

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
+import graft.Tables
+
 /** Structured Streaming over the events table (SURVEY.md §2 row 39).
   *
   * The hourly aggregation is ONE transform shared by the batch query
@@ -14,27 +16,47 @@ import org.apache.spark.sql.types._
   * 100 TB/day event volumes); partitioning is by (event_type, window),
   * i.e. the natural shuffle key of the aggregation.
   *
-  * events.ts arrives as epoch-nanos LONG (parquet ns + nanosAsLong);
-  * `DIV` keeps the conversion in exact integer space.
+  * TIME CONTRACT: events.ts physical encoding is the driver's choice
+  * (ns-annotated INT64 through round 8, µs TIMESTAMP_NTZ from round 9);
+  * every reader — batch loader, streaming file source, test synthetic
+  * frames — normalizes to `ts_us` (long epoch-micros) at the boundary
+  * via Tables.normalizeTs, and all transforms below consume only
+  * `ts_us`. Watermarks need an event-time TIMESTAMP column, so the
+  * streaming readers derive `tsw = timestamp_micros(ts_us)` (session tz
+  * is pinned UTC, so unix_timestamp(tsw) is exact integer arithmetic).
   */
 object EventsStream {
 
-  /** Schema of the events parquet under nanosAsLong. */
+  /** READ schema for the streaming file source — must match the live
+    * parquet physical encoding (µs timestamp, read as NTZ). Synthetic
+    * test frames may instead carry ns-long `ts`; both shapes funnel
+    * through Tables.normalizeTs. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming file source over the events parquet, normalized to the
+    * ts_us contract with the watermarkable `tsw` twin. */
+  private def readEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.normalizeTs(
+        spark.readStream
+          .schema(eventsSchema)
+          .option("pathGlobFilter", "events.parquet") // stream source wants a dir
+          .parquet(dir))
+      .withColumn("tsw", timestamp_micros(col("ts_us")))
+
   /** Hourly tumbling aggregation per event_type. Works on both batch and
     * streaming DataFrames (the window/groupBy plan is mode-agnostic;
     * the streaming variant drops n_users — distinct aggregation is not
-    * available in streaming mode). */
+    * available in streaming mode). Accepts raw `ts` of any shipped
+    * encoding or an already-normalized `ts_us` frame. */
   def hourlyAgg(events: DataFrame): DataFrame =
-    events
-      .withColumn("tsw", timestamp_micros(expr("ts DIV 1000")))
+    Tables.normalizeTs(events)
+      .withColumn("tsw", timestamp_micros(col("ts_us")))
       .groupBy(col("event_type"), window(col("tsw"), "1 hour").as("w"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -71,11 +93,7 @@ object EventsStream {
     * Streaming requires for stream-stream joins. */
   def intervalJoinStream(spark: SparkSession, dir: String,
                          queryName: String): StreamingQuery = {
-    def src = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("tsw", timestamp_micros(expr("ts DIV 1000")))
+    def src = readEvents(spark, dir)
     val v = src.filter(col("event_type") === "view")
       .withWatermark("tsw", "2 hours")
       .select(col("user_id"), col("event_id").as("view_id"),
@@ -103,11 +121,7 @@ object EventsStream {
     * the open window is all an executor ever holds). */
   def dedupStream(spark: SparkSession, dir: String,
                   queryName: String): StreamingQuery =
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("tsw", timestamp_micros(expr("ts DIV 1000")))
+    readEvents(spark, dir)
       .withWatermark("tsw", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("event_id"), col("user_id"), col("event_type"))
@@ -121,11 +135,7 @@ object EventsStream {
     * update-mode sink provided by the caller (memory sink in tests). */
   def hourlyStream(spark: SparkSession, dir: String,
                    queryName: String): StreamingQuery = {
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // stream source wants a dir
-      .parquet(dir)
-      .withColumn("tsw", timestamp_micros(expr("ts DIV 1000")))
+    val src = readEvents(spark, dir)
       .withWatermark("tsw", "2 hours")
       .groupBy(col("event_type"), window(col("tsw"), "1 hour").as("w"))
       .agg(

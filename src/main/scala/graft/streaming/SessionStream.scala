@@ -50,9 +50,8 @@ object SessionStream {
     implicit val stEnc = Encoders.product[SessState]
     implicit val outEnc = Encoders.product[UserSessions]
     implicit val keyEnc = Encoders.scalaLong
-    events
-      .select(col("user_id").cast("long").as("user_id"),
-        expr("ts DIV 1000").as("ts_us"))
+    graft.Tables.normalizeTs(events)
+      .select(col("user_id").cast("long").as("user_id"), col("ts_us"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(),
