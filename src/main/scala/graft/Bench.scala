@@ -101,7 +101,10 @@ object Bench {
     // COMPACT line: the consumer keeps only the last ~2000 chars of
     // stdout, so 3-decimal timings and a failures-only errors map (empty
     // object when all green) keep the whole line inside that window.
-    def num(v: Double): String = f"$v%.2f"
+    // explicit ROOT locale: a comma-decimal default locale would emit
+    // "0,86" and corrupt the JSON line + its qt/key_order alignment
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
@@ -123,7 +126,7 @@ object Bench {
     // array in sorted-key order (keys = sorted(SparkEntry.queries.keys),
     // the same order CORRECTNESS rows sort to), full map in the file.
     def snum(v: Double): String = {
-      val s = f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.')
+      val s = num(v).reverse.dropWhile(_ == '0').dropWhile(_ == '.')
         .reverse
       if (s.isEmpty || s == "-") "0" else s
     }
