@@ -226,33 +226,62 @@ object Ann {
       .select("qid", "nid", "rank", "cos4", "cluster")
   }
 
-  /** PERSISTED-index IVF: build the index once — centroids plus the
-    * cluster-assigned corpus written as a parquet table BUCKETED on
-    * cluster — then serve queries from the stored index. This is the
-    * index-build / index-serve split every production ANN deployment
-    * has: the Lloyd training and assignment scans never rerun per
-    * query batch, cluster-restricted reads bucket-prune, and the
-    * centroid model is the only state beside the table (persisted as
-    * its own tiny parquet so a serving session needs no retraining).
-    * Results are IDENTICAL to the inline path — indexing must never
-    * change answers — so the oracle is the plain IVF oracle. */
+  /** Driver memo of served centroid models, keyed (applicationId,
+    * table). The r9 bench caught the serve path paying a parquet
+    * read + collect of the model per query batch (q_ann_ivf_indexed
+    * 1.35 → 2.31 s); a production server holds the driver-sized model
+    * in memory for the process lifetime, so the memo is the honest
+    * shape, and the parquet stays the durable artifact a NEW session
+    * boots from. */
+  private val centsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Array[Double])]]()
+
+  /** Session-scoped COARSE-INDEX artifact: Lloyd-train + assign once
+    * per (session, table), persisted as the cluster-bucketed corpus
+    * (nid, ne, nn, cluster) plus the tiny centroid model; every later
+    * call in the session serves from the artifact (centroids from the
+    * driver memo). One quantizer training per corpus per session is
+    * the 100 TB shape — the r9 suite retrained the SAME nlist=16
+    * quantizer from the same seeds in four separate queries. Training
+    * is deterministic, so sharing cannot change any answer. */
+  def coarseIndex(corpus: DataFrame, nlist: Int, iters: Int, dim: Int,
+                  table: String, path: String)
+      : (Seq[(Long, Array[Double])], DataFrame) = {
+    import graft.sources.Bucketed
+    val spark = corpus.sparkSession
+    val memoKey = spark.sparkContext.applicationId + "/" + table
+    if (!spark.catalog.tableExists(table)) {
+      val (cents, indexed) = ivfTrainAssign(corpus, nlist, iters, dim)
+      Bucketed.writeBucketed(indexed, table, s"$path/index", "cluster", 8)
+      centroidsDf(spark, cents).coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids")
+      centsMemo.put(memoKey, cents)
+    }
+    val cents = centsMemo.computeIfAbsent(memoKey, _ =>
+      spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .toSeq.sortBy(_._1))
+    (cents, Bucketed.readBucketed(spark, table))
+  }
+
+  /** PERSISTED-index IVF: build the index once per (table, session) —
+    * centroids plus the cluster-assigned corpus written as a parquet
+    * table BUCKETED on cluster — then serve queries from the stored
+    * index. This is the index-build / index-serve split every
+    * production ANN deployment has: the Lloyd training and assignment
+    * scans never rerun per query batch, cluster-restricted reads
+    * bucket-prune, and the centroid model is the only state beside
+    * the table (persisted as its own tiny parquet so a serving
+    * session needs no retraining; held in the driver memo within a
+    * session). Results are IDENTICAL to the inline path — indexing
+    * must never change answers — so the oracle is the plain IVF
+    * oracle. */
   def ivfTopKIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
                      nlist: Int, nprobe: Int, iters: Int, table: String,
                      path: String, dim: Int = DefaultDim): DataFrame = {
-    import graft.sources.Bucketed
-    val spark = corpus.sparkSession
-    val (cents, indexed) = ivfTrainAssign(corpus, nlist, iters, dim)
-    Bucketed.writeBucketed(indexed, table, s"$path/index", "cluster", 8)
-    // persist the centroid model beside the table (vec arrays as rows)
-    import spark.implicits._
-    cents.map { case (cl, e) => (cl, e.toSeq) }
-      .toDF("cluster", "e").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    val servedCents = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .toSeq.sortBy(_._1)
-    ivfProbeScore(Bucketed.readBucketed(spark, table), queries,
-      servedCents, k, nprobe, dim)
+    val (cents, indexed) = coarseIndex(corpus, nlist, iters, dim,
+      table, path)
+    ivfProbeScore(indexed, queries, cents, k, nprobe, dim)
   }
 
   /** IVF-PQ: product-quantization residual encoding on top of the IVF
@@ -439,13 +468,22 @@ object Ann {
                        nlist: Int, nprobe: Int, coarseIters: Int,
                        m: Int, ksub: Int, pqIters: Int,
                        table: String, path: String,
-                       dim: Int = DefaultDim): DataFrame = {
+                       dim: Int = DefaultDim,
+                       coarseTable: String = "",
+                       coarsePath: String = ""): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     import graft.sources.Bucketed
     val spark = corpus.sparkSession
     val dsub = dim / m
     if (!spark.catalog.tableExists(table)) {
-      val (cents, indexed) = ivfTrainAssign(corpus, nlist, coarseIters, dim)
+      // the PQ build rides the session's shared coarse artifact when
+      // one is named — the residual encode then reads the already-
+      // assigned corpus instead of retraining the coarse quantizer
+      val (cents, indexed) =
+        if (coarseTable.nonEmpty)
+          coarseIndex(corpus, nlist, coarseIters, dim, coarseTable,
+            coarsePath)
+        else ivfTrainAssign(corpus, nlist, coarseIters, dim)
       val centDf = centroidsDf(spark, cents)
       val res = pqResiduals(indexed, centDf, dim)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -461,17 +499,28 @@ object Ann {
         .toDF("s", "code", "ce").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/books")
     }
-    val servedCents = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .toSeq.sortBy(_._1)
-    val bookRows = spark.read.parquet(s"$path/books").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
-    val servedBooks = (0 until m).map(s =>
-      bookRows.filter(_._1 == s).map(t => (t._2, t._3)).toSeq
-        .sortBy(_._1))
+    // serve-side model loads memoized per (session, table) like the
+    // coarse model — a server reads its index file once per process
+    val (servedCents, servedBooks) = pqMemo.computeIfAbsent(
+      spark.sparkContext.applicationId + "/" + table, _ => {
+        val cents = spark.read.parquet(s"$path/centroids")
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .toSeq.sortBy(_._1)
+        val bookRows = spark.read.parquet(s"$path/books").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Double](2).toArray))
+        val books = (0 until m).map(s =>
+          bookRows.filter(_._1 == s).map(t => (t._2, t._3)).toSeq
+            .sortBy(_._1))
+        (cents, books)
+      })
     ivfPqScore(Bucketed.readBucketed(spark, table), queries,
       servedCents, servedBooks, k, nprobe, m, ksub, dim)
   }
+
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Array[Double])],
+             IndexedSeq[Seq[(Long, Array[Double])]])]()
 
   /** Deterministic pseudo-random hyperplane component i of plane j. */
   def hyperplane(j: Int, dim: Int): Seq[Double] =
@@ -555,7 +604,17 @@ object Ann {
   def semDedup(corpus: DataFrame, nlist: Int, iters: Int,
                minCos: Double, dim: Int = DefaultDim): DataFrame = {
     val (_, indexed) = ivfTrainAssign(corpus, nlist, iters, dim)
-    val idx = indexed.localCheckpoint()
+    // the cluster-assigned corpus feeds three consumers; cut lineage
+    // once so the assignment scan doesn't rerun per consumer
+    semDedupOn(indexed.localCheckpoint(), minCos, dim)
+  }
+
+  /** SemDeDup over an ALREADY-ASSIGNED corpus (nid, ne, nn, cluster) —
+    * e.g. the session's shared [[coarseIndex]] artifact. Artifact-backed
+    * input is parquet-materialized, so no lineage cut is needed: the
+    * three consumers re-read a bucketed table, not a training plan. */
+  def semDedupOn(idx: DataFrame, minCos: Double,
+                 dim: Int = DefaultDim): DataFrame = {
     val a = idx.select(col("cluster"), col("nid").as("ida"),
       col("ne").as("ea"), col("nn").as("na"))
     val b = idx.select(col("cluster"), col("nid").as("idb"),
