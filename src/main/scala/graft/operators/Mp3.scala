@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   *    butterflies (the 8 spec coefficients), and the 36-point IMDCT
   *    with the long-block sine window + 18-sample overlap-add.
   *
-  * NOT here: the polyphase synthesis filterbank (the 512-tap window
-  * table) — features are taken from the subband time samples the IMDCT
-  * emits, which is where curation-grade audio features (per-band
-  * energies) live anyway.
+  * The polyphase SYNTHESIS filterbank (r10) completes the chain to
+  * PCM: frequency inversion, the 1024-sample V FIFO, the 64x32
+  * N-matrixing cos((16+i)(2k+1)pi/64), the U/W extraction pattern and
+  * the 16-tap windowed accumulation are all the spec's dataflow
+  * (ISO 11172-3, 2.4.3.4.10.4). The one substitution: the spec's
+  * 512-tap prototype window exists only as a numeric table (Annex B
+  * Table B.3 — no closed form is published), so this build uses a
+  * formula-defined half-sine prototype ([[SynthD]]), documented and
+  * replayed term-for-term by the DuckDB oracle.
   *
   * Scale design: one row per clip in, mapPartitions decode (row-local,
   * no shuffle), bounded rows out (granules x maxSb). The synthetic
@@ -361,6 +366,122 @@ object Mp3 {
       i += 1
     }
     out
+  }
+
+  // ------------------------------------- polyphase synthesis (r10)
+
+  /** Synthesis matrixing basis N[i][k] = cos((16+i)(2k+1)pi/64)
+    * (ISO 11172-3, 2.4.3.4.10.4) — constant, tabulated once like the
+    * IMDCT basis above. */
+  private val SynthN: Array[Array[Double]] = Array.tabulate(64, 32)(
+    (i, k) => math.cos(math.Pi / 64.0 * (16 + i) * (2 * k + 1)))
+
+  /** 512-tap synthesis prototype window. The spec publishes its window
+    * only as a numeric table (Annex B Table B.3); this build substitutes
+    * a formula-defined half-sine prototype so both engines construct
+    * the identical doubles. Every other step of the filterbank is the
+    * spec's dataflow, bit-faithful. */
+  val SynthD: Array[Double] = Array.tabulate(512)(
+    n => math.sin(math.Pi * (n + 0.5) / 512.0))
+
+  /** The spec's V FIFO: 1024 samples, shifted by 64 per time step.
+    * After the shift, v(64*m + r) holds the matrixed vector of the
+    * sample fed m steps ago, so U[64i+j] = v(128i+j) and
+    * U[64i+32+j] = v(128i+96+j) address times t-2i and t-2i-1 exactly
+    * as the spec's extraction pattern does. `s` may carry fewer than
+    * 32 subbands when the caller has proven the tail identically zero
+    * (matrixing k ascending over a zero tail is IEEE-identical to
+    * skipping it); the accumulation pairs the even/odd window taps per
+    * a = 0..7 — the grouping the oracle's list_sum replays. */
+  final class SynthFifo {
+    private val v = new Array[Double](1024)
+    def step(s: Array[Double]): Array[Double] = {
+      System.arraycopy(v, 0, v, 64, 960)
+      var i = 0
+      while (i < 64) {
+        val row = SynthN(i)
+        var acc = 0.0
+        var k = 0
+        while (k < s.length) { acc += row(k) * s(k); k += 1 }
+        v(i) = acc
+        i += 1
+      }
+      val out = new Array[Double](32)
+      var j = 0
+      while (j < 32) {
+        var acc = 0.0
+        var a = 0
+        while (a < 8) {
+          acc += SynthD(64 * a + j) * v(128 * a + j) +
+            SynthD(64 * a + 32 + j) * v(128 * a + 96 + j)
+          a += 1
+        }
+        out(j) = acc
+        j += 1
+      }
+      out
+    }
+  }
+
+  final case class Mp3Pcm(doc_id: Long, gi: Long,
+                          e_pcm: Double, peak_pcm: Double)
+
+  /** documents -> coded Layer III encode -> FULL decode to PCM:
+    * spectral decode, per-subband windowed IMDCT + overlap-add,
+    * frequency inversion (odd samples of odd subbands negate), then
+    * the polyphase synthesis filterbank — 32 PCM samples per time
+    * step, 18 steps per granule. Emits per-granule PCM energy and
+    * peak. Row-local (mapPartitions, no shuffle), bounded rows out.
+    *
+    * nSb bounds the subbands fed to synthesis; the decode ASSERTS the
+    * spectrum past nSb subbands is identically zero (the synthetic
+    * corpus codes lines 0..35 and alias leakage stops at line 53), so
+    * the truncation provably changes no emitted value — the same
+    * projection-pushdown argument [[mp3SpectralFeatures]] makes. */
+  def mp3PcmFeatures(docs: DataFrame, nSb: Int = 3): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[Mp3Pcm]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val grs = decodeMp3Spectral(synthMp3Coded(d))
+        val prevTail = Array.fill(nSb)(new Array[Double](18))
+        val fifo = new SynthFifo
+        grs.zipWithIndex.map { case (gr, gi) =>
+          var chk = 18 * nSb
+          while (chk < 576) {
+            require(gr.xa(chk) == 0.0, "mp3: spectrum past nSb subbands")
+            chk += 1
+          }
+          val cur = Array.tabulate(nSb)(sb =>
+            imdctWindowed(gr.xa.slice(18 * sb, 18 * sb + 18)))
+          var ePcm = 0.0
+          var peak = 0.0
+          var i = 0
+          while (i < 18) {
+            val s = new Array[Double](nSb)
+            var sb = 0
+            while (sb < nSb) {
+              val ola = cur(sb)(i) + prevTail(sb)(i)
+              s(sb) = if ((sb & 1) == 1 && (i & 1) == 1) -ola else ola
+              sb += 1
+            }
+            val out = fifo.step(s)
+            var eRow = 0.0
+            var j = 0
+            while (j < 32) {
+              eRow += out(j) * out(j)
+              val av = math.abs(out(j))
+              if (av > peak) peak = av
+              j += 1
+            }
+            ePcm += eRow
+            i += 1
+          }
+          var t = 0
+          while (t < nSb) { prevTail(t) = cur(t).slice(18, 36); t += 1 }
+          Mp3Pcm(d, gi.toLong, ePcm, peak)
+        }
+      }).toDF()
   }
 
   final case class Mp3Spectral(doc_id: Long, gi: Long, subband: Long,

@@ -172,6 +172,16 @@ object SourceQueries {
         round(col("e_spec"), 6).as("e_spec"),
         round(col("e_ola"), 6).as("e_ola"))
 
+  /** Layer III decode all the way to PCM (r10): spectral decode ->
+    * windowed IMDCT + overlap-add -> frequency inversion -> polyphase
+    * synthesis filterbank (V FIFO + N-matrixing + 512-tap windowed
+    * 16-tap accumulation) -> per-granule PCM energy + peak. */
+  def qMultimodalMp3Pcm(spark: SparkSession, dir: String): DataFrame =
+    Mp3.mp3PcmFeatures(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("gi"),
+        round(col("e_pcm"), 6).as("e_pcm"),
+        round(col("peak_pcm"), 6).as("peak_pcm"))
+
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -236,6 +246,7 @@ object SourceQueries {
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
     "q_multimodal_mp3" -> (qMultimodalMp3 _),
     "q_multimodal_mp3_spectral" -> (qMultimodalMp3Spectral _),
+    "q_multimodal_mp3_pcm" -> (qMultimodalMp3Pcm _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
     "q_multimodal_augment" -> (qMultimodalAugment _),
     "q_multimodal_png" -> (qMultimodalPng _),
@@ -478,6 +489,109 @@ object SourceQueries {
         |    i -> (z[i+1] + COALESCE(zp[i+19], 0.0))
         |       * (z[i+1] + COALESCE(zp[i+19], 0.0)))), 6) AS e_ola
         |FROM ola""".stripMargin,
+
+    // Layer III PCM replayed analytically: the spectral chain above,
+    // then frequency inversion (odd samples of odd subbands negate),
+    // N-matrixing P[r] = sum_k cos((16+r)(2k+1)pi/64) S[k] over the 3
+    // nonzero subbands, and the polyphase window: out_t[j] =
+    // sum_a D[64a+j] P_{t-2a}[j] + D[64a+32+j] P_{t-2a-1}[32+j]
+    // (the V-FIFO/U-extraction algebra, 16 lagged taps via LAG). The
+    // half-sine 512-tap prototype is the engine's documented stand-in
+    // for ISO Table B.3. Energy sums are ORDERED (list_sum over
+    // list(ORDER BY t)) to mirror the engine's fold exactly.
+    "q_multimodal_mp3_pcm" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |ab AS (SELECT
+        |  list_transform([-0.6,-0.535,-0.33,-0.185,-0.095,-0.041,
+        |                  -0.0142,-0.0037], c -> 1.0/sqrt(1.0+c*c)) AS cs,
+        |  list_transform([-0.6,-0.535,-0.33,-0.185,-0.095,-0.041,
+        |                  -0.0142,-0.0037], c -> c/sqrt(1.0+c*c)) AS ca),
+        |g AS (SELECT doc_id, f, gr,
+        |        200 + (doc_id + f + gr) % 16 AS gg,
+        |        doc_id % 2 AS sfs
+        |      FROM d,
+        |      LATERAL (SELECT unnest(generate_series(0,
+        |                 2 + doc_id % 3 - 1)) AS f) u,
+        |      (SELECT unnest([0, 1]) AS gr) v),
+        |xr AS (SELECT doc_id, f, gr,
+        |        list_transform(range(0, 36), i ->
+        |          CAST((doc_id*7 + f*5 + gr*11 + i*13) % 3 - 1 AS DOUBLE)
+        |          * POWER(2.0, (gg - 210) / 4.0)
+        |          * POWER(2.0, -(1.0 + sfs) *
+        |              CAST((doc_id + gr + (CASE WHEN i < 24 THEN i // 4
+        |                WHEN i < 30 THEN 6 ELSE 7 END)) % 2 AS DOUBLE)))
+        |          AS x
+        |       FROM g),
+        |xal AS (SELECT doc_id, f, gr,
+        |        list_transform(range(0, 54), i -> CASE
+        |          WHEN i <= 9 THEN x[i+1]
+        |          WHEN i <= 17 THEN x[i+1]*cs[17-i+1] - x[35-i+1]*ca[17-i+1]
+        |          WHEN i <= 25 THEN x[i+1]*cs[i-18+1] + x[35-i+1]*ca[i-18+1]
+        |          WHEN i <= 27 THEN x[i+1]
+        |          WHEN i <= 35 THEN x[i+1]*cs[35-i+1]
+        |          WHEN i <= 43 THEN x[71-i+1]*ca[i-36+1]
+        |          ELSE 0.0 END) AS xa
+        |       FROM xr, ab),
+        |sbv AS (SELECT doc_id, f*2 + gr AS gi, sb,
+        |          list_transform(range(0, 18),
+        |            k -> xa[18*sb + k + 1]) AS xs
+        |        FROM xal, (SELECT unnest([0, 1, 2]) AS sb) s),
+        |zw AS (SELECT doc_id, gi, sb,
+        |         list_transform(range(0, 36), i ->
+        |           list_sum(list_transform(range(0, 18), k ->
+        |             xs[k+1] * cos(pi() / 72.0 * (2*i + 19) * (2*k + 1))))
+        |           * sin(pi() / 36.0 * (i + 0.5))) AS z
+        |       FROM sbv),
+        |ola AS (SELECT doc_id, gi, sb, z,
+        |          lag(z) OVER (PARTITION BY doc_id, sb ORDER BY gi) AS zp
+        |        FROM zw),
+        |s18 AS (SELECT doc_id, gi, sb,
+        |          list_transform(range(0, 18), i ->
+        |            (z[i+1] + COALESCE(zp[i+19], 0.0))
+        |            * (CASE WHEN sb % 2 = 1 AND i % 2 = 1
+        |                    THEN -1.0 ELSE 1.0 END)) AS s
+        |        FROM ola),
+        |tv AS (SELECT doc_id, gi * 18 + i AS t, sb, s[i + 1] AS v
+        |       FROM s18,
+        |       (SELECT unnest(generate_series(0, 17)) AS i) ti),
+        |sv AS (SELECT doc_id, t, list(v ORDER BY sb) AS s3
+        |       FROM tv GROUP BY doc_id, t),
+        |nb AS (SELECT
+        |  list_transform(range(0, 64), r -> list_transform(range(0, 3),
+        |    k -> cos(pi() / 64.0 * (16 + r) * (2 * k + 1)))) AS nm,
+        |  list_transform(range(0, 512), n ->
+        |    sin(pi() * (n + 0.5) / 512.0)) AS dw),
+        |pt AS (SELECT doc_id, t, dw,
+        |         list_transform(range(0, 64), r ->
+        |           list_sum(list_transform(range(0, 3),
+        |             k -> nm[r+1][k+1] * s3[k+1]))) AS p
+        |       FROM sv, nb),
+        |hh AS (SELECT doc_id, t, dw, [p,
+        |         lag(p, 1) OVER w, lag(p, 2) OVER w, lag(p, 3) OVER w,
+        |         lag(p, 4) OVER w, lag(p, 5) OVER w, lag(p, 6) OVER w,
+        |         lag(p, 7) OVER w, lag(p, 8) OVER w, lag(p, 9) OVER w,
+        |         lag(p, 10) OVER w, lag(p, 11) OVER w, lag(p, 12) OVER w,
+        |         lag(p, 13) OVER w, lag(p, 14) OVER w,
+        |         lag(p, 15) OVER w] AS hist
+        |       FROM pt
+        |       WINDOW w AS (PARTITION BY doc_id ORDER BY t)),
+        |op AS (SELECT doc_id, t,
+        |         list_transform(range(0, 32), j ->
+        |           list_sum(list_transform(range(0, 8), a ->
+        |             dw[64*a + j + 1]
+        |               * COALESCE(hist[2*a + 1][j + 1], 0.0)
+        |             + dw[64*a + 32 + j + 1]
+        |               * COALESCE(hist[2*a + 2][32 + j + 1], 0.0)))) AS o
+        |       FROM hh),
+        |er AS (SELECT doc_id, t,
+        |         list_sum(list_transform(o, v -> v * v)) AS e_row,
+        |         list_max(list_transform(o, v -> abs(v))) AS peak_row
+        |       FROM op)
+        |SELECT doc_id, t // 18 AS gi,
+        |  ROUND(list_sum(list(e_row ORDER BY t)), 6) AS e_pcm,
+        |  ROUND(MAX(peak_row), 6) AS peak_pcm
+        |FROM er GROUP BY doc_id, t // 18""".stripMargin,
 
     // Frame-level audio features (VAD shape) over REAL decoded WAV
     // samples: 64-sample frames (incomplete tail dropped), per-frame

@@ -659,6 +659,57 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       Mp3.decodeMp3Spectral(bad)).getMessage.contains("part2_3"))
   }
 
+  test("MP3 polyphase synthesis: V-FIFO dataflow equals the direct lag " +
+    "algebra bit-for-bit; zero input is silence; PCM rows per granule") {
+    import graft.operators.Mp3
+    // deterministic subband sequence, 3 nonzero subbands like the corpus
+    val steps = (0 until 40).map(t => Array.tabulate(3)(k =>
+      (((t * 31 + k * 17) % 23) - 11) / 7.0))
+    val fifo = new Mp3.SynthFifo
+    val got = steps.map(fifo.step)
+    // independent implementation: the algebraraic reduction of the
+    // FIFO/U-extraction (the form the DuckDB oracle replays)
+    def pvec(s: Array[Double]): Array[Double] = Array.tabulate(64) { r =>
+      var acc = 0.0
+      for (k <- 0 until 3)
+        acc += math.cos(math.Pi / 64.0 * (16 + r) * (2 * k + 1)) * s(k)
+      acc
+    }
+    val ps = steps.map(pvec)
+    for (t <- steps.indices) {
+      val want = Array.tabulate(32) { j =>
+        var acc = 0.0
+        for (a <- 0 until 8) {
+          val even = if (t - 2 * a >= 0) ps(t - 2 * a)(j) else 0.0
+          val odd =
+            if (t - 2 * a - 1 >= 0) ps(t - 2 * a - 1)(32 + j) else 0.0
+          acc += Mp3.SynthD(64 * a + j) * even +
+            Mp3.SynthD(64 * a + 32 + j) * odd
+        }
+        acc
+      }
+      for (j <- 0 until 32)
+        assert(got(t)(j) === want(j), s"t=$t j=$j")
+    }
+    // silence in, silence out (fresh FIFO)
+    val quiet = new Mp3.SynthFifo
+    for (_ <- 0 until 20)
+      assert(quiet.step(new Array[Double](3)).forall(_ == 0.0))
+    // DF path: one row per granule, deterministic, audibly nonzero
+    import spark.implicits._
+    val docs = (0L to 5L).toDF("doc_id")
+    val a = graft.operators.Mp3.mp3PcmFeatures(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2))
+    val b = graft.operators.Mp3.mp3PcmFeatures(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(a.toSeq === b.toSeq)
+    val wantRows = (0L to 5L).map(d => 2 * Mp3.synthNFrames(d)).sum
+    assert(a.length === wantRows)
+    assert(a.exists(_._3 > 0.0))
+  }
+
   test("WKB: golden bytes both endian, multipolygon, writer layout, malformed") {
     import spark.implicits._
     import graft.sources.Wkb
