@@ -280,12 +280,13 @@ object Multimodal {
   private def pxB(d: Long, x: Int, y: Int): Int =
     ((d * 7 + x * 13 + y * 31) % 256).toInt
 
-  /** Encode document `docId`'s synthetic image as a REAL BMP file:
-    * 8..16 px wide (exercising every 4-byte row-padding case) by
-    * 8..12 px tall, 24-bit BI_RGB, bottom-up BGR rows. */
-  def synthBmpBytes(docId: Long): Array[Byte] = {
-    val w = (8 + docId % 9).toInt
-    val h = (8 + docId % 5).toInt
+  /** 24-bit BI_RGB BMP container writer: 54-byte header, bottom-up
+    * 4-byte-padded BGR rows. `rgb(x, y)` supplies (r, g, b) for the
+    * TOP-DOWN pixel grid; the writer does the flip. Shared by the
+    * per-doc synthetic corpus and [[graft.operators.ImageHash]]'s
+    * group-keyed near-dup corpus. */
+  def writeBmp24(w: Int, h: Int,
+                 rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val rowBytes = w * 3
     val pad = (4 - rowBytes % 4) % 4
     val imgSize = (rowBytes + pad) * h
@@ -302,9 +303,10 @@ object Multimodal {
       val y = h - 1 - fy // file rows are bottom-up
       var x = 0
       while (x < w) {
-        bb.put(pxB(docId, x, y).toByte)
-        bb.put(pxG(docId, x, y).toByte)
-        bb.put(pxR(docId, x, y).toByte)
+        val (r, g, b) = rgb(x, y)
+        bb.put(b.toByte)
+        bb.put(g.toByte)
+        bb.put(r.toByte)
         x += 1
       }
       var p = 0
@@ -312,6 +314,16 @@ object Multimodal {
       fy += 1
     }
     bb.array()
+  }
+
+  /** Encode document `docId`'s synthetic image as a REAL BMP file:
+    * 8..16 px wide (exercising every 4-byte row-padding case) by
+    * 8..12 px tall, 24-bit BI_RGB, bottom-up BGR rows. */
+  def synthBmpBytes(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 5).toInt
+    writeBmp24(w, h, (x, y) =>
+      (pxR(docId, x, y), pxG(docId, x, y), pxB(docId, x, y)))
   }
 
   /** REAL BMP decode: header validation (magic, 24-bit, BI_RGB,

@@ -182,6 +182,12 @@ object SourceQueries {
         round(col("e_pcm"), 6).as("e_pcm"),
         round(col("peak_pcm"), 6).as("peak_pcm"))
 
+  /** Image near-dup pairs (r10): real BMP decode of the group-keyed
+    * corpus -> 60-bit dHash -> 4x15-bit band join -> Hamming verify. */
+  def qImagePhash(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ImageHash.dhashPairs(
+      Tables.load(spark, dir, "documents"), maxHamming = 10)
+
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -247,6 +253,7 @@ object SourceQueries {
     "q_multimodal_mp3" -> (qMultimodalMp3 _),
     "q_multimodal_mp3_spectral" -> (qMultimodalMp3Spectral _),
     "q_multimodal_mp3_pcm" -> (qMultimodalMp3Pcm _),
+    "q_image_phash" -> (qImagePhash _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
     "q_multimodal_augment" -> (qMultimodalAugment _),
     "q_multimodal_png" -> (qMultimodalPng _),
@@ -592,6 +599,55 @@ object SourceQueries {
         |  ROUND(list_sum(list(e_row ORDER BY t)), 6) AS e_pcm,
         |  ROUND(MAX(peak_row), 6) AS peak_pcm
         |FROM er GROUP BY doc_id, t // 18""".stripMargin,
+
+    // dHash image near-dup replayed analytically: the group-keyed
+    // pixel formulas (base pattern from gk = doc_id % 1000, sparse
+    // per-doc +40 bumps), the 11x6 nearest-sample luma grid, the
+    // 60-bit gradient hash as a SUM of distinct powers of two, the
+    // 4x15-bit band self-join, and the Hamming verify — DISTINCT here
+    // equals the engine's min-band single emission.
+    "q_image_phash" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |gp AS (SELECT doc_id, doc_id % 100 AS gk,
+        |         8 + (doc_id % 100) % 9 AS w,
+        |         8 + (doc_id % 100) % 5 AS h,
+        |         doc_id % 4 AS m FROM d),
+        |co AS (SELECT doc_id, gk, w, h, m, x, y,
+        |         (x * w) // 11 AS sx, (y * h) // 6 AS sy
+        |       FROM gp,
+        |       LATERAL (SELECT unnest(generate_series(0, 10)) AS x) xs,
+        |       LATERAL (SELECT unnest(generate_series(0, 5)) AS y) ys),
+        |bp AS (SELECT doc_id, x, y, gk, sx, sy,
+        |         CASE WHEN len(list_filter(range(0, m), j ->
+        |             (doc_id * 13 + j * 7) % w = sx
+        |             AND (doc_id * 17 + j * 11) % h = sy)) > 0
+        |           THEN 40 ELSE 0 END AS bump
+        |       FROM co),
+        |px AS (SELECT doc_id, x, y,
+        |         (299 * (40 + (gk * 3 + sx * 29 + sy * 23) % 170 + bump)
+        |        + 587 * (40 + (gk * 11 + sx * 17 + sy * 5) % 170 + bump)
+        |        + 114 * (40 + (gk * 7 + sx * 13 + sy * 31) % 170 + bump))
+        |          // 1000 AS g
+        |       FROM bp),
+        |sg AS (SELECT a.doc_id,
+        |         CAST(COALESCE(SUM(CASE WHEN b.g > a.g
+        |           THEN 1::BIGINT << CAST(a.y * 10 + a.x AS INT)
+        |           ELSE 0 END), 0) AS BIGINT) AS sig
+        |       FROM px a JOIN px b ON a.doc_id = b.doc_id
+        |         AND b.y = a.y AND b.x = a.x + 1
+        |       WHERE a.x < 10
+        |       GROUP BY a.doc_id),
+        |bd AS (SELECT doc_id, sig, j AS band,
+        |         (sig >> (j * 15)) & 32767 AS bv
+        |       FROM sg, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+        |pr AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+        |         a.sig AS siga, b.sig AS sigb
+        |       FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv
+        |         AND a.doc_id < b.doc_id)
+        |SELECT ida, idb,
+        |  CAST(bit_count(xor(siga, sigb)) AS BIGINT) AS hamming
+        |FROM pr WHERE bit_count(xor(siga, sigb)) <= 10""".stripMargin,
 
     // Frame-level audio features (VAD shape) over REAL decoded WAV
     // samples: 64-sample frames (incomplete tail dropped), per-frame

@@ -12,6 +12,43 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     rows.toDF("doc_id", "text")
   }
 
+  test("ImageHash dHash: brightness invariance, in-group identity, " +
+    "pair query verifies Hamming and band sharing") {
+    import graft.operators.{ImageHash, Multimodal}
+    // dHash robustness: a UNIFORM brightness shift cancels in every
+    // gradient comparison -> identical hash (no mod wrap: base <= 209,
+    // +bump 40, +shift 5 stays < 256)
+    def img(shift: Int): Multimodal.BmpImage =
+      Multimodal.decodeBmp(Multimodal.writeBmp24(12, 9, (x, y) =>
+        (40 + (x * 29 + y * 23) % 170 + shift,
+          40 + (x * 17 + y * 5) % 170 + shift,
+          40 + (x * 13 + y * 31) % 170 + shift)))
+    assert(ImageHash.dhash60(img(0)) === ImageHash.dhash60(img(5)))
+    // docs 0/4000/8000: same group (d % 1000), zero bumps (d % 4 = 0)
+    // -> byte-identical images -> Hamming-0 pairs
+    def sig(d: Long) = ImageHash.dhash60(
+      Multimodal.decodeBmp(ImageHash.synthGroupBmpBytes(d)))
+    assert(sig(0L) === sig(4000L))
+    assert(sig(0L) === sig(8000L))
+    // signatures stay within 60 bits (DuckDB shift portability)
+    for (d <- 0L to 50L) assert((sig(d) >>> 60) === 0L)
+    import spark.implicits._
+    val docs = Seq(0L, 4000L, 8000L, 1L, 2L, 3L, 5L, 1001L, 2003L)
+      .toDF("doc_id")
+    val pairs = ImageHash.dhashPairs(docs, maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val identical = Set((0L, 4000L), (0L, 8000L), (4000L, 8000L))
+    assert(identical.subsetOf(pairs.map(p => (p._1, p._2)).toSet))
+    for ((a, b, ham) <- pairs) {
+      val (sa, sb) = (sig(a), sig(b))
+      assert(ham === java.lang.Long.bitCount(sa ^ sb) && ham <= 10)
+      assert((0 until 4).exists(j =>
+        ((sa >> (j * 15)) & 0x7FFF) === ((sb >> (j * 15)) & 0x7FFF)))
+    }
+    // every identical-signature pair in the frame is emitted exactly once
+    assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
+  }
+
   test("ngramJaccard: identical docs score 1.0, disjoint absent") {
     val d = docsOf(
       1L -> "the quick brown fox jumps over the lazy dog again and again",
