@@ -139,6 +139,67 @@ object RetrievalQueries {
       .orderBy("w")
   }
 
+  // --------------------------------------------------- HyperLogLog distinct
+
+  private val HllP = 2147483647L
+  private val HllM = 512L
+
+  /** HyperLogLog distinct-token estimation per language — the
+    * bounded-memory cardinality twin of the CMS frequency sketch: at
+    * 100 TB an exact per-language vocabulary count shuffles the whole
+    * key set, while HLL's register table is FIXED at 512 rows per
+    * language no matter the corpus (map-side combined max per
+    * register). Engine-portable statistic: token fingerprint mixed by
+    * the simhash multiplier mod 2^31-1; register = h mod 512; rank =
+    * trailing zeros of h div 512, plus one (bit_count(v XOR v-1) —
+    * exact integer ops both engines), 23 when the suffix is all-zero.
+    * The harmonic sum is a sum of dyadic rationals 2^-m (m <= 23) over
+    * <= 512 registers — EXACT in a double regardless of accumulation
+    * order, so the estimate needs no ordered-sum discipline. The exact
+    * distinct count rides the SAME one distinct exchange (localCheckpoint
+    * lineage cut) as the verification harness, the CMS pattern. The
+    * small-range linear-counting correction (raw <= 2.5m and zeros > 0
+    * -> m*ln(m/zeros), Flajolet et al. 2007) IS applied — without it a
+    * sparse register file overestimates ~12x; ln + round(4) follows the
+    * q_crs_distance ACOS precedent for transcendentals in oracles. */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("lang"),
+        explode(split(lower(col("text")), "\\W+")).as("w"))
+      .where(length(col("w")) > 0)
+    val hm = (rollingFingerprint(col("w")) * lit(2654435761L)) % lit(HllP)
+    // ONE distinct exchange feeds registers AND the exact verification
+    val dist = toks.select(col("lang"), hm.as("h")).distinct()
+      .localCheckpoint()
+    val reg = dist
+      .select(col("lang"), (col("h") % lit(HllM)).as("j"),
+        expr(s"h DIV $HllM").as("v"))
+      .select(col("lang"), col("j"),
+        when(col("v") === 0L, lit(23L))
+          .otherwise(bit_count(col("v").bitwiseXOR(col("v") - lit(1L)))
+            .cast("long")).as("r"))
+      .groupBy("lang", "j").agg(max(col("r")).as("m"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0))
+    val hll = reg.groupBy("lang")
+      .agg(count(lit(1)).as("nhit"),
+        sum(pow(lit(2.0), -col("m"))).as("hs"))
+      .select(col("lang"), (lit(HllM) - col("nhit")).as("zeros"),
+        (alpha * lit(512.0) * lit(512.0)
+          / (col("hs") + (lit(HllM) - col("nhit")).cast("double")))
+          .as("raw"))
+      .select(col("lang"), col("zeros"),
+        round(when(col("zeros") > 0 && col("raw") <= lit(2.5) * lit(512.0),
+          lit(512.0) * log(lit(512.0) / col("zeros").cast("double")))
+          .otherwise(col("raw")), 4).as("est_distinct"))
+    val exact = dist.groupBy("lang")
+      .agg(count(lit(1)).as("exact_distinct"))
+    hll.join(exact, "lang")
+      .select(col("lang"), col("zeros").cast("long").as("zeros"),
+        col("est_distinct"), col("exact_distinct"),
+        round(abs(col("est_distinct") - col("exact_distinct"))
+          / col("exact_distinct") * lit(100.0), 2).as("err_pct"))
+  }
+
   // ------------------------------------------------------------ BPE encode
 
   /** BPE encoding with learned merges — the tokenize step that follows
@@ -255,10 +316,59 @@ object RetrievalQueries {
          |  ROUND(CAST(n_enc AS DOUBLE) / CAST(n_raw AS DOUBLE), 4)
          |    AS ratio
          |FROM e""".stripMargin
+    },
+
+    // HLL replay: same fold-31 fingerprint + simhash mixing multiply,
+    // register/rank from exact integer ops, harmonic sum of dyadic
+    // 2^-m terms (order-independent-exact in doubles), alpha built
+    // from CAST(... AS DOUBLE) literals (bare decimals are DECIMAL in
+    // DuckDB — the SURVEY §2 row 64 hazard).
+    "q_hll_distinct" -> {
+      val fpW =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |  list_transform(list_filter(string_split(w, ''),
+          |                             c -> len(c) > 0),
+          |                 c -> CAST(ascii(c) AS BIGINT))),
+          |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+      s"""WITH d AS (SELECT lower(text) AS t, lang FROM documents),
+         |tk AS (SELECT lang, w FROM d,
+         |       LATERAL (SELECT unnest(regexp_split_to_array(t, '\\W+'))
+         |                AS w) u
+         |       WHERE len(w) > 0),
+         |hs AS (SELECT DISTINCT lang,
+         |         $fpW * 2654435761 % $HllP AS h
+         |       FROM tk),
+         |rg AS (SELECT lang, h % $HllM AS j,
+         |         MAX(CASE WHEN h // $HllM = 0 THEN 23
+         |             ELSE CAST(bit_count(xor(h // $HllM, h // $HllM - 1))
+         |                  AS BIGINT) END) AS m
+         |       FROM hs GROUP BY 1, 2),
+         |ag AS (SELECT lang, COUNT(*) AS nhit,
+         |         SUM(POWER(2.0, -m)) AS hsum FROM rg GROUP BY 1),
+         |ex AS (SELECT lang, COUNT(*) AS exact FROM hs GROUP BY 1),
+         |rw AS (SELECT ag.lang AS lang, $HllM - nhit AS zeros,
+         |         CAST(0.7213 AS DOUBLE)
+         |             / (1.0 + CAST(1.079 AS DOUBLE) / 512.0)
+         |           * 512.0 * 512.0
+         |           / (hsum + CAST($HllM - nhit AS DOUBLE)) AS raw,
+         |         exact
+         |       FROM ag JOIN ex ON ag.lang = ex.lang),
+         |es AS (SELECT lang, zeros,
+         |         ROUND(CASE WHEN zeros > 0
+         |                     AND raw <= CAST(2.5 AS DOUBLE) * 512.0
+         |           THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+         |           ELSE raw END, 4) AS est,
+         |         exact
+         |       FROM rw)
+         |SELECT lang, CAST(zeros AS BIGINT) AS zeros,
+         |  est AS est_distinct, CAST(exact AS BIGINT) AS exact_distinct,
+         |  ROUND(ABS(est - exact) / exact * 100.0, 2) AS err_pct
+         |FROM es""".stripMargin
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> (qChunkDocs _),
     "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
-    "q_bpe_encode" -> (qBpeEncode _))
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_hll_distinct" -> (qHllDistinct _))
 }

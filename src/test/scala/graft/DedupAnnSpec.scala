@@ -49,6 +49,36 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
   }
 
+  test("HLL distinct: exact column is the true hash cardinality, " +
+    "estimate within sketch tolerance, registers bounded at 512") {
+    import graft.queries.RetrievalQueries
+    val dir = "/root/testdata/sf0.001"
+    val out = RetrievalQueries.qHllDistinct(spark, dir).collect()
+    assert(out.nonEmpty)
+    // independent truth: distinct (lang, fingerprint) count per lang
+    import graft.functions.TextFunctions.rollingFingerprint
+    val truth = graft.Tables.load(spark, dir, "documents")
+      .select(col("lang"),
+        explode(split(lower(col("text")), "\\W+")).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("lang"),
+        ((rollingFingerprint(col("w")) * lit(2654435761L))
+          % lit(2147483647L)).as("h"))
+      .distinct().groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- out) {
+      val lang = r.getAs[String]("lang")
+      val exact = r.getAs[Long]("exact_distinct")
+      assert(exact === truth(lang))
+      val zeros = r.getAs[Long]("zeros")
+      assert(zeros >= 0 && zeros <= 512)
+      // 512 registers -> sigma ~ 4.6% (dense) / linear counting (sparse);
+      // 25% is a loose CI-stable bound
+      assert(r.getAs[Double]("err_pct") < 25.0,
+        s"$lang err ${r.getAs[Double]("err_pct")}")
+    }
+  }
+
   test("ngramJaccard: identical docs score 1.0, disjoint absent") {
     val d = docsOf(
       1L -> "the quick brown fox jumps over the lazy dog again and again",
