@@ -558,6 +558,35 @@ object Ann {
       .select("qid", "nid", "rank", "cos4", "bucket")
   }
 
+  /** Two-stage retrieval serving (shortlist -> exact refine): re-rank
+    * an approximate shortlist with exact float cosine — the refine
+    * stage a production deployment runs after a compressed-index scan
+    * (FAISS's IndexRefineFlat shape, Jégou et al. 2011 §V). The
+    * shortlist is queries x k' rows (tiny): it joins the driver-sized
+    * query matrix and BROADCASTS into ONE corpus equi-join on nid, so
+    * float vectors are read only for candidates — the corpus is never
+    * float-scored whole (at 100 TB the refine touches k'·q rows, not
+    * n·q). Guaranteed-recall property (spec-pinned): hits(rerank) =
+    * |shortlist ∩ exact-top-k| >= hits(shortlist's own top-k), because
+    * exact scoring can only promote true neighbors within the
+    * candidate set. Scoring and rounding match cosineTopK exactly, so
+    * the same recall monitor applies unchanged. */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame,
+                 shortlist: DataFrame, k: Int,
+                 dim: Int = DefaultDim): DataFrame = {
+    val q = withNorm(queries, "vec_id", dim)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val cand = shortlist.select(col("qid"), col("nid")).join(q, "qid")
+    val c = withNorm(corpus, "vec_id", dim)
+      .select(col("vec_id").as("nid"), col("e").as("ne"),
+        col("nrm").as("nn"))
+    val scored = c.join(broadcast(cand), Seq("nid"))
+      .withColumn("cos4", round(dot(col("qe"), col("ne"), dim)
+        / greatest(col("qn") * col("nn"), lit(1e-12)), 4))
+    topKByCos(scored, k)
+  }
+
   /** Recall of an approximate top-k result against the exact one:
     * per-query overlap fraction of neighbor sets (rank-agnostic
     * recall@k). Both inputs are (qid, nid, ...) top-k tables; the

@@ -142,6 +142,37 @@ object AnnQueries {
       coarsePath = s"/tmp/graft_coarse/$tag")
   }
 
+  private val Shortlist = 50
+
+  /** Two-stage retrieval (r10): ADC shortlist of k'=50 from the
+    * session's PERSISTED PQ index (same artifacts as q_ann_pq_indexed —
+    * build shared, k doesn't change the index), then exact float
+    * re-rank of the candidates to top-10. The production serving shape:
+    * the compressed index prunes, the float pass touches only
+    * queries x 50 rows. */
+  def qAnnPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+    val tag = runTag(spark, dir)
+    graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_pq/$tag")
+    graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_coarse/$tag")
+    val shortlist = Ann.ivfPqTopKIndexed(e, queries, Shortlist,
+      nlist = 16, nprobe = 2, coarseIters = 2, m = 8, ksub = 8,
+      pqIters = 2, table = s"graft_pq_idx$tag",
+      path = s"/tmp/graft_pq/$tag",
+      coarseTable = s"graft_coarse$tag",
+      coarsePath = s"/tmp/graft_coarse/$tag")
+    Ann.rerankTopK(e, queries, shortlist, K)
+  }
+
+  /** Recall@k of the reranked two-stage result — beside
+    * q_ann_recall_pq this quantifies what the exact refine buys back
+    * (per query it can only match or beat the raw PQ recall: the
+    * shortlist is a superset of PQ's top-k and exact scoring promotes
+    * every true neighbor present). */
+  def qAnnRecallRerank(spark: SparkSession, dir: String): DataFrame =
+    Ann.recallAtK(qAnnPqRerank(spark, dir), qCosineTopK(spark, dir), K)
+
   /** SemDeDup over the embeddings table: coarse-cluster via the
     * session's SHARED artifact (same nlist/iters as the IVF queries —
     * the oracle reuses the IVF CTE chain), then min-id-anchor near-dup
@@ -152,6 +183,8 @@ object AnnQueries {
     Ann.semDedupOn(coarse(spark, dir)._2, minCos = 0.3, dim = 64)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_pq_rerank" -> (qAnnPqRerank _),
+    "q_ann_recall_rerank" -> (qAnnRecallRerank _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_pq_indexed" -> (qAnnPqIndexed _),
     "q_semdedup" -> (qSemDedup _),
@@ -464,7 +497,36 @@ object AnnQueries {
        |FROM scored
        |QUALIFY rank <= $K""".stripMargin
 
+  /** Rerank oracle: the PQ oracle widened to the k'=50 shortlist as a
+    * nested-WITH CTE, then exact cosine over the candidate pairs and a
+    * fresh top-10 ranking — the same scoring expression as the exact
+    * brute-force oracle, restricted to shortlist rows. */
+  private val rerankOracle: String = {
+    val short = pqOracle.replace(s"QUALIFY rank <= $K",
+      s"QUALIFY rank <= $Shortlist")
+    s"""WITH sl AS ($short),
+       |vv AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |       FROM embeddings),
+       |nn AS (SELECT vec_id, e,
+       |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |       FROM vv),
+       |sc AS (SELECT sl.qid, sl.nid,
+       |         ROUND(list_sum(list_transform(range(1, 65),
+       |                 i -> q.e[i] * c.e[i]))
+       |             / greatest(q.nrm * c.nrm, 1e-12), 4) AS cos4
+       |       FROM sl JOIN nn q ON q.vec_id = sl.qid
+       |            JOIN nn c ON c.vec_id = sl.nid)
+       |SELECT qid, nid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, nid)
+       |    AS INT) AS rank, cos4
+       |FROM sc
+       |QUALIFY rank <= $K""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ann_pq_rerank" -> rerankOracle,
+    "q_ann_recall_rerank" -> recallOracle(rerankOracle, topkOracle),
     "q_ann_pq" -> pqOracle,
     "q_ann_pq_indexed" -> pqOracle,
     "q_semdedup" -> semDedupOracle,

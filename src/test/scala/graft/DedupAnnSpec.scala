@@ -49,6 +49,22 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
   }
 
+  test("two-stage rerank: per-query recall >= raw PQ recall; output " +
+    "shape matches the exact baseline") {
+    import graft.queries.AnnQueries
+    val dir = "/root/testdata/sf0.001"
+    val rr = AnnQueries.qAnnRecallRerank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("recall")).toMap
+    val pq = AnnQueries.qAnnRecallPq(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("recall")).toMap
+    assert(rr.keySet === pq.keySet && rr.nonEmpty)
+    // shortlist ⊇ PQ top-k and exact scoring promotes every true
+    // neighbor present, so refine can never lose recall
+    for ((qid, r) <- rr) assert(r >= pq(qid), s"qid=$qid $r < ${pq(qid)}")
+    val out = AnnQueries.qAnnPqRerank(spark, dir).collect()
+    assert(out.map(_.getLong(0)).distinct.length * 10 === out.length)
+  }
+
   test("HLL distinct: exact column is the true hash cardinality, " +
     "estimate within sketch tolerance, registers bounded at 512") {
     import graft.queries.RetrievalQueries
