@@ -139,6 +139,97 @@ object RetrievalQueries {
       .orderBy("w")
   }
 
+  // ----------------------------------------------------- retrieval eval
+
+  private val EvalTerms = Seq("data", "join", "hash", "vector",
+    "stream", "window")
+  private val EvalK = 10
+
+  /** Retrieval-quality evaluation harness (MRR@10 / NDCG@10 /
+    * precision@10) over per-term BM25 rankings — the eval loop every
+    * retrieval/RAG pipeline runs beside its index. Six single-term
+    * queries; graded relevance derives deterministically from the
+    * corpus itself (rel = min(tf-1, 2): a doc that merely mentions the
+    * term once is retrieved-but-irrelevant, repeated use grades up) so
+    * both engines label identically with no side file. ONE corpus scan:
+    * doc length + per-term tf as conditional counters in a single
+    * aggregate (the CMS pattern), localCheckpoint lineage cut, then
+    * every downstream table is bounded by docs-with-term. Rankings
+    * round BM25 scores to 4 BEFORE ranking (cross-engine rank
+    * stability); DCG's 2^rel terms are exact, log2 follows the
+    * ACOS-in-oracle precedent with round(4) on the final ratio. IDCG
+    * ranks ALL relevant docs by grade (ideal order), so NDCG is a true
+    * [0,1] normalization. */
+  def qRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val toks = d.select(col("doc_id"),
+      explode(split(col("t"), "\\W+")).as("w"))
+      .where(length(col("w")) > 0)
+    val tfCols = EvalTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf$i") }
+    val perDoc = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("len"), tfCols: _*)
+      .localCheckpoint()
+    val stats = perDoc.agg(count(lit(1)).as("n"),
+      sum("len").cast("double").as("total_len"))
+    val tf = perDoc
+      .select(col("doc_id"), col("len"),
+        explode(array(EvalTerms.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("q"), col(s"tf$i").as("tf")) }: _*)).as("e"))
+      .select(col("doc_id"), col("len"),
+        col("e.q").as("q"), col("e.tf").as("tf"))
+      .where(col("tf") > 0)
+    val dfT = tf.groupBy("q").agg(count(lit(1)).as("df"))
+    val term = col("tf").cast("double")
+    val idf = log(lit(1.0) + (col("n").cast("double") - col("df") + 0.5)
+      / (col("df") + 0.5))
+    val norm = lit(1.2) * (lit(1.0 - 0.75)
+      + lit(0.75) * col("len").cast("double")
+        * col("n").cast("double") / col("total_len"))
+    val scored = tf
+      .join(broadcast(dfT), "q")
+      .crossJoin(broadcast(stats))
+      .withColumn("s4",
+        round(idf * term * lit(1.2 + 1.0) / (term + norm), 4))
+      .withColumn("rel", least(col("tf") - lit(1L), lit(2L)))
+      .localCheckpoint() // feeds the ranking AND the ideal-order IDCG
+    val ranked = scored.groupBy("q")
+      .agg(graft.functions.TopKAgg(-col("s4"), col("doc_id"),
+        col("rel"), EvalK).as("tk"))
+      .select(col("q"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("q"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.payload").as("rel"))
+    val dcgTerm = (pow(lit(2.0), col("rel").cast("double")) - lit(1.0)) /
+      log2(col("rank").cast("double") + lit(1.0))
+    val perQ = ranked.groupBy("q").agg(
+      sum(dcgTerm).as("dcg"),
+      max(when(col("rel") >= 1, lit(1.0) / col("rank").cast("double"))
+        .otherwise(lit(0.0))).as("mrr"),
+      sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("n_rel_ret"))
+    val ideal = scored.where(col("rel") >= 1)
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_rel"),
+        graft.functions.TopKAgg(-col("rel").cast("double"),
+          col("doc_id"), lit(0L), EvalK).as("tk"))
+    val idcg = ideal
+      .select(col("q"), col("n_rel"),
+        posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("q"), col("n_rel"),
+        (col("pos") + 1).cast("long").as("rank"), (-col("t.key")).as("rel"))
+      .groupBy("q", "n_rel")
+      .agg(sum((pow(lit(2.0), col("rel")) - lit(1.0)) /
+        log2(col("rank").cast("double") + lit(1.0))).as("idcg"))
+    perQ.join(idcg, Seq("q"), "left")
+      .select(col("q").as("query"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_rel_ret"),
+        round(col("mrr"), 4).as("mrr10"),
+        round(col("n_rel_ret") / lit(10.0), 4).as("prec10"),
+        round(when(coalesce(col("idcg"), lit(0.0)) > 0.0,
+          col("dcg") / col("idcg")).otherwise(lit(0.0)), 4).as("ndcg10"))
+  }
+
   // --------------------------------------------------- HyperLogLog distinct
 
   private val HllP = 2147483647L
@@ -318,6 +409,74 @@ object RetrievalQueries {
          |FROM e""".stripMargin
     },
 
+    // Retrieval-eval replay: per-term BM25 with the q_bm25 constant
+    // discipline (every inexact literal CAST AS DOUBLE, same op order),
+    // score rounded to 4 BEFORE ROW_NUMBER ranking, rel = least(tf-1,2),
+    // DCG/IDCG as SUM over <=10 rows of exact 2^rel-1 over log2 terms,
+    // ideal order (rel DESC, doc_id) mirrors the TopKAgg key exactly.
+    "q_retrieval_eval" -> {
+      val terms = EvalTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |             lower(text) AS t FROM documents),
+         |tk AS (SELECT doc_id, w FROM d,
+         |       LATERAL (SELECT unnest(regexp_split_to_array(t, '\\W+'))
+         |                AS w) u
+         |       WHERE len(w) > 0),
+         |lens AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE)
+         |         AS total_len FROM lens),
+         |tf AS (SELECT doc_id, w AS q, COUNT(*) AS tf FROM tk
+         |       WHERE w IN ($terms) GROUP BY 1, 2),
+         |df AS (SELECT q, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.q,
+         |         ROUND(ln(CAST(1.0 AS DOUBLE)
+         |            + (CAST(st.n AS DOUBLE) - df.df
+         |               + CAST(0.5 AS DOUBLE))
+         |              / (df.df + CAST(0.5 AS DOUBLE)))
+         |         * CAST(tf.tf AS DOUBLE)
+         |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         |         / (CAST(tf.tf AS DOUBLE)
+         |            + CAST(1.2 AS DOUBLE)
+         |              * (CAST(0.25 AS DOUBLE)
+         |                 + CAST(0.75 AS DOUBLE)
+         |                   * CAST(lens.len AS DOUBLE)
+         |                   * CAST(st.n AS DOUBLE) / st.total_len)), 4)
+         |           AS s4,
+         |         least(tf.tf - 1, 2) AS rel
+         |       FROM tf JOIN df USING (q)
+         |       JOIN lens ON lens.doc_id = tf.doc_id, st),
+         |rk AS (SELECT q, rel,
+         |         ROW_NUMBER() OVER (PARTITION BY q
+         |           ORDER BY s4 DESC, doc_id) AS rank
+         |       FROM sc QUALIFY rank <= $EvalK),
+         |pq AS (SELECT q,
+         |         SUM((POWER(2.0, CAST(rel AS DOUBLE)) - 1.0)
+         |             / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg,
+         |         MAX(CASE WHEN rel >= 1
+         |             THEN 1.0 / CAST(rank AS DOUBLE) ELSE 0.0 END) AS mrr,
+         |         SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS n_rel_ret
+         |       FROM rk GROUP BY q),
+         |ir AS (SELECT q, rel,
+         |         ROW_NUMBER() OVER (PARTITION BY q
+         |           ORDER BY rel DESC, doc_id) AS rank
+         |       FROM sc WHERE rel >= 1 QUALIFY rank <= $EvalK),
+         |ic AS (SELECT q, COUNT(*) AS n_rel FROM sc
+         |       WHERE rel >= 1 GROUP BY q),
+         |id2 AS (SELECT q,
+         |          SUM((POWER(2.0, CAST(rel AS DOUBLE)) - 1.0)
+         |              / log2(CAST(rank AS DOUBLE) + 1.0)) AS idcg
+         |        FROM ir GROUP BY q)
+         |SELECT pq.q AS query,
+         |  CAST(COALESCE(ic.n_rel, 0) AS BIGINT) AS n_rel,
+         |  CAST(pq.n_rel_ret AS BIGINT) AS n_rel_ret,
+         |  ROUND(pq.mrr, 4) AS mrr10,
+         |  ROUND(pq.n_rel_ret / 10.0, 4) AS prec10,
+         |  ROUND(CASE WHEN COALESCE(id2.idcg, 0.0) > 0.0
+         |        THEN pq.dcg / id2.idcg ELSE 0.0 END, 4) AS ndcg10
+         |FROM pq LEFT JOIN id2 ON id2.q = pq.q
+         |LEFT JOIN ic ON ic.q = pq.q""".stripMargin
+    },
+
     // HLL replay: same fold-31 fingerprint + simhash mixing multiply,
     // register/rank from exact integer ops, harmonic sum of dyadic
     // 2^-m terms (order-independent-exact in doubles), alpha built
@@ -370,5 +529,6 @@ object RetrievalQueries {
     "q_chunk_docs" -> (qChunkDocs _),
     "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
     "q_bpe_encode" -> (qBpeEncode _),
-    "q_hll_distinct" -> (qHllDistinct _))
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_retrieval_eval" -> (qRetrievalEval _))
 }

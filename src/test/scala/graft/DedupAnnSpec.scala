@@ -49,6 +49,24 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
   }
 
+  test("retrieval eval: metric bounds and internal consistency") {
+    import graft.queries.RetrievalQueries
+    val out = RetrievalQueries.qRetrievalEval(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === 6)
+    for (r <- out) {
+      val (nRel, nRet) = (r.getAs[Long]("n_rel"), r.getAs[Long]("n_rel_ret"))
+      val (mrr, prec, ndcg) = (r.getAs[Double]("mrr10"),
+        r.getAs[Double]("prec10"), r.getAs[Double]("ndcg10"))
+      assert(nRet <= 10 && nRet <= nRel)
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      assert(prec === nRet / 10.0)
+      // a retrieved relevant doc implies a nonzero reciprocal rank
+      if (nRet > 0) assert(mrr > 0.0)
+    }
+  }
+
   test("two-stage rerank: per-query recall >= raw PQ recall; output " +
     "shape matches the exact baseline") {
     import graft.queries.AnnQueries
