@@ -587,6 +587,60 @@ object Ann {
     topKByCos(scored, k)
   }
 
+  /** 1-bit sign quantization: bit i = 1 iff e_i > 0, packed into two
+    * 32-bit half-words (w0 = dims 0..31, w1 = dims 32..63). The most
+    * compressed index tier — 2 longs per vector, 32x smaller than
+    * float64 — below int8 (quantize) and PQ codes in the compression
+    * spectrum; similarity = Hamming distance, 2 xor + 2 popcounts per
+    * pair. Both engines build each half-word as sum(bit_i * 2^i) with
+    * i < 32, so the packed value stays far under Long range and no
+    * sign-bit/overflow behavior is engine-dependent. */
+  private def signPack(df: DataFrame, idCol: String, dim: Int): DataFrame = {
+    require(dim <= 64, s"signPack supports dim <= 64, got $dim")
+    val guarded = df.select(col(idCol),
+      when(size(col("embedding")) === dim, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit(s"embedding size != $dim for $idCol="),
+          col(idCol).cast("string")))).as("embedding"))
+    def word(lo: Int): Column =
+      (lo until math.min(lo + 32, dim)).map(i =>
+        when(col("embedding").getItem(i).cast("double") > 0.0,
+          lit(1L << (i - lo))).otherwise(lit(0L)))
+        .foldLeft(lit(0L))(_ + _)
+    guarded.select(col(idCol).cast("long").as(idCol),
+      word(0).as("w0"), word(32).as("w1"))
+  }
+
+  /** Brute-force Hamming top-k over sign-bit vectors — the binary twin
+    * of quantizedTopK, quality measured the same way (recallAtK vs the
+    * float brute force). Rank on (hamming ASC, nid ASC): exact integer
+    * distance, no float rounding anywhere.
+    *
+    * Plan: scan -> pack projection -> broadcast nested-loop against the
+    * driver-sized query matrix (2 longs per query — the cheapest
+    * possible per-pair work, so no scoring kernel is needed) -> bounded
+    * top-k aggregate. Map-side combine collapses candidates to <= k per
+    * (partition x query) before the only shuffle. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 dim: Int = DefaultDim): DataFrame = {
+    val c = signPack(corpus, "vec_id", dim)
+      .select(col("vec_id").as("nid"), col("w0"), col("w1"))
+    val q = signPack(queries, "vec_id", dim)
+      .select(col("vec_id").as("qid"), col("w0").as("q0"),
+        col("w1").as("q1"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("ham", expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)")
+        .cast("long"))
+    scored
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg(col("ham").cast("double"), col("nid"),
+        col("ham"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.tie").as("nid"),
+        (col("pos") + 1).as("rank"), col("t.payload").as("ham"))
+  }
+
   /** Recall of an approximate top-k result against the exact one:
     * per-query overlap fraction of neighbor sets (rank-agnostic
     * recall@k). Both inputs are (qid, nid, ...) top-k tables; the

@@ -54,6 +54,19 @@ object AnnQueries {
   def qAnnRecallQuantized(spark: SparkSession, dir: String): DataFrame =
     Ann.recallAtK(qQuantizedTopK(spark, dir), qCosineTopK(spark, dir), K)
 
+  /** Hamming top-k over 1-bit sign-quantized vectors — the most
+    * compressed tier of the index spectrum (float -> int8 -> PQ ->
+    * 1-bit). */
+  def qBinaryTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.binaryTopK(e, e.filter(col("vec_id") % QueryMod === 0), K)
+  }
+
+  /** Recall@k of the binary sign index against the float brute force —
+    * what 1-bit compression costs in ranking quality. */
+  def qAnnRecallBinary(spark: SparkSession, dir: String): DataFrame =
+    Ann.recallAtK(qBinaryTopK(spark, dir), qCosineTopK(spark, dir), K)
+
   /** Recall@k of the LSH index against the exact brute-force top-k —
     * the quality monitor a production ANN deployment runs beside the
     * index build. */
@@ -194,6 +207,8 @@ object AnnQueries {
     "q_ann_lsh" -> (qCosineLsh _),
     "q_ann_ivf" -> (qCosineIvf _),
     "q_ann_quantized" -> (qQuantizedTopK _),
+    "q_ann_binary" -> (qBinaryTopK _),
+    "q_ann_recall_binary" -> (qAnnRecallBinary _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
     "q_ann_recall_quantized" -> (qAnnRecallQuantized _),
@@ -430,6 +445,35 @@ object AnnQueries {
 
   /** Recall oracle: both topk oracles as CTEs, same join + left-join
     * aggregation as Ann.recallAtK. */
+  /** DuckDB twin of Ann.binaryTopK: sign bits packed as two 32-bit
+    * half-word sums, Hamming = bit_count(xor) + bit_count(xor), rank on
+    * (ham ASC, nid ASC) — all exact integers. */
+  private val binaryOracle: String =
+    s"""WITH v AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |p AS (SELECT vec_id,
+       |        CAST(list_sum(list_transform(range(1, 33), i ->
+       |          CASE WHEN e[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+       |               ELSE 0 END)) AS BIGINT) AS w0,
+       |        CAST(list_sum(list_transform(range(33, 65), i ->
+       |          CASE WHEN e[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 33))
+       |               ELSE 0 END)) AS BIGINT) AS w1
+       |      FROM v),
+       |qs AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1 FROM p
+       |       WHERE vec_id % $QueryMod = 0),
+       |scored AS (
+       |  SELECT qs.qid, p.vec_id AS nid,
+       |    CAST(bit_count(xor(p.w0, qs.q0))
+       |       + bit_count(xor(p.w1, qs.q1)) AS BIGINT) AS ham
+       |  FROM p, qs WHERE qs.qid <> p.vec_id)
+       |SELECT qid, nid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, nid)
+       |    AS INT) AS rank, ham
+       |FROM scored
+       |QUALIFY rank <= $K""".stripMargin
+
   private def recallOracle(approxSql: String, exactSql: String): String =
     s"""WITH approx AS ($approxSql),
        |exact AS ($exactSql),
@@ -532,6 +576,8 @@ object AnnQueries {
     "q_semdedup" -> semDedupOracle,
     "q_ann_recall_pq" -> recallOracle(pqOracle, topkOracle),
     "q_ann_quantized" -> quantizedOracle,
+    "q_ann_binary" -> binaryOracle,
+    "q_ann_recall_binary" -> recallOracle(binaryOracle, topkOracle),
     "q_ann_recall_quantized" -> recallOracle(quantizedOracle, topkOracle),
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,

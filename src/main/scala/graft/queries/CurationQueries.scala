@@ -223,7 +223,57 @@ object CurationQueries {
         col("p50_len"), col("p90_len"), col("max_len"))
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020 shape): per
+    * language, documents split into head/middle/tail terciles of a
+    * quality score — the partition a curation pipeline samples "head"
+    * from. Score = stopword hits per 10k words in EXACT integer
+    * arithmetic (milli-ratio DIV, -1 sentinel for 0-word docs), so the
+    * tercile cut points are engine-independent.
+    *
+    * Exact quantiles WITHOUT a corpus sort: the score domain is bounded
+    * (0..10000 + sentinel), so per-lang thresholds come off a
+    * value-count histogram — one map-side-combined groupBy(lang, score),
+    * a cumulative window over <= langs x 10002 rows (bounded by the
+    * domain, not the corpus), threshold = smallest score whose
+    * cumulative count reaches ceil(n/3) / ceil(2n/3) (percentile_disc
+    * semantics). The langs-row threshold table broadcast-joins back.
+    * An exact percentile aggregate would buffer a language's every score
+    * in one task — the same TypedImperativeAggregate scale-killer
+    * qCorpusStats avoids. */
+  def qQualityThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = wordCount(col("text"))
+    val nStop = stopwordCount(norm(col("text")), langStopwords.head._2)
+    // lineage cut: the stopword regex count feeds both the histogram
+    // and the join-back; without it the corpus text is scanned twice
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), nWords.as("n_words"),
+        nStop.as("n_stop"))
+      .withColumn("score",
+        expr("CASE WHEN n_words = 0 THEN -1 " +
+          "ELSE (n_stop * 10000) DIV n_words END"))
+      .select(col("doc_id"), col("lang"), col("score"))
+      .localCheckpoint()
+    val hist = base.groupBy("lang", "score").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    // ceil in integer arithmetic — see qCorpusStats for why not ceil(q*n)
+    val thresholds = cum.groupBy("lang").agg(
+      min(when(col("cum") >= expr("(n + 2) DIV 3"), col("score"))).as("t33"),
+      min(when(col("cum") >= expr("(n * 2 + 2) DIV 3"), col("score")))
+        .as("t66"))
+    base.join(broadcast(thresholds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("score"), col("t33"),
+        col("t66"),
+        when(col("score") >= col("t66"), lit("head"))
+          .when(col("score") >= col("t33"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_thresholds" -> (qQualityThresholds _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -246,7 +296,45 @@ object CurationQueries {
        |                 c -> CAST(ascii(c) AS BIGINT))),
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** SQL twin of TextFunctions.wordCount (0 for blank text). */
+  private val wcSql =
+    """CASE WHEN len(trim(text)) = 0 THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+      .stripMargin.replace("\n", " ").replaceAll(" +", " ")
+
+  /** SQL twin of TextFunctions.stopwordCount over normalized text. */
+  private val stopSql =
+    s"""len(regexp_extract_all($normSql,
+       |  '\\b(${graft.functions.TextFunctions.langStopwords.head._2
+                  .mkString("|")})\\b'))"""
+      .stripMargin.replace("\n", " ").replaceAll(" +", " ")
+
   val oracles: Map[String, String] = Map(
+    "q_quality_thresholds" ->
+      s"""WITH d AS ($docsSql),
+         |s AS (SELECT doc_id, lang,
+         |        CASE WHEN $wcSql = 0 THEN CAST(-1 AS BIGINT)
+         |             ELSE (CAST($stopSql AS BIGINT) * 10000)
+         |                  // CAST($wcSql AS BIGINT) END AS score
+         |      FROM d),
+         |h AS (SELECT lang, score, COUNT(*) AS c FROM s GROUP BY 1, 2),
+         |cw AS (SELECT lang, score,
+         |         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum,
+         |         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |       FROM h),
+         |t AS (SELECT lang,
+         |        MIN(CASE WHEN cum >= (n + 2) // 3 THEN score END) AS t33,
+         |        MIN(CASE WHEN cum >= (n * 2 + 2) // 3 THEN score END)
+         |          AS t66
+         |      FROM cw GROUP BY 1)
+         |SELECT s.doc_id, s.lang, s.score, t.t33, t.t66,
+         |  CASE WHEN s.score >= t.t66 THEN 'head'
+         |       WHEN s.score >= t.t33 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM s JOIN t ON s.lang = t.lang""".stripMargin,
+
     "q_corpus_stats" ->
       s"""WITH d AS (SELECT lang, CAST(len(text) AS BIGINT) AS len
          |           FROM documents),

@@ -49,6 +49,68 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
   }
 
+  test("binary Hamming ANN: packing matches local sign bits, top-k " +
+    "matches local brute force, recall bounded") {
+    import spark.implicits._
+    // deterministic synthetic vectors with mixed signs
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(64)(i => (((id * 31 + i * 17) % 13) - 6).toFloat / 7f)
+    val ids = (0L until 40L)
+    val e = ids.map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val out = Ann.binaryTopK(e, e.filter(col("vec_id") % 10 === 0), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getLong(3)))
+    // local reference: pack sign bits, rank by (hamming, nid)
+    def packed(id: Long): Long =
+      vec(id).zipWithIndex.map { case (x, i) =>
+        if (x > 0) 1L << i else 0L }.reduce(_ | _)
+    for (qid <- ids if qid % 10 == 0) {
+      val expect = ids.filter(_ != qid)
+        .map(n => (java.lang.Long.bitCount(packed(qid) ^ packed(n)), n))
+        .sorted.take(5)
+      val got = out.filter(_._1 == qid).sortBy(_._3)
+      assert(got.map(g => (g._4.toInt, g._2)).toSeq === expect.toSeq)
+    }
+    val rec = Ann.recallAtK(Ann.binaryTopK(e, e.limit(3), 5),
+      Ann.cosineTopK(e, e.limit(3), 5), 5).collect()
+    for (r <- rec) {
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
+  test("quality thresholds: terciles are percentile_disc of the score " +
+    "distribution and every bucket agrees with its thresholds") {
+    import graft.queries.CurationQueries
+    val out = CurationQueries
+      .qQualityThresholds(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    for ((_, rows) <- byLang) {
+      val scores = rows.map(_.getAs[Long]("score")).sorted
+      val n = scores.length
+      val (t33, t66) = (rows.head.getAs[Long]("t33"),
+        rows.head.getAs[Long]("t66"))
+      // percentile_disc: smallest score whose cum count >= ceil(q*n)
+      assert(t33 === scores((n + 2) / 3 - 1))
+      assert(t66 === scores((n * 2 + 2) / 3 - 1))
+      for (r <- rows) {
+        val (s, b) = (r.getAs[Long]("score"), r.getAs[String]("bucket"))
+        val expect = if (s >= t66) "head" else if (s >= t33) "middle"
+          else "tail"
+        assert(b === expect)
+        // all rows of a lang carry the same thresholds
+        assert(r.getAs[Long]("t33") === t33 &&
+          r.getAs[Long]("t66") === t66)
+      }
+      // no bucket is empty unless the distribution is degenerate
+      if (t33 != t66) {
+        val bs = rows.map(_.getAs[String]("bucket")).toSet
+        assert(bs.contains("head") && bs.contains("tail"))
+      }
+    }
+  }
+
   test("retrieval eval: metric bounds and internal consistency") {
     import graft.queries.RetrievalQueries
     val out = RetrievalQueries.qRetrievalEval(spark, "/root/testdata/sf0.001")
