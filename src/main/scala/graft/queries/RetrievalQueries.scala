@@ -317,6 +317,59 @@ object RetrievalQueries {
         / col("n_raw").cast("double"), 4))
   }
 
+  // -------------------------------------------------------- phrase search
+
+  /** (phrase_id, words) — fixed query workload, like Bm25Terms. */
+  private val Phrases: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("fast", "table"),
+    1L -> Seq("table", "table"),
+    2L -> Seq("big", "data"),
+    3L -> Seq("value", "table", "part"),
+    4L -> Seq("scan", "scan", "slow"))
+
+  /** Phrase search over a POSITIONAL inverted index — the retrieval
+    * primitive BM25 (bag-of-words) can't express: a phrase of n words
+    * matches where consecutive token positions carry its words, counting
+    * overlapping occurrences (an adjacency self-join, the classic
+    * posting-list intersection with position offsets).
+    *
+    * Scale shape: postings = one scan -> tokenize -> posexplode,
+    * FILTERED to the phrase vocabulary before anything shuffles (the
+    * selective term filter is the whole point of an inverted index — at
+    * 100 TB the posting store is term-partitioned and only the phrase's
+    * terms are read at all). The filtered postings table is materialized
+    * once (lineage cut — it feeds every per-phrase join), each phrase is
+    * a chain of equi-joins on (doc_id, pos - offset) over term-pruned
+    * sides, and the per-(phrase, doc) aggregate map-side combines.
+    * Positions are 1-based on both engines. */
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Phrases.flatMap(_._2).distinct
+    val postings = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("w"))
+      .where(col("w").isin(vocab: _*))
+      .localCheckpoint()
+    val perPhrase = Phrases.map { case (pid, ws) =>
+      val base = postings.where(col("w") === ws.head)
+        .select(col("doc_id"), col("pos"))
+      val matched = ws.zipWithIndex.drop(1).foldLeft(base) {
+        case (acc, (w, k)) =>
+          acc.join(postings.where(col("w") === w)
+              .select(col("doc_id"), (col("pos") - k).as("pos")),
+            Seq("doc_id", "pos"))
+      }
+      matched.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+        .select(lit(pid).as("phrase_id"),
+          lit(ws.mkString(" ")).as("phrase"), col("doc_id"),
+          col("n_matches"), col("first_pos"))
+    }
+    perPhrase.reduce(_ unionAll _)
+  }
+
   // ------------------------------------------------------------- oracles
 
   private val tokSql =
@@ -325,7 +378,37 @@ object RetrievalQueries {
       |                AS w) u
       |       WHERE len(w) > 0""".stripMargin
 
+  /** DuckDB twin of qPhraseSearch: same 1-based positional postings
+    * (recursive-unnest of a pos/word struct list), same term-pruned
+    * adjacency joins per phrase, counting overlapping matches. */
+  private val phraseSearchOracle: String = {
+    val vocab = Phrases.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    val per = Phrases.map { case (pid, ws) =>
+      val joins = ws.zipWithIndex.drop(1).map { case (w, k) =>
+        s"JOIN p t$k ON t$k.doc_id = t0.doc_id " +
+          s"AND t$k.pos = t0.pos + $k AND t$k.w = '$w'"
+      }.mkString(" ")
+      s"SELECT CAST($pid AS BIGINT) AS phrase_id, " +
+        s"'${ws.mkString(" ")}' AS phrase, t0.doc_id, t0.pos " +
+        s"FROM p t0 $joins WHERE t0.w = '${ws.head}'"
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
+       |pt AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(l) + 1),
+       |           i -> {'pos': CAST(i AS BIGINT), 'w': l[i]}),
+       |           recursive := true)
+       |       FROM d),
+       |p AS (SELECT doc_id, pos, w FROM pt WHERE w IN ($vocab)),
+       |u AS ($per)
+       |SELECT phrase_id, phrase, doc_id, COUNT(*) AS n_matches,
+       |  MIN(pos) AS first_pos
+       |FROM u GROUP BY 1, 2, 3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_phrase_search" -> phraseSearchOracle,
     "q_chunk_docs" ->
       s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  list_filter(regexp_split_to_array(lower(text), '\\W+'),
@@ -526,6 +609,7 @@ object RetrievalQueries {
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
     "q_bpe_encode" -> (qBpeEncode _),

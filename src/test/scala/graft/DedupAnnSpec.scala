@@ -111,6 +111,43 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("phrase search: counts overlapping occurrences and positions " +
+    "match a plain-Scala scan") {
+    import graft.queries.RetrievalQueries
+    val dir = "/root/testdata/sf0.001"
+    val out = RetrievalQueries.qPhraseSearch(spark, dir).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos"))).toMap
+    val texts = Tables.load(spark, dir, "documents")
+      .selectExpr("CAST(doc_id AS LONG) AS doc_id", "lower(text) AS t")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val phrases = Seq("fast table", "table table", "big data",
+      "value table part", "scan scan slow")
+    var checked = 0
+    for ((docId, t) <- texts; ph <- phrases) {
+      val toks = "[a-z]+".r.findAllIn(t).toArray
+      val ws = ph.split(" ")
+      // overlapping matches: every start where the next |ws| tokens agree
+      val starts = (0 to toks.length - ws.length)
+        .filter(s => ws.indices.forall(k => toks(s + k) == ws(k)))
+      val got = out.get((ph, docId))
+      if (starts.isEmpty) assert(got.isEmpty)
+      else {
+        assert(got.contains((starts.length.toLong,
+          starts.head.toLong + 1)))
+        checked += 1
+      }
+    }
+    assert(checked > 0) // the workload actually exercises matches
+    // overlap semantics pinned: "table table table" has TWO matches of
+    // the bigram "table table" — visible in the real corpus iff some doc
+    // has a triple; assert on a synthetic check of the local reference
+    val triple = "key table table table scan".split(" ")
+    val s2 = (0 to triple.length - 2)
+      .count(s => triple(s) == "table" && triple(s + 1) == "table")
+    assert(s2 === 2)
+  }
+
   test("retrieval eval: metric bounds and internal consistency") {
     import graft.queries.RetrievalQueries
     val out = RetrievalQueries.qRetrievalEval(spark, "/root/testdata/sf0.001")
