@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed top-principal-component extraction (power iteration) —
+  * the embedding-pipeline step before whitening / dimensionality
+  * reduction / ANN preprocessing. Reference analogue: none
+  * (gpd_lite_toolbox has no embedding surface); the shape follows the
+  * engine's other trained models (IVF/PQ Lloyd, logistic classifier).
+  *
+  * Scale design: the COVARIANCE IS NEVER MATERIALIZED. Each power step
+  * computes u = Σ_rows x (x·v) directly — ONE map-side-combined
+  * aggregate of `dim` sums per step (the matvec-with-the-data form; a
+  * dim x dim second-moment matrix would be dim² aggregate columns and
+  * is the wrong shape once dim grows). The model (v, dim doubles) is
+  * driver-sized by construction; iterations = T corpus scans, same
+  * trade as Lloyd training.
+  *
+  * Determinism contract (what lets the DuckDB oracle RETRAIN the same
+  * component): per-row matvec terms are quantized to integer nanos
+  * (round(x_i * (x·v) * 1e9) as long) before summing, so each step's
+  * aggregate is exact integer arithmetic — order-independent across
+  * engines and partitionings. The driver-side update (u_i = S_i/1e9,
+  * v' = u / sqrt(Σu²), fixed left-fold order) uses only +,*,/,sqrt —
+  * all IEEE-correctly-rounded, no transcendentals — so both engines
+  * produce bit-identical doubles. Long capacity bounds one batch at
+  * ~1e6 rows per aggregate for unit-norm-ish embeddings
+  * (n * dim^0.5 * 1e9 < 2^63 and the long->double exactness bound
+  * n * 1e9 < 2^53); beyond that, shard into partial batches and sum
+  * the integer partials — the same move the classifier documents. */
+object Pca {
+
+  /** x·v as a fixed left-fold ((0 + t0) + t1) + ... — the order both
+    * engines replay. */
+  private def dotLit(e: Column, v: Array[Double]): Column =
+    v.indices.map(j => e.getItem(j).cast("double") * lit(v(j)))
+      .foldLeft(lit(0.0))(_ + _)
+
+  /** `iters` power-iteration steps from v0 = all-ones (exact). Returns
+    * the (unit) dominant eigenvector of the uncentered second-moment
+    * matrix — deterministic: every arithmetic op is IEEE-exact or
+    * integer. */
+  def powerIteration(emb: DataFrame, dim: Int, iters: Int): Array[Double] = {
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to iters) {
+      val q = dotLit(col("embedding"), v)
+      val qdf = emb.select(col("embedding").as("e"), q.as("q"))
+      val aggs = (0 until dim).map(i =>
+        sum(round(col("e").getItem(i).cast("double") * col("q") * 1e9, 0)
+          .cast("long")))
+      val r = qdf.agg(aggs.head, aggs.tail: _*).head()
+      val u = Array.tabulate(dim)(i => r.getLong(i) / 1e9)
+      val nrm = math.sqrt(u.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = u.map(_ / nrm)
+    }
+    v
+  }
+
+  /** Score every row: pc1 = round(x·v, 6) — map-only, model embedded in
+    * the expression (the serving shape every trained model here uses). */
+  def project(emb: DataFrame, idCol: String, v: Array[Double]): DataFrame =
+    emb.select(col(idCol).cast("long").as(idCol),
+      round(dotLit(col("embedding"), v), 6).as("pc1"))
+}

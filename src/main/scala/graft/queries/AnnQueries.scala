@@ -54,6 +54,22 @@ object AnnQueries {
   def qAnnRecallQuantized(spark: SparkSession, dir: String): DataFrame =
     Ann.recallAtK(qQuantizedTopK(spark, dir), qCosineTopK(spark, dir), K)
 
+  private val PcaIters = 4
+
+  /** Top principal component of the embedding space by in-engine power
+    * iteration (operators.Pca): 4 steps, each ONE map-side-combined
+    * aggregate — the covariance is never materialized. Integer-nano
+    * term quantization + IEEE-only driver updates make the training
+    * replayable, so the DuckDB oracle RETRAINS the identical component
+    * and the per-vector projections hash-match. */
+  def qPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    // 5 consumers of the embedding column (4 power steps + projection):
+    // materialize once
+    val e = emb(spark, dir).localCheckpoint()
+    val v = graft.operators.Pca.powerIteration(e, Ann.DefaultDim, PcaIters)
+    graft.operators.Pca.project(e, "vec_id", v)
+  }
+
   /** Hamming top-k over 1-bit sign-quantized vectors — the most
     * compressed tier of the index spectrum (float -> int8 -> PQ ->
     * 1-bit). */
@@ -208,6 +224,7 @@ object AnnQueries {
     "q_ann_ivf" -> (qCosineIvf _),
     "q_ann_quantized" -> (qQuantizedTopK _),
     "q_ann_binary" -> (qBinaryTopK _),
+    "q_pca_project" -> (qPcaProject _),
     "q_ann_recall_binary" -> (qAnnRecallBinary _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
@@ -445,6 +462,41 @@ object AnnQueries {
 
   /** Recall oracle: both topk oracles as CTEs, same join + left-join
     * aggregation as Ann.recallAtK. */
+  /** DuckDB twin of qPcaProject: RETRAINS the component — each power
+    * step unrolls as CTE pairs (nano-quantized matvec aggregate, then
+    * the IEEE-exact normalize), fold orders identical to the engine's;
+    * see operators.Pca for the determinism contract. */
+  private val pcaOracle: String = {
+    val dim = Ann.DefaultDim
+    def fold(terms: Seq[String]): String =
+      terms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
+    val sb = new StringBuilder
+    sb ++= """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings)""".stripMargin
+    var prevV: Int => String = _ => "1.0"
+    for (t <- 1 to PcaIters) {
+      val qExpr = fold((1 to dim).map(j => s"e[$j] * ${prevV(j)}"))
+      val src = if (t == 1) "v" else s"v, vv${t - 1}"
+      sb ++= s", q$t AS (SELECT vec_id, e, $qExpr AS q FROM $src)"
+      val sums = (1 to dim).map(i =>
+        s"SUM(CAST(ROUND(e[$i] * q * 1e9) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      sb ++= s", s$t AS (SELECT $sums FROM q$t)"
+      val us = (1 to dim).map(i => s"CAST(s$i AS DOUBLE) / 1e9 AS u$i")
+        .mkString(", ")
+      sb ++= s", w$t AS (SELECT $us FROM s$t)"
+      val nrm = fold((1 to dim).map(i => s"u$i * u$i"))
+      sb ++= s", n$t AS (SELECT *, sqrt($nrm) AS nrm FROM w$t)"
+      val vs = (1 to dim).map(i => s"u$i / nrm AS v$i").mkString(", ")
+      sb ++= s", vv$t AS (SELECT $vs FROM n$t)"
+      prevV = j => s"v$j"
+    }
+    val proj = fold((1 to dim).map(j => s"e[$j] * v$j"))
+    sb ++= s" SELECT vec_id, ROUND($proj, 6) AS pc1 FROM v, vv$PcaIters"
+    sb.toString
+  }
+
   /** DuckDB twin of Ann.binaryTopK: sign bits packed as two 32-bit
     * half-word sums, Hamming = bit_count(xor) + bit_count(xor), rank on
     * (ham ASC, nid ASC) — all exact integers. */
@@ -577,6 +629,7 @@ object AnnQueries {
     "q_ann_recall_pq" -> recallOracle(pqOracle, topkOracle),
     "q_ann_quantized" -> quantizedOracle,
     "q_ann_binary" -> binaryOracle,
+    "q_pca_project" -> pcaOracle,
     "q_ann_recall_binary" -> recallOracle(binaryOracle, topkOracle),
     "q_ann_recall_quantized" -> recallOracle(quantizedOracle, topkOracle),
     "q_ann_lsh" -> lshOracle,

@@ -111,6 +111,40 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("PCA power iteration: unit vector, dominant direction, " +
+    "deterministic across runs") {
+    import graft.operators.Pca
+    import spark.implicits._
+    // anisotropic synthetic data: variance concentrated on a known axis
+    def vec(id: Long): Array[Float] = Array.tabulate(64) { i =>
+      val noise = (((id * 37 + i * 11) % 19) - 9).toFloat / 90f
+      if (i == 7) ((id % 13) - 6).toFloat + noise else noise
+    }
+    val e = (0L until 200L).map(id => (id, vec(id)))
+      .toDF("vec_id", "embedding")
+    val v = Pca.powerIteration(e, 64, iters = 4)
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-9)
+    // the dominant coordinate must dominate the component
+    assert(math.abs(v(7)) > 0.9)
+    // Rayleigh quotient of v beats every coordinate axis (local check
+    // over the collected frame — test-only)
+    val rows = e.collect().map(_.getAs[Seq[Float]]("embedding")
+      .map(_.toDouble).toArray)
+    def rayleigh(d: Array[Double]): Double = {
+      val n = math.sqrt(d.map(x => x * x).sum)
+      rows.map(r => math.pow(r.zip(d).map { case (a, b) => a * b / n }.sum,
+        2)).sum
+    }
+    val rv = rayleigh(v)
+    for (ax <- 0 until 64) {
+      val d = Array.tabulate(64)(i => if (i == ax) 1.0 else 0.0)
+      assert(rv >= rayleigh(d) - 1e-6)
+    }
+    // bit-identical retrain
+    assert(Pca.powerIteration(e, 64, iters = 4).toSeq === v.toSeq)
+  }
+
   test("phrase search: counts overlapping occurrences and positions " +
     "match a plain-Scala scan") {
     import graft.queries.RetrievalQueries
