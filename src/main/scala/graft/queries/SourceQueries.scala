@@ -188,6 +188,12 @@ object SourceQueries {
     graft.operators.ImageHash.dhashPairs(
       Tables.load(spark, dir, "documents"), maxHamming = 10)
 
+  /** H.264 Annex-B structure parse (r10): real start-code NAL walk,
+    * emulation-prevention unescape, exp-Golomb SPS/PPS/slice-header
+    * decode with the SPS-drives-slice-width dependency. */
+  def qMultimodalH264(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.H264.h264Features(Tables.load(spark, dir, "documents"))
+
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -253,6 +259,7 @@ object SourceQueries {
     "q_multimodal_mp3" -> (qMultimodalMp3 _),
     "q_multimodal_mp3_spectral" -> (qMultimodalMp3Spectral _),
     "q_multimodal_mp3_pcm" -> (qMultimodalMp3Pcm _),
+    "q_multimodal_h264" -> (qMultimodalH264 _),
     "q_image_phash" -> (qImagePhash _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
     "q_multimodal_augment" -> (qMultimodalAugment _),
@@ -373,6 +380,26 @@ object SourceQueries {
         |  CAST(SUM((id45 * 7 + x * 13 + y * 31) % 256) AS BIGINT)
         |    AS sum_b
         |FROM px GROUP BY doc_id, f""".stripMargin,
+
+    // H.264: every field is analytic in doc_id (the generator's clip
+    // parameters), so the oracle replays what the real NAL/exp-Golomb
+    // parse must recover; n_epb counts the emulation-prevention bytes
+    // the forced 00 00 00 payload runs make the writer insert.
+    "q_multimodal_h264" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |p AS (SELECT doc_id, 3 + doc_id % 5 AS n_slices FROM d)
+        |SELECT doc_id,
+        |  2 + n_slices AS n_nals,
+        |  (2 + doc_id % 9) * 16 AS width,
+        |  (2 + doc_id % 5) * 16 AS height,
+        |  10 + (doc_id % 4) * 10 AS level_idc,
+        |  20 + doc_id % 16 AS init_qp,
+        |  n_slices,
+        |  CAST(1 AS BIGINT) AS n_idr,
+        |  n_slices * (n_slices - 1) // 2 AS sum_frame_num,
+        |  (doc_id % 4) * n_slices AS n_epb
+        |FROM p""".stripMargin,
 
     // MP4: a REAL ISO BMFF file per clip — ftyp/moov/mdat, full box
     // tree, and a complete sample table (stsd/stts/stsc/stsz/stco)

@@ -710,6 +710,50 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(a.exists(_._3 > 0.0))
   }
 
+  test("H.264: emulation prevention round-trips, exp-Golomb negatives, " +
+    "parse recovers every analytic field, malformed streams are loud") {
+    import graft.operators.H264
+    // EPB escape/unescape round trip over adversarial byte patterns
+    val patterns = Seq(
+      Array[Byte](0, 0, 0), // needs one escape
+      Array[Byte](0, 0, 1, 0, 0, 2, 0, 0, 3), // all three trigger bytes
+      Array[Byte](0, 0, 0, 0, 0), // overlapping zero runs
+      Array[Byte](-1, 0, 0), // trailing 00 00 without trigger: no escape
+      Array.tabulate(64)(i => (i % 5).toByte))
+    for (p <- patterns) {
+      val (esc, n) = H264.escapeRbsp(p)
+      // escaped form never contains 00 00 0x for x <= 2
+      for (i <- 0 until esc.length - 2)
+        assert(!(esc(i) == 0 && esc(i + 1) == 0 && (esc(i + 2) & 0xFF) <= 2))
+      val (back, m) = H264.unescapeRbsp(esc)
+      assert(back.toSeq === p.toSeq && m === n)
+    }
+    // generation guard + full parse over a doc_id sweep: every field
+    // matches its analytic formula (incl. the negative se(v) qp range)
+    for (d <- 0L to 300L) {
+      val f = H264.decodeH264(d, H264.synthH264Bytes(d))
+      val ns = 3 + d % 5
+      assert(f.n_nals === 2 + ns)
+      assert(f.width === (2 + d % 9) * 16)
+      assert(f.height === (2 + d % 5) * 16)
+      assert(f.level_idc === 10 + (d % 4) * 10)
+      assert(f.init_qp === 20 + d % 16)
+      assert(f.n_slices === ns && f.n_idr === 1L)
+      assert(f.sum_frame_num === ns * (ns - 1) / 2)
+      assert(f.n_epb === (d % 4) * ns)
+    }
+    // malformed streams fail loudly, not silently
+    val good = H264.synthH264Bytes(7L)
+    intercept[IllegalArgumentException] {
+      H264.decodeH264(7L, good.take(3)) // no start code
+    }
+    val badProfile = good.clone
+    badProfile(5) = 0x4D.toByte // profile 77 != baseline literal
+    intercept[IllegalArgumentException] {
+      H264.decodeH264(7L, badProfile)
+    }
+  }
+
   test("WKB: golden bytes both endian, multipolygon, writer layout, malformed") {
     import spark.implicits._
     import graft.sources.Wkb
