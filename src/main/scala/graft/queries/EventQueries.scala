@@ -175,7 +175,52 @@ object EventQueries {
           / col("cohort_n").cast("double"), 4).as("retention"))
   }
 
+  /** AS-OF (point-in-time) join — the temporal operator Spark has no
+    * native form of: every click matched to the LATEST view by the same
+    * user at-or-before the click's time. kdb/Flink/QuestDB ship this as
+    * a primitive; DuckDB's native ASOF JOIN is the oracle.
+    *
+    * NOT a range join: the naive form (equi-join on user + ts filter +
+    * max-per-click) explodes clicks x all-prior-views before pruning —
+    * quadratic per heavy user. This is the union+ordered-window form:
+    * tag both sides, ONE shuffle on user_id, sort by (ts, side) within
+    * the partition, and a running last_value(ignoreNulls) carries the
+    * most recent view forward — each row costs O(1), ties at equal ts
+    * resolve view-before-click (kind 0 < 1) matching ASOF's inclusive
+    * <=. Views are pre-deduped to max event_id per (user, ts) so the
+    * anchor is deterministic on both engines. At 100 TB this is a
+    * sort-merge within user partitions — the same shape a stream-table
+    * temporal join compiles to. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts_us").agg(max("event_id").as("id"))
+      .select(col("user_id"), col("ts_us"), col("id"),
+        lit(0).as("kind"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("id"),
+        lit(1).as("kind"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionAll(clicks)
+      .withColumn("view_id",
+        last(when(col("kind") === 0, col("id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("view_ts",
+        last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("kind") === 1 && col("view_id").isNotNull)
+      .select(col("id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_ts_us"), col("view_id"),
+        col("view_ts").as("view_ts_us"),
+        (col("ts_us") - col("view_ts")).as("lag_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
     "q_retention" -> (qRetention _),
     "q_json_extract" -> (qJsonExtract _),
     "q_pagerank" -> (qPagerank _),
@@ -225,6 +270,22 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the oracle is DuckDB's NATIVE ASOF JOIN — an independent
+    // implementation of the semantics, not a replay of the engine's
+    // window trick (right side pre-deduped so the anchor is unique)
+    "q_asof_join" ->
+      """WITH e AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+        |             CAST(user_id AS BIGINT) AS user_id,
+        |             epoch_us(ts) AS tus, event_type FROM events),
+        |v AS (SELECT user_id, tus, MAX(event_id) AS view_id
+        |      FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT user_id, tus, event_id FROM e
+        |      WHERE event_type = 'click')
+        |SELECT c.event_id AS click_id, c.user_id,
+        |  c.tus AS click_ts_us, v.view_id, v.tus AS view_ts_us,
+        |  c.tus - v.tus AS lag_us
+        |FROM c ASOF JOIN v
+        |  ON c.user_id = v.user_id AND c.tus >= v.tus""".stripMargin,
     "q_retention" ->
       """WITH uw AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
         |  (epoch_ns(ts) // 1000) // 604800000000 AS week FROM events),

@@ -1268,6 +1268,37 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(out.agg(sum("saved")).collect()(0).getLong(0) > 0L)
   }
 
+  test("as-of join: every click gets its latest prior-or-equal view, " +
+    "matching an independent per-user scan") {
+    import graft.queries.EventQueries
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.qAsofJoin(spark, dir).collect()
+      .map(r => r.getAs[Long]("click_id") ->
+        (r.getAs[Long]("view_id"), r.getAs[Long]("view_ts_us"),
+          r.getAs[Long]("lag_us"))).toMap
+    val ev = Tables.eventsUs(spark, dir)
+      .selectExpr("CAST(event_id AS LONG) AS id",
+        "CAST(user_id AS LONG) AS uid", "event_type", "ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val viewsByUser = ev.filter(_._3 == "view").groupBy(_._2)
+    var matched = 0
+    for ((id, uid, typ, ts) <- ev if typ == "click") {
+      val prior = viewsByUser.getOrElse(uid, Array.empty)
+        .filter(_._4 <= ts)
+      if (prior.isEmpty) assert(!out.contains(id))
+      else {
+        val bestTs = prior.map(_._4).max
+        val bestId = prior.filter(_._4 == bestTs).map(_._1).max
+        assert(out(id) === ((bestId, bestTs, ts - bestTs)))
+        matched += 1
+      }
+    }
+    assert(matched > 0 && matched === out.size)
+    // lag is never negative: the match is at-or-before by construction
+    assert(out.values.forall(_._3 >= 0L))
+  }
+
   test("retention: offset-0 is the full cohort, later offsets never exceed it") {
     val r = graft.queries.EventQueries.qRetention(spark, SfDir).collect()
     val zero = r.filter(_.getAs[Long]("wk_off") == 0L)
