@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -162,7 +163,57 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  private val SkewCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  /** Join-key skew report — the diagnostic a 100 TB pipeline runs
+    * BEFORE choosing join strategies (this engine's own salting
+    * decisions — snap_to_nearest's auto-priced salt, the AQE-vs-salt
+    * measurements in SURVEY §4 — start from exactly these numbers).
+    * Per key column: row/key counts, the max and p99 per-key
+    * multiplicity, the deterministic heaviest key, the skew ratio
+    * (max over mean), and the derived salt factor ceil(max/mean).
+    *
+    * Shapes: per-key counts are one map-side-combined groupBy per
+    * column (the only corpus-sized shuffle, over a single pruned
+    * column); p99 reads off a count-of-counts histogram whose size is
+    * bounded by the DISTINCT MULTIPLICITY values (a handful), not the
+    * key count — the same bounded-domain percentile_disc move as
+    * qCorpusStats, so the unpartitioned window is over a driver-sized
+    * frame; the heaviest key is the k=1 bounded-heap aggregate, never
+    * a global sort. */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    SkewCols.map { c =>
+      val counts = li.select(col(c).cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds stats + histogram + heavy-key agg
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"))
+      val heavy = counts
+        .agg(graft.functions.TopKAgg(-col("cnt").cast("double"),
+          col("k"), col("k"), 1).as("tk"))
+        .select(element_at(col("tk"), 1).getField("tie").as("heavy_key"))
+      val w = Window.orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val p99 = counts.groupBy("cnt").agg(count(lit(1)).as("freq"))
+        .withColumn("cum", sum("freq").over(w))
+        .crossJoin(broadcast(stats.select(col("n_keys").as("nk"))))
+        .agg(min(when(col("cum") >= expr("(nk * 99 + 99) DIV 100"),
+          col("cnt"))).as("p99_cnt"))
+      stats.crossJoin(broadcast(heavy)).crossJoin(broadcast(p99))
+        .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_cnt"), col("p99_cnt"), col("heavy_key"),
+          round(col("n_rows").cast("double")
+            / col("n_keys").cast("double"), 4).as("mean_cnt"),
+          round(col("max_cnt").cast("double") * col("n_keys").cast("double")
+            / col("n_rows").cast("double"), 4).as("skew_ratio"),
+          expr("(max_cnt * n_keys + n_rows - 1) DIV n_rows").as("salt"))
+    }.reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_report" -> (qSkewReport _),
     "q1_pricing" -> (q1Pricing _),
     "q_top_revenue" -> (qTopRevenue _),
     "q3_shipping" -> (q3Shipping _),
@@ -171,7 +222,36 @@ object Analytics {
     "q9_profit" -> (q9Profit _),
     "q10_returns" -> (q10Returns _))
 
+  /** DuckDB twin of qSkewReport, one subquery block per key column. */
+  private val skewReportOracle: String = {
+    val blocks = SkewCols.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS key_col, n_rows, n_keys, max_cnt,
+         |  (SELECT MIN(cnt) FROM (
+         |     SELECT cnt, SUM(freq) OVER (ORDER BY cnt
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |     FROM (SELECT cnt, COUNT(*) AS freq FROM cnt$i GROUP BY 1))
+         |   WHERE cum >= (n_keys * 99 + 99) // 100) AS p99_cnt,
+         |  (SELECT k FROM cnt$i ORDER BY cnt DESC, k LIMIT 1)
+         |    AS heavy_key,
+         |  ROUND(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 4)
+         |    AS mean_cnt,
+         |  ROUND(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+         |      / CAST(n_rows AS DOUBLE), 4) AS skew_ratio,
+         |  (max_cnt * n_keys + n_rows - 1) // n_rows AS salt
+         |FROM st$i""".stripMargin
+    }
+    val ctes = SkewCols.zipWithIndex.map { case (c, i) =>
+      s"""cnt$i AS (SELECT CAST($c AS BIGINT) AS k, COUNT(*) AS cnt
+         |          FROM lineitem GROUP BY 1),
+         |st$i AS (SELECT COUNT(*) AS n_keys,
+         |           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |           MAX(cnt) AS max_cnt FROM cnt$i)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $ctes\n" + blocks.mkString("\nUNION ALL\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_skew_report" -> skewReportOracle,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

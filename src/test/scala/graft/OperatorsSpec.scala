@@ -1268,6 +1268,37 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(out.agg(sum("saved")).collect()(0).getLong(0) > 0L)
   }
 
+  test("skew report: stats agree with an independent per-key count") {
+    import graft.queries.Analytics
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.qSkewReport(spark, dir).collect()
+      .map(r => r.getAs[String]("key_col") -> r).toMap
+    assert(out.keySet === Set("l_orderkey", "l_partkey", "l_suppkey"))
+    for (c <- out.keySet) {
+      val counts = Tables.load(spark, dir, "lineitem")
+        .selectExpr(s"CAST($c AS LONG) AS k").collect()
+        .map(_.getLong(0)).groupBy(identity).map { case (k, v) =>
+          k -> v.length.toLong }
+      val r = out(c)
+      assert(r.getAs[Long]("n_rows") === counts.values.sum)
+      assert(r.getAs[Long]("n_keys") === counts.size.toLong)
+      val mx = counts.values.max
+      assert(r.getAs[Long]("max_cnt") === mx)
+      // deterministic heavy key: max count, min key among ties
+      assert(r.getAs[Long]("heavy_key") ===
+        counts.filter(_._2 == mx).keys.min)
+      // p99 = smallest multiplicity covering ceil(0.99 * n_keys) keys
+      val sorted = counts.values.toSeq.sorted
+      val want = sorted(((99 * counts.size + 99) / 100 - 1).toInt)
+      assert(r.getAs[Long]("p99_cnt") === want)
+      // salt = ceil(max/mean), >= 1, and 1 exactly when unskewed
+      val salt = r.getAs[Long]("salt")
+      assert(salt === (mx * counts.size + counts.values.sum - 1)
+        / counts.values.sum)
+      assert(salt >= 1L)
+    }
+  }
+
   test("as-of join: every click gets its latest prior-or-equal view, " +
     "matching an independent per-user scan") {
     import graft.queries.EventQueries
