@@ -272,7 +272,41 @@ object CurationQueries {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** Corpus snapshot diff — the data-versioning step an incremental
+    * pipeline runs between crawls: classify every document as
+    * added / removed / changed / unchanged by comparing CONTENT
+    * fingerprints across two snapshots (renames/reorders don't count as
+    * change; an edit does). The two snapshots derive deterministically
+    * from the one documents table (prev drops doc_id%7==3 and truncates
+    * doc_id%11==0 to its first 40 chars — a simulated edit; cur drops
+    * doc_id%13==5), so all four statuses occur and the oracle replays
+    * both sides exactly.
+    *
+    * Scale shape: fingerprint each side once (map-only), ONE full outer
+    * equi-join on doc_id (co-partitioned/bucketed by id at 100 TB — the
+    * join the snapshot store is laid out for), status is a row-local
+    * CASE. Short docs whose truncation is a no-op correctly compare
+    * unchanged: status follows the HASH, not the doc_id rule. */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+    val prev = base.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"),
+        rollingFingerprint(norm(
+          when(col("doc_id") % 11 === 0, substring(col("text"), 1, 40))
+            .otherwise(col("text")))).as("prev_h"))
+    val cur = base.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        rollingFingerprint(norm(col("text"))).as("cur_h"))
+    prev.join(cur, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("prev_h"), col("cur_h"),
+        when(col("prev_h").isNull, lit("added"))
+          .when(col("cur_h").isNull, lit("removed"))
+          .when(col("prev_h") =!= col("cur_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_quality_thresholds" -> (qQualityThresholds _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_split_stratified" -> (qSplitStratified _),
@@ -310,6 +344,24 @@ object CurationQueries {
       .stripMargin.replace("\n", " ").replaceAll(" +", " ")
 
   val oracles: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      s"""WITH d AS ($docsSql),
+         |prev AS (SELECT doc_id,
+         |    ${fpSql(s"""lower(trim(regexp_replace(
+         |      CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 40)
+         |           ELSE text END, '\\s+', ' ', 'g')))""")} AS prev_h
+         |  FROM d WHERE doc_id % 7 <> 3),
+         |cur AS (SELECT doc_id, ${fpSql(normSql)} AS cur_h
+         |  FROM d WHERE doc_id % 13 <> 5)
+         |SELECT COALESCE(prev.doc_id, cur.doc_id) AS doc_id,
+         |  prev_h, cur_h,
+         |  CASE WHEN prev_h IS NULL THEN 'added'
+         |       WHEN cur_h IS NULL THEN 'removed'
+         |       WHEN prev_h <> cur_h THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id"""
+        .stripMargin,
+
     "q_quality_thresholds" ->
       s"""WITH d AS ($docsSql),
          |s AS (SELECT doc_id, lang,

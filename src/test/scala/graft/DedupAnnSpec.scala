@@ -79,6 +79,35 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("snapshot diff: statuses partition the id space and follow " +
+    "content, not the id rule") {
+    import graft.queries.CurationQueries
+    val out = CurationQueries
+      .qSnapshotDiff(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status")))
+    val byStatus = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // id rules: added = only in cur (7k+3 minus the 13k+5 drops),
+    // removed = only in prev
+    for ((d, s) <- out) {
+      if (s == "added") assert(d % 7 == 3 && d % 13 != 5)
+      if (s == "removed") assert(d % 13 == 5 && d % 7 != 3)
+      // changed requires the truncation rule to have applied AND bitten
+      if (s == "changed") assert(d % 11 == 0)
+    }
+    // every surviving doc appears exactly once
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(byStatus.keySet))
+    // docs whose text is <= 40 chars truncate to themselves: unchanged
+    // even though the edit rule selected them (status follows content)
+    val shortIds = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("CAST(doc_id AS LONG) AS id", "CAST(len(text) AS LONG) AS n")
+      .collect().filter(r => r.getLong(0) % 11 == 0 && r.getLong(1) <= 40)
+      .map(_.getLong(0)).toSet
+    for (d <- shortIds if d % 7 != 3 && d % 13 != 5)
+      assert(byStatus("unchanged").contains(d))
+  }
+
   test("quality thresholds: terciles are percentile_disc of the score " +
     "distribution and every bucket agrees with its thresholds") {
     import graft.queries.CurationQueries
