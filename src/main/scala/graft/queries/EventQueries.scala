@@ -219,7 +219,79 @@ object EventQueries {
         (col("ts_us") - col("view_ts")).as("lag_us"))
   }
 
+  /** SCD type-2 dimension build — the CDC/warehouse primitive: collapse
+    * each user's attribute observations (props.k, the "segment" field)
+    * into versioned validity intervals [eff_from_us, eff_to_us) with an
+    * is_current flag. Run-length encoding by ordered change detection:
+    * one window pass flags changes (lag), a running sum numbers the
+    * versions, a per-(user, version) aggregate collapses runs, and a
+    * second window derives eff_to as the next version's start. Every
+    * stage partitions on user_id — ONE hash family end to end, so at
+    * 100 TB this is a single shuffle reused by window -> agg -> window
+    * (the version window is a cheap re-sort within the same partitions).
+    * Exact integer micros throughout; ties broken by event_id. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val obs = events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+    val runs = obs
+      .withColumn("prev_k", lag("k", 1).over(byUser))
+      .withColumn("chg",
+        (col("prev_k").isNull || col("k") =!= col("prev_k")).cast("long"))
+      .withColumn("version",
+        sum("chg").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    runs.groupBy("user_id", "version")
+      // k is constant within a run (a change starts a new version), so
+      // min(k) IS the run's value — no struct-min needed
+      .agg(min("k").as("k"),
+        min("ts_us").as("eff_from_us"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("eff_to_us", lead("eff_from_us", 1).over(byVersion))
+      .withColumn("is_current", col("eff_to_us").isNull)
+  }
+
+  /** Per-key anomaly detection — flag events whose value is > 2
+    * population standard deviations from its event_type's mean (the
+    * telemetry-outlier sweep a pipeline runs before trusting a crawl's
+    * metadata). Determinism engineering: values are exact integer cents
+    * (2-decimal doubles x100, round half-up identical on both engines
+    * for positive values), the per-type moments are EXACT long sums
+    * (n, sum_c, sum_c2 — no FP accumulation-order hazard), and z is one
+    * fixed IEEE formula over those integers, identical in Spark and
+    * DuckDB. Plan: one map-side-combined aggregate to ~|event_type|
+    * rows, broadcast back over the scan — one shuffle of 5 rows, the
+    * outlier filter itself is map-only. At 100 TB the stats frame stays
+    * tiny regardless of corpus size. */
+  def qEventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_c"),
+        sum(col("cents") * col("cents")).as("sum_c2"))
+      .withColumn("mean_c",
+        col("sum_c").cast("double") / col("n").cast("double"))
+      .withColumn("var_c",
+        col("sum_c2").cast("double") / col("n").cast("double")
+          - col("mean_c") * col("mean_c"))
+      .filter(col("var_c") > 0)
+      .select(col("event_type"), col("mean_c"), col("var_c"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        (col("cents").cast("double") - col("mean_c")) / sqrt(col("var_c")))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("event_id"), col("event_type"), col("cents"),
+        round(col("z"), 6).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_dimension" -> (qScd2 _),
+    "q_event_anomaly" -> (qEventAnomaly _),
     "q_asof_join" -> (qAsofJoin _),
     "q_retention" -> (qRetention _),
     "q_json_extract" -> (qJsonExtract _),
@@ -270,6 +342,61 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_scd2_dimension" ->
+      """WITH obs AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS ts_us,
+        |    CAST(event_id AS BIGINT) AS event_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |  WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
+        |flagged AS (
+        |  SELECT *,
+        |    CASE WHEN LAG(k) OVER w IS NULL OR k <> LAG(k) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM obs
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |runs AS (
+        |  SELECT *,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS version
+        |  FROM flagged),
+        |dim AS (
+        |  SELECT user_id, version, MIN(k) AS k,
+        |    MIN(ts_us) AS eff_from_us, COUNT(*) AS n_obs
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT user_id, version, k, eff_from_us, n_obs,
+        |  LEAD(eff_from_us) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS eff_to_us,
+        |  LEAD(eff_from_us) OVER (PARTITION BY user_id ORDER BY version)
+        |    IS NULL AS is_current
+        |FROM dim""".stripMargin,
+
+    // exact-integer moments, one shared IEEE z formula — see qEventAnomaly
+    "q_event_anomaly" ->
+      """WITH e AS (
+        |  SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(cents) AS sum_c,
+        |    SUM(cents * cents) AS sum_c2
+        |  FROM e GROUP BY 1),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |    CAST(sum_c2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)) AS var_c
+        |  FROM st)
+        |SELECT e.event_id, e.event_type, e.cents,
+        |  ROUND((CAST(e.cents AS DOUBLE) - m.mean_c) / SQRT(m.var_c), 6)
+        |    AS z
+        |FROM e JOIN m ON e.event_type = m.event_type
+        |WHERE m.var_c > 0
+        |  AND ABS((CAST(e.cents AS DOUBLE) - m.mean_c) / SQRT(m.var_c))
+        |      > CAST(2.0 AS DOUBLE)""".stripMargin,
+
     // the oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // implementation of the semantics, not a replay of the engine's
     // window trick (right side pre-deduped so the anchor is unique)

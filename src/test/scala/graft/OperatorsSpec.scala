@@ -1401,6 +1401,55 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(PageRank.pageRankWithIters(ed, 0.0, 5)._2 === 5)
   }
 
+  test("SCD2: intervals chain gap-free per user and only the last is current") {
+    import org.apache.spark.sql.functions._
+    val dim = graft.queries.EventQueries.qScd2(spark, SfDir).cache()
+    // exactly one current row per user
+    val perUser = dim.groupBy("user_id")
+      .agg(sum(col("is_current").cast("long")).as("cur"),
+        max("version").as("maxv"), count(lit(1)).as("n"))
+    assert(perUser.filter(col("cur") =!= 1).count() === 0)
+    // versions are dense 1..n
+    assert(perUser.filter(col("maxv") =!= col("n")).count() === 0)
+    // eff_to of version v == eff_from of version v+1 (gap-free chain)
+    val a = dim.select(col("user_id"), col("version"), col("eff_to_us"))
+      .filter(col("eff_to_us").isNotNull)
+    val b = dim.select(col("user_id"), (col("version") - 1).as("version"),
+      col("eff_from_us"))
+    val broken = a.join(b, Seq("user_id", "version"))
+      .filter(col("eff_to_us") =!= col("eff_from_us"))
+    assert(broken.count() === 0)
+    // adjacent versions always change k
+    val nk = dim.select(col("user_id"), (col("version") - 1).as("version"),
+      col("k").as("next_k"))
+    val noChange = dim.join(nk, Seq("user_id", "version"))
+      .filter(col("k") === col("next_k"))
+    assert(noChange.count() === 0)
+    dim.unpersist()
+  }
+
+  test("anomaly: flagged z-scores exceed 2 and agree with stddev_pop") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.EventQueries.qEventAnomaly(spark, SfDir)
+    assert(out.filter(abs(col("z")) <= 2.0).count() === 0)
+    // cross-check against Spark's own population stddev on the cents
+    val ev = graft.Tables.eventsUs(spark, SfDir)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val st = ev.groupBy("event_type")
+      .agg(avg(col("cents").cast("double")).as("mu"),
+        stddev_pop(col("cents").cast("double")).as("sd"))
+    val recomputed = ev.join(st, "event_type")
+      .withColumn("z2", (col("cents") - col("mu")) / col("sd"))
+      .filter(abs(col("z2")) > 2.0)
+    // same flagged set (z formulas differ in FP rounding; the 2.0 cut
+    // can only disagree within ~1e-9 of the threshold — none here)
+    val got = out.select("event_id")
+    val want = recomputed.select("event_id")
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+  }
+
   test("Graft facade mirrors the reference __all__ surface") {
     val polys = GeoData.polyNation(spark, SfDir)
     assert(Graft.dissolve(polys, "rkey").count() === 5)
