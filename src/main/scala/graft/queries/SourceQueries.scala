@@ -245,7 +245,70 @@ object SourceQueries {
     out(geo).unionByName(out(prj))
   }
 
+  /** DEFLATE/gzip roundtrip over the corpus — the compression layer a
+    * 100 TB crawl pipeline reads through (RFC 1951/1952, the engine's
+    * own codec: operators.Deflate). Mode picked by payload byte length
+    * so ALL THREE RFC block types run against real data (stored < 64 B,
+    * fixed < 512 B, dynamic above) and the oracle can name each doc's
+    * mode from STRLEN alone. Row-local map, no shuffle; the md5 of the
+    * DECODED bytes against DuckDB's md5 of the original text proves the
+    * roundtrip byte-exactly (CRC-32 + ISIZE already verified in-band).
+    */
+  def qDeflateRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Deflate
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val mode =
+          if (raw.length < 64) Deflate.Stored
+          else if (raw.length < 512) Deflate.Fixed
+          else Deflate.Dynamic
+        val gz = Deflate.gzipMember(raw, mode, Some(s"doc-$id"))
+        val (dec, fname, used) = Deflate.gunzipMember(gz, 0)
+        require(used == gz.length && fname.contains(s"doc-$id"),
+          s"gzip member framing broken for doc $id")
+        val modeName = mode match {
+          case Deflate.Stored => "stored"
+          case Deflate.Fixed => "fixed"
+          case Deflate.Dynamic => "dynamic"
+        }
+        (id, modeName, dec)
+      }).toDF("doc_id", "mode", "payload")
+      .select(col("doc_id"), col("mode"),
+        length(decode(col("payload"), "UTF-8")).cast("long").as("n_chars"),
+        length(col("payload")).cast("long").as("payload_bytes"),
+        md5(col("payload")).as("digest"))
+  }
+
+  /** WARC build + ingest roundtrip (sources.Warc) — pack the corpus
+    * into .warc.gz files (one gzip member per record, the splittable
+    * Common Crawl convention), then read every record back through the
+    * full stack: gzip member walk (CRC-32/ISIZE verified) -> WARC/1.0
+    * header parse -> Content-Length payload framing. One shuffle total
+    * (the pack's grouping on warc_file); the read side is a row-local
+    * flatMap — at crawl scale each task walks its own members
+    * independently. Every header field and payload byte is
+    * oracle-pinned. */
+  def qWarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val files = Warc.writeFiles(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")),
+      docsPerFile = 64)
+    Warc.readFiles(files)
+      .select(col("doc_id"), col("warc_file"), col("target_uri"),
+        col("warc_date"),
+        length(decode(col("payload"), "UTF-8")).cast("long").as("n_chars"),
+        length(col("payload")).cast("long").as("payload_bytes"),
+        md5(col("payload")).as("digest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_deflate_roundtrip" -> (qDeflateRoundtrip _),
+    "q_warc_ingest" -> (qWarcIngest _),
     "q_crs_distance" -> (qCrsDistance _),
     "q_read_wkt" -> (qReadWkt _),
     "q_read_wkt_multipolygon" -> (qReadWktMultiPolygon _),
@@ -268,6 +331,30 @@ object SourceQueries {
     "q_multimodal_jpeg420" -> (qMultimodalJpeg420 _))
 
   val oracles: Map[String, String] = Map(
+    // the roundtrip identity: our decode of our encode must equal the
+    // original text byte-for-byte — DuckDB's md5 over the raw column is
+    // an INDEPENDENT digest of the expected bytes
+    "q_deflate_roundtrip" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN STRLEN(text) < 64 THEN 'stored'
+        |       WHEN STRLEN(text) < 512 THEN 'fixed'
+        |       ELSE 'dynamic' END AS mode,
+        |  LENGTH(text) AS n_chars,
+        |  CAST(STRLEN(text) AS BIGINT) AS payload_bytes,
+        |  MD5(text) AS digest
+        |FROM documents""".stripMargin,
+    "q_warc_ingest" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_id AS BIGINT) // 64 AS warc_file,
+        |  'graft://' || source || '/doc/'
+        |    || CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS target_uri,
+        |  strftime(make_timestamp(
+        |    (1600000000 + CAST(doc_id AS BIGINT)) * 1000000),
+        |    '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+        |  LENGTH(text) AS n_chars,
+        |  CAST(STRLEN(text) AS BIGINT) AS payload_bytes,
+        |  MD5(text) AS digest
+        |FROM documents""".stripMargin,
     // geographic layer measured by haversine km, projected layer planar
     // in meters — the CASE the engine decides from the CRS tag
     "q_crs_distance" ->
