@@ -212,7 +212,52 @@ object Analytics {
     }.reduce(_ unionAll _)
   }
 
+  /** Z-order (Morton) data layout — the multi-dimensional clustering
+    * under Delta OPTIMIZE ZORDER / Iceberg sort orders: interleave the
+    * bits of two filter dimensions (o_custkey, order day) so CONTIGUOUS
+    * z-ranges are simultaneously tight in BOTH dimensions, and
+    * min/max-per-file skipping works for either predicate. 16-bit
+    * quantization per dim, the 32-term interleave is pure codegen'd
+    * column arithmetic (shift/and/sum — no UDF), file = fixed-width
+    * z-range (z >> 18), one small aggregate for the per-file min/max
+    * stats a scan planner would prune with. Map-only up to the final
+    * bounded agg; the production write path is the same z column fed to
+    * repartitionByRange(z) + sortWithinPartitions (sampled range
+    * boundaries — equivalent layout, not bit-replayable, which is why
+    * the deterministic fixed-width form is the oracle-checked one). */
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").cast("long").as("ck"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate) DIV 86400000000")
+          .cast("long").as(s"day"))
+    // min-max scale each dim onto the full 16-bit space first —
+    // interleaving RAW values would let the wider dim own every high
+    // bit and degenerate to a single-column sort (Delta's ZORDER uses
+    // per-column range ids for the same reason). Bounds are one tiny
+    // agg broadcast over the scan; exact integer arithmetic.
+    val bounds = o.agg(min("ck").as("mnc"), max("ck").as("mxc"),
+      min("day").as("mnd"), max("day").as("mxd"))
+    val scaled = o.crossJoin(broadcast(bounds))
+      .withColumn("x",
+        expr("(ck - mnc) * 65535 DIV greatest(1, mxc - mnc)"))
+      .withColumn("y",
+        expr("(day - mnd) * 65535 DIV greatest(1, mxd - mnd)"))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    scaled.withColumn("z", z)
+      .withColumn("file_id", expr("z DIV 67108864")) // 2^26: <=64 files
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("ck").as("min_ck"), max("ck").as("max_ck"),
+        min("day").as("min_day"), max("day").as("max_day"))
+      .withColumn("ck_span", col("max_ck") - col("min_ck"))
+      .withColumn("day_span", col("max_day") - col("min_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> (qZorderLayout _),
     "q_skew_report" -> (qSkewReport _),
     "q1_pricing" -> (q1Pricing _),
     "q_top_revenue" -> (qTopRevenue _),
@@ -250,7 +295,39 @@ object Analytics {
     s"WITH $ctes\n" + blocks.mkString("\nUNION ALL\n")
   }
 
+  /** bit-for-bit Morton interleave replay: 32 disjoint-bit terms summed */
+  private val zorderOracle: String = {
+    // every term fully parenthesized: SQL's + binds tighter than <<
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("\n|      + ")
+    s"""WITH o AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS ck,
+       |    epoch_us(o_orderdate) // 86400000000 AS day
+       |  FROM orders),
+       |b AS (SELECT MIN(ck) AS mnc, MAX(ck) AS mxc,
+       |        MIN(day) AS mnd, MAX(day) AS mxd FROM o),
+       |q AS (
+       |  SELECT ck, day,
+       |    (ck - mnc) * 65535 // GREATEST(1, mxc - mnc) AS x,
+       |    (day - mnd) * 65535 // GREATEST(1, mxd - mnd) AS y
+       |  FROM o, b),
+       |z AS (
+       |  SELECT ck, day,
+       |    ($terms) AS z
+       |  FROM q),
+       |f AS (SELECT ck, day, z // 67108864 AS file_id FROM z)
+       |SELECT file_id, COUNT(*) AS n_rows,
+       |  MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+       |  MIN(day) AS min_day, MAX(day) AS max_day,
+       |  MAX(ck) - MIN(ck) AS ck_span,
+       |  MAX(day) - MIN(day) AS day_span
+       |FROM f GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_zorder_layout" -> zorderOracle,
     "q_skew_report" -> skewReportOracle,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1450,6 +1450,28 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(got.except(want).count() === 0 && want.except(got).count() === 0)
   }
 
+  test("z-order layout: every file is range-tight in BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    val layout = graft.queries.Analytics.qZorderLayout(spark, SfDir).cache()
+    val g = layout.agg(
+      max("max_ck").as("gck"), min("min_ck").as("mck"),
+      max("max_day").as("gday"), min("min_day").as("mday"),
+      sum(col("ck_span") * col("n_rows")).as("wck"),
+      sum(col("day_span") * col("n_rows")).as("wday"),
+      sum("n_rows").as("n")).head
+    val globalCk = g.getAs[Long]("gck") - g.getAs[Long]("mck")
+    val globalDay = g.getAs[Long]("gday") - g.getAs[Long]("mday")
+    val avgCk = g.getAs[Long]("wck").toDouble / g.getAs[Long]("n")
+    val avgDay = g.getAs[Long]("wday").toDouble / g.getAs[Long]("n")
+    // the whole point of Morton order: a z-contiguous file covers a
+    // bounded rectangle, so the row-weighted mean span per file is far
+    // below the global span in BOTH dims (a single-column sort would
+    // leave the second dim's span at ~global)
+    assert(avgCk < globalCk / 2.0, s"ck span $avgCk vs global $globalCk")
+    assert(avgDay < globalDay / 2.0, s"day span $avgDay vs global $globalDay")
+    layout.unpersist()
+  }
+
   test("Graft facade mirrors the reference __all__ surface") {
     val polys = GeoData.polyNation(spark, SfDir)
     assert(Graft.dissolve(polys, "rkey").count() === 5)
