@@ -256,7 +256,64 @@ object Analytics {
       .withColumn("day_span", col("max_day") - col("min_day"))
   }
 
+  /** 7-day rolling revenue per customer nation — the time-series RANGE
+    * frame (not ROWS: missing days must still widen the window by
+    * calendar distance). Day totals first (one shuffle to a bounded
+    * (nation x day) frame, money exact-integer), then the rolling sum
+    * as a rangeBetween window over integer day — the window input is
+    * the AGGREGATED frame, so at 100 TB the expensive shuffle happens
+    * once on the fact table and the window runs over thousands of rows,
+    * not billions. */
+  def qRollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate) DIV 86400000000")
+          .as("day"),
+        col("o_totalprice"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val daily = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("n_name").orderBy("day")
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("roll_cents", sum("cents").over(w))
+      .withColumn("roll_orders", sum("n_orders").over(w))
+      .select(col("n_name"), col("day"),
+        round(col("cents") / 100.0, 2).as("day_revenue"),
+        round(col("roll_cents") / 100.0, 2).as("roll_revenue_7d"),
+        col("roll_orders").as("roll_orders_7d"))
+  }
+
+  /** ROLLUP cube — the subtotal lattice (nation, year) -> (nation) ->
+    * grand total in ONE pass: Spark expands grouping sets map-side, so
+    * the fact table is read and shuffled once for all three levels
+    * (contrast three separate aggs = three scans at 100 TB). Money in
+    * exact integer cents; grouping_id distinguishes a real NULL key
+    * from a subtotal row. */
+  def qSalesCube(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      .rollup(col("n_name"), col("o_year"))
+      .agg(round(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        / 100.0, 2).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_revenue" -> (qRollingRevenue _),
+    "q_sales_cube" -> (qSalesCube _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_skew_report" -> (qSkewReport _),
     "q1_pricing" -> (q1Pricing _),
@@ -327,6 +384,40 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_revenue" ->
+      """WITH o AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    o_custkey, o_totalprice
+        |  FROM orders),
+        |d AS (
+        |  SELECT n_name, day,
+        |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents,
+        |    COUNT(*) AS n_orders
+        |  FROM o
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, day,
+        |  ROUND(cents / 100.0, 2) AS day_revenue,
+        |  ROUND(SUM(cents) OVER w / 100.0, 2) AS roll_revenue_7d,
+        |  CAST(SUM(n_orders) OVER w AS BIGINT) AS roll_orders_7d
+        |FROM d
+        |WINDOW w AS (PARTITION BY n_name ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // Spark's grouping_id bit order: first rollup column = MSB
+    "q_sales_cube" ->
+      """SELECT n_name,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |    / 100.0, 2) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  CAST(GROUPING(n_name) * 2 + GROUPING(o_year) AS BIGINT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_year)""".stripMargin,
+
     "q_zorder_layout" -> zorderOracle,
     "q_skew_report" -> skewReportOracle,
     "q1_pricing" ->

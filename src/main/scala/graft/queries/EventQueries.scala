@@ -289,7 +289,26 @@ object EventQueries {
         round(col("z"), 6).as("z"))
   }
 
+  /** CDC compaction (latest-by-key) — the single most common pipeline
+    * materialization: reduce an append-only change stream to the newest
+    * record per (user_id, event_type). One shuffle + in-partition sort
+    * (window row_number over ts desc), the plan Delta MERGE compaction
+    * and every "current state" view run at 100 TB; ties broken by
+    * event_id so the survivor is deterministic. */
+  def qLatestByKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_latest_by_key" -> (qLatestByKey _),
     "q_scd2_dimension" -> (qScd2 _),
     "q_event_anomaly" -> (qEventAnomaly _),
     "q_asof_join" -> (qAsofJoin _),
@@ -342,6 +361,15 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_latest_by_key" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+        |  epoch_us(ts) AS ts_us, CAST(event_id AS BIGINT) AS event_id,
+        |  value, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY user_id, event_type
+        |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
     "q_scd2_dimension" ->
       """WITH obs AS (
         |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS ts_us,
