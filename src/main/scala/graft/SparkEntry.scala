@@ -21,12 +21,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ GeoQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ AnnQueries.queries ++ EventQueries.queries ++ GeoExtQueries.queries ++ CartogramQueries.queries ++ ContourQueries.queries ++ SourceQueries.queries ++ PolyQueries.queries ++ CurationQueries.queries ++ RetrievalQueries.queries
+      DedupQueries.queries ++ AnnQueries.queries ++ EventQueries.queries ++ GeoExtQueries.queries ++ CartogramQueries.queries ++ ContourQueries.queries ++ SourceQueries.queries ++ PolyQueries.queries ++ CurationQueries.queries ++ RetrievalQueries.queries ++ HtmlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's weaker
     * rows-only check (non-SQL-expressible ops). */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ GeoQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ AnnQueries.oracles ++ EventQueries.oracles ++ GeoExtQueries.oracles ++ CartogramQueries.oracles ++ ContourQueries.oracles ++ SourceQueries.oracles ++ PolyQueries.oracles ++ CurationQueries.oracles ++ RetrievalQueries.oracles
+      DedupQueries.oracles ++ AnnQueries.oracles ++ EventQueries.oracles ++ GeoExtQueries.oracles ++ CartogramQueries.oracles ++ ContourQueries.oracles ++ SourceQueries.oracles ++ PolyQueries.oracles ++ CurationQueries.oracles ++ RetrievalQueries.oracles ++ HtmlQueries.oracles
 }

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** HTML main-text extraction and link-graph building — the step between
+  * the WARC reader (SURVEY §2 row 96) and every text operator: a web
+  * corpus arrives as markup, and the pipeline must strip boilerplate
+  * (head/nav/footer/script/style), decode entities, and recover the
+  * outlink graph before any quality scoring or dedup runs.
+  *
+  * Reference analogue: none (gpd_lite_toolbox is geo-only) — this is a
+  * pipeline capability in the trafilatura/jusText shape, re-expressed as
+  * pure codegen'd Catalyst regexp/replace chains: every stage is
+  * row-local (scan → map, no shuffle, no UDF), so the plan is a single
+  * WholeStageCodegen span over the scan and survives any corpus size.
+  *
+  * Pages are built deterministically FROM the documents table (same
+  * move as the WARC/deflate rows): title + style + script in head, a
+  * nav bar, the document text entity-escaped inside the main div, a
+  * footer with entities — so extraction is verified end-to-end: the
+  * oracle rebuilds the same page in SQL and replays the same
+  * extraction, and a `roundtrip` column proves escape → markup →
+  * extract recovers the original text exactly.
+  */
+object HtmlQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"))
+
+  // ------------------------------------------------------------ page build
+
+  /** Entity-escape text for embedding in markup (& first, then angles —
+    * the canonical order; reversed on decode). */
+  private def esc(c: Column): Column =
+    replace(replace(replace(c, lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+
+  /** Deterministic page: head (title/style/script), nav, main div with
+    * h1 + escaped text, footer with entity refs. One line — the (?s)
+    * flags below keep extraction honest anyway for multi-line text. */
+  private def page(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("text"), col("source"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>body{margin:0}</style>"),
+        lit("<script>var t=1;</script></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>"),
+        lit("<div id=\"main\"><h1>"), col("source"), lit("</h1><p>"),
+        esc(col("text")),
+        lit("</p></div><footer>&copy; 2026 "), col("source"),
+        lit(" &amp; co</footer></body></html>")).as("html"))
+
+  // ------------------------------------------------------------ extraction
+
+  /** Boilerplate strip: drop head (title/script/style ride along), nav
+    * and footer; then strip remaining tags and decode entities. Every
+    * step has a literal DuckDB twin in the oracle. */
+  private def mainText(html: Column): Column = {
+    val noHead = regexp_replace(html, "(?s)<head>.*?</head>", " ")
+    val noNav = regexp_replace(noHead, "(?s)<nav>.*?</nav>", " ")
+    val noFoot = regexp_replace(noNav, "(?s)<footer>.*?</footer>", " ")
+    val noTags = regexp_replace(noFoot, "<[^>]*>", " ")
+    // decode order is the reverse of esc(): angles first, &amp; LAST so
+    // a literal "&amp;lt;" in the source can never double-decode
+    val decoded = replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** q_html_extract: main-text extraction with markup metrics.
+    * Row-local; `roundtrip` pins extracted == "source collapsed-text"
+    * (h1 + paragraph — exactly what a reader-mode extractor keeps). */
+  def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val p = page(spark, dir)
+    val expected = trim(concat(col("source"), lit(" "),
+      trim(regexp_replace(col("text"), "\\s+", " "))))
+    p.select(col("doc_id"),
+        length(col("html")).cast("long").as("html_chars"),
+        regexp_count(col("html"), lit("<a ")).cast("long").as("n_links"),
+        mainText(col("html")).as("main_text"), expected.as("expected"))
+      .select(col("doc_id"), col("html_chars"), col("n_links"),
+        length(col("main_text")).cast("long").as("n_chars"),
+        md5(col("main_text")).as("digest"),
+        round(length(col("main_text")).cast("double") /
+          col("html_chars").cast("double"), 4).as("text_ratio"),
+        (col("main_text") === col("expected")).as("roundtrip"))
+  }
+
+  // ------------------------------------------------------------ link graph
+
+  /** Deterministic outlinks: doc_id%3+1 links to page ids in a fixed
+    * 1000-page space — collisions (many docs → one target) are the
+    * point, they make indegree non-trivial. */
+  private def linkPage(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      concat(lit("<html><body><p>x</p>"),
+        concat_ws("", transform(
+          sequence(lit(0L), pmod(col("doc_id"), lit(3L))),
+          j => concat(lit("<a href=\"/doc/"),
+            pmod(col("doc_id") * lit(31L) + j * lit(17L), lit(1000L)),
+            lit("\">t</a>")))),
+        lit("</body></html>")).as("html"))
+
+  /** q_html_links: outlink extraction → edge list with degrees. The
+    * regex extraction is row-local (scan → extract → posexplode); the
+    * only shuffle is the indegree aggregate on target_id, whose result
+    * (≤1000 rows here; domain-bounded in general) broadcast-joins back.
+    */
+  def qHtmlLinks(spark: SparkSession, dir: String): DataFrame = {
+    val edges = linkPage(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(col("html"), lit("/doc/([0-9]+)"), lit(1))
+          .as("targets"))
+      .select(col("doc_id"), posexplode(col("targets")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").cast("long").as("target_id"),
+        (pmod(col("doc_id"), lit(3L)) + lit(1L)).as("out_degree"))
+    val indeg = edges.groupBy("target_id")
+      .agg(count(lit(1)).as("in_degree"))
+    edges.join(broadcast(indeg), Seq("target_id"))
+      .select(col("doc_id"), col("pos"), col("target_id"),
+        col("out_degree"), col("in_degree"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_html_extract" -> (qHtmlExtract _),
+    "q_html_links" -> (qHtmlLinks _))
+
+  // ---------------------------------------------------------------- oracles
+
+  private val docsSql =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source
+      |FROM documents""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // the oracle rebuilds the page and replays the identical extraction
+    // chain — plus computes `expected` independently from the raw text,
+    // so a tag-strip bug on either side breaks the hash
+    "q_html_extract" ->
+      s"""WITH d AS ($docsSql),
+         |p AS (SELECT doc_id, text, source,
+         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         |  || '</title><style>body{margin:0}</style>'
+         |  || '<script>var t=1;</script></head><body>'
+         |  || '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+         |  || '<div id="main"><h1>' || source || '</h1><p>'
+         |  || replace(replace(replace(text, '&', '&amp;'),
+         |       '<', '&lt;'), '>', '&gt;')
+         |  || '</p></div><footer>&copy; 2026 ' || source
+         |  || ' &amp; co</footer></body></html>' AS html FROM d),
+         |x AS (SELECT doc_id, text, source, html,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(html, '(?s)<head>.*?</head>', ' '),
+         |            '(?s)<nav>.*?</nav>', ' '),
+         |          '(?s)<footer>.*?</footer>', ' '),
+         |        '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS main_text FROM p)
+         |SELECT doc_id, LENGTH(html) AS html_chars,
+         |  CAST(len(regexp_extract_all(html, '<a ')) AS BIGINT) AS n_links,
+         |  LENGTH(main_text) AS n_chars, MD5(main_text) AS digest,
+         |  ROUND(CAST(LENGTH(main_text) AS DOUBLE)
+         |    / CAST(LENGTH(html) AS DOUBLE), 4) AS text_ratio,
+         |  main_text = trim(source || ' '
+         |    || trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS roundtrip
+         |FROM x""".stripMargin,
+    // link graph: the oracle regenerates the edge list directly from
+    // doc_id arithmetic — an independent derivation of what the engine
+    // must RE-EXTRACT from markup it built
+    "q_html_links" ->
+      s"""WITH d AS ($docsSql),
+         |e AS (SELECT doc_id, j AS pos,
+         |        (doc_id * 31 + j * 17) % 1000 AS target_id,
+         |        doc_id % 3 + 1 AS out_degree
+         |      FROM d,
+         |        LATERAL (SELECT unnest(generate_series(0, doc_id % 3))
+         |                 AS j) u),
+         |i AS (SELECT target_id, COUNT(*) AS in_degree
+         |      FROM e GROUP BY 1)
+         |SELECT e.doc_id, e.pos, e.target_id, e.out_degree, i.in_degree
+         |FROM e JOIN i USING (target_id)""".stripMargin)
+}
