@@ -353,6 +353,91 @@ object Dedup {
       .withColumn("flagged", col("ratio") >= flagAt)
   }
 
+  /** Bloom-prefilter decontamination — the [[decontaminate]] shape for
+    * the regime where the benchmark shingle set is too big to BROADCAST
+    * exactly: a fixed 1 Mbit / 4-hash Bloom filter of the benchmark set
+    * is the only thing the driver ships, corpus shingles test against it
+    * map-side, and ONLY the pass-survivors (true hits + a few false
+    * positives) flow into the exact equi-join that confirms them — the
+    * semi-join-reduction / runtime-filter shape (Spark's own
+    * InjectRuntimeFilter plants the same pattern under joins). The final
+    * counts are EXACT: a Bloom filter has no false negatives, and the
+    * confirm join removes its false positives; the filter only decides
+    * how few rows shuffle.
+    *
+    * Filter build is ONE aggregate over benchmark shingles (probe
+    * positions → bit_or per 32-bit word, map-side combined to ≤32768
+    * rows) collected as a driver-sized model — the centroid/codebook
+    * pattern. 32-bit words because DuckDB BIGINT `<<` range-checks bit
+    * 63 (the simhash/dHash portability rule); the bit test is exact
+    * dyadic arithmetic (w·2^-bit is exact for w < 2^32), no
+    * column-amount shift needed on either engine.
+    *
+    * Returns (doc_id, n_shingles, n_bloom_pass, n_hits, n_false_pos,
+    * ratio, flagged) — the diagnostic columns pin the FILTER itself, not
+    * just the exact result, so the oracle independently replays bloom
+    * membership as position-set containment (bit p is set iff some
+    * benchmark probe lands on p — the packed words and the position set
+    * define the same predicate). */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, k: Int,
+                         flagAt: Double): DataFrame = {
+    val P = 1000000007L
+    val MBits = 1048576L // 1 Mbit = 32768 x 32-bit words (256 KiB model)
+    val coef = Seq((31L, 1L), (131L, 9177L), (1009L, 18353L),
+      (65537L, 27529L))
+    def posOf(s: Column, i: Int): Column =
+      pmod(pmod(s * lit(coef(i)._1) + lit(coef(i)._2), lit(P)), lit(MBits))
+
+    val benchSh = shingleHashes(benchmark, k, 131L, P)
+      .select(col("s")).distinct()
+    // build: probe positions -> (word, mask) -> bit_or per word
+    val wordRows = benchSh
+      .select(explode(array(coef.indices.map(i =>
+        posOf(col("s"), i)): _*)).as("p"))
+      .select(floor(col("p") / lit(32L)).cast("int").as("word"),
+        pmod(col("p"), lit(32L)).cast("int").as("bit"))
+      .groupBy("word")
+      // 2^bit via exact dyadic double arithmetic, not a column shift
+      .agg(bit_or(pow(lit(2.0), col("bit")).cast("long")).as("bits"))
+      .collect()
+    val words = new Array[Long](32768)
+    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val bloom = typedLit(words.toSeq)
+
+    def bitSet(p: Column): Column = {
+      val w = element_at(bloom, (floor(p / lit(32L)) + lit(1L)).cast("int"))
+      // w * 2^-bit, floored, parity — exact for 32-bit words
+      pmod(floor(w.cast("double") *
+        pow(lit(0.5), pmod(p, lit(32L)).cast("double"))).cast("long"),
+        lit(2L)) === lit(1L)
+    }
+    val mightContain = coef.indices.map(i => bitSet(posOf(col("s"), i)))
+      .reduce(_ && _)
+
+    // one distinct-shingle scan feeds both the per-doc counts and the
+    // confirm join — materialize it once (the multi-consumer lineage cut)
+    val sh = shingleHashes(corpus, k, 131L, P)
+      .select(col("doc_id"), col("s")).distinct()
+      .withColumn("pass", mightContain)
+      .localCheckpoint()
+    val perDoc = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_bloom_pass"))
+    // the at-scale join: survivors only, NOT broadcast — the premise is
+    // a benchmark set past broadcast size, so this is a plain equi-join
+    // whose left side the bloom already collapsed
+    val hits = sh.filter(col("pass")).join(benchSh, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_pass"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (col("n_bloom_pass") - coalesce(col("n_hits"), lit(0L)))
+          .as("n_false_pos"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_shingles").cast("double"), 4).as("ratio"))
+      .withColumn("flagged", col("ratio") >= flagAt)
+  }
+
   /** Transitive dedup clustering: connected components over a near-dup
     * pair table via min-label propagation, then a canonical (minimum)
     * doc id per component. `iters` bounds the component diameter handled

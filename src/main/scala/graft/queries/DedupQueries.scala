@@ -54,6 +54,21 @@ object DedupQueries {
       K, flagAt = 0.2)
   }
 
+  /** Bloom-prefilter decontamination (same partition of the corpus as
+    * q_decontaminate): the shape for a benchmark set past broadcast
+    * size — ship a 1 Mbit filter, shuffle only the survivors. Exact
+    * result; the bloom diagnostics (pass/false-positive counts) are
+    * part of the output so the oracle pins the filter itself. */
+  def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"))
+    Dedup.decontaminateBloom(
+      d.filter(col("source") =!= "src0").select("doc_id", "text"),
+      d.filter(col("source") === "src0").select("doc_id", "text"),
+      K, flagAt = 0.2)
+  }
+
   /** Deterministic batch twin of the STREAMING near-dup filter
     * (streaming.NearDupStream): per LSH bucket, one anchor (min doc id
     * in batch; first arrival in the stream) and a candidate pair for
@@ -89,7 +104,8 @@ object DedupQueries {
     "q_dedup_simhash" -> (qSimhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_neardup_anchor" -> (qNearDupAnchor _),
-    "q_decontaminate" -> (qDecontaminate _))
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _))
 
   /** Shared band-hash CTE prefix (through `bands`): the DuckDB twin of
     * the engine's minhash signature + LSH band fold — same rolling
@@ -342,5 +358,51 @@ object DedupQueries {
          |      / CAST(t.n_shingles AS DOUBLE), 4) AS ratio,
          |  ROUND(CAST(COALESCE(hit.h, 0) AS DOUBLE)
          |      / CAST(t.n_shingles AS DOUBLE), 4) >= 0.2 AS flagged
-         |FROM tot t LEFT JOIN hit ON hit.doc_id = t.doc_id""".stripMargin)
+         |FROM tot t LEFT JOIN hit ON hit.doc_id = t.doc_id""".stripMargin,
+
+    // bloom membership replayed as POSITION-SET containment: bit p of
+    // the packed filter is set iff some benchmark probe lands on p, so
+    // "all 4 probe rows join the position set" IS the packed-word test
+    // (collisions inflate both sides identically: 4 joined rows <=>
+    // every probe position present)
+    "q_decontaminate_bloom" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |             lower(text) AS t, source FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(list_filter(
+         |               string_split(substr(t, CAST(i AS INT), $K), ''),
+         |               c -> len(c) > 0),
+         |             c -> CAST(ascii(c) AS BIGINT))),
+         |           (a, b) -> (a * 131 + b) % 1000000007) AS s
+         |       FROM d, LATERAL (SELECT unnest(generate_series(1,
+         |              greatest(len(t) - ${K - 1}, 1))) AS i) u
+         |       WHERE len(substr(t, CAST(i AS INT), $K)) = $K),
+         |cor AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+         |ben AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+         |co AS (SELECT * FROM (VALUES (31, 1), (131, 9177),
+         |        (1009, 18353), (65537, 27529)) t(a, b)),
+         |pos AS (SELECT DISTINCT ((s * a + b) % 1000000007) % 1048576
+         |          AS p FROM ben, co),
+         |cp AS (SELECT doc_id, s,
+         |         ((s * a + b) % 1000000007) % 1048576 AS p
+         |       FROM cor, co),
+         |pass AS (SELECT doc_id, s FROM cp JOIN pos USING (p)
+         |         GROUP BY doc_id, s HAVING COUNT(*) = 4),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cor
+         |        GROUP BY 1),
+         |bp AS (SELECT doc_id, COUNT(*) AS nbp FROM pass GROUP BY 1),
+         |hit AS (SELECT pass.doc_id, COUNT(*) AS h
+         |        FROM pass JOIN ben USING (s) GROUP BY 1)
+         |SELECT t.doc_id, t.n_shingles,
+         |  CAST(COALESCE(bp.nbp, 0) AS BIGINT) AS n_bloom_pass,
+         |  CAST(COALESCE(hit.h, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(bp.nbp, 0) - COALESCE(hit.h, 0) AS BIGINT)
+         |    AS n_false_pos,
+         |  ROUND(CAST(COALESCE(hit.h, 0) AS DOUBLE)
+         |      / CAST(t.n_shingles AS DOUBLE), 4) AS ratio,
+         |  ROUND(CAST(COALESCE(hit.h, 0) AS DOUBLE)
+         |      / CAST(t.n_shingles AS DOUBLE), 4) >= 0.2 AS flagged
+         |FROM tot t LEFT JOIN bp ON bp.doc_id = t.doc_id
+         |LEFT JOIN hit ON hit.doc_id = t.doc_id""".stripMargin)
 }

@@ -657,6 +657,28 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(rings.collect().forall(v => v.vi >= 0))
   }
 
+  test("bloom decontamination is exact and the filter actually prunes") {
+    val d = graft.Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"))
+    val corpus = d.filter(col("source") =!= "src0").select("doc_id", "text")
+    val bench = d.filter(col("source") === "src0").select("doc_id", "text")
+    val bloom = Dedup.decontaminateBloom(corpus, bench, 16, 0.2)
+      .localCheckpoint()
+    val exact = Dedup.decontaminate(corpus, bench, 16, 0.2)
+    // exact columns agree with the broadcast-exact operator row by row
+    val cols = Seq("doc_id", "n_shingles", "n_hits", "ratio", "flagged")
+    assert(bloom.select(cols.map(col): _*).exceptAll(
+      exact.select(cols.map(col): _*)).isEmpty)
+    // no false negatives by construction: pass count >= hit count
+    assert(bloom.filter(col("n_false_pos") < 0).isEmpty)
+    // and the filter prunes: survivors are a strict subset of shingles
+    val agg = bloom.agg(sum("n_bloom_pass").as("p"),
+      sum("n_shingles").as("s")).head()
+    assert(agg.getLong(0) < agg.getLong(1),
+      "bloom pre-filter kept every shingle — no semi-join reduction")
+  }
+
   test("autoCellTenths shrinks the cell as line density grows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
