@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Triangles}
 
 /** Near-dup queries over documents (SURVEY.md §2 rows 29-31).
   * ALL four are fully hash-checked against DuckDB: the shingle/token
@@ -69,6 +69,16 @@ object DedupQueries {
       K, flagAt = 0.2)
   }
 
+  /** Triangle census of the near-dup candidate graph (same pair
+    * pipeline as q_dedup_clusters): per-vertex triangle count and
+    * clustering coefficient via degree orientation — dense boilerplate
+    * families read as high-clustering vertices, chained partial
+    * matches as low. */
+  def qTriangleCount(spark: SparkSession, dir: String): DataFrame =
+    Triangles.triangleStats(
+      Dedup.minhashPairs(docs(spark, dir), K, numHashes = 64, bands = 16,
+        minEst = 0.2).select(col("ida").as("a"), col("idb").as("b")))
+
   /** Deterministic batch twin of the STREAMING near-dup filter
     * (streaming.NearDupStream): per LSH bucket, one anchor (min doc id
     * in batch; first arrival in the stream) and a candidate pair for
@@ -105,7 +115,8 @@ object DedupQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_neardup_anchor" -> (qNearDupAnchor _),
     "q_decontaminate" -> (qDecontaminate _),
-    "q_decontaminate_bloom" -> (qDecontaminateBloom _))
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_triangle_count" -> (qTriangleCount _))
 
   /** Shared band-hash CTE prefix (through `bands`): the DuckDB twin of
     * the engine's minhash signature + LSH band fold — same rolling
@@ -229,6 +240,32 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
+
+    // triangle enumeration in its simplest exact form — e(a,b) e(b,c)
+    // e(a,c) with a<b<c (each edge stored once, low id first), an
+    // INDEPENDENT derivation of what the engine finds via degree
+    // orientation; per-vertex counts by exploding the triangle list
+    "q_triangle_count" ->
+      s"""WITH pairs AS ($minhashOracle),
+         |e AS (SELECT DISTINCT ida AS a, idb AS b FROM pairs),
+         |deg AS (SELECT id, COUNT(*) AS degree FROM (
+         |          SELECT a AS id FROM e
+         |          UNION ALL SELECT b FROM e) GROUP BY 1),
+         |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |      FROM e e1
+         |      JOIN e e2 ON e2.a = e1.b
+         |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tp AS (SELECT id, COUNT(*) AS n_tri FROM (
+         |         SELECT u AS id FROM t
+         |         UNION ALL SELECT v FROM t
+         |         UNION ALL SELECT w FROM t) GROUP BY 1)
+         |SELECT deg.id, deg.degree,
+         |  CAST(COALESCE(tp.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CASE WHEN deg.degree < 2 THEN 0.0
+         |       ELSE ROUND((CAST(2 AS DOUBLE) * COALESCE(tp.n_tri, 0))
+         |         / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 4)
+         |  END AS clustering
+         |FROM deg LEFT JOIN tp USING (id)""".stripMargin,
 
     // duplicated spans: per-position shingle hashes, cross-doc shingles
     // via min!=max, gaps-and-islands merge of consecutive positions

@@ -679,6 +679,25 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
       "bloom pre-filter kept every shingle — no semi-join reduction")
   }
 
+  test("triangle census: K4 + pendant path, counted once per triangle") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each vertex in 3) + path 4-5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 5L), (2L, 1L) /* dup, reversed */)
+      .toDF("a", "b")
+    val out = graft.operators.Triangles.triangleStats(edges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((3L, 3L, 1.0)))
+    assert(out(2L) === ((3L, 3L, 1.0)))
+    assert(out(3L) === ((3L, 3L, 1.0)))
+    assert(out(4L) === ((4L, 3L, 0.5))) // 3 of C(4,2)=6 wedges closed
+    assert(out(5L) === ((2L, 0L, 0.0)))
+    assert(out(6L) === ((1L, 0L, 0.0)))
+    // global: sum of per-vertex counts = 3 x 4 triangles
+    assert(out.values.map(_._2).sum === 12L)
+  }
+
   test("autoCellTenths shrinks the cell as line density grows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
