@@ -62,4 +62,45 @@ object Pca {
   def project(emb: DataFrame, idCol: String, v: Array[Double]): DataFrame =
     emb.select(col(idCol).cast("long").as(idCol),
       round(dotLit(col("embedding"), v), 6).as("pc1"))
+
+  /** Johnson–Lindenstrauss random projection dim → kOut with an
+    * Achlioptas ±1/√kOut sign matrix (Achlioptas 2003: database-friendly
+    * random projections — signs work as well as Gaussians). The matrix
+    * is NEVER materialized or shipped: sign(j,i) is a closed-form parity
+    * of the same multiplicative hash the LSH planes use, evaluated
+    * identically in both engines. One map-only pass (kOut fixed-fold dot
+    * products per row, codegen'd — no shuffle, no model artifact, no
+    * training), which is the whole point at 100 TB: the projection that
+    * halves ANN index cost needs zero coordination.
+    *
+    * Returns (id, j, proj6, norm_ratio) — one row per output dimension,
+    * plus the per-vector ‖proj‖²/‖x‖² JL distortion diagnostic (≈1 in
+    * expectation), computed over integer-micro quantized projections so
+    * the 16-term square sum is order-independent-exact. */
+  def randomProject(emb: DataFrame, idCol: String, dim: Int,
+                    kOut: Int): DataFrame = {
+    val scale = 1.0 / math.sqrt(kOut.toDouble)
+    def signs(j: Int): Array[Double] = Array.tabulate(dim) { i =>
+      if (((j.toLong * dim + i) * 2654435761L) % 1000003L % 2 == 0) scale
+      else -scale
+    }
+    val projs = (0 until kOut).map(j =>
+      dotLit(col("embedding"), signs(j)).as(s"p$j"))
+    val en = (0 until dim).map(i =>
+      col("embedding").getItem(i).cast("double") *
+        col("embedding").getItem(i).cast("double"))
+      .foldLeft(lit(0.0))(_ + _)
+    val base = emb.select(
+      (col(idCol).cast("long").as(idCol) +: en.as("en") +: projs): _*)
+    val s2 = (0 until kOut).map { j =>
+      val pm = round(col(s"p$j") * 1e6, 0).cast("long")
+      pm * pm
+    }.reduce(_ + _)
+    val ratio = when(col("en") === 0.0, lit(0.0))
+      .otherwise(round((s2.cast("double") / 1e12) / col("en"), 4))
+    base.select(col(idCol), ratio.as("norm_ratio"),
+        posexplode(array((0 until kOut).map(j => col(s"p$j")): _*)))
+      .select(col(idCol), col("pos").cast("long").as("j"),
+        round(col("col"), 6).as("proj6"), col("norm_ratio"))
+  }
 }

@@ -70,6 +70,14 @@ object AnnQueries {
     graft.operators.Pca.project(e, "vec_id", v)
   }
 
+  /** Johnson–Lindenstrauss projection 64 → 16 (operators.Pca
+    * .randomProject): Achlioptas ±1/4 signs from the LSH planes' hash —
+    * the matrix-free, training-free dim reduction that precedes an ANN
+    * build; one map-only pass, no shuffle, no artifact. */
+  def qRandomProjection(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.randomProject(emb(spark, dir), "vec_id",
+      Ann.DefaultDim, 16)
+
   /** Hamming top-k over 1-bit sign-quantized vectors — the most
     * compressed tier of the index spectrum (float -> int8 -> PQ ->
     * 1-bit). */
@@ -225,6 +233,7 @@ object AnnQueries {
     "q_ann_quantized" -> (qQuantizedTopK _),
     "q_ann_binary" -> (qBinaryTopK _),
     "q_pca_project" -> (qPcaProject _),
+    "q_random_projection" -> (qRandomProjection _),
     "q_ann_recall_binary" -> (qAnnRecallBinary _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
@@ -630,6 +639,33 @@ object AnnQueries {
     "q_ann_quantized" -> quantizedOracle,
     "q_ann_binary" -> binaryOracle,
     "q_pca_project" -> pcaOracle,
+    // JL projection: sign(j,i) replayed from the same closed-form hash;
+    // per-dim dot products are the in-order list_sum twin of the fixed
+    // left-fold; the distortion ratio squares integer-micro projections
+    // so its 16-term sum is order-independent
+    "q_random_projection" ->
+      """WITH v AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |en AS (SELECT vec_id, e,
+        |         list_sum(list_transform(e, x -> x * x)) AS en FROM v),
+        |p AS (SELECT vec_id, en, j,
+        |        list_sum(list_transform(range(1, 65), i -> e[i] *
+        |          (CASE WHEN ((j * 64 + i - 1) * 2654435761)
+        |                     % 1000003 % 2 = 0
+        |                THEN 0.25 ELSE -0.25 END))) AS pj
+        |      FROM en, (SELECT CAST(unnest(generate_series(0, 15))
+        |                  AS BIGINT) AS j) g),
+        |r AS (SELECT vec_id, en,
+        |        SUM(CAST(ROUND(pj * 1e6) AS BIGINT)
+        |          * CAST(ROUND(pj * 1e6) AS BIGINT)) AS s2
+        |      FROM p GROUP BY vec_id, en)
+        |SELECT p.vec_id, p.j, ROUND(p.pj, 6) AS proj6,
+        |  CASE WHEN r.en = 0 THEN 0.0
+        |       ELSE ROUND((CAST(r.s2 AS DOUBLE) / 1e12) / r.en, 4)
+        |  END AS norm_ratio
+        |FROM p JOIN r ON r.vec_id = p.vec_id""".stripMargin,
     "q_ann_recall_binary" -> recallOracle(binaryOracle, topkOracle),
     "q_ann_recall_quantized" -> recallOracle(quantizedOracle, topkOracle),
     "q_ann_lsh" -> lshOracle,

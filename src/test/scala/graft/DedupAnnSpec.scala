@@ -698,6 +698,20 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(out.values.map(_._2).sum === 12L)
   }
 
+  test("JL projection: 16 dims per vector, unbiased norm in aggregate") {
+    val out = graft.operators.Pca.randomProject(
+      graft.Tables.load(spark, SfDir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
+      "vec_id", 64, 16).localCheckpoint()
+    val perVec = out.groupBy("vec_id")
+      .agg(countDistinct("j").as("nj"), first("norm_ratio").as("r"))
+    assert(perVec.filter(col("nj") =!= 16).isEmpty)
+    // E[(Rx)·(Rx)] = ||x||^2 — the corpus mean distortion must sit
+    // near 1 even though individual vectors scatter at k=16
+    val mean = perVec.agg(avg("r")).head().getDouble(0)
+    assert(mean > 0.8 && mean < 1.2, s"JL distortion mean $mean")
+  }
+
   test("autoCellTenths shrinks the cell as line density grows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
