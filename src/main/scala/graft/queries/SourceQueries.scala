@@ -306,7 +306,42 @@ object SourceQueries {
         md5(col("payload")).as("digest"))
   }
 
+  /** JSONL corpus roundtrip — THE LLM training-data interchange format:
+    * every doc serialized as one to_json line (escaping of quotes,
+    * newlines and unicode is what's under test), re-parsed with
+    * from_json against an explicit schema, with every 50th line
+    * TRUNCATED to exercise the PERMISSIVE corrupt-record path a real
+    * crawl ingest hits constantly. Row-local both directions — scan →
+    * map, no shuffle; the oracle derives the expected parse output
+    * directly from the documents table (parse_ok/roundtrip are the
+    * engine-side proof the serializer and parser invert). */
+  def qJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"))
+    val line = to_json(struct(col("doc_id"), col("lang"), col("source"),
+      col("text")))
+    val corrupted = d.select(col("doc_id"), col("text").as("orig"),
+        line.as("line"))
+      .select(col("doc_id"), col("orig"),
+        when(col("doc_id") % 50 === 0,
+          substring(col("line"), 1, 10)).otherwise(col("line")).as("line"))
+    val p = from_json(col("line"), schema)
+    corrupted.select(col("doc_id"), p.as("p"), col("orig"))
+      .select(col("doc_id"),
+        col("p.doc_id").isNotNull.as("parse_ok"),
+        col("p.lang").as("lang"), col("p.source").as("source"),
+        length(col("p.text")).cast("long").as("n_chars"),
+        md5(col("p.text")).as("digest"),
+        coalesce(col("p.text") === col("orig"), lit(false)).as("roundtrip"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_deflate_roundtrip" -> (qDeflateRoundtrip _),
     "q_warc_ingest" -> (qWarcIngest _),
     "q_crs_distance" -> (qCrsDistance _),
@@ -342,6 +377,21 @@ object SourceQueries {
         |  LENGTH(text) AS n_chars,
         |  CAST(STRLEN(text) AS BIGINT) AS payload_bytes,
         |  MD5(text) AS digest
+        |FROM documents""".stripMargin,
+    // the oracle derives the expected PARSE OUTPUT independently — if
+    // Spark's to_json/from_json pair lost or mangled anything (quotes,
+    // newlines, unicode), roundtrip/digest break the hash; truncated
+    // lines (every 50th) must come back as NULL-field parse failures
+    "q_jsonl_roundtrip" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  doc_id % 50 <> 0 AS parse_ok,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE source END AS source,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE LENGTH(text) END AS n_chars,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE MD5(text) END
+        |    AS digest,
+        |  doc_id % 50 <> 0 AS roundtrip
         |FROM documents""".stripMargin,
     "q_warc_ingest" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
