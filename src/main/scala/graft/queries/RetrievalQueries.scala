@@ -253,7 +253,11 @@ object RetrievalQueries {
     * -> m*ln(m/zeros), Flajolet et al. 2007) IS applied — without it a
     * sparse register file overestimates ~12x; ln + round(4) follows the
     * q_crs_distance ACOS precedent for transcendentals in oracles. */
-  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+  /** One scan → (distinct hashed tokens, per-lang register file). The
+    * register file is the persistable sketch artifact both q_hll_distinct
+    * and the union algebra read. */
+  private def hllDistRegs(spark: SparkSession,
+                          dir: String): (DataFrame, DataFrame) = {
     val toks = docs(spark, dir)
       .select(col("lang"),
         explode(split(lower(col("text")), "\\W+")).as("w"))
@@ -270,18 +274,31 @@ object RetrievalQueries {
           .otherwise(bit_count(col("v").bitwiseXOR(col("v") - lit(1L)))
             .cast("long")).as("r"))
       .groupBy("lang", "j").agg(max(col("r")).as("m"))
+    (dist, reg)
+  }
+
+  /** Flajolet 2007 estimate from a (keys..., j, m) register table —
+    * harmonic mean + the small-range linear-counting branch. Returns
+    * (keys..., zeros, est). */
+  private def hllEst(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0))
-    val hll = reg.groupBy("lang")
+    regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("nhit"),
         sum(pow(lit(2.0), -col("m"))).as("hs"))
-      .select(col("lang"), (lit(HllM) - col("nhit")).as("zeros"),
+      .select(keys.map(col) :+ (lit(HllM) - col("nhit")).as("zeros") :+
         (alpha * lit(512.0) * lit(512.0)
           / (col("hs") + (lit(HllM) - col("nhit")).cast("double")))
-          .as("raw"))
-      .select(col("lang"), col("zeros"),
+          .as("raw"): _*)
+      .select(keys.map(col) :+ col("zeros") :+
         round(when(col("zeros") > 0 && col("raw") <= lit(2.5) * lit(512.0),
           lit(512.0) * log(lit(512.0) / col("zeros").cast("double")))
-          .otherwise(col("raw")), 4).as("est_distinct"))
+          .otherwise(col("raw")), 4).as("est"): _*)
+  }
+
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val (dist, reg) = hllDistRegs(spark, dir)
+    val hll = hllEst(reg, Seq("lang"))
+      .withColumnRenamed("est", "est_distinct")
     val exact = dist.groupBy("lang")
       .agg(count(lit(1)).as("exact_distinct"))
     hll.join(exact, "lang")
@@ -289,6 +306,43 @@ object RetrievalQueries {
         col("est_distinct"), col("exact_distinct"),
         round(abs(col("est_distinct") - col("exact_distinct"))
           / col("exact_distinct") * lit(100.0), 2).as("err_pct"))
+  }
+
+  /** Sketch ALGEBRA — the property that justifies sketches at 100 TB:
+    * per-language register files persist once, and any cross-corpus
+    * question afterwards is register arithmetic, never a re-scan.
+    * Union cardinality per language pair = estimate over max-merged
+    * registers; intersection by inclusion-exclusion; the exact union
+    * (from the same single distinct exchange) verifies each estimate.
+    * Every join here is over ≤512-row register files — corpus-free. */
+  def qHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val (dist, reg) = hllDistRegs(spark, dir)
+    val regC = reg.localCheckpoint() // 3 consumers of a <=langs*512 table
+    val langs = regC.select("lang").distinct()
+    val pairs = langs.select(col("lang").as("la"))
+      .crossJoin(langs.select(col("lang").as("lb")))
+      .filter(col("la") < col("lb"))
+    val touches = col("lang") === col("la") || col("lang") === col("lb")
+    val merged = regC.join(broadcast(pairs), touches)
+      .groupBy("la", "lb", "j").agg(max(col("m")).as("m"))
+    val estU = hllEst(merged, Seq("la", "lb"))
+      .withColumnRenamed("est", "est_union")
+    val estL = hllEst(regC, Seq("lang"))
+    val exactU = dist.join(broadcast(pairs), touches)
+      .select(col("la"), col("lb"), col("h")).distinct()
+      .groupBy("la", "lb").agg(count(lit(1)).as("exact_union"))
+    estU.join(estL.select(col("lang").as("la"), col("est").as("est_a")),
+        Seq("la"))
+      .join(estL.select(col("lang").as("lb"), col("est").as("est_b")),
+        Seq("lb"))
+      .join(exactU, Seq("la", "lb"))
+      .select(col("la"), col("lb"), col("est_a"), col("est_b"),
+        col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4)
+          .as("est_intersection"),
+        col("exact_union"),
+        round(abs(col("est_union") - col("exact_union"))
+          / col("exact_union") * lit(100.0), 2).as("err_pct"))
   }
 
   // ------------------------------------------------------------ BPE encode
@@ -606,6 +660,68 @@ object RetrievalQueries {
          |  est AS est_distinct, CAST(exact AS BIGINT) AS exact_distinct,
          |  ROUND(ABS(est - exact) / exact * 100.0, 2) AS err_pct
          |FROM es""".stripMargin
+    },
+
+    // register max-merge replayed per language pair; the estimate
+    // formula (incl. the linear-counting branch) appears twice — once
+    // per-lang, once per merged pair — exactly as the engine computes it
+    "q_hll_union" -> {
+      val fpW =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |  list_transform(list_filter(string_split(w, ''),
+          |                             c -> len(c) > 0),
+          |                 c -> CAST(ascii(c) AS BIGINT))),
+          |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+      val est = (src: String, keys: String) =>
+        s"""SELECT $keys, $HllM - COUNT(*) AS zeros,
+           |  ROUND(CASE WHEN $HllM - COUNT(*) > 0
+           |          AND CAST(0.7213 AS DOUBLE)
+           |              / (1.0 + CAST(1.079 AS DOUBLE) / 512.0)
+           |            * 512.0 * 512.0
+           |            / (SUM(POWER(2.0, -m))
+           |               + CAST($HllM - COUNT(*) AS DOUBLE))
+           |            <= CAST(2.5 AS DOUBLE) * 512.0
+           |    THEN 512.0 * ln(512.0 / CAST($HllM - COUNT(*) AS DOUBLE))
+           |    ELSE CAST(0.7213 AS DOUBLE)
+           |           / (1.0 + CAST(1.079 AS DOUBLE) / 512.0)
+           |         * 512.0 * 512.0
+           |         / (SUM(POWER(2.0, -m))
+           |            + CAST($HllM - COUNT(*) AS DOUBLE)) END, 4) AS est
+           |FROM $src GROUP BY $keys""".stripMargin
+      s"""WITH d AS (SELECT lower(text) AS t, lang FROM documents),
+         |tk AS (SELECT lang, w FROM d,
+         |       LATERAL (SELECT unnest(regexp_split_to_array(t, '\\W+'))
+         |                AS w) u
+         |       WHERE len(w) > 0),
+         |hs AS (SELECT DISTINCT lang,
+         |         $fpW * 2654435761 % $HllP AS h
+         |       FROM tk),
+         |rg AS (SELECT lang, h % $HllM AS j,
+         |         MAX(CASE WHEN h // $HllM = 0 THEN 23
+         |             ELSE CAST(bit_count(xor(h // $HllM, h // $HllM - 1))
+         |                  AS BIGINT) END) AS m
+         |       FROM hs GROUP BY 1, 2),
+         |ls AS (SELECT DISTINCT lang FROM rg),
+         |pr AS (SELECT a.lang AS la, b.lang AS lb FROM ls a, ls b
+         |       WHERE a.lang < b.lang),
+         |mg AS (SELECT la, lb, j, MAX(m) AS m
+         |       FROM rg JOIN pr ON rg.lang = pr.la OR rg.lang = pr.lb
+         |       GROUP BY 1, 2, 3),
+         |eu AS (${est("mg", "la, lb")}),
+         |el AS (${est("rg", "lang")}),
+         |xu AS (SELECT la, lb, COUNT(DISTINCT h) AS exact_union
+         |       FROM hs JOIN pr ON hs.lang = pr.la OR hs.lang = pr.lb
+         |       GROUP BY 1, 2)
+         |SELECT eu.la, eu.lb, a.est AS est_a, b.est AS est_b,
+         |  eu.est AS est_union,
+         |  ROUND(a.est + b.est - eu.est, 4) AS est_intersection,
+         |  CAST(xu.exact_union AS BIGINT) AS exact_union,
+         |  ROUND(ABS(eu.est - xu.exact_union) / xu.exact_union * 100.0, 2)
+         |    AS err_pct
+         |FROM eu
+         |JOIN el a ON a.lang = eu.la
+         |JOIN el b ON b.lang = eu.lb
+         |JOIN xu ON xu.la = eu.la AND xu.lb = eu.lb""".stripMargin
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -614,5 +730,6 @@ object RetrievalQueries {
     "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_hll_distinct" -> (qHllDistinct _),
+    "q_hll_union" -> (qHllUnion _),
     "q_retrieval_eval" -> (qRetrievalEval _))
 }

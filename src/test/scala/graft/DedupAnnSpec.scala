@@ -712,6 +712,20 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(mean > 0.8 && mean < 1.2, s"JL distortion mean $mean")
   }
 
+  test("HLL union algebra: monotone vs both sides, bounded by the sum") {
+    val u = graft.queries.RetrievalQueries.qHllUnion(spark, SfDir)
+      .collect()
+    assert(u.nonEmpty)
+    u.foreach { r =>
+      val (a, b, un) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+        r.getAs[Double]("est_union"))
+      // max-merge can only raise registers: union >= each side exactly
+      assert(un >= a - 1e-9 && un >= b - 1e-9, s"union $un < side ($a, $b)")
+      assert(un <= a + b + 1e-9, "union above inclusion-exclusion bound")
+      assert(r.getAs[Long]("exact_union") > 0L)
+    }
+  }
+
   test("autoCellTenths shrinks the cell as line density grows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
