@@ -79,6 +79,63 @@ object DedupQueries {
       Dedup.minhashPairs(docs(spark, dir), K, numHashes = 64, bands = 16,
         minEst = 0.2).select(col("ida").as("a"), col("idb").as("b")))
 
+  /** Dedup-quality EVAL harness — the retrieval-eval pattern applied to
+    * the dedup family: on a deterministic 1-in-2 content-stable sample,
+    * exact pairwise Jaccard over the shingle-hash sets is ground truth,
+    * the minhash LSH pipeline is the system under test, and
+    * precision/recall/F1 come out per threshold. This is how a 100 TB
+    * pipeline prices its LSH operating point: ground truth corpus-wide
+    * is unaffordable BY DESIGN (it is the all-pairs join LSH exists to
+    * avoid), so it runs on a bounded sample and the metric series stays
+    * comparable between crawls. */
+  def qDedupEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sample = docs(spark, dir).filter(col("doc_id") % 2 === 0)
+      .localCheckpoint() // truth + pred both re-read the sample text
+    val sh = Dedup.shingleHashes(sample, K, 31L, 2147483647L)
+      .select(col("doc_id"), col("s")).distinct().localCheckpoint()
+    val na = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.select(col("doc_id").as("ida"), col("s"))
+      .join(sh.select(col("doc_id").as("idb"), col("s")), Seq("s"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+    val truth = shared
+      .join(na.select(col("doc_id").as("ida"), col("n").as("nA")),
+        Seq("ida"))
+      .join(na.select(col("doc_id").as("idb"), col("n").as("nB")),
+        Seq("idb"))
+      .select(col("ida"), col("idb"),
+        round(col("shared").cast("double")
+          / (col("nA") + col("nB") - col("shared")).cast("double"), 4)
+          .as("jac"))
+    val pred = Dedup.minhashPairs(sample, K, numHashes = 64, bands = 16,
+      minEst = 0.2).select(col("ida"), col("idb"), col("est"))
+    val joined = truth.join(pred, Seq("ida", "idb"), "full_outer")
+      .select(coalesce(col("jac"), lit(0.0)).as("jac"),
+        coalesce(col("est"), lit(-1.0)).as("est"))
+    joined.crossJoin(broadcast(Seq(0.2, 0.35, 0.5).toDF("t")))
+      .groupBy("t")
+      .agg(
+        sum(when(col("jac") >= col("t"), 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("est") >= col("t"), 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("jac") >= col("t") && col("est") >= col("t"), 1L)
+          .otherwise(0L)).as("tp"))
+      .select(col("t"), col("n_truth"), col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        when(col("n_pred") === 0, lit(0.0)).otherwise(
+          round(col("tp").cast("double") / col("n_pred").cast("double"),
+            4)).as("precision"),
+        when(col("n_truth") === 0, lit(0.0)).otherwise(
+          round(col("tp").cast("double") / col("n_truth").cast("double"),
+            4)).as("recall"),
+        // F1 = 2PR/(P+R) = 2tp/(truth+pred): exact integers, one round
+        when(col("n_truth") + col("n_pred") === 0, lit(0.0)).otherwise(
+          round((lit(2.0) * col("tp"))
+            / (col("n_truth") + col("n_pred")).cast("double"), 4))
+          .as("f1"))
+  }
+
   /** Deterministic batch twin of the STREAMING near-dup filter
     * (streaming.NearDupStream): per LSH bucket, one anchor (min doc id
     * in batch; first arrival in the stream) and a candidate pair for
@@ -116,17 +173,22 @@ object DedupQueries {
     "q_neardup_anchor" -> (qNearDupAnchor _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
-    "q_triangle_count" -> (qTriangleCount _))
+    "q_triangle_count" -> (qTriangleCount _),
+    "q_dedup_eval" -> (qDedupEval _))
 
   /** Shared band-hash CTE prefix (through `bands`): the DuckDB twin of
     * the engine's minhash signature + LSH band fold — same rolling
     * shingle hash, same universal-hash coefficients (note `|1` / exact
     * integer arithmetic), same band fold. Used by the pair, cluster AND
     * bucket-anchor oracles, so the replayed LSH path is written once. */
-  private val minhashBandCtes: String = {
+  private val minhashBandCtes: String = minhashBandCtesOn("")
+
+  /** Same CTE prefix over a filtered documents slice (the eval harness
+    * replays the LSH path on its sample). */
+  private def minhashBandCtesOn(where: String): String = {
     val P = 2147483647L
     s"""d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
-       |           FROM documents),
+       |           FROM documents $where),
        |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $K) AS s
        |       FROM d, LATERAL (SELECT unnest(generate_series(1,
        |              greatest(len(t) - ${K - 1}, 1))) AS i) u
@@ -152,19 +214,23 @@ object DedupQueries {
 
   /** Full minhash-pair oracle: band CTEs + candidate join + signature
     * agreement — the full LSH path hash-checked, not just row-counted. */
+  /** Candidate + signature-agreement CTEs (follow the band CTEs). */
+  private val minhashPairCtes: String =
+    """cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.bh = b.bh
+      |          AND a.doc_id < b.doc_id),
+      |est AS (SELECT ida, idb,
+      |          ROUND(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END)
+      |              / 64.0, 4) AS est
+      |        FROM cand
+      |        JOIN mins ma ON ma.doc_id = ida
+      |        JOIN mins mb ON mb.doc_id = idb AND mb.i = ma.i
+      |        GROUP BY 1, 2)""".stripMargin
+
   private val minhashOracle: String =
     s"""WITH $minhashBandCtes,
-       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-       |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.bh = b.bh
-       |          AND a.doc_id < b.doc_id),
-       |est AS (SELECT ida, idb,
-       |          ROUND(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END)
-       |              / 64.0, 4) AS est
-       |        FROM cand
-       |        JOIN mins ma ON ma.doc_id = ida
-       |        JOIN mins mb ON mb.doc_id = idb AND mb.i = ma.i
-       |        GROUP BY 1, 2)
+       |$minhashPairCtes
        |SELECT ida, idb, est FROM est WHERE est >= 0.2""".stripMargin
 
   /** Mirrors Dedup.dedupClusters' exact 3-iteration min-label recurrence
@@ -240,6 +306,52 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
+
+    // the LSH path replayed ON THE SAMPLE (band CTEs parameterized by
+    // the sample filter), exact Jaccard truth from the same shingle
+    // hashes, metrics over integer counts
+    "q_dedup_eval" ->
+      s"""WITH ${minhashBandCtesOn("WHERE doc_id % 2 = 0")},
+         |$minhashPairCtes,
+         |pred AS (SELECT ida, idb, est FROM est WHERE est >= 0.2),
+         |ssh AS (SELECT DISTINCT doc_id, hp FROM shh),
+         |na AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY 1),
+         |tr AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |         COUNT(*) AS shared
+         |       FROM ssh a JOIN ssh b
+         |         ON a.hp = b.hp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |truth AS (SELECT tr.ida, tr.idb,
+         |            ROUND(CAST(tr.shared AS DOUBLE)
+         |              / CAST(x.n + y.n - tr.shared AS DOUBLE), 4) AS jac
+         |          FROM tr JOIN na x ON x.doc_id = tr.ida
+         |          JOIN na y ON y.doc_id = tr.idb),
+         |j AS (SELECT COALESCE(t.jac, 0.0) AS jac,
+         |        COALESCE(p.est, -1.0) AS est
+         |      FROM truth t FULL OUTER JOIN pred p
+         |        ON p.ida = t.ida AND p.idb = t.idb),
+         |th AS (SELECT CAST(t AS DOUBLE) AS t
+         |       FROM (VALUES (0.2), (0.35), (0.5)) v(t)),
+         |m AS (SELECT t,
+         |        SUM(CASE WHEN jac >= t THEN 1 ELSE 0 END) AS n_truth,
+         |        SUM(CASE WHEN est >= t THEN 1 ELSE 0 END) AS n_pred,
+         |        SUM(CASE WHEN jac >= t AND est >= t THEN 1 ELSE 0 END)
+         |          AS tp
+         |      FROM j, th GROUP BY t)
+         |SELECT t, CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+         |  CAST(n_pred - tp AS BIGINT) AS fp,
+         |  CAST(n_truth - tp AS BIGINT) AS fn,
+         |  CASE WHEN n_pred = 0 THEN 0.0
+         |       ELSE ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE),
+         |                  4) END AS precision,
+         |  CASE WHEN n_truth = 0 THEN 0.0
+         |       ELSE ROUND(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE),
+         |                  4) END AS recall,
+         |  CASE WHEN n_truth + n_pred = 0 THEN 0.0
+         |       ELSE ROUND(CAST(2 AS DOUBLE) * tp
+         |              / CAST(n_truth + n_pred AS DOUBLE), 4) END AS f1
+         |FROM m""".stripMargin,
 
     // triangle enumeration in its simplest exact form — e(a,b) e(b,c)
     // e(a,c) with a<b<c (each edge stored once, low id first), an
