@@ -70,6 +70,17 @@ object AnnQueries {
     graft.operators.Pca.project(e, "vec_id", v)
   }
 
+  /** Embedding-label audit (operators.LabelAudit): per-label centroids
+    * from one integer-nano aggregate, map-only scoring against all
+    * centroids as literals, mislabel flag when a foreign class center
+    * is closer than the own one. */
+  def qLabelAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LabelAudit.audit(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("label"),
+          col("embedding")),
+      Ann.DefaultDim)
+
   /** Johnson–Lindenstrauss projection 64 → 16 (operators.Pca
     * .randomProject): Achlioptas ±1/4 signs from the LSH planes' hash —
     * the matrix-free, training-free dim reduction that precedes an ANN
@@ -234,6 +245,7 @@ object AnnQueries {
     "q_ann_binary" -> (qBinaryTopK _),
     "q_pca_project" -> (qPcaProject _),
     "q_random_projection" -> (qRandomProjection _),
+    "q_label_audit" -> (qLabelAudit _),
     "q_ann_recall_binary" -> (qAnnRecallBinary _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
@@ -639,6 +651,38 @@ object AnnQueries {
     "q_ann_quantized" -> quantizedOracle,
     "q_ann_binary" -> binaryOracle,
     "q_pca_project" -> pcaOracle,
+    // label audit: centroids re-derived from the same integer-nano sums
+    // and the identical s/1e9/n double sequence; distances list-ordered,
+    // rounded to 6 BEFORE the nearest-foreign ROW_NUMBER (the engine's
+    // struct-min tie rule: (d, label) lexicographic)
+    "q_label_audit" ->
+      """WITH v AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         CAST(label AS INT) AS label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cs AS (SELECT label, j,
+        |         SUM(CAST(ROUND(e[CAST(j AS INT)] * 1e9) AS BIGINT)) AS s,
+        |         COUNT(*) AS n
+        |       FROM v, (SELECT unnest(generate_series(1, 64)) AS j) g
+        |       GROUP BY 1, 2),
+        |c AS (SELECT label AS clab,
+        |        list(CAST(s AS DOUBLE) / 1e9 / n ORDER BY j) AS cl
+        |      FROM cs GROUP BY 1),
+        |d AS (SELECT v.vec_id, v.label, c.clab,
+        |        ROUND(list_sum(list_transform(range(1, 65),
+        |          i -> (e[i] - cl[i]) * (e[i] - cl[i]))), 6) AS d2
+        |      FROM v, c),
+        |own AS (SELECT vec_id, label, d2 AS d_own FROM d
+        |        WHERE label = clab),
+        |fr AS (SELECT vec_id, clab, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY d2, clab) AS rn
+        |       FROM d WHERE label <> clab)
+        |SELECT o.vec_id, o.label, o.d_own, f.clab AS near_label,
+        |  f.d2 AS d_other, ROUND(f.d2 - o.d_own, 6) AS margin,
+        |  f.d2 < o.d_own AS mislabeled
+        |FROM own o JOIN fr f ON f.vec_id = o.vec_id AND f.rn = 1""".stripMargin,
     // JL projection: sign(j,i) replayed from the same closed-form hash;
     // per-dim dot products are the in-order list_sum twin of the fixed
     // left-fold; the distortion ratio squares integer-micro projections
