@@ -197,6 +197,14 @@ object SourceQueries {
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
+  /** Audio landmark fingerprint matching (r10, operators.AudioFp):
+    * integer-WHT spectral peaks → (p1, p2, Δt) landmark hashes →
+    * inverted-index join → offset-consistent votes; snippets (frames
+    * 1..3 of every 10th track) must match their source at dt=1. */
+  def qAudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AudioFp.fingerprintMatch(
+      Tables.load(spark, dir, "documents"))
+
   def qMultimodalAugment(spark: SparkSession, dir: String): DataFrame =
     Multimodal.augmentFeatures(Tables.load(spark, dir, "documents"))
 
@@ -360,12 +368,47 @@ object SourceQueries {
     "q_multimodal_h264" -> (qMultimodalH264 _),
     "q_image_phash" -> (qImagePhash _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
+    "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_multimodal_augment" -> (qMultimodalAugment _),
     "q_multimodal_png" -> (qMultimodalPng _),
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_jpeg420" -> (qMultimodalJpeg420 _))
 
   val oracles: Map[String, String] = Map(
+    // landmark matching replayed end to end: analytic samples → integer
+    // WHT spectrum → peak constellation (same |W| desc, k asc tie) →
+    // landmark hashes → vote join → same (votes desc, track, dt) best
+    "q_audio_fingerprint" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS dd FROM documents),
+        |n AS (SELECT dd, 256 + dd % 256 AS ns FROM d),
+        |fr AS (SELECT dd, f FROM n, LATERAL (SELECT
+        |         unnest(generate_series(0, ns // 64 - 1)) AS f) u),
+        |w AS (SELECT dd, f, SUM(s) AS w0,
+        |        SUM(CASE WHEN (i & 32) = 0 THEN s ELSE -s END) AS w32
+        |      FROM fr,
+        |        LATERAL (SELECT unnest(generate_series(0, 63)) AS i) ui,
+        |        LATERAL (SELECT (dd * 31 + (f * 64 + i) * 17) % 2003
+        |                   - 1001 AS s) us
+        |      GROUP BY 1, 2),
+        |pk AS (SELECT dd, f,
+        |         ((w0 + 65536) * 262144 + (w32 + 65536)) % 1000000007
+        |           AS kpm FROM w),
+        |lm AS (SELECT a.dd, a.f AS t, b.f - a.f AS dlt,
+        |         ((a.kpm * 2654435761 + b.kpm) % 1000000007) * 4
+        |           + (b.f - a.f) AS h
+        |       FROM pk a JOIN pk b ON b.dd = a.dd
+        |        AND b.f - a.f BETWEEN 1 AND 3),
+        |q AS (SELECT dd AS qid, t - 1 AS tq, h FROM lm
+        |      WHERE dd % 10 = 3 AND t >= 1 AND t + dlt <= 3),
+        |v AS (SELECT q.qid, i.dd AS track, i.t - q.tq AS dt,
+        |        COUNT(*) AS votes
+        |      FROM q JOIN lm i ON i.h = q.h GROUP BY 1, 2, 3),
+        |b AS (SELECT qid, track, dt, votes, ROW_NUMBER() OVER (
+        |        PARTITION BY qid ORDER BY votes DESC, track, dt) AS rn
+        |      FROM v)
+        |SELECT qid, track, dt, CAST(votes AS BIGINT) AS votes,
+        |  (track = qid AND dt = 1) AS hit
+        |FROM b WHERE rn = 1""".stripMargin,
     // the roundtrip identity: our decode of our encode must equal the
     // original text byte-for-byte — DuckDB's md5 over the raw column is
     // an INDEPENDENT digest of the expected bytes

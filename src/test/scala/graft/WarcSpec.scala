@@ -7,6 +7,17 @@ import graft.sources.Warc
 
 class WarcSpec extends AnyFunSuite with SharedSpark {
 
+  test("audio fingerprint: every snippet matches its source at dt=1") {
+    import org.apache.spark.sql.functions._
+    val m = graft.operators.AudioFp.fingerprintMatch(
+      graft.Tables.load(spark, SfDir, "documents"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("ok")).head()
+    assert(m.getLong(0) > 0)
+    assert(m.getLong(1) === m.getLong(0),
+      "a snippet failed to fingerprint-match its own track")
+  }
+
   test("record/parseRecord roundtrip preserves multi-byte payloads exactly") {
     val payload = "héllo wörld — ünïcode ✓".getBytes("UTF-8")
     val rec = Warc.record(42L, "web", payload)
