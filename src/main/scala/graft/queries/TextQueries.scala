@@ -499,6 +499,27 @@ object TextQueries {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact integer margins, min-count prune before the joins, and the
+    // PMI argument built with the SAME pinned multiply order
+    "q_collocations_pmi" ->
+      """WITH d AS (SELECT lower(trim(regexp_replace(text, '\s+', ' ',
+        |             'g'))) AS t FROM documents),
+        |tk AS (SELECT list_filter(string_split(t, ' '),
+        |         x -> len(x) > 0) AS ts FROM d),
+        |uni AS (SELECT w, COUNT(*) AS c FROM tk,
+        |          LATERAL (SELECT unnest(ts) AS w) u GROUP BY 1),
+        |bi AS (SELECT ts[CAST(i AS INT)] AS w1,
+        |         ts[CAST(i + 1 AS INT)] AS w2, COUNT(*) AS c12
+        |       FROM tk, LATERAL (SELECT
+        |         unnest(generate_series(1, len(ts) - 1)) AS i) u
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT SUM(len(ts)) AS n_uni,
+        |          SUM(greatest(len(ts) - 1, 0)) AS n_bi FROM tk)
+        |SELECT bi.w1, bi.w2, bi.c12, a.c AS c1, b.c AS c2,
+        |  ROUND(ln(((CAST(bi.c12 AS DOUBLE) * tot.n_uni) * tot.n_uni)
+        |    / ((CAST(tot.n_bi AS DOUBLE) * a.c) * b.c)), 4) + 0.0 AS pmi
+        |FROM bi JOIN uni a ON a.w = bi.w1
+        |JOIN uni b ON b.w = bi.w2, tot""".stripMargin,
     "q_bm25" -> {
       val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -703,7 +724,47 @@ object TextQueries {
          |  CAST(len(text) AS BIGINT) AS n_chars
          |FROM d""".stripMargin)
 
+  /** PMI collocations — the corpus-statistics pass that surfaces
+    * multiword expressions (Church & Hanks 1990): adjacent-token bigram
+    * counts vs unigram margins, pointwise mutual information over the
+    * exact integer counts. ONE tokenize scan feeds unigrams AND bigrams
+    * (lineage cut); bigrams are built ROW-LOCALLY (slice+zip over the
+    * token array — no posexplode self-join); the min-count filter
+    * prunes the long tail BEFORE the margin join-back, so the joins
+    * move only collocation candidates, not the corpus. PMI's ln runs
+    * over one exact rational built with a pinned multiply order
+    * (transcendental + round-4, the ACOS precedent). */
+  def qCollocationsPmi(spark: SparkSession, dir: String): DataFrame = {
+    val MinC = 5L
+    val toks = docs(spark, dir)
+      .select(split(norm(col("text")), " ").as("ts"))
+      .select(filter(col("ts"), t => length(t) > 0).as("ts"))
+      .localCheckpoint() // unigrams + bigrams + totals, one scan
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+        slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0)))))
+        .as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= MinC)
+    val totals = toks.agg(
+      sum(size(col("ts"))).as("n_uni"),
+      sum(greatest(size(col("ts")) - 1, lit(0))).as("n_bi"))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        (round(log(
+          ((col("c12").cast("double") * col("n_uni")) * col("n_uni"))
+            / ((col("n_bi").cast("double") * col("c1")) * col("c2"))),
+          4) + lit(0.0)).as("pmi")) // +0.0: -0.0 -> 0.0 on both engines
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collocations_pmi" -> (qCollocationsPmi _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
