@@ -84,22 +84,26 @@ object Pca {
       if (((j.toLong * dim + i) * 2654435761L) % 1000003L % 2 == 0) scale
       else -scale
     }
-    val projs = (0 until kOut).map(j =>
-      dotLit(col("embedding"), signs(j)).as(s"p$j"))
-    val en = (0 until dim).map(i =>
-      col("embedding").getItem(i).cast("double") *
-        col("embedding").getItem(i).cast("double"))
-      .foldLeft(lit(0.0))(_ + _)
-    val base = emb.select(
-      (col(idCol).cast("long").as(idCol) +: en.as("en") +: projs): _*)
+    // native kernel (functions.JlProject): the inlined kOut x dim chain
+    // blew up Janino (5.7 s at sf0.1, all compile); fold order identical
+    // so results and the oracle are unchanged
+    val projArr = graft.functions.JlProject(
+      col("embedding").cast("array<double>"),
+      (0 until kOut).map(j => signs(j).toSeq))
+    // HOF fold, same (0 + t0) + t1 ... order as the flat chain and the
+    // oracle's list_sum — compact plan instead of a 64-term tree
+    val en = aggregate(col("embedding").cast("array<double>"), lit(0.0),
+      (acc, x) => acc + x * x)
+    val base = emb.select(col(idCol).cast("long").as(idCol),
+      en.as("en"), projArr.as("ps"))
     val s2 = (0 until kOut).map { j =>
-      val pm = round(col(s"p$j") * 1e6, 0).cast("long")
+      val pm = round(element_at(col("ps"), j + 1) * 1e6, 0).cast("long")
       pm * pm
     }.reduce(_ + _)
     val ratio = when(col("en") === 0.0, lit(0.0))
       .otherwise(round((s2.cast("double") / 1e12) / col("en"), 4))
     base.select(col(idCol), ratio.as("norm_ratio"),
-        posexplode(array((0 until kOut).map(j => col(s"p$j")): _*)))
+        posexplode(col("ps")))
       .select(col(idCol), col("pos").cast("long").as("j"),
         round(col("col"), 6).as("proj6"), col("norm_ratio"))
   }

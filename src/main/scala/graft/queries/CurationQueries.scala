@@ -305,7 +305,34 @@ object CurationQueries {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Mixture RESAMPLING — the actuator behind q_mix_report's diagnostic:
+    * rebalance the corpus toward a uniform per-language target by
+    * deterministic content-keyed rejection sampling. Per-language keep
+    * threshold = min(1e6, (1e6·total) / (n_langs·n_lang)) in EXACT
+    * integer arithmetic (the probability is a rational; no float ever
+    * enters the accept decision), accept iff content-hash mod 1e6 <
+    * threshold — re-shard/renumber stable like the split (row 61), so
+    * the same document is kept or dropped in every run and on every
+    * cluster. Plan: one tiny lang-count aggregate broadcast back over
+    * the scan; the corpus itself never shuffles. */
+  def qMixResample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      rollingFingerprint(norm(col("text"))).as("h"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val tot = counts.agg(sum("n_lang").as("total"),
+      count(lit(1)).as("n_langs"))
+    val withThresh = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_lang"),
+        least(lit(1000000L),
+          expr("(1000000 * total) DIV (n_langs * n_lang)")).as("thresh"))
+    d.join(broadcast(withThresh), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("h"), col("n_lang"),
+        col("thresh"),
+        (pmod(col("h"), lit(1000000L)) < col("thresh")).as("accepted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_resample" -> (qMixResample _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_quality_thresholds" -> (qQualityThresholds _),
     "q_corpus_stats" -> (qCorpusStats _),
@@ -495,6 +522,21 @@ object CurationQueries {
          |          ORDER BY h, doc_id) AS INT) AS rk
          |      FROM h)
          |SELECT doc_id, lang, h, rk FROM r WHERE rk <= $Quota""".stripMargin,
+
+    "q_mix_resample" ->
+      s"""WITH d AS ($docsSql),
+         |h AS (SELECT doc_id, lang, ${fpSql(normSql)} AS h FROM d),
+         |c AS (SELECT lang, COUNT(*) AS n_lang FROM h GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_lang) AS BIGINT) AS total,
+         |        COUNT(*) AS n_langs FROM c),
+         |w AS (SELECT lang, n_lang,
+         |        CAST(least(1000000,
+         |          (1000000 * total) // (n_langs * n_lang)) AS BIGINT)
+         |          AS thresh
+         |      FROM c, t)
+         |SELECT h.doc_id, h.lang, h.h, w.n_lang, w.thresh,
+         |  h.h % 1000000 < w.thresh AS accepted
+         |FROM h JOIN w ON w.lang = h.lang""".stripMargin,
 
     "q_mix_report" ->
       """WITH d AS (SELECT lang, source,
