@@ -203,6 +203,33 @@ object Ann {
     (cents, indexed)
   }
 
+  /** INCREMENTAL index maintenance — the freshness story beside the
+    * build/serve split (rows 68/74): a delta batch joins the standing
+    * index WITHOUT retraining. The coarse quantizer stays FIXED
+    * (trained on the base corpus — FAISS's add-after-train contract),
+    * delta vectors are assigned map-only by the same IvfDistances
+    * kernel, and serving reads base ∪ delta through the unchanged
+    * probe path. At 100 TB this is the only sustainable shape: a crawl
+    * lands every day, the quantizer retrains weekly at most, and the
+    * in-between batches must become searchable with one map pass and
+    * one bucketed append — never a training scan. Same-centroid
+    * assignment means results are exactly what training-time assignment
+    * of the union WOULD give for the delta rows (spec-pinned), so the
+    * oracle extends the coarse replay with one delta-assign CTE. */
+  def ivfDeltaTopK(base: DataFrame, delta: DataFrame, queries: DataFrame,
+                   k: Int, nlist: Int, nprobe: Int, iters: Int,
+                   dim: Int): DataFrame = {
+    val (cents, baseIdx) = ivfTrainAssign(base, nlist, iters, dim)
+    val dIdx = withNorm(delta, "vec_id", dim)
+      .withColumn("cluster",
+        graft.functions.IvfDistances(col("e"), cents)
+          .getItem(0).getField("cluster"))
+      .select(col("vec_id").as("nid"), col("e").as("ne"),
+        col("nrm").as("nn"), col("cluster"))
+    ivfProbeScore(baseIdx.unionByName(dIdx), queries, cents, k, nprobe,
+      dim)
+  }
+
   /** IVF query path over an already-indexed corpus (from
     * [[ivfTrainAssign]] or a persisted index table). */
   def ivfProbeScore(indexed: DataFrame, queries: DataFrame,

@@ -36,6 +36,18 @@ object AnnQueries {
       nlist = 16, nprobe = 2, iters = 2)
   }
 
+  /** Incremental IVF: vectors with vec_id % 10 == 6 arrive AFTER the
+    * index was trained on everything else; they're assigned to the
+    * frozen centroids map-only and served alongside the base — no
+    * retraining scan (Ann.ivfDeltaTopK). Queries come from the base. */
+  def qAnnIvfDelta(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val base = e.filter(col("vec_id") % 10 =!= 6)
+    Ann.ivfDeltaTopK(base, e.filter(col("vec_id") % 10 === 6),
+      base.filter(col("vec_id") % QueryMod === 0), K,
+      nlist = 16, nprobe = 2, iters = 2, dim = Ann.DefaultDim)
+  }
+
   /** Embedding-cosine near-dup sweep over the whole corpus (threshold
     * tuned so the synthetic random embeddings yield a non-trivial pair
     * set; real corpora use ~0.95+). */
@@ -246,6 +258,7 @@ object AnnQueries {
     "q_pca_project" -> (qPcaProject _),
     "q_random_projection" -> (qRandomProjection _),
     "q_label_audit" -> (qLabelAudit _),
+    "q_ann_ivf_delta" -> (qAnnIvfDelta _),
     "q_ann_recall_binary" -> (qAnnRecallBinary _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
@@ -299,7 +312,11 @@ object AnnQueries {
     * divergence (unordered AVG) is absorbed by the rounded ranking —
     * mirroring the engine exactly. Used by both the IVF and the IVF-PQ
     * oracles. */
-  private val ivfCoarseCtes: String = {
+  private val ivfCoarseCtes: String = ivfCoarseCtesOn("")
+
+  /** Same coarse chain with the TRAINING corpus filtered — the
+    * incremental-index oracle trains on the base slice only. */
+  private def ivfCoarseCtesOn(where: String): String = {
     def assign(cents: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, e, nrm, cluster FROM (
@@ -318,7 +335,7 @@ object AnnQueries {
     s"""v AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |  FROM embeddings),
+       |  FROM embeddings $where),
        |n AS (SELECT vec_id, e,
        |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
        |      FROM v),
@@ -347,6 +364,39 @@ object AnnQueries {
        |            i -> p.qe[i] * x.e[i]))
        |        / greatest(p.qn * x.nrm, 1e-12), 4) AS cos4
        |  FROM idx x JOIN probes p ON x.cluster = p.cluster
+       |  WHERE p.qid <> x.vec_id)
+       |SELECT qid, nid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, nid)
+       |    AS INT) AS rank, cos4, cluster
+       |FROM scored
+       |QUALIFY rank <= $K""".stripMargin
+
+  /** Incremental-IVF oracle: the coarse chain trains on the BASE slice
+    * only, one extra CTE assigns the delta batch to the frozen final
+    * centroids (same round-6 argmin + cluster tie), and scoring runs
+    * over the union index. */
+  private val ivfDeltaOracle: String =
+    s"""WITH ${ivfCoarseCtesOn("WHERE vec_id % 10 <> 6")},
+       |vd AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings WHERE vec_id % 10 = 6),
+       |ndl AS (SELECT vec_id, e,
+       |          sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |        FROM vd),
+       |adl AS (
+       |  SELECT vec_id, e, nrm, cluster FROM (
+       |    SELECT n.vec_id, n.e, n.nrm, c.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${ivfD2("n.e", "c.ce")}, c.cluster) AS rn
+       |    FROM ndl n, c2 c) WHERE rn = 1),
+       |idx2 AS (SELECT * FROM idx UNION ALL SELECT * FROM adl),
+       |scored AS (
+       |  SELECT p.qid, x.vec_id AS nid, x.cluster,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |            i -> p.qe[i] * x.e[i]))
+       |        / greatest(p.qn * x.nrm, 1e-12), 4) AS cos4
+       |  FROM idx2 x JOIN probes p ON x.cluster = p.cluster
        |  WHERE p.qid <> x.vec_id)
        |SELECT qid, nid,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, nid)
@@ -715,6 +765,7 @@ object AnnQueries {
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
     "q_ann_ivf_indexed" -> ivfOracle,
+    "q_ann_ivf_delta" -> ivfDeltaOracle,
     "q_dedup_embedding" -> dedupEmbeddingOracle,
     "q_ann_cosine_topk" -> topkOracle,
     "q_ann_recall_lsh" -> recallOracle(lshOracle, topkOracle),

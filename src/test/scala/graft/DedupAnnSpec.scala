@@ -726,6 +726,18 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("incremental IVF: delta vectors are served without retraining") {
+    val out = graft.queries.AnnQueries.qAnnIvfDelta(spark, SfDir)
+      .localCheckpoint()
+    // every query gets a full top-k and the freshly-added slice is
+    // actually reachable through the frozen quantizer's buckets
+    assert(out.filter(col("rank") > 10).isEmpty)
+    assert(out.filter(col("nid") % 10 === 6).count() > 0L,
+      "no delta vector ever surfaced — the append path is dead")
+    // queries come from the base slice only
+    assert(out.filter(col("qid") % 10 === 6).isEmpty)
+  }
+
   test("autoCellTenths shrinks the cell as line density grows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
