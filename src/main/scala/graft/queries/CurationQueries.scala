@@ -305,6 +305,39 @@ object CurationQueries {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Snapshot DRIFT — the change-extent companion to q_snapshot_diff's
+    * boolean statuses: for every doc present in both snapshots, the
+    * version-to-version 8-shingle Jaccard says HOW MUCH changed (a
+    * tracking-page timestamp edit reads ~0.98; a rewrite reads ~0.1 —
+    * the difference decides whether downstream caches invalidate).
+    * Both versions derive from the same row, so the whole comparison
+    * is ROW-LOCAL set arithmetic on shingle-hash arrays — one scan, no
+    * join at all, the shape that survives any corpus size trivially. */
+  def qSnapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val both = docs(spark, dir)
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 13 =!= 5)
+    val prevText = when(col("doc_id") % 11 === 0,
+      substring(col("text"), 1, 40)).otherwise(col("text"))
+    val pSh = array_distinct(
+      graft.functions.ShingleHash(prevText, 8, 131L, 1000000007L))
+    val cSh = array_distinct(
+      graft.functions.ShingleHash(col("text"), 8, 131L, 1000000007L))
+    val changed = rollingFingerprint(norm(prevText)) =!=
+      rollingFingerprint(norm(col("text")))
+    val base = both.select(col("doc_id"),
+      when(changed, lit("changed")).otherwise(lit("unchanged"))
+        .as("status"),
+      size(pSh).cast("long").as("n_prev"),
+      size(cSh).cast("long").as("n_cur"),
+      size(array_intersect(pSh, cSh)).cast("long").as("shared"))
+    val denom = col("n_prev") + col("n_cur") - col("shared")
+    base.select(col("doc_id"), col("status"), col("n_prev"), col("n_cur"),
+      col("shared"),
+      when(denom === 0, lit(1.0)).otherwise(
+        round(col("shared").cast("double") / denom.cast("double"), 4))
+        .as("jac"))
+  }
+
   /** Mixture RESAMPLING — the actuator behind q_mix_report's diagnostic:
     * rebalance the corpus toward a uniform per-language target by
     * deterministic content-keyed rejection sampling. Per-language keep
@@ -334,6 +367,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_resample" -> (qMixResample _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_snapshot_drift" -> (qSnapshotDrift _),
     "q_quality_thresholds" -> (qQualityThresholds _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_split_stratified" -> (qSplitStratified _),
@@ -522,6 +556,54 @@ object CurationQueries {
          |          ORDER BY h, doc_id) AS INT) AS rk
          |      FROM h)
          |SELECT doc_id, lang, h, rk FROM r WHERE rk <= $Quota""".stripMargin,
+
+    "q_snapshot_drift" -> {
+      def normOf(src: String) =
+        s"lower(trim(regexp_replace($src, '\\s+', ' ', 'g')))"
+      def shingles(tcol: String, out: String) =
+        s"""$out AS (SELECT DISTINCT doc_id,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(list_filter(
+           |        string_split(substr($tcol, CAST(i AS INT), 8), ''),
+           |        c -> len(c) > 0),
+           |      c -> CAST(ascii(c) AS BIGINT))),
+           |    (a, b) -> (a * 131 + b) % 1000000007) AS s
+           |  FROM vs, LATERAL (SELECT unnest(generate_series(1,
+           |    greatest(len($tcol) - 7, 1))) AS i) u
+           |  WHERE len(substr($tcol, CAST(i AS INT), 8)) = 8)""".stripMargin
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+         |           FROM documents
+         |           WHERE doc_id % 7 <> 3 AND doc_id % 13 <> 5),
+         |v AS (SELECT doc_id, text,
+         |        CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 40)
+         |             ELSE text END AS ptext FROM d),
+         |vs AS (SELECT doc_id, lower(ptext) AS pt, lower(text) AS ct,
+         |         ${fpSql(normOf("ptext"))} AS ph,
+         |         ${fpSql(normOf("text"))} AS ch FROM v),
+         |${shingles("pt", "psh")},
+         |${shingles("ct", "csh")},
+         |na AS (SELECT doc_id, COUNT(*) AS n FROM psh GROUP BY 1),
+         |nb AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
+         |sh AS (SELECT p.doc_id, COUNT(*) AS shared FROM psh p
+         |       JOIN csh c ON c.doc_id = p.doc_id AND c.s = p.s
+         |       GROUP BY 1)
+         |SELECT vs.doc_id,
+         |  CASE WHEN ph <> ch THEN 'changed' ELSE 'unchanged' END
+         |    AS status,
+         |  CAST(COALESCE(na.n, 0) AS BIGINT) AS n_prev,
+         |  CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_cur,
+         |  CAST(COALESCE(sh.shared, 0) AS BIGINT) AS shared,
+         |  CASE WHEN COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+         |            - COALESCE(sh.shared, 0) = 0 THEN 1.0
+         |       ELSE ROUND(CAST(COALESCE(sh.shared, 0) AS DOUBLE)
+         |         / CAST(COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+         |                - COALESCE(sh.shared, 0) AS DOUBLE), 4)
+         |  END AS jac
+         |FROM vs
+         |LEFT JOIN na ON na.doc_id = vs.doc_id
+         |LEFT JOIN nb ON nb.doc_id = vs.doc_id
+         |LEFT JOIN sh ON sh.doc_id = vs.doc_id""".stripMargin
+    },
 
     "q_mix_resample" ->
       s"""WITH d AS ($docsSql),
