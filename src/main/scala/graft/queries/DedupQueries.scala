@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -136,6 +137,50 @@ object DedupQueries {
           .as("f1"))
   }
 
+  /** Near-dup pair EVIDENCE — the human-review layer over the LSH
+    * pairs: for each candidate pair, the single longest ALIGNED run of
+    * shared 16-shingles (the diagonal-runs trick: matching positions
+    * grouped by pa−pb, gaps-and-islands within each diagonal), reported
+    * as (start_a, start_b, run_len, span_chars). q_dedup_spans finds
+    * shared passages corpus-wide; this anchors ON a specific pair and
+    * answers "show me WHY these two were flagged" — what a reviewer or
+    * an appeals pipeline consumes. Positional shingles join pair-sides
+    * by (doc, shingle) equi-keys; the best run per pair is a k=1
+    * bounded-heap aggregate. */
+  def qDedupEvidence(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Dedup.minhashPairs(d, K, numHashes = 64, bands = 16,
+      minEst = 0.2).select(col("ida"), col("idb")).localCheckpoint()
+    val ps = d.select(col("doc_id"),
+      posexplode(graft.functions.ShingleHash(col("text"), K, 131L,
+        1000000007L)).as(Seq("p", "s")))
+      .localCheckpoint() // both pair sides read it
+    val m = pairs
+      .join(ps.select(col("doc_id").as("ida"), col("p").as("pa"),
+        col("s")), Seq("ida"))
+      .join(ps.select(col("doc_id").as("idb"), col("p").as("pb"),
+        col("s")), Seq("idb", "s"))
+    val diag = col("pa") - col("pb")
+    val w = Window.partitionBy(col("ida"), col("idb"), diag)
+      .orderBy(col("pa"))
+    val runs = m
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("ida"), col("idb"), diag.as("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), count(lit(1)).as("len"))
+    val enc = col("start_a") * 1048576L + (col("start_a") - col("diag"))
+    runs.groupBy("ida", "idb")
+      .agg(graft.functions.TopKAgg(-col("len").cast("double"), enc, enc,
+        1).as("tk"))
+      .select(col("ida"), col("idb"),
+        (-element_at(col("tk"), 1).getField("key")).cast("long")
+          .as("run_len"),
+        element_at(col("tk"), 1).getField("payload").as("e"))
+      .select(col("ida"), col("idb"), col("run_len"),
+        floor(col("e") / 1048576L).cast("long").as("start_a"),
+        pmod(col("e"), lit(1048576L)).as("start_b"))
+      .withColumn("span_chars", col("run_len") + lit(K - 1).cast("long"))
+  }
+
   /** Deterministic batch twin of the STREAMING near-dup filter
     * (streaming.NearDupStream): per LSH bucket, one anchor (min doc id
     * in batch; first arrival in the stream) and a candidate pair for
@@ -174,7 +219,8 @@ object DedupQueries {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_triangle_count" -> (qTriangleCount _),
-    "q_dedup_eval" -> (qDedupEval _))
+    "q_dedup_eval" -> (qDedupEval _),
+    "q_dedup_evidence" -> (qDedupEvidence _))
 
   /** Shared band-hash CTE prefix (through `bands`): the DuckDB twin of
     * the engine's minhash signature + LSH band fold — same rolling
@@ -352,6 +398,45 @@ object DedupQueries {
          |       ELSE ROUND(CAST(2 AS DOUBLE) * tp
          |              / CAST(n_truth + n_pred AS DOUBLE), 4) END AS f1
          |FROM m""".stripMargin,
+
+    // pair evidence: positional (not distinct) shingles, diagonal runs
+    // via gaps-and-islands, best by (len desc, start_a, start_b) — the
+    // engine's k=1 heap tie encode replayed as a rank window
+    "q_dedup_evidence" ->
+      s"""WITH $minhashBandCtes,
+         |$minhashPairCtes,
+         |pairs AS (SELECT ida, idb FROM est WHERE est >= 0.2),
+         |ps AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(list_filter(
+         |               string_split(substr(t, CAST(i AS INT), $K), ''),
+         |               c -> len(c) > 0),
+         |             c -> CAST(ascii(c) AS BIGINT))),
+         |           (a, b) -> (a * 131 + b) % 1000000007) AS s
+         |       FROM d, LATERAL (SELECT unnest(generate_series(1,
+         |              greatest(len(t) - ${K - 1}, 1))) AS i) u
+         |       WHERE len(substr(t, CAST(i AS INT), $K)) = $K),
+         |m AS (SELECT pr.ida, pr.idb, a.p AS pa, b.p AS pb
+         |      FROM pairs pr
+         |      JOIN ps a ON a.doc_id = pr.ida
+         |      JOIN ps b ON b.doc_id = pr.idb AND b.s = a.s),
+         |r AS (SELECT ida, idb, pa - pb AS diag, pa,
+         |        pa - ROW_NUMBER() OVER (PARTITION BY ida, idb, pa - pb
+         |          ORDER BY pa) AS grp
+         |      FROM m),
+         |runs AS (SELECT ida, idb, diag, grp, MIN(pa) AS start_a,
+         |           COUNT(*) AS len
+         |         FROM r GROUP BY 1, 2, 3, 4),
+         |best AS (SELECT ida, idb, len, start_a,
+         |           start_a - diag AS start_b,
+         |           ROW_NUMBER() OVER (PARTITION BY ida, idb
+         |             ORDER BY len DESC, start_a, start_a - diag) AS rn
+         |         FROM runs)
+         |SELECT ida, idb, CAST(len AS BIGINT) AS run_len,
+         |  CAST(start_a AS BIGINT) AS start_a,
+         |  CAST(start_b AS BIGINT) AS start_b,
+         |  CAST(len + ${K - 1} AS BIGINT) AS span_chars
+         |FROM best WHERE rn = 1""".stripMargin,
 
     // triangle enumeration in its simplest exact form — e(a,b) e(b,c)
     // e(a,c) with a<b<c (each edge stored once, low id first), an
