@@ -499,6 +499,35 @@ object TextQueries {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-term occurrence counts by the replace-arithmetic closed form
+    // (terms are border-free, so non-overlapping == every-occurrence),
+    // first_pos = min strpos over present terms — an INDEPENDENT
+    // derivation of what the automaton accumulates in one pass
+    "q_blocklist_filter" -> {
+      val vals = Blocklist.map(t => s"('${t}')").mkString(", ")
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |             lower(text) AS t,
+         |             CAST(len(text) AS BIGINT) AS n_chars
+         |           FROM documents),
+         |tm AS (SELECT * FROM (VALUES $vals) v(term)),
+         |pc AS (SELECT doc_id, n_chars, term,
+         |         (len(t) - len(replace(t, term, ''))) // len(term)
+         |           AS cnt,
+         |         strpos(t, term) AS pos
+         |       FROM d, tm),
+         |g AS (SELECT doc_id, n_chars,
+         |        CAST(SUM(cnt) AS BIGINT) AS n_hits,
+         |        CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_terms,
+         |        CAST(COALESCE(MIN(CASE WHEN pos > 0 THEN pos END), 0)
+         |          AS BIGINT) AS first_pos
+         |      FROM pc GROUP BY 1, 2)
+         |SELECT doc_id, n_hits, n_terms, first_pos, n_chars,
+         |  ROUND(n_hits * CAST(1000 AS DOUBLE)
+         |    / CAST(n_chars + 1 AS DOUBLE), 4) AS hits_per_kchar,
+         |  n_terms >= 3 AS flagged
+         |FROM g""".stripMargin
+    },
     // exact integer margins, min-count prune before the joins, and the
     // PMI argument built with the SAME pinned multiply order
     "q_collocations_pmi" ->
@@ -724,6 +753,45 @@ object TextQueries {
          |  CAST(len(text) AS BIGINT) AS n_chars
          |FROM d""".stripMargin)
 
+  /** Blocklist terms for the AC filter: the stopword inventory plus
+    * policy-ish literals. Every term is BORDER-FREE (no proper
+    * prefix = suffix), asserted below, so AC's every-occurrence count
+    * equals the oracle's non-overlapping replace arithmetic. */
+  // lazy: the oracles val (declared earlier in the file) references it
+  private[queries] lazy val Blocklist: Seq[String] = {
+    val ts = langStopwords.flatMap(_._2).distinct ++
+      Seq("confidential", "password", "copyright", "lorem ipsum",
+        "all rights reserved")
+    ts.foreach { t =>
+      require((1 until t.length).forall(k =>
+        t.substring(0, k) != t.substring(t.length - k)),
+        s"blocklist term '$t' has a border; AC overlap counts would " +
+          "diverge from the oracle's replace arithmetic")
+    }
+    ts
+  }
+
+  /** Content filtering against a term blocklist — ONE Aho–Corasick
+    * automaton pass per document (functions.BlocklistScan) where the
+    * regex-alternation form pays engine overhead per char and the
+    * per-term contains() form pays |terms| scans. Row-local; the
+    * automaton ships inside the expression (the model-in-the-expression
+    * serving shape). Output: total hits, distinct terms hit, first
+    * match position, hits per kchar, and the filter verdict. */
+  def qBlocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val b = graft.functions.BlocklistScan(lower(col("text")), Blocklist)
+    docs(spark, dir)
+      .select(col("doc_id"), b.as("b"),
+        length(col("text")).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("b.n_hits").as("n_hits"),
+        col("b.n_terms").as("n_terms"),
+        col("b.first_pos").as("first_pos"), col("n_chars"),
+        round(col("b.n_hits") * lit(1000.0)
+          / (col("n_chars") + lit(1L)).cast("double"), 4)
+          .as("hits_per_kchar"),
+        (col("b.n_terms") >= 3).as("flagged"))
+  }
+
   /** PMI collocations — the corpus-statistics pass that surfaces
     * multiword expressions (Church & Hanks 1990): adjacent-token bigram
     * counts vs unigram margins, pointwise mutual information over the
@@ -765,6 +833,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_collocations_pmi" -> (qCollocationsPmi _),
+    "q_blocklist_filter" -> (qBlocklistFilter _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),

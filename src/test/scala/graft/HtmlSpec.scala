@@ -53,6 +53,23 @@ class HtmlSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("Exchange"), s"row-local op must not shuffle:\n$plan")
   }
 
+  test("aho-corasick scan: cross-term overlaps, counts, first position") {
+    import spark.implicits._
+    val terms = Seq("he", "the", "there", "cat")
+    val rows = Seq("xxthere cat", "nothing", "hehe the").toDF("t")
+      .select(graft.functions.BlocklistScan(col("t"), terms).as("b"))
+      .select(col("b.n_hits"), col("b.n_terms"), col("b.first_pos"))
+      .collect()
+    // "xxthere": he(1) the(1) there(1) + " cat"(1) = 4 hits, 4 terms,
+    // first start = "the" at pos 3 (1-based)
+    assert(rows(0).getLong(0) === 4L && rows(0).getLong(1) === 4L &&
+      rows(0).getLong(2) === 3L)
+    assert(rows(1).getLong(0) === 0L && rows(1).getLong(2) === 0L)
+    // "hehe the": he x3 + the = 4 hits, 2 distinct, first pos 1
+    assert(rows(2).getLong(0) === 4L && rows(2).getLong(1) === 2L &&
+      rows(2).getLong(2) === 1L)
+  }
+
   test("link graph degrees are consistent") {
     val e = HtmlQueries.qHtmlLinks(spark, SfDir).cache()
     try {
