@@ -716,6 +716,37 @@ object TextQueries {
          |FROM s""".stripMargin
     },
 
+    "q_langid_eval" -> {
+      val scoreCols = langStopwords.map { case (l, ws) =>
+        s"${stopSql("t", ws)} AS score_$l"
+      }.mkString(",\n  ")
+      val best = "GREATEST(" +
+        langStopwords.map(l => s"score_${l._1}").mkString(", ") + ")"
+      val pred = langStopwords.reverse.foldLeft("'und'") {
+        case (acc, (l, _)) =>
+          s"CASE WHEN score_$l = $best THEN '$l' ELSE $acc END"
+      }
+      s"""WITH d AS ($docsSql),
+         |t AS (SELECT doc_id, lang, $normSql AS t FROM d),
+         |s AS (SELECT doc_id, lang,
+         |  $scoreCols
+         |FROM t),
+         |p AS (SELECT lang, $pred AS pred_lang FROM s),
+         |conf AS (SELECT lang, pred_lang, COUNT(*) AS n
+         |         FROM p GROUP BY 1, 2),
+         |act AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_actual
+         |        FROM conf GROUP BY 1),
+         |prd AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS n_pred
+         |        FROM conf GROUP BY 1)
+         |SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+         |  a.n_actual, r.n_pred,
+         |  ROUND(CAST(c.n AS DOUBLE) / CAST(a.n_actual AS DOUBLE), 4)
+         |    AS frac_of_actual
+         |FROM conf c
+         |JOIN act a ON a.lang = c.lang
+         |JOIN prd r ON r.pred_lang = c.pred_lang""".stripMargin
+    },
+
     "q_text_quality" ->
       s"""WITH d AS ($docsSql)
          |SELECT doc_id,
@@ -752,6 +783,27 @@ object TextQueries {
          |  ${fpSql(normSql)} AS fp_norm,
          |  CAST(len(text) AS BIGINT) AS n_chars
          |FROM d""".stripMargin)
+
+  /** Language-ID EVAL — confusion matrix over the heuristic classifier
+    * (the eval-harness family: retrieval row 84, dedup row 108, this
+    * for lang-ID): per (actual, predicted) cell count with both
+    * marginals and the per-actual fraction (diagonal rows ARE recall).
+    * The corpus scores once; the confusion table is langs² rows and
+    * its marginals broadcast back — corpus-free joins. */
+  def qLangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val conf = qLangId(spark, dir).select(col("lang"), col("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // three consumers of a langs^2-row table
+    val act = conf.groupBy("lang").agg(sum("n").as("n_actual"))
+    val prd = conf.groupBy("pred_lang").agg(sum("n").as("n_pred"))
+    conf.join(broadcast(act), Seq("lang"))
+      .join(broadcast(prd), Seq("pred_lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        col("n_actual").cast("long").as("n_actual"),
+        col("n_pred").cast("long").as("n_pred"),
+        round(col("n").cast("double") / col("n_actual").cast("double"),
+          4).as("frac_of_actual"))
+  }
 
   /** Blocklist terms for the AC filter: the stopword inventory plus
     * policy-ish literals. Every term is BORDER-FREE (no proper
@@ -834,6 +886,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_collocations_pmi" -> (qCollocationsPmi _),
     "q_blocklist_filter" -> (qBlocklistFilter _),
+    "q_langid_eval" -> (qLangidEval _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
