@@ -619,6 +619,35 @@ object RetrievalQueries {
     // 2^-m terms (order-independent-exact in doubles), alpha built
     // from CAST(... AS DOUBLE) literals (bare decimals are DECIMAL in
     // DuckDB — the SURVEY §2 row 64 hazard).
+    // byte counts from pure 7-bit-group arithmetic over LAG gaps — no
+    // byte is ever built here, so the kernel's encoder is checked
+    // against a derivation; roundtrip must come back TRUE everywhere
+    "q_postings_compress" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |             lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |               AS t
+        |           FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, w FROM d,
+        |       LATERAL (SELECT unnest(string_split(t, ' ')) AS w) u
+        |       WHERE len(w) > 0),
+        |g AS (SELECT w, doc_id,
+        |        doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY w
+        |          ORDER BY doc_id), -1) AS gap
+        |      FROM tk),
+        |sz AS (SELECT w, COUNT(*) AS df,
+        |         SUM(CASE WHEN gap < 128 THEN 1
+        |                  WHEN gap < 16384 THEN 2
+        |                  WHEN gap < 2097152 THEN 3
+        |                  WHEN gap < 268435456 THEN 4
+        |                  ELSE 5 END) AS enc_bytes
+        |       FROM g GROUP BY 1)
+        |SELECT w, CAST(df AS BIGINT) AS df,
+        |  CAST(df * 8 AS BIGINT) AS raw_bytes,
+        |  CAST(enc_bytes AS BIGINT) AS enc_bytes,
+        |  ROUND(CAST(enc_bytes AS DOUBLE) / CAST(df * 8 AS DOUBLE), 4)
+        |    AS ratio, TRUE AS roundtrip
+        |FROM sz""".stripMargin,
+
     "q_hll_distinct" -> {
       val fpW =
         """list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -724,7 +753,33 @@ object RetrievalQueries {
          |JOIN xu ON xu.la = eu.la AND xu.lb = eu.lb""".stripMargin
     })
 
+  /** Posting-list compression (functions.DeltaVarint): per term the
+    * sorted doc-id posting list delta+LEB128 encodes, self-verifies by
+    * decoding (an inverse-pair check), and reports the byte count the
+    * oracle derives INDEPENDENTLY from 7-bit-group arithmetic —
+    * the Lucene-VInt storage layer under rows 69/87's indexes. One
+    * posting shuffle (the index build's own exchange), then row-local. */
+  def qPostingsCompress(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(regexp_replace(col("text"), "\\s+",
+          " "))), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .distinct()
+    val postings = toks.groupBy("w")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+    val v = graft.functions.DeltaVarint(col("ids"))
+    postings.select(col("w"), v.as("v"),
+        size(col("ids")).cast("long").as("df"))
+      .select(col("w"), col("df"), (col("df") * 8L).as("raw_bytes"),
+        col("v.enc_bytes").as("enc_bytes"),
+        round(col("v.enc_bytes").cast("double")
+          / (col("df") * 8L).cast("double"), 4).as("ratio"),
+        col("v.roundtrip").as("roundtrip"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_postings_compress" -> (qPostingsCompress _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
