@@ -348,7 +348,51 @@ object SourceQueries {
         coalesce(col("p.text") === col("orig"), lit(false)).as("roundtrip"))
   }
 
+  /** CSV (RFC 4180) roundtrip — the sibling of the JSONL row for the
+    * other interchange format corpora still arrive in: each doc
+    * serialized as one to_csv record (QUOTING is what's under test —
+    * embedded commas, double-quote doubling, newline-bearing fields get
+    * quoted), re-parsed with from_csv against an explicit schema.
+    * Row-local both directions; the oracle derives the expected parse
+    * output and quoting DECISION independently (a field needs quotes
+    * iff it contains comma, quote or newline). */
+  def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    // every 4th doc gets a planted comma+quote+newline prefix — the
+    // corpus text is hazard-free, and an untested quoting path is no
+    // roundtrip proof at all (the unicode/deflate planting move)
+    val hazard = when(col("doc_id") % 4 === 0, lit("a,\"b\"\n"))
+      .otherwise(lit(""))
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("text"))
+      .select(col("doc_id"), col("lang"),
+        concat(hazard, col("text")).as("text"))
+    // escape = quote char: RFC 4180 quote-doubling, not backslashes
+    import scala.jdk.CollectionConverters._
+    val rfc = Map("escape" -> "\"")
+    val line = to_csv(struct(col("doc_id"), col("lang"), col("text")),
+      rfc.asJava)
+    val p = from_csv(col("line"), schema, rfc)
+    d.select(col("doc_id"), col("text").as("orig"), line.as("line"))
+      .select(col("doc_id"), col("orig"), col("line"), p.as("p"))
+      .select(col("doc_id"),
+        col("p.lang").as("lang"),
+        length(col("p.text")).cast("long").as("n_chars"),
+        // the quoting decision itself, recomputed from the emitted line:
+        // a quoted text field starts right after "id,lang," with a quote
+        (substring(col("line"),
+          (length(col("doc_id").cast("string")) + length(col("p.lang"))
+            + 3).cast("int"), lit(1)) === "\"").as("text_quoted"),
+        coalesce(col("p.text") === col("orig"), lit(false))
+          .as("roundtrip"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_deflate_roundtrip" -> (qDeflateRoundtrip _),
     "q_warc_ingest" -> (qWarcIngest _),
@@ -421,6 +465,21 @@ object SourceQueries {
         |  CAST(STRLEN(text) AS BIGINT) AS payload_bytes,
         |  MD5(text) AS digest
         |FROM documents""".stripMargin,
+    // quoting DECISION predicted from content alone (RFC 4180: quote
+    // iff comma/quote/CR/LF present) while the engine reads it off the
+    // emitted line — writer behavior checked against the spec's rule
+    "q_csv_roundtrip" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |             CASE WHEN doc_id % 4 = 0
+        |               THEN 'a,"b"' || chr(10) || text ELSE text END
+        |               AS text
+        |           FROM documents)
+        |SELECT doc_id, lang, LENGTH(text) AS n_chars,
+        |  (text LIKE '%,%' OR text LIKE '%"%'
+        |    OR text LIKE '%' || chr(10) || '%'
+        |    OR text LIKE '%' || chr(13) || '%') AS text_quoted,
+        |  TRUE AS roundtrip
+        |FROM d""".stripMargin,
     // the oracle derives the expected PARSE OUTPUT independently — if
     // Spark's to_json/from_json pair lost or mangled anything (quotes,
     // newlines, unicode), roundtrip/digest break the hash; truncated
