@@ -65,6 +65,29 @@ object EventQueries {
         round(sum("value"), 4).as("sum_value"))
   }
 
+  /** Gap sessionization through Spark's NATIVE session_window — the
+    * built-in beside row 45's hand-rolled lag+running-sum form, kept as
+    * an independent implementation PAIR (prefer the built-in when it
+    * exists; keep the portable form as its cross-check). Boundary
+    * semantics differ by definition and the oracle encodes the native
+    * rule: session_window merges while next.ts < prev.ts + gap (the
+    * [ts, ts+gap) windows must OVERLAP), so an exactly-gap-sized pause
+    * STARTS a session here where the hand-rolled `> gap` form keeps it.
+    * Same one-shuffle plan (hash on user_id, sessions assembled inside
+    * the aggregate). */
+  def qSessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(timestamp_micros(col("ts_us")), "30 minutes")
+          .as("w"))
+      .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"),
+        round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        ((col("end_us") - col("start_us")) / lit(1000000L))
+          .as("dur_sec"),
+        col("n_events"), col("sum_value"))
+
   /** The STATEFUL sessionizer (streaming.SessionStream) run in batch
     * mode — flatMapGroupsWithState over a bounded Dataset processes each
     * user's full history in one group, so the final state equals what
@@ -318,6 +341,7 @@ object EventQueries {
     "q_events_windowed" -> (qEventsWindowed _),
     "q_event_interval_join" -> (qEventIntervalJoin _),
     "q_sessionize" -> (qSessionize _),
+    "q_sessionize_native" -> (qSessionizeNative _),
     "q_sessionize_stateful" -> (qSessionizeStateful _),
     "q_funnel" -> (qFunnel _))
 
@@ -520,6 +544,31 @@ object EventQueries {
          |  ROUND(SUM(value), 4) AS sum_value
          |FROM sess
          |GROUP BY 1, 2""".stripMargin,
+
+    // the NATIVE session_window rule: [ts, ts+gap) windows must
+    // overlap, so >= gap starts a session (vs the hand-rolled > gap)
+    "q_sessionize_native" ->
+      s"""WITH e AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *,
+         |    CASE WHEN LAG(ts_us) OVER w IS NULL
+         |           OR ts_us - LAG(ts_us) OVER w >= $GapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |sess AS (
+         |  SELECT *,
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS sess_idx
+         |  FROM flagged)
+         |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         |  (MAX(ts_us) - MIN(ts_us)) / CAST(1000000 AS BIGINT)
+         |    AS dur_sec,
+         |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+         |FROM sess GROUP BY user_id, sess_idx""".stripMargin,
 
     // per-user totals of the gap-sessionizer: the stateful streaming
     // operator's final state, replayed with a window + one aggregate
