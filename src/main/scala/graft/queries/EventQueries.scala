@@ -65,6 +65,44 @@ object EventQueries {
         round(sum("value"), 4).as("sum_value"))
   }
 
+  /** Event-lateness profile — the measurement a watermark delay is
+    * actually SIZED from: within each user's stream (event_id = arrival
+    * order), lateness = running-max(event time) − event time, i.e. how
+    * far behind the high-water mark each event arrives; rolled into a
+    * fixed bucket histogram per event_type (on-time / <1 min / <10 min /
+    * <1 h / ≥1 h). Pick the watermark at the bucket that catches the
+    * tail you're willing to wait for — guessing it instead is how
+    * streaming pipelines silently drop data. The synthetic feed arrives
+    * perfectly ordered, so arrival order carries a PLANTED deterministic
+    * delivery jitter (event_id mod 7 steps of 2 min — the
+    * unicode/deflate/CSV planting move) or every bucket would read zero
+    * and the histogram path would go untested. One window per user (the
+    * key the stream is already partitioned by) + one map-side-combined
+    * histogram aggregate; exact integer micros. */
+  def qLatenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    val late = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"))
+      .withColumn("arrival_us",
+        col("ts_us") + pmod(col("event_id"), lit(7L)) * 120000000L)
+      .withColumn("late_us",
+        max("ts_us").over(Window.partitionBy("user_id")
+          .orderBy("arrival_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)) - col("ts_us"))
+    val b = col("late_us")
+    late.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(b === 0L, 1L).otherwise(0L)).as("on_time"),
+        sum(when(b > 0L && b <= 60000000L, 1L).otherwise(0L))
+          .as("late_1m"),
+        sum(when(b > 60000000L && b <= 600000000L, 1L).otherwise(0L))
+          .as("late_10m"),
+        sum(when(b > 600000000L && b <= 3600000000L, 1L).otherwise(0L))
+          .as("late_1h"),
+        sum(when(b > 3600000000L, 1L).otherwise(0L)).as("late_over_1h"),
+        max(b).as("max_late_us"))
+  }
+
   /** Gap sessionization through Spark's NATIVE session_window — the
     * built-in beside row 45's hand-rolled lag+running-sum form, kept as
     * an independent implementation PAIR (prefer the built-in when it
@@ -342,6 +380,7 @@ object EventQueries {
     "q_event_interval_join" -> (qEventIntervalJoin _),
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_native" -> (qSessionizeNative _),
+    "q_lateness_profile" -> (qLatenessProfile _),
     "q_sessionize_stateful" -> (qSessionizeStateful _),
     "q_funnel" -> (qFunnel _))
 
@@ -544,6 +583,37 @@ object EventQueries {
          |  ROUND(SUM(value), 4) AS sum_value
          |FROM sess
          |GROUP BY 1, 2""".stripMargin,
+
+    // lateness replayed with the same per-user running max over the
+    // jittered arrival order; buckets are exact integer micros
+    "q_lateness_profile" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(event_id AS BIGINT) AS event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |a AS (SELECT *, ts_us + (event_id % 7) * 120000000
+        |        AS arrival_us FROM e),
+        |l AS (
+        |  SELECT event_type,
+        |    MAX(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY arrival_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) - ts_us AS late_us
+        |  FROM a)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late_us = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS on_time,
+        |  CAST(SUM(CASE WHEN late_us > 0 AND late_us <= 60000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS late_1m,
+        |  CAST(SUM(CASE WHEN late_us > 60000000
+        |    AND late_us <= 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS late_10m,
+        |  CAST(SUM(CASE WHEN late_us > 600000000
+        |    AND late_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS late_1h,
+        |  CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS late_over_1h,
+        |  MAX(late_us) AS max_late_us
+        |FROM l GROUP BY 1""".stripMargin,
 
     // the NATIVE session_window rule: [ts, ts+gap) windows must
     // overlap, so >= gap starts a session (vs the hand-rolled > gap)
