@@ -311,7 +311,65 @@ object Analytics {
         grouping_id().cast("long").as("gid"))
   }
 
+  /** Fuzzy entity resolution — the similarity JOIN relational engines
+    * don't have: a dirty registry (every customer name with one char
+    * deterministically deleted inside its numeric suffix) matched back
+    * to the master by trigram Jaccard. The scale move is ed-join/ppjoin
+    * PREFIX FILTERING reduced to its df-cap core: candidate pairs come
+    * ONLY from trigrams rare on the master side (df ≤ 25) — the shared
+    * "customer#0..." prefix trigrams are stop-grams carrying no signal
+    * and would otherwise cross-join the tables — then the EXACT Jaccard
+    * over full trigram sets scores candidates and a k=1 bounded heap
+    * picks the match (round-4 before rank, ties to the lower key).
+    * Never all-pairs; the posting join moves only rare-gram rows. */
+  def qEntityResolve(spark: SparkSession, dir: String): DataFrame = {
+    val MaxDf = 25
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("ckey"),
+        // multi-field entity string — real ER concatenates fields; the
+        // name alone is a zero-run with too little entropy to resolve
+        lower(concat(col("c_name"), lit(" "), col("c_mktsegment"),
+          lit(" n"), col("c_nationkey"))).as("name"))
+      .localCheckpoint() // master grams + dirty derivation share it
+    // dirty twin: drop one char at a suffix position keyed by the id
+    val p = (lit(11L) + pmod(col("ckey"), lit(8L))).cast("int")
+    val dirty = c.select(col("ckey").as("rid"),
+      concat(substring(col("name"), lit(1), p - 1),
+        substring(col("name"), p + 1, lit(64))).as("name"))
+    def grams(df: DataFrame, id: String): DataFrame = df
+      .select(col(id), explode(transform(
+        sequence(lit(1), greatest(length(col("name")) - 2, lit(1))),
+        i => substring(col("name"), i.cast("int"), lit(3)))).as("g"))
+      .distinct()
+    val cg = grams(c.select(col("ckey"), col("name")), "ckey")
+      .localCheckpoint() // df cap + candidate join + shared counts
+    val dg = grams(dirty, "rid").localCheckpoint()
+    val rare = cg.groupBy("g").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= MaxDf).select("g")
+    val cand = dg.join(rare, Seq("g")).join(cg, Seq("g"))
+      .select(col("rid"), col("ckey")).distinct()
+    val na = cg.groupBy("ckey").agg(count(lit(1)).as("na"))
+    val nb = dg.groupBy("rid").agg(count(lit(1)).as("nb"))
+    val shared = cand
+      .join(dg, Seq("rid"))
+      .join(cg, Seq("ckey", "g"))
+      .groupBy("rid", "ckey").agg(count(lit(1)).as("shared"))
+    val scored = shared.join(na, Seq("ckey")).join(nb, Seq("rid"))
+      .select(col("rid"), col("ckey"),
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")).cast("double"), 4)
+          .as("jac"))
+    scored.groupBy("rid")
+      .agg(graft.functions.TopKAgg(-col("jac"), col("ckey"), col("ckey"),
+        1).as("tk"))
+      .select(col("rid"),
+        element_at(col("tk"), 1).getField("payload").as("matched_key"),
+        (-element_at(col("tk"), 1).getField("key")).as("jac"))
+      .withColumn("hit", col("matched_key") === col("rid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_resolve" -> (qEntityResolve _),
     "q_rolling_revenue" -> (qRollingRevenue _),
     "q_sales_cube" -> (qSalesCube _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -384,6 +442,45 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    // the dirty registry, the trigram postings, the df-cap candidate
+    // prune and the exact-Jaccard scoring all replayed; best match by
+    // the same (jac desc, key) rule as the engine's k=1 heap
+    "q_entity_resolve" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
+        |             lower(c_name || ' ' || c_mktsegment || ' n'
+        |               || CAST(c_nationkey AS VARCHAR)) AS name
+        |           FROM customer),
+        |dirty AS (SELECT ckey AS rid,
+        |    substr(name, 1, CAST(10 + ckey % 8 AS INT))
+        |      || substr(name, CAST(12 + ckey % 8 AS INT)) AS name
+        |  FROM c),
+        |cg AS (SELECT DISTINCT ckey, substr(name, CAST(i AS INT), 3) AS g
+        |       FROM c, LATERAL (SELECT unnest(generate_series(1,
+        |         greatest(len(name) - 2, 1))) AS i) u),
+        |dgm AS (SELECT DISTINCT rid, substr(name, CAST(i AS INT), 3) AS g
+        |        FROM dirty, LATERAL (SELECT unnest(generate_series(1,
+        |          greatest(len(name) - 2, 1))) AS i) u),
+        |rare AS (SELECT g FROM (SELECT g, COUNT(*) AS n FROM cg
+        |         GROUP BY 1) z WHERE n <= 25),
+        |cand AS (SELECT DISTINCT d.rid, c2.ckey
+        |         FROM dgm d JOIN rare r ON r.g = d.g
+        |         JOIN cg c2 ON c2.g = d.g),
+        |na AS (SELECT ckey, COUNT(*) AS na FROM cg GROUP BY 1),
+        |nb AS (SELECT rid, COUNT(*) AS nb FROM dgm GROUP BY 1),
+        |sh AS (SELECT cd.rid, cd.ckey, COUNT(*) AS shared
+        |       FROM cand cd JOIN dgm d ON d.rid = cd.rid
+        |       JOIN cg c2 ON c2.ckey = cd.ckey AND c2.g = d.g
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT sh.rid, sh.ckey,
+        |         ROUND(CAST(shared AS DOUBLE)
+        |           / CAST(na.na + nb.nb - shared AS DOUBLE), 4) AS jac
+        |       FROM sh JOIN na ON na.ckey = sh.ckey
+        |       JOIN nb ON nb.rid = sh.rid),
+        |b AS (SELECT rid, ckey, jac, ROW_NUMBER() OVER (
+        |        PARTITION BY rid ORDER BY jac DESC, ckey) AS rn
+        |      FROM sc)
+        |SELECT rid, ckey AS matched_key, jac, ckey = rid AS hit
+        |FROM b WHERE rn = 1""".stripMargin,
     "q_rolling_revenue" ->
       """WITH o AS (
         |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
