@@ -336,25 +336,32 @@ object Analytics {
     val dirty = c.select(col("ckey").as("rid"),
       concat(substring(col("name"), lit(1), p - 1),
         substring(col("name"), p + 1, lit(64))).as("name"))
-    def grams(df: DataFrame, id: String): DataFrame = df
-      .select(col(id), explode(transform(
+    // gram SETS are row-local array expressions (no shuffle to build);
+    // the exploded postings exist only for the rare-gram candidate join
+    def gramArr(df: DataFrame, id: String): DataFrame = df
+      .select(col(id), array_distinct(transform(
         sequence(lit(1), greatest(length(col("name")) - 2, lit(1))),
-        i => substring(col("name"), i.cast("int"), lit(3)))).as("g"))
-      .distinct()
-    val cg = grams(c.select(col("ckey"), col("name")), "ckey")
-      .localCheckpoint() // df cap + candidate join + shared counts
-    val dg = grams(dirty, "rid").localCheckpoint()
+        i => substring(col("name"), i.cast("int"), lit(3)))).as("gs"))
+    val cArr = gramArr(c.select(col("ckey"), col("name")), "ckey")
+      .localCheckpoint() // postings + verification both read it
+    val dArr = gramArr(dirty, "rid").localCheckpoint()
+    val cg = cArr.select(col("ckey"), explode(col("gs")).as("g"))
+    val dg = dArr.select(col("rid"), explode(col("gs")).as("g"))
     val rare = cg.groupBy("g").agg(count(lit(1)).as("n"))
       .filter(col("n") <= MaxDf).select("g")
     val cand = dg.join(rare, Seq("g")).join(cg, Seq("g"))
       .select(col("rid"), col("ckey")).distinct()
-    val na = cg.groupBy("ckey").agg(count(lit(1)).as("na"))
-    val nb = dg.groupBy("rid").agg(count(lit(1)).as("nb"))
-    val shared = cand
-      .join(dg, Seq("rid"))
-      .join(cg, Seq("ckey", "g"))
-      .groupBy("rid", "ckey").agg(count(lit(1)).as("shared"))
-    val scored = shared.join(na, Seq("ckey")).join(nb, Seq("rid"))
+    // verification is ROW-LOCAL set arithmetic on the attached arrays —
+    // two equi-joins on the id keys, no per-gram three-way join (the
+    // gram tables are entity-sized, so AQE broadcasts them here; at
+    // scale the same equi-joins hash-partition on the ids)
+    val scored = cand.join(dArr, Seq("rid")).join(
+        cArr.select(col("ckey"), col("gs").as("gs_c")), Seq("ckey"))
+      .select(col("rid"), col("ckey"),
+        size(array_intersect(col("gs"), col("gs_c"))).cast("long")
+          .as("shared"),
+        size(col("gs")).cast("long").as("nb"),
+        size(col("gs_c")).cast("long").as("na"))
       .select(col("rid"), col("ckey"),
         round(col("shared").cast("double")
           / (col("na") + col("nb") - col("shared")).cast("double"), 4)
