@@ -356,6 +356,38 @@ object Ann {
     out
   }
 
+  /** Incremental IVF-PQ — [[ivfDeltaTopK]]'s compressed-index twin,
+    * closing the index-maintenance story for BOTH served index kinds:
+    * coarse quantizer AND codebooks train on the base corpus only, the
+    * delta batch is assigned to the frozen cells and encoded with the
+    * frozen codebooks (two map-only passes — the add-after-train
+    * contract again, now for the artifact that actually persists at
+    * 100 TB), and ADC serving reads base ∪ delta codes. */
+  def ivfPqDeltaTopK(base: DataFrame, delta: DataFrame,
+                     queries: DataFrame, k: Int, nlist: Int, nprobe: Int,
+                     coarseIters: Int, m: Int, ksub: Int, pqIters: Int,
+                     dim: Int = DefaultDim): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val (cents, baseIdx) = ivfTrainAssign(base, nlist, coarseIters, dim)
+    val centDf = centroidsDf(base.sparkSession, cents)
+    val resBase = pqResiduals(baseIdx, centDf, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = pqTrainBooks(resBase, m, ksub, dsub, pqIters)
+    val encBase = pqEncode(resBase, books, m, dsub)
+    val dIdx = withNorm(delta, "vec_id", dim)
+      .withColumn("cluster",
+        graft.functions.IvfDistances(col("e"), cents)
+          .getItem(0).getField("cluster"))
+      .select(col("vec_id").as("nid"), col("e").as("ne"),
+        col("nrm").as("nn"), col("cluster"))
+    val encDelta = pqEncode(pqResiduals(dIdx, centDf, dim), books, m, dsub)
+    val out = ivfPqScore(encBase.unionByName(encDelta), queries, cents,
+      books, k, nprobe, m, ksub, dim)
+    resBase.unpersist(blocking = false)
+    out
+  }
+
   /** Driver-sized centroid model as a (cluster, ce) DataFrame — the
     * broadcast side of the residual join and the probe-residual join. */
   private def centroidsDf(spark: org.apache.spark.sql.SparkSession,

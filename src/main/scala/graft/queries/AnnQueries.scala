@@ -174,6 +174,19 @@ object AnnQueries {
       pqIters = 2)
   }
 
+  /** Incremental IVF-PQ (Ann.ivfPqDeltaTopK): the %10==6 slice arrives
+    * after coarse quantizer AND codebooks trained on the rest; it is
+    * assigned and encoded against the frozen artifacts (two map-only
+    * passes) and served alongside the base codes. */
+  def qAnnPqDelta(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val base = e.filter(col("vec_id") % 10 =!= 6)
+    Ann.ivfPqDeltaTopK(base, e.filter(col("vec_id") % 10 === 6),
+      base.filter(col("vec_id") % QueryMod === 0), K,
+      nlist = 16, nprobe = 2, coarseIters = 2, m = 8, ksub = 8,
+      pqIters = 2)
+  }
+
   /** Recall@k of the PQ-compressed index against the float brute force —
     * what product quantization costs in ranking quality. The monitor
     * reads the PERSISTED index (qAnnPqIndexed), as a production recall
@@ -259,6 +272,7 @@ object AnnQueries {
     "q_random_projection" -> (qRandomProjection _),
     "q_label_audit" -> (qLabelAudit _),
     "q_ann_ivf_delta" -> (qAnnIvfDelta _),
+    "q_ann_pq_delta" -> (qAnnPqDelta _),
     "q_ann_recall_binary" -> (qAnnRecallBinary _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
@@ -411,12 +425,18 @@ object AnnQueries {
     * code emptied by a round drops out — all mirroring the engine), ADC
     * scoring of the m sub-codes against each probed cell's query
     * residual, rank by (round(adist,6), nid). */
-  private val pqOracle: String = {
+  private val pqOracle: String = pqOracleFrom(delta = false)
+
+  /** Incremental-PQ twin: train on the base slice, assign+encode the
+    * delta against the FROZEN c2 / pb2 artifacts, serve the union. */
+  private val pqDeltaOracle: String = pqOracleFrom(delta = true)
+
+  private def pqOracleFrom(delta: Boolean): String = {
     def pd2(rcol: String, ce: String) =
       s"""ROUND(list_sum(list_transform(range(1, 9),
          |        i -> ($rcol[p.s * 8 + i] - $ce[i])
          |           * ($rcol[p.s * 8 + i] - $ce[i]))), 6)""".stripMargin
-    def passign(books: String, out: String) =
+    def passign(books: String, out: String, src: String = "res") =
       s"""$out AS (
          |  SELECT vec_id, s, code, sub_r FROM (
          |    SELECT res.vec_id, p.s, p.code,
@@ -424,7 +444,7 @@ object AnnQueries {
          |        i -> res.r[p.s * 8 + i]) AS sub_r,
          |      ROW_NUMBER() OVER (PARTITION BY res.vec_id, p.s
          |        ORDER BY ${pd2("res.r", "p.ce")}, p.code) AS rn
-         |    FROM res, $books p) WHERE rn = 1)""".stripMargin
+         |    FROM $src res, $books p) WHERE rn = 1)""".stripMargin
     def precenter(assigned: String, out: String) =
       s"""$out AS (
          |  SELECT s, code, list(mv ORDER BY i) AS ce FROM (
@@ -433,7 +453,34 @@ object AnnQueries {
          |         (SELECT unnest(generate_series(1, 8)) AS i) u
          |    GROUP BY 1, 2, 3)
          |  GROUP BY s, code)""".stripMargin
-    s"""WITH $ivfCoarseCtes,
+    val coarse =
+      if (delta) ivfCoarseCtesOn("WHERE vec_id % 10 <> 6")
+      else ivfCoarseCtes
+    // delta CTEs: frozen-centroid assign, residuals, frozen-book encode
+    val deltaCtes = if (!delta) "" else
+      s"""vd AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings WHERE vec_id % 10 = 6),
+         |adl AS (
+         |  SELECT vec_id, e, cluster FROM (
+         |    SELECT n.vec_id, n.e, c.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${ivfD2("n.e", "c.ce")}, c.cluster) AS rn
+         |    FROM vd n, c2 c) z WHERE rn = 1),
+         |rdl AS (
+         |  SELECT a.vec_id, a.cluster,
+         |    list_transform(range(1, 65), i -> a.e[i] - c.ce[i]) AS r
+         |  FROM adl a JOIN c2 c ON c.cluster = a.cluster),
+         |${passign("pb2", "encd", "rdl")},
+         |encu AS (SELECT vec_id, s, code FROM enc
+         |         UNION ALL SELECT vec_id, s, code FROM encd),
+         |resu AS (SELECT vec_id, cluster FROM res
+         |         UNION ALL SELECT vec_id, cluster FROM rdl),
+         |""".stripMargin
+    val encT = if (delta) "encu" else "enc"
+    val resT = if (delta) "resu" else "res"
+    s"""WITH $coarse,
        |res AS (
        |  SELECT x.vec_id, x.cluster,
        |    list_transform(range(1, 65), i -> x.e[i] - c.ce[i]) AS r
@@ -452,6 +499,7 @@ object AnnQueries {
        |${passign("pb1", "pa2")},
        |${precenter("pa2", "pb2")},
        |${passign("pb2", "enc")},
+       |$deltaCtes
        |qres AS (
        |  SELECT p.qid, p.cluster,
        |    list_transform(range(1, 65), i -> p.qe[i] - c.ce[i]) AS qr
@@ -469,8 +517,8 @@ object AnnQueries {
        |      list_transform(range(1, 9),
        |        i -> (q.qr[e.s * 8 + i] - cb.ce[i])
        |           * (q.qr[e.s * 8 + i] - cb.ce[i])) AS sub_t
-       |    FROM enc e
-       |    JOIN res r ON r.vec_id = e.vec_id
+       |    FROM $encT e
+       |    JOIN $resT r ON r.vec_id = e.vec_id
        |    JOIN qres q ON q.cluster = r.cluster AND q.qid <> e.vec_id
        |    JOIN pb2 cb ON cb.s = e.s AND cb.code = e.code)
        |  GROUP BY qid, nid, cluster)
@@ -766,6 +814,7 @@ object AnnQueries {
     "q_ann_ivf" -> ivfOracle,
     "q_ann_ivf_indexed" -> ivfOracle,
     "q_ann_ivf_delta" -> ivfDeltaOracle,
+    "q_ann_pq_delta" -> pqDeltaOracle,
     "q_dedup_embedding" -> dedupEmbeddingOracle,
     "q_ann_cosine_topk" -> topkOracle,
     "q_ann_recall_lsh" -> recallOracle(lshOracle, topkOracle),

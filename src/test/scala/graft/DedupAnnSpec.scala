@@ -738,6 +738,15 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(out.filter(col("qid") % 10 === 6).isEmpty)
   }
 
+  test("incremental IVF-PQ: delta codes are served without retraining") {
+    val out = graft.queries.AnnQueries.qAnnPqDelta(spark, SfDir)
+      .localCheckpoint()
+    assert(out.filter(col("rank") > 10).isEmpty)
+    assert(out.filter(col("nid") % 10 === 6).count() > 0L,
+      "no delta vector surfaced through the frozen-codebook encode")
+    assert(out.filter(col("qid") % 10 === 6).isEmpty)
+  }
+
   test("autoCellTenths shrinks the cell as line density grows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
