@@ -375,7 +375,54 @@ object Analytics {
       .withColumn("hit", col("matched_key") === col("rid"))
   }
 
+  /** Cascading delete (right-to-be-forgotten): customers with
+    * c_custkey % 37 == 0 are erased, their orders follow, and those
+    * orders' lineitems follow — the 3-level FK cascade every
+    * user-deletion pipeline runs. Each level is ONE anti-join against
+    * the (broadcastable) deleted-key set of the level above; the audit
+    * row per table carries before/deleted/after counts AND the orphan
+    * count after deletion (rows still referencing an erased parent),
+    * which must be zero — the verification a deletion job must emit
+    * for compliance, not just perform. */
+  def qCascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("ck"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("ok"),
+        col("o_custkey").cast("long").as("ock"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("lok"))
+    val delC = c.filter(col("ck") % 37 === 0)
+    val keepC = c.filter(col("ck") % 37 =!= 0)
+    val delO = o.join(broadcast(delC), col("ock") === col("ck"))
+      .select("ok", "ock")
+    val keepO = o.join(broadcast(delC), col("ock") === col("ck"),
+      "left_anti")
+    val keepLi = li.join(delO.select("ok"), col("lok") === col("ok"),
+      "left_anti")
+    // orphan checks: a surviving child must still have its parent —
+    // computed by INDEPENDENT anti-joins, not by re-applying the delete
+    // predicate (a circular audit would pass even if the cascade broke)
+    val orphO = keepO.join(broadcast(keepC), col("ock") === col("ck"),
+      "left_anti")
+    val orphLi = keepLi.join(keepO.select("ok"), col("lok") === col("ok"),
+      "left_anti")
+    // all counts stay in the plan (1-row aggregates, no driver loop)
+    Seq(("customer", c, keepC, keepC.limit(0)),
+      ("orders", o, keepO, orphO),
+      ("lineitem", li, keepLi, orphLi)).map { case (n, b, a, orph) =>
+      b.agg(count(lit(1)).as("n_before"))
+        .crossJoin(a.agg(count(lit(1)).as("n_after")))
+        .crossJoin(orph.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(n).as("table"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_deleted"),
+          col("n_after"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cascade_delete" -> (qCascadeDelete _),
     "q_entity_resolve" -> (qEntityResolve _),
     "q_rolling_revenue" -> (qRollingRevenue _),
     "q_sales_cube" -> (qSalesCube _),
@@ -449,6 +496,40 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    // cascade + audit derived with set predicates (NOT IN) instead of
+    // the engine's anti-joins — independent formulations of the same
+    // referential rules; orphan counts must come out zero on both
+    "q_cascade_delete" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck
+        |           FROM customer),
+        |o AS (SELECT CAST(o_orderkey AS BIGINT) AS ok,
+        |        CAST(o_custkey AS BIGINT) AS ock FROM orders),
+        |li AS (SELECT CAST(l_orderkey AS BIGINT) AS lok FROM lineitem),
+        |keepc AS (SELECT ck FROM c WHERE ck % 37 <> 0),
+        |delo AS (SELECT ok FROM o WHERE ock % 37 = 0),
+        |keepo AS (SELECT ok, ock FROM o WHERE ock % 37 <> 0),
+        |keepli AS (SELECT lok FROM li
+        |           WHERE lok NOT IN (SELECT ok FROM delo)),
+        |orpho AS (SELECT ok FROM keepo
+        |          WHERE ock NOT IN (SELECT ck FROM keepc)),
+        |orphli AS (SELECT lok FROM keepli
+        |           WHERE lok NOT IN (SELECT ok FROM keepo))
+        |SELECT 'customer' AS "table",
+        |  (SELECT COUNT(*) FROM c) AS n_before,
+        |  (SELECT COUNT(*) FROM c) - (SELECT COUNT(*) FROM keepc)
+        |    AS n_deleted,
+        |  (SELECT COUNT(*) FROM keepc) AS n_after,
+        |  CAST(0 AS BIGINT) AS n_orphans
+        |UNION ALL
+        |SELECT 'orders', (SELECT COUNT(*) FROM o),
+        |  (SELECT COUNT(*) FROM o) - (SELECT COUNT(*) FROM keepo),
+        |  (SELECT COUNT(*) FROM keepo),
+        |  (SELECT COUNT(*) FROM orpho)
+        |UNION ALL
+        |SELECT 'lineitem', (SELECT COUNT(*) FROM li),
+        |  (SELECT COUNT(*) FROM li) - (SELECT COUNT(*) FROM keepli),
+        |  (SELECT COUNT(*) FROM keepli),
+        |  (SELECT COUNT(*) FROM orphli)""".stripMargin,
     // the dirty registry, the trigram postings, the df-cap candidate
     // prune and the exact-Jaccard scoring all replayed; best match by
     // the same (jac desc, key) rule as the engine's k=1 heap
