@@ -421,7 +421,57 @@ object Analytics {
     }.reduce(_ unionByName _)
   }
 
+  /** Data-contract validation — the expectation suite a pipeline runs
+    * before promoting a batch (the Great-Expectations shape): range,
+    * domain, uniqueness, referential and internal-consistency checks,
+    * each ONE conditional aggregate (or one anti-join for the FK), all
+    * emitted as a single report. The `value_le_400` row is a soft
+    * distribution expectation that genuinely FAILS on this data —
+    * a contract report that can only ever pass tests nothing. */
+  def qDataContract(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val ev = Tables.load(spark, dir, "events")
+    val c = Tables.load(spark, dir, "customer")
+    val d = Tables.load(spark, dir, "documents")
+    def check(table: String, name: String, df: DataFrame,
+              bad: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(table).as("table"), lit(name).as("check"),
+          col("n_rows"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+    val fkBad = o.join(broadcast(c.select(col("c_custkey").as("ck"))),
+      col("o_custkey") === col("ck"), "left_anti")
+    val fk = fkBad.agg(count(lit(1)).as("n_violations"))
+      .crossJoin(o.agg(count(lit(1)).as("n_rows")))
+      .select(lit("orders").as("table"),
+        lit("o_custkey_fk_customer").as("check"), col("n_rows"),
+        col("n_violations"), (col("n_violations") === 0).as("pass"))
+    val uniq = o.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("n_violations"))
+      .select(lit("orders").as("table"),
+        lit("o_orderkey_unique").as("check"), col("n_rows"),
+        col("n_violations"), (col("n_violations") === 0).as("pass"))
+    Seq(
+      check("lineitem", "l_quantity_range_1_50", li,
+        col("l_quantity") < 1 || col("l_quantity") > 50),
+      check("lineitem", "l_extendedprice_positive", li,
+        col("l_extendedprice") <= 0),
+      check("events", "event_type_in_domain", ev,
+        !col("event_type").isin("view", "click", "purchase", "signup",
+          "error")),
+      check("events", "value_le_400", ev, col("value") > 400.0),
+      check("customer", "c_name_prefixed", c,
+        !col("c_name").startsWith("Customer#")),
+      check("documents", "n_chars_matches_text", d,
+        col("n_chars") =!= length(col("text")))
+    ).reduce(_ unionByName _).unionByName(uniq).unionByName(fk)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_data_contract" -> (qDataContract _),
     "q_cascade_delete" -> (qCascadeDelete _),
     "q_entity_resolve" -> (qEntityResolve _),
     "q_rolling_revenue" -> (qRollingRevenue _),
@@ -496,6 +546,61 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_data_contract" ->
+      """SELECT 'lineitem' AS "table",
+        |  'l_quantity_range_1_50' AS "check",
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |    THEN 1 ELSE 0 END) = 0 AS pass
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem', 'l_extendedprice_positive', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'events', 'event_type_in_domain', COUNT(*),
+        |  CAST(SUM(CASE WHEN event_type NOT IN ('view', 'click',
+        |    'purchase', 'signup', 'error') THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  SUM(CASE WHEN event_type NOT IN ('view', 'click', 'purchase',
+        |    'signup', 'error') THEN 1 ELSE 0 END) = 0
+        |FROM events
+        |UNION ALL
+        |SELECT 'events', 'value_le_400', COUNT(*),
+        |  CAST(SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) = 0
+        |FROM events
+        |UNION ALL
+        |SELECT 'customer', 'c_name_prefixed', COUNT(*),
+        |  CAST(SUM(CASE WHEN c_name NOT LIKE 'Customer#%'
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN c_name NOT LIKE 'Customer#%' THEN 1 ELSE 0 END)
+        |    = 0
+        |FROM customer
+        |UNION ALL
+        |SELECT 'documents', 'n_chars_matches_text', COUNT(*),
+        |  CAST(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'orders', 'o_orderkey_unique', COUNT(*),
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+        |  COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'o_custkey_fk_customer', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  SUM(CASE WHEN o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) = 0
+        |FROM orders""".stripMargin,
     // cascade + audit derived with set predicates (NOT IN) instead of
     // the engine's anti-joins — independent formulations of the same
     // referential rules; orphan counts must come out zero on both
