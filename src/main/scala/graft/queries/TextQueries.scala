@@ -716,6 +716,52 @@ object TextQueries {
          |FROM s""".stripMargin
     },
 
+    "q_gopher_rules" -> {
+      val wc = wcSql.replace("\n", " ").replaceAll(" +", " ")
+      s"""WITH d AS ($docsSql),
+         |m AS (SELECT doc_id,
+         |  CAST($wc AS BIGINT) AS w,
+         |  CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |    AS nws,
+         |  CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS nh,
+         |  CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+         |    AS ne,
+         |  CAST(${stopSql(normSql, langStopwords.head._2)} AS BIGINT)
+         |    AS nstop,
+         |  CAST(len(regexp_extract_all(text, '\\b[A-Za-z]+\\b'))
+         |    AS BIGINT) AS naw
+         |FROM d),
+         |f AS (SELECT doc_id,
+         |  w >= 10 AS ok_word_count_min,
+         |  w <= 100000 AS ok_word_count_max,
+         |  (CASE WHEN w = 0 THEN 0.0
+         |        ELSE CAST(nws AS DOUBLE) / CAST(w AS DOUBLE) END)
+         |    >= 2.0
+         |  AND (CASE WHEN w = 0 THEN 0.0
+         |        ELSE CAST(nws AS DOUBLE) / CAST(w AS DOUBLE) END)
+         |    <= 12.0 AS ok_mean_word_len,
+         |  CAST(nh + ne AS DOUBLE) <= CAST(w AS DOUBLE) * 0.1
+         |    AS ok_symbol_ratio,
+         |  nstop >= 1 AS ok_stopword_min,
+         |  CAST(naw AS DOUBLE) >= CAST(w AS DOUBLE) * 0.7
+         |    AS ok_alpha_word_ratio
+         |FROM m)
+         |SELECT doc_id, ok_word_count_min, ok_word_count_max,
+         |  ok_mean_word_len, ok_symbol_ratio, ok_stopword_min,
+         |  ok_alpha_word_ratio,
+         |  ok_word_count_min AND ok_word_count_max AND ok_mean_word_len
+         |    AND ok_symbol_ratio AND ok_stopword_min
+         |    AND ok_alpha_word_ratio AS keep,
+         |  CASE WHEN NOT ok_word_count_min THEN 'word_count_min'
+         |       WHEN NOT ok_word_count_max THEN 'word_count_max'
+         |       WHEN NOT ok_mean_word_len THEN 'mean_word_len'
+         |       WHEN NOT ok_symbol_ratio THEN 'symbol_ratio'
+         |       WHEN NOT ok_stopword_min THEN 'stopword_min'
+         |       WHEN NOT ok_alpha_word_ratio THEN 'alpha_word_ratio'
+         |       ELSE 'none' END AS first_fail
+         |FROM f""".stripMargin
+    },
+
     "q_langid_eval" -> {
       val scoreCols = langStopwords.map { case (l, ws) =>
         s"${stopSql("t", ws)} AS score_$l"
@@ -783,6 +829,48 @@ object TextQueries {
          |  ${fpSql(normSql)} AS fp_norm,
          |  CAST(len(text) AS BIGINT) AS n_chars
          |FROM d""".stripMargin)
+
+  /** Gopher-style rule gate (Rae et al. 2021, table A1's shape): the
+    * documented heuristic battery web pipelines apply before any model
+    * scoring, with PER-RULE ATTRIBUTION — each rule is a flag column
+    * and `first_fail` names the earliest failing rule, because "why was
+    * my page dropped" is the question every filtered-corpus consumer
+    * asks and a bare keep/drop bit can't answer. Row-local (one scan,
+    * reused TextFunctions expressions), no shuffle. */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nWords = wordCount(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val nCharsNoWs =
+      length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val meanWordLen = when(nWords === 0, lit(0.0))
+      .otherwise(nCharsNoWs.cast("double") / nWords.cast("double"))
+    val nHash = reCount(col("text"), "#")
+    val nEllipsis = reCount(col("text"), "\\.\\.\\.")
+    val nStop = stopwordCount(norm(col("text")), langStopwords.head._2)
+    val nAlphaWords = reCount(col("text"), "\\b[A-Za-z]+\\b")
+    // the rule battery (doc-count thresholds scaled to this corpus's
+    // short synthetic docs; the STRUCTURE is Gopher's)
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "word_count_min" -> (nWords >= 10),
+      "word_count_max" -> (nWords <= 100000),
+      "mean_word_len" -> (meanWordLen >= 2.0 && meanWordLen <= 12.0),
+      "symbol_ratio" -> ((nHash + nEllipsis).cast("double")
+        <= nWords.cast("double") * 0.1),
+      "stopword_min" -> (nStop >= 1),
+      "alpha_word_ratio" -> (nAlphaWords.cast("double")
+        >= nWords.cast("double") * 0.7))
+    val flags = rules.map { case (n, c) => c.as(s"ok_$n") }
+    val base = d.select((col("doc_id") +: flags): _*)
+    val keep = rules.map { case (n, _) => col(s"ok_$n") }.reduce(_ && _)
+    val firstFail = rules.reverse.foldLeft(lit("none")) {
+      case (acc, (n, _)) =>
+        when(!col(s"ok_$n"), lit(n)).otherwise(acc)
+    }
+    base.select((col("doc_id") +:
+      rules.map { case (n, _) => col(s"ok_$n") }) :+
+      keep.as("keep") :+ firstFail.as("first_fail"): _*)
+  }
 
   /** Language-ID EVAL — confusion matrix over the heuristic classifier
     * (the eval-harness family: retrieval row 84, dedup row 108, this
@@ -887,6 +975,7 @@ object TextQueries {
     "q_collocations_pmi" -> (qCollocationsPmi _),
     "q_blocklist_filter" -> (qBlocklistFilter _),
     "q_langid_eval" -> (qLangidEval _),
+    "q_gopher_rules" -> (qGopherRules _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
