@@ -82,6 +82,57 @@ object AnnQueries {
     graft.operators.Pca.project(e, "vec_id", v)
   }
 
+  /** Hard-negative mining — the contrastive-training data op (the
+    * triplet builder behind every embedding finetune): per anchor
+    * query, the nearest SAME-label vector is the positive and the
+    * nearest DIFFERENT-label vector is the hard negative; the margin
+    * between them is what the loss will push on, and `violation` marks
+    * the anchors where the hard negative already outranks the positive
+    * (the pairs worth training on). One scored scan feeds BOTH argmaxes
+    * (conditional k=1 bounded heaps, same key family); round-4 before
+    * rank, ties to the lower id. */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("label"),
+        col("embedding"))
+    val nrm = sqrt(aggregate(col("embedding").cast("array<double>"),
+      lit(0.0), (a, x) => a + x * x))
+    val base = e.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("e"), nrm.as("nn"))
+      .localCheckpoint() // corpus side + query side
+    val q = base.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nn").as("qn"))
+    val dot = (0 until Ann.DefaultDim).map(i =>
+      col("qe").getItem(i) * col("e").getItem(i))
+      .foldLeft(lit(0.0))(_ + _)
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("nid"),
+        col("label"),
+        round(dot / greatest(col("qn") * col("nn"), lit(1e-12)), 4)
+          .as("cos4"))
+      .localCheckpoint() // two conditional argmaxes below
+    def best(cond: org.apache.spark.sql.Column) = scored.filter(cond)
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg(-col("cos4"), col("nid"), col("nid"),
+        1).as("tk"), first("qlabel").as("qlabel"))
+      .select(col("qid"), col("qlabel"),
+        element_at(col("tk"), 1).getField("payload").as("nid"),
+        (-element_at(col("tk"), 1).getField("key")).as("cos4"))
+    val pos = best(col("label") === col("qlabel"))
+      .withColumnRenamed("nid", "pos_id")
+      .withColumnRenamed("cos4", "pos_cos4")
+    val neg = best(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("nid").as("neg_id"),
+        col("cos4").as("neg_cos4"))
+    pos.join(neg, Seq("qid"))
+      .select(col("qid"), col("qlabel").as("label"), col("pos_id"),
+        col("pos_cos4"), col("neg_id"), col("neg_cos4"),
+        round(col("pos_cos4") - col("neg_cos4"), 4).as("margin"))
+      .withColumn("violation", col("margin") < 0.0)
+  }
+
   /** Embedding-label audit (operators.LabelAudit): per-label centroids
     * from one integer-nano aggregate, map-only scoring against all
     * centroids as literals, mislabel flag when a foreign class center
@@ -273,6 +324,7 @@ object AnnQueries {
     "q_label_audit" -> (qLabelAudit _),
     "q_ann_ivf_delta" -> (qAnnIvfDelta _),
     "q_ann_pq_delta" -> (qAnnPqDelta _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_ann_recall_binary" -> (qAnnRecallBinary _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
@@ -815,6 +867,35 @@ object AnnQueries {
     "q_ann_ivf_indexed" -> ivfOracle,
     "q_ann_ivf_delta" -> ivfDeltaOracle,
     "q_ann_pq_delta" -> pqDeltaOracle,
+    // triplet mining replayed: same rounded cosine, same (cos desc,
+    // nid) rank inside the same-label / different-label partitions
+    "q_hard_negatives" ->
+      s"""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |    CAST(label AS INT) AS label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, e,
+         |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nn
+         |      FROM v),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, nn AS qn
+         |      FROM n WHERE vec_id % $QueryMod = 0),
+         |s AS (SELECT q.qid, q.qlabel, x.vec_id AS nid, x.label,
+         |        ROUND(list_sum(list_transform(range(1, 65),
+         |            i -> q.qe[i] * x.e[i]))
+         |          / greatest(q.qn * x.nn, 1e-12), 4) AS cos4
+         |      FROM n x, q WHERE x.vec_id <> q.qid),
+         |p AS (SELECT qid, qlabel, nid, cos4, ROW_NUMBER() OVER (
+         |        PARTITION BY qid ORDER BY cos4 DESC, nid) AS rn
+         |      FROM s WHERE label = qlabel),
+         |g AS (SELECT qid, nid, cos4, ROW_NUMBER() OVER (
+         |        PARTITION BY qid ORDER BY cos4 DESC, nid) AS rn
+         |      FROM s WHERE label <> qlabel)
+         |SELECT p.qid, p.qlabel AS label, p.nid AS pos_id,
+         |  p.cos4 AS pos_cos4, g.nid AS neg_id, g.cos4 AS neg_cos4,
+         |  ROUND(p.cos4 - g.cos4, 4) AS margin,
+         |  ROUND(p.cos4 - g.cos4, 4) < 0.0 AS violation
+         |FROM p JOIN g ON g.qid = p.qid AND g.rn = 1
+         |WHERE p.rn = 1""".stripMargin,
     "q_dedup_embedding" -> dedupEmbeddingOracle,
     "q_ann_cosine_topk" -> topkOracle,
     "q_ann_recall_lsh" -> recallOracle(lshOracle, topkOracle),
