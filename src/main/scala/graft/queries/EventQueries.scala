@@ -65,6 +65,14 @@ object EventQueries {
         round(sum("value"), 4).as("sum_value"))
   }
 
+  /** Stream-static enrichment (EventsStream.enrichAgg): events joined
+    * to the customer-segment dimension broadcast-side, rolled up per
+    * (segment, event_type) — the same transform the streaming parity
+    * spec drives through a file-source stream. */
+  def qEventEnrich(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.enrichAgg(events(spark, dir),
+      EventsStream.customerDim(spark, dir))
+
   /** Event-lateness profile — the measurement a watermark delay is
     * actually SIZED from: within each user's stream (event_id = arrival
     * order), lateness = running-max(event time) − event time, i.e. how
@@ -381,6 +389,7 @@ object EventQueries {
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_native" -> (qSessionizeNative _),
     "q_lateness_profile" -> (qLatenessProfile _),
+    "q_event_enrich" -> (qEventEnrich _),
     "q_sessionize_stateful" -> (qSessionizeStateful _),
     "q_funnel" -> (qFunnel _))
 
@@ -583,6 +592,12 @@ object EventQueries {
          |  ROUND(SUM(value), 4) AS sum_value
          |FROM sess
          |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_enrich" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        |  COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS sum_value
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // lateness replayed with the same per-user running max over the
     // jittered arrival order; buckets are exact integer micros

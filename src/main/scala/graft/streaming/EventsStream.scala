@@ -131,6 +131,39 @@ object EventsStream {
       .outputMode("append")
       .start()
 
+  /** The static dimension for stream enrichment: customer market
+    * segments keyed by user id (events.user_id lives in the customer
+    * key range by construction). */
+  def customerDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("user_id"),
+        col("c_mktsegment").as("segment"))
+
+  /** Stream-static ENRICHMENT join + rollup — the most common
+    * Structured Streaming pattern (dimension lookup on a live feed)
+    * and the one join kind the family was missing beside stream-stream
+    * (intervalJoinStream): the static side joins into every
+    * micro-batch broadcast-side, carrying NO state (unlike the
+    * watermarked stream-stream join); the plan is mode-agnostic, so
+    * this one transform serves the batch CORRECTNESS row and the
+    * streaming parity spec. */
+  def enrichAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    Tables.normalizeTs(events)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+
+  /** Streaming twin over the file source, complete-mode memory sink. */
+  def enrichStream(spark: SparkSession, dir: String,
+                   queryName: String): StreamingQuery =
+    enrichAgg(readEvents(spark, dir), customerDim(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start()
+
   /** Streaming variant: file source over the events parquet, 2h watermark,
     * update-mode sink provided by the caller (memory sink in tests). */
   def hourlyStream(spark: SparkSession, dir: String,

@@ -21,6 +21,22 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    val q = EventsStream.enrichStream(spark, SfDir, "ev_enrich_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_enrich_test")
+        .select("segment", "event_type", "n_events", "sum_value")
+      val batch = EventsStream.enrichAgg(
+          Tables.load(spark, SfDir, "events"),
+          EventsStream.customerDim(spark, SfDir))
+        .select("segment", "event_type", "n_events", "sum_value")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches the batch sessionizer") {
     import graft.streaming.SessionStream
     val q = SessionStream.run(spark, SfDir, "sess_test")
