@@ -1,0 +1,53 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 1x / 4x / 16x scaling probe for the trigram similarity join
+  * (Analytics.entityResolveFrom) — dev tool, not part of the library.
+  *
+  * Copy hygiene: each copy's names get their DIGITS remapped by a
+  * per-copy permutation, so copies occupy (mostly) disjoint trigram
+  * spaces and the true candidate count stays ~linear — without it every
+  * copy's 'customer#…' grams would collide and the candidate join would
+  * grow quadratically by construction rather than by behavior. */
+object ProfileEntity {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val c1 = graft.Tables.load(spark, dir, "customer")
+    // disjoint gram spaces: interleave a copy-unique tag char after
+    // EVERY name char, so every trigram of copy i contains tag i and
+    // cross-copy grams can never collide (digit-permutation copies
+    // were NOT disjoint — all copies shared the digit alphabet, df grew
+    // linearly and the candidate join grew quadratic by construction)
+    def custN(copies: Int): DataFrame = (0 until copies).map { i =>
+      val tag = ('a' + i).toChar.toString
+      c1.select(
+        (col("c_custkey").cast("long") + i * 1000000L).as("c_custkey"),
+        regexp_replace(col("c_name"), "(.)", "$1" + tag).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.reduce(_ union _)
+    def time(label: String, copies: Int): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.queries.Analytics.entityResolveFrom(custN(copies))
+        .count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[entity] $label%-4s $s%7.2f s rows=$n")
+      s
+    }
+    time("1x", 1) // warm
+    val t1 = time("1x", 1)
+    val t4 = time("4x", 4)
+    val t16 = time("16x", 16)
+    println(f"[entity] ratios: 4x/1x=${t4 / t1}%.2f (linear 4), " +
+      f"16x/1x=${t16 / t1}%.2f (linear 16)")
+    spark.stop()
+  }
+}

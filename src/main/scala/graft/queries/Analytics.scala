@@ -322,9 +322,15 @@ object Analytics {
     * over full trigram sets scores candidates and a k=1 bounded heap
     * picks the match (round-4 before rank, ties to the lower key).
     * Never all-pairs; the posting join moves only rare-gram rows. */
-  def qEntityResolve(spark: SparkSession, dir: String): DataFrame = {
-    val MaxDf = 25
-    val c = Tables.load(spark, dir, "customer")
+  def qEntityResolve(spark: SparkSession, dir: String): DataFrame =
+    entityResolveFrom(Tables.load(spark, dir, "customer"))
+
+  /** The resolve pipeline over any customer-shaped frame — split out so
+    * the 16x scaling probe (dev.ProfileEntity) can drive synthetic
+    * copies through the identical plan. */
+  def entityResolveFrom(customer: DataFrame): DataFrame = {
+    val PrefixK = 4 // rarest grams probed per dirty record
+    val c = customer
       .select(col("c_custkey").cast("long").as("ckey"),
         // multi-field entity string — real ER concatenates fields; the
         // name alone is a zero-run with too little entropy to resolve
@@ -336,20 +342,39 @@ object Analytics {
     val dirty = c.select(col("ckey").as("rid"),
       concat(substring(col("name"), lit(1), p - 1),
         substring(col("name"), p + 1, lit(64))).as("name"))
-    // gram SETS are row-local array expressions (no shuffle to build);
-    // the exploded postings exist only for the rare-gram candidate join
-    def gramArr(df: DataFrame, id: String): DataFrame = df
+    // gram SETS are row-local array expressions (no shuffle to build):
+    // trigrams for the exact-Jaccard verification, 5-grams for the
+    // BLOCKING layer — longer blocking grams because this corpus's
+    // trigram space is so low-entropy that even the rarest trigrams
+    // carry df ~140 at sf0.1 (7.6M candidate pairs, 55 s); 5-gram
+    // blocks cut candidates 14x (552K) at a measured ~90% true-twin
+    // recall ceiling, matching the trigram path's end accuracy
+    def gramArr(df: DataFrame, id: String, q: Int): DataFrame = df
       .select(col(id), array_distinct(transform(
-        sequence(lit(1), greatest(length(col("name")) - 2, lit(1))),
-        i => substring(col("name"), i.cast("int"), lit(3)))).as("gs"))
-    val cArr = gramArr(c.select(col("ckey"), col("name")), "ckey")
-      .localCheckpoint() // postings + verification both read it
-    val dArr = gramArr(dirty, "rid").localCheckpoint()
-    val cg = cArr.select(col("ckey"), explode(col("gs")).as("g"))
-    val dg = dArr.select(col("rid"), explode(col("gs")).as("g"))
-    val rare = cg.groupBy("g").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= MaxDf).select("g")
-    val cand = dg.join(rare, Seq("g")).join(cg, Seq("g"))
+        sequence(lit(1), greatest(length(col("name")) - (q - 1),
+          lit(1))),
+        i => substring(col("name"), i.cast("int"), lit(q)))).as("gs"))
+    val cArr = gramArr(c.select(col("ckey"), col("name")), "ckey", 3)
+      .localCheckpoint() // verification side
+    val dArr = gramArr(dirty, "rid", 3).localCheckpoint()
+    val cg5 = gramArr(c.select(col("ckey"), col("name")), "ckey", 5)
+      .select(col("ckey"), explode(col("gs")).as("g"))
+      .localCheckpoint() // df table + candidate join
+    val dg5 = gramArr(dirty, "rid", 5)
+      .select(col("rid"), explode(col("gs")).as("g"))
+    // per-RECORD prefix filter (the ppjoin scheme), not a global df
+    // cap: each dirty record probes with its PrefixK globally-rarest
+    // blocking grams. The 16x probe (dev.ProfileEntity) caught the
+    // original absolute df<=25 cap going stale — at 4x corpus every
+    // gram exceeded it and the candidate set silently emptied; a
+    // per-record prefix stays meaningful at any corpus size because
+    // rarity is RELATIVE.
+    val dfTab = cg5.groupBy("g").agg(count(lit(1)).as("df"))
+    val wRid = Window.partitionBy("rid").orderBy(col("df"), col("g"))
+    val probes = dg5.join(dfTab, Seq("g"))
+      .withColumn("rn", row_number().over(wRid))
+      .filter(col("rn") <= PrefixK).select(col("rid"), col("g"))
+    val cand = probes.join(cg5, Seq("g"))
       .select(col("rid"), col("ckey")).distinct()
     // verification is ROW-LOCAL set arithmetic on the attached arrays —
     // two equi-joins on the id keys, no per-gram three-way join (the
@@ -653,11 +678,21 @@ object Analytics {
         |dgm AS (SELECT DISTINCT rid, substr(name, CAST(i AS INT), 3) AS g
         |        FROM dirty, LATERAL (SELECT unnest(generate_series(1,
         |          greatest(len(name) - 2, 1))) AS i) u),
-        |rare AS (SELECT g FROM (SELECT g, COUNT(*) AS n FROM cg
-        |         GROUP BY 1) z WHERE n <= 25),
-        |cand AS (SELECT DISTINCT d.rid, c2.ckey
-        |         FROM dgm d JOIN rare r ON r.g = d.g
-        |         JOIN cg c2 ON c2.g = d.g),
+        |cg5 AS (SELECT DISTINCT ckey, substr(name, CAST(i AS INT), 5)
+        |          AS g
+        |        FROM c, LATERAL (SELECT unnest(generate_series(1,
+        |          greatest(len(name) - 4, 1))) AS i) u),
+        |dg5 AS (SELECT DISTINCT rid, substr(name, CAST(i AS INT), 5)
+        |          AS g
+        |        FROM dirty, LATERAL (SELECT unnest(generate_series(1,
+        |          greatest(len(name) - 4, 1))) AS i) u),
+        |dfr AS (SELECT g, COUNT(*) AS df FROM cg5 GROUP BY 1),
+        |probes AS (SELECT rid, g FROM (
+        |    SELECT d.rid, d.g, ROW_NUMBER() OVER (PARTITION BY d.rid
+        |      ORDER BY f.df, d.g) AS rn
+        |    FROM dg5 d JOIN dfr f ON f.g = d.g) z WHERE rn <= 4),
+        |cand AS (SELECT DISTINCT p.rid, c2.ckey
+        |         FROM probes p JOIN cg5 c2 ON c2.g = p.g),
         |na AS (SELECT ckey, COUNT(*) AS na FROM cg GROUP BY 1),
         |nb AS (SELECT rid, COUNT(*) AS nb FROM dgm GROUP BY 1),
         |sh AS (SELECT cd.rid, cd.ckey, COUNT(*) AS shared
