@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the round-10 additions whose §2 rows claim
+  * row-local or broadcast-only shapes — the claims are cheap to break
+  * silently (one stray repartition or a failed broadcast and the shape
+  * is gone), so they're pinned like the earlier families' specs. */
+class PlanShapeSpec extends AnyFunSuite with SharedSpark {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SfDir)
+      .queryExecution.executedPlan.toString
+
+  test("row-local queries have no exchange at all") {
+    // each §2 row claims scan -> map, no shuffle
+    for (q <- Seq("q_jsonl_roundtrip", "q_csv_roundtrip",
+        "q_blocklist_filter", "q_gopher_rules", "q_snapshot_drift")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q claims row-local but:\n$p")
+    }
+  }
+
+  test("broadcast-back queries shuffle only their tiny aggregate") {
+    // mix_resample: ONE hash exchange (the lang-count aggregate); the
+    // corpus re-scan joins against its broadcast result
+    val p = plan("q_mix_resample")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"q_mix_resample shuffles more than the lang aggregate:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"),
+      s"q_mix_resample lost its broadcast join-back:\n$p")
+  }
+
+  test("lateness profile shuffles once per key family") {
+    // one user_id window + one map-side-combined histogram aggregate
+    val p = plan("q_lateness_profile")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"q_lateness_profile grew extra exchanges:\n$p")
+  }
+}
