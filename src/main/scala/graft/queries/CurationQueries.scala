@@ -128,6 +128,34 @@ object CurationQueries {
       .select(col("t.tie").as("doc_id"), col("lang"),
         col("t.payload").as("h"), (col("pos") + 1).as("rk"))
 
+  /** Two-level SHARDED quota sampling — the composite-key treatment
+    * §1's scale notes promised for the quota sampler when a dominant
+    * language would pour through one task: top-Quota runs per
+    * (lang, shard = h mod Shards) first (bounded heaps, map-side
+    * combined), then ONLY the ≤ Shards×Quota survivors re-rank per
+    * lang. Top-k of per-shard top-k's is EXACT (any global top-Quota
+    * row is top-Quota within its shard), so the output is identical to
+    * the single-level form row for row — same oracle, and the spec
+    * pins the equality. */
+  def qSampleQuotaSharded(spark: SparkSession, dir: String): DataFrame = {
+    val h = rollingFingerprint(norm(col("text")))
+    val s1 = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), h.as("h"),
+        pmod(h, lit(Shards.toLong)).as("shard"))
+      .groupBy("lang", "shard")
+      .agg(graft.functions.TopKAgg(col("h").cast("double"), col("doc_id"),
+        col("h"), Quota).as("tk"))
+      .select(col("lang"), explode(col("tk")).as("t"))
+      .select(col("lang"), col("t.tie").as("doc_id"),
+        col("t.payload").as("h"))
+    s1.groupBy("lang")
+      .agg(graft.functions.TopKAgg(col("h").cast("double"), col("doc_id"),
+        col("h"), Quota).as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("t.tie").as("doc_id"), col("lang"),
+        col("t.payload").as("h"), (col("pos") + 1).as("rk"))
+  }
+
   /** Mixture report: per (lang, source) token mass and its share of the
     * corpus — the table a data-mixing step reweights against. The grand
     * total is a broadcast 1-row aggregate (not an unpartitioned window);
@@ -374,6 +402,7 @@ object CurationQueries {
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_sequences_sharded" -> (qPackSequencesSharded _),
     "q_sample_quota" -> (qSampleQuota _),
+    "q_sample_quota_sharded" -> (qSampleQuotaSharded _),
     "q_mix_report" -> (qMixReport _))
 
   // ---------------------------------------------------------------- oracles
@@ -549,6 +578,17 @@ object CurationQueries {
          |FROM u""".stripMargin,
 
     "q_sample_quota" ->
+      s"""WITH d AS ($docsSql),
+         |h AS (SELECT doc_id, lang, ${fpSql(normSql)} AS h FROM d),
+         |r AS (SELECT doc_id, lang, h,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |          ORDER BY h, doc_id) AS INT) AS rk
+         |      FROM h)
+         |SELECT doc_id, lang, h, rk FROM r WHERE rk <= $Quota""".stripMargin,
+
+    // sharded two-level top-k is EXACT, so its oracle IS the
+    // single-level ranking — indexing topology must not change answers
+    "q_sample_quota_sharded" ->
       s"""WITH d AS ($docsSql),
          |h AS (SELECT doc_id, lang, ${fpSql(normSql)} AS h FROM d),
          |r AS (SELECT doc_id, lang, h,

@@ -32,6 +32,13 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"q_mix_resample lost its broadcast join-back:\n$p")
   }
 
+  test("sharded quota sampling equals the single-level form exactly") {
+    val a = graft.queries.CurationQueries.qSampleQuota(spark, SfDir)
+    val b = graft.queries.CurationQueries.qSampleQuotaSharded(spark, SfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "top-k of per-shard top-k's must be exact")
+  }
+
   test("lateness profile shuffles once per key family") {
     // one user_id window + one map-side-combined histogram aggregate
     val p = plan("q_lateness_profile")
