@@ -354,9 +354,9 @@ object Analytics {
         sequence(lit(1), greatest(length(col("name")) - (q - 1),
           lit(1))),
         i => substring(col("name"), i.cast("int"), lit(q)))).as("gs"))
+    // single-consumer frames (verification only) — no lineage cut
     val cArr = gramArr(c.select(col("ckey"), col("name")), "ckey", 3)
-      .localCheckpoint() // verification side
-    val dArr = gramArr(dirty, "rid", 3).localCheckpoint()
+    val dArr = gramArr(dirty, "rid", 3)
     val cg5 = gramArr(c.select(col("ckey"), col("name")), "ckey", 5)
       .select(col("ckey"), explode(col("gs")).as("g"))
       .localCheckpoint() // df table + candidate join
