@@ -156,6 +156,30 @@ object CurationQueries {
         col("t.payload").as("h"), (col("pos") + 1).as("rk"))
   }
 
+  /** Deterministic epoch shuffle — the LAST step before tokens hit the
+    * trainer: a reproducible pseudo-random global order (content-hash
+    * keyed, so re-runs and re-shards produce byte-identical batches —
+    * the property a training-restart audit depends on). Shard = hash
+    * mod 64 spreads the sort: each shard orders independently by the
+    * hash's high part (one bounded window per shard, never a global
+    * single-task sort), and (shard, pos) IS the global order. Epochs
+    * differ by salting the hash with the epoch number (epoch 1 here).
+    */
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = 1L
+    val h = (rollingFingerprint(norm(col("text"))) * lit(2654435761L)
+      + lit(epoch)) % lit(1000000007L)
+    val w = Window.partitionBy("shard")
+      .orderBy(col("hi"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(64L)))
+      .withColumn("hi", expr("h DIV 64"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("h"), col("shard"),
+        col("pos"))
+  }
+
   /** Mixture report: per (lang, source) token mass and its share of the
     * corpus — the table a data-mixing step reweights against. The grand
     * total is a broadcast 1-row aggregate (not an unpartitioned window);
@@ -403,6 +427,7 @@ object CurationQueries {
     "q_pack_sequences_sharded" -> (qPackSequencesSharded _),
     "q_sample_quota" -> (qSampleQuota _),
     "q_sample_quota_sharded" -> (qSampleQuotaSharded _),
+    "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_mix_report" -> (qMixReport _))
 
   // ---------------------------------------------------------------- oracles
@@ -585,6 +610,16 @@ object CurationQueries {
          |          ORDER BY h, doc_id) AS INT) AS rk
          |      FROM h)
          |SELECT doc_id, lang, h, rk FROM r WHERE rk <= $Quota""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      s"""WITH d AS ($docsSql),
+         |h AS (SELECT doc_id, lang,
+         |        (${fpSql(normSql)} * 2654435761 + 1) % 1000000007 AS h
+         |      FROM d)
+         |SELECT doc_id, lang, h, h % 64 AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 64
+         |    ORDER BY h // 64, doc_id) AS BIGINT) AS pos
+         |FROM h""".stripMargin,
 
     // sharded two-level top-k is EXACT, so its oracle IS the
     // single-level ranking — indexing topology must not change answers
