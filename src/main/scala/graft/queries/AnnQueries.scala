@@ -178,6 +178,17 @@ object AnnQueries {
   def qAnnRecallIvf(spark: SparkSession, dir: String): DataFrame =
     Ann.recallAtK(qAnnIvfIndexed(spark, dir), qCosineTopK(spark, dir), K)
 
+  /** Recall of the INCREMENTAL index against the full-corpus brute
+    * force — every served index kind carries a monitor, and the delta
+    * path must too: the question it answers is precisely whether the
+    * frozen quantizer still routes the NEW data well (quantizer drift
+    * is the failure mode that decides when the weekly retrain is due).
+    * Queries (vec_id % 50 = 0) are all base rows by arithmetic, and
+    * the truth is the brute force over base ∪ delta = everything —
+    * the same qCosineTopK baseline the other monitors share. */
+  def qAnnRecallDelta(spark: SparkSession, dir: String): DataFrame =
+    Ann.recallAtK(qAnnIvfDelta(spark, dir), qCosineTopK(spark, dir), K)
+
   /** Per-JVM namespace tag for index artifacts (applicationId is unique
     * per SparkContext): two sessions on the same data dir (e.g. Bench
     * and the Verify driver) would otherwise overwrite each other's
@@ -325,6 +336,7 @@ object AnnQueries {
     "q_ann_ivf_delta" -> (qAnnIvfDelta _),
     "q_ann_pq_delta" -> (qAnnPqDelta _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_ann_recall_delta" -> (qAnnRecallDelta _),
     "q_ann_recall_binary" -> (qAnnRecallBinary _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
@@ -899,5 +911,6 @@ object AnnQueries {
     "q_dedup_embedding" -> dedupEmbeddingOracle,
     "q_ann_cosine_topk" -> topkOracle,
     "q_ann_recall_lsh" -> recallOracle(lshOracle, topkOracle),
+    "q_ann_recall_delta" -> recallOracle(ivfDeltaOracle, topkOracle),
     "q_ann_recall_ivf" -> recallOracle(ivfOracle, topkOracle))
 }
