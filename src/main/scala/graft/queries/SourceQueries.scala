@@ -348,6 +348,42 @@ object SourceQueries {
         coalesce(col("p.text") === col("orig"), lit(false)).as("roundtrip"))
   }
 
+  /** Image-banding recall eval — the dedup_eval move for the image
+    * modality: the banded candidate pairs priced against the ALL-PAIRS
+    * Hamming truth the bands exist to avoid (affordable on a bounded
+    * eval corpus, which is the point); precision is 1 by construction
+    * (candidates verify on the same exact Hamming), recall < 1 exactly
+    * when a true pair differs in all 4 bands — the pigeonhole trade
+    * quantified per threshold. */
+  def qImageHashEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+    val sigs = graft.operators.ImageHash.imageSignatures(d)
+      .localCheckpoint() // both sides of the truth self-join
+    val truth = sigs.select(col("doc_id").as("ida"), col("sig").as("sa"))
+      .join(sigs.select(col("doc_id").as("idb"), col("sig").as("sb")),
+        col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long")
+          .as("ham"))
+    val banded = graft.operators.ImageHash.dhashPairs(d, maxHamming = 60)
+      .select(col("ida"), col("idb"), lit(true).as("banded"))
+    truth.join(banded, Seq("ida", "idb"), "left")
+      .select(col("ham"), coalesce(col("banded"), lit(false))
+        .as("banded"))
+      .crossJoin(broadcast(Seq(6L, 10L, 14L).toDF("t")))
+      .groupBy("t")
+      .agg(sum(when(col("ham") <= col("t"), 1L).otherwise(0L))
+          .as("n_truth"),
+        sum(when(col("banded") && col("ham") <= col("t"), 1L)
+          .otherwise(0L)).as("n_pred"))
+      .select(col("t"), col("n_truth"), col("n_pred"),
+        (col("n_truth") - col("n_pred")).as("fn"),
+        when(col("n_truth") === 0, lit(1.0)).otherwise(
+          round(col("n_pred").cast("double")
+            / col("n_truth").cast("double"), 4)).as("recall"))
+  }
+
   /** CSV (RFC 4180) roundtrip — the sibling of the JSONL row for the
     * other interchange format corpora still arrive in: each doc
     * serialized as one to_csv record (QUOTING is what's under test —
@@ -411,12 +447,56 @@ object SourceQueries {
     "q_multimodal_mp3_pcm" -> (qMultimodalMp3Pcm _),
     "q_multimodal_h264" -> (qMultimodalH264 _),
     "q_image_phash" -> (qImagePhash _),
+    "q_image_hash_eval" -> (qImageHashEval _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_multimodal_augment" -> (qMultimodalAugment _),
     "q_multimodal_png" -> (qMultimodalPng _),
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_jpeg420" -> (qMultimodalJpeg420 _))
+
+  /** Shared dHash CTE chain: analytic pixels → luma grid → 60-bit
+    * signature (`sg`) → band buckets → candidate pairs (`pr`). Used by
+    * the phash oracle and the banding-recall eval. */
+  private val imageSigCtes: String =
+    """d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+      |           FROM documents),
+      |gp AS (SELECT doc_id, doc_id % 100 AS gk,
+      |         8 + (doc_id % 100) % 9 AS w,
+      |         8 + (doc_id % 100) % 5 AS h,
+      |         doc_id % 4 AS m FROM d),
+      |co AS (SELECT doc_id, gk, w, h, m, x, y,
+      |         (x * w) // 11 AS sx, (y * h) // 6 AS sy
+      |       FROM gp,
+      |       LATERAL (SELECT unnest(generate_series(0, 10)) AS x) xs,
+      |       LATERAL (SELECT unnest(generate_series(0, 5)) AS y) ys),
+      |bp AS (SELECT doc_id, x, y, gk, sx, sy,
+      |         CASE WHEN len(list_filter(range(0, m), j ->
+      |             (doc_id * 13 + j * 7) % w = sx
+      |             AND (doc_id * 17 + j * 11) % h = sy)) > 0
+      |           THEN 40 ELSE 0 END AS bump
+      |       FROM co),
+      |px AS (SELECT doc_id, x, y,
+      |         (299 * (40 + (gk * 3 + sx * 29 + sy * 23) % 170 + bump)
+      |        + 587 * (40 + (gk * 11 + sx * 17 + sy * 5) % 170 + bump)
+      |        + 114 * (40 + (gk * 7 + sx * 13 + sy * 31) % 170 + bump))
+      |          // 1000 AS g
+      |       FROM bp),
+      |sg AS (SELECT a.doc_id,
+      |         CAST(COALESCE(SUM(CASE WHEN b.g > a.g
+      |           THEN 1::BIGINT << CAST(a.y * 10 + a.x AS INT)
+      |           ELSE 0 END), 0) AS BIGINT) AS sig
+      |       FROM px a JOIN px b ON a.doc_id = b.doc_id
+      |         AND b.y = a.y AND b.x = a.x + 1
+      |       WHERE a.x < 10
+      |       GROUP BY a.doc_id),
+      |bd AS (SELECT doc_id, sig, j AS band,
+      |         (sig >> (j * 15)) & 32767 AS bv
+      |       FROM sg, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+      |pr AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+      |         a.sig AS siga, b.sig AS sigb
+      |       FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv
+      |         AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // landmark matching replayed end to end: analytic samples → integer
@@ -873,47 +953,37 @@ object SourceQueries {
     // 4x15-bit band self-join, and the Hamming verify — DISTINCT here
     // equals the engine's min-band single emission.
     "q_image_phash" ->
-      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
-        |           FROM documents),
-        |gp AS (SELECT doc_id, doc_id % 100 AS gk,
-        |         8 + (doc_id % 100) % 9 AS w,
-        |         8 + (doc_id % 100) % 5 AS h,
-        |         doc_id % 4 AS m FROM d),
-        |co AS (SELECT doc_id, gk, w, h, m, x, y,
-        |         (x * w) // 11 AS sx, (y * h) // 6 AS sy
-        |       FROM gp,
-        |       LATERAL (SELECT unnest(generate_series(0, 10)) AS x) xs,
-        |       LATERAL (SELECT unnest(generate_series(0, 5)) AS y) ys),
-        |bp AS (SELECT doc_id, x, y, gk, sx, sy,
-        |         CASE WHEN len(list_filter(range(0, m), j ->
-        |             (doc_id * 13 + j * 7) % w = sx
-        |             AND (doc_id * 17 + j * 11) % h = sy)) > 0
-        |           THEN 40 ELSE 0 END AS bump
-        |       FROM co),
-        |px AS (SELECT doc_id, x, y,
-        |         (299 * (40 + (gk * 3 + sx * 29 + sy * 23) % 170 + bump)
-        |        + 587 * (40 + (gk * 11 + sx * 17 + sy * 5) % 170 + bump)
-        |        + 114 * (40 + (gk * 7 + sx * 13 + sy * 31) % 170 + bump))
-        |          // 1000 AS g
-        |       FROM bp),
-        |sg AS (SELECT a.doc_id,
-        |         CAST(COALESCE(SUM(CASE WHEN b.g > a.g
-        |           THEN 1::BIGINT << CAST(a.y * 10 + a.x AS INT)
-        |           ELSE 0 END), 0) AS BIGINT) AS sig
-        |       FROM px a JOIN px b ON a.doc_id = b.doc_id
-        |         AND b.y = a.y AND b.x = a.x + 1
-        |       WHERE a.x < 10
-        |       GROUP BY a.doc_id),
-        |bd AS (SELECT doc_id, sig, j AS band,
-        |         (sig >> (j * 15)) & 32767 AS bv
-        |       FROM sg, (SELECT unnest([0, 1, 2, 3]) AS j) js),
-        |pr AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
-        |         a.sig AS siga, b.sig AS sigb
-        |       FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv
-        |         AND a.doc_id < b.doc_id)
+      s"""WITH $imageSigCtes
         |SELECT ida, idb,
         |  CAST(bit_count(xor(siga, sigb)) AS BIGINT) AS hamming
         |FROM pr WHERE bit_count(xor(siga, sigb)) <= 10""".stripMargin,
+
+    // banding recall priced against the ALL-PAIRS truth the bands
+    // exist to avoid (the dedup_eval move for the image modality):
+    // precision is 1 by construction (candidates verify on the same
+    // hamming), recall < 1 exactly when all 4 bands differ
+    "q_image_hash_eval" ->
+      s"""WITH $imageSigCtes,
+        |tr AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
+        |       FROM sg a JOIN sg b ON a.doc_id < b.doc_id),
+        |j AS (SELECT tr.ham, pr.ida IS NOT NULL AS banded
+        |      FROM tr LEFT JOIN pr
+        |        ON pr.ida = tr.ida AND pr.idb = tr.idb),
+        |th AS (SELECT CAST(t AS BIGINT) AS t
+        |       FROM (VALUES (6), (10), (14)) v(t)),
+        |m AS (SELECT t,
+        |        SUM(CASE WHEN ham <= t THEN 1 ELSE 0 END) AS n_truth,
+        |        SUM(CASE WHEN banded AND ham <= t THEN 1 ELSE 0 END)
+        |          AS n_pred
+        |      FROM j, th GROUP BY t)
+        |SELECT t, CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(n_pred AS BIGINT) AS n_pred,
+        |  CAST(n_truth - n_pred AS BIGINT) AS fn,
+        |  CASE WHEN n_truth = 0 THEN 1.0
+        |       ELSE ROUND(CAST(n_pred AS DOUBLE)
+        |         / CAST(n_truth AS DOUBLE), 4) END AS recall
+        |FROM m""".stripMargin,
 
     // Frame-level audio features (VAD shape) over REAL decoded WAV
     // samples: 64-sample frames (incomplete tail dropped), per-frame
