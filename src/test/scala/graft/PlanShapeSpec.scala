@@ -39,6 +39,26 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "top-k of per-shard top-k's must be exact")
   }
 
+  test("operators are invariant to input partition layout") {
+    import org.apache.spark.sql.functions._
+    // determinism must not lean on partition count or row order: the
+    // same input in 1 partition and in 7 shuffled partitions must
+    // produce identical results (heap aggs, argmins and window ties
+    // are the usual leak points)
+    val edges = graft.queries.DedupQueries
+      .qMinhash(spark, SfDir)
+      .select(col("ida").as("a"), col("idb").as("b"))
+    val t1 = graft.operators.Triangles.triangleStats(edges.coalesce(1))
+    val t7 = graft.operators.Triangles.triangleStats(edges.repartition(7))
+    assert(t1.exceptAll(t7).isEmpty && t7.exceptAll(t1).isEmpty)
+    val emb = graft.Tables.load(spark, SfDir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("label"),
+        col("embedding"))
+    val a1 = graft.operators.LabelAudit.audit(emb.coalesce(1), 64)
+    val a7 = graft.operators.LabelAudit.audit(emb.repartition(7), 64)
+    assert(a1.exceptAll(a7).isEmpty && a7.exceptAll(a1).isEmpty)
+  }
+
   test("lateness profile shuffles once per key family") {
     // one user_id window + one map-side-combined histogram aggregate
     val p = plan("q_lateness_profile")
