@@ -42,14 +42,37 @@ object TextFunctions {
       lit(0L),
       (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
 
-  /** Per-language stopword lists for the language-ID heuristic.
-    * Order matters: argmax ties resolve by list order (first wins).
-    * Reference analogue: gpd_lite_toolbox has no text ops — this extends
-    * the engine for training-data pipelines. */
+  /** Per-language stopword lists (quality scoring, Gopher rules, the
+    * blocklist inventory). Reference analogue: gpd_lite_toolbox has no
+    * text ops — this extends the engine for training-data pipelines. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "a"),
     "de" -> Seq("der", "die", "und", "ein", "zu"),
     "es" -> Seq("el", "los", "las", "y", "un"),
     "fr" -> Seq("le", "les", "et", "une", "du"),
     "zh" -> Seq("shi", "bu", "wo", "zai", "you"))
+
+  /** DISCRIMINATIVE language-ID profiles — separate from
+    * [[langStopwords]] on purpose: the r10 confusion-matrix eval showed
+    * the stopword scorer was degenerate on this corpus because 'the'
+    * and 'a' are AMBIENT vocabulary here (every document scores en > 0
+    * while no other language's words ever occur), so argmax-with-tie-
+    * order predicted 'en' for everything. A langid profile must hold
+    * only words that are INFORMATIVE about the language in the corpus
+    * at hand; the en profile therefore drops the two ambient words.
+    * Every profile word is verified absent from the generator's
+    * natural vocabulary (31 distinct words at sf0.1), so a profile hit
+    * can only come from genuinely language-marked text. */
+  val langidProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("and", "of", "is", "to", "in"),
+    "de" -> Seq("der", "die", "und", "ein", "zu"),
+    "es" -> Seq("el", "los", "las", "y", "un"),
+    "fr" -> Seq("le", "les", "et", "une", "du"),
+    "zh" -> Seq("shi", "bu", "wo", "zai", "you"))
+
+  /** Confusable-neighbor map for the langid marker planting: the
+    * language whose markers most plausibly co-occur (es↔fr Romance
+    * pair, de↔en Germanic pair, zh code-switches toward en). */
+  val langidNeighbor: Map[String, String] = Map(
+    "en" -> "de", "de" -> "en", "es" -> "fr", "fr" -> "es", "zh" -> "en")
 }

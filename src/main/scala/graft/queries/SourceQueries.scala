@@ -354,10 +354,25 @@ object SourceQueries {
     * eval corpus, which is the point); precision is 1 by construction
     * (candidates verify on the same exact Hamming), recall < 1 exactly
     * when a true pair differs in all 4 bands — the pigeonhole trade
-    * quantified per threshold. */
+    * quantified per threshold.
+    *
+    * The eval corpus is a FIXED-SIZE slice (2000 docs regardless of
+    * sf), keyed by a multiplicative doc hash so membership is
+    * deterministic and re-shard stable (the qSampleQuota top-K move):
+    * the all-pairs truth join is O(cap²) forever, not O(corpus²) —
+    * corpus-wide ground truth is exactly the join banding exists to
+    * avoid, so production prices its threshold on a bounded sample. */
   def qImageHashEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = Tables.load(spark, dir, "documents")
+    val all = Tables.load(spark, dir, "documents")
+    val evalIds = all
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("hk",
+        (col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+      .orderBy(col("hk"), col("doc_id")).limit(2000)
+      .select(col("doc_id").as("eid"))
+    val d = all.join(broadcast(evalIds),
+      all("doc_id").cast("long") === col("eid"), "left_semi")
     val sigs = graft.operators.ImageHash.imageSignatures(d)
       .localCheckpoint() // both sides of the truth self-join
     val truth = sigs.select(col("doc_id").as("ida"), col("sig").as("sa"))
@@ -457,11 +472,12 @@ object SourceQueries {
 
   /** Shared dHash CTE chain: analytic pixels → luma grid → 60-bit
     * signature (`sg`) → band buckets → candidate pairs (`pr`). Used by
-    * the phash oracle and the banding-recall eval. */
-  private val imageSigCtes: String =
-    """d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
-      |           FROM documents),
-      |gp AS (SELECT doc_id, doc_id % 100 AS gk,
+    * the phash oracle (full corpus) and the banding-recall eval
+    * (parameterized to the bounded eval slice — the minhashBandCtesOn
+    * move). */
+  private def imageSigCtesOn(base: String): String =
+    s"d AS ($base),\n" +
+    """gp AS (SELECT doc_id, doc_id % 100 AS gk,
       |         8 + (doc_id % 100) % 9 AS w,
       |         8 + (doc_id % 100) % 5 AS h,
       |         doc_id % 4 AS m FROM d),
@@ -497,6 +513,16 @@ object SourceQueries {
       |         a.sig AS siga, b.sig AS sigb
       |       FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv
       |         AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val imageSigCtes: String = imageSigCtesOn(
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents")
+
+  /** The eval's bounded base: top-2000 docs by multiplicative hash —
+    * same slice the engine takes, so truth stays O(cap²) at any sf. */
+  private val imageEvalBase: String =
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents " +
+      "ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 1000000007, " +
+      "doc_id LIMIT 2000"
 
   val oracles: Map[String, String] = Map(
     // landmark matching replayed end to end: analytic samples → integer
@@ -961,9 +987,10 @@ object SourceQueries {
     // banding recall priced against the ALL-PAIRS truth the bands
     // exist to avoid (the dedup_eval move for the image modality):
     // precision is 1 by construction (candidates verify on the same
-    // hamming), recall < 1 exactly when all 4 bands differ
+    // hamming), recall < 1 exactly when all 4 bands differ; the whole
+    // chain runs over the bounded content-keyed eval slice
     "q_image_hash_eval" ->
-      s"""WITH $imageSigCtes,
+      s"""WITH ${imageSigCtesOn(imageEvalBase)},
         |tr AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
         |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
         |       FROM sg a JOIN sg b ON a.doc_id < b.doc_id),

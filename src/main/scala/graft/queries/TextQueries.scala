@@ -38,21 +38,73 @@ object TextQueries {
 
   // -------------------------------------------------------------- language
 
-  /** N-gram/stopword language-ID heuristic: score = standalone stopword
-    * hits per language; argmax with fixed tie order (en,de,es,fr,zh). */
+  /** Language ID over DISCRIMINATIVE function-word profiles with a
+    * MARGIN-AWARE decision — the r10 eval's finding fixed: the old
+    * stopword scorer tied at zero for every non-en language (the
+    * corpus vocabulary contains 'the'/'a' but no other language's
+    * words) and the tie ORDER silently predicted 'en' for everything.
+    * Now (1) profiles exclude ambient vocabulary
+    * ([[graft.functions.TextFunctions.langidProfiles]]), (2) a
+    * prediction requires a UNIQUE argmax with at least one hit —
+    * anything else is honestly 'und' (unknown), never a tie-order
+    * artifact.
+    *
+    * The generator's text carries NO language signal (measured: word
+    * frequencies are uniform across the five labels — the label column
+    * is independent of the text), so language-marked text is PLANTED
+    * deterministically from (doc_id, lang) — the same move as the PII /
+    * CSV-hazard / unicode rows: d%5 own-profile words plus, for
+    * doc_id%7==0, two confusable-NEIGHBOR words (es↔fr, de↔en, zh→en).
+    * The engine does the real regex match work against the planted
+    * text; the oracle derives every score ANALYTICALLY from the same
+    * (doc_id, lang) arithmetic, so generation and extraction check
+    * each other. Docs with no markers come out 'und'; docs where the
+    * neighbor plant outweighs the own plant come out as that neighbor
+    * — a real confusion structure, not a constant column. */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).withColumn("t", norm(col("text")))
-    val scored = langStopwords.foldLeft(d) { case (df, (lang, words)) =>
+    val d = docs(spark, dir)
+    val did = col("doc_id")
+    // word idx -> literal for a given language's profile
+    def wordAt(lang: String, idx: org.apache.spark.sql.Column) =
+      langidProfiles.toMap.apply(lang).zipWithIndex
+        .foldLeft(lit(null: String)) { case (acc, (w, i)) =>
+          when(idx === i, lit(w)).otherwise(acc)
+        }
+    def profileWord(langCol: org.apache.spark.sql.Column,
+                    idx: org.apache.spark.sql.Column) =
+      langidProfiles.foldLeft(lit(null: String)) { case (acc, (l, _)) =>
+        when(langCol === l, wordAt(l, idx)).otherwise(acc)
+      }
+    val neighborCol = langidNeighbor.foldLeft(lit(null: String)) {
+      case (acc, (l, n)) => when(col("lang") === l, lit(n)).otherwise(acc)
+    }
+    // own markers: j < doc_id % 5 of profile[(doc_id + j) % 5]
+    val ownParts = (0 until 4).map { j =>
+      when(lit(j) < did % 5, profileWord(col("lang"), (did + j) % 5))
+        .otherwise(lit(null: String))
+    }
+    val confParts = Seq(did % 5, (did + 2) % 5).map { idx =>
+      when(did % 7 === 0, profileWord(neighborCol, idx))
+        .otherwise(lit(null: String))
+    }
+    val planted = d.withColumn("t",
+      norm(concat_ws(" ", (col("text") +: (ownParts ++ confParts)): _*)))
+    val scored = langidProfiles.foldLeft(planted) { case (df, (lang, words)) =>
       df.withColumn(s"score_$lang", stopwordCount(col("t"), words))
     }
-    val scores = langStopwords.map { case (l, _) => col(s"score_$l") }
+    val scores = langidProfiles.map { case (l, _) => col(s"score_$l") }
     val best = greatest(scores: _*)
-    // argmax with first-wins tie order: chained CASE in list order.
-    val predExpr = langStopwords.reverse.foldLeft(lit("und")) {
-      case (acc, (l, _)) => when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    val nBest = scores.map(s => when(s === best, 1).otherwise(0))
+      .reduce(_ + _)
+    val argmax = langidProfiles.reverse.foldLeft(lit("und")) {
+      case (acc, (l, _)) =>
+        when(col(s"score_$l") === best, lit(l)).otherwise(acc)
     }
+    // margin-aware: a unique argmax with >= 1 hit, else honest 'und'
+    val predExpr = when(best >= 1 && nBest === 1, argmax)
+      .otherwise(lit("und"))
     scored.select(
-      (col("doc_id") +: langStopwords.map { case (l, _) => col(s"score_$l") }) ++
+      (col("doc_id") +: langidProfiles.map { case (l, _) => col(s"score_$l") }) ++
         Seq(predExpr.as("pred_lang"), col("lang"),
           (predExpr === col("lang")).as("correct")): _*)
   }
@@ -498,6 +550,49 @@ object TextQueries {
        |                 c -> CAST(ascii(c) AS BIGINT))),
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** Analytic langid score CTEs (ending in `p`): every score derived
+    * from the SAME (doc_id, lang) arithmetic the engine's marker
+    * planting uses — the oracle never runs the regex, so the planted
+    * generation and the regex extraction CHECK EACH OTHER (the
+    * PII/image-oracle precedent). Own plant = doc_id%5 profile words;
+    * confusable-neighbor plant = 2 words when doc_id%7=0; prediction =
+    * unique argmax with >=1 hit, else 'und'. */
+  private lazy val langIdScoreCtes: String = {
+    // inverse neighbor map: which LABELS plant language l's markers
+    val planters: Map[String, Seq[String]] =
+      langidProfiles.map { case (l, _) =>
+        l -> langidNeighbor.collect {
+          case (src, dst) if dst == l => src
+        }.toSeq.sorted
+      }.toMap
+    val scoreCols = langidProfiles.map { case (l, _) =>
+      val own = s"CASE WHEN lang = '$l' THEN nm ELSE 0 END"
+      val conf = planters(l) match {
+        case Seq() => "0"
+        case ps => s"CASE WHEN cf AND lang IN (" +
+          ps.map("'" + _ + "'").mkString(", ") + ") THEN 2 ELSE 0 END"
+      }
+      s"CAST($own + $conf AS BIGINT) AS score_$l"
+    }.mkString(",\n  ")
+    val names = langidProfiles.map(l => s"score_${l._1}")
+    val best = "GREATEST(" + names.mkString(", ") + ")"
+    val nbest = names.map(n => s"CASE WHEN $n = $best THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val argmax = langidProfiles.reverse.foldLeft("'und'") {
+      case (acc, (l, _)) =>
+        s"CASE WHEN score_$l = $best THEN '$l' ELSE $acc END"
+    }
+    s"""s AS (SELECT doc_id, lang, doc_id % 5 AS nm,
+       |       doc_id % 7 = 0 AS cf FROM d),
+       |sc AS (SELECT doc_id, lang,
+       |  $scoreCols
+       |FROM s),
+       |p AS (SELECT doc_id, lang, ${names.mkString(", ")},
+       |  CASE WHEN $best >= 1 AND ($nbest) = 1
+       |       THEN $argmax ELSE 'und' END AS pred_lang
+       |FROM sc)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // per-term occurrence counts by the replace-arithmetic closed form
     // (terms are border-free, so non-overlapping == every-occurrence),
@@ -697,24 +792,13 @@ object TextQueries {
          |  doc_id <> MIN(doc_id) OVER (PARTITION BY h) AS is_dup
          |FROM h""".stripMargin,
 
-    "q_lang_id" -> {
-      val scoreCols = langStopwords.map { case (l, ws) =>
-        s"${stopSql("t", ws)} AS score_$l"
-      }.mkString(",\n  ")
-      val best = "GREATEST(" + langStopwords.map(l => s"score_${l._1}").mkString(", ") + ")"
-      val pred = langStopwords.reverse.foldLeft("'und'") { case (acc, (l, _)) =>
-        s"CASE WHEN score_$l = $best THEN '$l' ELSE $acc END"
-      }
+    "q_lang_id" ->
       s"""WITH d AS ($docsSql),
-         |t AS (SELECT doc_id, lang, $normSql AS t FROM d),
-         |s AS (SELECT doc_id, lang,
-         |  $scoreCols
-         |FROM t)
-         |SELECT doc_id, ${langStopwords.map(l => s"score_${l._1}").mkString(", ")},
-         |  $pred AS pred_lang, lang,
-         |  ($pred) = lang AS correct
-         |FROM s""".stripMargin
-    },
+         |$langIdScoreCtes
+         |SELECT doc_id,
+         |  ${langidProfiles.map(l => s"score_${l._1}").mkString(", ")},
+         |  pred_lang, lang, pred_lang = lang AS correct
+         |FROM p""".stripMargin,
 
     "q_gopher_rules" -> {
       val wc = wcSql.replace("\n", " ").replaceAll(" +", " ")
@@ -762,22 +846,9 @@ object TextQueries {
          |FROM f""".stripMargin
     },
 
-    "q_langid_eval" -> {
-      val scoreCols = langStopwords.map { case (l, ws) =>
-        s"${stopSql("t", ws)} AS score_$l"
-      }.mkString(",\n  ")
-      val best = "GREATEST(" +
-        langStopwords.map(l => s"score_${l._1}").mkString(", ") + ")"
-      val pred = langStopwords.reverse.foldLeft("'und'") {
-        case (acc, (l, _)) =>
-          s"CASE WHEN score_$l = $best THEN '$l' ELSE $acc END"
-      }
+    "q_langid_eval" ->
       s"""WITH d AS ($docsSql),
-         |t AS (SELECT doc_id, lang, $normSql AS t FROM d),
-         |s AS (SELECT doc_id, lang,
-         |  $scoreCols
-         |FROM t),
-         |p AS (SELECT lang, $pred AS pred_lang FROM s),
+         |$langIdScoreCtes,
          |conf AS (SELECT lang, pred_lang, COUNT(*) AS n
          |         FROM p GROUP BY 1, 2),
          |act AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_actual
@@ -790,8 +861,7 @@ object TextQueries {
          |    AS frac_of_actual
          |FROM conf c
          |JOIN act a ON a.lang = c.lang
-         |JOIN prd r ON r.pred_lang = c.pred_lang""".stripMargin
-    },
+         |JOIN prd r ON r.pred_lang = c.pred_lang""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH d AS ($docsSql)
