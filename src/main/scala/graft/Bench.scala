@@ -13,6 +13,38 @@ object Bench {
   private def exec(df: org.apache.spark.sql.DataFrame): Long =
     df.queryExecution.toRdd.count()
 
+  /** Quiet-box floors for the two canary probes, measured min-of-6 on
+    * an idle box (r11: cpu 0.09-0.13 s once JIT-warm, shuffle
+    * 0.28-0.39 s; the min-of-2 below discards the first call's one-off
+    * Janino+JIT cost). The canary defends the WHOLE-RUN number: the
+    * per-query min-of-3 logic absorbs per-query noise but not run-long
+    * box contention — BENCH_r10 shipped 187.78 s (warm pass 217.7 s vs
+    * 118.8 s two commits earlier) with three queries inflated 3-16x,
+    * and nothing in the record said so. */
+  private val CpuFloorSec = 0.15
+  private val ShufFloorSec = 0.35
+
+  /** Two fixed corpus-independent probes, min-of-2 each: a pure
+    * codegen CPU loop and a small shuffle. Run at START and END of the
+    * measured pass; either exceeding 2x its floor marks the emitted
+    * JSON `"contended": true` — a contended-box total can never again
+    * ship looking like a clean record. */
+  private def canary(spark: SparkSession): (Double, Double) = {
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def cpu(): Unit = {
+      exec(spark.range(1L << 26).selectExpr("sum(id * id % 1000000007) AS s")); ()
+    }
+    def shuf(): Unit = {
+      exec(spark.range(1L << 22).selectExpr("id % 4096 AS k")
+        .groupBy("k").count()); ()
+    }
+    val c1 = math.min(t(cpu()), t(cpu()))
+    val c2 = math.min(t(shuf()), t(shuf()))
+    (c1, c2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -46,6 +78,7 @@ object Bench {
         spark.catalog.clearCache()
     }
     val warmSec = (System.nanoTime() - tWarm0) / 1e9
+    val (cs1, cs2) = canary(spark)
     // Same-commit runs on this box have differed 2.1x end-to-end (59 s vs
     // 125 s) with untouched single queries swinging up to 12x — CPU
     // contention noise, not code. Queries over 1 s therefore run up to 3
@@ -89,6 +122,9 @@ object Bench {
         }
       }
     }
+    val (ce1, ce2) = canary(spark)
+    val contended = cs1 > 2 * CpuFloorSec || cs2 > 2 * ShufFloorSec ||
+      ce1 > 2 * CpuFloorSec || ce2 > 2 * ShufFloorSec
     // truncate the RAW message BEFORE escaping (a cut can't split an
     // escape pair), then escape quotes, backslashes and ALL control chars
     def jstr(s: String): String =
@@ -112,7 +148,8 @@ object Bench {
     }.mkString("{", ",", "}")
     // only successful timings count toward the headline total
     val total = results.collect { case (_, v, None) => v }.sum
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","warmed":$warmed,"warm_sec":${num(warmSec)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val cjson = s"""{"start":[${num(cs1)},${num(cs2)}],"end":[${num(ce1)},${num(ce2)}],"floors":[${num(CpuFloorSec)},${num(ShufFloorSec)}]}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","warmed":$warmed,"warm_sec":${num(warmSec)},"contended":$contended,"canary":$cjson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with [info], which can defeat line-level JSON
     // parsing downstream — also drop the bare line in a file.
@@ -133,7 +170,7 @@ object Bench {
     val qt = results.map { case (_, v, _) => snum(v) }
       .mkString("[", ",", "]")
     val nerr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"warm_sec":${num(warmSec)},"err_n":$nerr,"key_order":"sorted(queries.keys)","qt":$qt,"queries_full":"BENCH_LATEST.json"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"warm_sec":${num(warmSec)},"err_n":$nerr,"contended":$contended,"key_order":"sorted(queries.keys)","qt":$qt,"queries_full":"BENCH_LATEST.json"}""")
     spark.stop()
   }
 }

@@ -3,14 +3,17 @@ package graft.dev
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 1x / 4x / 16x scaling probe for the trigram similarity join
-  * (Analytics.entityResolveFrom) — dev tool, not part of the library.
+/** 1x / 4x / 16x scaling probe for the entity-resolution similarity
+  * join (Analytics.entityResolveFrom) — dev tool, not part of the
+  * library.
   *
-  * Copy hygiene: each copy's names get their DIGITS remapped by a
-  * per-copy permutation, so copies occupy (mostly) disjoint trigram
-  * spaces and the true candidate count stays ~linear — without it every
-  * copy's 'customer#…' grams would collide and the candidate join would
-  * grow quadratically by construction rather than by behavior. */
+  * Copy hygiene: each copy's names get a copy-unique TAG CHARACTER
+  * interleaved after every name char, so every blocking gram of copy i
+  * contains tag i and cross-copy grams can NEVER collide — the true
+  * candidate count stays ~linear. (An earlier digit-permutation scheme
+  * was not disjoint: all copies shared the digit alphabet, df grew
+  * linearly and the candidate join went quadratic by construction
+  * rather than by behavior.) */
 object ProfileEntity {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -44,6 +44,16 @@ object AhoCorasick {
   def build(terms: Seq[String]): Automaton = {
     require(terms.nonEmpty && terms.size <= 63,
       "AhoCorasick: 1..63 terms (hit mask is a Long)")
+    // the ASCII contract FAILS FAST here instead of mid-construction:
+    // state tables are sized by CHAR counts while trie insertion walks
+    // UTF-8 BYTES, and maxLenEnd mixes char lengths with byte scan
+    // positions — a non-ASCII term would overflow the tables and skew
+    // first_pos. (Scan INPUT may be any UTF-8; first_pos is then a
+    // byte offset — equal to the char position whenever the text
+    // preceding the match is ASCII.)
+    require(terms.forall(_.forall(_ < 0x80)),
+      "AhoCorasick: terms must be ASCII (tables are char-sized but " +
+        "insertion is per UTF-8 byte)")
     val maxStates = terms.map(_.length).sum + 1
     val gotoTab = Array.fill(maxStates)(Array.fill(256)(-1))
     val endCount = new Array[Int](maxStates)
@@ -110,8 +120,12 @@ object AhoCorasick {
 }
 
 /** Blocklist scan of one string column: struct(n_hits, n_terms,
-  * first_pos). first_pos is the 1-based start of the earliest match
-  * over all terms (the oracle's min-over-strpos), 0 when clean. */
+  * first_pos). first_pos is the 1-based BYTE offset of the earliest
+  * match over all terms, 0 when clean — it equals the oracle's
+  * character strpos exactly when the text before the match is ASCII
+  * (true for this corpus, asserted by q_normalize_unicode's note);
+  * non-ASCII text ahead of a match would shift it by the extra
+  * continuation bytes. */
 case class BlocklistScan(child: Expression, terms: Seq[String])
     extends UnaryExpression {
 

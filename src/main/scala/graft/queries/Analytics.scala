@@ -314,14 +314,25 @@ object Analytics {
   /** Fuzzy entity resolution — the similarity JOIN relational engines
     * don't have: a dirty registry (every customer name with one char
     * deterministically deleted inside its numeric suffix) matched back
-    * to the master by trigram Jaccard. The scale move is ed-join/ppjoin
-    * PREFIX FILTERING reduced to its df-cap core: candidate pairs come
-    * ONLY from trigrams rare on the master side (df ≤ 25) — the shared
-    * "customer#0..." prefix trigrams are stop-grams carrying no signal
-    * and would otherwise cross-join the tables — then the EXACT Jaccard
-    * over full trigram sets scores candidates and a k=1 bounded heap
-    * picks the match (round-4 before rank, ties to the lower key).
-    * Never all-pairs; the posting join moves only rare-gram rows. */
+    * to the master by blocked candidate generation + edit-distance
+    * verification. The scale move is ed-join/ppjoin PREFIX FILTERING:
+    * candidate pairs come ONLY from each record's globally-RAREST
+    * blocking 5-grams — the shared "customer#0..." prefix grams are
+    * stop-grams carrying no signal and would otherwise cross-join the
+    * tables — then candidates verify by EXACT Levenshtein distance
+    * (r11: the r10 trigram-set Jaccard verification lost 158/1500 at
+    * sf0.01 because DISTINCT trigram sets collapse the zero-runs in
+    * ID-like suffixes — "00000086" and "000000006" look near-identical
+    * as sets; true edit distance restores run-length sensitivity and
+    * the true twin sits at exactly lev=1 by construction), with
+    * trigram Jaccard as the tie-break inside equal-lev candidates and
+    * ckey as the final tie. A SECOND-CHANCE pass re-blocks only the
+    * records whose first candidates contain no lev<=1 match, on a
+    * DIFFERENT key — the clean structured tail (multi-pass blocking,
+    * the standard record-linkage design) — the production shape: a
+    * cheap first pass for the 97%, a bounded fallback for the
+    * residual, never K x corpus probes for everyone. Never
+    * all-pairs. */
   def qEntityResolve(spark: SparkSession, dir: String): DataFrame =
     entityResolveFrom(Tables.load(spark, dir, "customer"))
 
@@ -329,7 +340,7 @@ object Analytics {
     * the 16x scaling probe (dev.ProfileEntity) can drive synthetic
     * copies through the identical plan. */
   def entityResolveFrom(customer: DataFrame): DataFrame = {
-    val PrefixK = 4 // rarest grams probed per dirty record
+    val PrefixK = 4 // rarest grams probed per dirty record, pass 1
     val c = customer
       .select(col("c_custkey").cast("long").as("ckey"),
         // multi-field entity string — real ER concatenates fields; the
@@ -342,62 +353,144 @@ object Analytics {
     val dirty = c.select(col("ckey").as("rid"),
       concat(substring(col("name"), lit(1), p - 1),
         substring(col("name"), p + 1, lit(64))).as("name"))
-    // gram SETS are row-local array expressions (no shuffle to build):
-    // trigrams for the exact-Jaccard verification, 5-grams for the
-    // BLOCKING layer — longer blocking grams because this corpus's
-    // trigram space is so low-entropy that even the rarest trigrams
-    // carry df ~140 at sf0.1 (7.6M candidate pairs, 55 s); 5-gram
-    // blocks cut candidates 14x (552K) at a measured ~90% true-twin
-    // recall ceiling, matching the trigram path's end accuracy
+    // blocking grams are 5-GRAMS: this corpus's trigram space is so
+    // low-entropy that even the rarest trigrams carry df ~140 at sf0.1
+    // (7.6M candidate pairs, 55 s); 5-gram blocks cut candidates 14x
     def gramArr(df: DataFrame, id: String, q: Int): DataFrame = df
-      .select(col(id), array_distinct(transform(
+      .select(col(id), col("name"), array_distinct(transform(
         sequence(lit(1), greatest(length(col("name")) - (q - 1),
           lit(1))),
         i => substring(col("name"), i.cast("int"), lit(q)))).as("gs"))
-    // single-consumer frames (verification only) — no lineage cut
+    // verification frames carry the raw name (for levenshtein) and the
+    // trigram set (for the Jaccard tie-break) — row-local projections
+    // of the checkpointed base, cheap for both passes
     val cArr = gramArr(c.select(col("ckey"), col("name")), "ckey", 3)
+      .select(col("ckey"), col("name").as("cn"), col("gs").as("gs_c"))
     val dArr = gramArr(dirty, "rid", 3)
+      .select(col("rid"), col("name").as("dn"), col("gs"))
+    // blocking grams are ENCODED to a long (5 ASCII chars pack exactly
+    // into 35 bits, preserving lexicographic order) so the posting
+    // join, the df aggregate and the probe heap all run on primitive
+    // keys; postings carry the string LENGTH for the ed-join length
+    // filter
+    def enc(g: org.apache.spark.sql.Column) =
+      ((((ascii(substring(g, 1, 1)) * 128L
+        + ascii(substring(g, 2, 1))) * 128L
+        + ascii(substring(g, 3, 1))) * 128L
+        + ascii(substring(g, 4, 1))) * 128L
+        + ascii(substring(g, 5, 1))).cast("long")
     val cg5 = gramArr(c.select(col("ckey"), col("name")), "ckey", 5)
-      .select(col("ckey"), explode(col("gs")).as("g"))
+      .select(col("ckey"), length(col("name")).cast("long").as("cl"),
+        explode(col("gs")).as("g"))
+      .select(col("ckey"), col("cl"), enc(col("g")).as("ge"))
       .localCheckpoint() // df table + candidate join
     val dg5 = gramArr(dirty, "rid", 5)
-      .select(col("rid"), explode(col("gs")).as("g"))
+      .select(col("rid"), length(col("name")).cast("long").as("dl"),
+        explode(col("gs")).as("g"))
+      .select(col("rid"), col("dl"), enc(col("g")).as("ge"))
     // per-RECORD prefix filter (the ppjoin scheme), not a global df
-    // cap: each dirty record probes with its PrefixK globally-rarest
-    // blocking grams. The 16x probe (dev.ProfileEntity) caught the
-    // original absolute df<=25 cap going stale — at 4x corpus every
-    // gram exceeded it and the candidate set silently emptied; a
-    // per-record prefix stays meaningful at any corpus size because
-    // rarity is RELATIVE.
-    val dfTab = cg5.groupBy("g").agg(count(lit(1)).as("df"))
-    val wRid = Window.partitionBy("rid").orderBy(col("df"), col("g"))
-    val probes = dg5.join(dfTab, Seq("g"))
-      .withColumn("rn", row_number().over(wRid))
-      .filter(col("rn") <= PrefixK).select(col("rid"), col("g"))
-    val cand = probes.join(cg5, Seq("g"))
-      .select(col("rid"), col("ckey")).distinct()
-    // verification is ROW-LOCAL set arithmetic on the attached arrays —
-    // two equi-joins on the id keys, no per-gram three-way join (the
-    // gram tables are entity-sized, so AQE broadcasts them here; at
-    // scale the same equi-joins hash-partition on the ids)
-    val scored = cand.join(dArr, Seq("rid")).join(
-        cArr.select(col("ckey"), col("gs").as("gs_c")), Seq("ckey"))
+    // cap: each dirty record probes with its globally-rarest blocking
+    // grams. The 16x probe (dev.ProfileEntity) caught the original
+    // absolute df<=25 cap going stale — at 4x corpus every gram
+    // exceeded it and the candidate set silently emptied; a per-record
+    // prefix stays meaningful at any corpus size because rarity is
+    // RELATIVE.
+    // per-record rarest-K selection as the bounded-heap TopKAgg, not a
+    // row_number window (the §5 rule: the heap map-side-combines to K
+    // rows per (partition x rid) where the window sorts every posting
+    // through one exchange); (df, encoded-gram) ordering == the
+    // oracle's (df, gram-string) ordering for equal-length ASCII grams
+    val dfTab = cg5.groupBy("ge").agg(count(lit(1)).as("df"))
+    val probesAll = dg5.join(dfTab, Seq("ge"))
+      .groupBy("rid", "dl")
+      .agg(graft.functions.TopKAgg(col("df").cast("double"), col("ge"),
+        col("ge"), PrefixK).as("beam"))
+      .select(col("rid"), col("dl"), explode(col("beam")).as("b"))
+      .select(col("rid"), col("dl"), col("b").getField("payload")
+        .as("ge"))
+    // verification is ROW-LOCAL: levenshtein on the raw names + set
+    // arithmetic on the attached trigram arrays — two equi-joins on
+    // the id keys, no per-gram three-way join (the gram tables are
+    // entity-sized, so AQE broadcasts them here; at scale the same
+    // equi-joins hash-partition on the ids)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(dArr, Seq("rid"))
+      .join(cArr, Seq("ckey"))
       .select(col("rid"), col("ckey"),
+        levenshtein(col("dn"), col("cn")).cast("double").as("lev"),
         size(array_intersect(col("gs"), col("gs_c"))).cast("long")
           .as("shared"),
         size(col("gs")).cast("long").as("nb"),
         size(col("gs_c")).cast("long").as("na"))
-      .select(col("rid"), col("ckey"),
+      .select(col("rid"), col("ckey"), col("lev"),
         round(col("shared").cast("double")
           / (col("na") + col("nb") - col("shared")).cast("double"), 4)
           .as("jac"))
-    scored.groupBy("rid")
-      .agg(graft.functions.TopKAgg(-col("jac"), col("ckey"), col("ckey"),
-        1).as("tk"))
+    // ed-join LENGTH FILTER at candidate generation (both passes):
+    // lev >= |Δlen|, and every final winner sits at lev = 1 (the twin
+    // is one deletion away; a rival can only beat it at lev = 1 too),
+    // so pairs with |Δlen| > 1 can never win — dropping them changes
+    // no output row and cuts the lev+intersect verification volume
+    val cand1 = probesAll
+      .join(cg5, Seq("ge"))
+      .filter(abs(col("dl") - col("cl")) <= 1)
+      .select(col("rid"), col("ckey")).distinct()
+    // rank by (lev asc, jac desc, ckey asc): the composite key keeps
+    // lev dominant (lev*2 > any 1-jac delta) and 1-jac is monotone in
+    // jac with round-4 spacing far above double ulp — same order the
+    // oracle's ORDER BY lev, jac DESC, ckey produces. Winner (lev,
+    // jac) DECODE from the key: floor(k/2) recovers lev exactly and
+    // round-4 absorbs the one-ulp addition error in 1-(k-2*lev).
+    val keyOf = (d: DataFrame) => d.groupBy("rid")
+      .agg(graft.functions.TopKAgg(
+        col("lev") * 2 + (lit(1.0) - col("jac")), col("ckey"),
+        col("ckey"), 1).as("tk"))
       .select(col("rid"),
         element_at(col("tk"), 1).getField("payload").as("matched_key"),
-        (-element_at(col("tk"), 1).getField("key")).as("jac"))
-      .withColumn("hit", col("matched_key") === col("rid"))
+        element_at(col("tk"), 1).getField("key").as("k"))
+    // ONE scoring pass over pass-1 candidates straight into the k=1
+    // heap — the winner row is the only pass-1 state the rescue needs,
+    // so the full scored table is never materialized or re-read
+    val best1 = keyOf(score(cand1))
+      .localCheckpoint() // done/retry split + retry re-rank rows
+    // second chance: rids whose pass-1 winner is not lev<=1 (blocking
+    // missed the twin, or no candidates survived at all) — a small
+    // set, so the extra work is bounded by the residual, not the
+    // corpus. The rescue BLOCKS ON A DIFFERENT KEY (multi-pass
+    // blocking, the standard record-linkage design): the corruption
+    // sits inside the name field, so the record's TAIL — the clean
+    // structured fields (mktsegment + nation) — is intact; right(name,
+    // 12) covers the shortest tail exactly and buckets retry records
+    // with the masters sharing their clean fields. Rank 5-8 gram
+    // probes were measured 1.2-1.8M candidate pairs at sf0.1 (the
+    // rarest-gram ranking runs out of signal exactly when blocking
+    // missed); the tail block is ~retry x bucket-size.
+    val retryIds = dirty.select(col("rid"))
+      .join(best1.filter(col("k") < 4.0).select("rid"),
+        Seq("rid"), "left_anti")
+    val cand2 = dirty.join(retryIds, Seq("rid"))
+      .select(col("rid"), length(col("name")).cast("long").as("dl"),
+        expr("right(name, 12)").as("tk"))
+      .join(c.select(col("ckey"), length(col("name")).cast("long")
+        .as("cl"), expr("right(name, 12)").as("tk")), Seq("tk"))
+      .filter(abs(col("dl") - col("cl")) <= 1)
+      .select(col("rid"), col("ckey"))
+    // retry re-rank: the pass-1 winner re-enters as a candidate row
+    // beside the fresh tail-block scores (a duplicate of a cand2 pair
+    // is harmless — identical (key, tie) can't change a k=1 heap), so
+    // no pass-1 re-score and no disjointness anti-join are needed
+    val retryRows = best1.filter(col("k") >= 4.0)
+      .select(col("rid"), col("matched_key").as("ckey"),
+        floor(col("k") / 2).cast("double").as("lev"),
+        round(lit(1.0) - (col("k") - floor(col("k") / 2) * 2), 4)
+          .as("jac"))
+    val best2 = keyOf(score(cand2).unionByName(retryRows))
+    best1.filter(col("k") < 4.0).unionByName(best2)
+      .select(col("rid"), col("matched_key"),
+        floor(col("k") / 2).cast("long").as("lev"),
+        round(lit(1.0) - (col("k") - floor(col("k") / 2) * 2), 4)
+          .as("jac"),
+        (col("matched_key") === col("rid")).as("hit"))
   }
 
   /** Cascading delete (right-to-be-forgotten): customers with
@@ -660,9 +753,11 @@ object Analytics {
         |  (SELECT COUNT(*) FROM li) - (SELECT COUNT(*) FROM keepli),
         |  (SELECT COUNT(*) FROM keepli),
         |  (SELECT COUNT(*) FROM orphli)""".stripMargin,
-    // the dirty registry, the trigram postings, the df-cap candidate
-    // prune and the exact-Jaccard scoring all replayed; best match by
-    // the same (jac desc, key) rule as the engine's k=1 heap
+    // the dirty registry, the rarest-prefix blocking (+ length
+    // filter), the clean-tail second-chance pass for rids holding no
+    // lev<=1 candidate, the exact Levenshtein verification and the
+    // Jaccard tie-break all replayed; best match by the same (lev,
+    // jac desc, ckey) rule as the engine's k=1 heap
     "q_entity_resolve" ->
       """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
         |             lower(c_name || ' ' || c_mktsegment || ' n'
@@ -678,21 +773,35 @@ object Analytics {
         |dgm AS (SELECT DISTINCT rid, substr(name, CAST(i AS INT), 3) AS g
         |        FROM dirty, LATERAL (SELECT unnest(generate_series(1,
         |          greatest(len(name) - 2, 1))) AS i) u),
-        |cg5 AS (SELECT DISTINCT ckey, substr(name, CAST(i AS INT), 5)
-        |          AS g
+        |cg5 AS (SELECT DISTINCT ckey, len(name) AS cl,
+        |          substr(name, CAST(i AS INT), 5) AS g
         |        FROM c, LATERAL (SELECT unnest(generate_series(1,
         |          greatest(len(name) - 4, 1))) AS i) u),
-        |dg5 AS (SELECT DISTINCT rid, substr(name, CAST(i AS INT), 5)
-        |          AS g
+        |dg5 AS (SELECT DISTINCT rid, len(name) AS dl,
+        |          substr(name, CAST(i AS INT), 5) AS g
         |        FROM dirty, LATERAL (SELECT unnest(generate_series(1,
         |          greatest(len(name) - 4, 1))) AS i) u),
         |dfr AS (SELECT g, COUNT(*) AS df FROM cg5 GROUP BY 1),
-        |probes AS (SELECT rid, g FROM (
-        |    SELECT d.rid, d.g, ROW_NUMBER() OVER (PARTITION BY d.rid
-        |      ORDER BY f.df, d.g) AS rn
+        |pr AS (SELECT rid, g, dl FROM (
+        |    SELECT d.rid, d.g, d.dl, ROW_NUMBER() OVER (PARTITION BY
+        |      d.rid ORDER BY f.df, d.g) AS rn
         |    FROM dg5 d JOIN dfr f ON f.g = d.g) z WHERE rn <= 4),
-        |cand AS (SELECT DISTINCT p.rid, c2.ckey
-        |         FROM probes p JOIN cg5 c2 ON c2.g = p.g),
+        |cand1 AS (SELECT DISTINCT p.rid, c2.ckey
+        |          FROM pr p JOIN cg5 c2 ON c2.g = p.g
+        |          WHERE abs(p.dl - c2.cl) <= 1),
+        |lv1 AS (SELECT cd.rid, cd.ckey,
+        |          levenshtein(d.name, c2.name) AS lev
+        |        FROM cand1 cd JOIN dirty d ON d.rid = cd.rid
+        |        JOIN c c2 ON c2.ckey = cd.ckey),
+        |retry AS (SELECT rid FROM dirty WHERE rid NOT IN (
+        |            SELECT rid FROM lv1 WHERE lev <= 1)),
+        |cand2 AS (SELECT d.rid, c2.ckey
+        |          FROM dirty d JOIN retry r ON r.rid = d.rid
+        |          JOIN c c2 ON right(c2.name, 12) = right(d.name, 12)
+        |           AND abs(len(d.name) - len(c2.name)) <= 1
+        |          EXCEPT SELECT rid, ckey FROM cand1),
+        |cand AS (SELECT rid, ckey FROM cand1
+        |         UNION SELECT rid, ckey FROM cand2),
         |na AS (SELECT ckey, COUNT(*) AS na FROM cg GROUP BY 1),
         |nb AS (SELECT rid, COUNT(*) AS nb FROM dgm GROUP BY 1),
         |sh AS (SELECT cd.rid, cd.ckey, COUNT(*) AS shared
@@ -700,14 +809,18 @@ object Analytics {
         |       JOIN cg c2 ON c2.ckey = cd.ckey AND c2.g = d.g
         |       GROUP BY 1, 2),
         |sc AS (SELECT sh.rid, sh.ckey,
+        |         levenshtein(dd.name, cc.name) AS lev,
         |         ROUND(CAST(shared AS DOUBLE)
         |           / CAST(na.na + nb.nb - shared AS DOUBLE), 4) AS jac
         |       FROM sh JOIN na ON na.ckey = sh.ckey
-        |       JOIN nb ON nb.rid = sh.rid),
-        |b AS (SELECT rid, ckey, jac, ROW_NUMBER() OVER (
-        |        PARTITION BY rid ORDER BY jac DESC, ckey) AS rn
+        |       JOIN nb ON nb.rid = sh.rid
+        |       JOIN dirty dd ON dd.rid = sh.rid
+        |       JOIN c cc ON cc.ckey = sh.ckey),
+        |b AS (SELECT rid, ckey, lev, jac, ROW_NUMBER() OVER (
+        |        PARTITION BY rid ORDER BY lev, jac DESC, ckey) AS rn
         |      FROM sc)
-        |SELECT rid, ckey AS matched_key, jac, ckey = rid AS hit
+        |SELECT rid, ckey AS matched_key, CAST(lev AS BIGINT) AS lev,
+        |  jac, ckey = rid AS hit
         |FROM b WHERE rn = 1""".stripMargin,
     "q_rolling_revenue" ->
       """WITH o AS (
