@@ -22,12 +22,13 @@ import org.apache.spark.sql.functions._
   *    log2_max_frame_num_minus4 + 4 FROM THE SPS, so slices are
   *    unparseable without carrying parameter-set state.
   *
-  * The macroblock/residual payload stays out (DSP, same boundary the
-  * MP3 walker draws at its subband floor) — slice RBSP beyond the
-  * header is opaque payload whose escaped length is measured, not
-  * decoded. Reference analogue: none (gpd_lite_toolbox is
-  * geometry-only); this is the engine's video member of the multimodal
-  * family (SURVEY §2).
+  * The STRUCTURE clip ([[synthH264Bytes]]) keeps slice RBSP beyond the
+  * header as opaque payload; the MACROBLOCK clip
+  * ([[synthH264MbBytes]]/[[decodeH264Mb]], r11) decodes the slice data
+  * itself — I_16x16 DC-prediction macroblocks with CAVLC residuals on
+  * a constrained corpus (see the macroblock section below). Reference
+  * analogue: none (gpd_lite_toolbox is geometry-only); this is the
+  * engine's video member of the multimodal family (SURVEY §2).
   *
   * Scale: generation + parse are row-local (mapPartitions, no state
   * across docs, no shuffle) — the plan is scan -> flatMap, embarrassing
@@ -90,6 +91,10 @@ object H264 {
       val k = ue()
       if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
     }
+    /** Consume the zero pad after a stop bit, requiring every
+      * remaining bit to be zero — full-stream accounting. */
+    def drainZeroPad(): Unit =
+      while (pos < rbsp.length * 8) require(bit() == 0, "h264: pad bit")
   }
 
   // ------------------------------------------- emulation prevention
@@ -304,6 +309,286 @@ object H264 {
     implicit val encF = Encoders.product[H264Features]
     docs.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.map(d => decodeH264(d, synthH264Bytes(d))))
+      .toDF()
+  }
+
+  // ================================================== macroblock layer
+  //
+  // The r10 verdict's one remaining codec stub: the slice DATA below
+  // the header. Scope is the JPEG/MP3 move — a CONSTRAINED stream
+  // that makes every spec mechanism real while the corpus pins it
+  // bit-exactly:
+  //
+  //  - one IDR picture per clip, ONE SLICE PER MACROBLOCK ROW, so
+  //    intra prediction and CAVLC nC contexts exercise the REAL
+  //    availability rules (top neighbor always in another slice =>
+  //    unavailable; left available except at row start) while the
+  //    reconstruction chain stays a per-row recurrence the DuckDB
+  //    oracle can unroll;
+  //  - every macroblock is I_16x16 with DC luma prediction (mb_type 3
+  //    = Intra_16x16_2_0_0: pred mode 2, CodedBlockPatternChroma 0,
+  //    CodedBlockPatternLuma 0), so the residual is EXACTLY the
+  //    Intra16x16DCLevel 4x4 block — always coded for I_16x16;
+  //  - each DC block holds AT MOST ONE nonzero coefficient, placed at
+  //    a doc-derived zig-zag position with a doc-derived signed level.
+  //    That constraint keeps every neighbor's TotalCoeff <= 1, so nC
+  //    = (nA+nB+1)>>1 stays < 2 and the single 0<=nC<2 coeff_token
+  //    table covers the corpus — while still exercising the
+  //    trailing-one sign path (|level| 1), both level_prefix escape
+  //    tiers (level_prefix 14 + 4-bit suffix and 15 + 12-bit suffix),
+  //    the full TotalCoeff=1 total_zeros VLC column, and the empty
+  //    block token;
+  //  - reconstruction is the spec arithmetic end to end: 4x4 DC
+  //    Hadamard (8.5.10), LevelScale4x4(qP%6,0,0) requantization with
+  //    the qP<36 rounding branch, the DC-only inverse core transform
+  //    collapse ((dc+32)>>6 uniform over the 4x4 block, 8.5.12), DC
+  //    prediction from the left macroblock's reconstructed right
+  //    column (mean+8>>4 left-only form; 128 at row start), Clip1.
+  //
+  // run_before never occurs with one coefficient per block (runs are
+  // coded for i < TotalCoeff-1 only) — that table is the one CAVLC
+  // piece this corpus cannot pin, stated here rather than stubbed.
+
+  case class H264MbRow(doc_id: Long, mbx: Long, mby: Long, tc: Long,
+                       lvl: Long, pos: Long, n_c: Long, pred: Long,
+                       recon_sum: Long, rc_sum: Long)
+
+  /** Zig-zag scan of a 4x4 block: index -> (row, col) (Table 8-13). */
+  private val ZigZag4x4: Array[(Int, Int)] = Array(
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3))
+
+  /** The 4x4 DC transform matrix of 8.5.10 (symmetric, entries ±1). */
+  private val Had4: Array[Array[Int]] = Array(
+    Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+    Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+
+  /** LevelScale4x4(m, 0, 0) — normAdjust4x4 position (0,0). */
+  private val LevelScaleDc: Array[Int] = Array(10, 11, 13, 14, 16, 18)
+
+  /** total_zeros VLC, TotalCoeff = 1 column (Table 9-7). */
+  private val TotalZeros1: Array[String] = Array(
+    "1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+    "000010", "0000011", "0000010", "00000011", "00000010",
+    "000000011", "000000010", "000000001")
+
+  // per-MB analytic parameters (idx = raster index mby*W + mbx)
+  private def mbTc(d: Long, idx: Long): Long =
+    if ((d + idx) % 5 == 0) 0 else 1
+  private def mbPos(d: Long, idx: Long): Long = (d + idx * 7) % 16
+  private def mbLvl(d: Long, idx: Long): Long = {
+    if (mbTc(d, idx) == 0) 0
+    else {
+      val base = (d + idx * 3) % 24
+      val sgn = if ((d + idx) % 2 == 0) 1L else -1L
+      // base%4==0 -> ±1 (trailing-one path); else 2+3*base spans
+      // magnitudes 5..71, covering level_prefix<14 (mag<=8), the
+      // prefix-14 + 4-bit tier (9..16) and the 15 + 12-bit tier (17+)
+      if (base % 4 == 0) sgn else sgn * (2 + base * 3)
+    }
+  }
+
+  private def putBitString(w: BitWriter, s: String): Unit =
+    s.foreach(c => w.putBit(c - '0'))
+
+  /** CAVLC-encode one Intra16x16DCLevel block with <=1 coefficient. */
+  private def writeDcBlock(w: BitWriter, tc: Long, lvl: Long,
+                           pos: Long): Unit = {
+    if (tc == 0) { w.putBit(1); return } // coeff_token (0,0), nC<2
+    val mag = math.abs(lvl)
+    if (mag == 1) {
+      putBitString(w, "01") // coeff_token (T1s=1, TC=1)
+      w.putBit(if (lvl < 0) 1 else 0) // trailing-one sign
+    } else {
+      putBitString(w, "000101") // coeff_token (T1s=0, TC=1)
+      // level coding, suffixLength=0; first level after <3 trailing
+      // ones gets levelCode -= 2 (§9.2.2.1)
+      val levelCode = (if (lvl > 0) 2 * mag - 2 else 2 * mag - 1) - 2
+      if (levelCode < 14) { w.putBits(0L, levelCode.toInt); w.putBit(1) }
+      else if (levelCode < 30) {
+        w.putBits(0L, 14); w.putBit(1); w.putBits(levelCode - 14, 4)
+      } else {
+        require(levelCode - 30 < 4096, "h264mb: level out of range")
+        w.putBits(0L, 15); w.putBit(1); w.putBits(levelCode - 30, 12)
+      }
+    }
+    putBitString(w, TotalZeros1(pos.toInt)) // total_zeros = zig-zag pos
+    // run_before: none — runs are coded only for i < TotalCoeff-1
+  }
+
+  /** Decode one DC block (nC < 2 table subset). Returns (tc, lvl, pos). */
+  private def readDcBlock(r: BitReader): (Long, Long, Long) = {
+    // coeff_token, prefix-free over {"1", "01", "000101"}
+    if (r.bit() == 1) return (0L, 0L, 0L)
+    if (r.bit() == 1) { // "01": TC=1, T1s=1
+      val lvl = if (r.bit() == 1) -1L else 1L
+      return (1L, lvl, readTotalZeros1(r))
+    }
+    // "000101" expected: already consumed "00"
+    require(r.bit() == 0 && r.bit() == 1 && r.bit() == 0 && r.bit() == 1,
+      "h264mb: unexpected coeff_token")
+    var prefix = 0
+    while (r.bit() == 0) { prefix += 1; require(prefix <= 15, "h264mb: bad level") }
+    val levelCode =
+      if (prefix < 14) prefix.toLong
+      else if (prefix == 14) 14L + r.bits(4)
+      else 30L + r.bits(12)
+    val adj = levelCode + 2 // inverse of the -2 first-level adjustment
+    val lvl = if (adj % 2 == 0) (adj + 2) / 2 else -((adj + 1) / 2)
+    (1L, lvl, readTotalZeros1(r))
+  }
+
+  private def readTotalZeros1(r: BitReader): Long = {
+    var s = new StringBuilder
+    while (s.length < 9) {
+      s += (if (r.bit() == 1) '1' else '0')
+      val i = TotalZeros1.indexOf(s.toString)
+      if (i >= 0) return i.toLong
+    }
+    throw new IllegalArgumentException("h264mb: bad total_zeros")
+  }
+
+  /** Encode the macroblock-layer clip: SPS, PPS, one IDR slice per MB
+    * row, each slice carrying widthMbs I_16x16 DC-only macroblocks. */
+  def synthH264MbBytes(docId: Long): Array[Byte] = {
+    val w = widthMbs(docId).toInt
+    val h = heightMbs(docId).toInt
+    val out = ArrayBuffer.empty[Byte]
+    // SPS/PPS: same syntax as the structure clip (shared parsers)
+    val sps = new BitWriter
+    sps.putBits(66, 8); sps.putBits(0, 8); sps.putBits(levelIdc(docId), 8)
+    sps.putUe(0); sps.putUe(log2Mfn4(docId)); sps.putUe(2); sps.putUe(1)
+    sps.putBit(0); sps.putUe(w - 1); sps.putUe(h - 1)
+    sps.putBit(1); sps.putBit(0); sps.putBit(0); sps.putBit(0)
+    sps.trailing()
+    nal(3, 7, sps.result(), out)
+    val pps = new BitWriter
+    pps.putUe(0); pps.putUe(0); pps.putBit(0); pps.putBit(0); pps.putUe(0)
+    pps.putUe(0); pps.putUe(0); pps.putBit(0); pps.putBits(0, 2)
+    pps.putSe(initQp(docId) - 26); pps.putSe(0); pps.putSe(0)
+    pps.putBit(0); pps.putBit(0); pps.putBit(0)
+    pps.trailing()
+    nal(3, 8, pps.result(), out)
+    for (row <- 0 until h) {
+      val sl = new BitWriter
+      sl.putUe(row.toLong * w) // first_mb_in_slice
+      sl.putUe(7) // slice_type: I (all slices of the picture are I)
+      sl.putUe(0) // pic_parameter_set_id
+      sl.putBits(0, (log2Mfn4(docId) + 4).toInt) // frame_num (IDR: 0)
+      sl.putUe(0) // idr_pic_id
+      sl.putSe(0) // slice_qp_delta
+      for (mbx <- 0 until w) {
+        val idx = row.toLong * w + mbx
+        sl.putUe(3) // mb_type: Intra_16x16_2_0_0 (DC pred, cbp 0)
+        sl.putUe(0) // intra_chroma_pred_mode: DC
+        sl.putSe(0) // mb_qp_delta
+        writeDcBlock(sl, mbTc(docId, idx), mbLvl(docId, idx),
+          mbPos(docId, idx))
+      }
+      sl.trailing()
+      nal(3, 5, sl.result(), out)
+    }
+    out.toArray
+  }
+
+  private def clip1(v: Long): Long = math.max(0L, math.min(255L, v))
+
+  /** Decode the macroblock clip: NAL walk, slice headers, CAVLC
+    * residuals, spec reconstruction — one output row per macroblock.
+    * Every bit of every slice is consumed and checked. */
+  def decodeH264Mb(docId: Long, bytes: Array[Byte]): Seq[H264MbRow] = {
+    var wMbs = -1; var qp = -1L; var log2Mfn = -1L
+    val rows = ArrayBuffer.empty[H264MbRow]
+    for ((hdr, esc) <- splitNals(bytes)) {
+      val typ = hdr & 0x1F
+      val (rbsp, _) = unescapeRbsp(esc)
+      val r = new BitReader(rbsp)
+      typ match {
+        case 7 =>
+          require(r.bits(8) == 66, "h264mb: profile"); r.bits(8)
+          r.bits(8) // level
+          require(r.ue() == 0, "h264mb: sps id")
+          log2Mfn = r.ue() + 4
+          require(r.ue() == 2, "h264mb: poc"); r.ue(); r.bit()
+          wMbs = (r.ue() + 1).toInt
+          r.ue() // height (the slice walk discovers rows)
+          require(r.bit() == 1, "h264mb: frame_mbs_only")
+        case 8 =>
+          require(r.ue() == 0 && r.ue() == 0, "h264mb: pps/sps id")
+          r.bit(); r.bit(); require(r.ue() == 0, "h264mb: slice groups")
+          r.ue(); r.ue(); r.bit(); r.bits(2)
+          qp = r.se() + 26
+        case 5 =>
+          require(wMbs > 0 && qp > 0, "h264mb: slice before SPS/PPS")
+          val firstMb = r.ue()
+          require(firstMb % wMbs == 0, "h264mb: slice not row-aligned")
+          val mby = firstMb / wMbs
+          require(r.ue() == 7, "h264mb: slice_type")
+          require(r.ue() == 0, "h264mb: pps id")
+          require(r.bits(log2Mfn.toInt) == 0, "h264mb: frame_num")
+          r.ue() // idr_pic_id
+          require(r.se() == 0, "h264mb: slice_qp_delta")
+          // per-row decode state: left neighbor's TotalCoeff (CAVLC
+          // nC) and reconstructed right-column sum (DC prediction)
+          var tcPrev = 0L
+          var rcPrev = 0L
+          for (mbx <- 0 until wMbs) {
+            require(r.ue() == 3, "h264mb: mb_type")
+            require(r.ue() == 0, "h264mb: chroma pred")
+            require(r.se() == 0, "h264mb: mb_qp_delta")
+            // nC: top neighbor is in the previous slice => unavailable;
+            // left available within the row => nC = nA; none => 0
+            val nC = if (mbx == 0) 0L else tcPrev
+            require(nC < 2, "h264mb: nC out of the constrained table")
+            val (tc, lvl, pos) = readDcBlock(r)
+            // spec reconstruction: f = H c H (single coefficient =>
+            // f_ij = lvl * H[i][pr] * H[j][pc]), DC requantization
+            // (qP < 36 branch), DC-only inverse core ((dc+32)>>6),
+            // left-only DC prediction, Clip1
+            val (pr, pc) = ZigZag4x4(pos.toInt)
+            val a = LevelScaleDc((qp % 6).toInt)
+            val shift = 6 - (qp / 6).toInt
+            val round = 1L << (5 - (qp / 6).toInt)
+            val pred =
+              if (mbx == 0) 128L else (4 * rcPrev + 8) >> 4
+            var sum16 = 0L
+            var rc = 0L
+            var i = 0
+            while (i < 4) {
+              var j = 0
+              while (j < 4) {
+                val f = lvl * Had4(i)(pr) * Had4(j)(pc)
+                val dcy = (f * a + round) >> shift
+                val res = (dcy + 32) >> 6
+                val v = clip1(pred + res)
+                sum16 += v
+                if (j == 3) rc += v
+                j += 1
+              }
+              i += 1
+            }
+            rows += H264MbRow(docId, mbx.toLong, mby, tc, lvl, pos, nC,
+              pred, sum16, rc)
+            tcPrev = tc
+            rcPrev = rc
+          }
+          // rbsp_trailing_bits: stop bit + zero pad — every slice bit
+          // is accounted for (a tampered stream fails loudly)
+          require(r.bit() == 1, "h264mb: missing stop bit")
+          r.drainZeroPad()
+        case t => throw new IllegalArgumentException(s"h264mb: nal $t")
+      }
+    }
+    rows.toSeq
+  }
+
+  /** Per-macroblock reconstruction features — row-local generate +
+    * parse + reconstruct, scan -> flatMap, no shuffle. */
+  def h264MbFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[H264MbRow]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap(d => decodeH264Mb(d, synthH264MbBytes(d))))
       .toDF()
   }
 }

@@ -194,6 +194,14 @@ object SourceQueries {
   def qMultimodalH264(spark: SparkSession, dir: String): DataFrame =
     graft.operators.H264.h264Features(Tables.load(spark, dir, "documents"))
 
+  /** H.264 macroblock layer (r11): I_16x16 DC-only CAVLC residual
+    * decode + intra DC prediction + spec reconstruction per
+    * macroblock, on the constrained one-slice-per-MB-row corpus (see
+    * operators.H264's macroblock section). */
+  def qMultimodalH264Mb(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.H264.h264MbFeatures(
+      Tables.load(spark, dir, "documents"))
+
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -461,6 +469,7 @@ object SourceQueries {
     "q_multimodal_mp3_spectral" -> (qMultimodalMp3Spectral _),
     "q_multimodal_mp3_pcm" -> (qMultimodalMp3Pcm _),
     "q_multimodal_h264" -> (qMultimodalH264 _),
+    "q_multimodal_h264_mb" -> (qMultimodalH264Mb _),
     "q_image_phash" -> (qImagePhash _),
     "q_image_hash_eval" -> (qImageHashEval _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
@@ -524,7 +533,86 @@ object SourceQueries {
       "ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 1000000007, " +
       "doc_id LIMIT 2000"
 
+  /** H.264 macroblock oracle: every CAVLC-decoded value derived from
+    * the generator's (doc_id, mb index) arithmetic, the spec DC
+    * reconstruction (Hadamard, LevelScale requantization, (dc+32)>>6
+    * inverse core, Clip1) replayed per 4x4 block, and the left-only
+    * DC-prediction chain UNROLLED over mbx 0..9 (the Lloyd/GD CTE
+    * unroll move; widthMbs <= 10). DuckDB's `>>` is arithmetic on
+    * negatives, matching the engine's Scala `>>`. */
+  private lazy val h264MbOracle: String = {
+    def clip(e: String) = s"LEAST(GREATEST($e, 0), 255)"
+    def step(k: Int): String = {
+      val pred = if (k == 0) "128"
+        else s"(4 * p.rc_sum + 8) >> 4"
+      val join = if (k == 0) ""
+        else s" JOIN s${k - 1} p ON p.d = b.d AND p.mby = b.mby"
+      s"""s$k AS (SELECT b.d, b.mby, $pred AS pred,
+         |  SUM(${clip(s"($pred) + b.res")}) AS recon_sum,
+         |  SUM(CASE WHEN b.bj = 3
+         |      THEN ${clip(s"($pred) + b.res")} ELSE 0 END) AS rc_sum
+         |  FROM blk b$join WHERE b.mbx = $k
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }
+    val steps = (0 to 9).map(step).mkString(",\n")
+    val union = (0 to 9).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS mbx, * FROM s$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+       |pp AS (SELECT d, 2 + d % 9 AS w, 2 + d % 5 AS h,
+       |         20 + d % 16 AS qp FROM d),
+       |mb AS (SELECT d, qp, mby, mbx, mby * w + mbx AS idx
+       |       FROM pp,
+       |       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS mby) uy,
+       |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS mbx) ux),
+       |at AS (SELECT d, mby, mbx, qp,
+       |        CASE WHEN (d + idx) % 5 = 0 THEN 0 ELSE 1 END AS tc,
+       |        CASE WHEN (d + idx) % 5 = 0 THEN 0
+       |             ELSE (d + idx * 7) % 16 END AS pos,
+       |        (d + idx * 3) % 24 AS base,
+       |        CASE WHEN (d + idx) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |      FROM mb),
+       |lv AS (SELECT d, mby, mbx, qp, tc, pos,
+       |        CASE WHEN tc = 0 THEN 0
+       |             WHEN base % 4 = 0 THEN sgn
+       |             ELSE sgn * (2 + base * 3) END AS lvl
+       |      FROM at),
+       |nc AS (SELECT a.*, CASE WHEN a.mbx = 0 THEN 0 ELSE l.tc END AS n_c
+       |       FROM lv a LEFT JOIN lv l ON l.d = a.d AND l.mby = a.mby
+       |         AND l.mbx = a.mbx - 1),
+       |zz AS (SELECT * FROM (VALUES (0,0,0),(1,0,1),(2,1,0),(3,2,0),
+       |        (4,1,1),(5,0,2),(6,0,3),(7,1,2),(8,2,1),(9,3,0),(10,3,1),
+       |        (11,2,2),(12,1,3),(13,2,3),(14,3,2),(15,3,3))
+       |        v(p, pr, pc)),
+       |hm AS (SELECT * FROM (VALUES (0,0,1),(0,1,1),(0,2,1),(0,3,1),
+       |        (1,0,1),(1,1,1),(1,2,-1),(1,3,-1),
+       |        (2,0,1),(2,1,-1),(2,2,-1),(2,3,1),
+       |        (3,0,1),(3,1,-1),(3,2,1),(3,3,-1)) v(i, k, v)),
+       |ls AS (SELECT * FROM (VALUES (0,10),(1,11),(2,13),(3,14),(4,16),
+       |        (5,18)) v(m, a)),
+       |blk AS (SELECT n.d, n.mby, n.mbx, h1.i AS bi, h2.i AS bj,
+       |         ((((n.lvl * h1.v * h2.v) * ls.a
+       |             + (CAST(1 AS BIGINT) << (5 - n.qp // 6)))
+       |           >> (6 - n.qp // 6)) + 32) >> 6 AS res
+       |       FROM nc n
+       |       JOIN zz ON zz.p = n.pos
+       |       JOIN hm h1 ON h1.k = zz.pr
+       |       JOIN hm h2 ON h2.k = zz.pc
+       |       JOIN ls ON ls.m = n.qp % 6),
+       |$steps,
+       |u AS ($union)
+       |SELECT u.d AS doc_id, u.mbx, u.mby,
+       |  CAST(n.tc AS BIGINT) AS tc, CAST(n.lvl AS BIGINT) AS lvl,
+       |  CAST(n.pos AS BIGINT) AS pos, CAST(n.n_c AS BIGINT) AS n_c,
+       |  CAST(u.pred AS BIGINT) AS pred,
+       |  CAST(u.recon_sum AS BIGINT) AS recon_sum,
+       |  CAST(u.rc_sum AS BIGINT) AS rc_sum
+       |FROM u JOIN nc n ON n.d = u.d AND n.mby = u.mby
+       |  AND n.mbx = u.mbx""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_multimodal_h264_mb" -> h264MbOracle,
     // landmark matching replayed end to end: analytic samples → integer
     // WHT spectrum → peak constellation (same |W| desc, k asc tie) →
     // landmark hashes → vote join → same (votes desc, track, dt) best

@@ -754,6 +754,74 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("H.264 macroblock layer: CAVLC roundtrip recovers every analytic " +
+    "(tc, lvl, pos), nC/prediction contexts chain, all level tiers " +
+    "occur, reconstruction is the spec arithmetic, tampering is loud") {
+    import graft.operators.H264
+    // independent reconstruction replica (own tables) for the check
+    val zz = Array((0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3),
+      (1, 2), (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2),
+      (3, 3))
+    val h = Array(Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+      Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+    val lsc = Array(10, 11, 13, 14, 16, 18)
+    val levelsSeen = scala.collection.mutable.Set.empty[Long]
+    for (d <- 0L to 120L) {
+      val w = 2 + d % 9
+      val qp = (20 + d % 16).toInt
+      val rows = H264.decodeH264Mb(d, H264.synthH264MbBytes(d))
+      assert(rows.length === w * (2 + d % 5))
+      val byKey = rows.map(r => ((r.mby, r.mbx), r)).toMap
+      for (r <- rows) {
+        val idx = r.mby * w + r.mbx
+        // parsed values == generator arithmetic (bitstream roundtrip)
+        val tc = if ((d + idx) % 5 == 0) 0L else 1L
+        assert(r.tc === tc)
+        val base = (d + idx * 3) % 24
+        val sgn = if ((d + idx) % 2 == 0) 1L else -1L
+        val lvl = if (tc == 0) 0L
+          else if (base % 4 == 0) sgn else sgn * (2 + base * 3)
+        assert(r.lvl === lvl)
+        assert(r.pos === (if (tc == 0) 0L else (d + idx * 7) % 16))
+        levelsSeen += math.abs(lvl)
+        // CAVLC nC: left neighbor's TotalCoeff, 0 at the row start
+        // (top is always another slice => unavailable)
+        val left = byKey.get((r.mby, r.mbx - 1))
+        assert(r.n_c === left.map(_.tc).getOrElse(0L))
+        // DC prediction chain: 128 at row start, else the left MB's
+        // reconstructed right column (mean + 8 >> 4)
+        val pred = left.map(l => (4 * l.rc_sum + 8) >> 4).getOrElse(128L)
+        assert(r.pred === pred)
+        // spec reconstruction replayed with this test's own tables
+        val (pr, pc) = zz(r.pos.toInt)
+        var sum16 = 0L; var rc = 0L
+        for (i <- 0 until 4; j <- 0 until 4) {
+          val f = r.lvl * h(i)(pr) * h(j)(pc)
+          val dcy = (f * lsc(qp % 6) + (1L << (5 - qp / 6))) >> (6 - qp / 6)
+          val v = math.max(0L, math.min(255L, pred + ((dcy + 32) >> 6)))
+          sum16 += v
+          if (j == 3) rc += v
+        }
+        assert(r.recon_sum === sum16 && r.rc_sum === rc)
+      }
+    }
+    // the constrained corpus still exercises every CAVLC level path:
+    // empty block, trailing-one (±1), level_prefix<14 (mag<=8), the
+    // 14+4-bit tier (9..16) and the 15+12-bit escape tier (17+)
+    assert(levelsSeen.contains(0L) && levelsSeen.contains(1L))
+    assert(levelsSeen.exists(m => m >= 2 && m <= 8))
+    assert(levelsSeen.exists(m => m >= 9 && m <= 16))
+    assert(levelsSeen.exists(_ >= 17))
+    // a tampered slice payload fails loudly (full-bit accounting:
+    // stop bit + zero pad are checked after the last macroblock)
+    val good = H264.synthH264MbBytes(7L)
+    val bad = good.clone
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x01).toByte
+    intercept[IllegalArgumentException] {
+      H264.decodeH264Mb(7L, bad)
+    }
+  }
+
   test("WKB: golden bytes both endian, multipolygon, writer layout, malformed") {
     import spark.implicits._
     import graft.sources.Wkb
