@@ -142,31 +142,100 @@ object TextQueries {
   // ----------------------------------------------------- quality classifier
 
   /** Distributed logistic-regression quality classifier
-    * (operators.Classifier): cheap deterministic features + an
-    * English-label target, 3 full-batch GD steps (each ONE aggregate,
+    * (operators.Classifier): cheap deterministic features + a
+    * clean-vs-junk target, 3 full-batch GD steps (each ONE aggregate,
     * model driver-sized), then map-only scoring. The feature table is
     * materialized once (lineage cut) for its 3 training scans + the
     * scoring scan — at scale you extract features once, not per
     * iteration. Every double on the path is IEEE-deterministic (no
     * transcendentals) and gradients sum as exact integer nanos, so the
-    * oracle replays training bit-for-bit. */
+    * oracle replays training bit-for-bit.
+    *
+    * The label is LEARNABLE by construction (r11): every third doc
+    * gets a planted symbol-spam suffix of doc-keyed strength — the
+    * PII/CSV/langid planting move — and y = clean. The r10 target
+    * (lang=='en') was unlearnable: the corpus text is label-independent
+    * (measured), so the model converged to the base rate and the new
+    * eval harness (qClassifierEval) read AUC 0.51 from it. A quality
+    * filter trained on known-junk vs known-clean is also the honest
+    * production shape (the fasttext/CCNet gate trains on labeled
+    * corpora, not on accidents of the data). */
   def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Classifier
+    val junk = when(col("doc_id") % 3 === 0,
+      repeat(lit(" !?!#"), (lit(5) + col("doc_id") % 7).cast("int")))
+      .otherwise(lit(""))
+    val d = docs(spark, dir)
+      .select(col("doc_id"), concat(col("text"), junk).as("text"),
+        (col("doc_id") % 3 =!= 0).as("clean"))
     val nChars = length(col("text")).cast("long")
+    // ratios scaled x10 (r11): feature standardization so 3 GD steps
+    // produce a decisive model — at the raw 0..0.3 scale the punct
+    // gradient was too small and the model converged to the base rate
     def ratio(c: org.apache.spark.sql.Column) =
-      c.cast("double") / (nChars + lit(1L)).cast("double")
-    val feats = docs(spark, dir).select(col("doc_id"),
+      (c * 10L).cast("double") / (nChars + lit(1L)).cast("double")
+    val feats = d.select(col("doc_id"),
         (least(nChars, lit(2000L)).cast("double") / 1000.0).as("f_len"),
         ratio(reCount(col("text"), "[.,;:!?]")).as("f_punct"),
         ratio(reCount(col("text"), "[0-9]")).as("f_digit"),
         ratio(reCount(col("text"), "[A-Z]")).as("f_upper"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        when(col("clean"), 1.0).otherwise(0.0).as("y"))
       .localCheckpoint()
     val fc = Seq("f_len", "f_punct", "f_digit", "f_upper")
     val w = Classifier.trainLogistic(feats, fc, "y", iters = 3, lr = 2.0)
     Classifier.scoreLogistic(feats, fc, w)
       .select(col("doc_id"), col("y"), col("p"),
         (col("p") >= 0.5).as("pred"))
+  }
+
+  /** Classifier EVAL — ROC-AUC + reliability (calibration) buckets for
+    * the quality classifier, completing the per-model eval-harness
+    * family (retrieval row 84, dedup 108, lang-ID 117, ANN recall
+    * rows, image banding 132): a model-based filter ships with the
+    * curve its threshold is chosen from, not just predictions.
+    *
+    * AUC is the exact Mann-Whitney rank statistic WITH tie correction,
+    * computed over the VALUE-GROUPED score table (round-6 scores bound
+    * the domain, so the rank window runs over distinct scores — the
+    * qCorpusStats bounded-domain percentile move — never a corpus
+    * sort): 2·rankSum = Σ_groups nPos·(2·cumBefore + n + 1), AUC =
+    * (2·rankSum − nPos(nPos+1)) / (2·nPos·nNeg) — all integers until
+    * one final division. Calibration: decile buckets of p with exact
+    * integer-micro mean predicted probability vs observed positive
+    * rate; AUC rides every row as a broadcast 1-row marginal (the
+    * qLangidEval pattern). */
+  def qClassifierEval(spark: SparkSession, dir: String): DataFrame = {
+    val s = qQualityClassifier(spark, dir)
+      .select((round(col("p") * 1e6, 0)).cast("long").as("p6"),
+        col("y").cast("long").as("y"))
+      .localCheckpoint() // score groups + calibration buckets
+    val grp = s.groupBy("p6")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+    val wOrd = Window.orderBy("p6")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grp
+      .withColumn("cumb", sum(col("n")).over(wOrd) - col("n"))
+    val tot = ranked.agg(
+        sum(col("npos") * (lit(2) * col("cumb") + col("n") + 1))
+          .as("rs2"),
+        sum(col("npos")).as("np"),
+        sum(col("n") - col("npos")).as("nn"))
+      .select(round((col("rs2") - col("np") * (col("np") + 1))
+          .cast("double")
+          / (lit(2) * col("np") * col("nn")).cast("double"), 6)
+        .as("auc"))
+    val calib = s
+      .withColumn("bucket", least(expr("p6 DIV 100000"), lit(9L))
+        .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p6")).as("sp6"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("sp6").cast("double") / col("n").cast("double") / 1e6,
+          6).as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"))
+    calib.crossJoin(broadcast(tot))
   }
 
   // ---------------------------------------------------------------- tokens
@@ -509,16 +578,25 @@ object TextQueries {
          |    $prev.wu - 2.0 * (g.su / 1e9) / g.n AS wu,
          |    $prev.wb - 2.0 * (g.sb / 1e9) / g.n AS wb
          |  FROM $g g, $prev)""".stripMargin
-    s"""WITH d AS ($docsSql),
+    s"""WITH d0 AS ($docsSql),
+       |d AS (SELECT doc_id,
+       |        text || CASE WHEN doc_id % 3 = 0
+       |          THEN repeat(' !?!#', CAST(5 + doc_id % 7 AS INT))
+       |          ELSE '' END AS text,
+       |        doc_id % 3 <> 0 AS clean
+       |      FROM d0),
        |f AS (SELECT doc_id,
        |        LEAST(len(text), 2000) / 1000.0 AS f_len,
-       |        CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+       |        CAST(len(regexp_extract_all(text, '[.,;:!?]')) * 10
+       |            AS DOUBLE)
        |          / CAST(len(text) + 1 AS DOUBLE) AS f_punct,
-       |        CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+       |        CAST(len(regexp_extract_all(text, '[0-9]')) * 10
+       |            AS DOUBLE)
        |          / CAST(len(text) + 1 AS DOUBLE) AS f_digit,
-       |        CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+       |        CAST(len(regexp_extract_all(text, '[A-Z]')) * 10
+       |            AS DOUBLE)
        |          / CAST(len(text) + 1 AS DOUBLE) AS f_upper,
-       |        CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |        CASE WHEN clean THEN 1.0 ELSE 0.0 END AS y
        |      FROM d),
        |w0 AS (SELECT 0.0 AS wl, 0.0 AS wp, 0.0 AS wd, 0.0 AS wu,
        |              0.0 AS wb),
@@ -883,6 +961,34 @@ object TextQueries {
 
     "q_quality_classifier" -> qualityClassifierOracle,
 
+    // classifier eval: the retrained-model oracle becomes a CTE; AUC =
+    // exact tie-corrected Mann-Whitney over value-grouped scores,
+    // calibration deciles in integer micros — all integers until the
+    // final divisions, mirrored op for op
+    "q_classifier_eval" ->
+      s"""WITH scored AS ($qualityClassifierOracle),
+         |s AS (SELECT CAST(ROUND(p * 1e6, 0) AS BIGINT) AS p6,
+         |        CAST(y AS BIGINT) AS y FROM scored),
+         |grp AS (SELECT p6, COUNT(*) AS n, SUM(y) AS npos
+         |        FROM s GROUP BY 1),
+         |rk AS (SELECT p6, n, npos,
+         |         SUM(n) OVER (ORDER BY p6 ROWS BETWEEN UNBOUNDED
+         |           PRECEDING AND CURRENT ROW) - n AS cumb FROM grp),
+         |tot AS (SELECT ROUND(CAST(SUM(npos * (2 * cumb + n + 1))
+         |            - SUM(npos) * (SUM(npos) + 1) AS DOUBLE)
+         |          / CAST(2 * SUM(npos) * SUM(n - npos) AS DOUBLE), 6)
+         |          AS auc FROM rk),
+         |cal AS (SELECT LEAST(p6 // 100000, 9) AS bucket, COUNT(*) AS n,
+         |          SUM(y) AS n_pos, SUM(p6) AS sp6 FROM s GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  ROUND(CAST(sp6 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+         |    AS mean_pred,
+         |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |    AS frac_pos,
+         |  auc
+         |FROM cal, tot""".stripMargin,
+
     "q_token_count" ->
       s"""WITH d AS ($docsSql)
          |SELECT doc_id,
@@ -1045,6 +1151,7 @@ object TextQueries {
     "q_collocations_pmi" -> (qCollocationsPmi _),
     "q_blocklist_filter" -> (qBlocklistFilter _),
     "q_langid_eval" -> (qLangidEval _),
+    "q_classifier_eval" -> (qClassifierEval _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_lang_id" -> (qLangId _),
