@@ -94,6 +94,45 @@ object Dedup {
       .select("ida", "idb", "shared", "na", "nb", "jac")
   }
 
+  /** One-sided CONTAINMENT near-dup pairs — the dedup case symmetric
+    * Jaccard misses: a short document embedded in a long one (quoted
+    * article, boilerplate-wrapped fragment — the Lee-et-al substring
+    * case) has jac ≈ |A|/|B| ≈ 0 but containment |A∩B|/|A| ≈ 1.
+    * Same scale shape as [[ngramJaccard]] (rare-shingle posting
+    * arrays, in-array pair expansion, never all-pairs); the pair stats
+    * yield BOTH directed containments and the contained side is the
+    * one with the higher score (ties to ida). */
+  def containmentPairs(docs: DataFrame, k: Int, maxDf: Int,
+                       minCont: Double): DataFrame = {
+    val postings = shingleHashes(docs, k, 131L, 1000000007L)
+      .groupBy("s")
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = postings
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = postings
+      .select(col("ds"), explode(col("ds")).as("ida"))
+      .select(col("ida"),
+        explode(filter(col("ds"), b => b > col("ida"))).as("idb"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+      .withColumn("cont_a",
+        round(col("shared").cast("double") / col("na").cast("double"), 4))
+      .withColumn("cont_b",
+        round(col("shared").cast("double") / col("nb").cast("double"), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minCont)
+      .withColumn("inner_id",
+        when(col("cont_a") >= col("cont_b"), col("ida"))
+          .otherwise(col("idb")))
+      .select("ida", "idb", "shared", "na", "nb", "cont_a", "cont_b",
+        "inner_id")
+  }
+
   /** MinHash signatures: one row per doc with array<long> of numHashes
     * minimums. Single shuffle (groupBy doc_id) with map-side partial
     * aggregation — the 64 mins fold before the exchange. The shingle

@@ -105,6 +105,36 @@ object Multimodal {
     bb.array()
   }
 
+  /** WAV with PLANTED SILENCE: the same RIFF container as
+    * [[synthWavBytes]], but every 64-sample frame f with
+    * (docId + f) % 5 < 2 is zeroed — deterministic speech/silence
+    * alternation so the VAD segmentation path has genuine gaps to
+    * find (the corpus's pseudo-noise samples are otherwise uniformly
+    * energetic; the CSV/unicode planting move). */
+  def synthWavVadBytes(docId: Long): Array[Byte] = {
+    val n = (256 + docId % 256).toInt
+    val dataBytes = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1)
+    bb.putShort(1)
+    bb.putInt(8000)
+    bb.putInt(8000 * 2)
+    bb.putShort(2)
+    bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) {
+      val silenced = (docId + i / 64) % 5 < 2
+      bb.putShort(if (silenced) 0 else pcmSample(docId, i).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** REAL WAV decode: walk the RIFF chunk list (unknown chunks are
     * skipped by their declared length), validate the fmt chunk
     * (PCM / mono / 16-bit), stream the data chunk's little-endian
@@ -237,6 +267,36 @@ object Multimodal {
     docs.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.flatMap { d =>
         val (_, s) = decodeWavSamples(synthWavBytes(d))
+        val nFrames = s.length / frameLen
+        Iterator.range(0, nFrames).map { f =>
+          var energy = 0L
+          var zcr = 0L
+          var peak = 0L
+          var i = 0
+          while (i < frameLen) {
+            val v = s(f * frameLen + i).toLong
+            energy += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && ((v >= 0) != (s(f * frameLen + i - 1) >= 0)))
+              zcr += 1
+            i += 1
+          }
+          WavFrame(d, f.toLong, energy, zcr, peak)
+        }
+      }).toDF()
+  }
+
+  /** Per-frame energies over the silence-planted VAD corpus
+    * ([[synthWavVadBytes]]): decoded by the real WAV parser, one row
+    * per full 64-sample frame. The segmentation itself
+    * (gaps-and-islands over speech frames) happens in DataFrame land
+    * so the window arithmetic is oracle-replayable. */
+  def wavVadFrames(docs: DataFrame, frameLen: Int = 64): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[WavFrame]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val (_, s) = decodeWavSamples(synthWavVadBytes(d))
         val nFrames = s.length / frameLen
         Iterator.range(0, nFrames).map { f =>
           var energy = 0L

@@ -416,8 +416,41 @@ object CurationQueries {
         (pmod(col("h"), lit(1000000L)) < col("thresh")).as("accepted"))
   }
 
+  /** Temperature-scaled mixture resampling (r11) — the α-sampling
+    * actuator of XLM-R/mT5 data mixing (target share ∝ p_l^α, α = 0.5
+    * here): where row 112 rebalances toward UNIFORM, this smooths —
+    * small languages up-weighted, large ones down-weighted, the
+    * standard multilingual-pretraining knob. Keep probability =
+    * sqrt(n_min / n_l) (the smallest language keeps 100%; realized
+    * counts ∝ sqrt(n_l)), thresholded against the same content-hash
+    * mod 1e6 as row 112 so acceptance stays re-shard/renumber stable.
+    * Cross-engine determinism: sqrt is IEEE-754 CORRECTLY ROUNDED in
+    * both engines (unlike exp/ln/pow, which the engine bans) — the
+    * whole double chain sqrt→divide→multiply→floor is bit-identical,
+    * so the integer threshold needs no rounding guard. Plan = one tiny
+    * lang-count aggregate broadcast back over the scan; the corpus
+    * never shuffles. */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      rollingFingerprint(norm(col("text"))).as("h"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val nmin = counts.agg(min("n_lang").as("n_min"))
+    val withThresh = counts.crossJoin(broadcast(nmin))
+      .select(col("lang"), col("n_lang"),
+        least(lit(1000000L),
+          floor(lit(1000000.0)
+            * sqrt(col("n_min").cast("double"))
+            / sqrt(col("n_lang").cast("double"))).cast("long"))
+          .as("thresh"))
+    d.join(broadcast(withThresh), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("h"), col("n_lang"),
+        col("thresh"),
+        (pmod(col("h"), lit(1000000L)) < col("thresh")).as("accepted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_resample" -> (qMixResample _),
+    "q_mix_temperature" -> (qMixTemperature _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_snapshot_drift" -> (qSnapshotDrift _),
     "q_quality_thresholds" -> (qQualityThresholds _),
@@ -690,6 +723,24 @@ object CurationQueries {
          |        CAST(least(1000000,
          |          (1000000 * total) // (n_langs * n_lang)) AS BIGINT)
          |          AS thresh
+         |      FROM c, t)
+         |SELECT h.doc_id, h.lang, h.h, w.n_lang, w.thresh,
+         |  h.h % 1000000 < w.thresh AS accepted
+         |FROM h JOIN w ON w.lang = h.lang""".stripMargin,
+
+    // α=0.5 temperature actuator: keep = sqrt(n_min/n_l); sqrt is
+    // IEEE correctly rounded in BOTH engines, so the double chain
+    // sqrt→divide→multiply→floor is bit-identical and the threshold
+    // needs no rounding guard
+    "q_mix_temperature" ->
+      s"""WITH d AS ($docsSql),
+         |h AS (SELECT doc_id, lang, ${fpSql(normSql)} AS h FROM d),
+         |c AS (SELECT lang, COUNT(*) AS n_lang FROM h GROUP BY 1),
+         |t AS (SELECT MIN(n_lang) AS n_min FROM c),
+         |w AS (SELECT lang, n_lang,
+         |        CAST(least(1000000, floor(1000000.0
+         |          * sqrt(CAST(n_min AS DOUBLE))
+         |          / sqrt(CAST(n_lang AS DOUBLE)))) AS BIGINT) AS thresh
          |      FROM c, t)
          |SELECT h.doc_id, h.lang, h.h, w.n_lang, w.thresh,
          |  h.h % 1000000 < w.thresh AS accepted

@@ -33,6 +33,22 @@ object DedupQueries {
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), maxHamming = 6)
 
+  /** Containment dedup: the corpus plus PLANTED FRAGMENTS — every 4th
+    * doc contributes its middle slice under a disjoint id space
+    * (doc-inside-doc cases by construction, the CSV/langid planting
+    * move) — swept for one-sided containment. A fragment scores
+    * cont≈1 against its source while their symmetric Jaccard is ~1/3,
+    * exactly the case row 31 cannot flag. */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+    val frags = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, length(text) DIV 4 + 1, " +
+          "length(text) DIV 2)").as("text"))
+    Dedup.containmentPairs(base.unionByName(frags), K, MaxDf,
+      minCont = 0.8)
+  }
+
   /** Canonical doc per transitive near-dup cluster (minhash pairs as the
     * edge set). */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
@@ -212,6 +228,7 @@ object DedupQueries {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_minhash" -> (qMinhash _),
     "q_dedup_simhash" -> (qSimhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -566,6 +583,46 @@ object DedupQueries {
          |JOIN sizes nb ON nb.doc_id = idb
          |WHERE ROUND(CAST(shared AS DOUBLE)
          |      / CAST(na.n + nb.n - shared AS DOUBLE), 4) >= $MinJac""".stripMargin,
+
+    // containment replay over corpus + planted fragments: same rare-
+    // shingle postings as the jaccard oracle, directed containments,
+    // contained side = the higher score (ties to ida)
+    "q_dedup_containment" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |             lower(text) AS t FROM documents
+         |           UNION ALL
+         |           SELECT CAST(doc_id AS BIGINT) + 1000000,
+         |             lower(substr(text, len(text) // 4 + 1,
+         |               len(text) // 2))
+         |           FROM documents WHERE doc_id % 4 = 0),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(list_filter(
+         |               string_split(substr(t, CAST(i AS INT), $K), ''),
+         |               c -> len(c) > 0),
+         |             c -> CAST(ascii(c) AS BIGINT))),
+         |           (a, b) -> (a * 131 + b) % 1000000007) AS s
+         |       FROM d, LATERAL (SELECT unnest(generate_series(1,
+         |              greatest(len(t) - ${K - 1}, 1))) AS i) u
+         |       WHERE len(substr(t, CAST(i AS INT), $K)) = $K),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $MaxDf),
+         |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
+         |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT ida, idb, shared, na.n AS na, nb.n AS nb,
+         |         ROUND(CAST(shared AS DOUBLE) / CAST(na.n AS DOUBLE), 4)
+         |           AS cont_a,
+         |         ROUND(CAST(shared AS DOUBLE) / CAST(nb.n AS DOUBLE), 4)
+         |           AS cont_b
+         |       FROM shared
+         |       JOIN sizes na ON na.doc_id = ida
+         |       JOIN sizes nb ON nb.doc_id = idb)
+         |SELECT ida, idb, shared, na, nb, cont_a, cont_b,
+         |  CASE WHEN cont_a >= cont_b THEN ida ELSE idb END AS inner_id
+         |FROM sc WHERE GREATEST(cont_a, cont_b) >= 0.8""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -128,9 +128,70 @@ object HtmlQueries {
         col("out_degree"), col("in_degree"))
   }
 
+  // ------------------------------------------------------ URL canonical form
+
+  /** q_url_canonicalize — the dedup key under every crawl frontier and
+    * URL-level dedup pass (RFC 3986 §6 normalization + the crawl
+    * conventions): lowercase scheme/host, default-port drop (http:80 /
+    * https:443; others kept), dot-segment resolution, fragment drop,
+    * query-parameter SORT plus tracking-parameter (utm_*) strip, empty
+    * query collapse. URLs derive from doc_id with every hazard PLANTED
+    * (uppercase scheme+host, all three port classes, /./ and /../
+    * segments, unsorted params with a utm_ tracker, fragments) and a
+    * clean-already subset so `changed` is genuinely bimodal — the
+    * CSV/unicode planting move. All row-local string expressions,
+    * scan → map, no shuffle; the dot-segment resolver handles the
+    * planted single-level segments in two fixed passes (a general
+    * resolver is a loop — documented constraint, not a silent one).
+    * The oracle derives raw AND canonical independently in DuckDB. */
+  def qUrlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"))
+    val did = col("doc_id")
+    val sch = when(did % 2 === 0, lit("HTTP")).otherwise(lit("https"))
+    val host = when(did % 7 === 0,
+      concat(lit("www.site"), did % 50, lit(".example.com")))
+      .otherwise(concat(lit("WWW.Site"), did % 50, lit(".Example.COM")))
+    val port = when(did % 4 === 0, lit(":80"))
+      .when(did % 4 === 1, lit(":443"))
+      .when(did % 4 === 2, lit(":8080")).otherwise(lit(""))
+    val path = concat(
+      when(did % 5 < 3, concat(lit("/a/b/../c"), did % 20))
+        .otherwise(concat(lit("/a/c"), did % 20)),
+      when(did % 5 === 0, lit("/./x")).otherwise(lit("")))
+    val q = when(did % 3 === 0, lit("?b=2&a=1&utm_source=x"))
+      .when(did % 3 === 1, lit("?a=1")).otherwise(lit(""))
+    val frag = when(did % 2 === 0, lit("#frag")).otherwise(lit(""))
+    val raw = d.select(col("doc_id"),
+      concat(sch, lit("://"), host, port, path, q, frag).as("url"),
+      lower(sch).as("lsch"), lower(host).as("lhost"), port.as("port"),
+      path.as("path"), q.as("q"))
+    raw
+      .withColumn("cport",
+        when((col("lsch") === "http" && col("port") === ":80") ||
+          (col("lsch") === "https" && col("port") === ":443"), lit(""))
+          .otherwise(col("port")))
+      .withColumn("cpath", regexp_replace(
+        regexp_replace(col("path"), "/\\./", "/"),
+        "/[^/]+/\\.\\./", "/"))
+      .withColumn("ps",
+        when(col("q") === "", array().cast("array<string>"))
+          .otherwise(expr(
+            "array_sort(filter(split(substring(q, 2, 1000), '&'), " +
+              "x -> NOT startswith(x, 'utm_')))")))
+      .withColumn("cq", when(size(col("ps")) === 0, lit(""))
+        .otherwise(concat(lit("?"), array_join(col("ps"), "&"))))
+      .withColumn("canon_url", concat(col("lsch"), lit("://"),
+        col("lhost"), col("cport"), col("cpath"), col("cq")))
+      .select(col("doc_id"), col("url"), col("canon_url"),
+        col("lhost").as("host"),
+        size(col("ps")).cast("long").as("n_params"),
+        (col("url") =!= col("canon_url")).as("changed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (qHtmlExtract _),
-    "q_html_links" -> (qHtmlLinks _))
+    "q_html_links" -> (qHtmlLinks _),
+    "q_url_canonicalize" -> (qUrlCanonicalize _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -139,6 +200,51 @@ object HtmlQueries {
       |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // raw URL and canonical form both derived INDEPENDENTLY from
+    // doc_id arithmetic with DuckDB's own list/regex machinery — a
+    // normalization bug on either side breaks the hash
+    "q_url_canonicalize" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+        |parts AS (SELECT d,
+        |  CASE WHEN d % 2 = 0 THEN 'HTTP' ELSE 'https' END AS sch,
+        |  CASE WHEN d % 7 = 0
+        |    THEN 'www.site' || (d % 50) || '.example.com'
+        |    ELSE 'WWW.Site' || (d % 50) || '.Example.COM' END AS host,
+        |  CASE WHEN d % 4 = 0 THEN ':80' WHEN d % 4 = 1 THEN ':443'
+        |       WHEN d % 4 = 2 THEN ':8080' ELSE '' END AS port,
+        |  (CASE WHEN d % 5 < 3 THEN '/a/b/../c' ELSE '/a/c' END)
+        |    || (d % 20)
+        |    || (CASE WHEN d % 5 = 0 THEN '/./x' ELSE '' END) AS path,
+        |  CASE WHEN d % 3 = 0 THEN '?b=2&a=1&utm_source=x'
+        |       WHEN d % 3 = 1 THEN '?a=1' ELSE '' END AS q,
+        |  CASE WHEN d % 2 = 0 THEN '#frag' ELSE '' END AS frag
+        |FROM d),
+        |u AS (SELECT d, sch || '://' || host || port || path || q
+        |        || frag AS url,
+        |        lower(sch) AS lsch, lower(host) AS lhost, port, path, q
+        |      FROM parts),
+        |c AS (SELECT d, url, lsch, lhost,
+        |  CASE WHEN (lsch = 'http' AND port = ':80')
+        |         OR (lsch = 'https' AND port = ':443') THEN ''
+        |       ELSE port END AS cport,
+        |  regexp_replace(regexp_replace(path, '/\./', '/'),
+        |    '/[^/]+/\.\./', '/') AS cpath,
+        |  CASE WHEN q = '' THEN []
+        |       ELSE list_sort(list_filter(
+        |         string_split(substr(q, 2), '&'),
+        |         x -> NOT starts_with(x, 'utm_'))) END AS ps
+        |FROM u)
+        |SELECT d AS doc_id, url,
+        |  lsch || '://' || lhost || cport || cpath
+        |    || (CASE WHEN len(ps) = 0 THEN ''
+        |             ELSE '?' || array_to_string(ps, '&') END)
+        |    AS canon_url,
+        |  lhost AS host, CAST(len(ps) AS BIGINT) AS n_params,
+        |  url <> (lsch || '://' || lhost || cport || cpath
+        |    || (CASE WHEN len(ps) = 0 THEN ''
+        |             ELSE '?' || array_to_string(ps, '&') END))
+        |    AS changed
+        |FROM c""".stripMargin,
     // the oracle rebuilds the page and replays the identical extraction
     // chain — plus computes `expected` independently from the raw text,
     // so a tag-strip bug on either side breaks the hash

@@ -205,6 +205,36 @@ object SourceQueries {
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
+  /** VAD segmentation (r11) — the silence-trimming curation step over
+    * the audio corpus: real WAV decode of the silence-planted clips,
+    * per-frame energies, then speech SEGMENTS via gaps-and-islands
+    * (island key = frame − row_number within the doc, the
+    * duplicated-spans move); per segment start/end/frame-count,
+    * duration in exact ms (64 samples at 8 kHz = 8 ms/frame) and total
+    * energy. Row-local decode → one bounded window per doc (≤8 frames
+    * per clip; at scale the window is per-clip, never corpus-wide). */
+  def qAudioVadSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Multimodal.wavVadFrames(
+      Tables.load(spark, dir, "documents"))
+    val speech = frames.filter(col("energy") > 0)
+    val wDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val seg = speech
+      .withColumn("isl", col("frame_idx") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum("energy").as("sum_energy"))
+    seg
+      .withColumn("seg_idx",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy("start_frame")).cast("long"))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"),
+        (col("n_frames") * 8L).as("duration_ms"), col("sum_energy"))
+  }
+
   /** Audio landmark fingerprint matching (r10, operators.AudioFp):
     * integer-WHT spectral peaks → (p1, p2, Δt) landmark hashes →
     * inverted-index join → offset-consistent votes; snippets (frames
@@ -473,6 +503,7 @@ object SourceQueries {
     "q_image_phash" -> (qImagePhash _),
     "q_image_hash_eval" -> (qImageHashEval _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
+    "q_audio_vad_segments" -> (qAudioVadSegments _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_multimodal_augment" -> (qMultimodalAugment _),
     "q_multimodal_png" -> (qMultimodalPng _),
@@ -613,6 +644,37 @@ object SourceQueries {
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_h264_mb" -> h264MbOracle,
+    // VAD segments replayed analytically: frame f of doc d is silence
+    // iff (d + f) % 5 < 2 (the planted gate), speech energies from the
+    // synth formula, islands via the same frame - row_number key
+    "q_audio_vad_segments" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS dd FROM documents),
+        |n AS (SELECT dd, 256 + dd % 256 AS ns FROM d),
+        |fr AS (SELECT dd, f FROM n, LATERAL (SELECT
+        |         unnest(generate_series(0, ns // 64 - 1)) AS f) u),
+        |sp AS (SELECT dd, f,
+        |         CASE WHEN (dd + f) % 5 < 2 THEN 0 ELSE (
+        |           SELECT SUM(v * v) FROM (
+        |             SELECT ((dd * 31 + (f * 64 + i) * 17) % 2003)
+        |               - 1001 AS v
+        |             FROM (SELECT unnest(generate_series(0, 63)) AS i))
+        |         ) END AS energy
+        |       FROM fr),
+        |sf AS (SELECT dd, f, energy,
+        |         f - ROW_NUMBER() OVER (PARTITION BY dd ORDER BY f)
+        |           AS isl
+        |       FROM sp WHERE energy > 0),
+        |seg AS (SELECT dd, isl, MIN(f) AS start_frame,
+        |          MAX(f) AS end_frame, COUNT(*) AS n_frames,
+        |          SUM(energy) AS sum_energy
+        |        FROM sf GROUP BY 1, 2)
+        |SELECT dd AS doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY dd ORDER BY start_frame)
+        |    AS seg_idx,
+        |  start_frame, end_frame, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_frames * 8 AS BIGINT) AS duration_ms,
+        |  CAST(sum_energy AS BIGINT) AS sum_energy
+        |FROM seg""".stripMargin,
     // landmark matching replayed end to end: analytic samples → integer
     // WHT spectrum → peak constellation (same |W| desc, k asc tie) →
     // landmark hashes → vote join → same (votes desc, track, dt) best
