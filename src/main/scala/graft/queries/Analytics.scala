@@ -493,6 +493,72 @@ object Analytics {
         (col("matched_key") === col("rid")).as("hit"))
   }
 
+  /** Bloom file-skipping index — the data-skipping layer beside the
+    * Z-order layout (row 97): per-FILE Bloom filters over a non-layout
+    * column (o_custkey), the Parquet column-bloom / Delta
+    * dataSkippingStatsColumns shape for point lookups the min/max
+    * stats can't prune (high-cardinality keys scattered across every
+    * file). Each file's filter is 4096 bits = 128 x 32-bit words built
+    * by ONE bit_or aggregate over 4 affine hash positions per distinct
+    * (file, key) — filters stay DISTRIBUTED (no driver model; a
+    * planner reads them as a tiny side table). The probe set mixes
+    * present keys with PLANTED-ABSENT twins (+1e9 offset), so hits,
+    * clean skips AND false positives all occur — the FP rate is the
+    * skip-index trade being measured (~4 bits/key at k=4 hashes).
+    * 32-bit words + dyadic bit tests: the simhash/decontaminateBloom
+    * portability rule. Exact membership comes from an independent
+    * distinct-pair join, never from the filter itself. */
+  def qBloomSkipIndex(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val MBits = 4096L
+    val coef = Seq((31L, 1L), (131L, 9177L), (1009L, 18353L),
+      (65537L, 27529L))
+    def posOf(k: org.apache.spark.sql.Column, i: Int) =
+      pmod(pmod(k * lit(coef(i)._1) + lit(coef(i)._2), lit(P)),
+        lit(MBits))
+    val oDist = Tables.load(spark, dir, "orders")
+      .select(expr("CAST(o_orderkey AS BIGINT) DIV 1024").as("file_id"),
+        col("o_custkey").cast("long").as("key"))
+      .distinct()
+      .localCheckpoint() // bloom build + exact-membership join
+    val bloomRows = oDist
+      .select(col("file_id"), explode(array(coef.indices.map(i =>
+        posOf(col("key"), i)): _*)).as("p"))
+      .select(col("file_id"), expr("p DIV 32").as("word"),
+        pmod(col("p"), lit(32L)).cast("int").as("bit"))
+      .groupBy("file_id", "word")
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("bits"))
+    val files = oDist.select("file_id").distinct()
+    val ck = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("key"))
+      .filter(col("key") % 499 === 3)
+    val probes = ck.unionByName(
+      ck.select((col("key") + 1000000000L).as("key")))
+    val probeHash = probes
+      .select(col("key"), explode(array(coef.indices.map(i =>
+        posOf(col("key"), i)): _*)).as("p"))
+      .select(col("key"), expr("p DIV 32").as("word"),
+        pmod(col("p"), lit(32L)).cast("int").as("bit"))
+    // every (file, probe) tests all 4 positions; a missing word row is
+    // an all-zero word (coalesce), so the count per group is exactly 4
+    val tests = files.crossJoin(broadcast(probeHash))
+      .join(bloomRows, Seq("file_id", "word"), "left")
+      .withColumn("bits0", coalesce(col("bits"), lit(0L)))
+      .withColumn("set",
+        expr("(shiftright(bits0, bit) % 2) = 1"))
+      .groupBy("file_id", "key")
+      .agg((sum(when(col("set"), 1L).otherwise(0L)) === 4L)
+        .as("bloom_hit"))
+    val present = oDist
+      .select(col("file_id"), col("key"), lit(true).as("present"))
+    tests.join(present, Seq("file_id", "key"), "left")
+      .select(col("file_id"), col("key").as("probe_key"),
+        col("bloom_hit"),
+        coalesce(col("present"), lit(false)).as("present"),
+        (col("bloom_hit") && !coalesce(col("present"), lit(false)))
+          .as("false_positive"))
+  }
+
   /** Cascading delete (right-to-be-forgotten): customers with
     * c_custkey % 37 == 0 are erased, their orders follow, and those
     * orders' lineitems follow — the 3-level FK cascade every
@@ -595,6 +661,7 @@ object Analytics {
     "q_rolling_revenue" -> (qRollingRevenue _),
     "q_sales_cube" -> (qSalesCube _),
     "q_zorder_layout" -> (qZorderLayout _),
+    "q_bloom_skip_index" -> (qBloomSkipIndex _),
     "q_skew_report" -> (qSkewReport _),
     "q1_pricing" -> (q1Pricing _),
     "q_top_revenue" -> (qTopRevenue _),
@@ -857,6 +924,45 @@ object Analytics {
         |GROUP BY ROLLUP (n_name, o_year)""".stripMargin,
 
     "q_zorder_layout" -> zorderOracle,
+    // per-file blooms + probes replayed with the same affine hashes;
+    // membership tested via arithmetic shift (positive 32-bit words),
+    // exact presence from an independent distinct-pair join
+    "q_bloom_skip_index" ->
+      """WITH o AS (SELECT DISTINCT
+        |             CAST(o_orderkey AS BIGINT) // 1024 AS file_id,
+        |             CAST(o_custkey AS BIGINT) AS key
+        |           FROM orders),
+        |hs AS (SELECT * FROM (VALUES (0, 31, 1), (1, 131, 9177),
+        |        (2, 1009, 18353), (3, 65537, 27529)) v(i, m, b)),
+        |br AS (SELECT file_id, p // 32 AS word,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT))
+        |           AS bits
+        |       FROM (SELECT o.file_id,
+        |               ((o.key * hs.m + hs.b) % 1000000007) % 4096 AS p
+        |             FROM o, hs)
+        |       GROUP BY 1, 2),
+        |fl AS (SELECT DISTINCT file_id FROM o),
+        |ck AS (SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
+        |       WHERE c_custkey % 499 = 3),
+        |pr AS (SELECT key FROM ck
+        |       UNION ALL SELECT key + 1000000000 FROM ck),
+        |ph AS (SELECT pr.key,
+        |         ((pr.key * hs.m + hs.b) % 1000000007) % 4096 AS p
+        |       FROM pr, hs),
+        |t AS (SELECT fl.file_id, ph.key,
+        |        CASE WHEN (COALESCE(br.bits, 0)
+        |               >> CAST(ph.p % 32 AS INT)) % 2 = 1
+        |          THEN 1 ELSE 0 END AS hit
+        |      FROM fl CROSS JOIN ph
+        |      LEFT JOIN br ON br.file_id = fl.file_id
+        |        AND br.word = ph.p // 32),
+        |g AS (SELECT file_id, key, SUM(hit) = 4 AS bloom_hit
+        |      FROM t GROUP BY 1, 2)
+        |SELECT g.file_id, g.key AS probe_key, g.bloom_hit,
+        |  o.key IS NOT NULL AS present,
+        |  g.bloom_hit AND o.key IS NULL AS false_positive
+        |FROM g LEFT JOIN o ON o.file_id = g.file_id
+        |  AND o.key = g.key""".stripMargin,
     "q_skew_report" -> skewReportOracle,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

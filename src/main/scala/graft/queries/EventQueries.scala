@@ -288,6 +288,60 @@ object EventQueries {
         (col("ts_us") - col("view_ts")).as("lag_us"))
   }
 
+  /** Marketing attribution (first / last / linear touch) — the
+    * warehouse op beside the as-of join: every purchase attributed to
+    * the view/click touches of the same user within a 7-day lookback.
+    * Last-touch alone is the as-of join (row 90); first-touch and the
+    * linear weight need the WINDOWED touch set, so the shape here is
+    * the bounded range join: purchases equi-join touches on user_id
+    * with the exact-integer-micros range predicate, then ONE k=1
+    * bounded-heap per direction (earliest by (ts, id), latest by
+    * (-ts, id)) and a count — never a per-user sort, fan-out bounded
+    * by a user's touches in one week (the key any real event store is
+    * already hash-distributed on). Purchases with no touch in the
+    * window survive with n_touches = 0 (left join). */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val LookbackUs = 7L * 86400L * 1000000L
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"))
+      .localCheckpoint() // purchase side + touch side
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_us"))
+    val touches = ev
+      .filter(col("event_type") === "view" ||
+        col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("ts_us").as("t_us"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") <= col("p_us") &&
+        col("t_us") > col("p_us") - LookbackUs)
+    val agg = joined.groupBy("user_id", "purchase_id", "p_us")
+      .agg(count(lit(1)).as("n_touches"),
+        graft.functions.TopKAgg(col("t_us").cast("double"),
+          col("t_id"), col("t_id"), 1).as("tf"),
+        graft.functions.TopKAgg(-col("t_us").cast("double"),
+          col("t_id"), col("t_id"), 1).as("tl"))
+      .select(col("user_id"), col("purchase_id"), col("p_us"),
+        col("n_touches"),
+        element_at(col("tf"), 1).getField("payload").as("first_id"),
+        element_at(col("tf"), 1).getField("key").cast("long")
+          .as("first_us"),
+        element_at(col("tl"), 1).getField("payload").as("last_id"),
+        (-element_at(col("tl"), 1).getField("key")).cast("long")
+          .as("last_us"))
+    purchases.join(agg,
+        Seq("user_id", "purchase_id", "p_us"), "left")
+      .select(col("user_id"), col("purchase_id"),
+        col("p_us").as("purchase_us"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        col("first_id"), col("first_us"), col("last_id"), col("last_us"),
+        when(col("n_touches").isNotNull,
+          round(lit(1.0) / col("n_touches").cast("double"), 6))
+          .as("linear_weight"))
+  }
+
   /** SCD type-2 dimension build — the CDC/warehouse primitive: collapse
     * each user's attribute observations (props.k, the "segment" field)
     * into versioned validity intervals [eff_from_us, eff_to_us) with an
@@ -381,6 +435,7 @@ object EventQueries {
     "q_scd2_dimension" -> (qScd2 _),
     "q_event_anomaly" -> (qEventAnomaly _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_attribution" -> (qAttribution _),
     "q_retention" -> (qRetention _),
     "q_json_extract" -> (qJsonExtract _),
     "q_pagerank" -> (qPagerank _),
@@ -513,6 +568,42 @@ object EventQueries {
         |  c.tus - v.tus AS lag_us
         |FROM c ASOF JOIN v
         |  ON c.user_id = v.user_id AND c.tus >= v.tus""".stripMargin,
+    // attribution replay: same 7-day range join, first/last by the
+    // same (ts, id) / (ts desc, id) rules as the k=1 heaps
+    "q_attribution" ->
+      """WITH e AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+        |             CAST(user_id AS BIGINT) AS user_id,
+        |             epoch_us(ts) AS tus, event_type FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_us
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, tus AS t_us FROM e
+        |      WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.user_id, p.purchase_id, p.p_us, t.t_id, t.t_us
+        |      FROM p JOIN t ON t.user_id = p.user_id
+        |        AND t.t_us <= p.p_us
+        |        AND t.t_us > p.p_us - 604800000000),
+        |f AS (SELECT j.*,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, purchase_id
+        |          ORDER BY t_us, t_id) AS rf,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, purchase_id
+        |          ORDER BY t_us DESC, t_id) AS rl
+        |      FROM j),
+        |a AS (SELECT user_id, purchase_id, p_us,
+        |        COUNT(*) AS n_touches,
+        |        MIN(CASE WHEN rf = 1 THEN t_id END) AS first_id,
+        |        MIN(CASE WHEN rf = 1 THEN t_us END) AS first_us,
+        |        MIN(CASE WHEN rl = 1 THEN t_id END) AS last_id,
+        |        MIN(CASE WHEN rl = 1 THEN t_us END) AS last_us
+        |      FROM f GROUP BY 1, 2, 3)
+        |SELECT p.user_id, p.purchase_id, p.p_us AS purchase_us,
+        |  COALESCE(a.n_touches, 0) AS n_touches,
+        |  a.first_id, a.first_us, a.last_id, a.last_us,
+        |  CASE WHEN a.n_touches IS NOT NULL
+        |    THEN ROUND(1.0 / CAST(a.n_touches AS DOUBLE), 6) END
+        |    AS linear_weight
+        |FROM p LEFT JOIN a ON a.user_id = p.user_id
+        |  AND a.purchase_id = p.purchase_id""".stripMargin,
+
     "q_retention" ->
       """WITH uw AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
         |  (epoch_ns(ts) // 1000) // 604800000000 AS week FROM events),

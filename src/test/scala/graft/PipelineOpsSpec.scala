@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property specs for the r11 pipeline operators (URL canonicalization,
+  * containment dedup, VAD segmentation, temperature mixing, bloom skip
+  * index, attribution) — each pins the invariant its oracle-hash check
+  * cannot express. */
+class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
+
+  test("URL canonicalization is IDEMPOTENT: canon(canon(url)) == canon") {
+    // a canonical form that changes under re-canonicalization isn't
+    // canonical — run the same rule chain over the canon output
+    val out = graft.queries.HtmlQueries
+      .qUrlCanonicalize(spark, SfDir)
+      .select(col("canon_url")).collect().map(_.getString(0))
+    assert(out.nonEmpty)
+    def canonOnce(u: String): String = {
+      // independent scalar replica of the rule chain
+      val noFrag = u.takeWhile(_ != '#')
+      val (pre, rest) = noFrag.splitAt(noFrag.indexOf("://") + 3)
+      val auth = rest.takeWhile(c => c != '/' && c != '?')
+      val tail = rest.drop(auth.length)
+      val (host, port) = auth.span(_ != ':')
+      val scheme = pre.dropRight(3).toLowerCase
+      val cport =
+        if ((scheme == "http" && port == ":80") ||
+          (scheme == "https" && port == ":443")) "" else port
+      val path = tail.takeWhile(_ != '?')
+      val q = tail.drop(path.length)
+      val cpath = path.replaceAll("/\\./", "/")
+        .replaceAll("/[^/]+/\\.\\./", "/")
+      val ps =
+        if (q.isEmpty) Seq.empty
+        else q.drop(1).split("&").toSeq.filterNot(_.startsWith("utm_"))
+          .sorted
+      scheme + "://" + host.toLowerCase + cport + cpath +
+        (if (ps.isEmpty) "" else "?" + ps.mkString("&"))
+    }
+    out.foreach(u => assert(canonOnce(u) === u,
+      s"not idempotent: $u -> ${canonOnce(u)}"))
+  }
+
+  test("containment: a planted fragment is found inside its source at " +
+    "cont = 1.0, and containment >= jaccard on every pair") {
+    val pairs = graft.queries.DedupQueries
+      .qDedupContainment(spark, SfDir).collect()
+    assert(pairs.nonEmpty)
+    val fragPairs = pairs.filter(r =>
+      r.getAs[Long]("idb") - r.getAs[Long]("ida") == 1000000L)
+    assert(fragPairs.nonEmpty, "no fragment-source pairs surfaced")
+    fragPairs.foreach { r =>
+      // fragment ids are +1e6 => always idb; its containment is cont_b
+      assert(r.getAs[Double]("cont_b") === 1.0)
+    }
+    pairs.foreach { r =>
+      val shared = r.getAs[Long]("shared").toDouble
+      val jac = shared /
+        (r.getAs[Long]("na") + r.getAs[Long]("nb") - shared)
+      assert(math.max(r.getAs[Double]("cont_a"),
+        r.getAs[Double]("cont_b")) >= jac - 1e-9)
+    }
+  }
+
+  test("VAD segments tile the speech frames exactly: no overlap, " +
+    "silence between consecutive segments, frame counts reconcile") {
+    val segs = graft.queries.SourceQueries
+      .qAudioVadSegments(spark, SfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(segs.nonEmpty)
+    for ((d, rows) <- segs) {
+      val srt = rows.sortBy(_.getAs[Long]("start_frame"))
+      srt.foreach { r =>
+        assert(r.getAs[Long]("end_frame") >= r.getAs[Long]("start_frame"))
+        assert(r.getAs[Long]("n_frames") ===
+          r.getAs[Long]("end_frame") - r.getAs[Long]("start_frame") + 1)
+      }
+      srt.sliding(2).foreach {
+        case Array(a, b) =>
+          // a true segmentation has a silence GAP between segments
+          assert(b.getAs[Long]("start_frame") >
+            a.getAs[Long]("end_frame") + 1, s"doc $d: touching segments")
+        case _ => ()
+      }
+      // planted gate: speech frames are exactly those with (d+f)%5>=2
+      val n = 256 + d % 256
+      val expected = (0L until n / 64).count(f => (d + f) % 5 >= 2)
+      assert(srt.map(_.getAs[Long]("n_frames")).sum === expected)
+    }
+  }
+
+  test("temperature mixing: smallest language keeps everything, " +
+    "realized shares move toward sqrt scaling") {
+    val out = graft.queries.CurationQueries
+      .qMixTemperature(spark, SfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        first("thresh").as("thresh"),
+        sum(when(col("accepted"), 1L).otherwise(0L)).as("kept"))
+      .collect()
+    val minLang = out.minBy(_.getAs[Long]("n"))
+    assert(minLang.getAs[Long]("thresh") === 1000000L)
+    assert(minLang.getAs[Long]("kept") === minLang.getAs[Long]("n"))
+    // biggest language is down-sampled strictly below keep-all
+    val maxLang = out.maxBy(_.getAs[Long]("n"))
+    assert(maxLang.getAs[Long]("thresh") < 1000000L)
+  }
+
+  test("bloom skip index: no false negatives ever; planted-absent keys " +
+    "never 'present'; false positives exist and are priced") {
+    val rows = graft.queries.Analytics
+      .qBloomSkipIndex(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the bloom contract: present => hit (a miss may never lie)
+      if (r.getAs[Boolean]("present"))
+        assert(r.getAs[Boolean]("bloom_hit"))
+      if (r.getAs[Long]("probe_key") >= 1000000000L)
+        assert(!r.getAs[Boolean]("present"))
+    }
+    // the measured trade: some skips happen, and the FP flag is
+    // exactly hit && !present
+    assert(rows.exists(r => !r.getAs[Boolean]("bloom_hit")))
+    rows.foreach(r => assert(r.getAs[Boolean]("false_positive") ===
+      (r.getAs[Boolean]("bloom_hit") && !r.getAs[Boolean]("present"))))
+  }
+
+  test("attribution: touch window is honored and last touch matches " +
+    "the as-of rule") {
+    val rows = graft.queries.EventQueries
+      .qAttribution(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val lookback = 7L * 86400L * 1000000L
+    rows.filter(_.getAs[Long]("n_touches") > 0).foreach { r =>
+      val p = r.getAs[Long]("purchase_us")
+      val f = r.getAs[Long]("first_us")
+      val l = r.getAs[Long]("last_us")
+      assert(f <= l && l <= p && f > p - lookback)
+    }
+    assert(rows.exists(_.getAs[Long]("n_touches") === 0L))
+  }
+}
