@@ -65,4 +65,42 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"q_lateness_profile grew extra exchanges:\n$p")
   }
+
+  test("r11 row-local claims: URL canonicalization has no exchange") {
+    val p = plan("q_url_canonicalize")
+    assert(!p.contains("Exchange"),
+      s"q_url_canonicalize claims row-local but:\n$p")
+  }
+
+  test("r11 broadcast-back claims: temperature mixing shuffles only " +
+    "its lang aggregate; VAD windows per clip only") {
+    val pt = plan("q_mix_temperature")
+    assert("Exchange hashpartitioning".r.findAllIn(pt).size <= 2,
+      s"q_mix_temperature shuffles more than the lang aggregate:\n$pt")
+    assert(pt.contains("BroadcastExchange") ||
+      pt.contains("BroadcastHashJoin"),
+      s"q_mix_temperature lost its broadcast join-back:\n$pt")
+    // VAD: frame decode is row-local; the only exchanges are the
+    // per-doc island window + segment aggregate family
+    val pv = plan("q_audio_vad_segments")
+    assert("Exchange hashpartitioning".r.findAllIn(pv).size <= 3,
+      s"q_audio_vad_segments grew extra exchanges:\n$pv")
+  }
+
+  test("r11 partition-layout invariance: containment pairs and " +
+    "attribution heaps") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val c1 = graft.operators.Dedup
+      .containmentPairs(docs.coalesce(1), 16, 20, 0.8)
+    val c7 = graft.operators.Dedup
+      .containmentPairs(docs.repartition(7), 16, 20, 0.8)
+    assert(c1.exceptAll(c7).isEmpty && c7.exceptAll(c1).isEmpty,
+      "containment pairs depend on partition layout")
+    val a = graft.queries.EventQueries.qAttribution(spark, SfDir)
+    val b = graft.queries.EventQueries.qAttribution(spark, SfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "attribution heaps are not run-stable")
+  }
 }
