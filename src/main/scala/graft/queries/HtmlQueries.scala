@@ -188,10 +188,75 @@ object HtmlQueries {
         (col("url") =!= col("canon_url")).as("changed"))
   }
 
+  // ------------------------------------------------------- robots policy
+
+  /** q_robots_policy — the crawl-permission gate (RFC 9309): one
+    * robots.txt per host (text built deterministically, then genuinely
+    * LINE-PARSED back into rules — directive regex over split lines),
+    * probe URLs evaluated by the longest-match rule with allow winning
+    * length ties, unmatched paths allowed by default. Rule shapes per
+    * host: a broad Disallow, a deeper Allow carve-out, a still-deeper
+    * Disallow under the carve-out — so probes exercise all three
+    * outcomes plus the default. Matching = host equi-join (rules per
+    * host are a handful of rows — at crawl scale the rules table is
+    * the broadcast side) + startswith filter + a k=1 bounded heap on
+    * (prefix length desc, allow desc, line) — never a per-URL sort. */
+  def qRobotsPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"))
+    val did = col("doc_id")
+    val host = (did % 50).as("host")
+    // the robots.txt TEXT per probe's host, then a genuine parse
+    val hostCol = col("host")
+    val robots = concat(
+      lit("User-agent: *\n"),
+      lit("Disallow: /a\n"),
+      lit("Allow: /a/p"), hostCol % 5, lit("\n"),
+      lit("Disallow: /a/p"), hostCol % 5, lit("/x\n"))
+    val hosts = d.select(host).distinct()
+      .withColumn("robots", robots)
+    val rules = hosts
+      .select(col("host"), posexplode(split(col("robots"), "\n"))
+        .as(Seq("line", "raw")))
+      .select(col("host"), col("line").cast("long").as("line"),
+        regexp_extract(col("raw"), "^(Allow|Disallow): (.+)$", 1)
+          .as("verb"),
+        regexp_extract(col("raw"), "^(Allow|Disallow): (.+)$", 2)
+          .as("prefix"))
+      .filter(col("prefix") =!= "")
+      .select(col("host"), col("line"),
+        (col("verb") === "Allow").as("allow"), col("prefix"))
+    // every 11th doc probes OUTSIDE the rule space so the
+    // default-allowed path is genuinely exercised
+    val probes = d.select(did.as("doc_id"), host,
+      when(did % 11 === 0, concat(lit("/pub"), did % 3))
+        .otherwise(concat(lit("/a/p"), did % 3,
+          when(did % 2 === 0, lit("/x/f")).otherwise(lit("/q"))))
+        .as("path"))
+    val matched = probes.join(broadcast(rules), Seq("host"))
+      .filter(expr("startswith(path, prefix)"))
+      .groupBy("doc_id")
+      .agg(graft.functions.TopKAgg(
+        -(length(col("prefix")) * 2
+          + when(col("allow"), 1).otherwise(0)).cast("double"),
+        col("line"), col("line"), 1).as("tk"))
+      .select(col("doc_id"),
+        element_at(col("tk"), 1).getField("payload").as("win_line"))
+    probes.join(matched, Seq("doc_id"), "left")
+      .join(broadcast(rules.select(col("host"),
+        col("line").as("win_line"), col("allow").as("win_allow"),
+        col("prefix").as("win_prefix"))), Seq("host", "win_line"),
+        "left")
+      .select(col("doc_id"), col("host"), col("path"),
+        col("win_prefix").as("matched_prefix"),
+        coalesce(col("win_allow"), lit(true)).as("allowed"),
+        col("win_line").isNotNull.as("rule_matched"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (qHtmlExtract _),
     "q_html_links" -> (qHtmlLinks _),
-    "q_url_canonicalize" -> (qUrlCanonicalize _))
+    "q_url_canonicalize" -> (qUrlCanonicalize _),
+    "q_robots_policy" -> (qRobotsPolicy _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -200,6 +265,38 @@ object HtmlQueries {
       |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // robots evaluation replayed from ANALYTIC rules (no text parse —
+    // generation and the engine's line parse check each other):
+    // longest match, allow wins length ties, default allowed
+    "q_robots_policy" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |p AS (SELECT doc_id, doc_id % 50 AS host,
+        |        CASE WHEN doc_id % 11 = 0 THEN '/pub' || (doc_id % 3)
+        |             ELSE '/a/p' || (doc_id % 3)
+        |               || (CASE WHEN doc_id % 2 = 0 THEN '/x/f'
+        |                   ELSE '/q' END) END AS path
+        |      FROM d),
+        |hs AS (SELECT DISTINCT host FROM p),
+        |r AS (SELECT host, 1 AS line, FALSE AS allow, '/a' AS prefix
+        |        FROM hs
+        |      UNION ALL
+        |      SELECT host, 2, TRUE, '/a/p' || (host % 5) FROM hs
+        |      UNION ALL
+        |      SELECT host, 3, FALSE, '/a/p' || (host % 5) || '/x'
+        |        FROM hs),
+        |m AS (SELECT p.doc_id, r.line, r.allow, r.prefix,
+        |        ROW_NUMBER() OVER (PARTITION BY p.doc_id
+        |          ORDER BY len(r.prefix) DESC,
+        |            CASE WHEN r.allow THEN 1 ELSE 0 END DESC, r.line)
+        |          AS rn
+        |      FROM p JOIN r ON r.host = p.host
+        |      WHERE starts_with(p.path, r.prefix))
+        |SELECT p.doc_id, p.host, p.path,
+        |  m.prefix AS matched_prefix,
+        |  COALESCE(m.allow, TRUE) AS allowed,
+        |  m.line IS NOT NULL AS rule_matched
+        |FROM p LEFT JOIN m ON m.doc_id = p.doc_id AND m.rn = 1""".stripMargin,
     // raw URL and canonical form both derived INDEPENDENTLY from
     // doc_id arithmetic with DuckDB's own list/regex machinery — a
     // normalization bug on either side breaks the hash
