@@ -41,6 +41,13 @@ object EventQueries {
       events(spark, dir).select(col("event_id"), col("user_id"),
         col("event_type"), col("ts_us").as("tus")))
 
+  /** LEFT OUTER interval join (batch twin of the watermarked streaming
+    * form) — non-conversion as a first-class output row. */
+  def qEventIntervalOuter(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.intervalJoinOuter(
+      events(spark, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us").as("tus")))
+
   /** Gap-based sessionization: a new session starts after >30 min of user
     * inactivity. One shuffle on user_id (window), one on (user_id,
     * session) for the rollup — at scale both are the same hash key family.
@@ -441,6 +448,7 @@ object EventQueries {
     "q_pagerank" -> (qPagerank _),
     "q_events_windowed" -> (qEventsWindowed _),
     "q_event_interval_join" -> (qEventIntervalJoin _),
+    "q_event_interval_outer" -> (qEventIntervalOuter _),
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_native" -> (qSessionizeNative _),
     "q_lateness_profile" -> (qLatenessProfile _),
@@ -656,6 +664,25 @@ object EventQueries {
          |  c.click_us - v.view_us AS gap_us
          |FROM v JOIN c ON v.user_id = c.user_id
          |WHERE c.click_us >= v.view_us
+         |  AND c.click_us - v.view_us <= $GapUs""".stripMargin,
+
+    // outer twin: unmatched views survive with NULLs — non-conversion
+    // as a first-class row
+    "q_event_interval_outer" ->
+      s"""WITH e AS (
+         |  SELECT CAST(event_id AS BIGINT) AS event_id,
+         |    CAST(user_id AS BIGINT) AS user_id, event_type,
+         |    epoch_us(ts) AS tus
+         |  FROM events),
+         |v AS (SELECT user_id, event_id AS view_id, tus AS view_us
+         |      FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, event_id AS click_id, tus AS click_us
+         |      FROM e WHERE event_type = 'click')
+         |SELECT v.user_id, v.view_id, v.view_us, c.click_id,
+         |  c.click_us - v.view_us AS gap_us,
+         |  c.click_id IS NOT NULL AS converted
+         |FROM v LEFT JOIN c ON v.user_id = c.user_id
+         |  AND c.click_us >= v.view_us
          |  AND c.click_us - v.view_us <= $GapUs""".stripMargin,
 
     "q_sessionize" ->

@@ -87,6 +87,62 @@ object EventsStream {
         (col("click_us") - col("view_us")).as("gap_us"))
   }
 
+  /** LEFT OUTER view→click interval join — the join-matrix member the
+    * family was missing (inner stream-stream above, stream-static
+    * enrich below): every view emits, matched clicks within `gapUs`
+    * attach, unmatched views surface with NULLs — the
+    * conversion-funnel shape where NON-conversion is the signal.
+    * Mode-agnostic; in streaming mode the null rows for a view emit
+    * only once the watermark passes view_ts + gapUs (the outer-join
+    * state contract the spec encodes honestly). */
+  def intervalJoinOuter(events: DataFrame,
+                        gapUs: Long = 30L * 60 * 1000000L): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("tus").as("view_us"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("tus").as("click_us"))
+    v.join(c, col("user_id") === col("c_user_id") &&
+        col("click_us") >= col("view_us") &&
+        col("click_us") - col("view_us") <= gapUs, "left_outer")
+      .select(col("user_id"), col("view_id"), col("view_us"),
+        col("click_id"),
+        (col("click_us") - col("view_us")).as("gap_us"),
+        col("click_id").isNotNull.as("converted"))
+  }
+
+  /** Streaming twin: watermarked LEFT OUTER stream-stream join (both
+    * sides watermarked; the range condition bounds the buffered state;
+    * null-match rows emit when the watermark clears the view's join
+    * window). */
+  def intervalJoinOuterStream(spark: SparkSession, dir: String,
+                              queryName: String): StreamingQuery = {
+    def src = readEvents(spark, dir)
+    val v = src.filter(col("event_type") === "view")
+      .withWatermark("tsw", "2 hours")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("tsw").as("view_tsw"))
+    val c = src.filter(col("event_type") === "click")
+      .withWatermark("tsw", "2 hours")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("tsw").as("click_tsw"))
+    v.join(c, col("user_id") === col("c_user_id") &&
+        col("click_tsw") >= col("view_tsw") &&
+        col("click_tsw") <= col("view_tsw") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .select(col("user_id"), col("view_id"),
+        unix_micros(col("view_tsw")).as("view_us"), col("click_id"),
+        (unix_micros(col("click_tsw")) - unix_micros(col("view_tsw")))
+          .as("gap_us"),
+        col("click_id").isNotNull.as("converted"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+  }
+
   /** Stream-stream interval join: both sides watermarked so the view
     * state for users whose join window has passed is dropped — the
     * event-time range condition bounds state exactly as Structured

@@ -71,6 +71,50 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: matches equal the batch join; " +
+    "null rows emit exactly up to the watermark's outer-emission bound") {
+    import org.apache.spark.sql.functions._
+    val q = EventsStream.intervalJoinOuterStream(spark, SfDir, "ivjo_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ivjo_test")
+        .select("user_id", "view_id", "view_us", "click_id", "gap_us",
+          "converted")
+      val batch = graft.queries.EventQueries
+        .qEventIntervalOuter(spark, SfDir)
+      // matched rows are exactly the inner join — identical both modes
+      val sm = streamed.filter(col("converted"))
+      val bm = batch.filter(col("converted"))
+      assert(sm.count() > 0)
+      assert(sm.exceptAll(bm).count() === 0)
+      assert(bm.exceptAll(sm).count() === 0)
+      // the OUTER contract: a view's null row emits only once the
+      // watermark (maxTs - 2h) passes view_ts + 30min — views newer
+      // than that bound are still buffered when the file source runs
+      // dry. Everything streamed must be in batch; every batch null
+      // row OLD enough must have streamed.
+      val sn = streamed.filter(!col("converted"))
+      val bn = batch.filter(!col("converted"))
+      assert(sn.exceptAll(bn).count() === 0)
+      // the join's watermark is the MIN over both sides' watermark
+      // nodes, and each node sees only its FILTERED stream — so the
+      // emission bound derives from min(max view ts, max click ts),
+      // not the global max event time (the last views of a finite
+      // stream can never be evicted: the watermark cannot pass their
+      // own timestamps). 1s slack absorbs ms truncation + strictness.
+      val ev = graft.Tables.eventsUs(spark, SfDir)
+      def maxOf(t: String) = ev.filter(col("event_type") === t)
+        .agg(max("ts_us")).head().getLong(0)
+      val wmUs = math.min(maxOf("view"), maxOf("click")) -
+        2L * 3600 * 1000000L
+      val bound = wmUs - 30L * 60 * 1000000L - 1000000L
+      val mustHaveEmitted = bn.filter(col("view_us") < bound)
+      assert(mustHaveEmitted.exceptAll(sn).count() === 0,
+        "an old-enough unmatched view never emitted its null row")
+      assert(sn.count() > 0, "no null rows emitted at all")
+    } finally q.stop()
+  }
+
   test("native MinHashSig equals the shuffle-based signature pipeline") {
     import graft.operators.Dedup
     val docs = Tables.load(spark, SfDir, "documents")
