@@ -225,11 +225,16 @@ object Analytics {
     * repartitionByRange(z) + sortWithinPartitions (sampled range
     * boundaries — equivalent layout, not bit-replayable, which is why
     * the deterministic fixed-width form is the oracle-checked one). */
-  def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders")
-      .select(col("o_custkey").cast("long").as("ck"),
+  private def ordersCkDay(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("ok"),
+        col("o_custkey").cast("long").as("ck"),
         expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate) DIV 86400000000")
-          .cast("long").as(s"day"))
+          .cast("long").as("day"))
+
+  /** The z-order file assignment: min-max scale each dim to 16 bits,
+    * 32-term bit interleave, fixed-width z-range = file. */
+  private def withZFile(o: DataFrame): DataFrame = {
     // min-max scale each dim onto the full 16-bit space first —
     // interleaving RAW values would let the wider dim own every high
     // bit and degenerate to a single-column sort (Delta's ZORDER uses
@@ -248,12 +253,78 @@ object Analytics {
     }.reduce(_ + _)
     scaled.withColumn("z", z)
       .withColumn("file_id", expr("z DIV 67108864")) // 2^26: <=64 files
+  }
+
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    withZFile(ordersCkDay(spark, dir))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min("ck").as("min_ck"), max("ck").as("max_ck"),
         min("day").as("min_day"), max("day").as("max_day"))
       .withColumn("ck_span", col("max_ck") - col("min_ck"))
       .withColumn("day_span", col("max_day") - col("min_day"))
+
+  /** Z-order pruning BENEFIT, quantified — the question the layout
+    * exists to answer: for the same range predicates, how many files
+    * does a min/max-stats planner read under the z layout vs the
+    * naive insertion-order layout? Ten probes (five per dimension,
+    * bounds-derived tenth-wide ranges), each priced against BOTH
+    * layouts' per-file min/max stats plus the exact matching row
+    * count. Everything is the bounded-stats shape: two small file-
+    * stats aggregates, probes broadcast, the corpus scanned once per
+    * layout build and once for exact counts. */
+  def qZorderPruning(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersCkDay(spark, dir).localCheckpoint()
+    val zStats = withZFile(o).groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"), min("ck").as("min_ck"),
+        max("ck").as("max_ck"), min("day").as("min_day"),
+        max("day").as("max_day"))
+    val nStats = o.withColumn("file_id", expr("ok DIV 1024"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"), min("ck").as("min_ck"),
+        max("ck").as("max_ck"), min("day").as("min_day"),
+        max("day").as("max_day"))
+    val bounds = o.agg(min("ck").as("mnc"), max("ck").as("mxc"),
+      min("day").as("mnd"), max("day").as("mxd"))
+    import spark.implicits._
+    val probes = Seq.tabulate(10)(j => (j.toLong, if (j < 5) "ck"
+      else "day", (j % 5).toLong))
+      .toDF("pid", "dim", "slot")
+      .crossJoin(broadcast(bounds))
+      .select(col("pid"), col("dim"),
+        when(col("dim") === "ck",
+          expr("mnc + slot * (mxc - mnc) DIV 5"))
+          .otherwise(expr("mnd + slot * (mxd - mnd) DIV 5")).as("lo"),
+        when(col("dim") === "ck",
+          expr("mnc + slot * (mxc - mnc) DIV 5 + (mxc - mnc) DIV 10"))
+          .otherwise(expr(
+            "mnd + slot * (mxd - mnd) DIV 5 + (mxd - mnd) DIV 10"))
+          .as("hi"))
+    def priced(stats: DataFrame, fc: String, rc: String): DataFrame =
+      stats.crossJoin(broadcast(probes))
+        .filter(
+          (col("dim") === "ck" && col("min_ck") <= col("hi") &&
+            col("max_ck") >= col("lo")) ||
+          (col("dim") === "day" && col("min_day") <= col("hi") &&
+            col("max_day") >= col("lo")))
+        .groupBy("pid")
+        .agg(count(lit(1)).as(fc), sum("n_rows").as(rc))
+    val exact = o.crossJoin(broadcast(probes))
+      .filter((col("dim") === "ck" && col("ck").between(col("lo"),
+        col("hi"))) ||
+        (col("dim") === "day" && col("day").between(col("lo"),
+          col("hi"))))
+      .groupBy("pid").agg(count(lit(1)).as("rows_match"))
+    probes.join(priced(zStats, "files_z", "rows_z"), Seq("pid"), "left")
+      .join(priced(nStats, "files_naive", "rows_naive"), Seq("pid"),
+        "left")
+      .join(exact, Seq("pid"), "left")
+      .select(col("pid"), col("dim"), col("lo"), col("hi"),
+        coalesce(col("files_z"), lit(0L)).as("files_z"),
+        coalesce(col("rows_z"), lit(0L)).as("rows_z"),
+        coalesce(col("files_naive"), lit(0L)).as("files_naive"),
+        coalesce(col("rows_naive"), lit(0L)).as("rows_naive"),
+        coalesce(col("rows_match"), lit(0L)).as("rows_match"))
   }
 
   /** 7-day rolling revenue per customer nation — the time-series RANGE
@@ -662,6 +733,7 @@ object Analytics {
     "q_sales_cube" -> (qSalesCube _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_bloom_skip_index" -> (qBloomSkipIndex _),
+    "q_zorder_pruning" -> (qZorderPruning _),
     "q_skew_report" -> (qSkewReport _),
     "q1_pricing" -> (q1Pricing _),
     "q_top_revenue" -> (qTopRevenue _),
@@ -730,7 +802,76 @@ object Analytics {
        |FROM f GROUP BY 1""".stripMargin
   }
 
+  /** Pruning oracle: the same z chain as zorderOracle plus the naive
+    * layout, bounds-derived probes, interval-overlap file pricing and
+    * exact row counts. */
+  private val zorderPruningOracle: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("\n|      + ")
+    s"""WITH o AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS ok,
+       |    CAST(o_custkey AS BIGINT) AS ck,
+       |    epoch_us(o_orderdate) // 86400000000 AS day
+       |  FROM orders),
+       |b AS (SELECT MIN(ck) AS mnc, MAX(ck) AS mxc,
+       |        MIN(day) AS mnd, MAX(day) AS mxd FROM o),
+       |q AS (SELECT ok, ck, day,
+       |    (ck - mnc) * 65535 // GREATEST(1, mxc - mnc) AS x,
+       |    (day - mnd) * 65535 // GREATEST(1, mxd - mnd) AS y
+       |  FROM o, b),
+       |zf AS (SELECT ck, day,
+       |    ($terms) // 67108864 AS file_id FROM q),
+       |zs AS (SELECT file_id, COUNT(*) AS n_rows, MIN(ck) AS min_ck,
+       |        MAX(ck) AS max_ck, MIN(day) AS min_day,
+       |        MAX(day) AS max_day
+       |      FROM zf GROUP BY 1),
+       |ns AS (SELECT ok // 1024 AS file_id, COUNT(*) AS n_rows,
+       |        MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+       |        MIN(day) AS min_day, MAX(day) AS max_day
+       |      FROM o GROUP BY 1),
+       |pr AS (SELECT * FROM (VALUES (0,'ck',0),(1,'ck',1),(2,'ck',2),
+       |        (3,'ck',3),(4,'ck',4),(5,'day',0),(6,'day',1),
+       |        (7,'day',2),(8,'day',3),(9,'day',4)) v(pid, dim, slot)),
+       |pp AS (SELECT CAST(pid AS BIGINT) AS pid, dim,
+       |        CASE WHEN dim = 'ck' THEN mnc + slot * (mxc - mnc) // 5
+       |             ELSE mnd + slot * (mxd - mnd) // 5 END AS lo,
+       |        CASE WHEN dim = 'ck'
+       |          THEN mnc + slot * (mxc - mnc) // 5 + (mxc - mnc) // 10
+       |          ELSE mnd + slot * (mxd - mnd) // 5 + (mxd - mnd) // 10
+       |        END AS hi
+       |      FROM pr, b),
+       |pz AS (SELECT pp.pid, COUNT(*) AS files_z,
+       |        SUM(zs.n_rows) AS rows_z
+       |      FROM pp JOIN zs ON (pp.dim = 'ck' AND zs.min_ck <= pp.hi
+       |          AND zs.max_ck >= pp.lo)
+       |        OR (pp.dim = 'day' AND zs.min_day <= pp.hi
+       |          AND zs.max_day >= pp.lo)
+       |      GROUP BY 1),
+       |pn AS (SELECT pp.pid, COUNT(*) AS files_naive,
+       |        SUM(ns.n_rows) AS rows_naive
+       |      FROM pp JOIN ns ON (pp.dim = 'ck' AND ns.min_ck <= pp.hi
+       |          AND ns.max_ck >= pp.lo)
+       |        OR (pp.dim = 'day' AND ns.min_day <= pp.hi
+       |          AND ns.max_day >= pp.lo)
+       |      GROUP BY 1),
+       |px AS (SELECT pp.pid, COUNT(*) AS rows_match FROM pp JOIN o
+       |        ON (pp.dim = 'ck' AND o.ck BETWEEN pp.lo AND pp.hi)
+       |        OR (pp.dim = 'day' AND o.day BETWEEN pp.lo AND pp.hi)
+       |      GROUP BY 1)
+       |SELECT pp.pid, pp.dim, pp.lo, pp.hi,
+       |  CAST(COALESCE(pz.files_z, 0) AS BIGINT) AS files_z,
+       |  CAST(COALESCE(pz.rows_z, 0) AS BIGINT) AS rows_z,
+       |  CAST(COALESCE(pn.files_naive, 0) AS BIGINT) AS files_naive,
+       |  CAST(COALESCE(pn.rows_naive, 0) AS BIGINT) AS rows_naive,
+       |  CAST(COALESCE(px.rows_match, 0) AS BIGINT) AS rows_match
+       |FROM pp LEFT JOIN pz USING (pid) LEFT JOIN pn USING (pid)
+       |LEFT JOIN px USING (pid)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_zorder_pruning" -> zorderPruningOracle,
     "q_data_contract" ->
       """SELECT 'lineitem' AS "table",
         |  'l_quantity_range_1_50' AS "check",

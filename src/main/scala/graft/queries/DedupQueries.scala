@@ -58,6 +58,40 @@ object DedupQueries {
       iters = 3) // near-dup components are shallow; 3 hops covers them
   }
 
+  /** Keep-BEST canonical selection — the curation rule real dedup
+    * ships with: within a near-dup cluster you keep the highest-
+    * QUALITY copy, not the lowest id (min-id is a determinism anchor,
+    * not an editorial judgment). Clusters from the minhash components
+    * (row 43), quality = the integer stopword-rate score of row 86,
+    * winner per cluster by ONE k=1 bounded heap on (quality desc,
+    * doc_id) — never a per-cluster sort; singleton docs keep
+    * themselves. */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val d = docs(spark, dir)
+    val clusters = Dedup.dedupClusters(d,
+      Dedup.minhashPairs(d, K, numHashes = 64, bands = 16, minEst = 0.2),
+      iters = 3)
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+    val quality = d
+      .select(col("doc_id"), wordCount(col("text")).as("n_words"),
+        stopwordCount(norm(col("text")), langStopwords.head._2)
+          .as("n_stop"))
+      .select(col("doc_id"),
+        expr("CASE WHEN n_words = 0 THEN -1 " +
+          "ELSE (n_stop * 10000) DIV n_words END").as("quality"))
+    val scored = clusters.join(quality, Seq("doc_id"))
+      .localCheckpoint() // winner agg + final join-back
+    val best = scored.groupBy("cluster_id")
+      .agg(graft.functions.TopKAgg(-col("quality").cast("double"),
+        col("doc_id"), col("doc_id"), 1).as("tk"))
+      .select(col("cluster_id"),
+        element_at(col("tk"), 1).getField("payload").as("kept_id"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("kept_id"), (col("doc_id") === col("kept_id")).as("keep"))
+  }
+
   /** Benchmark decontamination: docs from source 'src0' play the
     * held-out benchmark; every other doc reports what fraction of its
     * distinct 16-shingles leak from that set. */
@@ -229,6 +263,7 @@ object DedupQueries {
     "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_containment" -> (qDedupContainment _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_minhash" -> (qMinhash _),
     "q_dedup_simhash" -> (qSimhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -554,6 +589,30 @@ object DedupQueries {
          |FROM bands b JOIN anch a ON b.band = a.band AND b.bh = a.bh
          |WHERE a.n >= 2 AND b.doc_id <> a.anchor_id""".stripMargin,
     "q_dedup_clusters" -> clustersOracle,
+    // keep-best replay: the full cluster recurrence as a CTE, the
+    // row-86 integer quality score, winner by (quality desc, doc_id)
+    "q_dedup_keep_best" ->
+      s"""WITH cl AS ($clustersOracle),
+         |qq AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |         CASE WHEN len(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text),
+         |                '\\s+')) END AS nw,
+         |         len(regexp_extract_all(lower(trim(regexp_replace(
+         |             text, '\\s+', ' ', 'g'))),
+         |           '\\b(the|and|of|is|a)\\b')) AS ns
+         |       FROM documents),
+         |q AS (SELECT doc_id, CASE WHEN nw = 0 THEN -1
+         |        ELSE (ns * 10000) // nw END AS quality FROM qq),
+         |r AS (SELECT cl.doc_id, cl.canonical_id AS cluster_id,
+         |        q.quality
+         |      FROM cl JOIN q USING (doc_id)),
+         |b AS (SELECT r.*, ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |        ORDER BY quality DESC, doc_id) AS rn FROM r),
+         |k AS (SELECT cluster_id, doc_id AS kept_id FROM b
+         |      WHERE rn = 1)
+         |SELECT r.doc_id, r.cluster_id, r.quality, k.kept_id,
+         |  r.doc_id = k.kept_id AS keep
+         |FROM r JOIN k USING (cluster_id)""".stripMargin,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
