@@ -125,6 +125,44 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
       (r.getAs[Boolean]("bloom_hit") && !r.getAs[Boolean]("present"))))
   }
 
+  test("z-order pruning: the layout reads strictly less data than the " +
+    "naive layout overall, and never misses a matching row") {
+    val rows = graft.queries.Analytics
+      .qZorderPruning(spark, SfDir).collect()
+    assert(rows.length === 10)
+    val sumZ = rows.map(_.getAs[Long]("rows_z")).sum
+    val sumN = rows.map(_.getAs[Long]("rows_naive")).sum
+    assert(sumZ < sumN, s"z layout read $sumZ rows vs naive $sumN")
+    rows.foreach { r =>
+      // stats pruning must be SOUND: the files kept contain at least
+      // every matching row
+      assert(r.getAs[Long]("rows_z") >= r.getAs[Long]("rows_match"))
+      assert(r.getAs[Long]("rows_naive") >= r.getAs[Long]("rows_match"))
+    }
+  }
+
+  test("keep-best: the kept doc has the maximum quality in its " +
+    "cluster, ties to the lowest id; singletons keep themselves") {
+    val rows = graft.queries.DedupQueries
+      .qDedupKeepBest(spark, SfDir).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows) {
+      val kept = rs.filter(r =>
+        r.getAs[Long]("doc_id") == r.getAs[Long]("kept_id"))
+      assert(kept.length === 1)
+      val kq = kept.head.getAs[Long]("quality")
+      val kid = kept.head.getAs[Long]("doc_id")
+      rs.foreach { r =>
+        val q = r.getAs[Long]("quality")
+        assert(q < kq ||
+          (q == kq && r.getAs[Long]("doc_id") >= kid))
+      }
+      if (rs.length == 1)
+        assert(rs.head.getAs[Boolean]("keep"))
+    }
+  }
+
   test("attribution: touch window is honored and last touch matches " +
     "the as-of rule") {
     val rows = graft.queries.EventQueries
