@@ -448,9 +448,70 @@ object CurationQueries {
         (pmod(col("h"), lit(1000000L)) < col("thresh")).as("accepted"))
   }
 
+  /** Score-distribution DRIFT monitor (r11) — the model-monitoring
+    * staple beside the snapshot diff: did the quality-score
+    * distribution move between the previous and current crawl? (The
+    * question that decides whether yesterday's filter threshold still
+    * means the same thing today.) Snapshots derive exactly as
+    * q_snapshot_diff's (prev = doc_id%7≠3 with every 11th doc
+    * truncated, cur = doc_id%13≠5), scores are row 86's integer
+    * stopword-rate, and the distance is the SYMMETRIC CHI-SQUARE
+    * Σ(p−q)²/(p+q) — PSI's ln is banned cross-engine, χ² is fully
+    * RATIONAL: per bucket (np·C − nc·P)² / (P·C·(np·C + nc·P)) over
+    * exact integer counts, contributions quantized to integer nanos so
+    * the total is an order-independent sum (the gradient/JL move).
+    * Plan: two filtered scans of one corpus read, one bucket
+    * aggregate, 1-row totals broadcast back — bucket table ≤ 21 rows
+    * at any corpus size. */
+  def qScoreDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+    def scored(side: String, textCol: org.apache.spark.sql.Column,
+               keep: org.apache.spark.sql.Column) = base.filter(keep)
+      .select(lit(side).as("side"), wordCount(textCol).as("n_words"),
+        stopwordCount(norm(textCol), langStopwords.head._2)
+          .as("n_stop"))
+      .select(col("side"), expr("CASE WHEN n_words = 0 THEN -1 " +
+        "ELSE (n_stop * 10000) DIV n_words END").as("score"))
+    val prev = scored("prev",
+      when(col("doc_id") % 11 === 0, substring(col("text"), 1, 40))
+        .otherwise(col("text")), col("doc_id") % 7 =!= 3)
+    val cur = scored("cur", col("text"), col("doc_id") % 13 =!= 5)
+    val grp = prev.unionByName(cur)
+      .withColumn("bucket", when(col("score") < 0, lit(-1L))
+        .otherwise(least(expr("score DIV 50"), lit(19L))))
+      .groupBy("bucket")
+      .agg(sum(when(col("side") === "prev", 1L).otherwise(0L))
+          .as("n_prev"),
+        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val tots = grp.agg(sum("n_prev").as("tp"), sum("n_cur").as("tc"))
+    val withC = grp.crossJoin(broadcast(tots))
+      .withColumn("num",
+        (col("n_prev") * col("tc") - col("n_cur") * col("tp")))
+      .withColumn("den",
+        (col("tp") * col("tc")).cast("double") *
+          (col("n_prev") * col("tc") + col("n_cur") * col("tp"))
+            .cast("double"))
+      .withColumn("contrib_nano",
+        round((col("num") * col("num")).cast("double") / col("den")
+          * 1e9, 0).cast("long"))
+      .localCheckpoint() // bucket rows + the chi2 marginal
+    val chi2 = withC.agg(
+      round(sum("contrib_nano").cast("double") / 1e9, 6).as("chi2"))
+    withC.crossJoin(broadcast(chi2))
+      .select(col("bucket"), col("n_prev"), col("n_cur"),
+        round(col("n_prev").cast("double") / col("tp").cast("double"),
+          6).as("frac_prev"),
+        round(col("n_cur").cast("double") / col("tc").cast("double"),
+          6).as("frac_cur"),
+        round(col("contrib_nano").cast("double") / 1e9, 6)
+          .as("contrib"),
+        col("chi2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_resample" -> (qMixResample _),
     "q_mix_temperature" -> (qMixTemperature _),
+    "q_score_drift" -> (qScoreDrift _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_snapshot_drift" -> (qSnapshotDrift _),
     "q_quality_thresholds" -> (qQualityThresholds _),
@@ -727,6 +788,62 @@ object CurationQueries {
          |SELECT h.doc_id, h.lang, h.h, w.n_lang, w.thresh,
          |  h.h % 1000000 < w.thresh AS accepted
          |FROM h JOIN w ON w.lang = h.lang""".stripMargin,
+
+    // drift replay: same snapshot derivations, same integer score,
+    // same rational chi-square with integer-nano quantized terms
+    "q_score_drift" ->
+      s"""WITH d AS ($docsSql),
+         |pv AS (SELECT CASE WHEN doc_id % 11 = 0
+         |          THEN substr(text, 1, 40) ELSE text END AS t
+         |       FROM d WHERE doc_id % 7 <> 3),
+         |cu AS (SELECT text AS t FROM d WHERE doc_id % 13 <> 5),
+         |sc AS (SELECT 'prev' AS side,
+         |         CASE WHEN (CASE WHEN len(trim(t)) = 0 THEN 0
+         |             ELSE len(regexp_split_to_array(trim(t), '\\s+'))
+         |             END) = 0 THEN -1
+         |           ELSE (len(regexp_extract_all(lower(trim(
+         |               regexp_replace(t, '\\s+', ' ', 'g'))),
+         |               '\\b(the|and|of|is|a)\\b')) * 10000)
+         |             // len(regexp_split_to_array(trim(t), '\\s+'))
+         |         END AS score
+         |       FROM pv
+         |       UNION ALL
+         |       SELECT 'cur',
+         |         CASE WHEN (CASE WHEN len(trim(t)) = 0 THEN 0
+         |             ELSE len(regexp_split_to_array(trim(t), '\\s+'))
+         |             END) = 0 THEN -1
+         |           ELSE (len(regexp_extract_all(lower(trim(
+         |               regexp_replace(t, '\\s+', ' ', 'g'))),
+         |               '\\b(the|and|of|is|a)\\b')) * 10000)
+         |             // len(regexp_split_to_array(trim(t), '\\s+'))
+         |         END
+         |       FROM cu),
+         |g AS (SELECT CASE WHEN score < 0 THEN -1
+         |        ELSE LEAST(score // 50, 19) END AS bucket,
+         |        SUM(CASE WHEN side = 'prev' THEN 1 ELSE 0 END)
+         |          AS n_prev,
+         |        SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur
+         |      FROM sc GROUP BY 1),
+         |t AS (SELECT SUM(n_prev) AS tp, SUM(n_cur) AS tc FROM g),
+         |w AS (SELECT bucket, n_prev, n_cur, tp, tc,
+         |        (n_prev * tc - n_cur * tp) AS num,
+         |        CAST(tp * tc AS DOUBLE)
+         |          * CAST(n_prev * tc + n_cur * tp AS DOUBLE) AS den
+         |      FROM g, t),
+         |cn AS (SELECT *, CAST(ROUND(CAST(num * num AS DOUBLE) / den
+         |         * 1e9, 0) AS BIGINT) AS contrib_nano FROM w),
+         |c2 AS (SELECT ROUND(CAST(SUM(contrib_nano) AS DOUBLE) / 1e9,
+         |         6) AS chi2 FROM cn)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(n_prev AS BIGINT) AS n_prev,
+         |  CAST(n_cur AS BIGINT) AS n_cur,
+         |  ROUND(CAST(n_prev AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+         |    AS frac_prev,
+         |  ROUND(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+         |    AS frac_cur,
+         |  ROUND(CAST(contrib_nano AS DOUBLE) / 1e9, 6) AS contrib,
+         |  chi2
+         |FROM cn, c2""".stripMargin,
 
     // α=0.5 temperature actuator: keep = sqrt(n_min/n_l); sqrt is
     // IEEE correctly rounded in BOTH engines, so the double chain
