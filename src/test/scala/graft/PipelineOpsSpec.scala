@@ -163,6 +163,15 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("entity resolution served from persisted artifacts equals the " +
+    "inline pipeline exactly") {
+    // the indexed-ANN rule applied to the similarity join: indexing
+    // must never change answers
+    val a = graft.queries.Analytics.qEntityResolve(spark, SfDir)
+    val b = graft.queries.Analytics.qEntityResolveIndexed(spark, SfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("attribution: touch window is honored and last touch matches " +
     "the as-of rule") {
     val rows = graft.queries.EventQueries
