@@ -92,6 +92,52 @@ object DedupQueries {
         col("kept_id"), (col("doc_id") === col("kept_id")).as("keep"))
   }
 
+  /** Dedup-AWARE train/val/test split — the leakage rule row 61's
+    * per-document split cannot enforce: near-duplicates of a training
+    * document must not land in eval (they are the same content; a
+    * doc-keyed hash splits a near-dup pair across the boundary and the
+    * eval set silently overlaps train). Split key = the content hash
+    * of the CLUSTER CANONICAL, so every member follows its canonical
+    * into one split (same 8/1/1 mod-10 rule as row 61, same
+    * re-shard/renumber stability); the output carries the AUDIT as a
+    * broadcast 1-row marginal — the count of near-dup pairs crossing a
+    * split boundary, which is ZERO by construction here and exactly
+    * the number a doc-keyed split would leak. */
+  def qSplitDedupAware(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val d = docs(spark, dir)
+    val pairs = Dedup.minhashPairs(d, K, numHashes = 64, bands = 16,
+      minEst = 0.2).select(col("ida"), col("idb"))
+      .localCheckpoint() // cluster build + leak audits
+    val clusters = Dedup.dedupClusters(d, pairs, iters = 3)
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+    val canonH = d.select(col("doc_id").as("cluster_id"),
+      rollingFingerprint(norm(col("text"))).as("ch"))
+    val assigned = clusters.join(canonH, Seq("cluster_id"))
+      .withColumn("split",
+        when(col("ch") % 10 < 8, lit("train"))
+          .when(col("ch") % 10 === 8, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .localCheckpoint() // output + both leak audits
+    def crossCount(s: DataFrame, name: String) = pairs
+      .join(s.select(col("doc_id").as("ida"), col("split").as("sa")),
+        Seq("ida"))
+      .join(s.select(col("doc_id").as("idb"), col("split").as("sb")),
+        Seq("idb"))
+      .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+        .as(name))
+    // the counterfactual: the same pairs under row 61's doc-keyed split
+    val docKeyed = d.select(col("doc_id"),
+      when(rollingFingerprint(norm(col("text"))) % 10 < 8, lit("train"))
+        .when(rollingFingerprint(norm(col("text"))) % 10 === 8,
+          lit("val"))
+        .otherwise(lit("test")).as("split"))
+    assigned
+      .crossJoin(broadcast(crossCount(assigned, "leaked_pairs")))
+      .crossJoin(broadcast(crossCount(docKeyed, "dockeyed_leaked")))
+  }
+
   /** Benchmark decontamination: docs from source 'src0' play the
     * held-out benchmark; every other doc reports what fraction of its
     * distinct 16-shingles leak from that set. */
@@ -264,6 +310,7 @@ object DedupQueries {
     "q_dedup_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
+    "q_split_dedup_aware" -> (qSplitDedupAware _),
     "q_dedup_minhash" -> (qMinhash _),
     "q_dedup_simhash" -> (qSimhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -589,6 +636,41 @@ object DedupQueries {
          |FROM bands b JOIN anch a ON b.band = a.band AND b.bh = a.bh
          |WHERE a.n >= 2 AND b.doc_id <> a.anchor_id""".stripMargin,
     "q_dedup_clusters" -> clustersOracle,
+    // dedup-aware split replay: cluster recurrence + canonical-keyed
+    // split + BOTH leak audits (cluster-keyed = 0, doc-keyed
+    // counterfactual > 0)
+    "q_split_dedup_aware" -> {
+      val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_filter(string_split(" +
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ''), " +
+        "c -> len(c) > 0), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007)"
+      s"""WITH cl AS ($clustersOracle),
+         |prs AS ($minhashOracle),
+         |ch AS (SELECT CAST(doc_id AS BIGINT) AS did, $fp AS chv
+         |       FROM documents),
+         |asg AS (SELECT cl.doc_id, cl.canonical_id AS cluster_id,
+         |          CASE WHEN ch.chv % 10 < 8 THEN 'train'
+         |               WHEN ch.chv % 10 = 8 THEN 'val'
+         |               ELSE 'test' END AS split
+         |        FROM cl JOIN ch ON ch.did = cl.canonical_id),
+         |dks AS (SELECT did AS doc_id,
+         |          CASE WHEN chv % 10 < 8 THEN 'train'
+         |               WHEN chv % 10 = 8 THEN 'val'
+         |               ELSE 'test' END AS split
+         |        FROM ch),
+         |lk AS (SELECT CAST(SUM(CASE WHEN a.split <> b.split
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS leaked_pairs
+         |       FROM prs p JOIN asg a ON a.doc_id = p.ida
+         |       JOIN asg b ON b.doc_id = p.idb),
+         |dk AS (SELECT CAST(SUM(CASE WHEN a.split <> b.split
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS dockeyed_leaked
+         |       FROM prs p JOIN dks a ON a.doc_id = p.ida
+         |       JOIN dks b ON b.doc_id = p.idb)
+         |SELECT asg.doc_id, asg.cluster_id, asg.split,
+         |  lk.leaked_pairs, dk.dockeyed_leaked
+         |FROM asg, lk, dk""".stripMargin
+    },
     // keep-best replay: the full cluster recurrence as a CTE, the
     // row-86 integer quality score, winner by (quality desc, doc_id)
     "q_dedup_keep_best" ->
