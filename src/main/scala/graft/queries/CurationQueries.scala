@@ -117,6 +117,59 @@ object CurationQueries {
     * partial-combines to <= Quota rows per (map partition x lang)
     * before the shuffle — selection identical (h < 2^30, so the double
     * key is exact; doc_id breaks ties; rank = array position). */
+  /** TOKEN-budget sampling (r11) — the quota sampler measured in the
+    * unit that actually costs money: accept documents per language in
+    * deterministic content-hash order until the language's TOKEN
+    * budget fills (a doc-count quota over-serves languages with long
+    * documents). Accept rule: a doc is kept while the running token
+    * sum BEFORE it is under budget, so the crossing doc is included
+    * (soft cap — the alternative leaves every budget short by a
+    * partial doc). One per-lang window in hash order; at dominant-
+    * language scale the row-129 two-level sharding applies the same
+    * way. */
+  def qSampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val T = 4000L
+    val toks = ceil(length(col("text")).cast("double") / lit(4.0))
+      .cast("long")
+    val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        rollingFingerprint(norm(col("text"))).as("h"), toks.as("tokens"))
+      .withColumn("cum_before",
+        coalesce(sum("tokens").over(w), lit(0L)))
+      .withColumn("accepted", col("cum_before") < T)
+  }
+
+  /** Packing MANIFEST (r11) — the per-document detail the trainer
+    * actually consumes from row 51's bins: concatenate each language's
+    * docs in the packing order and cut every Budget tokens; each doc
+    * reports its bin, its rank within the bin, its start offset in the
+    * bin's token space and whether it CROSSES the bin boundary (the
+    * position where a loss mask / attention reset goes). Same window
+    * arithmetic as qPackSequences, emitted per doc instead of per
+    * bin. */
+  def qPackManifest(spark: SparkSession, dir: String): DataFrame = {
+    val toks = ceil(length(col("text")).cast("double") / lit(4.0))
+      .cast("long")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("tokens"))
+      .withColumn("cum", sum("tokens").over(w))
+      .withColumn("bin", expr(s"(cum - tokens) DIV $Budget"))
+      .withColumn("start_tok", expr(s"(cum - tokens) % $Budget"))
+    binned
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("lang", "bin")
+          .orderBy(col("tokens").desc, col("doc_id"))).cast("long"))
+      .select(col("lang"), col("bin"), col("seq"), col("doc_id"),
+        col("tokens"), col("start_tok"),
+        (col("start_tok") + col("tokens") > Budget)
+          .as("crosses_boundary"))
+  }
+
   def qSampleQuota(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("lang"),
@@ -518,6 +571,8 @@ object CurationQueries {
     "q_corpus_stats" -> (qCorpusStats _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_pack_manifest" -> (qPackManifest _),
+    "q_sample_token_budget" -> (qSampleTokenBudget _),
     "q_pack_sequences_sharded" -> (qPackSequencesSharded _),
     "q_sample_quota" -> (qSampleQuota _),
     "q_sample_quota_sharded" -> (qSampleQuotaSharded _),
@@ -657,6 +712,49 @@ object CurationQueries {
          |SELECT lang, bin, n_docs, sum_tokens,
          |  ROUND(CAST(sum_tokens AS DOUBLE) / ${Budget}.0, 4) AS fill_ratio
          |FROM g""".stripMargin,
+
+    // per-doc manifest replay: same window arithmetic, per-bin ranks,
+    // start offsets and the boundary-crossing flag
+    "q_pack_manifest" ->
+      s"""WITH d AS ($docsSql),
+         |t AS (SELECT doc_id, lang,
+         |        CAST(CEIL(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT)
+         |          AS tokens
+         |      FROM d),
+         |c AS (SELECT doc_id, lang, tokens,
+         |        CAST(SUM(tokens) OVER (PARTITION BY lang
+         |          ORDER BY tokens DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS cum
+         |      FROM t),
+         |b AS (SELECT lang, doc_id, tokens,
+         |        (cum - tokens) // $Budget AS bin,
+         |        (cum - tokens) % $Budget AS start_tok
+         |      FROM c)
+         |SELECT lang, bin,
+         |  ROW_NUMBER() OVER (PARTITION BY lang, bin
+         |    ORDER BY tokens DESC, doc_id) AS seq,
+         |  doc_id, tokens, start_tok,
+         |  start_tok + tokens > $Budget AS crosses_boundary
+         |FROM b""".stripMargin,
+
+    // token-budget acceptance replay: running sum BEFORE each doc in
+    // (hash, id) order per language
+    "q_sample_token_budget" ->
+      s"""WITH d AS ($docsSql),
+         |h AS (SELECT doc_id, lang, ${fpSql(normSql)} AS h,
+         |        CAST(CEIL(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT)
+         |          AS tokens
+         |      FROM d),
+         |c AS (SELECT doc_id, lang, h, tokens,
+         |        CAST(COALESCE(SUM(tokens) OVER (PARTITION BY lang
+         |          ORDER BY h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) AS BIGINT) AS cum_before
+         |      FROM h)
+         |SELECT doc_id, lang, h, tokens, cum_before,
+         |  cum_before < 4000 AS accepted
+         |FROM c""".stripMargin,
 
     "q_pack_sequences_sharded" ->
       s"""WITH d AS ($docsSql),
