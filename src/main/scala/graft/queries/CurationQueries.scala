@@ -103,20 +103,6 @@ object CurationQueries {
           .as("fill_ratio"))
   }
 
-  /** Deterministic quota sampling (data mixing): per language keep the
-    * `Quota` documents with the smallest (content hash, doc_id) — a
-    * stable pseudo-random sample that never changes across runs,
-    * partitions, or engines, because the hash is the exact-integer
-    * rolling fingerprint of the normalized text.
-    *
-    * Top-Quota per lang runs through the bounded-heap aggregate
-    * (functions.TopKAgg), NOT a rank window: `lang` is the same
-    * low-cardinality/high-volume key that made single-level packing a
-    * scale-killer, and a per-lang row_number sorts a dominant
-    * language's whole corpus through one task. The heap aggregate
-    * partial-combines to <= Quota rows per (map partition x lang)
-    * before the shuffle — selection identical (h < 2^30, so the double
-    * key is exact; doc_id breaks ties; rank = array position). */
   /** TOKEN-budget sampling (r11) — the quota sampler measured in the
     * unit that actually costs money: accept documents per language in
     * deterministic content-hash order until the language's TOKEN
@@ -170,6 +156,43 @@ object CurationQueries {
           .as("crosses_boundary"))
   }
 
+  /** Quality-AWARE sampling (r11) — the CCNet production move that
+    * composes row 86's terciles with row 112's deterministic
+    * acceptance: head documents keep 100%, middle 50%, tail 10%
+    * (exact integer thresholds against the content-hash mod 1e6, so
+    * acceptance stays re-shard/renumber stable). The quality signal
+    * GATES the sample instead of hard-dropping the tail — the shape
+    * real pretraining mixes use (low-quality text is down-weighted,
+    * not erased). */
+  def qQualitySampling(spark: SparkSession, dir: String): DataFrame = {
+    val t = qQualityThresholds(spark, dir)
+      .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+    val h = docs(spark, dir).select(col("doc_id"),
+      rollingFingerprint(norm(col("text"))).as("h"))
+    t.join(h, Seq("doc_id"))
+      .withColumn("thresh",
+        when(col("bucket") === "head", lit(1000000L))
+          .when(col("bucket") === "middle", lit(500000L))
+          .otherwise(lit(100000L)))
+      .select(col("doc_id"), col("lang"), col("score"), col("bucket"),
+        col("h"), col("thresh"),
+        (pmod(col("h"), lit(1000000L)) < col("thresh")).as("accepted"))
+  }
+
+  /** Deterministic quota sampling (data mixing): per language keep the
+    * `Quota` documents with the smallest (content hash, doc_id) — a
+    * stable pseudo-random sample that never changes across runs,
+    * partitions, or engines, because the hash is the exact-integer
+    * rolling fingerprint of the normalized text.
+    *
+    * Top-Quota per lang runs through the bounded-heap aggregate
+    * (functions.TopKAgg), NOT a rank window: `lang` is the same
+    * low-cardinality/high-volume key that made single-level packing a
+    * scale-killer, and a per-lang row_number sorts a dominant
+    * language's whole corpus through one task. The heap aggregate
+    * partial-combines to <= Quota rows per (map partition x lang)
+    * before the shuffle — selection identical (h < 2^30, so the double
+    * key is exact; doc_id breaks ties; rank = array position). */
   def qSampleQuota(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("lang"),
@@ -568,6 +591,7 @@ object CurationQueries {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_snapshot_drift" -> (qSnapshotDrift _),
     "q_quality_thresholds" -> (qQualityThresholds _),
+    "q_quality_sampling" -> (qQualitySampling _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -650,6 +674,43 @@ object CurationQueries {
          |       WHEN s.score >= t.t33 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM s JOIN t ON s.lang = t.lang""".stripMargin,
+
+    // quality-aware sampling: tercile CTEs + content-hash acceptance
+    // with per-bucket integer thresholds (head 100% / middle 50% /
+    // tail 10%)
+    "q_quality_sampling" ->
+      s"""WITH d AS ($docsSql),
+         |s AS (SELECT doc_id, lang,
+         |        CASE WHEN $wcSql = 0 THEN CAST(-1 AS BIGINT)
+         |             ELSE (CAST($stopSql AS BIGINT) * 10000)
+         |                  // CAST($wcSql AS BIGINT) END AS score
+         |      FROM d),
+         |hh AS (SELECT lang, score, COUNT(*) AS c FROM s GROUP BY 1, 2),
+         |cw AS (SELECT lang, score,
+         |         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum,
+         |         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |       FROM hh),
+         |t AS (SELECT lang,
+         |        MIN(CASE WHEN cum >= (n + 2) // 3 THEN score END) AS t33,
+         |        MIN(CASE WHEN cum >= (n * 2 + 2) // 3 THEN score END)
+         |          AS t66
+         |      FROM cw GROUP BY 1),
+         |b AS (SELECT s.doc_id, s.lang, s.score,
+         |        CASE WHEN s.score >= t.t66 THEN 'head'
+         |             WHEN s.score >= t.t33 THEN 'middle'
+         |             ELSE 'tail' END AS bucket
+         |      FROM s JOIN t ON s.lang = t.lang),
+         |fh AS (SELECT doc_id, ${fpSql(normSql)} AS h FROM d)
+         |SELECT b.doc_id, b.lang, b.score, b.bucket, fh.h,
+         |  CAST(CASE WHEN b.bucket = 'head' THEN 1000000
+         |       WHEN b.bucket = 'middle' THEN 500000
+         |       ELSE 100000 END AS BIGINT) AS thresh,
+         |  fh.h % 1000000 < (CASE WHEN b.bucket = 'head' THEN 1000000
+         |       WHEN b.bucket = 'middle' THEN 500000
+         |       ELSE 100000 END) AS accepted
+         |FROM b JOIN fh ON fh.doc_id = b.doc_id""".stripMargin,
 
     "q_corpus_stats" ->
       s"""WITH d AS (SELECT lang, CAST(len(text) AS BIGINT) AS len
