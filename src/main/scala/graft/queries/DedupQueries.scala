@@ -138,6 +138,20 @@ object DedupQueries {
       .crossJoin(broadcast(crossCount(docKeyed, "dockeyed_leaked")))
   }
 
+  /** Connected components by large-star/small-star (operators.
+    * ConnectedComponents) — the O(log n)-round algorithm production
+    * graph systems use where min-label propagation needs
+    * diameter-many rounds; identical components on this data
+    * (spec-pinned vs qDedupClusters), so the oracle is the cluster
+    * recurrence oracle: the ALGORITHM must not change answers. */
+  def qDedupCc(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.ConnectedComponents.components(d,
+      Dedup.minhashPairs(d, K, numHashes = 64, bands = 16,
+        minEst = 0.2).select(col("ida"), col("idb")),
+      rounds = 3)
+  }
+
   /** Benchmark decontamination: docs from source 'src0' play the
     * held-out benchmark; every other doc reports what fraction of its
     * distinct 16-shingles leak from that set. */
@@ -311,6 +325,7 @@ object DedupQueries {
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_split_dedup_aware" -> (qSplitDedupAware _),
+    "q_dedup_cc" -> (qDedupCc _),
     "q_dedup_minhash" -> (qMinhash _),
     "q_dedup_simhash" -> (qSimhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -636,6 +651,8 @@ object DedupQueries {
          |FROM bands b JOIN anch a ON b.band = a.band AND b.bh = a.bh
          |WHERE a.n >= 2 AND b.doc_id <> a.anchor_id""".stripMargin,
     "q_dedup_clusters" -> clustersOracle,
+    // the large-star/small-star twin must produce IDENTICAL components
+    "q_dedup_cc" -> clustersOracle,
     // dedup-aware split replay: cluster recurrence + canonical-keyed
     // split + BOTH leak audits (cluster-keyed = 0, doc-keyed
     // counterfactual > 0)

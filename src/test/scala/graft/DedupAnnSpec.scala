@@ -793,4 +793,37 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
+
+  test("ConnectedComponents matches dedupClusters on real minhash pairs") {
+    val d = graft.Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val pairs = Dedup.minhashPairs(d, 8, numHashes = 64, bands = 16,
+      minEst = 0.2).select(col("ida"), col("idb")).localCheckpoint()
+    val byStar = graft.operators.ConnectedComponents
+      .components(d, pairs, rounds = 3)
+    val byProp = Dedup.dedupClusters(d, pairs)
+    // the spec the shared oracle rests on: the ALGORITHM must not
+    // change answers — full outer join finds any divergent row
+    val diff = byStar.withColumnRenamed("canonical_id", "c1")
+      .select(col("doc_id"), col("c1"))
+      .join(byProp.select(col("doc_id"), col("canonical_id").as("c2")),
+        Seq("doc_id"), "full")
+      .filter(col("c1").isNull || col("c2").isNull ||
+        col("c1") =!= col("c2"))
+    assert(diff.count() === 0L)
+  }
+
+  test("ConnectedComponents: 64-node path converges in log rounds") {
+    import spark.implicits._
+    // a path graph is min-label propagation's worst case (needs
+    // diameter-many rounds = 63); large/small-star needs O(log n)
+    val n = 64L
+    val d = (1L to n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("ida", "idb")
+    val out = graft.operators.ConnectedComponents
+      .components(d, pairs, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 64)
+    assert(out.values.toSet === Set(1L)) // one component, canonical = 1
+  }
 }
