@@ -261,6 +261,75 @@ object TextQueries {
       rollingFingerprint(norm(col("text"))).as("fp_norm"),
       length(col("text")).cast("long").as("n_chars"))
 
+  // ----------------------------------------------------------- winnowing
+
+  private val WinK = 8          // k-gram width under the window
+  private val WinW = 4          // winnowing window (guarantee t = w+k-1 = 11)
+  private val WinMod = 1000000007L
+  private val WinMaxDf = 20     // boilerplate-fingerprint posting cap
+
+  /** Winnowed fingerprint picks (doc_id, pos, fp) — the native
+    * Winnow(ShingleHash) composition, entirely row-local. */
+  private def winnowPicks(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        explode(graft.functions.Winnow(
+          graft.functions.ShingleHash(col("text"), WinK, 131L, WinMod),
+          WinW)).as("enc"))
+      .select(col("doc_id"), expr("enc div 2147483648").as("pos"),
+        (col("enc") % 2147483648L).as("fp"))
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003 —
+    * MOSS): per-window rightmost-min over the k-gram rolling hashes,
+    * the position-robust fingerprint scheme whose guarantee (every
+    * match >= w+k-1 chars shares a pick) "every k-th hash" cannot give.
+    * Per doc: positions, picks, pick-hash checksum and the measured
+    * density in basis points — the paper's 2/(w+1) expected density is
+    * the number this query audits (4000 bp at w=4). Row-local native
+    * kernel scan + one map-side-combined aggregate; at 100 TB the
+    * selected ~2/(w+1) fraction is all that ever shuffles. */
+  def qWinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val arr = graft.functions.ShingleHash(col("text"), WinK, 131L, WinMod)
+    d.select(col("doc_id"), size(arr).cast("long").as("n_pos"),
+        explode(graft.functions.Winnow(arr, WinW)).as("enc"))
+      .select(col("doc_id"), col("n_pos"),
+        (col("enc") % 2147483648L).as("fp"))
+      .groupBy(col("doc_id"), col("n_pos"))
+      .agg(count(lit(1)).as("n_fp"),
+        (sum(col("fp")) % WinMod).as("fp_sum"))
+      .select(col("doc_id"), col("n_pos"), col("n_fp"), col("fp_sum"),
+        expr("n_fp * 10000 div n_pos").as("density_bp"))
+  }
+
+  /** MOSS-style overlap detection over the winnowed index: distinct
+    * fingerprint sets, boilerplate picks dropped by a df cap (>WinMaxDf
+    * appears in too many docs to attribute), pairs from the POSTING
+    * equi-join on fingerprint value — never all-pairs; overlap in basis
+    * points of the smaller doc's fingerprint set. The index this joins
+    * is 2/(w+1) the size of a full shingle posting table — winnowing's
+    * whole point at corpus scale. */
+  def qWinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val picks = winnowPicks(docs(spark, dir))
+      .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint() // reused 3x: df cap, per-doc sizes, both join sides
+    val dfc = picks.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= WinMaxDf).select("fp")
+    val post = picks.join(dfc, Seq("fp"))
+    val nf = picks.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val pairs = post.select(col("fp"), col("doc_id").as("ida"))
+      .join(post.select(col("fp"), col("doc_id").as("idb")), Seq("fp"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    pairs
+      .join(nf.select(col("doc_id").as("ida"), col("n_fp").as("nfa")),
+        Seq("ida"))
+      .join(nf.select(col("doc_id").as("idb"), col("n_fp").as("nfb")),
+        Seq("idb"))
+      .select(col("ida"), col("idb"), col("n_shared"),
+        expr("n_shared * 10000 div least(nfa, nfb)").as("ovl_bp"))
+  }
+
   // ----------------------------------------------------------- repetition
 
   /** Within-document repetition (Gopher/RefinedWeb-style quality
@@ -671,6 +740,42 @@ object TextQueries {
        |FROM sc)""".stripMargin
   }
 
+  /** Shared winnowing replay: position-ordered k-gram rolling hashes →
+    * per-window rightmost-min picks. The tie rule rides ONE integer key
+    * `h * 2^21 + (2^20 - pos)`: window MIN selects the smallest hash and,
+    * among equal hashes, the RIGHTMOST position (the paper's rule; the
+    * native kernel's pop-while-back>=new deque does the same). pos < 2^20
+    * by corpus contract (docs are < 1k chars), h < 2^31, so the key stays
+    * < 2^52 — exact in BIGINT both engines. `cnt = LEAST(w, npos)` keeps
+    * exactly the full windows, plus the single truncated window of a doc
+    * with fewer than w hashes (every non-empty doc keeps >= 1 pick). */
+  private lazy val winnowCtes: String =
+    s"""d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
+       |       FROM documents),
+       |ph AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(list_filter(
+       |               string_split(substr(t, CAST(i AS INT), $WinK), ''),
+       |               c -> len(c) > 0),
+       |             c -> CAST(ascii(c) AS BIGINT))),
+       |           (a, b) -> (a * 131 + b) % $WinMod) AS h
+       |       FROM d, LATERAL (SELECT unnest(generate_series(1,
+       |              greatest(len(t) - ${WinK - 1}, 1))) AS i) u
+       |       WHERE len(substr(t, CAST(i AS INT), $WinK)) = $WinK),
+       |ks AS (SELECT doc_id, pos, h,
+       |         h * 2097152 + (1048576 - pos) AS wkey FROM ph),
+       |wn AS (SELECT doc_id,
+       |         MIN(wkey) OVER win AS mkey, COUNT(*) OVER win AS cnt,
+       |         COUNT(*) OVER (PARTITION BY doc_id) AS npos
+       |       FROM ks
+       |       WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN CURRENT ROW AND ${WinW - 1}
+       |                      FOLLOWING)),
+       |picks AS (SELECT DISTINCT doc_id,
+       |            CAST(1048576 - (mkey % 2097152) AS BIGINT) AS pos,
+       |            CAST(mkey // 2097152 AS BIGINT) AS fp
+       |          FROM wn WHERE cnt = LEAST($WinW, npos))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // per-term occurrence counts by the replace-arithmetic closed form
     // (terms are border-free, so non-overlapping == every-occurrence),
@@ -821,6 +926,33 @@ object TextQueries {
         |SELECT doc_id, n_tri, n_oov, oov_frac, bits,
         |  ROUND(POW(2.0, bits), 2) AS ppl
         |FROM g""".stripMargin,
+
+    "q_winnow_fingerprint" ->
+      s"""WITH $winnowCtes,
+         |np AS (SELECT doc_id, COUNT(*) AS n_pos FROM ph GROUP BY 1)
+         |SELECT p.doc_id AS doc_id, CAST(n.n_pos AS BIGINT) AS n_pos,
+         |  CAST(COUNT(*) AS BIGINT) AS n_fp,
+         |  CAST(SUM(p.fp) % $WinMod AS BIGINT) AS fp_sum,
+         |  CAST(COUNT(*) * 10000 // n.n_pos AS BIGINT) AS density_bp
+         |FROM picks p JOIN np n ON p.doc_id = n.doc_id
+         |GROUP BY p.doc_id, n.n_pos""".stripMargin,
+
+    "q_winnow_overlap" ->
+      s"""WITH $winnowCtes,
+         |docfp AS (SELECT DISTINCT doc_id, fp FROM picks),
+         |dfc AS (SELECT fp FROM docfp GROUP BY fp
+         |        HAVING COUNT(*) >= 2 AND COUNT(*) <= $WinMaxDf),
+         |nf AS (SELECT doc_id, COUNT(*) AS n_fp FROM docfp GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |         COUNT(*) AS n_shared
+         |       FROM docfp a JOIN dfc USING (fp) JOIN docfp b USING (fp)
+         |       WHERE a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT ida, idb, CAST(pr.n_shared AS BIGINT) AS n_shared,
+         |  CAST(pr.n_shared * 10000 // LEAST(na.n_fp, nb.n_fp) AS BIGINT)
+         |    AS ovl_bp
+         |FROM pr JOIN nf na ON pr.ida = na.doc_id
+         |        JOIN nf nb ON pr.idb = nb.doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
@@ -1160,6 +1292,8 @@ object TextQueries {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_repetition" -> (qRepetition _),
+    "q_winnow_fingerprint" -> (qWinnowFingerprint _),
+    "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_bpe_train" -> (qBpeTrain _),

@@ -81,4 +81,59 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("winnow equals the naive per-window rightmost-min on random hashes") {
+    def naive(hs: Array[Long], w: Int): Seq[Long] = {
+      val n = hs.length
+      val effW = math.min(w, n)
+      val picks = scala.collection.mutable.LinkedHashSet[Int]()
+      for (s <- 0 to n - effW) {
+        var best = s
+        for (i <- s until s + effW)
+          if (hs(i) < hs(best) || (hs(i) == hs(best) && i > best)) best = i
+        picks += best
+      }
+      picks.toSeq.map(i => i.toLong * 2147483648L + hs(i))
+    }
+    for (_ <- 1 to 300) {
+      val n = 1 + rnd.nextInt(60)
+      val w = 1 + rnd.nextInt(8)
+      // small hash domain forces ties, exercising the rightmost rule
+      val hs = Array.fill(n)(rnd.nextLong(8).abs)
+      val got = graft.functions.WinnowKernel
+        .select(new GenericArrayData(hs.map(Long.box)), w).toLongArray().toSeq
+      assert(got === naive(hs, w), s"w=$w hs=${hs.toSeq}")
+    }
+  }
+
+  test("winnowing guarantee: shared substring >= w+k-1 shares a pick") {
+    val k = 8
+    val w = 4
+    def picks(text: String): Set[Long] = {
+      val hs = graft.functions.ShingleHashKernel
+        .hashes(UTF8String.fromString(text), k, 131L, 1000000007L)
+      graft.functions.WinnowKernel.select(hs, w).toLongArray()
+        .map(_ % 2147483648L).toSet // fingerprint value, position-free
+    }
+    for (t <- 1 to 100) {
+      val common = Array.fill(w + k - 1)(('a' + rnd.nextInt(26)).toChar)
+        .mkString // length 11 = the paper's detection threshold t
+      def noise(len: Int) =
+        Array.fill(len)(('0' + rnd.nextInt(10)).toChar).mkString
+      val a = noise(5 + rnd.nextInt(40)) + common + noise(5 + rnd.nextInt(40))
+      val b = noise(5 + rnd.nextInt(40)) + common + noise(5 + rnd.nextInt(40))
+      assert(picks(a).intersect(picks(b)).nonEmpty,
+        s"no shared fingerprint for common='$common'")
+    }
+  }
+
+  test("winnow density concentrates near the 2/(w+1) expectation") {
+    val w = 4
+    val n = 20000
+    val hs = Array.fill(n)(rnd.nextLong(1000000007L).abs)
+    val got = graft.functions.WinnowKernel
+      .select(new GenericArrayData(hs.map(Long.box)), w).numElements()
+    val density = got.toDouble / n // expect 2/(w+1) = 0.4 on random input
+    assert(density > 0.35 && density < 0.45, s"density=$density")
+  }
 }
