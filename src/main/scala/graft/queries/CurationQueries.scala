@@ -584,7 +584,100 @@ object CurationQueries {
         col("chi2"))
   }
 
+  // --------------------------------------------- DSIR importance resampling
+
+  private val DsirB = 1024L // hashed-feature buckets
+
+  /** DSIR-shaped importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — public
+    * literature): select raw-corpus documents toward a TARGET
+    * distribution by hashed n-gram importance weights, the modern
+    * content-based selection beside the metadata samplers (quota 52,
+    * temperature 138, quality gate 150).
+    *
+    *  - Features: word uni+bigrams hashed into B=1024 buckets
+    *    (row-local HOF pipeline — at 100 TB nothing but the ≤B-row
+    *    count tables and 1-row totals ever leaves the scan).
+    *  - Target = the English slice (the paper's "formal text" stand-in
+    *    on this corpus); raw = everything.
+    *  - Per-feature score: the RATIONAL likelihood ratio
+    *    ((p_f+1)·Sq·10⁴) div ((q_f+1)·Sp) with add-one smoothing —
+    *    the paper's log-ratio is banned cross-engine (SURVEY §3:
+    *    no transcendentals), so the ratio itself is kept: per-feature
+    *    monotone in the same direction, integer-exact in both engines.
+    *  - Doc importance W_d = Σ_f c_{d,f}·score_f — one broadcast join
+    *    of the ≤B-row score table onto the exploded features, one
+    *    map-side-combined sum.
+    *  - SIR accept: max-normalized deterministic Bernoulli
+    *    (content-hash mod 2²⁰)·Wmax < W_d·2²⁰ — re-shard/renumber
+    *    stable, the quality-sampling acceptance move with a
+    *    data-derived rate.
+    *
+    * Per-lang acceptance marginals measure the tilt: the target
+    * language's acceptance rate should dominate — the selection
+    * effect the paper buys, made visible. */
+  def qDsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val wordsCol = filter(split(lower(col("text")), "[^a-z]+"),
+      w => length(w) > lit(0))
+    val hw = transform(wordsCol, w =>
+      aggregate(filter(split(w, ""), c => length(c) > lit(0)), lit(0L),
+        (acc, c) => (acc * lit(131L) + ascii(c).cast("long"))
+          % lit(1000000007L)))
+    val base = d.select(col("doc_id"), col("lang"), hw.as("hw"),
+      rollingFingerprint(norm(col("text"))).as("h")).localCheckpoint()
+    val uni = transform(col("hw"), x => pmod(x, lit(DsirB)))
+    val bi = when(size(col("hw")) >= 2,
+      zip_with(expr("slice(hw, 1, size(hw) - 1)"),
+        expr("slice(hw, 2, size(hw) - 1)"),
+        (a, b) => pmod(a * lit(131L) + b, lit(DsirB))))
+      .otherwise(array().cast("array<long>"))
+    val feats = base.select(col("doc_id"), col("lang"),
+      explode(concat(uni, bi)).as("f")).localCheckpoint()
+    val qf = feats.groupBy("f").agg(count(lit(1)).as("qf"))
+    val pf = feats.filter(col("lang") === "en")
+      .groupBy("f").agg(count(lit(1)).as("pf"))
+    val totals = qf.agg(sum("qf").as("sq"))
+      .crossJoin(pf.agg(sum("pf").as("sp"))) // 1 row
+    val score = qf.join(pf, Seq("f"), "left").na.fill(0L, Seq("pf"))
+      .crossJoin(broadcast(totals))
+      .select(col("f"),
+        expr("(pf + 1) * sq * 10000 div ((qf + 1) * sp)").as("fscore"))
+    // LENGTH-NORMALIZED importance (mean feature score): the raw sum is
+    // dominated by document length (measured: fr's raw-sum mean beat
+    // en's), while the per-feature mean separates en ~1.7 SD above
+    // every other language — the paper's per-token log-ratio average,
+    // taken rationally
+    val w = feats.join(broadcast(score), Seq("f"))
+      .groupBy("doc_id")
+      .agg(expr("sum(fscore) * 1000 div count(1)").as("w_norm"))
+    val withW = base.select(col("doc_id"), col("lang"), col("h"))
+      .join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("h"),
+        coalesce(col("w_norm"), lit(0L)).as("w_norm"))
+    // acceptance band = mean ± 2·MAD (POPULATION statistics, so the
+    // stretch is corpus-size-stable — min-max compressed the tilt at
+    // 10x docs because the extremes, not the distribution, widen):
+    // P(accept) ramps 0→1 linearly across [mu-2d, mu+2d]
+    val mu = withW.agg(expr("sum(w_norm) div count(1)").as("mu")) // 1 row
+    val stats = withW.crossJoin(broadcast(mu))
+      .agg(max("mu").as("mu"),
+        expr("sum(abs(w_norm - mu)) div count(1)").as("dev")) // 1 row
+    val rows = withW.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("lang"), col("w_norm"),
+        (pmod(col("h"), lit(1048576L)) * (lit(4L) * col("dev")) <
+          (col("w_norm") - col("mu") + lit(2L) * col("dev")) *
+            lit(1048576L)).as("accepted"))
+    val marg = rows.groupBy("lang").agg(count(lit(1)).as("lang_n"),
+      sum(when(col("accepted"), 1L).otherwise(0L)).as("lang_acc"))
+    rows.join(broadcast(marg), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("w_norm"), col("accepted"),
+        col("lang_n"), col("lang_acc"),
+        expr("lang_acc * 10000 div lang_n").as("lang_rate_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_resample" -> (qDsirResample _),
     "q_mix_resample" -> (qMixResample _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_score_drift" -> (qScoreDrift _),
@@ -632,6 +725,55 @@ object CurationQueries {
       .stripMargin.replace("\n", " ").replaceAll(" +", " ")
 
   val oracles: Map[String, String] = Map(
+    "q_dsir_resample" ->
+      s"""WITH d AS ($docsSql),
+         |dw AS (SELECT doc_id, lang,
+         |         list_transform(
+         |           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                       w -> len(w) > 0),
+         |           w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                  list_transform(list_filter(string_split(w, ''),
+         |                                             c -> len(c) > 0),
+         |                                 c -> CAST(ascii(c) AS BIGINT))),
+         |                (a, b) -> (a * 131 + b) % 1000000007)) AS hw,
+         |         ${fpSql(normSql)} AS h
+         |       FROM d),
+         |feats AS (SELECT doc_id, lang, f
+         |          FROM dw, LATERAL (SELECT unnest(list_concat(
+         |                 list_transform(hw, x -> x % $DsirB),
+         |                 list_transform(generate_series(1, len(hw) - 1),
+         |                   i -> (hw[i] * 131 + hw[i + 1]) % $DsirB))) AS f)
+         |               u),
+         |qc AS (SELECT f, COUNT(*) AS qf FROM feats GROUP BY 1),
+         |pc AS (SELECT f, COUNT(*) AS pf FROM feats WHERE lang = 'en'
+         |       GROUP BY 1),
+         |tot AS (SELECT (SELECT SUM(qf) FROM qc) AS sq,
+         |               (SELECT SUM(pf) FROM pc) AS sp),
+         |sc AS (SELECT qc.f,
+         |         (COALESCE(pf, 0) + 1) * sq * 10000 // ((qf + 1) * sp)
+         |           AS fscore
+         |       FROM qc LEFT JOIN pc ON qc.f = pc.f, tot),
+         |w AS (SELECT doc_id, SUM(fscore) * 1000 // COUNT(*) AS w_norm
+         |      FROM feats JOIN sc USING (f) GROUP BY 1),
+         |ww AS (SELECT dw.doc_id, dw.lang, dw.h,
+         |         COALESCE(w.w_norm, 0) AS w_norm
+         |       FROM dw LEFT JOIN w ON dw.doc_id = w.doc_id),
+         |mx AS (SELECT SUM(w_norm) // COUNT(*) AS mu FROM ww),
+         |dv AS (SELECT mu, SUM(ABS(w_norm - mu)) // COUNT(*) AS dev
+         |       FROM ww, mx GROUP BY mu),
+         |rws AS (SELECT doc_id, lang, w_norm,
+         |          (h % 1048576) * (4 * dev)
+         |            < (w_norm - mu + 2 * dev) * 1048576 AS accepted
+         |        FROM ww, dv),
+         |mg AS (SELECT lang, COUNT(*) AS lang_n,
+         |         SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS lang_acc
+         |       FROM rws GROUP BY 1)
+         |SELECT r.doc_id, r.lang, CAST(r.w_norm AS BIGINT) AS w_norm,
+         |  r.accepted, CAST(mg.lang_n AS BIGINT) AS lang_n,
+         |  CAST(mg.lang_acc AS BIGINT) AS lang_acc,
+         |  CAST(mg.lang_acc * 10000 // mg.lang_n AS BIGINT) AS lang_rate_bp
+         |FROM rws r JOIN mg USING (lang)""".stripMargin,
+
     "q_snapshot_diff" ->
       s"""WITH d AS ($docsSql),
          |prev AS (SELECT doc_id,

@@ -186,4 +186,19 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     }
     assert(rows.exists(_.getAs[Long]("n_touches") === 0L))
   }
+
+  test("DSIR resampling tilts acceptance decisively toward the target " +
+    "language") {
+    val marg = graft.queries.CurationQueries.qDsirResample(spark, SfDir)
+      .select(col("lang"), col("lang_rate_bp")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(marg.size === 5)
+    val others = (marg - "en").values
+    // the selection effect, not just an ordering fluke: the target's
+    // acceptance rate beats every other language by >= 1.5x
+    assert(others.forall(_ * 3 < marg("en") * 2),
+      s"en=${marg("en")} others=$marg")
+    // and nothing is degenerate: every language keeps a nonzero share
+    assert(others.forall(_ > 0))
+  }
 }
