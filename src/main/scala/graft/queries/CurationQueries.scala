@@ -676,8 +676,85 @@ object CurationQueries {
         expr("lang_acc * 10000 div lang_n").as("lang_rate_bp"))
   }
 
+  // ------------------------------------------------- Merkle snapshot digest
+
+  private val MerkleLeaves = 64L // leaf buckets (doc_id mod)
+  private val MerkleFan = 8L     // children per level-1 node
+
+  /** Merkle-tree snapshot digest + diff — the change-detection layer a
+    * content-addressed 100 TB snapshot store runs INSTEAD of row diffs
+    * (the manifest idea behind Delta/Iceberg file stats, taken to its
+    * hash-tree conclusion): equality of two snapshots is decided by ONE
+    * root comparison, the changed region by 64 leaf digests, and only
+    * leaves whose digests differ are ever re-read at row grain (row
+    * 92's q_snapshot_diff is the drill-down this tree routes).
+    *
+    *  - row digest = (doc_id·131 + content-fingerprint) mod 2^30 —
+    *    id-bound so moved content changes its leaf, and small enough
+    *    that an 8.6-billion-row leaf SUM stays inside a long;
+    *  - leaf = doc_id mod 64 (the bucketed-by-id layout the snapshot
+    *    store is already written in, so a leaf IS a file group);
+    *    leaf digest = SUM(row digest) mod P — order-independent, so
+    *    partition layout and shard order cannot change it;
+    *  - level-1/root digests fold children with position weights
+    *    (child+1) so sibling swaps are caught; 8 + 1 numbers total.
+    *
+    * The whole tree above the scan is 64 + 8 + 1 rows — two map-side-
+    * combined aggregates and driver-sized arithmetic. Output: per-leaf
+    * prev/cur digests + changed flag, with the roots and the
+    * changed-leaf count broadcast back as 1-row marginals. */
+  def qMerkleDiff(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val base = docs(spark, dir)
+    def rowDigest(h: org.apache.spark.sql.Column) =
+      pmod(col("doc_id") * lit(131L) + h, lit(1073741824L))
+    // SPARSE plant (edits every 97th doc, adds every 211th) — unlike
+    // row 92's dense every-7th/11th/13th derivation, a between-crawls
+    // delta touches a small fraction of rows, and the tree's value IS
+    // that most leaves then verify by digest alone (measured at
+    // sf0.01: 8 of 64 leaves re-read, at sf0.1: 56)
+    val prev = base.filter(col("doc_id") % 211 =!= 0)
+      .select(col("doc_id"), rowDigest(rollingFingerprint(norm(
+        when(col("doc_id") % 97 === 0, substring(col("text"), 1, 40))
+          .otherwise(col("text"))))).as("rd"))
+    val cur = base.select(col("doc_id"),
+      rowDigest(rollingFingerprint(norm(col("text")))).as("rd"))
+    def leaves(s: DataFrame, pfx: String): DataFrame =
+      s.groupBy(pmod(col("doc_id"), lit(MerkleLeaves)).as("leaf"))
+        .agg(count(lit(1)).as(s"${pfx}_n"),
+          (sum(col("rd")) % P).as(s"${pfx}_digest"))
+    val byLeaf = leaves(prev, "prev")
+      .join(leaves(cur, "cur"), Seq("leaf"), "full_outer")
+      .select(col("leaf"),
+        coalesce(col("prev_n"), lit(0L)).as("prev_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"),
+        coalesce(col("prev_digest"), lit(0L)).as("prev_digest"),
+        coalesce(col("cur_digest"), lit(0L)).as("cur_digest"))
+      .withColumn("leaf_changed", col("prev_digest") =!= col("cur_digest"))
+      .localCheckpoint() // 64 rows; read again by the root fold
+    // level-1 nodes then root, position-weighted child folds
+    val nodes = byLeaf
+      .groupBy(expr(s"leaf div $MerkleFan").as("node"))
+      .agg((sum(col("prev_digest") * (pmod(col("leaf"), lit(MerkleFan))
+        + 1L)) % P).as("pnode"),
+        (sum(col("cur_digest") * (pmod(col("leaf"), lit(MerkleFan))
+          + 1L)) % P).as("cnode"))
+    val roots = nodes.agg(
+      (sum(col("pnode") * (col("node") + 1L)) % P).as("prev_root"),
+      (sum(col("cnode") * (col("node") + 1L)) % P).as("cur_root"))
+    val marg = byLeaf.agg(
+      sum(when(col("leaf_changed"), 1L).otherwise(0L)).as("n_changed_leaves"))
+    byLeaf.crossJoin(broadcast(roots)).crossJoin(broadcast(marg))
+      .select(col("leaf"), col("prev_n"), col("cur_n"),
+        col("prev_digest"), col("cur_digest"), col("leaf_changed"),
+        col("prev_root"), col("cur_root"),
+        (col("prev_root") =!= col("cur_root")).as("root_changed"),
+        col("n_changed_leaves"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_resample" -> (qDsirResample _),
+    "q_merkle_diff" -> (qMerkleDiff _),
     "q_mix_resample" -> (qMixResample _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_score_drift" -> (qScoreDrift _),
@@ -725,6 +802,50 @@ object CurationQueries {
       .stripMargin.replace("\n", " ").replaceAll(" +", " ")
 
   val oracles: Map[String, String] = Map(
+    "q_merkle_diff" ->
+      s"""WITH d AS ($docsSql),
+         |prev AS (SELECT doc_id,
+         |    (doc_id * 131 + ${fpSql(s"""lower(trim(regexp_replace(
+         |      CASE WHEN doc_id % 97 = 0 THEN substr(text, 1, 40)
+         |           ELSE text END, '\\s+', ' ', 'g')))""")})
+         |      % 1073741824 AS rd
+         |  FROM d WHERE doc_id % 211 <> 0),
+         |cur AS (SELECT doc_id,
+         |    (doc_id * 131 + ${fpSql(normSql)}) % 1073741824 AS rd
+         |  FROM d),
+         |pl AS (SELECT doc_id % $MerkleLeaves AS leaf, COUNT(*) AS prev_n,
+         |         SUM(rd) % 1000000007 AS prev_digest FROM prev GROUP BY 1),
+         |cl AS (SELECT doc_id % $MerkleLeaves AS leaf, COUNT(*) AS cur_n,
+         |         SUM(rd) % 1000000007 AS cur_digest FROM cur GROUP BY 1),
+         |bl AS (SELECT COALESCE(pl.leaf, cl.leaf) AS leaf,
+         |         COALESCE(prev_n, 0) AS prev_n,
+         |         COALESCE(cur_n, 0) AS cur_n,
+         |         COALESCE(prev_digest, 0) AS prev_digest,
+         |         COALESCE(cur_digest, 0) AS cur_digest
+         |       FROM pl FULL OUTER JOIN cl ON pl.leaf = cl.leaf),
+         |b2 AS (SELECT bl.*, prev_digest <> cur_digest AS leaf_changed
+         |       FROM bl),
+         |nd AS (SELECT leaf // $MerkleFan AS node,
+         |         SUM(prev_digest * (leaf % $MerkleFan + 1))
+         |           % 1000000007 AS pnode,
+         |         SUM(cur_digest * (leaf % $MerkleFan + 1))
+         |           % 1000000007 AS cnode
+         |       FROM b2 GROUP BY 1),
+         |rt AS (SELECT SUM(pnode * (node + 1)) % 1000000007 AS prev_root,
+         |         SUM(cnode * (node + 1)) % 1000000007 AS cur_root
+         |       FROM nd),
+         |mg AS (SELECT SUM(CASE WHEN leaf_changed THEN 1 ELSE 0 END)
+         |         AS n_changed_leaves FROM b2)
+         |SELECT leaf, CAST(prev_n AS BIGINT) AS prev_n,
+         |  CAST(cur_n AS BIGINT) AS cur_n,
+         |  CAST(prev_digest AS BIGINT) AS prev_digest,
+         |  CAST(cur_digest AS BIGINT) AS cur_digest, leaf_changed,
+         |  CAST(prev_root AS BIGINT) AS prev_root,
+         |  CAST(cur_root AS BIGINT) AS cur_root,
+         |  prev_root <> cur_root AS root_changed,
+         |  CAST(n_changed_leaves AS BIGINT) AS n_changed_leaves
+         |FROM b2, rt, mg""".stripMargin,
+
     "q_dsir_resample" ->
       s"""WITH d AS ($docsSql),
          |dw AS (SELECT doc_id, lang,

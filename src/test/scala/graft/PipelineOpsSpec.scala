@@ -201,4 +201,22 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     // and nothing is degenerate: every language keeps a nonzero share
     assert(others.forall(_ > 0))
   }
+
+  test("merkle diff flags exactly the leaves holding planted changes") {
+    val rows = graft.queries.CurationQueries.qMerkleDiff(spark, SfDir)
+      .collect()
+    assert(rows.length === 64)
+    val flagged = rows.filter(_.getAs[Boolean]("leaf_changed"))
+      .map(_.getAs[Long]("leaf")).toSet
+    // independent truth: the plant touches doc_id % 97 == 0 (edited)
+    // and % 211 == 0 (added since prev) — their leaves and no others
+    val ids = graft.Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    val expect = ids.filter(i => i % 97 == 0 || i % 211 == 0)
+      .map(_ % 64).toSet
+    assert(flagged === expect)
+    assert(rows.forall(_.getAs[Boolean]("root_changed")))
+    // unchanged leaves verified by digest alone — the tree's value
+    assert(flagged.size < 32, s"plant too dense: ${flagged.size}")
+  }
 }
