@@ -752,9 +752,77 @@ object CurationQueries {
         col("n_changed_leaves"))
   }
 
+  // ----------------------------------------------------------- RAG chunking
+
+  private val ChunkC = 200L // target chunk chars
+  private val ChunkO = 40L  // overlap chars (stride = C - O)
+
+  /** Boundary-aware chunking core — the RAG-ingestion op between raw
+    * docs and the embedding batch: fixed-STRIDE starts (start_i =
+    * i·(C−O), so every chunk is computable independently — a
+    * snapped-start scheme would chain each chunk on the previous one
+    * and serialize the document) with two-tier SNAPPED ends: a chunk
+    * ends at the last '. ' inside its window when that keeps at least
+    * STRIDE chars ('sentence'), else at the last ' ' ('word' — the
+    * real rule on boundary-less text: never split mid-word), else at
+    * the hard C cut; the final chunk never snaps (nothing may fall
+    * off the tail). The stride floor is what makes coverage GAP-FREE:
+    * chunk i+1 starts at (i+1)·stride, so any end below that would
+    * orphan characters no chunk contains — spec-pinned. Pure
+    * string/integer arithmetic — substr, reverse,
+    * instr — identical in both engines; row-local explode, no shuffle
+    * at any size. Output carries the chunk fingerprint (the
+    * dedup/citation key a chunk store indexes by) and the snap kind.
+    * Exposed on a plain (doc_id, text) frame so specs can drive the
+    * sentence tier, which this corpus (no '.' anywhere) never hits. */
+  def chunkDocs(dIn: DataFrame): DataFrame = {
+    val stride = ChunkC - ChunkO
+    val d = dIn
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("n_chunks",
+        lit(1L) + greatest(lit(0L),
+          expr(s"(len - $ChunkC + ${stride - 1}) div $stride")))
+    val chunks = d.select(col("doc_id"), col("text"), col("len"),
+        col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("idx"))
+      .withColumn("start", col("idx") * stride)
+      .withColumn("tent_len",
+        least(lit(ChunkC), col("len") - col("start")))
+      // last '. ' / ' ' inside the window: reverse + first-index
+      .withColumn("rsub",
+        reverse(expr(s"substr(text, start + 1, tent_len)")))
+      .withColumn("dotp", expr("instr(rsub, ' .')"))
+      .withColumn("spacep", expr("instr(rsub, ' ')"))
+      .withColumn("last_dot",
+        when(col("dotp") > 0, col("tent_len") - col("dotp"))
+          .otherwise(lit(0L)))
+      .withColumn("last_space",
+        when(col("spacep") > 0, col("tent_len") - col("spacep") + 1)
+          .otherwise(lit(0L)))
+      .withColumn("snap_kind",
+        when(col("idx") === col("n_chunks") - 1, lit("hard"))
+          .when(col("last_dot") >= stride, lit("sentence"))
+          .when(col("last_space") >= stride, lit("word"))
+          .otherwise(lit("hard")))
+      .withColumn("chunk_len",
+        when(col("snap_kind") === "sentence", col("last_dot"))
+          .when(col("snap_kind") === "word", col("last_space"))
+          .otherwise(col("tent_len")))
+    chunks.select(col("doc_id"), col("idx").as("chunk_idx"),
+      col("start"), (col("start") + col("chunk_len")).as("end"),
+      col("chunk_len").cast("long").as("n_chars"), col("snap_kind"),
+      rollingFingerprint(expr("substr(text, start + 1, chunk_len)"))
+        .as("chunk_fp"))
+  }
+
+  def qChunkRag(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(docs(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_resample" -> (qDsirResample _),
     "q_merkle_diff" -> (qMerkleDiff _),
+    "q_chunk_rag" -> (qChunkRag _),
     "q_mix_resample" -> (qMixResample _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_score_drift" -> (qScoreDrift _),
@@ -802,6 +870,45 @@ object CurationQueries {
       .stripMargin.replace("\n", " ").replaceAll(" +", " ")
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_rag" -> {
+      val stride = ChunkC - ChunkO
+      s"""WITH d AS ($docsSql),
+         |dd AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS ln,
+         |         1 + GREATEST(0, (len(text) - $ChunkC + ${stride - 1})
+         |               // $stride) AS n_chunks
+         |       FROM d),
+         |ch AS (SELECT doc_id, text, ln, n_chunks, CAST(i AS BIGINT) AS idx
+         |       FROM dd, LATERAL (SELECT unnest(generate_series(0,
+         |              CAST(n_chunks - 1 AS INT))) AS i) u),
+         |c2 AS (SELECT doc_id, idx, idx * $stride AS cstart, text, ln,
+         |         n_chunks,
+         |         LEAST($ChunkC, ln - idx * $stride) AS tent_len FROM ch),
+         |c3 AS (SELECT *,
+         |         strpos(reverse(substr(text, CAST(cstart + 1 AS INT),
+         |           CAST(tent_len AS INT))), ' .') AS dotp,
+         |         strpos(reverse(substr(text, CAST(cstart + 1 AS INT),
+         |           CAST(tent_len AS INT))), ' ') AS spacep FROM c2),
+         |c4 AS (SELECT *,
+         |         CASE WHEN dotp > 0 THEN tent_len - dotp
+         |              ELSE 0 END AS last_dot,
+         |         CASE WHEN spacep > 0 THEN tent_len - spacep + 1
+         |              ELSE 0 END AS last_space FROM c3),
+         |c5 AS (SELECT *,
+         |         CASE WHEN idx = n_chunks - 1 THEN 'hard'
+         |              WHEN last_dot >= $stride THEN 'sentence'
+         |              WHEN last_space >= $stride THEN 'word'
+         |              ELSE 'hard' END AS snap_kind FROM c4),
+         |c6 AS (SELECT *, CASE WHEN snap_kind = 'sentence' THEN last_dot
+         |                      WHEN snap_kind = 'word' THEN last_space
+         |                      ELSE tent_len END AS chunk_len FROM c5)
+         |SELECT doc_id, idx AS chunk_idx, cstart AS start,
+         |  cstart + chunk_len AS "end",
+         |  CAST(chunk_len AS BIGINT) AS n_chars, snap_kind,
+         |  ${fpSql("substr(text, CAST(cstart + 1 AS INT), CAST(chunk_len AS INT))")}
+         |    AS chunk_fp
+         |FROM c6""".stripMargin
+    },
+
     "q_merkle_diff" ->
       s"""WITH d AS ($docsSql),
          |prev AS (SELECT doc_id,

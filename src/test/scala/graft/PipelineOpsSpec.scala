@@ -219,4 +219,33 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     // unchanged leaves verified by digest alone — the tree's value
     assert(flagged.size < 32, s"plant too dense: ${flagged.size}")
   }
+
+  test("chunking covers every doc gap-free and the sentence tier snaps") {
+    import spark.implicits._
+    // corpus pass: chunks tile [0, len) with no gaps and no orphan tail
+    val perDoc = graft.queries.CurationQueries
+      .qChunkRag(spark, SfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val lens = graft.Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.head.getAs[Long]("start") === 0L)
+      assert(sorted.last.getAs[Long]("end") === lens(id), s"doc $id tail")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start") <= a.getAs[Long]("end"),
+            s"gap in doc $id at chunk ${b.getAs[Long]("chunk_idx")}")
+        case _ =>
+      }
+    }
+    // synthetic pass: text WITH sentence boundaries takes the
+    // sentence tier (the corpus has no '.' so only a spec can pin it)
+    val sent = (("word " * 36) + ". " + ("word " * 64)).trim
+    val kinds = graft.queries.CurationQueries
+      .chunkDocs(Seq((1L, sent)).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[String]("snap_kind"))
+    assert(kinds.contains("sentence"), s"kinds=${kinds.toSeq}")
+  }
 }
