@@ -66,6 +66,35 @@ object AnnQueries {
   def qAnnRecallQuantized(spark: SparkSession, dir: String): DataFrame =
     Ann.recallAtK(qQuantizedTopK(spark, dir), qCosineTopK(spark, dir), K)
 
+  private val MatDims = Seq(32, 16, 8)
+
+  /** Matryoshka truncation recall — the MRL operating-point curve
+    * (Kusupati et al. 2022, public literature): recall@k of
+    * brute-force cosine over the embedding TRUNCATED to its first d
+    * dims against the full-64-dim exact top-k, for d in {32, 16, 8}.
+    * This is the eval behind the modern serving trade (store/search a
+    * prefix, rerank with the full vector): each row answers "what does
+    * dropping to d dims cost" the same way the LSH/IVF/int8/PQ recall
+    * monitors price their tiers — completing the recall family along
+    * the DIMENSION axis rather than the index axis. Plan: one slice
+    * projection per d over the shared materialized embedding scan,
+    * the same map-only CosineScores kernel (dim=d), recall join
+    * against the one shared exact baseline. */
+  def qAnnRecallMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).localCheckpoint()
+    val exact = Ann.cosineTopK(e, e.filter(col("vec_id") % QueryMod === 0),
+      K).localCheckpoint()
+    MatDims.map { d =>
+      val t = e.select(col("vec_id"),
+        expr(s"slice(embedding, 1, $d)").as("embedding"))
+      val approx = Ann.cosineTopK(t,
+        t.filter(col("vec_id") % QueryMod === 0), K, dim = d)
+      Ann.recallAtK(approx, exact, K).withColumn("dim", lit(d.toLong))
+    }.reduce(_ unionAll _)
+      .select(col("dim"), col("qid"), col("n_hits"), col("n_exact"),
+        col("recall"))
+  }
+
   private val PcaIters = 4
 
   /** Top principal component of the embedding space by in-engine power
@@ -341,6 +370,7 @@ object AnnQueries {
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
     "q_ann_recall_quantized" -> (qAnnRecallQuantized _),
+    "q_ann_recall_matryoshka" -> (qAnnRecallMatryoshka _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   /** DuckDB twin of the LSH path: the hyperplane components are the same
@@ -722,6 +752,30 @@ object AnnQueries {
        |      / CAST(ex.n_exact AS DOUBLE), 4) AS recall
        |FROM ex LEFT JOIN hits ON hits.qid = ex.qid""".stripMargin
 
+  /** Truncated-dimension twin of topkOracle: first-d slice, norm and
+    * dot over exactly those entries (same fold orders). */
+  private def truncTopkOracle(d: Int): String =
+    s"""WITH v AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         list_transform(embedding[1:$d], x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |      FROM v),
+       |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+       |      WHERE vec_id % $QueryMod = 0),
+       |scored AS (
+       |  SELECT q.qid, n.vec_id AS nid,
+       |    ROUND(list_sum(list_transform(range(1, ${d + 1}),
+       |            i -> q.qe[i] * n.e[i]))
+       |        / greatest(q.qn * n.nrm, 1e-12), 4) AS cos4
+       |  FROM n, q WHERE q.qid <> n.vec_id)
+       |SELECT qid, nid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, nid)
+       |    AS INT) AS rank, cos4
+       |FROM scored
+       |QUALIFY rank <= $K""".stripMargin
+
   private val topkOracle: String =
     s"""WITH v AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -874,6 +928,10 @@ object AnnQueries {
         |FROM p JOIN r ON r.vec_id = p.vec_id""".stripMargin,
     "q_ann_recall_binary" -> recallOracle(binaryOracle, topkOracle),
     "q_ann_recall_quantized" -> recallOracle(quantizedOracle, topkOracle),
+    "q_ann_recall_matryoshka" -> MatDims.map(d =>
+      s"SELECT CAST($d AS BIGINT) AS dim, * FROM (\n" +
+        recallOracle(truncTopkOracle(d), topkOracle) + "\n)")
+      .mkString("\nUNION ALL\n"),
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
     "q_ann_ivf_indexed" -> ivfOracle,
