@@ -437,7 +437,52 @@ object EventQueries {
       .drop("rn")
   }
 
+  // ------------------------------------------------ temporal split + embargo
+
+  private val SplitCutUs = 1705881600000000L // 2024-01-22T00:00:00Z
+  private val EmbargoUs = 2L * 86400L * 1000000L // 2-day purge gap
+
+  /** Temporal train/eval split with an EMBARGO gap — the fourth classic
+    * split beside hash (row 61), stratified and dedup-aware (147), and
+    * the only correct one for forecasting-shaped tasks: eval must be
+    * strictly FUTURE of train, and the purge gap between them absorbs
+    * boundary leakage through lagged features and spilled sessions
+    * (the purged-CV rule from the time-series literature). Events in
+    * [cut, cut+gap) belong to NEITHER side — dropped by contract, and
+    * counted, because silently losing data is how embargoes rot.
+    *
+    * The split itself cannot block USER overlap (the same user on both
+    * sides is fine for event-level models, leakage for user-level
+    * ones) — so the audit measures it instead of hiding it:
+    * `users_both` broadcast back beside the per-side counts. One scan,
+    * two bounded aggregates (1 row; n_users rows map-side combined). */
+  def qSplitTemporal(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("ts_us"))
+      .withColumn("split",
+        when(col("ts_us") < SplitCutUs, lit("train"))
+          .when(col("ts_us") < SplitCutUs + EmbargoUs, lit("embargo"))
+          .otherwise(lit("eval")))
+      .localCheckpoint()
+    val m = e.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "embargo", 1L).otherwise(0L))
+        .as("n_embargo"),
+      sum(when(col("split") === "eval", 1L).otherwise(0L)).as("n_eval"),
+      countDistinct(when(col("split") === "train", col("user_id")))
+        .as("users_train"),
+      countDistinct(when(col("split") === "eval", col("user_id")))
+        .as("users_eval"))
+    val ub = e.groupBy("user_id")
+      .agg(max(when(col("split") === "train", 1L).otherwise(0L)).as("t"),
+        max(when(col("split") === "eval", 1L).otherwise(0L)).as("v"))
+      .agg(sum(col("t") * col("v")).as("users_both"))
+    e.crossJoin(broadcast(m)).crossJoin(broadcast(ub))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_temporal" -> (qSplitTemporal _),
     "q_latest_by_key" -> (qLatestByKey _),
     "q_scd2_dimension" -> (qScd2 _),
     "q_event_anomaly" -> (qEventAnomaly _),
@@ -496,6 +541,37 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_split_temporal" ->
+      s"""WITH e AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+         |             CAST(user_id AS BIGINT) AS user_id,
+         |             epoch_us(ts) AS ts_us FROM events),
+         |s AS (SELECT *,
+         |        CASE WHEN ts_us < $SplitCutUs THEN 'train'
+         |             WHEN ts_us < ${SplitCutUs + EmbargoUs} THEN 'embargo'
+         |             ELSE 'eval' END AS split FROM e),
+         |m AS (SELECT
+         |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         |    SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END)
+         |      AS n_embargo,
+         |    SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS n_eval,
+         |    COUNT(DISTINCT CASE WHEN split = 'train' THEN user_id END)
+         |      AS users_train,
+         |    COUNT(DISTINCT CASE WHEN split = 'eval' THEN user_id END)
+         |      AS users_eval
+         |  FROM s),
+         |ub AS (SELECT SUM(t * v) AS users_both FROM (
+         |         SELECT user_id,
+         |           MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS t,
+         |           MAX(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS v
+         |         FROM s GROUP BY 1) u)
+         |SELECT s.event_id, s.user_id, s.ts_us, s.split,
+         |  CAST(m.n_train AS BIGINT) AS n_train,
+         |  CAST(m.n_embargo AS BIGINT) AS n_embargo,
+         |  CAST(m.n_eval AS BIGINT) AS n_eval,
+         |  CAST(m.users_train AS BIGINT) AS users_train,
+         |  CAST(m.users_eval AS BIGINT) AS users_eval,
+         |  CAST(ub.users_both AS BIGINT) AS users_both
+         |FROM s, m, ub""".stripMargin,
     "q_latest_by_key" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
         |  epoch_us(ts) AS ts_us, CAST(event_id AS BIGINT) AS event_id,
