@@ -55,6 +55,46 @@ object ConnectedComponents {
       .localCheckpoint() // lineage cut per round (the dedupClusters rule)
   }
 
+  /** Incremental component update — the add-after-train contract
+    * (Ann.ivfDeltaTopK's move) applied to the graph family: a 100 TB
+    * dedup registry does not re-cluster the corpus when a crawl batch
+    * lands; it CONTRACTS the new pairs through the existing assignment
+    * (each endpoint replaced by its known canonical; endpoints outside
+    * the base are new docs and stand for themselves), runs the star
+    * rounds on that contracted graph only — edges ~ |delta pairs|,
+    * never the corpus — and maps the base assignment through the
+    * resulting merge table. Correct because a base canonical is the
+    * MINIMUM of its base component, so the minimum over a merged set
+    * of canonicals (plus new ids) is the global component minimum.
+    * Spec-pinned equal to a from-scratch build over the union. */
+  def componentsDelta(docs: DataFrame, baseAssign: DataFrame,
+                      deltaPairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val m = baseAssign.select(col("doc_id"), col("canonical_id"))
+      .localCheckpoint() // contraction map, read by both endpoints
+    val e = deltaPairs
+      .join(m.select(col("doc_id").as("ida"),
+        col("canonical_id").as("ca")), Seq("ida"), "left")
+      .join(m.select(col("doc_id").as("idb"),
+        col("canonical_id").as("cb")), Seq("idb"), "left")
+      .select(coalesce(col("ca"), col("ida")).as("src"),
+        coalesce(col("cb"), col("idb")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    val conv = (1 to rounds).foldLeft(e)((g, _) => round(g))
+    val merge = conv
+      .unionAll(conv.select(col("dst").as("src"), col("dst").as("dst")))
+      .groupBy("src").agg(min("dst").as("new_canon"))
+    docs.select(col("doc_id"))
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("c0"))
+      .join(merge.select(col("src").as("c0"), col("new_canon")),
+        Seq("c0"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_canon"), col("c0")).as("canonical_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+  }
+
   /** Canonical (minimum) member per node's component over a near-dup
     * pair table; docs in no pair are their own canonical — the same
     * output contract as [[Dedup.dedupClusters]]. */

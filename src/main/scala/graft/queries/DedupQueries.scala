@@ -152,6 +152,27 @@ object DedupQueries {
       rounds = 3)
   }
 
+  /** Incremental components: the 80% of docs with doc_id % 5 != 4 play
+    * yesterday's corpus (assignment built once with the star rounds);
+    * the rest land as today's delta batch, whose pairs merge through
+    * [[ConnectedComponents.componentsDelta]]'s contracted graph —
+    * never a corpus-wide recluster. The pair partition (both-base vs
+    * touches-delta) unions to the full minhash pair set, so the final
+    * assignment must equal the from-scratch build: the oracle is the
+    * cluster-recurrence oracle once more. */
+  def qDedupCcDelta(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val all = Dedup.minhashPairs(d, K, numHashes = 64, bands = 16,
+      minEst = 0.2).select(col("ida"), col("idb")).localCheckpoint()
+    val basePairs = all.filter(col("ida") % 5 =!= 4 && col("idb") % 5 =!= 4)
+    val deltaPairs = all.filter(col("ida") % 5 === 4 || col("idb") % 5 === 4)
+    val baseAssign = graft.operators.ConnectedComponents
+      .components(d.filter(col("doc_id") % 5 =!= 4), basePairs, rounds = 3)
+      .select(col("doc_id"), col("canonical_id"))
+    graft.operators.ConnectedComponents
+      .componentsDelta(d, baseAssign, deltaPairs, rounds = 3)
+  }
+
   /** Benchmark decontamination: docs from source 'src0' play the
     * held-out benchmark; every other doc reports what fraction of its
     * distinct 16-shingles leak from that set. */
@@ -326,6 +347,7 @@ object DedupQueries {
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_split_dedup_aware" -> (qSplitDedupAware _),
     "q_dedup_cc" -> (qDedupCc _),
+    "q_dedup_cc_delta" -> (qDedupCcDelta _),
     "q_dedup_minhash" -> (qMinhash _),
     "q_dedup_simhash" -> (qSimhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -653,6 +675,8 @@ object DedupQueries {
     "q_dedup_clusters" -> clustersOracle,
     // the large-star/small-star twin must produce IDENTICAL components
     "q_dedup_cc" -> clustersOracle,
+    // incremental merge must land exactly where a from-scratch build does
+    "q_dedup_cc_delta" -> clustersOracle,
     // dedup-aware split replay: cluster recurrence + canonical-keyed
     // split + BOTH leak audits (cluster-keyed = 0, doc-keyed
     // counterfactual > 0)

@@ -813,6 +813,34 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(diff.count() === 0L)
   }
 
+  test("componentsDelta lands exactly where a from-scratch build does") {
+    val d = graft.Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val all = Dedup.minhashPairs(d, 8, numHashes = 64, bands = 16,
+      minEst = 0.2).select(col("ida"), col("idb")).localCheckpoint()
+    val basePairs =
+      all.filter(col("ida") % 5 =!= 4 && col("idb") % 5 =!= 4)
+    val deltaPairs =
+      all.filter(col("ida") % 5 === 4 || col("idb") % 5 === 4)
+    val baseAssign = graft.operators.ConnectedComponents
+      .components(d.filter(col("doc_id") % 5 =!= 4), basePairs)
+      .select(col("doc_id"), col("canonical_id"))
+    val inc = graft.operators.ConnectedComponents
+      .componentsDelta(d, baseAssign, deltaPairs)
+    val scratch = graft.operators.ConnectedComponents.components(d, all)
+    val diff = inc.select(col("doc_id"), col("canonical_id").as("c1"))
+      .join(scratch.select(col("doc_id"), col("canonical_id").as("c2")),
+        Seq("doc_id"), "full")
+      .filter(col("c1").isNull || col("c2").isNull ||
+        col("c1") =!= col("c2"))
+    assert(diff.count() === 0L)
+    // the delta actually merges something (base components re-wire)
+    val merged = inc.join(baseAssign.select(col("doc_id"),
+      col("canonical_id").as("c0")), Seq("doc_id"))
+      .filter(col("c0") =!= col("canonical_id")).count()
+    assert(merged > 0L, "delta batch merged nothing - scenario degenerate")
+  }
+
   test("ConnectedComponents: 64-node path converges in log rounds") {
     import spark.implicits._
     // a path graph is min-label propagation's worst case (needs
