@@ -66,6 +66,61 @@ object AnnQueries {
   def qAnnRecallQuantized(spark: SparkSession, dir: String): DataFrame =
     Ann.recallAtK(qQuantizedTopK(spark, dir), qCosineTopK(spark, dir), K)
 
+  /** Embedding-distribution drift via the FROZEN coarse quantizer —
+    * the embedding-space twin of the text score drift (χ² row 145),
+    * and the way production embedding monitors actually watch a space:
+    * assign BOTH snapshots to the same frozen centroids (the session's
+    * shared coarse artifact — monitoring is only meaningful against a
+    * fixed quantizer) and compare cluster POPULATIONS with the
+    * rational symmetric χ², per-cluster contributions quantized to
+    * integer nanos so the total sums order-independently. The planted
+    * shift (every 5th prev vector direction-REVERSED) relocates ~20%
+    * of prev mass to other clusters; the χ² concentrates exactly
+    * there. Per-snapshot cost is one map-only assignment scan; the
+    * comparison is 16 rows. */
+  def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, _) = coarse(spark, dir)
+    val e = emb(spark, dir)
+    def side(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("side"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("cluster",
+          graft.functions.IvfDistances(col("e"), cents)
+            .getItem(0).getField("cluster"))
+        .select(col("side"), col("cluster"))
+    val prev = side("prev", e.filter(col("vec_id") % 7 =!= 3)
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding")))
+    val cur = side("cur", e.filter(col("vec_id") % 13 =!= 5))
+    val grp = prev.unionByName(cur).groupBy("cluster")
+      .agg(sum(when(col("side") === "prev", 1L).otherwise(0L))
+          .as("n_prev"),
+        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val tots = grp.agg(sum("n_prev").as("tp"), sum("n_cur").as("tc"))
+    val withC = grp.crossJoin(broadcast(tots))
+      .withColumn("num",
+        col("n_prev") * col("tc") - col("n_cur") * col("tp"))
+      .withColumn("den",
+        (col("tp") * col("tc")).cast("double") *
+          (col("n_prev") * col("tc") + col("n_cur") * col("tp"))
+            .cast("double"))
+      .withColumn("contrib_nano",
+        round((col("num") * col("num")).cast("double") / col("den")
+          * 1e9, 0).cast("long"))
+      .localCheckpoint() // cluster rows + the chi2 marginal
+    val chi2 = withC.agg(
+      round(sum("contrib_nano").cast("double") / 1e9, 6).as("chi2"))
+    withC.crossJoin(broadcast(chi2))
+      .select(col("cluster"), col("n_prev"), col("n_cur"),
+        round(col("n_prev").cast("double") / col("tp").cast("double"), 6)
+          .as("frac_prev"),
+        round(col("n_cur").cast("double") / col("tc").cast("double"), 6)
+          .as("frac_cur"),
+        round(col("contrib_nano").cast("double") / 1e9, 6).as("contrib"),
+        col("chi2"))
+  }
+
   private val MatDims = Seq(32, 16, 8)
 
   /** Matryoshka truncation recall — the MRL operating-point curve
@@ -371,6 +426,7 @@ object AnnQueries {
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
     "q_ann_recall_quantized" -> (qAnnRecallQuantized _),
     "q_ann_recall_matryoshka" -> (qAnnRecallMatryoshka _),
+    "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   /** DuckDB twin of the LSH path: the hyperplane components are the same
@@ -928,6 +984,47 @@ object AnnQueries {
         |FROM p JOIN r ON r.vec_id = p.vec_id""".stripMargin,
     "q_ann_recall_binary" -> recallOracle(binaryOracle, topkOracle),
     "q_ann_recall_quantized" -> recallOracle(quantizedOracle, topkOracle),
+    "q_embedding_drift" ->
+      s"""WITH ${ivfCoarseCtesOn("")},
+         |pv AS (SELECT vec_id,
+         |         CASE WHEN vec_id % 5 = 0 THEN list_reverse(e)
+         |              ELSE e END AS e
+         |       FROM v WHERE vec_id % 7 <> 3),
+         |cv AS (SELECT vec_id, e FROM v WHERE vec_id % 13 <> 5),
+         |pa AS (SELECT 'prev' AS side, cluster FROM (
+         |         SELECT p.vec_id, c.cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |             ORDER BY ${ivfD2("p.e", "c.ce")}, c.cluster) AS rn
+         |         FROM pv p, c2 c) WHERE rn = 1),
+         |ca AS (SELECT 'cur' AS side, cluster FROM (
+         |         SELECT p.vec_id, c.cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |             ORDER BY ${ivfD2("p.e", "c.ce")}, c.cluster) AS rn
+         |         FROM cv p, c2 c) WHERE rn = 1),
+         |g AS (SELECT cluster,
+         |        SUM(CASE WHEN side = 'prev' THEN 1 ELSE 0 END) AS n_prev,
+         |        SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur
+         |      FROM (SELECT * FROM pa UNION ALL SELECT * FROM ca)
+         |      GROUP BY 1),
+         |t AS (SELECT SUM(n_prev) AS tp, SUM(n_cur) AS tc FROM g),
+         |wc AS (SELECT g.cluster, g.n_prev, g.n_cur, t.tp, t.tc,
+         |         g.n_prev * t.tc - g.n_cur * t.tp AS num,
+         |         CAST(t.tp * t.tc AS DOUBLE)
+         |           * CAST(g.n_prev * t.tc + g.n_cur * t.tp AS DOUBLE)
+         |           AS den
+         |       FROM g, t),
+         |cn AS (SELECT *, CAST(ROUND(CAST(num * num AS DOUBLE) / den
+         |         * 1e9, 0) AS BIGINT) AS contrib_nano FROM wc),
+         |ch AS (SELECT ROUND(SUM(contrib_nano) / 1e9, 6) AS chi2 FROM cn)
+         |SELECT cn.cluster, CAST(cn.n_prev AS BIGINT) AS n_prev,
+         |  CAST(cn.n_cur AS BIGINT) AS n_cur,
+         |  ROUND(CAST(cn.n_prev AS DOUBLE) / CAST(cn.tp AS DOUBLE), 6)
+         |    AS frac_prev,
+         |  ROUND(CAST(cn.n_cur AS DOUBLE) / CAST(cn.tc AS DOUBLE), 6)
+         |    AS frac_cur,
+         |  ROUND(cn.contrib_nano / 1e9, 6) AS contrib, ch.chi2
+         |FROM cn, ch""".stripMargin,
+
     "q_ann_recall_matryoshka" -> MatDims.map(d =>
       s"SELECT CAST($d AS BIGINT) AS dim, * FROM (\n" +
         recallOracle(truncTopkOracle(d), topkOracle) + "\n)")

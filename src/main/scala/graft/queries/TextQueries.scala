@@ -290,7 +290,12 @@ object TextQueries {
   def qWinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val arr = graft.functions.ShingleHash(col("text"), WinK, 131L, WinMod)
-    d.select(col("doc_id"), size(arr).cast("long").as("n_pos"),
+    // n_pos from text LENGTH, not size(arr): a size(ShingleHash(..))
+    // projected after the Generate re-runs the O(len) kernel once per
+    // exploded pick (~230x per doc — measured 6.8 s at sf0.1, 0.6 s
+    // after; the hash count for len >= k is len - k + 1 by definition)
+    d.select(col("doc_id"),
+        (length(col("text")).cast("long") - (WinK - 1)).as("n_pos"),
         explode(graft.functions.Winnow(arr, WinW)).as("enc"))
       .select(col("doc_id"), col("n_pos"),
         (col("enc") % 2147483648L).as("fp"))
