@@ -207,4 +207,21 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       assert(dups === 0)
     } finally q.stop()
   }
+
+  test("streaming rate limiter matches the batch token-bucket fold") {
+    import graft.streaming.RateLimitStream
+    val q = RateLimitStream.run(spark, SfDir, "rate_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("rate_test")
+        .select("user_id", "event_id", "ts_us", "accepted", "tok_us")
+      val batch = graft.queries.EventQueries.qRateLimit(spark, SfDir)
+        .select("user_id", "event_id", "ts_us", "accepted", "tok_us")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      // the limiter genuinely fires on this corpus
+      assert(streamed.filter(!col("accepted")).count() > 0)
+    } finally q.stop()
+  }
 }
