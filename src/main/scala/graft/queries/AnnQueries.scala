@@ -121,6 +121,47 @@ object AnnQueries {
         col("chi2"))
   }
 
+  /** Inter-annotator agreement (Cohen's κ, 1960 — public literature) —
+    * the governance statistic a labeling pipeline reports before
+    * anyone trains on the labels: agreement between the original
+    * annotation and a planted noisy re-annotation (every 7th vector
+    * confused to the NEXT class, every 13th to class+5 — one
+    * systematic mode, one broad mode), corrected for chance. κ stays
+    * RATIONAL end to end: κ = (diag·N − Σ_k r_k·c_k) / (N² − Σ_k
+    * r_k·c_k) — all integers until one final division (N ≤ 5000 here,
+    * so every product is far inside long range). Output: the ≤100
+    * confusion cells with both marginals, κ and the raw agreement
+    * broadcast back; one scan, label-cardinality-bounded aggregates. */
+  def qLabelKappa(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("label").cast("long").as("a"))
+      .withColumn("b",
+        when(col("vec_id") % 7 === 0, (col("a") + 1) % 10)
+          .when(col("vec_id") % 13 === 0, (col("a") + 5) % 10)
+          .otherwise(col("a")))
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // cells + marginals + kappa all read it
+    val rowM = cells.groupBy("a").agg(sum("n").as("row_marg"))
+    val colM = cells.groupBy("b").agg(sum("n").as("col_marg"))
+    val tot = cells.agg(sum("n").as("n_total"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    val peNum = rowM.join(colM, col("a") === col("b"))
+      .agg(sum(col("row_marg") * col("col_marg")).as("pe_num"))
+    val kap = tot.crossJoin(peNum)
+      .select(col("n_total"), col("n_agree"),
+        round((col("n_agree") * col("n_total") - col("pe_num"))
+          .cast("double") /
+          (col("n_total") * col("n_total") - col("pe_num"))
+            .cast("double"), 6).as("kappa"))
+    cells.join(broadcast(rowM), Seq("a"))
+      .join(broadcast(colM), Seq("b"))
+      .crossJoin(broadcast(kap))
+      .select(col("a"), col("b"), col("n"), col("row_marg"),
+        col("col_marg"), col("n_total"), col("n_agree"), col("kappa"))
+  }
+
   private val MatDims = Seq(32, 16, 8)
 
   /** Matryoshka truncation recall — the MRL operating-point curve
@@ -427,6 +468,7 @@ object AnnQueries {
     "q_ann_recall_quantized" -> (qAnnRecallQuantized _),
     "q_ann_recall_matryoshka" -> (qAnnRecallMatryoshka _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
+    "q_label_kappa" -> (qLabelKappa _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   /** DuckDB twin of the LSH path: the hyperplane components are the same
@@ -984,6 +1026,35 @@ object AnnQueries {
         |FROM p JOIN r ON r.vec_id = p.vec_id""".stripMargin,
     "q_ann_recall_binary" -> recallOracle(binaryOracle, topkOracle),
     "q_ann_recall_quantized" -> recallOracle(quantizedOracle, topkOracle),
+    "q_label_kappa" ->
+      s"""WITH base AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         CAST(label AS BIGINT) AS a,
+         |         CASE WHEN vec_id % 7 = 0 THEN (label + 1) % 10
+         |              WHEN vec_id % 13 = 0 THEN (label + 5) % 10
+         |              ELSE label END AS b
+         |  FROM embeddings),
+         |cells AS (SELECT a, b, COUNT(*) AS n FROM base GROUP BY 1, 2),
+         |rm AS (SELECT a, SUM(n) AS row_marg FROM cells GROUP BY 1),
+         |cm AS (SELECT b, SUM(n) AS col_marg FROM cells GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS n_total,
+         |          SUM(CASE WHEN a = b THEN n ELSE 0 END) AS n_agree
+         |        FROM cells),
+         |pe AS (SELECT SUM(rm.row_marg * cm.col_marg) AS pe_num
+         |       FROM rm JOIN cm ON rm.a = cm.b),
+         |kap AS (SELECT n_total, n_agree,
+         |          ROUND(CAST(n_agree * n_total - pe_num AS DOUBLE)
+         |              / CAST(n_total * n_total - pe_num AS DOUBLE), 6)
+         |            AS kappa
+         |        FROM tot, pe)
+         |SELECT c.a, c.b, CAST(c.n AS BIGINT) AS n,
+         |  CAST(rm.row_marg AS BIGINT) AS row_marg,
+         |  CAST(cm.col_marg AS BIGINT) AS col_marg,
+         |  CAST(k.n_total AS BIGINT) AS n_total,
+         |  CAST(k.n_agree AS BIGINT) AS n_agree, k.kappa
+         |FROM cells c JOIN rm ON c.a = rm.a JOIN cm ON c.b = cm.b,
+         |     kap k""".stripMargin,
+
     "q_embedding_drift" ->
       s"""WITH ${ivfCoarseCtesOn("")},
          |pv AS (SELECT vec_id,
