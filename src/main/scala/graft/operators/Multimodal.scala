@@ -641,6 +641,56 @@ object Multimodal {
     }
   }
 
+  /** Scene-structured clip: same GVID container, but frames belong to
+    * SCENES of `3 + docId % 3` frames — within a scene every frame is
+    * the same real BMP (scene id drives the pixel formulas), across a
+    * cut the content jumps. The shape a keyframe selector exists for;
+    * 12..17 frames per clip. */
+  def synthSceneVideoBytes(docId: Long): Array[Byte] = {
+    val nFrames = (12 + docId % 6).toInt
+    val sceneLen = (3 + docId % 3).toInt
+    val frames = (0 until nFrames).map(f =>
+      synthBmpBytes(docId * 45 + (f / sceneLen).toLong * 45))
+    val frameBytes = frames.head.length
+    val bb = java.nio.ByteBuffer.allocate(12 + nFrames * frameBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GVID".getBytes("US-ASCII"))
+    bb.putInt(nFrames).putInt(frameBytes)
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  case class Keyframe(doc_id: Long, frame_idx: Long, diff_metric: Long,
+                      is_keyframe: Boolean, n_keyframes: Long)
+
+  /** Keyframe selection by scene-change detection — the frame-sample
+    * step a video curation pipeline runs INSTEAD of row 38's blind
+    * every-Nth sampling (which pays for near-duplicate frames and
+    * misses short scenes): decode ALL frames with the real BMP parser,
+    * score consecutive-frame change as the L1 distance of channel
+    * sums, keep frame 0 plus every frame whose change is nonzero.
+    * Entirely row-local (one clip per row, the diff chain lives inside
+    * the iterator — no window, no shuffle); the oracle reproduces the
+    * channel sums analytically from the generator formulas and replays
+    * the diff/flag chain in SQL. */
+  def videoKeyframes(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encK = Encoders.product[Keyframe]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val fr = decodeVideoFrames(d, synthSceneVideoBytes(d), 1).toArray
+        val rows = fr.zipWithIndex.map { case (f, i) =>
+          val diff = if (i == 0) 0L
+          else math.abs(f.sum_r - fr(i - 1).sum_r) +
+            math.abs(f.sum_g - fr(i - 1).sum_g) +
+            math.abs(f.sum_b - fr(i - 1).sum_b)
+          (f.frame_idx, diff, i == 0 || diff > 0L)
+        }
+        val nk = rows.count(_._3).toLong
+        rows.iterator.map(r => Keyframe(d, r._1, r._2, r._3, nk))
+      }).toDF()
+  }
+
   /** documents -> real GVID encode -> frame-sampled real decode (every
     * 2nd frame), distributed one clip per row, exploding to one row
     * per sampled frame. */

@@ -157,6 +157,9 @@ object SourceQueries {
   def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame =
     Multimodal.videoFrameFeatures(Tables.load(spark, dir, "documents"))
 
+  def qVideoKeyframes(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoKeyframes(Tables.load(spark, dir, "documents"))
+
   def qMultimodalMp4(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mp4FrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -494,6 +497,7 @@ object SourceQueries {
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
     "q_multimodal_video" -> (qMultimodalVideo _),
+    "q_video_keyframes" -> (qVideoKeyframes _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
     "q_multimodal_mp3" -> (qMultimodalMp3 _),
     "q_multimodal_mp3_spectral" -> (qMultimodalMp3Spectral _),
@@ -875,6 +879,40 @@ object SourceQueries {
         |  CAST(SUM((id45 * 7 + x * 13 + y * 31) % 256) AS BIGINT)
         |    AS sum_b
         |FROM px GROUP BY doc_id, f""".stripMargin,
+
+    // Keyframes: channel sums per frame are analytic in (doc_id, scene)
+    // exactly as q_multimodal_video's are in (doc_id, frame); the diff/
+    // flag chain replays as a LAG window over the analytic sums.
+    "q_video_keyframes" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |           FROM documents),
+        |p AS (SELECT doc_id, 12 + doc_id % 6 AS nf,
+        |        3 + doc_id % 3 AS sl FROM d),
+        |fr AS (SELECT doc_id, f, (doc_id + (f // sl)) * 45 AS id45
+        |       FROM p, LATERAL (SELECT unnest(generate_series(0,
+        |                CAST(nf - 1 AS INT))) AS f) u),
+        |sums AS (SELECT doc_id, f,
+        |    SUM((id45 * 3 + x * 29 + y * 23) % 256) AS sr,
+        |    SUM((id45 * 11 + x * 17 + y * 5) % 256) AS sg,
+        |    SUM((id45 * 7 + x * 13 + y * 31) % 256) AS sb
+        |  FROM fr,
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS x) u,
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS y) v
+        |  GROUP BY doc_id, f),
+        |df AS (SELECT doc_id, f,
+        |    COALESCE(ABS(sr - LAG(sr) OVER w) + ABS(sg - LAG(sg) OVER w)
+        |           + ABS(sb - LAG(sb) OVER w), 0) AS diff_metric
+        |  FROM sums
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+        |fl AS (SELECT doc_id, f, diff_metric,
+        |    f = 0 OR diff_metric > 0 AS is_keyframe FROM df),
+        |nk AS (SELECT doc_id,
+        |    SUM(CASE WHEN is_keyframe THEN 1 ELSE 0 END) AS n_keyframes
+        |  FROM fl GROUP BY 1)
+        |SELECT fl.doc_id, CAST(fl.f AS BIGINT) AS frame_idx,
+        |  CAST(fl.diff_metric AS BIGINT) AS diff_metric, fl.is_keyframe,
+        |  CAST(nk.n_keyframes AS BIGINT) AS n_keyframes
+        |FROM fl JOIN nk ON fl.doc_id = nk.doc_id""".stripMargin,
 
     // H.264: every field is analytic in doc_id (the generator's clip
     // parameters), so the oracle replays what the real NAL/exp-Golomb

@@ -1028,6 +1028,30 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       .getMessage.contains("out of bounds"))
   }
 
+  test("keyframe selection recovers exactly the scene cut positions") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    for (d <- Seq(0L, 7L, 13L, 42L)) {
+      val rows = Multimodal.videoKeyframes(Seq(d).toDF("doc_id"))
+        .collect().sortBy(_.getAs[Long]("frame_idx"))
+      val nFrames = (12 + d % 6).toInt
+      val sceneLen = (3 + d % 3).toInt
+      assert(rows.length === nFrames)
+      // independent truth: the generator starts a scene at every
+      // multiple of sceneLen — the detector (real byte decode + L1
+      // diff, no knowledge of the formula) must recover exactly those
+      val detected = rows.filter(_.getAs[Boolean]("is_keyframe"))
+        .map(_.getAs[Long]("frame_idx")).toSet
+      val truth = (0 until nFrames).filter(_ % sceneLen == 0)
+        .map(_.toLong).toSet
+      assert(detected === truth, s"doc $d")
+      assert(rows.head.getAs[Long]("n_keyframes") === truth.size.toLong)
+      // within a scene, consecutive frames are byte-identical: diff 0
+      rows.filter(r => r.getAs[Long]("frame_idx") % sceneLen != 0)
+        .foreach(r => assert(r.getAs[Long]("diff_metric") === 0L))
+    }
+  }
+
   test("TopKAgg == row_number window: selection, order, null keys, ties") {
     import spark.implicits._
     // keys with duplicates (tie-break on id), a null key (skipped), and
