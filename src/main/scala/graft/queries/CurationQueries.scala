@@ -819,10 +819,36 @@ object CurationQueries {
   def qChunkRag(spark: SparkSession, dir: String): DataFrame =
     chunkDocs(docs(spark, dir))
 
+  /** Chunk-store dedup — the compute saver a RAG ingestion runs
+    * between row 156's chunker and the embedding batch: identical
+    * chunks (by content fingerprint) embed ONCE, every other copy
+    * resolves to the canonical row. Exact-duplicate documents chunk
+    * identically (same offsets, same snaps), so their chunks collapse
+    * here; the marginal prices it — embeds saved = total chunks minus
+    * distinct fingerprints. One hash aggregate over the row-local
+    * chunk scan; group rows bounded by duplicated content only. */
+  def qChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cf = chunkDocs(docs(spark, dir))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"))
+      .localCheckpoint() // groups + the totals marginal
+    val g = cf.groupBy("chunk_fp")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("min_doc_id"))
+      .filter(col("n_copies") >= 2)
+    val m = cf.agg(count(lit(1)).as("n_chunks_total"),
+      countDistinct("chunk_fp").as("n_unique_fp"))
+    g.crossJoin(broadcast(m))
+      .select(col("chunk_fp"), col("n_copies"), col("n_docs"),
+        col("min_doc_id"), col("n_chunks_total"), col("n_unique_fp"),
+        (col("n_chunks_total") - col("n_unique_fp")).as("n_embeds_saved"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_resample" -> (qDsirResample _),
     "q_merkle_diff" -> (qMerkleDiff _),
     "q_chunk_rag" -> (qChunkRag _),
+    "q_chunk_dedup" -> (qChunkDedup _),
     "q_mix_resample" -> (qMixResample _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_score_drift" -> (qScoreDrift _),
@@ -869,46 +895,75 @@ object CurationQueries {
                   .mkString("|")})\\b'))"""
       .stripMargin.replace("\n", " ").replaceAll(" +", " ")
 
+  /** Shared chunking replay (through `c6`): the full stride/snap
+    * chain both chunk oracles read. */
+  private lazy val chunkCtes: String = {
+    val stride = ChunkC - ChunkO
+    s"""d AS ($docsSql),
+       |dd AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS ln,
+       |         1 + GREATEST(0, (len(text) - $ChunkC + ${stride - 1})
+       |               // $stride) AS n_chunks
+       |       FROM d),
+       |ch AS (SELECT doc_id, text, ln, n_chunks, CAST(i AS BIGINT) AS idx
+       |       FROM dd, LATERAL (SELECT unnest(generate_series(0,
+       |              CAST(n_chunks - 1 AS INT))) AS i) u),
+       |c2 AS (SELECT doc_id, idx, idx * $stride AS cstart, text, ln,
+       |         n_chunks,
+       |         LEAST($ChunkC, ln - idx * $stride) AS tent_len FROM ch),
+       |c3 AS (SELECT *,
+       |         strpos(reverse(substr(text, CAST(cstart + 1 AS INT),
+       |           CAST(tent_len AS INT))), ' .') AS dotp,
+       |         strpos(reverse(substr(text, CAST(cstart + 1 AS INT),
+       |           CAST(tent_len AS INT))), ' ') AS spacep FROM c2),
+       |c4 AS (SELECT *,
+       |         CASE WHEN dotp > 0 THEN tent_len - dotp
+       |              ELSE 0 END AS last_dot,
+       |         CASE WHEN spacep > 0 THEN tent_len - spacep + 1
+       |              ELSE 0 END AS last_space FROM c3),
+       |c5 AS (SELECT *,
+       |         CASE WHEN idx = n_chunks - 1 THEN 'hard'
+       |              WHEN last_dot >= $stride THEN 'sentence'
+       |              WHEN last_space >= $stride THEN 'word'
+       |              ELSE 'hard' END AS snap_kind FROM c4),
+       |c6 AS (SELECT *, CASE WHEN snap_kind = 'sentence' THEN last_dot
+       |                      WHEN snap_kind = 'word' THEN last_space
+       |                      ELSE tent_len END AS chunk_len FROM c5)"""
+      .stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q_chunk_rag" -> {
-      val stride = ChunkC - ChunkO
-      s"""WITH d AS ($docsSql),
-         |dd AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS ln,
-         |         1 + GREATEST(0, (len(text) - $ChunkC + ${stride - 1})
-         |               // $stride) AS n_chunks
-         |       FROM d),
-         |ch AS (SELECT doc_id, text, ln, n_chunks, CAST(i AS BIGINT) AS idx
-         |       FROM dd, LATERAL (SELECT unnest(generate_series(0,
-         |              CAST(n_chunks - 1 AS INT))) AS i) u),
-         |c2 AS (SELECT doc_id, idx, idx * $stride AS cstart, text, ln,
-         |         n_chunks,
-         |         LEAST($ChunkC, ln - idx * $stride) AS tent_len FROM ch),
-         |c3 AS (SELECT *,
-         |         strpos(reverse(substr(text, CAST(cstart + 1 AS INT),
-         |           CAST(tent_len AS INT))), ' .') AS dotp,
-         |         strpos(reverse(substr(text, CAST(cstart + 1 AS INT),
-         |           CAST(tent_len AS INT))), ' ') AS spacep FROM c2),
-         |c4 AS (SELECT *,
-         |         CASE WHEN dotp > 0 THEN tent_len - dotp
-         |              ELSE 0 END AS last_dot,
-         |         CASE WHEN spacep > 0 THEN tent_len - spacep + 1
-         |              ELSE 0 END AS last_space FROM c3),
-         |c5 AS (SELECT *,
-         |         CASE WHEN idx = n_chunks - 1 THEN 'hard'
-         |              WHEN last_dot >= $stride THEN 'sentence'
-         |              WHEN last_space >= $stride THEN 'word'
-         |              ELSE 'hard' END AS snap_kind FROM c4),
-         |c6 AS (SELECT *, CASE WHEN snap_kind = 'sentence' THEN last_dot
-         |                      WHEN snap_kind = 'word' THEN last_space
-         |                      ELSE tent_len END AS chunk_len FROM c5)
+    "q_chunk_rag" ->
+      s"""WITH $chunkCtes
          |SELECT doc_id, idx AS chunk_idx, cstart AS start,
          |  cstart + chunk_len AS "end",
          |  CAST(chunk_len AS BIGINT) AS n_chars, snap_kind,
          |  ${fpSql("substr(text, CAST(cstart + 1 AS INT), CAST(chunk_len AS INT))")}
          |    AS chunk_fp
-         |FROM c6""".stripMargin
-    },
+         |FROM c6""".stripMargin,
 
+    "q_chunk_dedup" ->
+      s"""WITH $chunkCtes,
+         |cf AS (SELECT doc_id, idx,
+         |         ${fpSql("substr(text, CAST(cstart + 1 AS INT), CAST(chunk_len AS INT))")}
+         |           AS chunk_fp
+         |       FROM c6),
+         |g AS (SELECT chunk_fp, COUNT(*) AS n_copies,
+         |        COUNT(DISTINCT doc_id) AS n_docs,
+         |        MIN(doc_id) AS min_doc_id
+         |      FROM cf GROUP BY 1 HAVING COUNT(*) >= 2),
+         |m AS (SELECT COUNT(*) AS n_chunks_total,
+         |        COUNT(DISTINCT chunk_fp) AS n_unique_fp
+         |      FROM cf)
+         |SELECT g.chunk_fp, CAST(g.n_copies AS BIGINT) AS n_copies,
+         |  CAST(g.n_docs AS BIGINT) AS n_docs,
+         |  CAST(g.min_doc_id AS BIGINT) AS min_doc_id,
+         |  CAST(m.n_chunks_total AS BIGINT) AS n_chunks_total,
+         |  CAST(m.n_unique_fp AS BIGINT) AS n_unique_fp,
+         |  CAST(m.n_chunks_total - m.n_unique_fp AS BIGINT)
+         |    AS n_embeds_saved
+         |FROM g, m""".stripMargin,
+
+    
     "q_merkle_diff" ->
       s"""WITH d AS ($docsSql),
          |prev AS (SELECT doc_id,
