@@ -785,7 +785,56 @@ object Analytics {
     ).reduce(_ unionByName _).unionByName(uniq).unionByName(fk)
   }
 
+  /** Consistent-hash shard rebalance — the storage-layout decision a
+    * 100 TB bucketed store makes once and lives with: when the
+    * cluster grows 8 → 9 shards, mod-hashing reassigns ~8/9 of every
+    * key (a full-corpus rewrite) while RENDEZVOUS (HRW) hashing
+    * (Thaler & Ravishankar 1996 — public literature) moves only the
+    * ~1/9 that the new shard wins, because each key's shard is the
+    * argmax of a per-(key, shard) mix that existing shards keep.
+    * Integer-exact: mix = (h·131 + (s+1)·2654435761) mod P, argmax
+    * with low-shard tie-break encoded as ONE key mix·16 + (15−s) so
+    * array_max IS the argmax (the TopKAgg encode move, row-local).
+    * Measured: mod moves 88.8% of keys, HRW 11.1% — the 8× rewrite
+    * saving, made a number. One scan + a 1-row marginal. */
+  def qShardRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val P = 1000000007L
+    // the mix must not be LINEAR in s: an arithmetic progression mod P
+    // has a non-uniform argmax position (measured: the new shard won
+    // 5.4% instead of ~1/9) — squaring the lane scatters it
+    def mix(h: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) = {
+      val m = pmod(h * lit(131L) + (s + 1L) * lit(2654435761L), lit(P))
+      pmod(m * m, lit(P))
+    }
+    def hrw(h: org.apache.spark.sql.Column, n: Int) = {
+      val enc = array_max(transform(sequence(lit(0L), lit(n - 1L)),
+        s => mix(h, s) * lit(16L) + (lit(15L) - s)))
+      lit(15L) - pmod(enc, lit(16L))
+    }
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        rollingFingerprint(norm(col("text"))).as("h"))
+      .select(col("doc_id"), col("h"),
+        pmod(col("h"), lit(8L)).as("mod8"),
+        pmod(col("h"), lit(9L)).as("mod9"),
+        hrw(col("h"), 8).as("hrw8"), hrw(col("h"), 9).as("hrw9"))
+      .withColumn("moved_mod", col("mod8") =!= col("mod9"))
+      .withColumn("moved_hrw", col("hrw8") =!= col("hrw9"))
+      .localCheckpoint() // rows + marginal
+    val m = base.agg(count(lit(1)).as("n_keys"),
+      sum(when(col("moved_mod"), 1L).otherwise(0L)).as("n_moved_mod"),
+      sum(when(col("moved_hrw"), 1L).otherwise(0L)).as("n_moved_hrw"))
+    base.crossJoin(broadcast(m))
+      .select(col("doc_id"), col("h"), col("mod8"), col("mod9"),
+        col("hrw8"), col("hrw9"), col("moved_mod"), col("moved_hrw"),
+        col("n_keys"), col("n_moved_mod"), col("n_moved_hrw"),
+        expr("n_moved_mod * 10000 div n_keys").as("mod_moved_bp"),
+        expr("n_moved_hrw * 10000 div n_keys").as("hrw_moved_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_rebalance" -> (qShardRebalance _),
     "q_data_contract" -> (qDataContract _),
     "q_cascade_delete" -> (qCascadeDelete _),
     "q_entity_resolve" -> (qEntityResolve _),
@@ -1000,6 +1049,46 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_shard_rebalance" -> {
+      def mix(s: String) =
+        s"""(((h * 131 + ($s + 1) * 2654435761) % 1000000007)
+           |  * ((h * 131 + ($s + 1) * 2654435761) % 1000000007))
+           |  % 1000000007""".stripMargin.replace("\n", " ")
+      def hrw(n: Int) =
+        s"""15 - (list_max(list_transform(generate_series(0, ${n - 1}),
+           |  s -> (${mix("s")}) * 16 + (15 - s))) % 16)""".stripMargin
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_filter(string_split(
+         |          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+         |          ''), c -> len(c) > 0),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+         |  FROM documents),
+         |a AS (SELECT doc_id, h, h % 8 AS mod8, h % 9 AS mod9,
+         |        ${hrw(8)} AS hrw8, ${hrw(9)} AS hrw9
+         |      FROM d),
+         |b AS (SELECT *, mod8 <> mod9 AS moved_mod,
+         |        hrw8 <> hrw9 AS moved_hrw FROM a),
+         |m AS (SELECT COUNT(*) AS n_keys,
+         |        SUM(CASE WHEN moved_mod THEN 1 ELSE 0 END)
+         |          AS n_moved_mod,
+         |        SUM(CASE WHEN moved_hrw THEN 1 ELSE 0 END)
+         |          AS n_moved_hrw
+         |      FROM b)
+         |SELECT b.doc_id, b.h, CAST(b.mod8 AS BIGINT) AS mod8,
+         |  CAST(b.mod9 AS BIGINT) AS mod9,
+         |  CAST(b.hrw8 AS BIGINT) AS hrw8,
+         |  CAST(b.hrw9 AS BIGINT) AS hrw9, b.moved_mod, b.moved_hrw,
+         |  CAST(m.n_keys AS BIGINT) AS n_keys,
+         |  CAST(m.n_moved_mod AS BIGINT) AS n_moved_mod,
+         |  CAST(m.n_moved_hrw AS BIGINT) AS n_moved_hrw,
+         |  CAST(m.n_moved_mod * 10000 // m.n_keys AS BIGINT)
+         |    AS mod_moved_bp,
+         |  CAST(m.n_moved_hrw * 10000 // m.n_keys AS BIGINT)
+         |    AS hrw_moved_bp
+         |FROM b, m""".stripMargin
+    },
     "q_zorder_pruning" -> zorderPruningOracle,
     "q_data_contract" ->
       """SELECT 'lineitem' AS "table",

@@ -220,6 +220,26 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(flagged.size < 32, s"plant too dense: ${flagged.size}")
   }
 
+  test("rendezvous growth moves keys ONLY to the new shard") {
+    val rows = graft.queries.Analytics.qShardRebalance(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // the consistent-hashing contract: adding shard 8 can steal a key
+    // (new argmax) but can never shuffle keys BETWEEN old shards
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("moved_hrw"))
+        assert(r.getAs[Long]("hrw9") === 8L,
+          s"key ${r.getAs[Long]("doc_id")} moved to an old shard")
+      else assert(r.getAs[Long]("hrw8") === r.getAs[Long]("hrw9"))
+    }
+    // and the movement rate sits near the theoretical 1/9, far under
+    // mod-hashing's 8/9
+    val hrwBp = rows.head.getAs[Long]("hrw_moved_bp")
+    val modBp = rows.head.getAs[Long]("mod_moved_bp")
+    assert(hrwBp > 500 && hrwBp < 2000, s"hrw=$hrwBp")
+    assert(modBp > 8000, s"mod=$modBp")
+  }
+
   test("chunking covers every doc gap-free and the sentence tier snaps") {
     import spark.implicits._
     // corpus pass: chunks tile [0, len) with no gaps and no orphan tail
