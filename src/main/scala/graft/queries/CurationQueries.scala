@@ -584,6 +584,45 @@ object CurationQueries {
         col("chi2"))
   }
 
+  private val PrioK = 100 // sample size
+
+  /** Sequential Poisson sampling (Ohlsson 1998 — the published
+    * weighted-without-replacement scheme production samplers use,
+    * PPSWOR-style): priority q_i = u_i / w_i with u uniform, keep the
+    * k SMALLEST priorities — heavy documents draw small priorities
+    * proportionally more often, giving probability-proportional-to-
+    * size inclusion without replacement. Deterministic and integer-
+    * exact here: u = content-hash mod 2^20 (re-shard/renumber stable),
+    * w = the engine's token estimate, priority = u·10⁶ div w; the
+    * k-smallest selection is ONE bounded-heap TopKAgg (map-side
+    * combined to ≤k rows per partition — never a global sort), ties
+    * to the lower doc_id. The marginal proves the tilt: sample mean
+    * tokens vs corpus mean tokens (PPS over-represents long docs by
+    * construction — measured, not asserted). */
+  def qSamplePriority(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"),
+        greatest(lit(1L), expr("length(text) div 4")).as("w"),
+        rollingFingerprint(norm(col("text"))).as("h"))
+      .withColumn("priority",
+        expr("(h % 1048576) * 1000000 div w"))
+      .localCheckpoint() // heap + corpus marginal
+    val picked = base
+      .groupBy()
+      .agg(graft.functions.TopKAgg(col("priority").cast("double"),
+        col("doc_id"), col("priority"), PrioK).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("t.tie").as("doc_id"), (col("pos") + 1).as("rk"))
+    val m = base.agg(count(lit(1)).as("n_corpus"),
+      expr("sum(w) div count(1)").as("mean_w_corpus"))
+    val sample = picked.join(base.select(col("doc_id"), col("w"),
+      col("priority")), Seq("doc_id"))
+    val ms = sample.agg(expr("sum(w) div count(1)").as("mean_w_sample"))
+    sample.crossJoin(broadcast(m)).crossJoin(broadcast(ms))
+      .select(col("doc_id"), col("w"), col("priority"), col("rk"),
+        col("n_corpus"), col("mean_w_corpus"), col("mean_w_sample"))
+  }
+
   // --------------------------------------------- DSIR importance resampling
 
   private val DsirB = 1024L // hashed-feature buckets
@@ -848,6 +887,7 @@ object CurationQueries {
     "q_dsir_resample" -> (qDsirResample _),
     "q_merkle_diff" -> (qMerkleDiff _),
     "q_chunk_rag" -> (qChunkRag _),
+    "q_sample_priority" -> (qSamplePriority _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_mix_resample" -> (qMixResample _),
     "q_mix_temperature" -> (qMixTemperature _),
@@ -932,6 +972,26 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_sample_priority" ->
+      s"""WITH d AS ($docsSql),
+         |b AS (SELECT doc_id, GREATEST(1, len(text) // 4) AS w,
+         |        ${fpSql(normSql)} AS h
+         |      FROM d),
+         |p AS (SELECT doc_id, w, (h % 1048576) * 1000000 // w AS priority
+         |      FROM b),
+         |sm AS (SELECT doc_id, w, priority,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id)
+         |           AS INT) AS rk
+         |       FROM p QUALIFY rk <= 100),
+         |m AS (SELECT COUNT(*) AS n_corpus,
+         |        SUM(w) // COUNT(*) AS mean_w_corpus FROM p),
+         |ms AS (SELECT SUM(w) // COUNT(*) AS mean_w_sample FROM sm)
+         |SELECT sm.doc_id, CAST(sm.w AS BIGINT) AS w,
+         |  CAST(sm.priority AS BIGINT) AS priority, sm.rk,
+         |  CAST(m.n_corpus AS BIGINT) AS n_corpus,
+         |  CAST(m.mean_w_corpus AS BIGINT) AS mean_w_corpus,
+         |  CAST(ms.mean_w_sample AS BIGINT) AS mean_w_sample
+         |FROM sm, m, ms""".stripMargin,
     "q_chunk_rag" ->
       s"""WITH $chunkCtes
          |SELECT doc_id, idx AS chunk_idx, cstart AS start,
