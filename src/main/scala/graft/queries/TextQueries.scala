@@ -335,6 +335,39 @@ object TextQueries {
         expr("n_shared * 10000 div least(nfa, nfb)").as("ovl_bp"))
   }
 
+  // ------------------------------------------------------------- novelty
+
+  /** Cross-corpus n-gram novelty — the complement of row 57's
+    * WITHIN-doc repetition: what fraction of a document's distinct
+    * 8-shingles appears in NO other document (df = 1). Low novelty =
+    * boilerplate shared across the corpus (template mass the dedup
+    * family may still miss below its thresholds); high = genuinely
+    * unique content — the "unique n-gram fraction" signal curation
+    * stacks report beside quality scores. One distinct (doc, shingle)
+    * scan off the native kernel, one df aggregate (map-side combined),
+    * one join-back; the df table is shingle-keyed — the same posting
+    * discipline as the dedup family, never all-pairs. Corpus mean
+    * rides back as a 1-row marginal. */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ds = d.select(col("doc_id"),
+        explode(graft.functions.ShingleHash(col("text"), 8, 131L,
+          1000000007L)).as("s"))
+      .distinct()
+      .localCheckpoint() // df aggregate + join-back
+    val df = ds.groupBy("s").agg(count(lit(1)).as("df"))
+    val per = ds.join(df, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_distinct"), col("n_unique"),
+        expr("n_unique * 10000 div n_distinct").as("novelty_bp"))
+      .localCheckpoint() // rows + marginal
+    val m = per.agg(expr("sum(novelty_bp) div count(1)")
+      .as("mean_novelty_bp"))
+    per.crossJoin(broadcast(m))
+  }
+
   // ----------------------------------------------------------- repetition
 
   /** Within-document repetition (Gopher/RefinedWeb-style quality
@@ -959,6 +992,33 @@ object TextQueries {
          |FROM pr JOIN nf na ON pr.ida = na.doc_id
          |        JOIN nf nb ON pr.idb = nb.doc_id""".stripMargin,
 
+    "q_ngram_novelty" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_filter(
+        |               string_split(substr(t, CAST(i AS INT), 8), ''),
+        |               c -> len(c) > 0),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (a, b) -> (a * 131 + b) % 1000000007) AS s
+        |       FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |              greatest(len(t) - 7, 1))) AS i) u
+        |       WHERE len(substr(t, CAST(i AS INT), 8)) = 8),
+        |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+        |per AS (SELECT doc_id, COUNT(*) AS n_distinct,
+        |          SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+        |        FROM sh JOIN df USING (s) GROUP BY 1),
+        |pr AS (SELECT doc_id, n_distinct, n_unique,
+        |         n_unique * 10000 // n_distinct AS novelty_bp FROM per),
+        |m AS (SELECT SUM(novelty_bp) // COUNT(*) AS mean_novelty_bp
+        |      FROM pr)
+        |SELECT pr.doc_id, CAST(pr.n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(pr.n_unique AS BIGINT) AS n_unique,
+        |  CAST(pr.novelty_bp AS BIGINT) AS novelty_bp,
+        |  CAST(m.mean_novelty_bp AS BIGINT) AS mean_novelty_bp
+        |FROM pr, m""".stripMargin,
+
     "q_repetition" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
         |           FROM documents),
@@ -1297,6 +1357,7 @@ object TextQueries {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_repetition" -> (qRepetition _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_pii_redact" -> (qPiiRedact _),
