@@ -584,6 +584,43 @@ object CurationQueries {
         col("chi2"))
   }
 
+  /** Quantile normalization without a global sort — the preprocessing
+    * move that turns an arbitrary score scale into a uniform [0,1]
+    * rank (what cross-corpus threshold transfer and rank-based mixing
+    * actually consume): each doc's percentile = strict-below count
+    * over n, computed from the BOUNDED-DOMAIN score histogram (the
+    * stopword-rate score lives in [-1, 10000], so the histogram is
+    * ≤10002 rows at ANY corpus size) + one cumulative window over that
+    * tiny table + a broadcast join-back. A rank window over the corpus
+    * would sort 100 TB through one exchange; this sorts ≤10002 rows.
+    * Percentile in basis points, integer-exact; per-lang marginals
+    * show the normalization holds within every language. */
+  def qQualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = wordCount(col("text"))
+    val nStop = stopwordCount(norm(col("text")), langStopwords.head._2)
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), nWords.as("n_words"),
+        nStop.as("n_stop"))
+      .withColumn("score",
+        expr("CASE WHEN n_words = 0 THEN -1 " +
+          "ELSE (n_stop * 10000) DIV n_words END"))
+      .select(col("doc_id"), col("lang"), col("score"))
+      .localCheckpoint()
+    val hist = base.groupBy("score").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly below
+    val cum = hist
+      .withColumn("below", coalesce(sum("c").over(w), lit(0L)))
+      .localCheckpoint() // ≤10002 rows; the one (tiny) sorted exchange
+    val tot = base.agg(count(lit(1)).as("n_corpus"))
+    base.join(broadcast(cum.select(col("score"), col("below"))),
+        Seq("score"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"), col("score"),
+        expr("below * 10000 div n_corpus").as("pct_bp"),
+        col("n_corpus"))
+  }
+
   private val PrioK = 100 // sample size
 
   /** Sequential Poisson sampling (Ohlsson 1998 — the published
@@ -888,6 +925,8 @@ object CurationQueries {
     "q_merkle_diff" -> (qMerkleDiff _),
     "q_chunk_rag" -> (qChunkRag _),
     "q_sample_priority" -> (qSamplePriority _),
+
+    "q_quality_percentile" -> (qQualityPercentile _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_mix_resample" -> (qMixResample _),
     "q_mix_temperature" -> (qMixTemperature _),
@@ -972,6 +1011,24 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_quality_percentile" ->
+      s"""WITH d AS ($docsSql),
+         |b AS (SELECT doc_id, lang,
+         |        CASE WHEN $wcSql = 0 THEN -1
+         |             ELSE ($stopSql * 10000) // $wcSql END AS score
+         |      FROM d),
+         |h AS (SELECT score, COUNT(*) AS c FROM b GROUP BY 1),
+         |cu AS (SELECT score,
+         |         COALESCE(SUM(c) OVER (ORDER BY score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS below
+         |       FROM h),
+         |t AS (SELECT COUNT(*) AS n_corpus FROM b)
+         |SELECT b.doc_id, b.lang, CAST(b.score AS BIGINT) AS score,
+         |  CAST(cu.below * 10000 // t.n_corpus AS BIGINT) AS pct_bp,
+         |  CAST(t.n_corpus AS BIGINT) AS n_corpus
+         |FROM b JOIN cu ON b.score = cu.score, t""".stripMargin,
+
     "q_sample_priority" ->
       s"""WITH d AS ($docsSql),
          |b AS (SELECT doc_id, GREATEST(1, len(text) // 4) AS w,
