@@ -208,6 +208,27 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streaming CDC compaction matches the batch latest-by-key") {
+    import graft.streaming.CdcStream
+    val q = CdcStream.run(spark, SfDir, "cdc_test")
+    try {
+      q.processAllAvailable()
+      // update mode re-emits a key when its survivor changes; the
+      // newest emission per key is the final state
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val streamed = spark.table("cdc_test")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "ts_us", "event_id", "value", "k")
+      val batch = graft.queries.EventQueries.qLatestByKey(spark, SfDir)
+        .select("user_id", "event_type", "ts_us", "event_id", "value", "k")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming rate limiter matches the batch token-bucket fold") {
     import graft.streaming.RateLimitStream
     val q = RateLimitStream.run(spark, SfDir, "rate_test")
