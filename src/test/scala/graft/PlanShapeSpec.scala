@@ -103,4 +103,34 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "attribution heaps are not run-stable")
   }
+
+  test("r11b row-local claims: keyframes and shard rebalance rows " +
+    "shuffle nothing but their 1-row marginals") {
+    // video keyframes: decode + diff chain entirely inside the
+    // per-clip iterator — NO exchange at all
+    val pk = plan("q_video_keyframes")
+    assert(!pk.contains("Exchange hashpartitioning"),
+      s"q_video_keyframes claims row-local but:\n$pk")
+    // shard rebalance: the only shuffle is the 1-row movement
+    // marginal; assignments themselves are row-local array_max
+    val ps = plan("q_shard_rebalance")
+    assert("Exchange hashpartitioning".r.findAllIn(ps).size <= 1,
+      s"q_shard_rebalance grew extra exchanges:\n$ps")
+  }
+
+  test("r11b sort-free percentile: the only Sort is over the bounded " +
+    "histogram, never the corpus") {
+    // the §2 row's whole claim: the rank window sorts the <=10002-row
+    // histogram (child = the score Aggregate), not the scan
+    val p = plan("q_quality_percentile")
+    val sorts = "Sort \\[".r.findAllIn(p).size
+    assert(sorts <= 1, s"q_quality_percentile sorts more than once:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"),
+      s"q_quality_percentile lost its broadcast join-back:\n$p")
+    // the window's input must be an aggregate (the histogram), which
+    // caps its cardinality at the score domain
+    assert("Window \\[".r.findAllIn(p).size <= 1,
+      s"unexpected extra windows:\n$p")
+  }
 }
