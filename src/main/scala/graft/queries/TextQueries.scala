@@ -526,6 +526,39 @@ object TextQueries {
         col("c").cast("long").as("cnt"))
   }
 
+  /** Vocab-size fertility curve — the measurement a tokenizer's vocab
+    * size is chosen from: corpus token count (and chars-per-token) at
+    * 0, 1 and 2 applied BPE merges. Every merge collapses its pair
+    * occurrences into one symbol, so fertility (chars per token) rises
+    * monotonically with vocab — this query prices each step of row
+    * 75's training with the number that matters downstream (sequence
+    * length ∝ 1/fertility). Same merge selection and replace semantics
+    * as q_bpe_train (the oracle unrolls identically); per stage ONE
+    * map-side-combined length sum. */
+  def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir).select(lower(col("text")).as("t"))
+      .localCheckpoint() // three stages + the char total read it
+    val m1 = bpeBestMerge(bpePairs(d0))
+    val d1 = d0.select(replace(col("t"), lit(m1), lit("\u0001")).as("t"))
+      .localCheckpoint()
+    val m2 = bpeBestMerge(bpePairs(d1))
+    val d2 = d1.select(replace(col("t"), lit(m2), lit("\u0002")).as("t"))
+    def stage(df: DataFrame, k: Long, merge: String): DataFrame =
+      df.agg(sum(length(col("t")).cast("long")).as("n_tokens"))
+        .select(lit(k).as("k"),
+          lit(if (merge.isEmpty) 0L else merge.charAt(0).toLong).as("a"),
+          lit(if (merge.isEmpty) 0L else merge.charAt(1).toLong).as("b"),
+          col("n_tokens"))
+    val chars0 = d0.agg(sum(length(col("t")).cast("long"))
+      .as("n_chars")) // the k=0 token count IS the char count
+    stage(d0, 0L, "").unionAll(stage(d1, 1L, m1))
+      .unionAll(stage(d2, 2L, m2))
+      .crossJoin(broadcast(chars0))
+      .select(col("k"), col("a"), col("b"), col("n_tokens"),
+        col("n_chars"),
+        expr("n_chars * 10000 div n_tokens").as("chars_per_token_x1e4"))
+  }
+
   // ----------------------------------------------------------------- BM25
 
   private val Bm25Terms = Seq("data", "model", "training")
@@ -936,6 +969,46 @@ object TextQueries {
          |  CAST(unicode(substr(pr, 2, 1)) AS BIGINT) AS b,
          |  CAST(c AS BIGINT) AS cnt
          |FROM p3 ORDER BY c DESC, pr ASC LIMIT 10""".stripMargin
+    },
+
+    "q_bpe_fertility" -> {
+      def pairsSql(src: String): String =
+        s"""SELECT substr(t, CAST(i AS INT), 2) AS pr, COUNT(*) AS c
+           |FROM $src, LATERAL (SELECT unnest(generate_series(1,
+           |       greatest(len(t) - 1, 1))) AS i) u
+           |WHERE len(substr(t, CAST(i AS INT), 2)) = 2 GROUP BY 1"""
+          .stripMargin
+      s"""WITH d0 AS (SELECT lower(text) AS t FROM documents),
+         |p1 AS (${pairsSql("d0")}),
+         |m1 AS (SELECT pr FROM p1 ORDER BY c DESC, pr ASC LIMIT 1),
+         |d1 AS (SELECT replace(t, (SELECT pr FROM m1), chr(1)) AS t
+         |       FROM d0),
+         |p2 AS (${pairsSql("d1")}),
+         |m2 AS (SELECT pr FROM p2 ORDER BY c DESC, pr ASC LIMIT 1),
+         |d2 AS (SELECT replace(t, (SELECT pr FROM m2), chr(2)) AS t
+         |       FROM d1),
+         |t0 AS (SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS a,
+         |         CAST(0 AS BIGINT) AS b,
+         |         CAST(SUM(len(t)) AS BIGINT) AS n_tokens FROM d0),
+         |t1 AS (SELECT CAST(1 AS BIGINT),
+         |         CAST(unicode(substr((SELECT pr FROM m1), 1, 1))
+         |           AS BIGINT),
+         |         CAST(unicode(substr((SELECT pr FROM m1), 2, 1))
+         |           AS BIGINT),
+         |         CAST(SUM(len(t)) AS BIGINT) FROM d1),
+         |t2 AS (SELECT CAST(2 AS BIGINT),
+         |         CAST(unicode(substr((SELECT pr FROM m2), 1, 1))
+         |           AS BIGINT),
+         |         CAST(unicode(substr((SELECT pr FROM m2), 2, 1))
+         |           AS BIGINT),
+         |         CAST(SUM(len(t)) AS BIGINT) FROM d2),
+         |u AS (SELECT * FROM t0 UNION ALL SELECT * FROM t1
+         |      UNION ALL SELECT * FROM t2),
+         |c0 AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_chars FROM d0)
+         |SELECT u.k, u.a, u.b, u.n_tokens, c0.n_chars,
+         |  CAST(c0.n_chars * 10000 // u.n_tokens AS BIGINT)
+         |    AS chars_per_token_x1e4
+         |FROM u, c0""".stripMargin
     },
 
     "q_lm_perplexity" ->
@@ -1363,6 +1436,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_fertility" -> (qBpeFertility _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_bm25" -> (qBm25 _))
 }
