@@ -72,7 +72,8 @@ object ScaleCheck11b {
       "q_dsir_resample", "q_merkle_diff", "q_chunk_rag", "q_chunk_dedup",
       "q_dedup_cc", "q_dedup_cc_delta", "q_split_temporal",
       "q_rate_limit", "q_label_kappa", "q_embedding_drift",
-      "q_video_keyframes", "q_shard_rebalance")
+      "q_video_keyframes", "q_shard_rebalance", "q_sample_priority",
+      "q_quality_percentile", "q_ngram_novelty", "q_bpe_fertility")
 
     probed.foreach(run(_, dir)) // JIT warm-up at 1x
     spark.catalog.clearCache()
