@@ -61,8 +61,11 @@ object TextQueries {
     * each other. Docs with no markers come out 'und'; docs where the
     * neighbor plant outweighs the own plant come out as that neighbor
     * — a real confusion structure, not a constant column. */
-  def qLangId(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  /** The langid family's deterministic marker planting, shared by the
+    * scorer and the keyword report: own markers j < doc_id %% 5 of
+    * profile[(doc_id + j) %% 5], confusion markers from the neighbor
+    * profile on every 7th doc. */
+  private def langidPlantedText(d: DataFrame): DataFrame = {
     val did = col("doc_id")
     // word idx -> literal for a given language's profile
     def wordAt(lang: String, idx: org.apache.spark.sql.Column) =
@@ -87,8 +90,13 @@ object TextQueries {
       when(did % 7 === 0, profileWord(neighborCol, idx))
         .otherwise(lit(null: String))
     }
-    val planted = d.withColumn("t",
+    d.withColumn("t",
       norm(concat_ws(" ", (col("text") +: (ownParts ++ confParts)): _*)))
+  }
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val planted = langidPlantedText(d)
     val scored = langidProfiles.foldLeft(planted) { case (df, (lang, words)) =>
       df.withColumn(s"score_$lang", stopwordCount(col("t"), words))
     }
@@ -559,6 +567,44 @@ object TextQueries {
         expr("n_chars * 10000 div n_tokens").as("chars_per_token_x1e4"))
   }
 
+  /** Per-language distinctive keywords — the corpus-report staple
+    * (what IS each slice about): per (lang, word) term frequency in
+    * basis points of the language's token mass, restricted to the
+    * DISTINCTIVE vocabulary (df <= 3 of 5 languages — a hard idf gate:
+    * the raw corpus is measured label-independent with every one of
+    * its 31 words in all five languages, so without the gate sheer
+    * template frequency drowns every marker, and the rational linear
+    * idf surrogate measurably loses too; ln is banned cross-engine),
+    * top-5 per language by (tf-share desc, word asc). Runs over the
+    * langid family's planted text, whose analytic (doc_id, lang)
+    * arithmetic the oracle recomputes word for word. The
+    * rank window runs over the VOCAB-bounded (lang, word) count table
+    * — thousands of rows at any corpus size — never the corpus; the
+    * scan itself is one split + one map-side-combined count. The
+    * planted language markers surface exactly: each language's top
+    * keywords are its own stopword plants. */
+  def qLangKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val d = langidPlantedText(docs(spark, dir))
+      .select(col("lang"), col("t"))
+    val words = d.select(col("lang"),
+      explode(filter(split(lower(col("t")), "[^a-z]+"),
+        w => length(w) > lit(0))).as("word"))
+    val lw = words.groupBy("lang", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // df + totals + rank all read it
+    val dfl = lw.groupBy("word")
+      .agg(count(lit(1)).as("df_langs"))
+    val tot = lw.groupBy("lang").agg(sum("tf").as("lang_tokens"))
+    val scored = lw.join(broadcast(dfl), Seq("word"))
+      .join(broadcast(tot), Seq("lang"))
+      .filter(col("df_langs") <= 3) // distinctive: <= 3 of 5 languages
+      .select(col("lang"), col("word"), col("tf"), col("df_langs"),
+        expr("tf * 10000 div lang_tokens").as("score"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("word").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+  }
+
   // ----------------------------------------------------------------- BM25
 
   private val Bm25Terms = Seq("data", "model", "training")
@@ -1011,6 +1057,50 @@ object TextQueries {
          |FROM u, c0""".stripMargin
     },
 
+    "q_lang_keywords" -> {
+      val profRows = langidProfiles.flatMap { case (l, ws) =>
+        ws.zipWithIndex.map { case (w, i) => s"('$l', $i, '$w')" }
+      }.mkString(", ")
+      val nbRows = langidNeighbor
+        .map { case (l, n) => s"('$l', '$n')" }.mkString(", ")
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text
+         |           FROM documents),
+         |prof(plang, idx, word) AS (SELECT * FROM (VALUES $profRows)),
+         |nb(l, n) AS (SELECT * FROM (VALUES $nbRows)),
+         |wd AS (SELECT lang, w AS word
+         |       FROM d, LATERAL (SELECT unnest(list_filter(
+         |              string_split_regex(lower(text), '[^a-z]+'),
+         |              x -> len(x) > 0)) AS w) u),
+         |own AS (SELECT d.lang, p.word
+         |        FROM d, (SELECT unnest(generate_series(0, 3)) AS j) jj,
+         |             prof p
+         |        WHERE jj.j < d.doc_id % 5 AND p.plang = d.lang
+         |          AND p.idx = (d.doc_id + jj.j) % 5),
+         |conf AS (SELECT d.lang, p.word
+         |         FROM d JOIN nb ON d.lang = nb.l,
+         |              (SELECT unnest([0, 2]) AS o) oo, prof p
+         |         WHERE d.doc_id % 7 = 0 AND p.plang = nb.n
+         |           AND p.idx = (d.doc_id + oo.o) % 5),
+         |allw AS (SELECT lang, word FROM wd
+         |         UNION ALL SELECT lang, word FROM own
+         |         UNION ALL SELECT lang, word FROM conf),
+         |lw AS (SELECT lang, word, COUNT(*) AS tf FROM allw
+         |       GROUP BY 1, 2),
+         |dfl AS (SELECT word, COUNT(*) AS df_langs FROM lw GROUP BY 1),
+         |tot AS (SELECT lang, SUM(tf) AS lang_tokens FROM lw GROUP BY 1),
+         |sc AS (SELECT lw.lang, lw.word, lw.tf, dfl.df_langs,
+         |         lw.tf * 10000 // tot.lang_tokens AS score
+         |       FROM lw JOIN dfl ON lw.word = dfl.word
+         |            JOIN tot ON lw.lang = tot.lang
+         |       WHERE dfl.df_langs <= 3),
+         |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |         ORDER BY score DESC, word ASC) AS INT) AS rk FROM sc)
+         |SELECT lang, word, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df_langs AS BIGINT) AS df_langs,
+         |  CAST(score AS BIGINT) AS score, rk
+         |FROM rk WHERE rk <= 5""".stripMargin
+    },
+
     "q_lm_perplexity" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
         |           FROM documents),
@@ -1437,6 +1527,7 @@ object TextQueries {
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_fertility" -> (qBpeFertility _),
+    "q_lang_keywords" -> (qLangKeywords _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_bm25" -> (qBm25 _))
 }
