@@ -690,6 +690,86 @@ object Analytics {
           .as("false_positive"))
   }
 
+  /** k-anonymity audit (Sweeney 2002) — the release gate a privacy
+    * review runs before publishing a table keyed by quasi-identifiers.
+    * QI = (nation, market segment, $5000 account-balance bucket); a
+    * group of fewer than k=5 members re-identifies. Groups that fail at
+    * the full QI are GENERALIZED one level (balance bucket dropped,
+    * reported as bucket -1): if the coarser group reaches k it ships
+    * generalized, else its rows are suppressed — the audit reports all
+    * three outcomes, not just a pass/fail bit. Bucketing is exact
+    * integer arithmetic on cents with a +1e7 shift so the div never
+    * sees a negative (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they agree only on non-negatives). Plan: two hash
+    * aggregates, the second over only the failing groups (a tiny
+    * fraction); one shuffle each, no windows. */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        (expr("(cast(round(c_acctbal * 100, 0) as long) + 10000000) " +
+          "div 500000") - lit(20L)).as("bal_bucket"))
+    val g0 = c.groupBy("nation", "segment", "bal_bucket")
+      .agg(count(lit(1)).as("n_members"))
+    val pass = g0.filter(col("n_members") >= K)
+      .withColumn("status", lit("k_anon"))
+    val gen = g0.filter(col("n_members") < K)
+      .groupBy("nation", "segment")
+      .agg(sum("n_members").as("n_members"))
+      .select(col("nation"), col("segment"),
+        lit(-1L).as("bal_bucket"), col("n_members"),
+        when(col("n_members") >= K, "generalized")
+          .otherwise("suppressed").as("status"))
+    pass.unionByName(gen)
+  }
+
+  /** Subject-access-request export (GDPR art. 15) — the READ twin of
+    * the cascading delete below: for each data subject (deterministic
+    * key set, c_custkey % 125 == 7) gather the per-table footprint a
+    * compliance export must enumerate — row count plus an exact-cents
+    * value digest per table, INCLUDING explicit zero rows for tables
+    * where the subject has no data (an export that omits empty tables
+    * can't prove it looked). Subjects are a broadcastable key set; each
+    * fact table joins it broadcast and aggregates by subject (map-side
+    * combine), lineitem reaches the subject through its orders — the
+    * same FK path the delete walks. */
+  def qSarExport(spark: SparkSession, dir: String): DataFrame = {
+    val subs = Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % 125 === 7)
+      .select(col("c_custkey").cast("long").as("subject"))
+      .localCheckpoint() // four consumers
+    def cents(c: org.apache.spark.sql.Column) =
+      round(c * 100.0, 0).cast("long")
+    val custF = Tables.load(spark, dir, "customer")
+      .join(broadcast(subs), col("c_custkey") === col("subject"))
+      .groupBy("subject").agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("c_acctbal"))).as("digest_cents"))
+    val ordBase = Tables.load(spark, dir, "orders")
+      .join(broadcast(subs), col("o_custkey") === col("subject"))
+      .select(col("subject"), col("o_orderkey"), col("o_totalprice"))
+      .localCheckpoint() // orders agg + lineitem path
+    val ordF = ordBase.groupBy("subject")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("digest_cents"))
+    val liF = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(ordBase.select("subject", "o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("subject").agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("l_extendedprice"))).as("digest_cents"))
+    val evF = Tables.load(spark, dir, "events")
+      .join(broadcast(subs), col("user_id") === col("subject"))
+      .groupBy("subject").agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("value"))).as("digest_cents"))
+    Seq(("customer", custF), ("orders", ordF),
+      ("lineitem", liF), ("events", evF)).map { case (name, f) =>
+      subs.join(f, Seq("subject"), "left")
+        .select(col("subject"), lit(name).as("table"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("digest_cents"), lit(0L)).as("digest_cents"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cascading delete (right-to-be-forgotten): customers with
     * c_custkey % 37 == 0 are erased, their orders follow, and those
     * orders' lineitems follow — the 3-level FK cascade every
@@ -835,6 +915,8 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shard_rebalance" -> (qShardRebalance _),
+    "q_kanonymity" -> (qKAnonymity _),
+    "q_sar_export" -> (qSarExport _),
     "q_data_contract" -> (qDataContract _),
     "q_cascade_delete" -> (qCascadeDelete _),
     "q_entity_resolve" -> (qEntityResolve _),
@@ -1145,6 +1227,64 @@ object Analytics {
         |  SUM(CASE WHEN o_custkey NOT IN
         |    (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) = 0
         |FROM orders""".stripMargin,
+    "q_kanonymity" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    (CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 10000000)
+        |      // 500000 - 20 AS bal_bucket
+        |  FROM customer),
+        |g0 AS (SELECT nation, segment, bal_bucket,
+        |         COUNT(*) AS n_members
+        |       FROM c GROUP BY 1, 2, 3),
+        |pass AS (SELECT nation, segment, bal_bucket, n_members,
+        |           'k_anon' AS status
+        |         FROM g0 WHERE n_members >= 5),
+        |gen AS (SELECT nation, segment, CAST(-1 AS BIGINT) AS bal_bucket,
+        |          SUM(n_members) AS n_members,
+        |          CASE WHEN SUM(n_members) >= 5 THEN 'generalized'
+        |               ELSE 'suppressed' END AS status
+        |        FROM g0 WHERE n_members < 5 GROUP BY 1, 2)
+        |SELECT nation, segment, bal_bucket,
+        |  CAST(n_members AS BIGINT) AS n_members, status
+        |FROM pass
+        |UNION ALL
+        |SELECT nation, segment, bal_bucket,
+        |  CAST(n_members AS BIGINT), status FROM gen""".stripMargin,
+
+    "q_sar_export" ->
+      """WITH subs AS (SELECT CAST(c_custkey AS BIGINT) AS subject
+        |              FROM customer WHERE c_custkey % 125 = 7),
+        |cf AS (SELECT CAST(c_custkey AS BIGINT) AS subject,
+        |         COUNT(*) AS n_rows,
+        |         SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS dg
+        |       FROM customer WHERE c_custkey % 125 = 7 GROUP BY 1),
+        |ofr AS (SELECT CAST(o_custkey AS BIGINT) AS subject,
+        |          COUNT(*) AS n_rows,
+        |          SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS dg
+        |        FROM orders WHERE o_custkey % 125 = 7 GROUP BY 1),
+        |lf AS (SELECT CAST(o.o_custkey AS BIGINT) AS subject,
+        |         COUNT(*) AS n_rows,
+        |         SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+        |           AS dg
+        |       FROM lineitem l JOIN orders o
+        |         ON l.l_orderkey = o.o_orderkey
+        |       WHERE o.o_custkey % 125 = 7 GROUP BY 1),
+        |ef AS (SELECT CAST(user_id AS BIGINT) AS subject,
+        |         COUNT(*) AS n_rows,
+        |         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS dg
+        |       FROM events WHERE user_id % 125 = 7 GROUP BY 1)
+        |SELECT s.subject, t.name AS "table",
+        |  CAST(COALESCE(f.n_rows, 0) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(f.dg, 0) AS BIGINT) AS digest_cents
+        |FROM subs s
+        |CROSS JOIN (SELECT unnest(['customer', 'orders', 'lineitem',
+        |  'events']) AS name) t
+        |LEFT JOIN (SELECT 'customer' AS name, * FROM cf
+        |           UNION ALL SELECT 'orders', * FROM ofr
+        |           UNION ALL SELECT 'lineitem', * FROM lf
+        |           UNION ALL SELECT 'events', * FROM ef) f
+        |  ON f.name = t.name AND f.subject = s.subject""".stripMargin,
+
     // cascade + audit derived with set predicates (NOT IN) instead of
     // the engine's anti-joins — independent formulations of the same
     // referential rules; orphan counts must come out zero on both

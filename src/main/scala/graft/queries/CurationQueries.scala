@@ -920,7 +920,35 @@ object CurationQueries {
         (col("n_chunks_total") - col("n_unique_fp")).as("n_embeds_saved"))
   }
 
+  /** Per-domain reputation rollup + gate — the CCNet/RefinedWeb move of
+    * judging SOURCES, not just documents: a spam domain's individually
+    * plausible pages survive doc-level filters, but the domain's
+    * aggregate statistics give it away. Per source: doc count, short-doc
+    * count (<100 chars — the junk signal this corpus actually varies
+    * by source), exact integer per-mille rates, mean length ×100, and a
+    * reputation score (1000 − 4·short per-mille, floored at 0); sources
+    * under 400 are dropped WHOLE (kept_docs = 0) — the actuator column,
+    * not just a flag. One hash aggregate over the corpus scan (20 group
+    * rows at any scale); no joins, no windows — at 100 TB this is a
+    * map-side-combined rollup whose output fits on a postcard. */
+  def qDomainReputation(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars").cast("long").as("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"),
+        sum("n_chars").as("sum_chars"))
+      .select(col("source"), col("n_docs"), col("n_short"),
+        expr("n_short * 1000 div n_docs").as("short_pm"),
+        expr("sum_chars * 100 div n_docs").as("mean_chars_x100"),
+        greatest(lit(1000L) - expr("n_short * 1000 div n_docs") * 4L,
+          lit(0L)).as("rep_score"))
+      .withColumn("kept_docs",
+        when(col("rep_score") >= 400, col("n_docs")).otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_reputation" -> (qDomainReputation _),
     "q_dsir_resample" -> (qDsirResample _),
     "q_merkle_diff" -> (qMerkleDiff _),
     "q_chunk_rag" -> (qChunkRag _),
@@ -1011,6 +1039,21 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_domain_reputation" ->
+      """WITH g AS (SELECT source, COUNT(*) AS n_docs,
+        |    SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short,
+        |    SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_short AS BIGINT) AS n_short,
+        |  CAST(n_short * 1000 // n_docs AS BIGINT) AS short_pm,
+        |  CAST(sum_chars * 100 // n_docs AS BIGINT) AS mean_chars_x100,
+        |  CAST(GREATEST(1000 - (n_short * 1000 // n_docs) * 4, 0)
+        |    AS BIGINT) AS rep_score,
+        |  CAST(CASE WHEN GREATEST(1000 - (n_short * 1000 // n_docs) * 4,
+        |    0) >= 400 THEN n_docs ELSE 0 END AS BIGINT) AS kept_docs
+        |FROM g""".stripMargin,
+
     "q_quality_percentile" ->
       s"""WITH d AS ($docsSql),
          |b AS (SELECT doc_id, lang,

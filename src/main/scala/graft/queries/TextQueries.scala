@@ -730,6 +730,146 @@ object TextQueries {
         length(red).cast("long").as("red_len"))
   }
 
+  // ------------------------------------------------- boilerplate removal
+
+  /** Line-level boilerplate removal (the RefinedWeb/CCNet pass): a line
+    * appearing in ≥35% of its SOURCE's documents (and ≥3 docs) is
+    * nav/footer furniture, not content — remove it and keep the rest.
+    * The corpus text is single-line, so the page structure is PLANTED
+    * deterministically (the langid/PII move): a per-source header on
+    * every doc (100% df — always removed), a global footer on even
+    * doc_ids (~50% — removed), a newsletter line on doc_id%3 (~33% —
+    * hovers AT the 35% threshold, so its fate varies per source with
+    * the doc_id residue mix: a real threshold, not a constant), and the
+    * body (df=1 — always kept). Plan: line df is one (source, line)
+    * hash aggregate; qualifying boilerplate lines are BOUNDED (a few
+    * per source at any sf) so the removal join is a broadcast-back
+    * anti-mark, never a corpus-sized shuffle join; reassembly sorts
+    * each doc's kept lines by position inside one aggregate. */
+  def qBoilerplateLines(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("home about contact login "), col("source"), lit("\n"),
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit("\nsubscribe to our newsletter")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        lit("\ncopyright example com all rights reserved"))
+        .otherwise(lit("")))
+    val lines = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(page, "\n")).as(Seq("pos", "line")))
+      .localCheckpoint() // df aggregate + marked join-back
+    val srcN = lines.groupBy("source")
+      .agg(countDistinct("doc_id").as("n_src_docs"))
+    val boil = lines.groupBy("source", "line")
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(srcN), Seq("source"))
+      .filter(col("df") >= 3 && col("df") * 100 >= col("n_src_docs") * 35)
+      .select(col("source"), col("line"), lit(true).as("boil"))
+    lines.join(broadcast(boil), Seq("source", "line"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("boil"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("boil"), length(col("line")).cast("long"))
+          .otherwise(0L)).as("chars_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("boil").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n")).as("cleaned_hash"))
+  }
+
+  // ---------------------------------------------------- license detection
+
+  /** License phrase inventory for code/corpus compliance scanning —
+    * each phrase border-free (same AC/oracle contract as Blocklist). */
+  private[queries] lazy val LicensePhrases: Seq[(String, String)] = {
+    val ps = Seq(
+      "apache license version 2" -> "permissive",
+      "permission is hereby granted free of charge" -> "permissive",
+      "bsd 3-clause license" -> "permissive",
+      "gnu general public license" -> "copyleft",
+      "mozilla public license" -> "copyleft",
+      "all rights reserved proprietary" -> "proprietary")
+    ps.foreach { case (t, _) =>
+      require((1 until t.length).forall(k =>
+        t.substring(0, k) != t.substring(t.length - k)),
+        s"license phrase '$t' has a border")
+    }
+    ps
+  }
+
+  /** License detection (the BigCode/The-Stack compliance gate): scan
+    * every document against an SPDX-ish phrase inventory, one
+    * Aho–Corasick automaton PER CLASS (permissive/copyleft/
+    * proprietary), and classify with copyleft > proprietary >
+    * permissive precedence — the conservative order a license audit
+    * wants (a dual-licensed file is the restrictive thing). License
+    * text is planted deterministically (doc_id%11, phrase rotating by
+    * doc_id div 11) since the corpus has none; the engine does the real
+    * multi-automaton scan work, the oracle derives every count
+    * analytically from the same arithmetic — generation and extraction
+    * check each other (the langid contract). Row-local, zero shuffles
+    * beyond the scan. */
+  def qLicenseDetect(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BlocklistScan
+    val planted = when(col("doc_id") % 11 === 0,
+      concat(col("text"), lit(" "),
+        LicensePhrases.map(_._1).zipWithIndex.foldLeft(lit("")) {
+          case (acc, (p, i)) =>
+            when((col("doc_id") / 11).cast("long") % 6 === i, lit(p))
+              .otherwise(acc)
+        })).otherwise(col("text"))
+    def hits(cls: String) =
+      BlocklistScan(planted,
+        LicensePhrases.filter(_._2 == cls).map(_._1))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        hits("permissive").as("pm"), hits("copyleft").as("cl"),
+        hits("proprietary").as("pr"))
+      .select(col("doc_id"),
+        col("pm.n_hits").as("n_permissive"),
+        col("cl.n_hits").as("n_copyleft"),
+        col("pr.n_hits").as("n_proprietary"),
+        when(col("cl.n_hits") > 0, "copyleft")
+          .when(col("pr.n_hits") > 0, "proprietary")
+          .when(col("pm.n_hits") > 0, "permissive")
+          .otherwise("none").as("license_class"),
+        coalesce(least(nullif(col("pm.first_pos"), lit(0L)),
+          nullif(col("cl.first_pos"), lit(0L)),
+          nullif(col("pr.first_pos"), lit(0L))), lit(0L))
+          .as("first_pos"))
+  }
+
+  // ----------------------------------------------------- mojibake repair
+
+  /** Encoding-anomaly (mojibake) detection + repair — the ftfy pass a
+    * web corpus needs: UTF-8 text misread as CP1252 turns á (C3 A1)
+    * into the two-char scar Ã¡. The corpus is ASCII, so the hazard is
+    * planted end-to-end (doc_id%9): intended text (a→á, e→é), then the
+    * double-decode corruption (á→Ã¡, é→Ã©); the detector counts scars,
+    * the repairer reverses them, and the audit column proves repaired
+    * == intended — plus a false-positive guarantee on the 8/9 clean
+    * docs (n_moji must be 0). Row-local string expressions only. */
+  def qMojibake(spark: SparkSession, dir: String): DataFrame = {
+    val (a, e) = ("\u00e1", "\u00e9") // the intended accented chars
+    val (ma, me) = ("\u00c3\u00a1", "\u00c3\u00a9") // their CP1252 scars
+    val sel = col("doc_id") % 9 === 0
+    val intended = when(sel,
+      translate(col("text"), "ae", a + e)).otherwise(col("text"))
+    val corrupted = when(sel,
+      regexp_replace(regexp_replace(intended, a, ma), e, me))
+      .otherwise(col("text"))
+    val repaired = regexp_replace(
+      regexp_replace(corrupted, ma, a), me, e)
+    docs(spark, dir)
+      .select(col("doc_id"),
+        (length(corrupted) - length(repaired)).cast("long").as("n_moji"),
+        (length(corrupted) > length(repaired)).as("detected"),
+        (repaired === intended).as("repaired_ok"),
+        length(corrupted).cast("long").as("len_corrupted"),
+        length(repaired).cast("long").as("len_repaired"))
+  }
+
   // --------------------------------------------------------------- oracles
 
   private val docsSql =
@@ -1221,6 +1361,91 @@ object TextQueries {
          |    '$PhonePat', '<PHONE>', 'g'),
          |    '$IpPat', '<IP>', 'g')) AS BIGINT) AS red_len
          |FROM d""".stripMargin,
+    "q_boilerplate_lines" ->
+      s"""WITH d AS ($docsSql),
+         |p AS (SELECT doc_id, source,
+         |  'home about contact login ' || source || chr(10) || text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |    THEN chr(10) || 'subscribe to our newsletter'
+         |    ELSE '' END ||
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN chr(10) || 'copyright example com all rights reserved'
+         |    ELSE '' END AS page FROM d),
+         |ls AS (SELECT doc_id, source,
+         |         string_split(page, chr(10)) AS arr FROM p),
+         |l AS (SELECT doc_id, source, i - 1 AS pos,
+         |        arr[CAST(i AS INT)] AS line
+         |      FROM ls, LATERAL (SELECT unnest(generate_series(1,
+         |        len(arr))) AS i) u),
+         |sn AS (SELECT source, COUNT(DISTINCT doc_id) AS n
+         |       FROM l GROUP BY 1),
+         |boil AS (SELECT f.source, f.line
+         |         FROM (SELECT source, line, COUNT(*) AS df FROM l
+         |               GROUP BY 1, 2) f
+         |         JOIN sn ON f.source = sn.source
+         |         WHERE f.df >= 3 AND f.df * 100 >= sn.n * 35),
+         |m AS (SELECT l.doc_id, l.pos, l.line,
+         |        b.line IS NOT NULL AS boil
+         |      FROM l LEFT JOIN boil b
+         |        ON l.source = b.source AND l.line = b.line)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(CASE WHEN boil THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(SUM(CASE WHEN boil THEN len(line) ELSE 0 END) AS BIGINT)
+         |    AS chars_removed,
+         |  md5(string_agg(CASE WHEN NOT boil THEN line END, chr(10)
+         |    ORDER BY pos)) AS cleaned_hash
+         |FROM m GROUP BY doc_id""".stripMargin,
+
+    "q_license_detect" -> {
+      // analytic replay of the plant: which phrase lands on which doc
+      // (idx = (doc_id/11)%6), class by the same precedence
+      s"""WITH d AS ($docsSql),
+         |b AS (SELECT doc_id, len(text) AS n,
+         |        CASE WHEN doc_id % 11 = 0
+         |          THEN (doc_id // 11) % 6 ELSE -1 END AS idx
+         |      FROM d)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN idx IN (0, 1, 2) THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_permissive,
+         |  CAST(CASE WHEN idx IN (3, 4) THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_copyleft,
+         |  CAST(CASE WHEN idx = 5 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_proprietary,
+         |  CASE WHEN idx IN (3, 4) THEN 'copyleft'
+         |       WHEN idx = 5 THEN 'proprietary'
+         |       WHEN idx >= 0 THEN 'permissive'
+         |       ELSE 'none' END AS license_class,
+         |  CAST(CASE WHEN idx >= 0 THEN n + 2 ELSE 0 END AS BIGINT)
+         |    AS first_pos
+         |FROM b""".stripMargin
+    },
+
+    "q_mojibake" ->
+      s"""WITH d AS ($docsSql),
+         |x AS (SELECT doc_id, doc_id % 9 = 0 AS sel,
+         |        CASE WHEN doc_id % 9 = 0
+         |          THEN translate(text, 'ae', chr(225) || chr(233))
+         |          ELSE text END AS intended
+         |      FROM d),
+         |c AS (SELECT doc_id, sel, intended,
+         |        CASE WHEN sel THEN replace(replace(intended,
+         |          chr(225), chr(195) || chr(161)),
+         |          chr(233), chr(195) || chr(169))
+         |          ELSE intended END AS corr
+         |      FROM x),
+         |r AS (SELECT doc_id, intended, corr,
+         |        replace(replace(corr, chr(195) || chr(161), chr(225)),
+         |          chr(195) || chr(169), chr(233)) AS rep
+         |      FROM c)
+         |SELECT doc_id,
+         |  CAST(len(corr) - len(rep) AS BIGINT) AS n_moji,
+         |  len(corr) > len(rep) AS detected,
+         |  rep = intended AS repaired_ok,
+         |  CAST(len(corr) AS BIGINT) AS len_corrupted,
+         |  CAST(len(rep) AS BIGINT) AS len_repaired
+         |FROM r""".stripMargin,
+
     "q_dedup_exact" ->
       s"""WITH d AS ($docsSql),
          |h AS (SELECT doc_id, md5($normSql) AS h FROM d)
@@ -1514,6 +1739,9 @@ object TextQueries {
     "q_classifier_eval" -> (qClassifierEval _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_boilerplate_lines" -> (qBoilerplateLines _),
+    "q_license_detect" -> (qLicenseDetect _),
+    "q_mojibake" -> (qMojibake _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_quality_classifier" -> (qQualityClassifier _),

@@ -268,4 +268,68 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getAs[String]("snap_kind"))
     assert(kinds.contains("sentence"), s"kinds=${kinds.toSeq}")
   }
+
+  test("k-anonymity: members conserved, k holds on shipping groups, " +
+    "and suppressed groups are genuinely unrescuable") {
+    val rows = graft.queries.Analytics.qKAnonymity(spark, SfDir).collect()
+    val nCust = graft.Tables.load(spark, SfDir, "customer").count()
+    // conservation: every customer lands in exactly one reported group
+    assert(rows.map(_.getAs[Long]("n_members")).sum === nCust)
+    rows.foreach { r =>
+      val (n, st) = (r.getAs[Long]("n_members"), r.getAs[String]("status"))
+      st match {
+        case "k_anon" =>
+          assert(n >= 5); assert(r.getAs[Long]("bal_bucket") >= 0L)
+        case "generalized" =>
+          assert(n >= 5); assert(r.getAs[Long]("bal_bucket") === -1L)
+        case "suppressed" =>
+          assert(n < 5); assert(r.getAs[Long]("bal_bucket") === -1L)
+        case other => fail(s"unknown status $other")
+      }
+    }
+    // the audit must exercise more than one outcome even at the tiny
+    // spec sf (all three occur at sf0.01 — the correctness gate's sf)
+    val st = rows.map(_.getAs[String]("status")).toSet
+    assert(st.subsetOf(Set("k_anon", "generalized", "suppressed")))
+    assert(st.size >= 2, s"degenerate audit: $st")
+  }
+
+  test("SAR export: every subject reports all four tables, zero rows " +
+    "included, and the lineitem path agrees with a direct recount") {
+    val rows = graft.queries.Analytics.qSarExport(spark, SfDir).collect()
+    val bySubj = rows.groupBy(_.getAs[Long]("subject"))
+    assert(bySubj.nonEmpty)
+    bySubj.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("table")).toSet ===
+        Set("customer", "orders", "lineitem", "events"))
+    }
+    // most subjects have no events (user_id < 150) — the export must
+    // still say so explicitly rather than dropping the row
+    val evRows = rows.filter(_.getAs[String]("table") == "events")
+    assert(evRows.exists(_.getAs[Long]("n_rows") === 0L))
+    // independent recount of one subject's lineitem footprint
+    val subj = bySubj.keys.min
+    val expect = graft.Tables.load(spark, SfDir, "lineitem")
+      .join(graft.Tables.load(spark, SfDir, "orders")
+          .filter(col("o_custkey") === subj),
+        col("l_orderkey") === col("o_orderkey")).count()
+    val got = rows.find(r => r.getAs[Long]("subject") == subj &&
+      r.getAs[String]("table") == "lineitem").get.getAs[Long]("n_rows")
+    assert(got === expect)
+  }
+
+  test("domain reputation: the gate is an actuator — kept_docs is " +
+    "all-or-nothing per source and both branches occur") {
+    val rows = graft.queries.CurationQueries
+      .qDomainReputation(spark, SfDir).collect()
+    assert(rows.length === 20) // one row per source at any sf
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("kept_docs")
+      assert(kept === 0L || kept === r.getAs[Long]("n_docs"))
+      assert((kept > 0) === (r.getAs[Long]("rep_score") >= 400L))
+    }
+    assert(rows.exists(_.getAs[Long]("kept_docs") === 0L),
+      "gate never fired — threshold is dead on this corpus")
+    assert(rows.exists(_.getAs[Long]("kept_docs") > 0L))
+  }
 }
