@@ -782,7 +782,7 @@ object TextQueries {
 
   /** License phrase inventory for code/corpus compliance scanning —
     * each phrase border-free (same AC/oracle contract as Blocklist). */
-  private[queries] lazy val LicensePhrases: Seq[(String, String)] = {
+  private[graft] lazy val LicensePhrases: Seq[(String, String)] = {
     val ps = Seq(
       "apache license version 2" -> "permissive",
       "permission is hereby granted free of charge" -> "permissive",

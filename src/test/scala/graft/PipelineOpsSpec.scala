@@ -332,4 +332,58 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
       "gate never fired — threshold is dead on this corpus")
     assert(rows.exists(_.getAs[Long]("kept_docs") > 0L))
   }
+
+  test("boilerplate removal: the body always survives, the planted " +
+    "line count holds, and high-df furniture actually goes") {
+    val rows = graft.queries.TextQueries
+      .qBoilerplateLines(spark, SfDir).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expectLines = 2L + (if (id % 3 == 0) 1L else 0L) +
+        (if (id % 2 == 0) 1L else 0L)
+      assert(r.getAs[Long]("n_lines") === expectLines, s"doc $id")
+      // the unique body line can never clear a >=3-doc df threshold
+      assert(r.getAs[Long]("n_removed") <= expectLines - 1, s"doc $id")
+      assert(r.getAs[String]("cleaned_hash") != null)
+    }
+    assert(rows.exists(_.getAs[Long]("n_removed") > 0L),
+      "no furniture removed at all — threshold dead at this sf")
+  }
+
+  test("license detect: dual-licensed text takes the restrictive class " +
+    "(copyleft precedence) — the case the corpus never exercises") {
+    import spark.implicits._
+    val dual = "licensed under the apache license version 2 and the " +
+      "gnu general public license"
+    val ph = graft.queries.TextQueries.LicensePhrases
+    def hits(cls: String) = graft.functions.BlocklistScan(col("t"),
+      ph.filter(_._2 == cls).map(_._1))
+    val r = Seq(dual).toDF("t")
+      .select(hits("permissive").as("pm"), hits("copyleft").as("cl"))
+      .collect().head
+    assert(r.getAs[org.apache.spark.sql.Row]("pm").getAs[Long]("n_hits")
+      === 1L)
+    assert(r.getAs[org.apache.spark.sql.Row]("cl").getAs[Long]("n_hits")
+      === 1L)
+    // corpus pass: rotation lands every class, clean docs stay 'none'
+    val out = graft.queries.TextQueries.qLicenseDetect(spark, SfDir)
+      .collect()
+    out.foreach { row =>
+      val planted = row.getAs[Long]("doc_id") % 11 == 0
+      assert((row.getAs[String]("license_class") != "none") === planted)
+    }
+  }
+
+  test("mojibake: every scar repairs back to the intended text and " +
+    "clean docs have a zero false-positive floor") {
+    val rows = graft.queries.TextQueries.qMojibake(spark, SfDir).collect()
+    rows.foreach { r =>
+      val planted = r.getAs[Long]("doc_id") % 9 == 0
+      assert(r.getAs[Boolean]("repaired_ok"), s"doc ${r.getAs[Long]("doc_id")}")
+      if (planted) assert(r.getAs[Long]("n_moji") > 0L)
+      else assert(r.getAs[Long]("n_moji") === 0L)
+      assert(r.getAs[Boolean]("detected") === (r.getAs[Long]("n_moji") > 0L))
+    }
+  }
 }
