@@ -121,6 +121,85 @@ object AnnQueries {
         col("chi2"))
   }
 
+  /** Hybrid retrieval fusion (reciprocal-rank fusion, Cormack et al.
+    * 2009): the standard way a RAG stack combines a sparse (BM25) and a
+    * dense (embedding cosine) ranking without score calibration —
+    * RRF(d) = Σ 1/(60+rank_list(d)), here in exact integer arithmetic
+    * (1e6 div (60+rank)) so the fused order is bit-stable. Sparse leg =
+    * the shared BM25 scorer ranked through TopKAgg (map-side partial
+    * top-k, no global window); dense leg = brute-force cosine for query
+    * vector 0 (doc_id and vec_id are the same id space). Docs on only
+    * one list still score (rank 0 recorded for the missing leg) — the
+    * union semantics real fusion uses. Both legs are top-50; output =
+    * fused top-20. */
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val FK = 50
+    val sparse = TextQueries.bm25Scores(spark, dir)
+      .groupBy()
+      .agg(graft.functions.TopKAgg(-col("score"), col("doc_id"),
+        lit(0L), FK).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("t.tie").as("doc_id"),
+        (col("pos") + 1).cast("long").as("sparse_rank"))
+    val e = emb(spark, dir)
+    val dense = Ann.cosineTopK(e, e.filter(col("vec_id") === 0), FK)
+      .select(col("nid").as("doc_id"),
+        col("rank").cast("long").as("dense_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("sparse_rank"), lit(0L)).as("sparse_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .withColumn("rrf_score",
+        when(col("sparse_rank") > 0,
+          expr("1000000 div (60 + sparse_rank)")).otherwise(0L) +
+        when(col("dense_rank") > 0,
+          expr("1000000 div (60 + dense_rank)")).otherwise(0L))
+      .withColumn("in_both",
+        col("sparse_rank") > 0 && col("dense_rank") > 0)
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+  }
+
+  /** Embedding outlier audit under the FROZEN shared coarse quantizer
+    * (the same artifact IVF serving, SemDeDup and the drift monitor
+    * read): a vector far from its own cluster centroid is junk — a
+    * corrupted embedding, an out-of-domain document, a failed encode.
+    * This synthetic corpus has no junk (measured: zero flags on the raw
+    * table), so corruption is PLANTED (vec_id%83 scaled ×3 — a botched
+    * normalization, the classic encode bug) and assigned through the
+    * FROZEN quantizer, clean-trained; `is_planted` makes the audit
+    * gradeable. Distance is the kernel's round-6 d2 lifted to exact
+    * nanos, so the per-cluster mean is an order-free integer sum; the
+    * flag is relative (d2 ≥ 2.25× cluster mean — integer ratio ×100 vs
+    * 225), which survives re-scaling of the embedding space. Plan: one
+    * map-only assignment pass (model in the expression), one 16-row
+    * stats aggregate broadcast back — the corpus never shuffles. */
+  def qEmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, _) = coarse(spark, dir)
+    val planted = col("vec_id") % 83 === 7
+    val a = emb(spark, dir)
+      .select(col("vec_id"), planted.as("is_planted"),
+        graft.functions.IvfDistances(
+          when(planted,
+            transform(col("embedding"), x => x.cast("double") * 3.0))
+            .otherwise(
+              transform(col("embedding"), x => x.cast("double"))), cents)
+          .getItem(0).as("n0"))
+      .select(col("vec_id"), col("is_planted"),
+        col("n0.cluster").as("cluster"),
+        round(col("n0.d2") * 1e9, 0).cast("long").as("d2_nano"))
+      .localCheckpoint() // stats aggregate + flag join-back
+    val st = a.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum("d2_nano").as("sum_nano"))
+      .select(col("cluster"), col("n_members"),
+        expr("sum_nano div n_members").as("mean_nano"))
+    a.join(broadcast(st), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("d2_nano"),
+        col("n_members"), col("mean_nano"),
+        expr("d2_nano * 100 div greatest(mean_nano, 1)")
+          .as("ratio_x100"), col("is_planted"))
+      .withColumn("is_outlier", col("ratio_x100") >= 225)
+  }
+
   /** Inter-annotator agreement (Cohen's κ, 1960 — public literature) —
     * the governance statistic a labeling pipeline reports before
     * anyone trains on the labels: agreement between the original
@@ -468,6 +547,8 @@ object AnnQueries {
     "q_ann_recall_quantized" -> (qAnnRecallQuantized _),
     "q_ann_recall_matryoshka" -> (qAnnRecallMatryoshka _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
+    "q_rrf_fusion" -> (qRrfFusion _),
+    "q_embedding_outliers" -> (qEmbeddingOutliers _),
     "q_label_kappa" -> (qLabelKappa _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
@@ -1054,6 +1135,75 @@ object AnnQueries {
          |  CAST(k.n_agree AS BIGINT) AS n_agree, k.kappa
          |FROM cells c JOIN rm ON c.a = rm.a JOIN cm ON c.b = cm.b,
          |     kap k""".stripMargin,
+
+    // RRF fusion: the BM25 CTE chain (shared with q_bm25) + a dense
+    // brute-force leg for query vector 0, fused with the same integer
+    // 1e6 // (60 + rank) arithmetic
+    "q_rrf_fusion" ->
+      s"""WITH ${TextQueries.bm25ScoreCtes},
+         |sr AS (SELECT doc_id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         |           AS BIGINT) AS sparse_rank
+         |       FROM bscore QUALIFY sparse_rank <= 50),
+         |v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |      FROM embeddings),
+         |n AS (SELECT vec_id, e,
+         |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+         |      FROM v),
+         |q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+         |ds AS (SELECT n.vec_id AS doc_id,
+         |         ROUND(list_sum(list_transform(range(1, 65),
+         |                 i -> q.qe[i] * n.e[i]))
+         |             / greatest(q.qn * n.nrm, 1e-12), 4) AS cos4
+         |       FROM n, q WHERE n.vec_id <> 0),
+         |dr AS (SELECT doc_id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY cos4 DESC, doc_id)
+         |           AS BIGINT) AS dense_rank
+         |       FROM ds QUALIFY dense_rank <= 50),
+         |f AS (SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id,
+         |        COALESCE(sr.sparse_rank, 0) AS sparse_rank,
+         |        COALESCE(dr.dense_rank, 0) AS dense_rank
+         |      FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id)
+         |SELECT doc_id, sparse_rank, dense_rank,
+         |  CAST(CASE WHEN sparse_rank > 0
+         |         THEN 1000000 // (60 + sparse_rank) ELSE 0 END
+         |     + CASE WHEN dense_rank > 0
+         |         THEN 1000000 // (60 + dense_rank) ELSE 0 END
+         |    AS BIGINT) AS rrf_score,
+         |  sparse_rank > 0 AND dense_rank > 0 AS in_both
+         |FROM f
+         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // outlier audit: final coarse assignment with d2 exposed, lifted to
+    // exact nanos; same integer mean/ratio arithmetic
+    "q_embedding_outliers" ->
+      s"""WITH ${ivfCoarseCtesOn("")},
+         |pl AS (SELECT vec_id, vec_id % 83 = 7 AS is_planted,
+         |         CASE WHEN vec_id % 83 = 7
+         |           THEN list_transform(e, x -> x * 3.0)
+         |           ELSE e END AS e
+         |       FROM v),
+         |a AS (SELECT vec_id, is_planted, cluster,
+         |        CAST(ROUND(d2 * 1e9, 0) AS BIGINT) AS d2_nano
+         |      FROM (SELECT p.vec_id, p.is_planted, c.cluster,
+         |              ${ivfD2("p.e", "c.ce")} AS d2,
+         |              ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |                ORDER BY ${ivfD2("p.e", "c.ce")}, c.cluster)
+         |                AS rn
+         |            FROM pl p, c2 c) WHERE rn = 1),
+         |stats AS (SELECT cluster, COUNT(*) AS n_members,
+         |            SUM(d2_nano) AS sum_nano
+         |          FROM a GROUP BY 1)
+         |SELECT a.vec_id, a.cluster, a.d2_nano,
+         |  CAST(s.n_members AS BIGINT) AS n_members,
+         |  CAST(s.sum_nano // s.n_members AS BIGINT) AS mean_nano,
+         |  CAST(a.d2_nano * 100
+         |    // greatest(s.sum_nano // s.n_members, 1) AS BIGINT)
+         |    AS ratio_x100, a.is_planted,
+         |  a.d2_nano * 100 // greatest(s.sum_nano // s.n_members, 1)
+         |    >= 225 AS is_outlier
+         |FROM a JOIN stats s ON a.cluster = s.cluster""".stripMargin,
 
     "q_embedding_drift" ->
       s"""WITH ${ivfCoarseCtesOn("")},

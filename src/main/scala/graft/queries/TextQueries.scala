@@ -627,7 +627,15 @@ object TextQueries {
     * idf = ln(1 + (N-df+0.5)/(df+0.5)); k1/b and the 0.5s are written
     * as explicit doubles on both sides (DuckDB bare decimals are exact
     * DECIMAL). Top-20 by (score desc, doc_id) — deterministic. */
-  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)
+
+  /** Per-doc BM25 scores, UNRANKED — the shared scoring stage behind
+    * qBm25's top-20 and the RRF hybrid fusion's sparse leg
+    * (AnnQueries.qRrfFusion). */
+  private[graft] def bm25Scores(spark: SparkSession,
+                                dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), lower(col("text")).as("t"))
     val toks = d.select(col("doc_id"),
       explode(split(col("t"), "\\W+")).as("w"))
@@ -662,7 +670,7 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(round(sum("s"), 4).as("score"),
         count(lit(1)).as("n_terms"))
-    scored.orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)
+    scored
   }
 
   // ------------------------------------------------------ NFC normalization
@@ -871,6 +879,44 @@ object TextQueries {
   }
 
   // --------------------------------------------------------------- oracles
+
+  /** Shared BM25 scoring CTE chain ending in `bscore(doc_id, score,
+    * n_terms)` — used by the q_bm25 oracle and the RRF fusion oracle
+    * (AnnQueries). */
+  private[graft] lazy val bm25ScoreCtes: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |             lower(text) AS t FROM documents),
+       |tk AS (SELECT doc_id, w FROM d,
+       |       LATERAL (SELECT unnest(regexp_split_to_array(t, '\\W+'))
+       |                AS w) u
+       |       WHERE len(w) > 0),
+       |lens AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE)
+       |         AS total_len FROM lens),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tk
+       |       WHERE w IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |         ln(CAST(1.0 AS DOUBLE)
+       |            + (CAST(st.n AS DOUBLE) - df.df
+       |               + CAST(0.5 AS DOUBLE))
+       |              / (df.df + CAST(0.5 AS DOUBLE)))
+       |         * CAST(tf.tf AS DOUBLE)
+       |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+       |         / (CAST(tf.tf AS DOUBLE)
+       |            + CAST(1.2 AS DOUBLE)
+       |              * (CAST(0.25 AS DOUBLE)
+       |                 + CAST(0.75 AS DOUBLE)
+       |                   * CAST(lens.len AS DOUBLE)
+       |                   * CAST(st.n AS DOUBLE) / st.total_len))
+       |           AS s
+       |       FROM tf JOIN df USING (w)
+       |       JOIN lens ON lens.doc_id = tf.doc_id, st),
+       |bscore AS (SELECT doc_id, ROUND(SUM(s), 4) AS score,
+       |             COUNT(*) AS n_terms
+       |           FROM sc GROUP BY doc_id)""".stripMargin
+  }
 
   private val docsSql =
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source FROM documents"
@@ -1084,40 +1130,11 @@ object TextQueries {
         |    / ((CAST(tot.n_bi AS DOUBLE) * a.c) * b.c)), 4) + 0.0 AS pmi
         |FROM bi JOIN uni a ON a.w = bi.w1
         |JOIN uni b ON b.w = bi.w2, tot""".stripMargin,
-    "q_bm25" -> {
-      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |             lower(text) AS t FROM documents),
-         |tk AS (SELECT doc_id, w FROM d,
-         |       LATERAL (SELECT unnest(regexp_split_to_array(t, '\\W+'))
-         |                AS w) u
-         |       WHERE len(w) > 0),
-         |lens AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
-         |st AS (SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE)
-         |         AS total_len FROM lens),
-         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tk
-         |       WHERE w IN ($terms) GROUP BY 1, 2),
-         |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT tf.doc_id,
-         |         ln(CAST(1.0 AS DOUBLE)
-         |            + (CAST(st.n AS DOUBLE) - df.df
-         |               + CAST(0.5 AS DOUBLE))
-         |              / (df.df + CAST(0.5 AS DOUBLE)))
-         |         * CAST(tf.tf AS DOUBLE)
-         |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
-         |         / (CAST(tf.tf AS DOUBLE)
-         |            + CAST(1.2 AS DOUBLE)
-         |              * (CAST(0.25 AS DOUBLE)
-         |                 + CAST(0.75 AS DOUBLE)
-         |                   * CAST(lens.len AS DOUBLE)
-         |                   * CAST(st.n AS DOUBLE) / st.total_len))
-         |           AS s
-         |       FROM tf JOIN df USING (w)
-         |       JOIN lens ON lens.doc_id = tf.doc_id, st)
-         |SELECT doc_id, ROUND(SUM(s), 4) AS score, COUNT(*) AS n_terms
-         |FROM sc GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
-    },
+    "q_bm25" ->
+      s"""WITH $bm25ScoreCtes
+         |SELECT doc_id, score, n_terms
+         |FROM bscore
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
 
     "q_normalize_unicode" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

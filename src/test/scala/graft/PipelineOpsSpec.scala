@@ -375,6 +375,44 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("RRF fusion: scores recompute from the ranks, the output is " +
+    "rank-ordered, and both legs contribute") {
+    val rows = graft.queries.AnnQueries.qRrfFusion(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    def contrib(r: Long) = if (r > 0) 1000000L / (60L + r) else 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rrf_score") ===
+        contrib(r.getAs[Long]("sparse_rank")) +
+          contrib(r.getAs[Long]("dense_rank")))
+      assert(r.getAs[Boolean]("in_both") ===
+        (r.getAs[Long]("sparse_rank") > 0 &&
+          r.getAs[Long]("dense_rank") > 0))
+    }
+    val scores = rows.map(_.getAs[Long]("rrf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "fused output not in score order")
+    assert(rows.exists(_.getAs[Long]("sparse_rank") > 0))
+    assert(rows.exists(_.getAs[Long]("dense_rank") > 0))
+  }
+
+  test("embedding outlier audit: every planted corruption is flagged, " +
+    "clean vectors are not, and members are conserved") {
+    val rows = graft.queries.AnnQueries
+      .qEmbeddingOutliers(spark, SfDir).collect()
+    val n = graft.Tables.load(spark, SfDir, "embeddings").count()
+    assert(rows.length.toLong === n)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_outlier") ===
+        (r.getAs[Long]("ratio_x100") >= 225L))
+      if (r.getAs[Boolean]("is_planted"))
+        assert(r.getAs[Boolean]("is_outlier"),
+          s"planted vec ${r.getAs[Long]("vec_id")} missed")
+    }
+    val fp = rows.count(r =>
+      r.getAs[Boolean]("is_outlier") && !r.getAs[Boolean]("is_planted"))
+    assert(fp === 0, s"$fp clean vectors false-flagged")
+  }
+
   test("mojibake: every scar repairs back to the intended text and " +
     "clean docs have a zero false-positive floor") {
     val rows = graft.queries.TextQueries.qMojibake(spark, SfDir).collect()
