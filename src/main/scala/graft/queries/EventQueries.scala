@@ -152,6 +152,28 @@ object EventQueries {
   def qSessionizeStateful(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.SessionStream.sessionCounts(events(spark, dir)).toDF()
 
+  /** The event feed with PLANTED at-least-once redeliveries: every 13th
+    * event id arrives a second time 300 s later — the producer-retry /
+    * backfill-overlap hazard exact stream dedup exists for. Shared by
+    * the batch correctness row and the streaming parity spec. */
+  private[graft] def redeliveredFeed(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id").cast("long").as("event_id"), col("ts_us"))
+    ev.unionByName(ev.filter(col("event_id") % 13 === 2)
+      .select(col("event_id"), (col("ts_us") + 300000000L).as("ts_us")))
+  }
+
+  /** Streaming exact dedup (redelivery suppression) run in batch mode —
+    * streaming.DedupStream's keyed first-wins state step over the
+    * planted redelivery feed; each key's full history lands in one
+    * group, so kept timestamp AND true delivery count are deterministic
+    * (see DedupStream's scaladoc for the stream-mode caveat the parity
+    * spec pins). State is O(distinct keys); at 100 TB the watermark TTL
+    * variant bounds it by time instead. */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.DedupStream.kept(redeliveredFeed(spark, dir))
+
   /** view -> click -> purchase funnel per user: earliest view, earliest
     * click after it, earliest purchase after that. Three conditional-min
     * aggregations on the same user_id shuffle key; exact integer micros.
@@ -555,6 +577,7 @@ object EventQueries {
     "q_lateness_profile" -> (qLatenessProfile _),
     "q_event_enrich" -> (qEventEnrich _),
     "q_sessionize_stateful" -> (qSessionizeStateful _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_funnel" -> (qFunnel _))
 
   /** Unrolled 5-hop PageRank oracle (same edge derivation, same
@@ -597,6 +620,17 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """WITH ev AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+        |              epoch_us(ts) AS ts_us FROM events),
+        |a AS (SELECT event_id, ts_us FROM ev
+        |      UNION ALL
+        |      SELECT event_id, ts_us + 300000000 FROM ev
+        |      WHERE event_id % 13 = 2)
+        |SELECT event_id, MIN(ts_us) AS kept_ts_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_deliveries,
+        |  COUNT(*) > 1 AS was_redelivered
+        |FROM a GROUP BY 1""".stripMargin,
     "q_rate_limit" -> {
       val C = RateCapUs
       val P = RatePeriodUs

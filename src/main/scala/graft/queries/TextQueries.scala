@@ -878,6 +878,43 @@ object TextQueries {
         length(repaired).cast("long").as("len_repaired"))
   }
 
+  // ---------------------------------------------------- tokenizer coverage
+
+  /** Tokenizer charset-coverage audit (OOV rate) — the check a
+    * tokenizer's training slice must pass before anyone encodes the
+    * full corpus with it: characters the trainer never saw become <unk>
+    * (or byte-fallback blowup) at encode time, and a lossy encode is
+    * silent data damage. Vocabulary = the distinct characters of the
+    * doc_id%2==0 train slice (a driver-bounded collect — charset-sized,
+    * the LM-table precedent); audit = per doc, how many characters fall
+    * outside it. The ASCII corpus covers itself, so OOV text is PLANTED
+    * on doc_id%34==17 (odd ids — structurally disjoint from the even
+    * train slice): 1+doc_id%3 copies of three non-Latin chars. The
+    * count is one `translate`-deletion expression (no regex class to
+    * escape) replayed verbatim by the oracle, which re-derives the
+    * vocabulary itself in SQL. Map-only over the corpus after the tiny
+    * vocab collect. */
+  def qTokenizerCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val Oov = "\u03bb\u4e2d\u2022" // lambda, CJK, bullet — not in corpus
+    val sel = col("doc_id") % 34 === 17
+    val t = when(sel, concat(col("text"), lit(" "),
+      repeat(lit(Oov), (lit(1) + col("doc_id") % 3).cast("int"))))
+      .otherwise(col("text"))
+    val base = docs(spark, dir)
+      .select(col("doc_id"), t.as("t"), sel.as("is_planted"))
+      .localCheckpoint() // vocab collect + audit scan
+    val vocab = base.filter(col("doc_id") % 2 === 0)
+      .select(explode(split(col("t"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .distinct().collect().map(_.getString(0)).sorted.mkString
+    base.select(col("doc_id"),
+        length(col("t")).cast("long").as("n_chars"),
+        length(translate(col("t"), vocab, "")).cast("long").as("n_oov"),
+        col("is_planted"))
+      .withColumn("oov_pm", expr("n_oov * 1000 div n_chars"))
+      .withColumn("covered", col("n_oov") === 0L)
+  }
+
   // --------------------------------------------------------------- oracles
 
   /** Shared BM25 scoring CTE chain ending in `bscore(doc_id, score,
@@ -1378,6 +1415,29 @@ object TextQueries {
          |    '$PhonePat', '<PHONE>', 'g'),
          |    '$IpPat', '<IP>', 'g')) AS BIGINT) AS red_len
          |FROM d""".stripMargin,
+    "q_tokenizer_coverage" ->
+      s"""WITH d AS ($docsSql),
+         |p AS (SELECT doc_id, doc_id % 34 = 17 AS is_planted,
+         |        CASE WHEN doc_id % 34 = 17
+         |          THEN text || ' ' || repeat(
+         |            chr(955) || chr(20013) || chr(8226),
+         |            CAST(1 + doc_id % 3 AS INT))
+         |          ELSE text END AS t
+         |      FROM d),
+         |tc AS (SELECT DISTINCT u.c
+         |       FROM p, LATERAL (SELECT unnest(string_split(t, ''))
+         |         AS c) u
+         |       WHERE doc_id % 2 = 0 AND len(u.c) > 0),
+         |vs AS (SELECT string_agg(c, '') AS vocab FROM tc)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+         |  CAST(len(translate(t, (SELECT vocab FROM vs), ''))
+         |    AS BIGINT) AS n_oov,
+         |  is_planted,
+         |  CAST(len(translate(t, (SELECT vocab FROM vs), '')) * 1000
+         |    // len(t) AS BIGINT) AS oov_pm,
+         |  len(translate(t, (SELECT vocab FROM vs), '')) = 0 AS covered
+         |FROM p""".stripMargin,
+
     "q_boilerplate_lines" ->
       s"""WITH d AS ($docsSql),
          |p AS (SELECT doc_id, source,
@@ -1757,6 +1817,7 @@ object TextQueries {
     "q_gopher_rules" -> (qGopherRules _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_boilerplate_lines" -> (qBoilerplateLines _),
+    "q_tokenizer_coverage" -> (qTokenizerCoverage _),
     "q_license_detect" -> (qLicenseDetect _),
     "q_mojibake" -> (qMojibake _),
     "q_lang_id" -> (qLangId _),

@@ -413,6 +413,26 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(fp === 0, s"$fp clean vectors false-flagged")
   }
 
+  test("tokenizer coverage: planted OOV docs are flagged with the " +
+    "analytic count, the train slice covers itself") {
+    val rows = graft.queries.TextQueries
+      .qTokenizerCoverage(spark, SfDir).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (r.getAs[Boolean]("is_planted")) {
+        // 3 chars per copy, 1 + id%3 copies — the plant arithmetic
+        assert(r.getAs[Long]("n_oov") === 3L * (1L + id % 3L), s"doc $id")
+        assert(!r.getAs[Boolean]("covered"))
+      } else {
+        // even docs define the vocabulary; odd unplanted docs share the
+        // ASCII charset, so the whole clean corpus must come out covered
+        assert(r.getAs[Long]("n_oov") === 0L, s"doc $id")
+        assert(r.getAs[Boolean]("covered"))
+      }
+    }
+    assert(rows.exists(_.getAs[Boolean]("is_planted")))
+  }
+
   test("mojibake: every scar repairs back to the intended text and " +
     "clean docs have a zero false-positive floor") {
     val rows = graft.queries.TextQueries.qMojibake(spark, SfDir).collect()

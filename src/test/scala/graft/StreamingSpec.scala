@@ -208,6 +208,57 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streaming redelivery suppression matches the batch first-wins " +
+    "dedup on keys and kept timestamps") {
+    import graft.streaming.DedupStream
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val feed = graft.queries.EventQueries.redeliveredFeed(spark, SfDir)
+    // originals vs redeliveries: the first delivery per key is the
+    // original, everything else is a redelivery
+    val orig = feed.groupBy("event_id").agg(min("ts_us").as("ts_us"))
+    val re = feed.exceptAll(orig.select("event_id", "ts_us"))
+    val dir = Files.createTempDirectory("graft_dedup_stream").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$dir/stage_$name")
+      val part = new java.io.File(s"$dir/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(s"$dir/in/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    try {
+      Files.createDirectories(Paths.get(s"$dir/in"))
+      // originals land first, redeliveries in a LATER file — with
+      // maxFilesPerTrigger=1 the stream must suppress across batches,
+      // not just within one group invocation
+      stage(orig, "a_base")
+      Thread.sleep(1100) // file-source orders by mtime
+      stage(re, "b_redelivered")
+      val src = spark.readStream
+        .schema("event_id LONG, ts_us LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in")
+      val q = DedupStream.dedupStream(src, "dedup_redelivery_test")
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("dedup_redelivery_test")
+        val batch = graft.queries.EventQueries.qStreamDedup(spark, SfDir)
+        // one emission per key, none suppressed that should have shipped
+        assert(streamed.count() === batch.count())
+        // kept timestamps agree key-for-key (counts are the documented
+        // stream-mode caveat: Append cannot revise a shipped row)
+        val s = streamed.select("event_id", "kept_ts_us")
+        val b = batch.select("event_id", "kept_ts_us")
+        assert(s.exceptAll(b).count() === 0)
+        assert(b.exceptAll(s).count() === 0)
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("streaming CDC compaction matches the batch latest-by-key") {
     import graft.streaming.CdcStream
     val q = CdcStream.run(spark, SfDir, "cdc_test")
