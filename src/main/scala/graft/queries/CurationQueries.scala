@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -947,7 +947,92 @@ object CurationQueries {
         when(col("rep_score") >= 400, col("n_docs")).otherwise(0L))
   }
 
+  /** T5/UL2 span-corruption statistics — the denoising-objective
+    * transform a pretraining pipeline applies at materialization time:
+    * ~1/7 of tokens corrupted in spans of (up to) 3, each maximal run
+    * replaced by one sentinel on the input side and echoed with its
+    * sentinel on the target side. The corruption decision is
+    * hash-deterministic per (doc, token-group) — re-shard/renumber
+    * stable, like the split/shuffle family — so input/target lengths
+    * are exact integers both engines derive from the same arithmetic:
+    * group g of doc d corrupts iff (d·31 + g) % 7 == 0 (groups = 3
+    * consecutive tokens; adjacent corrupted groups merge into one
+    * span). Entirely row-local (one HOF fold over the token index
+    * range), no shuffle at all. */
+  def qSpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      w => length(w) > 0)
+    val n = size(toks)
+    // per token-group corruption bit, then tokens + maximal runs
+    def corrG(g: Column) = (col("doc_id") * 31 + g) % 7 === 0
+    def grp(i: Column) = floor(i.cast("double") / 3.0).cast("long")
+    val gIdx = sequence(lit(0L),
+      greatest(floor((n.cast("double") + 2.0) / 3.0).cast("long") - 1,
+        lit(0L))) // group ids 0..ceil(n/3)-1
+    val nCorr = aggregate(sequence(lit(0L), (n - 1).cast("long")),
+      lit(0L),
+      (acc, i) => acc + when(corrG(grp(i)), 1L).otherwise(0L))
+    val nSpans = aggregate(gIdx, lit(0L),
+      (acc, g) => acc + when(corrG(g) &&
+        (g === 0 || !corrG(g - 1)), 1L).otherwise(0L))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .select(col("doc_id"), n.cast("long").as("n_tokens"),
+        when(n > 0, nCorr).otherwise(0L).as("n_corrupted"),
+        when(n > 0, nSpans).otherwise(0L).as("n_spans"))
+      .select(col("doc_id"), col("n_tokens"), col("n_corrupted"),
+        col("n_spans"),
+        (col("n_tokens") - col("n_corrupted") + col("n_spans"))
+          .as("input_len"),
+        (col("n_corrupted") + col("n_spans")).as("target_len"),
+        when(col("n_tokens") > 0,
+          expr("n_corrupted * 1000 div n_tokens")).otherwise(0L)
+          .as("corruption_pm"))
+  }
+
+  /** Length-bucketed batching economics — the padding-waste audit a
+    * trainer runs before choosing its batching strategy: batches of 8
+    * pad every member to the batch max, so naive id-order batching pays
+    * for the length spread while bucketing by size (32-token buckets,
+    * length-ordered within bucket) packs near-equals together. Both
+    * layouts are computed (naive batch = doc_id div 8 — dense ids, no
+    * global sort; bucketed batch = rank div 8 within each bucket), each
+    * batch priced at max·8, and the corpus-level savings shipped on
+    * every row. The heavy window runs per BUCKET (bounded key space),
+    * never globally. Output: one row per bucketed batch with its fill
+    * stats + the marginal. */
+  def qLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val B = 8
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        ceil(length(col("text")).cast("double") / lit(4.0)).cast("long")
+          .as("toks"))
+      .localCheckpoint() // bucketed layout + naive baseline
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("toks").desc, col("doc_id"))
+    val bucketed = d.withColumn("bucket", expr("toks div 32"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch", expr(s"cast(rn - 1 as long) div $B"))
+      .drop("rn")
+      .groupBy("bucket", "batch")
+      .agg(count(lit(1)).as("n_docs"), max("toks").as("max_toks"),
+        sum("toks").as("sum_toks"))
+      .withColumn("padded", col("max_toks") * B)
+      .withColumn("waste", col("padded") - col("sum_toks"))
+    val naive = d.withColumn("nb", expr("doc_id div 8"))
+      .groupBy("nb").agg((max("toks") * B).as("npadded"))
+      .agg(sum("npadded").as("naive_padded"))
+    val tot = bucketed.agg(sum("padded").as("bucketed_padded"))
+      .crossJoin(naive)
+      .select(col("bucketed_padded"), col("naive_padded"),
+        expr("(naive_padded - bucketed_padded) * 1000 div naive_padded")
+          .as("savings_pm"))
+    bucketed.crossJoin(broadcast(tot))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_corruption" -> (qSpanCorruption _),
+    "q_length_buckets" -> (qLengthBuckets _),
     "q_domain_reputation" -> (qDomainReputation _),
     "q_dsir_resample" -> (qDsirResample _),
     "q_merkle_diff" -> (qMerkleDiff _),
@@ -1039,6 +1124,67 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_span_corruption" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+        |           FROM documents),
+        |t AS (SELECT doc_id,
+        |        CAST(len(list_filter(string_split_regex(lower(text),
+        |          '[^a-z0-9]+'), w -> len(w) > 0)) AS BIGINT) AS n
+        |      FROM d),
+        |tok AS (SELECT doc_id, n,
+        |          CAST(SUM(CASE WHEN (doc_id * 31 + i // 3) % 7 = 0
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_corr
+        |        FROM t, LATERAL (SELECT unnest(generate_series(0,
+        |          CAST(n - 1 AS INT))) AS i) u
+        |        GROUP BY 1, 2),
+        |sp AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN (doc_id * 31 + g) % 7 = 0
+        |           AND (g = 0 OR (doc_id * 31 + g - 1) % 7 <> 0)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+        |       FROM t, LATERAL (SELECT unnest(generate_series(0,
+        |         CAST((n + 2) // 3 - 1 AS INT))) AS g) u
+        |       GROUP BY 1)
+        |SELECT tok.doc_id, tok.n AS n_tokens, tok.n_corr AS n_corrupted,
+        |  sp.n_spans,
+        |  tok.n - tok.n_corr + sp.n_spans AS input_len,
+        |  tok.n_corr + sp.n_spans AS target_len,
+        |  CAST(CASE WHEN tok.n > 0 THEN tok.n_corr * 1000 // tok.n
+        |    ELSE 0 END AS BIGINT) AS corruption_pm
+        |FROM tok JOIN sp ON tok.doc_id = sp.doc_id""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |             CAST(ceil(len(text) / 4.0) AS BIGINT) AS toks
+        |           FROM documents),
+        |r AS (SELECT doc_id, toks, toks // 32 AS bucket,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY toks // 32
+        |          ORDER BY toks DESC, doc_id) - 1 AS BIGINT) // 8
+        |          AS batch
+        |      FROM d),
+        |g AS (SELECT bucket, batch, COUNT(*) AS n_docs,
+        |        MAX(toks) AS max_toks, SUM(toks) AS sum_toks
+        |      FROM r GROUP BY 1, 2),
+        |gb AS (SELECT bucket, batch, n_docs, max_toks, sum_toks,
+        |         max_toks * 8 AS padded,
+        |         max_toks * 8 - sum_toks AS waste
+        |       FROM g),
+        |nv AS (SELECT SUM(m) AS naive_padded FROM (
+        |         SELECT MAX(toks) * 8 AS m FROM d
+        |         GROUP BY doc_id // 8)),
+        |tt AS (SELECT CAST(SUM(padded) AS BIGINT) AS bucketed_padded,
+        |         (SELECT CAST(naive_padded AS BIGINT) FROM nv)
+        |           AS naive_padded
+        |       FROM gb)
+        |SELECT gb.bucket, gb.batch, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(max_toks AS BIGINT) AS max_toks,
+        |  CAST(sum_toks AS BIGINT) AS sum_toks,
+        |  CAST(padded AS BIGINT) AS padded,
+        |  CAST(waste AS BIGINT) AS waste,
+        |  tt.bucketed_padded, tt.naive_padded,
+        |  CAST((tt.naive_padded - tt.bucketed_padded) * 1000
+        |    // tt.naive_padded AS BIGINT) AS savings_pm
+        |FROM gb, tt""".stripMargin,
+
     "q_domain_reputation" ->
       """WITH g AS (SELECT source, COUNT(*) AS n_docs,
         |    SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short,

@@ -433,6 +433,42 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(rows.exists(_.getAs[Boolean]("is_planted")))
   }
 
+  test("span corruption: length accounting closes and the realized " +
+    "rate sits at the designed 1/7") {
+    val rows = graft.queries.CurationQueries
+      .qSpanCorruption(spark, SfDir).collect()
+    rows.foreach { r =>
+      val (n, c, s) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_corrupted"), r.getAs[Long]("n_spans"))
+      // every token lands exactly once; each span adds one sentinel
+      // per side
+      assert(r.getAs[Long]("input_len") + r.getAs[Long]("target_len")
+        === n + 2 * s)
+      assert(s <= c, "more spans than corrupted tokens")
+      assert(c <= n)
+    }
+    val totC = rows.map(_.getAs[Long]("n_corrupted")).sum.toDouble
+    val totN = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    assert(totC / totN > 0.10 && totC / totN < 0.19,
+      s"corpus corruption rate ${totC / totN} far from 1/7")
+  }
+
+  test("length-bucketed batching: batches hold, members conserve, and " +
+    "bucketing genuinely beats naive id-order padding") {
+    val rows = graft.queries.CurationQueries
+      .qLengthBuckets(spark, SfDir).collect()
+    val nDocs = graft.Tables.load(spark, SfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 8L)
+      assert(r.getAs[Long]("waste") >= 0L)
+      assert(r.getAs[Long]("padded") ===
+        r.getAs[Long]("max_toks") * 8L)
+    }
+    assert(rows.head.getAs[Long]("savings_pm") > 0L,
+      "bucketing saved nothing over naive batching")
+  }
+
   test("mojibake: every scar repairs back to the intended text and " +
     "clean docs have a zero false-positive floor") {
     val rows = graft.queries.TextQueries.qMojibake(spark, SfDir).collect()
