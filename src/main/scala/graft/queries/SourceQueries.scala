@@ -483,7 +483,38 @@ object SourceQueries {
           .as("roundtrip"))
   }
 
+  /** ORC source roundtrip — the other columnar interchange format a
+    * lakehouse meets (Hive-era warehouses still hand ORC over): the
+    * corpus is written ONCE per session as zlib ORC, PARTITIONED BY
+    * lang, and read back through a pruned scan — the lang predicate
+    * resolves at the directory level (partition pruning) and the
+    * n_chars predicate pushes into the ORC reader (PushedFilters;
+    * PlanShapeSpec pins both). The roundtrip contract is value-level:
+    * md5 over the read-back text must equal the oracle's md5 straight
+    * off parquet — a lossy writer, a schema coercion or an encoding
+    * detour would all hash apart. Write is idempotent per session
+    * (the writeBucketedOnce policy); the read is map-only. */
+  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tag = (dir + "_" + spark.sparkContext.applicationId)
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/tmp/graft_orc/$tag"
+    graft.sources.Bucketed.cleanupOnExit(path)
+    if (!new java.io.File(path).exists()) {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("text"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+        .write.mode("overwrite").option("compression", "zlib")
+        .partitionBy("lang").orc(path)
+    }
+    spark.read.orc(path)
+      .filter(col("lang").isin("en", "de") && col("n_chars") >= 100)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_deflate_roundtrip" -> (qDeflateRoundtrip _),
@@ -647,6 +678,11 @@ object SourceQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_orc_roundtrip" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars, md5(text) AS text_md5
+        |FROM documents
+        |WHERE lang IN ('en', 'de') AND n_chars >= 100""".stripMargin,
     "q_multimodal_h264_mb" -> h264MbOracle,
     // VAD segments replayed analytically: frame f of doc d is silence
     // iff (d + f) % 5 < 2 (the planted gate), speech energies from the

@@ -133,4 +133,20 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert("Window \\[".r.findAllIn(p).size <= 1,
       s"unexpected extra windows:\n$p")
   }
+
+  test("r11c ORC read-back prunes partitions and pushes the residual " +
+    "filter into the reader") {
+    val p = plan("q_orc_roundtrip")
+    // lang is the partition column: the predicate must resolve at the
+    // directory level, not as a post-scan Filter
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      s"lang predicate not pruning partitions:\n$p")
+    // n_chars rides into the ORC reader
+    assert("PushedFilters: \\[[^\\]]*n_chars".r.findFirstIn(p).isDefined,
+      s"n_chars predicate not pushed into the ORC scan:\n$p")
+    // the whole read is map-only
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q_orc_roundtrip claims map-only but:\n$p")
+  }
 }
