@@ -1,0 +1,167 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** TIFF 6.0 / Exif metadata extraction — the camera-metadata sidecar an
+  * image curation pipeline reads before it ever decodes pixels
+  * (orientation decides the rotate, DateTime the dedup window, ISO the
+  * quality prior). Structures follow the public TIFF 6.0 specification
+  * (Adobe, 1992) and Exif 2.3 (JEITA CP-3451): byte-order mark
+  * (II little / MM big — BOTH exercised, doc_id parity picks), magic
+  * 42, IFD walks, 12-byte directory entries with inline values
+  * (left-justified in the 4-byte field, a classic parser trap) vs
+  * offset-addressed values (ASCII strings, RATIONALs), and the private
+  * Exif sub-IFD reached through tag 0x8769.
+  *
+  * The engine side does the REAL byte work — synthesis writes a
+  * spec-shaped file per doc (word-aligned value offsets, as TIFF
+  * requires), the parser walks it generically (type dispatch on
+  * SHORT/LONG/ASCII/RATIONAL, endian-aware, malformed input fails
+  * loudly); the oracle re-derives every field analytically from the
+  * same doc_id arithmetic — generation and extraction check each other
+  * (the corpus-wide codec contract, same as BMP/WAV/JPEG).
+  */
+object Exif {
+
+  // entry types (TIFF 6.0 §2)
+  private val TAscii = 2
+  private val TShort = 3
+  private val TLong = 4
+  private val TRational = 5
+
+  case class ExifRow(doc_id: Long, byte_order: String, width: Long,
+                     height: Long, orientation: Long, make: String,
+                     datetime_day: Long, iso: Long, fnum_x10: Long)
+
+  /** Synthesize one spec-shaped TIFF: IFD0 (width, height, orientation,
+    * Make, DateTime, ExifIFD pointer) + Exif sub-IFD (FNumber, ISO). */
+  def synthTiffBytes(d: Long): Array[Byte] = {
+    val little = d % 2 == 0
+    val bb = ByteBuffer.allocate(150)
+      .order(if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val mark = if (little) "II" else "MM"
+    bb.put(mark.charAt(0).toByte).put(mark.charAt(1).toByte)
+    bb.putShort(42)
+    bb.putInt(8) // IFD0 right after the header
+    // value layout (word-aligned, data area after both IFDs):
+    //   IFD0 @8 (2 + 6*12 + 4 = 78) -> exif IFD @86 (2 + 2*12 + 4 = 30)
+    //   make @116 (5 + 1 pad), datetime @122 (20), fnumber @142 (8)
+    val (offExif, offMake, offDt, offFn) = (86, 116, 122, 142)
+    def entryShort(tag: Int, v: Int): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(TShort.toShort); bb.putInt(1)
+      bb.putShort(v.toShort); bb.putShort(0) // inline, left-justified
+    }
+    def entryOffset(tag: Int, typ: Int, count: Int, off: Int): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(typ.toShort)
+      bb.putInt(count); bb.putInt(off)
+    }
+    // IFD0
+    bb.putShort(6)
+    entryShort(0x0100, (640 + (d % 7) * 80).toInt)
+    entryShort(0x0101, (480 + (d % 5) * 60).toInt)
+    entryShort(0x0112, (1 + d % 8).toInt)
+    entryOffset(0x010f, TAscii, 5, offMake)
+    entryOffset(0x0132, TAscii, 20, offDt)
+    entryOffset(0x8769, TLong, 1, offExif) // value IS the sub-IFD offset
+    bb.putInt(0) // no next IFD
+    // Exif sub-IFD
+    assert(bb.position() == offExif)
+    bb.putShort(2)
+    entryOffset(0x829d, TRational, 1, offFn)
+    entryShort(0x8827, (100 * (1 + d % 7)).toInt)
+    bb.putInt(0)
+    // data area
+    assert(bb.position() == offMake)
+    bb.put(s"cam${d % 5}".getBytes("US-ASCII")).put(0.toByte)
+    bb.put(0.toByte) // alignment pad
+    assert(bb.position() == offDt)
+    bb.put(f"2024:01:${1 + d % 28}%02d 10:00:00".getBytes("US-ASCII"))
+      .put(0.toByte)
+    assert(bb.position() == offFn)
+    bb.putInt((28 + d % 10).toInt).putInt(10)
+    bb.array()
+  }
+
+  /** One parsed IFD entry: resolved longs and/or string value. */
+  private case class Entry(typ: Int, longs: Array[Long], str: String)
+
+  /** Generic IFD walk: returns tag -> resolved entry. */
+  private def readIfd(bb: ByteBuffer, off: Int,
+                      fileLen: Int): Map[Int, Entry] = {
+    require(off >= 0 && off + 2 <= fileLen, "tiff: IFD offset oob")
+    bb.position(off)
+    val n = bb.getShort & 0xffff
+    require(off + 2 + n * 12 + 4 <= fileLen, "tiff: IFD truncated")
+    (0 until n).map { _ =>
+      val tag = bb.getShort & 0xffff
+      val typ = bb.getShort & 0xffff
+      val count = bb.getInt
+      val valuePos = bb.position() // 4-byte value/offset field
+      val entry = typ match {
+        case TShort if count == 1 =>
+          // inline, left-justified in the value field
+          Entry(typ, Array((bb.getShort(valuePos) & 0xffff).toLong), "")
+        case TLong if count == 1 =>
+          Entry(typ, Array(bb.getInt(valuePos).toLong & 0xffffffffL), "")
+        case TAscii =>
+          val o = bb.getInt(valuePos)
+          require(o >= 0 && o + count <= fileLen, "tiff: ascii oob")
+          val raw = new Array[Byte](count)
+          var i = 0
+          while (i < count) { raw(i) = bb.get(o + i); i += 1 }
+          // NUL-terminated per spec
+          Entry(typ, Array.empty, new String(raw, "US-ASCII")
+            .takeWhile(_ != 0.toChar))
+        case TRational if count == 1 =>
+          val o = bb.getInt(valuePos)
+          require(o >= 0 && o + 8 <= fileLen, "tiff: rational oob")
+          Entry(typ, Array(bb.getInt(o).toLong & 0xffffffffL,
+            bb.getInt(o + 4).toLong & 0xffffffffL), "")
+        case _ =>
+          throw new IllegalArgumentException(
+            s"tiff: unsupported type $typ count $count")
+      }
+      bb.position(valuePos + 4)
+      tag -> entry
+    }.toMap
+  }
+
+  /** REAL TIFF/Exif parse: byte-order dispatch, magic check, IFD0 walk,
+    * Exif sub-IFD follow, typed value resolution. */
+  def parseTiff(payload: Array[Byte]): ExifRow = {
+    require(payload.length >= 8, "tiff: truncated header")
+    val mark = new String(payload.take(2), "US-ASCII")
+    val order = mark match {
+      case "II" => ByteOrder.LITTLE_ENDIAN
+      case "MM" => ByteOrder.BIG_ENDIAN
+      case m => throw new IllegalArgumentException(s"tiff: bad mark $m")
+    }
+    val bb = ByteBuffer.wrap(payload).order(order)
+    require((bb.getShort(2) & 0xffff) == 42, "tiff: bad magic")
+    val ifd0 = readIfd(bb, bb.getInt(4), payload.length)
+    val exif = ifd0.get(0x8769) match {
+      case Some(e) => readIfd(bb, e.longs(0).toInt, payload.length)
+      case None => Map.empty[Int, Entry]
+    }
+    val dt = ifd0(0x0132).str
+    ExifRow(0L, mark,
+      ifd0(0x0100).longs(0), ifd0(0x0101).longs(0),
+      ifd0(0x0112).longs(0), ifd0(0x010f).str,
+      dt.substring(8, 10).toLong,
+      exif(0x8827).longs(0),
+      exif(0x829d).longs(0) * 10 / exif(0x829d).longs(1))
+  }
+
+  /** Corpus-wide synth -> parse, one row per document. */
+  def exifFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encR = Encoders.product[ExifRow]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        parseTiff(synthTiffBytes(d)).copy(doc_id = d)
+      }).toDF()
+  }
+}

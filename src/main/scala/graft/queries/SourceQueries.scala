@@ -154,6 +154,9 @@ object SourceQueries {
   def qMultimodalBmp(spark: SparkSession, dir: String): DataFrame =
     Multimodal.bmpFeatures(Tables.load(spark, dir, "documents"))
 
+  def qMultimodalExif(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Exif.exifFeatures(Tables.load(spark, dir, "documents"))
+
   def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame =
     Multimodal.videoFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -527,6 +530,7 @@ object SourceQueries {
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
+    "q_multimodal_exif" -> (qMultimodalExif _),
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_video_keyframes" -> (qVideoKeyframes _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
@@ -678,6 +682,21 @@ object SourceQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the codec contract: every field re-derived analytically from the
+    // same doc_id arithmetic the synthesizer used
+    "q_multimodal_exif" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+        |    AS byte_order,
+        |  CAST(640 + (doc_id % 7) * 80 AS BIGINT) AS width,
+        |  CAST(480 + (doc_id % 5) * 60 AS BIGINT) AS height,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |  'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |  CAST(1 + doc_id % 28 AS BIGINT) AS datetime_day,
+        |  CAST(100 * (1 + doc_id % 7) AS BIGINT) AS iso,
+        |  CAST((28 + doc_id % 10) * 10 // 10 AS BIGINT) AS fnum_x10
+        |FROM documents""".stripMargin,
+
     "q_orc_roundtrip" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
         |  CAST(n_chars AS BIGINT) AS n_chars, md5(text) AS text_md5

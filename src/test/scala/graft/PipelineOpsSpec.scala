@@ -469,6 +469,27 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
       "bucketing saved nothing over naive batching")
   }
 
+  test("exif: both byte orders parse to the planted fields and " +
+    "malformed files fail loudly") {
+    import graft.operators.Exif
+    for (d <- Seq(4L, 5L, 83L, 196L)) {
+      val r = Exif.parseTiff(Exif.synthTiffBytes(d)).copy(doc_id = d)
+      assert(r.byte_order === (if (d % 2 == 0) "II" else "MM"))
+      assert(r.width === 640 + (d % 7) * 80)
+      assert(r.height === 480 + (d % 5) * 60)
+      assert(r.orientation === 1 + d % 8)
+      assert(r.make === s"cam${d % 5}")
+      assert(r.iso === 100 * (1 + d % 7))
+      assert(r.fnum_x10 === 28 + d % 10)
+    }
+    val good = Exif.synthTiffBytes(7L)
+    intercept[Exception] { Exif.parseTiff(good.take(40)) } // truncated
+    val badMagic = good.clone(); badMagic(2) = 99
+    intercept[Exception] { Exif.parseTiff(badMagic) }
+    val badMark = good.clone(); badMark(0) = 'X'.toByte
+    intercept[Exception] { Exif.parseTiff(badMark) }
+  }
+
   test("mojibake: every scar repairs back to the intended text and " +
     "clean docs have a zero false-positive floor") {
     val rows = graft.queries.TextQueries.qMojibake(spark, SfDir).collect()
