@@ -1030,7 +1030,46 @@ object CurationQueries {
     bucketed.crossJoin(broadcast(tot))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, public) — the
+    * infilling-objective rewrite code-model pipelines apply to a share
+    * of training documents: split at two hash-deterministic character
+    * positions, reorder as PSM (<PRE>p<SUF>s<MID>m) or SPM by doc
+    * parity, and VERIFY the transformation itself by hashing the
+    * rewritten string — lengths alone can't catch a swapped segment.
+    * Split points are (doc, length) arithmetic (re-shard stable, the
+    * span-corruption contract); suffix and middle are guaranteed
+    * non-empty by construction. Row-local string slicing only. */
+  def qFimTransform(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("l", length(col("text")).cast("long"))
+      .withColumn("p1",
+        expr("1 + pmod(doc_id * 31, greatest(l div 2, 1))"))
+      .withColumn("p2",
+        expr("p1 + 1 + pmod(doc_id * 17, greatest(l - p1 - 1, 1))"))
+      .withColumn("prefix", expr("substring(text, 1, cast(p1 as int))"))
+      .withColumn("middle",
+        expr("substring(text, cast(p1 + 1 as int), cast(p2 - p1 as int))"))
+      .withColumn("suffix",
+        expr("substring(text, cast(p2 + 1 as int), cast(l - p2 as int))"))
+      .withColumn("mode",
+        when(col("doc_id") % 2 === 0, "psm").otherwise("spm"))
+      .withColumn("fim", when(col("mode") === "psm",
+        concat(lit("<PRE>"), col("prefix"), lit("<SUF>"), col("suffix"),
+          lit("<MID>"), col("middle")))
+        .otherwise(
+          concat(lit("<SUF>"), col("suffix"), lit("<PRE>"), col("prefix"),
+            lit("<MID>"), col("middle"))))
+      .select(col("doc_id"), col("mode"),
+        col("p1").as("prefix_len"),
+        (col("p2") - col("p1")).as("middle_len"),
+        (col("l") - col("p2")).as("suffix_len"),
+        length(col("fim")).cast("long").as("out_len"),
+        md5(col("fim")).as("fim_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fim_transform" -> (qFimTransform _),
     "q_span_corruption" -> (qSpanCorruption _),
     "q_length_buckets" -> (qLengthBuckets _),
     "q_domain_reputation" -> (qDomainReputation _),
@@ -1124,6 +1163,37 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_fim_transform" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        |             CAST(len(text) AS BIGINT) AS l
+        |           FROM documents),
+        |sp AS (SELECT doc_id, text, l,
+        |         1 + (doc_id * 31) % GREATEST(l // 2, 1) AS p1
+        |       FROM d),
+        |sp2 AS (SELECT doc_id, text, l, p1,
+        |          p1 + 1 + (doc_id * 17) % GREATEST(l - p1 - 1, 1)
+        |            AS p2
+        |        FROM sp),
+        |seg AS (SELECT doc_id, l, p1, p2,
+        |          CASE WHEN doc_id % 2 = 0 THEN 'psm'
+        |               ELSE 'spm' END AS mode,
+        |          substr(text, 1, CAST(p1 AS INT)) AS pre,
+        |          substr(text, CAST(p1 + 1 AS INT),
+        |            CAST(p2 - p1 AS INT)) AS mid,
+        |          substr(text, CAST(p2 + 1 AS INT),
+        |            CAST(l - p2 AS INT)) AS suf
+        |        FROM sp2),
+        |f AS (SELECT doc_id, mode, p1, p2, l,
+        |        CASE WHEN mode = 'psm'
+        |          THEN '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid
+        |          ELSE '<SUF>' || suf || '<PRE>' || pre || '<MID>' || mid
+        |        END AS fim
+        |      FROM seg)
+        |SELECT doc_id, mode, p1 AS prefix_len, p2 - p1 AS middle_len,
+        |  l - p2 AS suffix_len, CAST(len(fim) AS BIGINT) AS out_len,
+        |  md5(fim) AS fim_md5
+        |FROM f""".stripMargin,
+
     "q_span_corruption" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
         |           FROM documents),

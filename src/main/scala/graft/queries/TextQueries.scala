@@ -915,6 +915,38 @@ object TextQueries {
       .withColumn("covered", col("n_oov") === 0L)
   }
 
+  // -------------------------------------------------------- code detection
+
+  /** Code-vs-prose detection — the routing gate a code-model pipeline
+    * (StarCoder/The-Stack shape) runs to split a mixed crawl: symbol
+    * density ([(){};:*] per kchar) and keyword hits (def/return/import/
+    * if/var as whole words) are the two classic signals, combined into
+    * an integer score. The prose corpus carries neither signal
+    * (measured: zero symbols, zero keywords), so code is PLANTED
+    * (doc_id%6, 1+d%4 repeats of a two-line function) — the engine does
+    * the real regexp counting over every document, the oracle derives
+    * the counts analytically from the plant arithmetic and the length
+    * from the same constructed string. Row-local, zero shuffles. */
+  def qCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val reps = (lit(1) + col("doc_id") % 4).cast("int")
+    val snippet = concat(lit("\ndef f(x):\n    return x * "),
+      (col("doc_id") % 7).cast("string"), lit(";"))
+    val t = when(col("doc_id") % 6 === 0,
+      concat(col("text"), repeat(snippet, reps))).otherwise(col("text"))
+    docs(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        length(col("t")).cast("long").as("n_chars"),
+        regexp_count(col("t"), lit("[(){};:*]")).cast("long")
+          .as("n_sym"),
+        regexp_count(col("t"),
+          lit("\\b(def|return|import|if|var)\\b")).cast("long")
+          .as("n_kw"))
+      .withColumn("code_score",
+        expr("(n_sym * 10 + n_kw * 30) * 1000 div n_chars"))
+      .withColumn("is_code", col("code_score") >= 100)
+  }
+
   // --------------------------------------------------------------- oracles
 
   /** Shared BM25 scoring CTE chain ending in `bscore(doc_id, score,
@@ -1415,6 +1447,26 @@ object TextQueries {
          |    '$PhonePat', '<PHONE>', 'g'),
          |    '$IpPat', '<IP>', 'g')) AS BIGINT) AS red_len
          |FROM d""".stripMargin,
+    "q_code_detect" ->
+      s"""WITH d AS ($docsSql),
+         |p AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 6 = 0 THEN 1 + doc_id % 4
+         |             ELSE 0 END AS r,
+         |        CASE WHEN doc_id % 6 = 0
+         |          THEN text || repeat(chr(10) || 'def f(x):'
+         |            || chr(10) || '    return x * '
+         |            || CAST(doc_id % 7 AS VARCHAR) || ';',
+         |            CAST(1 + doc_id % 4 AS INT))
+         |          ELSE text END AS t
+         |      FROM d)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+         |  CAST(r * 5 AS BIGINT) AS n_sym,
+         |  CAST(r * 2 AS BIGINT) AS n_kw,
+         |  CAST((r * 5 * 10 + r * 2 * 30) * 1000 // len(t) AS BIGINT)
+         |    AS code_score,
+         |  (r * 5 * 10 + r * 2 * 30) * 1000 // len(t) >= 100 AS is_code
+         |FROM p""".stripMargin,
+
     "q_tokenizer_coverage" ->
       s"""WITH d AS ($docsSql),
          |p AS (SELECT doc_id, doc_id % 34 = 17 AS is_planted,
@@ -1818,6 +1870,7 @@ object TextQueries {
     "q_dedup_exact" -> (qDedupExact _),
     "q_boilerplate_lines" -> (qBoilerplateLines _),
     "q_tokenizer_coverage" -> (qTokenizerCoverage _),
+    "q_code_detect" -> (qCodeDetect _),
     "q_license_detect" -> (qLicenseDetect _),
     "q_mojibake" -> (qMojibake _),
     "q_lang_id" -> (qLangId _),

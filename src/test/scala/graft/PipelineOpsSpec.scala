@@ -490,6 +490,39 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     intercept[Exception] { Exif.parseTiff(badMark) }
   }
 
+  test("code detect: planted code routes to code, prose carries zero " +
+    "signal") {
+    val rows = graft.queries.TextQueries.qCodeDetect(spark, SfDir)
+      .collect()
+    rows.foreach { r =>
+      val planted = r.getAs[Long]("doc_id") % 6 == 0
+      assert(r.getAs[Boolean]("is_code") === planted,
+        s"doc ${r.getAs[Long]("doc_id")}")
+      if (!planted) {
+        assert(r.getAs[Long]("n_sym") === 0L)
+        assert(r.getAs[Long]("n_kw") === 0L)
+      }
+    }
+  }
+
+  test("FIM transform: segments conserve the document and the sentinel " +
+    "overhead is exactly three tags") {
+    val rows = graft.queries.CurationQueries.qFimTransform(spark, SfDir)
+      .collect()
+    val lens = graft.Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (p, m, s) = (r.getAs[Long]("prefix_len"),
+        r.getAs[Long]("middle_len"), r.getAs[Long]("suffix_len"))
+      assert(p >= 1 && m >= 1 && s >= 1,
+        s"empty segment on doc ${r.getAs[Long]("doc_id")}")
+      assert(p + m + s === lens(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("out_len") === p + m + s + 15L)
+    }
+    assert(rows.map(_.getAs[String]("mode")).toSet === Set("psm", "spm"))
+  }
+
   test("mojibake: every scar repairs back to the intended text and " +
     "clean docs have a zero false-positive floor") {
     val rows = graft.queries.TextQueries.qMojibake(spark, SfDir).collect()
