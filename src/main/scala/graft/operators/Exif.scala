@@ -155,6 +155,78 @@ object Exif {
       exif(0x829d).longs(0) * 10 / exif(0x829d).longs(1))
   }
 
+  // ------------------------------------------- JPEG APP1 (Exif in JFIF)
+
+  case class JpegExifRow(doc_id: Long, n_segments: Long,
+                         byte_order: String, width: Long, height: Long,
+                         orientation: Long, make: String, iso: Long)
+
+  /** Minimal JPEG container carrying the Exif payload the way cameras
+    * ship it (Exif 2.3 §4.5.4): SOI, APP0/JFIF, APP1 = "Exif\0\0" +
+    * the TIFF structure above, a COM segment, EOI. The metadata path
+    * reads ONLY the marker chain — no entropy-coded data needed, which
+    * is exactly why Exif extraction is cheap at corpus scale. */
+  def synthJpegExifBytes(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload)
+    }
+    marker(0xd8) // SOI
+    segment(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    segment(0xe1, "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      synthTiffBytes(d))
+    segment(0xfe, s"graft doc $d".getBytes("US-ASCII"))
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Marker walk + APP1 Exif extraction: skips non-APP1 segments (a
+    * real file fronts APP1 with JFIF APP0 and trails comments), checks
+    * the "Exif\0\0" identifier, and hands the embedded TIFF to the
+    * standalone parser — offsets inside the TIFF are relative to ITS
+    * origin, so the slice boundary is the whole correctness question
+    * this wrapper adds. */
+  def parseJpegExif(payload: Array[Byte]): JpegExifRow = {
+    require(payload.length >= 4 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8, "jpeg: missing SOI")
+    var pos = 2
+    var nSeg = 0L
+    var tiff: Array[Byte] = null
+    while (pos + 1 < payload.length &&
+      !((payload(pos) & 0xff) == 0xff && (payload(pos + 1) & 0xff) == 0xd9)) {
+      require((payload(pos) & 0xff) == 0xff, "jpeg: lost marker sync")
+      val m = payload(pos + 1) & 0xff
+      require(pos + 3 < payload.length, "jpeg: truncated segment")
+      val len = ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+      require(pos + 2 + len <= payload.length, "jpeg: segment oob")
+      nSeg += 1
+      if (m == 0xe1 && len >= 8 &&
+        new String(payload, pos + 4, 4, "US-ASCII") == "Exif" &&
+        payload(pos + 8) == 0 && payload(pos + 9) == 0)
+        tiff = java.util.Arrays.copyOfRange(payload, pos + 10, pos + 2 + len)
+      pos += 2 + len
+    }
+    require(tiff != null, "jpeg: no Exif APP1 segment")
+    val e = parseTiff(tiff)
+    JpegExifRow(0L, nSeg, e.byte_order, e.width, e.height,
+      e.orientation, e.make, e.iso)
+  }
+
+  /** Corpus-wide JPEG-APP1 synth -> parse, one row per document. */
+  def jpegExifFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encR = Encoders.product[JpegExifRow]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        parseJpegExif(synthJpegExifBytes(d)).copy(doc_id = d)
+      }).toDF()
+  }
+
   /** Corpus-wide synth -> parse, one row per document. */
   def exifFeatures(docs: DataFrame): DataFrame = {
     implicit val encL = Encoders.scalaLong

@@ -724,6 +724,34 @@ object Analytics {
     pass.unionByName(gen)
   }
 
+  /** l-diversity audit (Machanavajjhala 2007) — the disclosure check
+    * k-anonymity alone misses: a group can be large AND still leak if
+    * every member shares the sensitive value (homogeneity attack), or
+    * nearly so (probabilistic disclosure). QI here = (nation, $5000
+    * balance bucket) with market segment as the sensitive attribute;
+    * a group passes iff it carries ≥2 distinct segments AND no segment
+    * dominates beyond 800‰. Two cascaded hash aggregates — (QI,
+    * sensitive) counts, then the per-QI rollup — both map-side
+    * combined; no windows, no joins. */
+  def qLDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        (expr("(cast(round(c_acctbal * 100, 0) as long) + 10000000) " +
+          "div 500000") - lit(20L)).as("bal_bucket"),
+        col("c_mktsegment").as("segment"))
+    c.groupBy("nation", "bal_bucket", "segment")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("nation", "bal_bucket")
+      .agg(sum("cnt").as("n_members"),
+        count(lit(1)).as("n_distinct_sensitive"),
+        max("cnt").as("dom_cnt"))
+      .select(col("nation"), col("bal_bucket"), col("n_members"),
+        col("n_distinct_sensitive"),
+        expr("dom_cnt * 1000 div n_members").as("dom_share_pm"))
+      .withColumn("l_diverse", col("n_distinct_sensitive") >= 2 &&
+        col("dom_share_pm") <= 800)
+  }
+
   /** Subject-access-request export (GDPR art. 15) — the READ twin of
     * the cascading delete below: for each data subject (deterministic
     * key set, c_custkey % 125 == 7) gather the per-table footprint a
@@ -916,6 +944,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shard_rebalance" -> (qShardRebalance _),
     "q_kanonymity" -> (qKAnonymity _),
+    "q_ldiversity" -> (qLDiversity _),
     "q_sar_export" -> (qSarExport _),
     "q_data_contract" -> (qDataContract _),
     "q_cascade_delete" -> (qCascadeDelete _),
@@ -1250,6 +1279,25 @@ object Analytics {
         |UNION ALL
         |SELECT nation, segment, bal_bucket,
         |  CAST(n_members AS BIGINT), status FROM gen""".stripMargin,
+
+    "q_ldiversity" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    (CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 10000000)
+        |      // 500000 - 20 AS bal_bucket,
+        |    c_mktsegment AS segment
+        |  FROM customer),
+        |g AS (SELECT nation, bal_bucket, segment, COUNT(*) AS cnt
+        |      FROM c GROUP BY 1, 2, 3),
+        |r AS (SELECT nation, bal_bucket,
+        |        CAST(SUM(cnt) AS BIGINT) AS n_members,
+        |        CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive,
+        |        CAST(MAX(cnt) AS BIGINT) AS dom_cnt
+        |      FROM g GROUP BY 1, 2)
+        |SELECT nation, bal_bucket, n_members, n_distinct_sensitive,
+        |  CAST(dom_cnt * 1000 // n_members AS BIGINT) AS dom_share_pm,
+        |  n_distinct_sensitive >= 2
+        |    AND dom_cnt * 1000 // n_members <= 800 AS l_diverse
+        |FROM r""".stripMargin,
 
     "q_sar_export" ->
       """WITH subs AS (SELECT CAST(c_custkey AS BIGINT) AS subject

@@ -157,6 +157,10 @@ object SourceQueries {
   def qMultimodalExif(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Exif.exifFeatures(Tables.load(spark, dir, "documents"))
 
+  def qMultimodalJpegExif(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Exif.jpegExifFeatures(
+      Tables.load(spark, dir, "documents"))
+
   def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame =
     Multimodal.videoFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -531,6 +535,7 @@ object SourceQueries {
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
     "q_multimodal_exif" -> (qMultimodalExif _),
+    "q_multimodal_jpeg_exif" -> (qMultimodalJpegExif _),
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_video_keyframes" -> (qVideoKeyframes _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
@@ -695,6 +700,20 @@ object SourceQueries {
         |  CAST(1 + doc_id % 28 AS BIGINT) AS datetime_day,
         |  CAST(100 * (1 + doc_id % 7) AS BIGINT) AS iso,
         |  CAST((28 + doc_id % 10) * 10 // 10 AS BIGINT) AS fnum_x10
+        |FROM documents""".stripMargin,
+
+    // APP1 wrapper: 3 non-EOI segments by construction (APP0, APP1,
+    // COM); the Exif fields are the same analytic plant
+    "q_multimodal_jpeg_exif" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(3 AS BIGINT) AS n_segments,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+        |    AS byte_order,
+        |  CAST(640 + (doc_id % 7) * 80 AS BIGINT) AS width,
+        |  CAST(480 + (doc_id % 5) * 60 AS BIGINT) AS height,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |  'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |  CAST(100 * (1 + doc_id % 7) AS BIGINT) AS iso
         |FROM documents""".stripMargin,
 
     "q_orc_roundtrip" ->

@@ -523,6 +523,49 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(_.getAs[String]("mode")).toSet === Set("psm", "spm"))
   }
 
+  test("l-diversity: members conserve, the flag recomputes, and both " +
+    "outcomes occur — homogeneous groups exist to catch") {
+    val rows = graft.queries.Analytics.qLDiversity(spark, SfDir).collect()
+    val nCust = graft.Tables.load(spark, SfDir, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum === nCust)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("l_diverse") ===
+        (r.getAs[Long]("n_distinct_sensitive") >= 2L &&
+          r.getAs[Long]("dom_share_pm") <= 800L))
+      assert(r.getAs[Long]("n_distinct_sensitive") <= 5L) // 5 segments
+    }
+    assert(rows.exists(!_.getAs[Boolean]("l_diverse")),
+      "no disclosure-risk group at this sf — audit untested")
+    assert(rows.exists(_.getAs[Boolean]("l_diverse")))
+  }
+
+  test("JPEG APP1 Exif: the wrapper skips non-APP1 segments, rejects " +
+    "files without Exif, and slices the TIFF at the right origin") {
+    import graft.operators.Exif
+    for (d <- Seq(2L, 9L)) {
+      val j = Exif.parseJpegExif(Exif.synthJpegExifBytes(d))
+      val t = Exif.parseTiff(Exif.synthTiffBytes(d))
+      assert(j.n_segments === 3L) // APP0 + APP1 + COM
+      assert((j.byte_order, j.width, j.height, j.orientation, j.make,
+        j.iso) === (t.byte_order, t.width, t.height, t.orientation,
+        t.make, t.iso))
+    }
+    // no Exif APP1: strip the identifier by corrupting it
+    val bad = Exif.synthJpegExifBytes(3L)
+    val app1 = {
+      // find the APP1 marker and break its "Exif" identifier
+      var p = 2
+      while (!((bad(p) & 0xff) == 0xff && (bad(p + 1) & 0xff) == 0xe1))
+        p += 2 + (((bad(p + 2) & 0xff) << 8) | (bad(p + 3) & 0xff))
+      p
+    }
+    bad(app1 + 4) = 'X'.toByte
+    intercept[Exception] { Exif.parseJpegExif(bad) }
+    intercept[Exception] {
+      Exif.parseJpegExif(Array[Byte](0, 0, 0, 0))
+    }
+  }
+
   test("mojibake: every scar repairs back to the intended text and " +
     "clean docs have a zero false-positive floor") {
     val rows = graft.queries.TextQueries.qMojibake(spark, SfDir).collect()
