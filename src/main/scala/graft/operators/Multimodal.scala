@@ -210,6 +210,50 @@ object Multimodal {
       }).toDF()
   }
 
+  case class ResampleRow(doc_id: Long, n_in: Long, n_out: Long,
+                         sum_abs_in: Long, sum_abs_out: Long,
+                         checksum_out: Long)
+
+  /** 8 kHz → 6 kHz linear-interpolation resample — the sample-rate
+    * normalization an audio corpus runs before any model sees it
+    * (training features assume ONE rate; crawled audio arrives at
+    * many). Ratio 4/3 keeps every interpolation weight an exact third:
+    * output j reads input position j·4/3, so y = (x_k·(3−r) +
+    * x_{k+1}·r) / 3 with r = (4j) mod 3 — computed over +32768-shifted
+    * non-negative ints so the integer division is unambiguous floor on
+    * BOTH engines (JVM `/` truncates toward zero, DuckDB `//` floors;
+    * they agree only on non-negative numerators — the §3 division rule
+    * in the sample domain). Real WAV decode feeds it; the checksum
+    * column pins every output sample, not just aggregate energy. */
+  def resampleFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encR = Encoders.product[ResampleRow]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        val (_, xs) = decodeWavSamples(synthWavBytes(d))
+        val n = xs.length
+        val m = n * 3 / 4
+        var sumAbsIn = 0L
+        var i = 0
+        while (i < n) { sumAbsIn += math.abs(xs(i).toLong); i += 1 }
+        var sumAbsOut = 0L
+        var checksum = 0L
+        var j = 0
+        while (j < m) {
+          val p = j * 4
+          val k = p / 3
+          val r = p % 3
+          val ua = xs(k) + 32768
+          val ub = (if (k + 1 < n) xs(k + 1) else xs(k)) + 32768
+          val y = (ua * (3 - r) + ub * r) / 3 - 32768
+          sumAbsOut += math.abs(y.toLong)
+          checksum += y.toLong * (1 + j % 5)
+          j += 1
+        }
+        ResampleRow(d, n.toLong, m.toLong, sumAbsIn, sumAbsOut, checksum)
+      }).toDF()
+  }
+
   case class WavFrame(doc_id: Long, frame_idx: Long, energy: Long,
                       zcr: Long, peak: Long)
 

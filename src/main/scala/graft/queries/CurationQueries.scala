@@ -1068,7 +1068,34 @@ object CurationQueries {
         md5(col("fim")).as("fim_md5"))
   }
 
+  /** Corpus data card — the per-release summary a dataset ships with
+    * (the Datasheets/Data-Cards practice): per-language doc counts,
+    * character and estimated-token mass, short-doc rate and corpus
+    * share, plus the ALL rollup row, all exact integer rates. ONE
+    * ROLLUP aggregate over the scan (map-side combined, ≤ langs+1
+    * group rows) + a 1-row total broadcast back for shares — at 100 TB
+    * the card still fits on a screen, which is the point of a card. */
+  def qDataCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("n_chars").cast("long").as("nc"))
+      .localCheckpoint() // rollup + the 1-row total
+    val tot = d.agg(count(lit(1)).as("total_docs"))
+    d.rollup("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars_total"),
+        sum(ceil(col("nc").cast("double") / 4.0).cast("long"))
+          .as("est_tokens"),
+        sum(when(col("nc") < 100, 1L).otherwise(0L)).as("n_short"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("n_chars_total"), col("est_tokens"),
+        expr("n_short * 1000 div n_docs").as("short_pm"),
+        expr("n_chars_total * 100 div n_docs").as("mean_chars_x100"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_pm", expr("n_docs * 1000 div total_docs"))
+      .drop("total_docs")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_data_card" -> (qDataCard _),
     "q_fim_transform" -> (qFimTransform _),
     "q_span_corruption" -> (qSpanCorruption _),
     "q_length_buckets" -> (qLengthBuckets _),
@@ -1163,6 +1190,23 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_data_card" ->
+      """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS nc
+        |           FROM documents),
+        |g AS (SELECT COALESCE(lang, 'ALL') AS lang,
+        |        COUNT(*) AS n_docs, SUM(nc) AS chars,
+        |        SUM(CAST(ceil(nc / 4.0) AS BIGINT)) AS toks,
+        |        SUM(CASE WHEN nc < 100 THEN 1 ELSE 0 END) AS sh
+        |      FROM d GROUP BY ROLLUP(lang)),
+        |t AS (SELECT COUNT(*) AS total FROM d)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(chars AS BIGINT) AS n_chars_total,
+        |  CAST(toks AS BIGINT) AS est_tokens,
+        |  CAST(sh * 1000 // n_docs AS BIGINT) AS short_pm,
+        |  CAST(chars * 100 // n_docs AS BIGINT) AS mean_chars_x100,
+        |  CAST(n_docs * 1000 // t.total AS BIGINT) AS share_pm
+        |FROM g, t""".stripMargin,
+
     "q_fim_transform" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
         |             CAST(len(text) AS BIGINT) AS l

@@ -161,6 +161,9 @@ object SourceQueries {
     graft.operators.Exif.jpegExifFeatures(
       Tables.load(spark, dir, "documents"))
 
+  def qAudioResample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resampleFeatures(Tables.load(spark, dir, "documents"))
+
   def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame =
     Multimodal.videoFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -536,6 +539,7 @@ object SourceQueries {
     "q_multimodal_bmp" -> (qMultimodalBmp _),
     "q_multimodal_exif" -> (qMultimodalExif _),
     "q_multimodal_jpeg_exif" -> (qMultimodalJpegExif _),
+    "q_audio_resample" -> (qAudioResample _),
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_video_keyframes" -> (qVideoKeyframes _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
@@ -701,6 +705,41 @@ object SourceQueries {
         |  CAST(100 * (1 + doc_id % 7) AS BIGINT) AS iso,
         |  CAST((28 + doc_id % 10) * 10 // 10 AS BIGINT) AS fnum_x10
         |FROM documents""".stripMargin,
+
+    // the resample arithmetic replayed sample-for-sample: same pcm
+    // formula, same +32768 shift so // (floor) == the JVM's positive
+    // truncating division
+    "q_audio_resample" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |             CAST(256 + doc_id % 256 AS BIGINT) AS n
+        |           FROM documents),
+        |xin AS (SELECT doc_id, n, i,
+        |          (doc_id * 31 + i * 17) % 2003 - 1001 AS x
+        |        FROM d, LATERAL (SELECT unnest(generate_series(0,
+        |          CAST(n - 1 AS INT))) AS i) u),
+        |ain AS (SELECT doc_id, SUM(ABS(x)) AS sum_abs_in
+        |        FROM xin GROUP BY 1),
+        |yout AS (SELECT o.doc_id, o.j,
+        |           ((xa.x + 32768) * (3 - o.p % 3)
+        |            + (COALESCE(xb.x, xa.x) + 32768) * (o.p % 3)) // 3
+        |            - 32768 AS y
+        |         FROM (SELECT doc_id, n, j, j * 4 AS p
+        |               FROM d, LATERAL (SELECT unnest(generate_series(0,
+        |                 CAST(n * 3 // 4 - 1 AS INT))) AS j) u) o
+        |         JOIN xin xa ON xa.doc_id = o.doc_id
+        |           AND xa.i = o.p // 3
+        |         LEFT JOIN xin xb ON xb.doc_id = o.doc_id
+        |           AND xb.i = o.p // 3 + 1),
+        |aout AS (SELECT doc_id, COUNT(*) AS n_out,
+        |           SUM(ABS(y)) AS sum_abs_out,
+        |           SUM(y * (1 + j % 5)) AS checksum_out
+        |         FROM yout GROUP BY 1)
+        |SELECT d.doc_id, d.n AS n_in, CAST(a2.n_out AS BIGINT) AS n_out,
+        |  CAST(a1.sum_abs_in AS BIGINT) AS sum_abs_in,
+        |  CAST(a2.sum_abs_out AS BIGINT) AS sum_abs_out,
+        |  CAST(a2.checksum_out AS BIGINT) AS checksum_out
+        |FROM d JOIN ain a1 ON d.doc_id = a1.doc_id
+        |JOIN aout a2 ON d.doc_id = a2.doc_id""".stripMargin,
 
     // APP1 wrapper: 3 non-EOI segments by construction (APP0, APP1,
     // COM); the Exif fields are the same analytic plant

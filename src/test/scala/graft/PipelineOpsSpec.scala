@@ -566,6 +566,33 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("audio resample: 3/4 length law holds and energy is preserved " +
+    "within the interpolation bound") {
+    val rows = graft.queries.SourceQueries
+      .qAudioResample(spark, SfDir).collect()
+    rows.foreach { r =>
+      val (nIn, nOut) = (r.getAs[Long]("n_in"), r.getAs[Long]("n_out"))
+      assert(nOut === nIn * 3 / 4)
+      // mean |sample| must survive resampling to within ~10% — linear
+      // interpolation smooths but cannot relocate energy
+      val mIn = r.getAs[Long]("sum_abs_in").toDouble / nIn
+      val mOut = r.getAs[Long]("sum_abs_out").toDouble / nOut
+      assert(math.abs(mIn - mOut) / mIn < 0.10,
+        s"doc ${r.getAs[Long]("doc_id")}: mean |x| $mIn -> $mOut")
+    }
+  }
+
+  test("data card: the ALL row equals the per-language column sums") {
+    val rows = graft.queries.CurationQueries.qDataCard(spark, SfDir)
+      .collect()
+    val (all, per) = rows.partition(_.getAs[String]("lang") == "ALL")
+    assert(all.length === 1)
+    for (c <- Seq("n_docs", "n_chars_total", "est_tokens"))
+      assert(all.head.getAs[Long](c) === per.map(_.getAs[Long](c)).sum, c)
+    assert(per.map(_.getAs[Long]("share_pm")).sum >= 995L) // rounding
+    assert(all.head.getAs[Long]("share_pm") === 1000L)
+  }
+
   test("mojibake: every scar repairs back to the intended text and " +
     "clean docs have a zero false-positive floor") {
     val rows = graft.queries.TextQueries.qMojibake(spark, SfDir).collect()
