@@ -152,6 +152,16 @@ object EventQueries {
   def qSessionizeStateful(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.SessionStream.sessionCounts(events(spark, dir)).toDF()
 
+  /** Streaming windowed HLL cardinality run in batch mode — the sketch
+    * family's streaming face (streaming.HllStream): distinct users per
+    * hour from a keyed register file whose per-slot MAX merge is
+    * commutative/associative/idempotent, so stream and batch registers
+    * are bit-identical (stronger than the ordering-caveated dedup/CDC
+    * parities). Exact distinct rides in state as the verification
+    * column; production keeps only the 512-byte registers. */
+  def qStreamHll(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.HllStream.windowCards(events(spark, dir))
+
   /** The event feed with PLANTED at-least-once redeliveries: every 13th
     * event id arrives a second time 300 s later — the producer-retry /
     * backfill-overlap hazard exact stream dedup exists for. Shared by
@@ -578,6 +588,7 @@ object EventQueries {
     "q_event_enrich" -> (qEventEnrich _),
     "q_sessionize_stateful" -> (qSessionizeStateful _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_hll" -> (qStreamHll _),
     "q_funnel" -> (qFunnel _))
 
   /** Unrolled 5-hop PageRank oracle (same edge derivation, same
@@ -620,6 +631,39 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_stream_hll" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS win,
+        |              CAST(user_id AS BIGINT) AS u FROM events),
+        |n AS (SELECT win, COUNT(*) AS n_events FROM ev GROUP BY 1),
+        |hs AS (SELECT DISTINCT win,
+        |         (u * 2654435761) % 2147483647 AS h FROM ev),
+        |ex AS (SELECT win, COUNT(*) AS exact FROM hs GROUP BY 1),
+        |rg AS (SELECT win, h % 512 AS j,
+        |         MAX(CASE WHEN h // 512 = 0 THEN 23
+        |             ELSE CAST(bit_count(xor(h // 512, h // 512 - 1))
+        |                  AS BIGINT) END) AS m
+        |       FROM hs GROUP BY 1, 2),
+        |ag AS (SELECT win, COUNT(*) AS nhit,
+        |         SUM(POWER(2.0, -m)) AS hsum FROM rg GROUP BY 1),
+        |rw AS (SELECT ag.win, 512 - nhit AS zeros,
+        |         CAST(0.7213 AS DOUBLE)
+        |             / (1.0 + CAST(1.079 AS DOUBLE) / 512.0)
+        |           * 512.0 * 512.0
+        |           / (hsum + CAST(512 - nhit AS DOUBLE)) AS raw
+        |       FROM ag),
+        |es AS (SELECT win, zeros,
+        |         ROUND(CASE WHEN zeros > 0
+        |                     AND raw <= CAST(2.5 AS DOUBLE) * 512.0
+        |           THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+        |           ELSE raw END, 4) AS est
+        |       FROM rw)
+        |SELECT n.win, CAST(n.n_events AS BIGINT) AS n_events,
+        |  CAST(ex.exact AS BIGINT) AS exact_distinct,
+        |  CAST(es.zeros AS BIGINT) AS zeros, es.est AS est_distinct,
+        |  ROUND(ABS(es.est - ex.exact) / ex.exact * 100.0, 2)
+        |    AS err_pct
+        |FROM n JOIN ex USING (win) JOIN es USING (win)""".stripMargin,
+
     "q_stream_dedup" ->
       """WITH ev AS (SELECT CAST(event_id AS BIGINT) AS event_id,
         |              epoch_us(ts) AS ts_us FROM events),

@@ -259,6 +259,57 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("streaming HLL registers are batch-identical: the sketch merge " +
+    "is order-free across micro-batches") {
+    import graft.streaming.HllStream
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = graft.Tables.eventsUs(spark, SfDir)
+      .select(col("ts_us").cast("long").as("ts_us"),
+        col("user_id").cast("long").as("user_id"))
+    val mid = ev.agg(expr("percentile_approx(ts_us, 0.5)")).collect()
+      .head.getLong(0)
+    val dir = Files.createTempDirectory("graft_hll_stream").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$dir/stage_$name")
+      val part = new java.io.File(s"$dir/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(s"$dir/in/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    try {
+      Files.createDirectories(Paths.get(s"$dir/in"))
+      // carve the feed so most WINDOWS straddle neither file but the
+      // middle ones do — the cross-batch register merge is exercised
+      stage(ev.filter(col("ts_us") < mid), "a_early")
+      Thread.sleep(1100)
+      stage(ev.filter(col("ts_us") >= mid), "b_late")
+      val src = spark.readStream
+        .schema("ts_us LONG, user_id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in")
+      val q = HllStream.hllStream(src, "hll_stream_test")
+      try {
+        q.processAllAvailable()
+        // update mode re-emits a window as registers grow; the latest
+        // emission per window is its final card
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("win").orderBy(col("n_events").desc)
+        val streamed = spark.table("hll_stream_test")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .drop("rn")
+        val batch = graft.queries.EventQueries.qStreamHll(spark, SfDir)
+        assert(streamed.count() === batch.count())
+        assert(streamed.exceptAll(batch).count() === 0)
+        assert(batch.exceptAll(streamed).count() === 0)
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("streaming CDC compaction matches the batch latest-by-key") {
     import graft.streaming.CdcStream
     val q = CdcStream.run(spark, SfDir, "cdc_test")
