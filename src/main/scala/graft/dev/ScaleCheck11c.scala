@@ -96,7 +96,9 @@ object ScaleCheck11c {
       "q_mojibake", "q_tokenizer_coverage", "q_code_detect",
       "q_span_corruption", "q_length_buckets", "q_fim_transform",
       "q_stream_dedup", "q_orc_roundtrip", "q_rrf_fusion",
-      "q_embedding_outliers", "q_multimodal_exif")
+      "q_embedding_outliers", "q_multimodal_exif", "q_ldiversity",
+      "q_multimodal_jpeg_exif", "q_audio_resample", "q_data_card",
+      "q_stream_hll")
 
     probed.foreach(run(_, dir)) // JIT + session-artifact warm-up at 1x
     run("q_orc_roundtrip", out4) // pay the 4x ORC session write once
