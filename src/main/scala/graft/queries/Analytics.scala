@@ -724,6 +724,55 @@ object Analytics {
     pass.unionByName(gen)
   }
 
+  /** Item-item co-occurrence similarity ("people also bought") — the
+    * collaborative-filtering batch job every commerce/recsys warehouse
+    * runs: baskets (distinct customer→part purchases), a PER-USER
+    * self-join for co-occurrence counts, cosine = co/√(n_a·n_b) (sqrt
+    * is IEEE-correctly-rounded on both engines — the one transcendental
+    * that is safe), top-5 neighbors per item through TopKAgg. The
+    * quadratic hazard is the POWER USER: pair count grows with basket
+    * size squared, so baskets above 48 items are capped by a
+    * deterministic modular sample — (u·31+i·17) mod size < 48 — which
+    * the oracle replays exactly (the cap genuinely bites at every sf:
+    * max basket 90-105). Pairs prune at co ≥ 3 BEFORE the cosine join;
+    * na/nb ride broadcast (items ≤ part count). */
+  def qItemCofreq(spark: SparkSession, dir: String): DataFrame = {
+    val Cap = 48
+    val b0 = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("i"))
+      .join(Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("ok"),
+          col("o_custkey").cast("long").as("u")), "ok")
+      .select("u", "i").distinct()
+    val sizes = b0.groupBy("u").agg(count(lit(1)).as("sz"))
+    val b = b0.join(sizes, Seq("u"))
+      .filter(col("sz") <= Cap ||
+        (col("u") * 31 + col("i") * 17) % col("sz") < Cap)
+      .select("u", "i").localCheckpoint() // self-join sides + item df
+    val na = b.groupBy("i").agg(count(lit(1)).as("n"))
+    val pairs = b.as("a")
+      .join(b.as("bb"),
+        col("a.u") === col("bb.u") && col("a.i") < col("bb.i"))
+      .groupBy(col("a.i").as("ia"), col("bb.i").as("ib"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 3)
+    val scored = pairs
+      .join(broadcast(na.select(col("i").as("ia"), col("n").as("na"))),
+        Seq("ia"))
+      .join(broadcast(na.select(col("i").as("ib"), col("n").as("nb"))),
+        Seq("ib"))
+      .withColumn("cos4", round(col("co").cast("double")
+        / sqrt((col("na") * col("nb")).cast("double")), 4))
+    scored.groupBy("ia")
+      .agg(graft.functions.TopKAgg(-col("cos4"), col("ib"), col("co"), 5)
+        .as("tk"))
+      .select(col("ia"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("ia"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.tie").as("ib"), col("t.payload").as("co"),
+        (-col("t.key")).as("cos4"))
+  }
+
   /** l-diversity audit (Machanavajjhala 2007) — the disclosure check
     * k-anonymity alone misses: a group can be large AND still leak if
     * every member shares the sensitive value (homogeneity attack), or
@@ -945,6 +994,7 @@ object Analytics {
     "q_shard_rebalance" -> (qShardRebalance _),
     "q_kanonymity" -> (qKAnonymity _),
     "q_ldiversity" -> (qLDiversity _),
+    "q_item_cofreq" -> (qItemCofreq _),
     "q_sar_export" -> (qSarExport _),
     "q_data_contract" -> (qDataContract _),
     "q_cascade_delete" -> (qCascadeDelete _),
@@ -1279,6 +1329,26 @@ object Analytics {
         |UNION ALL
         |SELECT nation, segment, bal_bucket,
         |  CAST(n_members AS BIGINT), status FROM gen""".stripMargin,
+
+    "q_item_cofreq" ->
+      """WITH b0 AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS u,
+        |              CAST(l.l_partkey AS BIGINT) AS i
+        |            FROM lineitem l JOIN orders o
+        |              ON l.l_orderkey = o.o_orderkey),
+        |sz AS (SELECT u, COUNT(*) AS s FROM b0 GROUP BY 1),
+        |b AS (SELECT b0.u, b0.i FROM b0 JOIN sz USING (u)
+        |      WHERE s <= 48 OR (b0.u * 31 + b0.i * 17) % s < 48),
+        |na AS (SELECT i, COUNT(*) AS n FROM b GROUP BY 1),
+        |p AS (SELECT a.i AS ia, c.i AS ib, COUNT(*) AS co
+        |      FROM b a JOIN b c ON a.u = c.u AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |s AS (SELECT ia, ib, co,
+        |        ROUND(co / sqrt(CAST(x.n * y.n AS DOUBLE)), 4) AS cos4
+        |      FROM p JOIN na x ON x.i = p.ia JOIN na y ON y.i = p.ib),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY ia
+        |        ORDER BY cos4 DESC, ib) AS INT) AS rk FROM s)
+        |SELECT ia, rk AS "rank", ib, CAST(co AS BIGINT) AS co, cos4
+        |FROM r WHERE rk <= 5""".stripMargin,
 
     "q_ldiversity" ->
       """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,

@@ -159,6 +159,42 @@ object AnnQueries {
       .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
   }
 
+  /** Late-interaction retrieval (ColBERT-style MaxSim, Khattab &
+    * Zaharia 2020): documents and queries carry TOKEN-level vectors,
+    * and the score is Σ over query tokens of the best-matching doc
+    * token — the operator shape single-vector cosine cannot express
+    * (a query term can align to a different doc region each). Token
+    * vectors here are the 64-dim embedding reshaped to 8 tokens × 8
+    * dims (deterministic slicing — the corpus carries no token-level
+    * data, so the RESHAPE is the harness and the OPERATOR is real).
+    * All 8×8 dots run row-locally inside one HOF expression with a
+    * pinned left-fold order; the only shuffle is TopKAgg's bounded
+    * top-10. */
+  def qMaxSim(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val qts: Seq[Array[Double]] = q0.grouped(8).toSeq
+    val ed = transform(col("embedding"), x => x.cast("double"))
+    def dot8(qt: Array[Double], t: org.apache.spark.sql.Column) =
+      (0 until 8).map(k =>
+        lit(qt(k)) * element_at(ed, (t * 8 + k + 1).cast("int")))
+        .reduce(_ + _)
+    val score = qts.map(qt =>
+      array_max(transform(sequence(lit(0), lit(7)), t => dot8(qt, t))))
+      .reduce(_ + _)
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(score, 4).as("maxsim4"))
+      .groupBy()
+      .agg(graft.functions.TopKAgg(-col("maxsim4"), col("vec_id"),
+        lit(0L), 10).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("t.tie").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("t.key")).as("maxsim4"))
+  }
+
   /** Embedding outlier audit under the FROZEN shared coarse quantizer
     * (the same artifact IVF serving, SemDeDup and the drift monitor
     * read): a vector far from its own cluster centroid is junk — a
@@ -548,6 +584,7 @@ object AnnQueries {
     "q_ann_recall_matryoshka" -> (qAnnRecallMatryoshka _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_rrf_fusion" -> (qRrfFusion _),
+    "q_maxsim" -> (qMaxSim _),
     "q_embedding_outliers" -> (qEmbeddingOutliers _),
     "q_label_kappa" -> (qLabelKappa _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
@@ -1135,6 +1172,28 @@ object AnnQueries {
          |  CAST(k.n_agree AS BIGINT) AS n_agree, k.kappa
          |FROM cells c JOIN rm ON c.a = rm.a JOIN cm ON c.b = cm.b,
          |     kap k""".stripMargin,
+
+    // MaxSim replay: same reshape, same left-fold dot order, same
+    // (score desc, id) rank
+    "q_maxsim" -> {
+      val dot = (1 to 8).map(k =>
+        s"q.qe[qt * 8 + $k] * v.e[t * 8 + $k]").mkString("\n|        + ")
+      s"""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |sc AS (SELECT v.vec_id,
+         |  ROUND(list_sum(list_transform(range(0, 8), qt ->
+         |    list_max(list_transform(range(0, 8), t ->
+         |        $dot)))), 4) AS maxsim4
+         |  FROM v, q WHERE v.vec_id <> 0),
+         |r AS (SELECT vec_id, maxsim4,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY maxsim4 DESC, vec_id)
+         |          AS INT) AS rk
+         |      FROM sc)
+         |SELECT vec_id, rk AS "rank", maxsim4
+         |FROM r WHERE rk <= 10""".stripMargin
+    },
 
     // RRF fusion: the BM25 CTE chain (shared with q_bm25) + a dense
     // brute-force leg for query vector 0, fused with the same integer

@@ -593,6 +593,56 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(all.head.getAs[Long]("share_pm") === 1000L)
   }
 
+  test("item co-occurrence: ranked neighbor lists are valid and the " +
+    "power-user cap genuinely bites") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rows = graft.queries.Analytics.qItemCofreq(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("ia")).foreach { case (ia, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.length <= 5, s"item $ia")
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ===
+        (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("cos4"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      rs.foreach { r =>
+        assert(r.getAs[Long]("co") >= 3L)
+        assert(r.getAs[Double]("cos4") > 0.0 &&
+          r.getAs[Double]("cos4") <= 1.0)
+      }
+    }
+    // the deterministic basket cap must fire on this corpus: at least
+    // one user exceeds 48 distinct items (max basket is ~90)
+    val big = graft.Tables.load(spark, SfDir, "lineitem")
+      .join(graft.Tables.load(spark, SfDir, "orders"),
+        c("l_orderkey") === c("o_orderkey"))
+      .select(c("o_custkey"), c("l_partkey")).distinct()
+      .groupBy("o_custkey").count().filter(c("count") > 48).count()
+    assert(big > 0, "no power user at this sf — cap untestable")
+  }
+
+  test("MaxSim: late interaction dominates the matched-position dot " +
+    "and the top list is rank-ordered") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rows = graft.queries.AnnQueries.qMaxSim(spark, SfDir).collect()
+    assert(rows.length === 10)
+    val scores = rows.sortBy(_.getAs[Int]("rank"))
+      .map(_.getAs[Double]("maxsim4"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // Σ_qt max_t dot(qt, e_t) >= Σ_qt dot(qt, e_qt) == the full 64-dot
+    val embs = graft.Tables.load(spark, SfDir, "embeddings")
+      .select(c("vec_id").cast("long"), c("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = embs(0L)
+    rows.foreach { r =>
+      val e = embs(r.getAs[Long]("vec_id"))
+      val full = (0 until 64).map(k => q(k) * e(k)).sum
+      assert(r.getAs[Double]("maxsim4") >= full - 1e-3,
+        s"vec ${r.getAs[Long]("vec_id")}")
+    }
+  }
+
   test("mojibake: every scar repairs back to the intended text and " +
     "clean docs have a zero false-positive floor") {
     val rows = graft.queries.TextQueries.qMojibake(spark, SfDir).collect()
