@@ -98,7 +98,7 @@ object ScaleCheck11c {
       "q_stream_dedup", "q_orc_roundtrip", "q_rrf_fusion",
       "q_embedding_outliers", "q_multimodal_exif", "q_ldiversity",
       "q_multimodal_jpeg_exif", "q_audio_resample", "q_data_card",
-      "q_stream_hll")
+      "q_stream_hll", "q_item_cofreq", "q_maxsim")
 
     probed.foreach(run(_, dir)) // JIT + session-artifact warm-up at 1x
     run("q_orc_roundtrip", out4) // pay the 4x ORC session write once
