@@ -26,6 +26,32 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Star rounds until the edge set reaches a FIXED POINT — the
+    * canonical-extraction step below ("after convergence every edge
+    * points node -> component min") is only correct at a fixed point,
+    * so convergence is ASSERTED, not assumed: a fixed round count
+    * would silently emit wrong canonicals on a component whose
+    * contracted graph needs one more round. Each round's output is
+    * localCheckpointed and the edge set only shrinks (stars replace,
+    * never add), so the per-round equality check (count + one-sided
+    * set difference over the checkpointed frames) costs two small
+    * jobs on a pair-table-sized input — nothing corpus-sized.
+    * Kiveris et al. 2014 prove O(log n) rounds, so the cap is a
+    * safety net, not a tuning knob. */
+  private def converge(e0: DataFrame, maxRounds: Int): DataFrame = {
+    var e = e0
+    var r = 0
+    while (r < maxRounds) {
+      val next = round(e)
+      val stable = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+      r += 1
+      if (stable) return e
+    }
+    throw new IllegalStateException(
+      s"star contraction did not converge within $maxRounds rounds")
+  }
+
   /** One large-star + small-star round over a symmetric edge set
     * (src, dst). Returns the rewritten (still symmetric-on-read)
     * edge set; self-loops are dropped. */
@@ -68,7 +94,7 @@ object ConnectedComponents {
     * of canonicals (plus new ids) is the global component minimum.
     * Spec-pinned equal to a from-scratch build over the union. */
   def componentsDelta(docs: DataFrame, baseAssign: DataFrame,
-                      deltaPairs: DataFrame, rounds: Int = 3): DataFrame = {
+                      deltaPairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val m = baseAssign.select(col("doc_id"), col("canonical_id"))
       .localCheckpoint() // contraction map, read by both endpoints
     val e = deltaPairs
@@ -80,7 +106,7 @@ object ConnectedComponents {
         coalesce(col("cb"), col("idb")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint()
-    val conv = (1 to rounds).foldLeft(e)((g, _) => round(g))
+    val conv = converge(e, maxRounds)
     val merge = conv
       .unionAll(conv.select(col("dst").as("src"), col("dst").as("dst")))
       .groupBy("src").agg(min("dst").as("new_canon"))
@@ -99,11 +125,11 @@ object ConnectedComponents {
     * pair table; docs in no pair are their own canonical — the same
     * output contract as [[Dedup.dedupClusters]]. */
   def components(docs: DataFrame, pairs: DataFrame,
-                 rounds: Int = 3): DataFrame = {
+                 maxRounds: Int = 20): DataFrame = {
     val e0 = pairs.select(col("ida").as("src"), col("idb").as("dst"))
       .localCheckpoint()
-    val converged = (1 to rounds).foldLeft(e0)((e, _) => round(e))
-    // after convergence every edge points node -> component min
+    val converged = converge(e0, maxRounds)
+    // at the (asserted) fixed point every edge points node -> component min
     val canon = converged
       .unionAll(converged.select(col("dst").as("src"),
         col("dst").as("dst")))

@@ -677,10 +677,12 @@ object CurationQueries {
     *  - Target = the English slice (the paper's "formal text" stand-in
     *    on this corpus); raw = everything.
     *  - Per-feature score: the RATIONAL likelihood ratio
-    *    ((p_f+1)·Sq·10⁴) div ((q_f+1)·Sp) with add-one smoothing —
+    *    ((p_f+1)·10⁴ div (q_f+1))·Sq div Sp with add-one smoothing —
     *    the paper's log-ratio is banned cross-engine (SURVEY §3:
-    *    no transcendentals), so the ratio itself is kept: per-feature
-    *    monotone in the same direction, integer-exact in both engines.
+    *    no transcendentals), so the ratio itself is kept, STAGED so no
+    *    intermediate exceeds ~1e17 at 10¹³ corpus features (p_f ≤ q_f
+    *    bounds the inner term by 10⁴): per-feature monotone in the
+    *    same direction, integer-exact in both engines.
     *  - Doc importance W_d = Σ_f c_{d,f}·score_f — one broadcast join
     *    of the ≤B-row score table onto the exploded features, one
     *    map-side-combined sum.
@@ -715,10 +717,16 @@ object CurationQueries {
       .groupBy("f").agg(count(lit(1)).as("pf"))
     val totals = qf.agg(sum("qf").as("sq"))
       .crossJoin(pf.agg(sum("pf").as("sp"))) // 1 row
+    // staged integer ratio ((pf+1)·10⁴ div (qf+1)) · sq div sp — NOT the
+    // single-expression (pf+1)·sq·10⁴/((qf+1)·sp): pf·sq·10⁴ overflows
+    // Long once corpus features approach ~1e9 (Spark wraps silently,
+    // DuckDB errors). Here pf ≤ qf (en features ⊆ corpus features), so
+    // the inner term is ≤ 10⁴ and every intermediate stays < ~1e17 even
+    // at 10¹³ corpus features — the 100 TB design point holds.
     val score = qf.join(pf, Seq("f"), "left").na.fill(0L, Seq("pf"))
       .crossJoin(broadcast(totals))
       .select(col("f"),
-        expr("(pf + 1) * sq * 10000 div ((qf + 1) * sp)").as("fscore"))
+        expr("((pf + 1) * 10000 div (qf + 1)) * sq div sp").as("fscore"))
     // LENGTH-NORMALIZED importance (mean feature score): the raw sum is
     // dominated by document length (measured: fr's raw-sum mean beat
     // en's), while the per-feature mean separates en ~1.7 SD above
@@ -1453,7 +1461,7 @@ object CurationQueries {
          |tot AS (SELECT (SELECT SUM(qf) FROM qc) AS sq,
          |               (SELECT SUM(pf) FROM pc) AS sp),
          |sc AS (SELECT qc.f,
-         |         (COALESCE(pf, 0) + 1) * sq * 10000 // ((qf + 1) * sp)
+         |         ((COALESCE(pf, 0) + 1) * 10000 // (qf + 1)) * sq // sp
          |           AS fscore
          |       FROM qc LEFT JOIN pc ON qc.f = pc.f, tot),
          |w AS (SELECT doc_id, SUM(fscore) * 1000 // COUNT(*) AS w_norm

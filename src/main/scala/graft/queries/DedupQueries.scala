@@ -148,8 +148,7 @@ object DedupQueries {
     val d = docs(spark, dir)
     graft.operators.ConnectedComponents.components(d,
       Dedup.minhashPairs(d, K, numHashes = 64, bands = 16,
-        minEst = 0.2).select(col("ida"), col("idb")),
-      rounds = 3)
+        minEst = 0.2).select(col("ida"), col("idb")))
   }
 
   /** Incremental components: the 80% of docs with doc_id % 5 != 4 play
@@ -167,10 +166,10 @@ object DedupQueries {
     val basePairs = all.filter(col("ida") % 5 =!= 4 && col("idb") % 5 =!= 4)
     val deltaPairs = all.filter(col("ida") % 5 === 4 || col("idb") % 5 === 4)
     val baseAssign = graft.operators.ConnectedComponents
-      .components(d.filter(col("doc_id") % 5 =!= 4), basePairs, rounds = 3)
+      .components(d.filter(col("doc_id") % 5 =!= 4), basePairs)
       .select(col("doc_id"), col("canonical_id"))
     graft.operators.ConnectedComponents
-      .componentsDelta(d, baseAssign, deltaPairs, rounds = 3)
+      .componentsDelta(d, baseAssign, deltaPairs)
   }
 
   /** Benchmark decontamination: docs from source 'src0' play the

@@ -109,8 +109,9 @@ object HtmlQueries {
 
   /** q_html_links: outlink extraction → edge list with degrees. The
     * regex extraction is row-local (scan → extract → posexplode); the
-    * only shuffle is the indegree aggregate on target_id, whose result
-    * (≤1000 rows here; domain-bounded in general) broadcast-joins back.
+    * only shuffle is the indegree aggregate on target_id. The indegree
+    * table grows with the page graph (≤1000 rows here, unbounded on a
+    * real crawl), so the join back is AQE-decided, not force-broadcast.
     */
   def qHtmlLinks(spark: SparkSession, dir: String): DataFrame = {
     val edges = linkPage(spark, dir)
@@ -123,7 +124,7 @@ object HtmlQueries {
         (pmod(col("doc_id"), lit(3L)) + lit(1L)).as("out_degree"))
     val indeg = edges.groupBy("target_id")
       .agg(count(lit(1)).as("in_degree"))
-    edges.join(broadcast(indeg), Seq("target_id"))
+    edges.join(indeg, Seq("target_id"))
       .select(col("doc_id"), col("pos"), col("target_id"),
         col("out_degree"), col("in_degree"))
   }
@@ -324,8 +325,8 @@ object HtmlQueries {
         |  CASE WHEN (lsch = 'http' AND port = ':80')
         |         OR (lsch = 'https' AND port = ':443') THEN ''
         |       ELSE port END AS cport,
-        |  regexp_replace(regexp_replace(path, '/\./', '/'),
-        |    '/[^/]+/\.\./', '/') AS cpath,
+        |  regexp_replace(regexp_replace(path, '/\./', '/', 'g'),
+        |    '/[^/]+/\.\./', '/', 'g') AS cpath,
         |  CASE WHEN q = '' THEN []
         |       ELSE list_sort(list_filter(
         |         string_split(substr(q, 2), '&'),

@@ -204,8 +204,10 @@ object EventsStream {
     * this one transform serves the batch CORRECTNESS row and the
     * streaming parity spec. */
   def enrichAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    // the customer dim grows with the scale factor — no forced
+    // broadcast hint; the planner broadcasts when its size allows
     Tables.normalizeTs(events)
-      .join(broadcast(dim), Seq("user_id"))
+      .join(dim, Seq("user_id"))
       .groupBy(col("segment"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))

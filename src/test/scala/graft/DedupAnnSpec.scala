@@ -800,7 +800,7 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     val pairs = Dedup.minhashPairs(d, 8, numHashes = 64, bands = 16,
       minEst = 0.2).select(col("ida"), col("idb")).localCheckpoint()
     val byStar = graft.operators.ConnectedComponents
-      .components(d, pairs, rounds = 3)
+      .components(d, pairs)
     val byProp = Dedup.dedupClusters(d, pairs)
     // the spec the shared oracle rests on: the ALGORITHM must not
     // change answers — full outer join finds any divergent row
@@ -849,7 +849,7 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     val d = (1L to n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("ida", "idb")
     val out = graft.operators.ConnectedComponents
-      .components(d, pairs, rounds = 6)
+      .components(d, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size === 64)
     assert(out.values.toSet === Set(1L)) // one component, canonical = 1

@@ -163,13 +163,29 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("entity resolution served from persisted artifacts equals the " +
-    "inline pipeline exactly") {
-    // the indexed-ANN rule applied to the similarity join: indexing
-    // must never change answers
+  test("deletion-neighborhood serve dominates the blocked pipeline: " +
+    "complete at lev<=1, winner never worse under the decision rule") {
+    // the served index is EXACT at its operating point (every lev<=1
+    // pair is a candidate), so per record its winner's composite key
+    // (lev*2 + 1-jac) must be <= the general blocked pipeline's — a
+    // probabilistic blocking can only miss candidates, never find
+    // better ones — and its recall carries the family's quality bar
+    val key = (lev: Long, jac: Double) => lev * 2 + (1.0 - jac)
     val a = graft.queries.Analytics.qEntityResolve(spark, SfDir)
+      .collect().map(r => r.getAs[Long]("rid") ->
+        key(r.getAs[Long]("lev"), r.getAs[Double]("jac"))).toMap
     val b = graft.queries.Analytics.qEntityResolveIndexed(spark, SfDir)
-    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      .collect()
+    assert(b.map(_.getAs[Long]("rid")).toSet == a.keySet,
+      "served and inline paths must resolve the same record set")
+    b.foreach { r =>
+      val rid = r.getAs[Long]("rid")
+      val kb = key(r.getAs[Long]("lev"), r.getAs[Double]("jac"))
+      assert(kb <= a(rid) + 1e-9,
+        s"rid=$rid: exact serve lost to probabilistic blocking")
+    }
+    val recall = b.count(_.getAs[Boolean]("hit")).toDouble / b.length
+    assert(recall >= 0.96, s"deletion-neighborhood recall $recall")
   }
 
   test("attribution: touch window is honored and last touch matches " +

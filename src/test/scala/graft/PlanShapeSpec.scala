@@ -134,6 +134,53 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"unexpected extra windows:\n$p")
   }
 
+  test("r12 no forced broadcast on scale-proportional inputs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // the Dedup.scala rule, now enforced plan-wide: a broadcast HINT is
+    // only legal over a provably-bounded frame — the fixed-cardinality
+    // dimensions (nation=25, region=5 at ANY scale factor) or a global
+    // (ungrouped, 1-row) aggregate. customer/part/supplier/orders/
+    // lineitem/events/documents/embeddings grow with sf: a forced hint
+    // there is honored regardless of runtime size and OOMs the driver
+    // at the 100 TB design point, so their join strategy belongs to AQE.
+    val bounded = Set("nation.parquet", "region.parquet")
+    def leafTables(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Seq[String] =
+      p.collectLeaves().flatMap {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.getName)
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    val affected = Seq("q_top_revenue", "q3_shipping", "q5_local",
+      "q9_profit", "q10_returns", "q7_volume", "q_rolling_revenue",
+      "q_sales_cube", "q_item_cofreq", "q_sar_export", "q_cascade_delete",
+      "q_data_contract", "q_html_links", "q_skew_report")
+    for (q <- affected) {
+      val analyzed = SparkEntry.queries(q)(spark, SfDir)
+        .queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.isDefined =>
+          val oneRowAgg = h.child.collectFirst {
+            case a: Aggregate if a.groupingExpressions.isEmpty => a
+          }.isDefined
+          val leaves = leafTables(h.child)
+          assert(oneRowAgg || leaves.forall(bounded.contains),
+            s"$q forces a broadcast over scale-proportional " +
+              s"input(s) ${leaves.mkString(", ")}")
+        case _ =>
+      }
+    }
+    // and dropping the hints must NOT change the sf-test plan: AQE /
+    // size statistics still pick broadcast joins for the small dims
+    val p = plan("q_top_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_top_revenue lost its size-based broadcast at test sf:\n$p")
+  }
+
   test("r11c ORC read-back prunes partitions and pushes the residual " +
     "filter into the reader") {
     val p = plan("q_orc_roundtrip")
