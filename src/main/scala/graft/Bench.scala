@@ -24,6 +24,32 @@ object Bench {
   private val CpuFloorSec = 0.15
   private val ShufFloorSec = 0.35
 
+  /** Per-query quiet-box floors (r12) — the canary's mid-run blind
+    * spot closed: BENCH_r11 shipped ~31 s of MID-RUN contention on four
+    * queries while both endpoint canaries passed. FLOORS.json (committed;
+    * regenerated per round as min across two full warmed Bench passes on
+    * a quiet box) carries each query's floor at its sf; any measured row
+    * above [[FloorRatio]]× its floor is re-timed up to two more times,
+    * and a row that stays above the gate is listed in
+    * `"contended_queries"` — inflation can no longer ship unlabeled. */
+  private val FloorRatio = 2.5
+
+  private def loadFloors(sfDir: String): Map[String, Double] = {
+    try {
+      val p = java.nio.file.Paths.get("FLOORS.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = java.nio.file.Files.readString(p)
+        // floors only gate runs at the sf they were measured at
+        val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
+          .exists(m => sfDir.endsWith(m.group(1)))
+        if (!sfOk) Map.empty
+        else "\"(q[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
   /** Two fixed corpus-independent probes, min-of-2 each: a pure
     * codegen CPU loop and a small shuffle. Run at START and END of the
     * measured pass; either exceeding 2x its floor marks the emitted
@@ -79,6 +105,7 @@ object Bench {
     }
     val warmSec = (System.nanoTime() - tWarm0) / 1e9
     val (cs1, cs2) = canary(spark)
+    val floors = loadFloors(sfDir)
     // Same-commit runs on this box have differed 2.1x end-to-end (59 s vs
     // 125 s) with untouched single queries swinging up to 12x — CPU
     // contention noise, not code. Queries over 1 s therefore run up to 3
@@ -102,25 +129,44 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      // floor gate: a measured min above FloorRatio x the committed
+      // quiet-box floor is presumed contention, re-timed up to twice
+      // more; only a row that STAYS above the gate ships, and it ships
+      // flagged (see contended_queries below)
+      def floorGate(t: Double): Double = floors.get(name) match {
+        case Some(f) if f > 0.05 && t > FloorRatio * f =>
+          val (tr, er) = once()
+          val lo = if (er.isDefined) t else math.min(t, tr)
+          if (lo > FloorRatio * f) {
+            val (tr2, er2) = once()
+            if (er2.isDefined) lo else math.min(lo, tr2)
+          } else lo
+        case _ => t
+      }
       val (t1, e1) = once()
       // a failed query's timing is NEGATED: the errors field carries the
       // cause, and the sign makes a fast crash unmistakable to consumers
       // that only read the timings
       if (e1.isDefined) (name, -t1, e1)
-      else if (t1 <= 1.0) (name, t1, None)
+      else if (t1 <= 1.0) (name, floorGate(t1), None)
       else {
         val (t2, e2) = once()
         if (e2.isDefined) (name, -t2, e2)
         else {
           val lo = math.min(t1, t2)
-          if ((math.max(t1, t2) - lo) / lo <= 0.2) (name, lo, None)
+          if ((math.max(t1, t2) - lo) / lo <= 0.2) (name, floorGate(lo), None)
           else {
             val (t3, e3) = once()
             if (e3.isDefined) (name, -t3, e3)
-            else (name, math.min(lo, t3), None)
+            else (name, floorGate(math.min(lo, t3)), None)
           }
         }
       }
+    }
+    // rows still above the gate after re-timing: shipped, but labeled
+    val contendedQs = results.collect {
+      case (k, v, None) if floors.get(k).exists(f =>
+        f > 0.05 && v > FloorRatio * f) => k
     }
     val (ce1, ce2) = canary(spark)
     val contended = cs1 > 2 * CpuFloorSec || cs2 > 2 * ShufFloorSec ||
@@ -149,7 +195,8 @@ object Bench {
     // only successful timings count toward the headline total
     val total = results.collect { case (_, v, None) => v }.sum
     val cjson = s"""{"start":[${num(cs1)},${num(cs2)}],"end":[${num(ce1)},${num(ce2)}],"floors":[${num(CpuFloorSec)},${num(ShufFloorSec)}]}"""
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","warmed":$warmed,"warm_sec":${num(warmSec)},"contended":$contended,"canary":$cjson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val cqjson = contendedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","warmed":$warmed,"warm_sec":${num(warmSec)},"contended":$contended,"floors_n":${floors.size},"floor_ratio":$FloorRatio,"contended_queries":$cqjson,"canary":$cjson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with [info], which can defeat line-level JSON
     // parsing downstream — also drop the bare line in a file.
@@ -170,7 +217,11 @@ object Bench {
     val qt = results.map { case (_, v, _) => snum(v) }
       .mkString("[", ",", "]")
     val nerr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"warm_sec":${num(warmSec)},"err_n":$nerr,"contended":$contended,"key_order":"sorted(queries.keys)","qt":$qt,"queries_full":"BENCH_LATEST.json"}""")
+    // compact line must fit the consumer's ~2000-char window: cap the
+    // flagged-query list here (the full list is in BENCH_LATEST.json)
+    val cqCap = contendedQs.take(8).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"warm_sec":${num(warmSec)},"err_n":$nerr,"contended":$contended,"floors_n":${floors.size},"cq_n":${contendedQs.size},"contended_queries":$cqCap,"key_order":"sorted(queries.keys)","qt":$qt,"queries_full":"BENCH_LATEST.json"}""")
     spark.stop()
   }
 }

@@ -75,4 +75,23 @@ object TextFunctions {
     * pair, de↔en Germanic pair, zh code-switches toward en). */
   val langidNeighbor: Map[String, String] = Map(
     "en" -> "de", "de" -> "en", "es" -> "fr", "fr" -> "es", "zh" -> "en")
+
+  /** CHARACTER-BIGRAM profiles (r12) scored beside the function words —
+    * the classic n-gram-profile layer (Cavnar & Trenkle 1994) that
+    * disambiguates what whole-word hits alone cannot (a doc whose one
+    * own word ties a two-word neighbor plant). Each bigram is chosen
+    * (a) occurring inside its own language's profile words, (b) absent
+    * from every other language's profile words, and (c) absent from the
+    * generator's 31-word ambient vocabulary — verified at all shipped
+    * sf — so a bigram hit, like a word hit, can only come from
+    * language-marked text, and the oracle can derive every count
+    * analytically from the plant arithmetic. A 2-letter match can never
+    * span a space, so a substring count over the whole text equals the
+    * per-word count the oracle computes. */
+  val langidBigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("is", "of"),
+    "de" -> Seq("di", "ei", "ie", "zu"),
+    "es" -> Seq("el", "la", "os"),
+    "fr" -> Seq("es", "et"),
+    "zh" -> Seq("ai", "bu", "hi", "wo", "yo", "za"))
 }

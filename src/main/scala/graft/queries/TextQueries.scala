@@ -53,12 +53,19 @@ object TextQueries {
     * frequencies are uniform across the five labels — the label column
     * is independent of the text), so language-marked text is PLANTED
     * deterministically from (doc_id, lang) — the same move as the PII /
-    * CSV-hazard / unicode rows: d%5 own-profile words plus, for
-    * doc_id%7==0, two confusable-NEIGHBOR words (es↔fr, de↔en, zh→en).
+    * CSV-hazard / unicode rows: 2 + d%5 own-profile words (r12; none
+    * for the doc_id%13==0 honest-'und' stratum) plus, for doc_id%7==0,
+    * two confusable-NEIGHBOR words (es↔fr, de↔en, zh→en). Scoring adds
+    * a CHAR-BIGRAM profile layer ([[graft.functions.TextFunctions
+    * .langidBigrams]], Cavnar & Trenkle 1994) beside the function
+    * words: score = 2·word-hits + bigram-hits, so word-level ties
+    * (one own word vs a two-word neighbor plant) break on character
+    * evidence — measured diagonal recall >= 0.85 every language at
+    * every shipped sf (spec-pinned), up from the word-only 0.70-0.79.
     * The engine does the real regex match work against the planted
     * text; the oracle derives every score ANALYTICALLY from the same
     * (doc_id, lang) arithmetic, so generation and extraction check
-    * each other. Docs with no markers come out 'und'; docs where the
+    * each other. Signal-free docs come out 'und'; docs where the
     * neighbor plant outweighs the own plant come out as that neighbor
     * — a real confusion structure, not a constant column. */
   /** The langid family's deterministic marker planting, shared by the
@@ -81,9 +88,15 @@ object TextQueries {
     val neighborCol = langidNeighbor.foldLeft(lit(null: String)) {
       case (acc, (l, n)) => when(col("lang") === l, lit(n)).otherwise(acc)
     }
-    // own markers: j < doc_id % 5 of profile[(doc_id + j) % 5]
-    val ownParts = (0 until 4).map { j =>
-      when(lit(j) < did % 5, profileWord(col("lang"), (did + j) % 5))
+    // own markers (r12): j < 2 + doc_id % 5 of profile[(doc_id + j) % 5]
+    // — every doc carries 2-5 own markers EXCEPT the doc_id % 13 == 0
+    // stratum, which gets none (the honest-'und' class: genuinely
+    // signal-free text must stay predictable as unknown). The old
+    // j < doc_id % 5 left 20% of docs marker-free, capping diagonal
+    // recall at 0.8 before the scorer even ran.
+    val ownParts = (0 until 5).map { j =>
+      when(lit(j) < lit(2) + did % 5 && did % 13 =!= 0,
+        profileWord(col("lang"), (did + j) % 5))
         .otherwise(lit(null: String))
     }
     val confParts = Seq(did % 5, (did + 2) % 5).map { idx =>
@@ -97,8 +110,16 @@ object TextQueries {
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val planted = langidPlantedText(d)
+    // score = 2·(function-word hits) + (char-bigram hits): words carry
+    // double weight (a whole-word match is stronger evidence than two
+    // incidental chars), bigrams break word-level ties. Bigrams count
+    // PER PATTERN (overlapping bigrams like za|ai in 'zai' both hit —
+    // one alternation regex would consume 'za' and miss 'ai').
+    val bigs = langidBigrams.toMap
     val scored = langidProfiles.foldLeft(planted) { case (df, (lang, words)) =>
-      df.withColumn(s"score_$lang", stopwordCount(col("t"), words))
+      df.withColumn(s"score_$lang",
+        stopwordCount(col("t"), words) * 2 +
+          bigs(lang).map(b => reCount(col("t"), b)).reduce(_ + _))
     }
     val scores = langidProfiles.map { case (l, _) => col(s"score_$l") }
     val best = greatest(scores: _*)
@@ -518,15 +539,25 @@ object TextQueries {
     new String(Array(((s >> 16) & 0xffff).toChar, (s & 0xffff).toChar))
   }
 
+  /** Merge rounds trained by q_bpe_train / priced by q_bpe_fertility:
+    * 5 rounds (r12, up from 2) so the vocab trajectory is non-trivial
+    * and later rounds can merge pairs CONTAINING earlier placeholder
+    * symbols (the real BPE recursion). Placeholders are chr(1)..chr(5):
+    * below every corpus char in both UTF-16 code-unit and UTF-8 byte
+    * order, so the argmax tiebreak stays engine-identical. */
+  private[queries] val BpeRounds = 5
+
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    def pairs(df: DataFrame): DataFrame = bpePairs(df)
-    def bestMerge(counts: DataFrame): String = bpeBestMerge(counts)
     val d0 = docs(spark, dir).select(lower(col("text")).as("t"))
-    val m1 = bestMerge(pairs(d0))
-    val d1 = d0.select(replace(col("t"), lit(m1), lit("\u0001")).as("t"))
-    val m2 = bestMerge(pairs(d1))
-    val d2 = d1.select(replace(col("t"), lit(m2), lit("\u0002")).as("t"))
-    pairs(d2)
+    // each round: ONE map-side-combined pair count (bounded by
+    // |alphabet|^2), driver argmax, corpus-wide literal replace - the
+    // replaces stack lazily, so round r's count job is still a single
+    // scan applying r row-local replaces
+    val dFinal = (1 to BpeRounds).foldLeft(d0) { (d, r) =>
+      val m = bpeBestMerge(bpePairs(d))
+      d.select(replace(col("t"), lit(m), lit(r.toChar.toString)).as("t"))
+    }
+    bpePairs(dFinal)
       .orderBy(col("c").desc, col("s").asc).limit(10)
       .select(
         shiftright(col("s"), 16).cast("long").as("a"),
@@ -545,22 +576,25 @@ object TextQueries {
     * map-side-combined length sum. */
   def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val d0 = docs(spark, dir).select(lower(col("text")).as("t"))
-      .localCheckpoint() // three stages + the char total read it
-    val m1 = bpeBestMerge(bpePairs(d0))
-    val d1 = d0.select(replace(col("t"), lit(m1), lit("\u0001")).as("t"))
-      .localCheckpoint()
-    val m2 = bpeBestMerge(bpePairs(d1))
-    val d2 = d1.select(replace(col("t"), lit(m2), lit("\u0002")).as("t"))
+      .localCheckpoint() // every stage + the char total read it
     def stage(df: DataFrame, k: Long, merge: String): DataFrame =
       df.agg(sum(length(col("t")).cast("long")).as("n_tokens"))
         .select(lit(k).as("k"),
           lit(if (merge.isEmpty) 0L else merge.charAt(0).toLong).as("a"),
           lit(if (merge.isEmpty) 0L else merge.charAt(1).toLong).as("b"),
           col("n_tokens"))
+    // fold the merge rounds, checkpointing each stage (read by the
+    // next round's count AND its own length sum)
+    val (stages, _) = (1 to BpeRounds)
+      .foldLeft((Seq(stage(d0, 0L, "")), d0)) { case ((acc, d), r) =>
+        val m = bpeBestMerge(bpePairs(d))
+        val dn = d.select(replace(col("t"), lit(m),
+          lit(r.toChar.toString)).as("t")).localCheckpoint()
+        (acc :+ stage(dn, r.toLong, m), dn)
+      }
     val chars0 = d0.agg(sum(length(col("t")).cast("long"))
       .as("n_chars")) // the k=0 token count IS the char count
-    stage(d0, 0L, "").unionAll(stage(d1, 1L, m1))
-      .unionAll(stage(d2, 2L, m2))
+    stages.reduce(_ unionAll _)
       .crossJoin(broadcast(chars0))
       .select(col("k"), col("a"), col("b"), col("n_tokens"),
         col("n_chars"),
@@ -1073,27 +1107,34 @@ object TextQueries {
     * from the SAME (doc_id, lang) arithmetic the engine's marker
     * planting uses — the oracle never runs the regex, so the planted
     * generation and the regex extraction CHECK EACH OTHER (the
-    * PII/image-oracle precedent). Own plant = doc_id%5 profile words;
-    * confusable-neighbor plant = 2 words when doc_id%7=0; prediction =
-    * unique argmax with >=1 hit, else 'und'. */
+    * PII/image-oracle precedent). Own plant (r12) = 2 + doc_id%5
+    * profile words unless doc_id%13=0 (the honest-'und' stratum);
+    * confusable-neighbor plant = 2 words when doc_id%7=0. Score =
+    * 2·word-hits + char-bigram hits, where the per-(planted word,
+    * scoring lang) bigram contribution is a STATIC 125-row VALUES
+    * table computed here from the same profiles the engine scans
+    * with; prediction = unique argmax with >=1 hit, else 'und'. */
   private lazy val langIdScoreCtes: String = {
-    // inverse neighbor map: which LABELS plant language l's markers
-    val planters: Map[String, Seq[String]] =
-      langidProfiles.map { case (l, _) =>
-        l -> langidNeighbor.collect {
-          case (src, dst) if dst == l => src
-        }.toSeq.sorted
-      }.toMap
-    val scoreCols = langidProfiles.map { case (l, _) =>
-      val own = s"CASE WHEN lang = '$l' THEN nm ELSE 0 END"
-      val conf = planters(l) match {
-        case Seq() => "0"
-        case ps => s"CASE WHEN cf AND lang IN (" +
-          ps.map("'" + _ + "'").mkString(", ") + ") THEN 2 ELSE 0 END"
-      }
-      s"CAST($own + $conf AS BIGINT) AS score_$l"
-    }.mkString(",\n  ")
+    val prof = langidProfiles.toMap
+    val bigs = langidBigrams.toMap
+    def occ(w: String, b: String): Int =
+      (0 to w.length - b.length).count(i => w.startsWith(b, i))
+    // v(plang, idx, slang) = what planting word idx of plang's profile
+    // adds to slang's score: 2 for the whole-word hit (profiles are
+    // disjoint across languages) + that word's slang-bigram occurrences
+    val tblRows = (for {
+      (pl, ws) <- langidProfiles; (w, idx) <- ws.zipWithIndex
+      (sl, _) <- langidProfiles
+      v = (if (pl == sl) 2 else 0) + bigs(sl).map(b => occ(w, b)).sum
+      if v > 0
+    } yield s"('$pl', $idx, '$sl', $v)").mkString(", ")
+    val nbRows = langidNeighbor
+      .map { case (l, n) => s"('$l', '$n')" }.mkString(", ")
     val names = langidProfiles.map(l => s"score_${l._1}")
+    val scoreCols = langidProfiles.map { case (l, _) =>
+      s"CAST(COALESCE(SUM(CASE WHEN slang = '$l' THEN v END), 0)" +
+        s" AS BIGINT) AS score_$l"
+    }.mkString(",\n  ")
     val best = "GREATEST(" + names.mkString(", ") + ")"
     val nbest = names.map(n => s"CASE WHEN $n = $best THEN 1 ELSE 0 END")
       .mkString(" + ")
@@ -1101,11 +1142,23 @@ object TextQueries {
       case (acc, (l, _)) =>
         s"CASE WHEN score_$l = $best THEN '$l' ELSE $acc END"
     }
-    s"""s AS (SELECT doc_id, lang, doc_id % 5 AS nm,
-       |       doc_id % 7 = 0 AS cf FROM d),
-       |sc AS (SELECT doc_id, lang,
+    s"""tbl(plang, idx, slang, v) AS (SELECT * FROM (VALUES $tblRows)),
+       |nbm(l, n) AS (SELECT * FROM (VALUES $nbRows)),
+       |contrib AS (
+       |  SELECT d.doc_id, t.slang, t.v
+       |  FROM d, (SELECT unnest(generate_series(0, 4)) AS j) jj, tbl t
+       |  WHERE d.doc_id % 13 <> 0 AND jj.j < 2 + d.doc_id % 5
+       |    AND t.plang = d.lang AND t.idx = (d.doc_id + jj.j) % 5
+       |  UNION ALL
+       |  SELECT d.doc_id, t.slang, t.v
+       |  FROM d JOIN nbm ON nbm.l = d.lang,
+       |       (SELECT unnest([0, 2]) AS o) oo, tbl t
+       |  WHERE d.doc_id % 7 = 0 AND t.plang = nbm.n
+       |    AND t.idx = (d.doc_id + oo.o) % 5),
+       |sc AS (SELECT d.doc_id, d.lang,
        |  $scoreCols
-       |FROM s),
+       |FROM d LEFT JOIN contrib c ON c.doc_id = d.doc_id
+       |GROUP BY 1, 2),
        |p AS (SELECT doc_id, lang, ${names.mkString(", ")},
        |  CASE WHEN $best >= 1 AND ($nbest) = 1
        |       THEN $argmax ELSE 'und' END AS pred_lang
@@ -1227,20 +1280,21 @@ object TextQueries {
            |       greatest(len(t) - 1, 1))) AS i) u
            |WHERE len(substr(t, CAST(i AS INT), 2)) = 2 GROUP BY 1"""
           .stripMargin
+      // CTE-unrolled round chain, generated from the SAME BpeRounds
+      // constant the engine folds over
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""p$r AS (${pairsSql(s"d${r - 1}")}),
+           |m$r AS (SELECT pr FROM p$r ORDER BY c DESC, pr ASC LIMIT 1),
+           |d$r AS (SELECT replace(t, (SELECT pr FROM m$r), chr($r)) AS t
+           |       FROM d${r - 1})""".stripMargin
+      }.mkString(",\n")
       s"""WITH d0 AS (SELECT lower(text) AS t FROM documents),
-         |p1 AS (${pairsSql("d0")}),
-         |m1 AS (SELECT pr FROM p1 ORDER BY c DESC, pr ASC LIMIT 1),
-         |d1 AS (SELECT replace(t, (SELECT pr FROM m1), chr(1)) AS t
-         |       FROM d0),
-         |p2 AS (${pairsSql("d1")}),
-         |m2 AS (SELECT pr FROM p2 ORDER BY c DESC, pr ASC LIMIT 1),
-         |d2 AS (SELECT replace(t, (SELECT pr FROM m2), chr(2)) AS t
-         |       FROM d1),
-         |p3 AS (${pairsSql("d2")})
+         |$rounds,
+         |pf AS (${pairsSql(s"d$BpeRounds")})
          |SELECT CAST(unicode(substr(pr, 1, 1)) AS BIGINT) AS a,
          |  CAST(unicode(substr(pr, 2, 1)) AS BIGINT) AS b,
          |  CAST(c AS BIGINT) AS cnt
-         |FROM p3 ORDER BY c DESC, pr ASC LIMIT 10""".stripMargin
+         |FROM pf ORDER BY c DESC, pr ASC LIMIT 10""".stripMargin
     },
 
     "q_bpe_fertility" -> {
@@ -1250,32 +1304,32 @@ object TextQueries {
            |       greatest(len(t) - 1, 1))) AS i) u
            |WHERE len(substr(t, CAST(i AS INT), 2)) = 2 GROUP BY 1"""
           .stripMargin
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""p$r AS (${pairsSql(s"d${r - 1}")}),
+           |m$r AS (SELECT pr FROM p$r ORDER BY c DESC, pr ASC LIMIT 1),
+           |d$r AS (SELECT replace(t, (SELECT pr FROM m$r), chr($r)) AS t
+           |       FROM d${r - 1})""".stripMargin
+      }.mkString(",\n")
+      val stages = (0 to BpeRounds).map { k =>
+        if (k == 0)
+          s"""t0 AS (SELECT CAST(0 AS BIGINT) AS k,
+             |         CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+             |         CAST(SUM(len(t)) AS BIGINT) AS n_tokens FROM d0)"""
+            .stripMargin
+        else
+          s"""t$k AS (SELECT CAST($k AS BIGINT),
+             |         CAST(unicode(substr((SELECT pr FROM m$k), 1, 1))
+             |           AS BIGINT),
+             |         CAST(unicode(substr((SELECT pr FROM m$k), 2, 1))
+             |           AS BIGINT),
+             |         CAST(SUM(len(t)) AS BIGINT) FROM d$k)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to BpeRounds).map(k => s"SELECT * FROM t$k")
+        .mkString(" UNION ALL ")
       s"""WITH d0 AS (SELECT lower(text) AS t FROM documents),
-         |p1 AS (${pairsSql("d0")}),
-         |m1 AS (SELECT pr FROM p1 ORDER BY c DESC, pr ASC LIMIT 1),
-         |d1 AS (SELECT replace(t, (SELECT pr FROM m1), chr(1)) AS t
-         |       FROM d0),
-         |p2 AS (${pairsSql("d1")}),
-         |m2 AS (SELECT pr FROM p2 ORDER BY c DESC, pr ASC LIMIT 1),
-         |d2 AS (SELECT replace(t, (SELECT pr FROM m2), chr(2)) AS t
-         |       FROM d1),
-         |t0 AS (SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS a,
-         |         CAST(0 AS BIGINT) AS b,
-         |         CAST(SUM(len(t)) AS BIGINT) AS n_tokens FROM d0),
-         |t1 AS (SELECT CAST(1 AS BIGINT),
-         |         CAST(unicode(substr((SELECT pr FROM m1), 1, 1))
-         |           AS BIGINT),
-         |         CAST(unicode(substr((SELECT pr FROM m1), 2, 1))
-         |           AS BIGINT),
-         |         CAST(SUM(len(t)) AS BIGINT) FROM d1),
-         |t2 AS (SELECT CAST(2 AS BIGINT),
-         |         CAST(unicode(substr((SELECT pr FROM m2), 1, 1))
-         |           AS BIGINT),
-         |         CAST(unicode(substr((SELECT pr FROM m2), 2, 1))
-         |           AS BIGINT),
-         |         CAST(SUM(len(t)) AS BIGINT) FROM d2),
-         |u AS (SELECT * FROM t0 UNION ALL SELECT * FROM t1
-         |      UNION ALL SELECT * FROM t2),
+         |$rounds,
+         |$stages,
+         |u AS ($unions),
          |c0 AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_chars FROM d0)
          |SELECT u.k, u.a, u.b, u.n_tokens, c0.n_chars,
          |  CAST(c0.n_chars * 10000 // u.n_tokens AS BIGINT)
@@ -1298,9 +1352,10 @@ object TextQueries {
          |              string_split_regex(lower(text), '[^a-z]+'),
          |              x -> len(x) > 0)) AS w) u),
          |own AS (SELECT d.lang, p.word
-         |        FROM d, (SELECT unnest(generate_series(0, 3)) AS j) jj,
+         |        FROM d, (SELECT unnest(generate_series(0, 4)) AS j) jj,
          |             prof p
-         |        WHERE jj.j < d.doc_id % 5 AND p.plang = d.lang
+         |        WHERE d.doc_id % 13 <> 0
+         |          AND jj.j < 2 + d.doc_id % 5 AND p.plang = d.lang
          |          AND p.idx = (d.doc_id + jj.j) % 5),
          |conf AS (SELECT d.lang, p.word
          |         FROM d JOIN nb ON d.lang = nb.l,
@@ -1522,8 +1577,8 @@ object TextQueries {
          |    AS n_removed,
          |  CAST(SUM(CASE WHEN boil THEN len(line) ELSE 0 END) AS BIGINT)
          |    AS chars_removed,
-         |  md5(string_agg(CASE WHEN NOT boil THEN line END, chr(10)
-         |    ORDER BY pos)) AS cleaned_hash
+         |  md5(COALESCE(string_agg(CASE WHEN NOT boil THEN line END,
+         |    chr(10) ORDER BY pos), '')) AS cleaned_hash
          |FROM m GROUP BY doc_id""".stripMargin,
 
     "q_license_detect" -> {

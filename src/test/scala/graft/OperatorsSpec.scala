@@ -1564,6 +1564,21 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     layout.unpersist()
   }
 
+  test("r12 langid: confusion diagonal >= 0.85 every language, " +
+    "honest 'und' kept") {
+    val rows = graft.queries.TextQueries.qLangidEval(spark, SfDir)
+      .collect()
+    for (l <- Seq("en", "de", "es", "fr", "zh")) {
+      val diag = rows.find(r =>
+        r.getAs[String]("lang") == l && r.getAs[String]("pred_lang") == l)
+      assert(diag.isDefined, s"$l has no diagonal cell")
+      val rec = diag.get.getAs[Double]("frac_of_actual")
+      assert(rec >= 0.85, s"$l diagonal recall $rec < 0.85")
+    }
+    assert(rows.exists(_.getAs[String]("pred_lang") == "und"),
+      "the honest-'und' stratum must still surface as unknown")
+  }
+
   test("Graft facade mirrors the reference __all__ surface") {
     val polys = GeoData.polyNation(spark, SfDir)
     assert(Graft.dissolve(polys, "rkey").count() === 5)
