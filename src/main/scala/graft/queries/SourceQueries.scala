@@ -215,6 +215,15 @@ object SourceQueries {
     graft.operators.H264.h264MbFeatures(
       Tables.load(spark, dir, "documents"))
 
+  /** Multi-coefficient CAVLC stream (r12): TotalCoeff 0-3 per DC block
+    * exercises the 2<=nC<4 coeff_token table, TrailingOnes signs, the
+    * suffixLength level progression, total_zeros TC=2/3 and run_before
+    * — everything the single-coefficient corpus left stated-
+    * unreachable. Row-local, like every codec path. */
+  def qMultimodalH264Ac(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.H264.h264AcFeatures(
+      Tables.load(spark, dir, "documents"))
+
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -548,6 +557,7 @@ object SourceQueries {
     "q_multimodal_mp3_pcm" -> (qMultimodalMp3Pcm _),
     "q_multimodal_h264" -> (qMultimodalH264 _),
     "q_multimodal_h264_mb" -> (qMultimodalH264Mb _),
+    "q_multimodal_h264_ac" -> (qMultimodalH264Ac _),
     "q_image_phash" -> (qImagePhash _),
     "q_image_hash_eval" -> (qImageHashEval _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
@@ -690,6 +700,120 @@ object SourceQueries {
        |  AND n.mbx = u.mbx""".stripMargin
   }
 
+  /** Multi-coefficient H.264 oracle: the coefficient SET (positions,
+    * levels, TrailingOnes, total_zeros) re-derived from the generator's
+    * (doc_id, mb, k) arithmetic, the multi-coefficient Hadamard
+    * reconstruction replayed cell by cell (f_ij = Σ_k lvl_k·H[i][pr_k]
+    * ·H[j][pc_k], then requant + (dc+32)>>6 + Clip1), and the left-only
+    * prediction chain unrolled over mbx 0..9 like the single-coefficient
+    * oracle. The engine must recover exactly these values THROUGH the
+    * real CAVLC bitstream. */
+  private lazy val h264AcOracle: String = {
+    def clip(e: String) = s"LEAST(GREATEST($e, 0), 255)"
+    def step(k: Int): String = {
+      val pred = if (k == 0) "128"
+        else s"(4 * p.rc_sum + 8) >> 4"
+      val join = if (k == 0) ""
+        else s" JOIN s${k - 1} p ON p.d = b.d AND p.mby = b.mby"
+      s"""s$k AS (SELECT b.d, b.mby, $pred AS pred,
+         |  SUM(${clip(s"($pred) + b.res")}) AS recon_sum,
+         |  SUM(CASE WHEN b.bj = 3
+         |      THEN ${clip(s"($pred) + b.res")} ELSE 0 END) AS rc_sum
+         |  FROM blk b$join WHERE b.mbx = $k
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }
+    val steps = (0 to 9).map(step).mkString(",\n")
+    val union = (0 to 9).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS mbx, * FROM s$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+       |pp AS (SELECT d, 2 + d % 9 AS w, 2 + d % 5 AS h,
+       |         20 + d % 16 AS qp FROM d),
+       |mb AS (SELECT d, qp, mby, mbx, mby * w + mbx AS idx
+       |       FROM pp,
+       |       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS mby) uy,
+       |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS mbx) ux),
+       |co AS (SELECT m.d, m.mby, m.mbx, m.qp,
+       |         ((m.d + m.idx * 7) % 6)
+       |           + kk.k * (1 + (m.d + m.idx) % 5) AS pos,
+       |         (CASE WHEN (m.d + m.idx + kk.k) % 2 = 0
+       |               THEN 1 ELSE -1 END)
+       |         * (CASE WHEN kk.k >= (m.d + m.idx) % 4
+       |                   - (m.d + m.idx * 5) % ((m.d + m.idx) % 4 + 1)
+       |                 THEN 1
+       |                 ELSE 2 + (m.d + m.idx * 3 + kk.k * 11) % 24 END)
+       |           AS lvl
+       |       FROM mb m, (SELECT unnest([0, 1, 2]) AS k) kk
+       |       WHERE kk.k < (m.d + m.idx) % 4),
+       |ag AS (SELECT d, mby, mbx, COUNT(*) AS tc, SUM(lvl) AS lvl_sum,
+       |         SUM(pos) AS pos_sum,
+       |         MAX(pos) + 1 - COUNT(*) AS tzeros,
+       |         MAX(CASE WHEN rn = 1 THEN abs(lvl) END) AS m1,
+       |         MAX(CASE WHEN rn = 2 THEN abs(lvl) END) AS m2,
+       |         MAX(CASE WHEN rn = 3 THEN abs(lvl) END) AS m3
+       |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY d, mby,
+       |               mbx ORDER BY pos DESC) AS rn FROM co) z
+       |       GROUP BY 1, 2, 3),
+       |t1 AS (SELECT d, mby, mbx, tc, lvl_sum, pos_sum, tzeros,
+       |         CASE WHEN m1 = 1 THEN
+       |           CASE WHEN m2 = 1 THEN
+       |             CASE WHEN m3 = 1 THEN 3 ELSE 2 END
+       |           ELSE 1 END
+       |         ELSE 0 END AS t1s
+       |       FROM ag),
+       |am AS (SELECT m.d, m.mby, m.mbx, m.qp,
+       |         COALESCE(t.tc, 0) AS tc, COALESCE(t.t1s, 0) AS t1s,
+       |         COALESCE(t.tzeros, 0) AS tzeros,
+       |         COALESCE(t.lvl_sum, 0) AS lvl_sum,
+       |         COALESCE(t.pos_sum, 0) AS pos_sum
+       |       FROM mb m LEFT JOIN t1 t ON t.d = m.d AND t.mby = m.mby
+       |         AND t.mbx = m.mbx),
+       |nc AS (SELECT a.*, CASE WHEN a.mbx = 0 THEN 0 ELSE l.tc END AS n_c
+       |       FROM am a LEFT JOIN am l ON l.d = a.d AND l.mby = a.mby
+       |         AND l.mbx = a.mbx - 1),
+       |zz AS (SELECT * FROM (VALUES (0,0,0),(1,0,1),(2,1,0),(3,2,0),
+       |        (4,1,1),(5,0,2),(6,0,3),(7,1,2),(8,2,1),(9,3,0),(10,3,1),
+       |        (11,2,2),(12,1,3),(13,2,3),(14,3,2),(15,3,3))
+       |        v(p, pr, pc)),
+       |hm AS (SELECT * FROM (VALUES (0,0,1),(0,1,1),(0,2,1),(0,3,1),
+       |        (1,0,1),(1,1,1),(1,2,-1),(1,3,-1),
+       |        (2,0,1),(2,1,-1),(2,2,-1),(2,3,1),
+       |        (3,0,1),(3,1,-1),(3,2,1),(3,3,-1)) v(i, k, v)),
+       |ls AS (SELECT * FROM (VALUES (0,10),(1,11),(2,13),(3,14),(4,16),
+       |        (5,18)) v(m, a)),
+       |fc AS (SELECT c.d, c.mby, c.mbx, h1.i AS bi, h2.i AS bj,
+       |         SUM(c.lvl * h1.v * h2.v) AS f
+       |       FROM co c
+       |       JOIN zz ON zz.p = c.pos
+       |       JOIN hm h1 ON h1.k = zz.pr
+       |       JOIN hm h2 ON h2.k = zz.pc
+       |       GROUP BY 1, 2, 3, 4, 5),
+       |cg AS (SELECT m.d, m.mby, m.mbx, m.qp, ii.i AS bi, jj.i AS bj
+       |       FROM mb m, (SELECT unnest([0, 1, 2, 3]) AS i) ii,
+       |            (SELECT unnest([0, 1, 2, 3]) AS i) jj),
+       |blk AS (SELECT g.d, g.mby, g.mbx, g.bi, g.bj,
+       |         ((((COALESCE(f.f, 0) * ls.a
+       |             + (CAST(1 AS BIGINT) << (5 - g.qp // 6)))
+       |           >> (6 - g.qp // 6)) + 32) >> 6) AS res
+       |       FROM cg g
+       |       LEFT JOIN fc f ON f.d = g.d AND f.mby = g.mby
+       |         AND f.mbx = g.mbx AND f.bi = g.bi AND f.bj = g.bj
+       |       JOIN ls ON ls.m = g.qp % 6),
+       |$steps,
+       |u AS ($union)
+       |SELECT u.d AS doc_id, u.mbx, u.mby,
+       |  CAST(n.tc AS BIGINT) AS tc, CAST(n.t1s AS BIGINT) AS t1s,
+       |  CAST(n.tzeros AS BIGINT) AS tzeros,
+       |  CAST(n.n_c AS BIGINT) AS n_c,
+       |  CAST(n.lvl_sum AS BIGINT) AS lvl_sum,
+       |  CAST(n.pos_sum AS BIGINT) AS pos_sum,
+       |  CAST(u.pred AS BIGINT) AS pred,
+       |  CAST(u.recon_sum AS BIGINT) AS recon_sum,
+       |  CAST(u.rc_sum AS BIGINT) AS rc_sum
+       |FROM u JOIN nc n ON n.d = u.d AND n.mby = u.mby
+       |  AND n.mbx = u.mbx""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // the codec contract: every field re-derived analytically from the
     // same doc_id arithmetic the synthesizer used
@@ -761,6 +885,7 @@ object SourceQueries {
         |FROM documents
         |WHERE lang IN ('en', 'de') AND n_chars >= 100""".stripMargin,
     "q_multimodal_h264_mb" -> h264MbOracle,
+    "q_multimodal_h264_ac" -> h264AcOracle,
     // VAD segments replayed analytically: frame f of doc d is silence
     // iff (d + f) % 5 < 2 (the planted gate), speech energies from the
     // synth formula, islands via the same frame - row_number key

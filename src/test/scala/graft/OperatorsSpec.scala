@@ -1579,6 +1579,29 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       "the honest-'und' stratum must still surface as unknown")
   }
 
+  test("r12 h264 multi-coefficient CAVLC: the stated-unreachable " +
+    "pieces are genuinely exercised") {
+    val rows = graft.queries.SourceQueries
+      .qMultimodalH264Ac(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    def col(n: String) = rows.map(_.getAs[Long](n))
+    // TotalCoeff spans 0..3 (empty token through 3-coefficient blocks)
+    assert(col("tc").toSet === Set(0L, 1L, 2L, 3L))
+    // the 2<=nC<4 coeff_token table is reached via left neighbors
+    assert(rows.exists(_.getAs[Long]("n_c") >= 2),
+      "2<=nC<4 coeff_token table never selected")
+    // TrailingOnes 0..3 (all sign-bit paths)
+    assert(Set(0L, 1L, 2L, 3L).subsetOf(col("t1s").toSet))
+    // run_before is coded whenever tc >= 2 with zeros interleaved
+    assert(rows.exists(r => r.getAs[Long]("tc") >= 2 &&
+      r.getAs[Long]("tzeros") > 0), "run_before never exercised")
+    // multi-level blocks with non-unit magnitudes drive the
+    // suffixLength progression + escape tiers (decode round-trips
+    // them bit-exactly or the oracle hash would diverge)
+    assert(rows.exists(r => r.getAs[Long]("tc") >= 2 &&
+      math.abs(r.getAs[Long]("lvl_sum")) >= 20))
+  }
+
   test("Graft facade mirrors the reference __all__ surface") {
     val polys = GeoData.polyNation(spark, SfDir)
     assert(Graft.dissolve(polys, "rkey").count() === 5)
