@@ -51,6 +51,26 @@ object ProfileEntity {
     val t16 = time("16x", 16)
     println(f"[entity] ratios: 4x/1x=${t4 / t1}%.2f (linear 4), " +
       f"16x/1x=${t16 / t1}%.2f (linear 16)")
+    // r12: the deletion-neighborhood EXACT serve through the same
+    // synthetic copies (postings built inline per probe — the build
+    // cost scales with the master, the probe cost with the batch)
+    def timeExact(label: String, copies: Int): Double = {
+      val names = graft.queries.Analytics.entityMasterNames(custN(copies))
+        .localCheckpoint()
+      val postings = graft.queries.Analytics.entityDeletionPostings(names)
+      val t0 = System.nanoTime()
+      val n = graft.queries.Analytics.entityResolveExactOn(names, postings)
+        .count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[exact] $label%-4s $s%7.2f s rows=$n")
+      s
+    }
+    timeExact("1x", 1) // warm
+    val e1 = timeExact("1x", 1)
+    val e4 = timeExact("4x", 4)
+    val e16 = timeExact("16x", 16)
+    println(f"[exact] ratios: 4x/1x=${e4 / e1}%.2f (linear 4), " +
+      f"16x/1x=${e16 / e1}%.2f (linear 16)")
     spark.stop()
   }
 }

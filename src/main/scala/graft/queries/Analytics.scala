@@ -821,7 +821,14 @@ object Analytics {
     * the oracle replays exactly (the cap genuinely bites at every sf:
     * max basket 90-105). Pairs prune at co ≥ 3 BEFORE the cosine join;
     * the na/nb margin joins are AQE-decided (item cardinality grows
-    * with the catalog — never force-broadcast it). */
+    * with the catalog — never force-broadcast it).
+    *
+    * Floor attribution (r12, dev.ProfileCofreq at sf0.1): baskets
+    * build ~1.4 s + pair self-join/agg ~2.6 s ≈ the ~4 s total — the
+    * capped pair expansion IS the floor. The row-local alternative
+    * (collect_list per user + HOF pair explode) measured 2.3× SLOWER
+    * (6.1 s) than the self-join: struct-building lambdas allocate per
+    * pair where the join stays in codegen'd rows. Keep the join. */
   def qItemCofreq(spark: SparkSession, dir: String): DataFrame = {
     val Cap = 48
     val b0 = Tables.load(spark, dir, "lineitem")
