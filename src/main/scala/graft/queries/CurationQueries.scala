@@ -621,6 +621,49 @@ object CurationQueries {
         col("n_corpus"))
   }
 
+  private val RangeShards = 16L
+
+  /** Balanced RANGE sharding without a global sort (r12) — the layout
+    * pass that writes a 100 TB corpus as key-ordered shards (what
+    * `repartitionByRange` + sorted parquet writes produce): compute
+    * shard boundaries from the key distribution, assign map-only, emit
+    * the balance audit. Spark's own range partitioner reservoir-SAMPLES
+    * boundaries (approximate, run-dependent); here the sort key
+    * (doc length) has a BOUNDED DOMAIN, so the exact histogram replaces
+    * the sample — the qQualityPercentile move applied to layout:
+    * histogram (≤ key-domain rows at any corpus size) → one cumulative
+    * window over that tiny table → broadcast join-back → shard =
+    * min(S−1, strict-below·S div N). Ties share a key and therefore a
+    * shard (a deterministic cut can't split equal keys), so the balance
+    * audit reports the tie-mass skew honestly: per shard n_docs,
+    * [lo,hi] key range, char mass, and balance in basis points of the
+    * ideal N/S. Plan: two map-side-combined aggregates + one bounded
+    * window — the corpus is never sorted. */
+  def qRangeShard(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("k"))
+      .localCheckpoint() // histogram + assignment read it
+    val hist = base.groupBy("k").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly below
+    val cum = hist
+      .withColumn("below", coalesce(sum("c").over(w), lit(0L)))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val assigned = base
+      .join(broadcast(cum.select(col("k"), col("below"))), Seq("k"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("k"), col("n"),
+        least(lit(RangeShards - 1),
+          expr(s"below * $RangeShards div n")).as("shard"))
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("k").as("lo_key"), max("k").as("hi_key"),
+        sum("k").as("chars_sum"), max("n").as("n"))
+      .select(col("shard"), col("n_docs"), col("lo_key"), col("hi_key"),
+        col("chars_sum"),
+        expr(s"n_docs * $RangeShards * 10000 div n").as("balance_bp"))
+  }
+
   private val PrioK = 100 // sample size
 
   /** Sequential Poisson sampling (Ohlsson 1998 — the published
@@ -1112,6 +1155,7 @@ object CurationQueries {
     "q_merkle_diff" -> (qMerkleDiff _),
     "q_chunk_rag" -> (qChunkRag _),
     "q_sample_priority" -> (qSamplePriority _),
+    "q_range_shard" -> (qRangeShard _),
 
     "q_quality_percentile" -> (qQualityPercentile _),
     "q_chunk_dedup" -> (qChunkDedup _),
@@ -1198,6 +1242,25 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_range_shard" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |             CAST(len(text) AS BIGINT) AS k FROM documents),
+         |h AS (SELECT k, COUNT(*) AS c FROM d GROUP BY 1),
+         |cum AS (SELECT k, COALESCE(SUM(c) OVER (ORDER BY k
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) AS below FROM h),
+         |t AS (SELECT COUNT(*) AS n FROM d),
+         |a AS (SELECT d.doc_id, d.k, t.n,
+         |        CAST(LEAST($RangeShards - 1, below * $RangeShards // n)
+         |          AS BIGINT) AS shard
+         |      FROM d JOIN cum ON cum.k = d.k, t)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(k) AS lo_key, MAX(k) AS hi_key,
+         |  CAST(SUM(k) AS BIGINT) AS chars_sum,
+         |  CAST(COUNT(*) * $RangeShards * 10000 // MAX(n) AS BIGINT)
+         |    AS balance_bp
+         |FROM a GROUP BY 1""".stripMargin,
+
     "q_data_card" ->
       """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS nc
         |           FROM documents),
