@@ -957,4 +957,311 @@ object H264 {
       .mapPartitions(_.flatMap(d => decodeH264Ac(d, synthH264AcBytes(d))))
       .toDF()
   }
+
+  // =============================================== CBP luma-15 AC layer
+  //
+  // The third constrained stream (r12): Intra_16x16_2_0_15 macroblocks
+  // (mb_type 15 — CodedBlockPatternLuma 15), so beside the DC block
+  // every MB codes SIXTEEN Intra16x16ACLevel 4x4 blocks in
+  // luma4x4BlkIdx scan order. What this makes real that the DC-only
+  // streams could not:
+  //
+  //  - PER-BLOCK nC CONTEXTS (9.2.1): each 4x4 block's nC derives from
+  //    its spatial left/top 4x4 NEIGHBOURS' decoded TotalCoeff — left
+  //    within the MB or the left MB's column-3 block, top within the MB
+  //    or unavailable (the top MB is in another slice); one available
+  //    neighbour contributes unhalved, both average as (nA+nB+1)>>1.
+  //    The DC block's nC derives as for luma4x4BlkIdx 0. A 4x4 block's
+  //    stored TotalCoeff in an I_16x16 MB is its AC count (the DC level
+  //    lives in the separate DC block) — the interpretation both sides
+  //    of this corpus share.
+  //  - The FULL 4x4 inverse core transform (8.5.12.2): row butterfly
+  //    (e0=d0+d2, e1=d0-d2, e2=(d1>>1)-d3, e3=d1+(d3>>1)) then the same
+  //    on columns, (g+32)>>6 — integer >>1 on intermediates, NOT a
+  //    matrix multiply; and the 8.5.12.1 AC requantization with BOTH
+  //    qP branches ((c·LS)<<(qP/6-4) for qP>=24, rounding >> otherwise)
+  //    and the full normAdjust4x4 position-class table.
+  //  - DC levels flow through the 8.5.10 Hadamard + 8.5.10-scale path
+  //    into each block's d(0,0) — the genuine two-stage I_16x16
+  //    residual assembly.
+  //
+  // AC TotalCoeff caps at 2 (so nC <= (2+2+1)>>1 = 2 stays inside the
+  // two transcribed coeff_token columns); 4<=nC<8 and chroma remain
+  // stated out of scope. The oracle derives every coefficient from the
+  // (doc_id, mb, blk, k) arithmetic and replays Hadamard + butterfly +
+  // prediction cell by cell.
+
+  case class H264CbpRow(doc_id: Long, mbx: Long, mby: Long, dc_tc: Long,
+                        dc_nc: Long, ac_tc_sum: Long, ac_nz_blocks: Long,
+                        pred: Long, recon_sum: Long, rc_sum: Long,
+                        wsum: Long)
+
+  /** luma4x4BlkIdx -> (bx, by) in 4x4-block units (z-order quadrants,
+    * z-order within). */
+  private[graft] def blkXY(n: Int): (Int, Int) = {
+    val q = n / 4; val w = n % 4
+    (2 * (q % 2) + (w % 2), 2 * (q / 2) + (w / 2))
+  }
+
+  /** normAdjust4x4 (Table 8-15 structure): per m, the three position
+    * classes (both-even, both-odd, mixed). */
+  private val NormAdj: Array[Array[Int]] = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+  private def lsCls(r: Int, c: Int): Int =
+    if (r % 2 == 0 && c % 2 == 0) 0 else if (r % 2 == 1 && c % 2 == 1) 1
+    else 2
+
+  // analytic AC-block coefficients per (doc, mb idx, blk): TotalCoeff
+  // 0-2, within-AC positions bb + k*sb (0..8, zero runs 0-3), trailing
+  // count drawn directly (the q_multimodal_h264_ac lesson)
+  private[graft] def cbpTc(d: Long, idx: Long, blk: Int): Int =
+    ((d + idx + 2 * blk) % 3).toInt
+  private[graft] def cbpT1(d: Long, idx: Long, blk: Int): Int = {
+    val tc = cbpTc(d, idx, blk)
+    ((d + idx + 7 * blk) % (tc + 1)).toInt
+  }
+  private[graft] def cbpPos(d: Long, idx: Long, blk: Int, k: Int): Int =
+    ((d + idx * 11 + blk * 3) % 5).toInt +
+      k * (1 + ((d + blk) % 4).toInt)
+  private[graft] def cbpLvl(d: Long, idx: Long, blk: Int, k: Int): Long = {
+    val tc = cbpTc(d, idx, blk)
+    val t = cbpT1(d, idx, blk)
+    val sgn = if ((d + idx + blk + k) % 2 == 0) 1L else -1L
+    if (k >= tc - t) sgn
+    else sgn * (2 + (d + idx + blk * 5 + k * 3) % 12)
+  }
+
+  /** 4x4 inverse core transform (8.5.12.2): rows then columns, integer
+    * >>1 on intermediates, (g+32)>>6. Input/output row-major 16. */
+  private[graft] def inverseCore4x4(d: Array[Long]): Array[Long] = {
+    val f = new Array[Long](16)
+    var i = 0
+    while (i < 4) {
+      val d0 = d(4 * i); val d1 = d(4 * i + 1)
+      val d2 = d(4 * i + 2); val d3 = d(4 * i + 3)
+      val e0 = d0 + d2; val e1 = d0 - d2
+      val e2 = (d1 >> 1) - d3; val e3 = d1 + (d3 >> 1)
+      f(4 * i) = e0 + e3; f(4 * i + 1) = e1 + e2
+      f(4 * i + 2) = e1 - e2; f(4 * i + 3) = e0 - e3
+      i += 1
+    }
+    val r = new Array[Long](16)
+    var j = 0
+    while (j < 4) {
+      val f0 = f(j); val f1 = f(4 + j); val f2 = f(8 + j); val f3 = f(12 + j)
+      val e0 = f0 + f2; val e1 = f0 - f2
+      val e2 = (f1 >> 1) - f3; val e3 = f1 + (f3 >> 1)
+      r(j) = (e0 + e3 + 32) >> 6; r(4 + j) = (e1 + e2 + 32) >> 6
+      r(8 + j) = (e1 - e2 + 32) >> 6; r(12 + j) = (e0 - e3 + 32) >> 6
+      j += 1
+    }
+    r
+  }
+
+  /** Encode the CBP-15 clip: DC block + 16 AC blocks per MB, real nC
+    * bookkeeping across blocks and macroblocks. */
+  def synthH264CbpBytes(docId: Long): Array[Byte] = {
+    val w = widthMbs(docId).toInt
+    val h = heightMbs(docId).toInt
+    val out = ArrayBuffer.empty[Byte]
+    val sps = new BitWriter
+    sps.putBits(66, 8); sps.putBits(0, 8); sps.putBits(levelIdc(docId), 8)
+    sps.putUe(0); sps.putUe(log2Mfn4(docId)); sps.putUe(2); sps.putUe(1)
+    sps.putBit(0); sps.putUe(w - 1); sps.putUe(h - 1)
+    sps.putBit(1); sps.putBit(0); sps.putBit(0); sps.putBit(0)
+    sps.trailing()
+    nal(3, 7, sps.result(), out)
+    val pps = new BitWriter
+    pps.putUe(0); pps.putUe(0); pps.putBit(0); pps.putBit(0); pps.putUe(0)
+    pps.putUe(0); pps.putUe(0); pps.putBit(0); pps.putBits(0, 2)
+    pps.putSe(initQp(docId) - 26); pps.putSe(0); pps.putSe(0)
+    pps.putBit(0); pps.putBit(0); pps.putBit(0)
+    pps.trailing()
+    nal(3, 8, pps.result(), out)
+    for (row <- 0 until h) {
+      val sl = new BitWriter
+      sl.putUe(row.toLong * w)
+      sl.putUe(7)
+      sl.putUe(0)
+      sl.putBits(0, (log2Mfn4(docId) + 4).toInt)
+      sl.putUe(0)
+      sl.putSe(0)
+      // per-MB-row nC state: left MB's column-3 AC TotalCoeffs (by 0..3)
+      var leftCol3 = Array.fill(4)(-1) // -1 = unavailable
+      for (mbx <- 0 until w) {
+        val idx = row.toLong * w + mbx
+        sl.putUe(15) // mb_type: Intra_16x16_2_0_15 (DC pred, cbp 0/15)
+        sl.putUe(0)  // intra_chroma_pred_mode: DC
+        sl.putSe(0)  // mb_qp_delta
+        // DC block: nC as for luma4x4BlkIdx 0 (left = left MB (3,0))
+        val dcNc = if (leftCol3(0) >= 0) leftCol3(0).toLong else 0L
+        val dcTc = acTc(docId, idx)
+        val dcCoefs = (0 until dcTc)
+          .map(k => (acPos(docId, idx, k), acLvl(docId, idx, k)))
+        writeAcBlock(sl, dcCoefs, dcNc)
+        // 16 AC blocks in luma4x4BlkIdx order with spatial nC
+        val tcMap = Array.fill(4, 4)(-1) // this MB's decoded-so-far tcs
+        for (blk <- 0 until 16) {
+          val (bx, by) = blkXY(blk)
+          val nA = if (bx > 0) tcMap(bx - 1)(by) else leftCol3(by)
+          val nB = if (by > 0) tcMap(bx)(by - 1) else -1
+          val nC =
+            if (nA >= 0 && nB >= 0) ((nA + nB + 1) >> 1).toLong
+            else if (nA >= 0) nA.toLong
+            else if (nB >= 0) nB.toLong
+            else 0L
+          val tc = cbpTc(docId, idx, blk)
+          val coefs = (0 until tc)
+            .map(k => (cbpPos(docId, idx, blk, k), cbpLvl(docId, idx, blk, k)))
+          writeAcBlock(sl, coefs, nC)
+          tcMap(bx)(by) = tc
+        }
+        leftCol3 = Array.tabulate(4)(by => tcMap(3)(by))
+      }
+      sl.trailing()
+      nal(3, 5, sl.result(), out)
+    }
+    out.toArray
+  }
+
+  /** Decode the CBP-15 clip: full NAL walk, per-block CAVLC with the
+    * spatial nC contexts computed from DECODED TotalCoeffs, DC Hadamard
+    * + AC requantization + inverse core + DC prediction. */
+  def decodeH264Cbp(docId: Long, bytes: Array[Byte]): Seq[H264CbpRow] = {
+    var wMbs = -1; var qp = -1L; var log2Mfn = -1L
+    val rows = ArrayBuffer.empty[H264CbpRow]
+    for ((hdr, esc) <- splitNals(bytes)) {
+      val typ = hdr & 0x1F
+      val (rbsp, _) = unescapeRbsp(esc)
+      val r = new BitReader(rbsp)
+      typ match {
+        case 7 =>
+          require(r.bits(8) == 66, "h264cbp: profile"); r.bits(8)
+          r.bits(8)
+          require(r.ue() == 0, "h264cbp: sps id")
+          log2Mfn = r.ue() + 4
+          require(r.ue() == 2, "h264cbp: poc"); r.ue(); r.bit()
+          wMbs = (r.ue() + 1).toInt
+          r.ue()
+          require(r.bit() == 1, "h264cbp: frame_mbs_only")
+        case 8 =>
+          require(r.ue() == 0 && r.ue() == 0, "h264cbp: pps/sps id")
+          r.bit(); r.bit(); require(r.ue() == 0, "h264cbp: slice groups")
+          r.ue(); r.ue(); r.bit(); r.bits(2)
+          qp = r.se() + 26
+        case 5 =>
+          require(wMbs > 0 && qp > 0, "h264cbp: slice before SPS/PPS")
+          val firstMb = r.ue()
+          require(firstMb % wMbs == 0, "h264cbp: slice not row-aligned")
+          val mby = firstMb / wMbs
+          require(r.ue() == 7, "h264cbp: slice_type")
+          require(r.ue() == 0, "h264cbp: pps id")
+          require(r.bits(log2Mfn.toInt) == 0, "h264cbp: frame_num")
+          r.ue()
+          require(r.se() == 0, "h264cbp: slice_qp_delta")
+          val m = (qp % 6).toInt
+          val a0 = NormAdj(m)(0)
+          val dcShift = 6 - (qp / 6).toInt
+          val dcRound = 1L << (5 - (qp / 6).toInt)
+          var leftCol3 = Array.fill(4)(-1)
+          var rcPrev = 0L // left MB's right-column pixel sum (16 px)
+          for (mbx <- 0 until wMbs) {
+            require(r.ue() == 15, "h264cbp: mb_type")
+            require(r.ue() == 0, "h264cbp: chroma pred")
+            require(r.se() == 0, "h264cbp: mb_qp_delta")
+            val dcNc = if (leftCol3(0) >= 0) leftCol3(0).toLong else 0L
+            val (dcCoefs, _, _) = readAcBlock(r, dcNc)
+            // DC Hadamard (8.5.10) + scale: c sparse -> f = H c H
+            val dcY = Array.ofDim[Long](4, 4) // (by)(bx)
+            var i = 0
+            while (i < 4) {
+              var j = 0
+              while (j < 4) {
+                var f = 0L
+                dcCoefs.foreach { case (p, lvl) =>
+                  val (pr, pc) = ZigZag4x4(p)
+                  f += lvl * Had4(i)(pr) * Had4(j)(pc)
+                }
+                dcY(i)(j) = (f * a0 + dcRound) >> dcShift
+                j += 1
+              }
+              i += 1
+            }
+            // 16 AC blocks, spatial nC from decoded tcs
+            val tcMap = Array.fill(4, 4)(-1)
+            val acCo = Array.fill(16)(Seq.empty[(Int, Long)])
+            var acTcSum = 0L
+            var acNz = 0L
+            for (blk <- 0 until 16) {
+              val (bx, by) = blkXY(blk)
+              val nA = if (bx > 0) tcMap(bx - 1)(by) else leftCol3(by)
+              val nB = if (by > 0) tcMap(bx)(by - 1) else -1
+              val nC =
+                if (nA >= 0 && nB >= 0) ((nA + nB + 1) >> 1).toLong
+                else if (nA >= 0) nA.toLong
+                else if (nB >= 0) nB.toLong
+                else 0L
+              val (coefs, _, _) = readAcBlock(r, nC)
+              acCo(blk) = coefs
+              tcMap(bx)(by) = coefs.size
+              acTcSum += coefs.size
+              if (coefs.nonEmpty) acNz += 1
+            }
+            leftCol3 = Array.tabulate(4)(by => tcMap(3)(by))
+            // reconstruction: per block dense d -> inverse core
+            val pred = if (mbx == 0) 128L else (rcPrev + 8) >> 4
+            var sum256 = 0L
+            var rc = 0L
+            var wsum = 0L
+            for (blk <- 0 until 16) {
+              val (bx, by) = blkXY(blk)
+              val d = new Array[Long](16)
+              d(0) = dcY(by)(bx)
+              acCo(blk).foreach { case (pac, lvl) =>
+                val (zr, zc) = ZigZag4x4(pac + 1)
+                val ls = NormAdj(m)(lsCls(zr, zc)).toLong
+                val dv =
+                  if (qp >= 24) (lvl * ls) << ((qp / 6).toInt - 4)
+                  else (lvl * ls + (1L << (3 - (qp / 6).toInt))) >>
+                    (4 - (qp / 6).toInt)
+                d(4 * zr + zc) = dv
+              }
+              val res = inverseCore4x4(d)
+              var i2 = 0
+              while (i2 < 4) {
+                var j2 = 0
+                while (j2 < 4) {
+                  val v = clip1(pred + res(4 * i2 + j2))
+                  val x = 4 * bx + j2
+                  val y = 4 * by + i2
+                  sum256 += v
+                  if (x == 15) rc += v
+                  wsum += (y * 16 + x + 1) * v
+                  j2 += 1
+                }
+                i2 += 1
+              }
+            }
+            rows += H264CbpRow(docId, mbx.toLong, mby,
+              dcCoefs.size.toLong, dcNc, acTcSum, acNz, pred, sum256,
+              rc, wsum)
+            rcPrev = rc
+          }
+          require(r.bit() == 1, "h264cbp: missing stop bit")
+          r.drainZeroPad()
+        case t => throw new IllegalArgumentException(s"h264cbp: nal $t")
+      }
+    }
+    rows.toSeq
+  }
+
+  /** Per-macroblock CBP-15 features — row-local. */
+  def h264CbpFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[H264CbpRow]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap(d => decodeH264Cbp(d, synthH264CbpBytes(d))))
+      .toDF()
+  }
 }

@@ -224,6 +224,15 @@ object SourceQueries {
     graft.operators.H264.h264AcFeatures(
       Tables.load(spark, dir, "documents"))
 
+  /** CBP luma-15 stream (r12): Intra_16x16_2_0_15 MBs — the DC block
+    * PLUS sixteen Intra16x16ACLevel 4x4 blocks per MB with the real
+    * spatial nC neighbour contexts, the full 8.5.12.2 integer inverse
+    * core transform and both 8.5.12.1 requantization branches.
+    * Row-local. */
+  def qMultimodalH264Cbp(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.H264.h264CbpFeatures(
+      Tables.load(spark, dir, "documents"))
+
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -558,6 +567,7 @@ object SourceQueries {
     "q_multimodal_h264" -> (qMultimodalH264 _),
     "q_multimodal_h264_mb" -> (qMultimodalH264Mb _),
     "q_multimodal_h264_ac" -> (qMultimodalH264Ac _),
+    "q_multimodal_h264_cbp" -> (qMultimodalH264Cbp _),
     "q_image_phash" -> (qImagePhash _),
     "q_image_hash_eval" -> (qImageHashEval _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
@@ -814,6 +824,182 @@ object SourceQueries {
        |  AND n.mbx = u.mbx""".stripMargin
   }
 
+  /** CBP luma-15 oracle: the full I_16x16 residual assembly replayed —
+    * analytic DC + AC coefficient sets, the 8.5.10 DC Hadamard/scale,
+    * both 8.5.12.1 AC requantization branches via a normAdjust VALUES
+    * table, the 8.5.12.2 integer butterfly UNROLLED as wide-column
+    * expressions (rows then columns, >>1 on intermediates — NOT a
+    * matrix multiply, so the two passes are generated inline), and the
+    * left-only DC prediction chain stepped over mbx 0..9. dc_nc
+    * simplifies analytically: the left MB's blk(3,0) AC TotalCoeff is
+    * (d + idx + 9) % 3 for mbx > 0. */
+  private lazy val h264CbpOracle: String = {
+    def clip(e: String) = s"LEAST(GREATEST($e, 0), 255)"
+    // row butterfly: f_{i j} from d_{i 0..3}; col butterfly + (g+32)>>6
+    def fCols: String = (0 to 3).map { i =>
+      val (d0, d1, d2, d3) = (s"d${i}0", s"d${i}1", s"d${i}2", s"d${i}3")
+      Seq(
+        s"(($d0 + $d2) + ($d1 + ($d3 >> 1))) AS f${i}0",
+        s"(($d0 - $d2) + (($d1 >> 1) - $d3)) AS f${i}1",
+        s"(($d0 - $d2) - (($d1 >> 1) - $d3)) AS f${i}2",
+        s"(($d0 + $d2) - ($d1 + ($d3 >> 1))) AS f${i}3").mkString(",\n  ")
+    }.mkString(",\n  ")
+    def rCols: String = (0 to 3).map { j =>
+      val (f0, f1, f2, f3) = (s"f0$j", s"f1$j", s"f2$j", s"f3$j")
+      Seq(
+        s"(((($f0 + $f2) + ($f1 + ($f3 >> 1))) + 32) >> 6) AS r0$j",
+        s"(((($f0 - $f2) + (($f1 >> 1) - $f3)) + 32) >> 6) AS r1$j",
+        s"(((($f0 - $f2) - (($f1 >> 1) - $f3)) + 32) >> 6) AS r2$j",
+        s"(((($f0 + $f2) - ($f1 + ($f3 >> 1))) + 32) >> 6) AS r3$j")
+        .mkString(",\n  ")
+    }.mkString(",\n  ")
+    val dCols = (for (i <- 0 to 3; j <- 0 to 3) yield
+      s"COALESCE(SUM(CASE WHEN a.zr = $i AND a.zc = $j THEN a.dv END), 0)" +
+        s" + CASE WHEN $i = 0 AND $j = 0" +
+        s" THEN MAX(COALESCE(y.dcy, 0)) ELSE 0 END AS d$i$j")
+      .mkString(",\n  ")
+    val resCase = (for (i <- 0 to 3; j <- 0 to 3) yield
+      s"WHEN ${4 * i + j} THEN r$i$j").mkString(" ")
+    def step(k: Int): String = {
+      val pred = if (k == 0) "128" else "(p.rc_sum + 8) >> 4"
+      val join = if (k == 0) ""
+        else s" JOIN s${k - 1} p ON p.d = b.d AND p.mby = b.mby"
+      s"""s$k AS (SELECT b.d, b.mby, $pred AS pred,
+         |  SUM(${clip(s"($pred) + b.res")}) AS recon_sum,
+         |  SUM(CASE WHEN b.x = 15
+         |      THEN ${clip(s"($pred) + b.res")} ELSE 0 END) AS rc_sum,
+         |  SUM((b.y * 16 + b.x + 1) * ${clip(s"($pred) + b.res")})
+         |    AS wsum
+         |  FROM pix b$join WHERE b.mbx = $k
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }
+    val steps = (0 to 9).map(step).mkString(",\n")
+    val union = (0 to 9).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS mbx, * FROM s$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+       |pp AS (SELECT d, 2 + d % 9 AS w, 2 + d % 5 AS h,
+       |         20 + d % 16 AS qp FROM d),
+       |mb AS (SELECT d, qp, mby, mbx, mby * w + mbx AS idx
+       |       FROM pp,
+       |       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS mby) uy,
+       |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS mbx) ux),
+       |zz AS (SELECT * FROM (VALUES (0,0,0),(1,0,1),(2,1,0),(3,2,0),
+       |        (4,1,1),(5,0,2),(6,0,3),(7,1,2),(8,2,1),(9,3,0),(10,3,1),
+       |        (11,2,2),(12,1,3),(13,2,3),(14,3,2),(15,3,3))
+       |        v(p, pr, pc)),
+       |hm AS (SELECT * FROM (VALUES (0,0,1),(0,1,1),(0,2,1),(0,3,1),
+       |        (1,0,1),(1,1,1),(1,2,-1),(1,3,-1),
+       |        (2,0,1),(2,1,-1),(2,2,-1),(2,3,1),
+       |        (3,0,1),(3,1,-1),(3,2,1),(3,3,-1)) v(i, k, v)),
+       |na AS (SELECT * FROM (VALUES (0,0,10),(0,1,16),(0,2,13),
+       |        (1,0,11),(1,1,18),(1,2,14),(2,0,13),(2,1,20),(2,2,16),
+       |        (3,0,14),(3,1,23),(3,2,18),(4,0,16),(4,1,25),(4,2,20),
+       |        (5,0,18),(5,1,29),(5,2,23)) v(m, cls, a)),
+       |bm AS (SELECT * FROM (VALUES (0,0,0),(1,1,0),(2,0,1),(3,1,1),
+       |        (4,2,0),(5,3,0),(6,2,1),(7,3,1),(8,0,2),(9,1,2),
+       |        (10,0,3),(11,1,3),(12,2,2),(13,3,2),(14,2,3),(15,3,3))
+       |        v(blk, bx, by)),
+       |dcc AS (SELECT m.d, m.mby, m.mbx, m.qp,
+       |         ((m.d + m.idx * 7) % 6)
+       |           + kk.k * (1 + (m.d + m.idx) % 5) AS pos,
+       |         (CASE WHEN (m.d + m.idx + kk.k) % 2 = 0
+       |               THEN 1 ELSE -1 END)
+       |         * (CASE WHEN kk.k >= (m.d + m.idx) % 4
+       |                   - (m.d + m.idx * 5) % ((m.d + m.idx) % 4 + 1)
+       |                 THEN 1
+       |                 ELSE 2 + (m.d + m.idx * 3 + kk.k * 11) % 24 END)
+       |           AS lvl
+       |       FROM mb m, (SELECT unnest([0, 1, 2]) AS k) kk
+       |       WHERE kk.k < (m.d + m.idx) % 4),
+       |dcf AS (SELECT c.d, c.mby, c.mbx, h1.i AS bi, h2.i AS bj,
+       |         SUM(c.lvl * h1.v * h2.v) AS f
+       |       FROM dcc c
+       |       JOIN zz ON zz.p = c.pos
+       |       JOIN hm h1 ON h1.k = zz.pr
+       |       JOIN hm h2 ON h2.k = zz.pc
+       |       GROUP BY 1, 2, 3, 4, 5),
+       |dcy AS (SELECT m.d, m.mby, m.mbx, g.bi, g.bj,
+       |         ((COALESCE(f.f, 0) * n0.a
+       |             + (CAST(1 AS BIGINT) << (5 - m.qp // 6)))
+       |           >> (6 - m.qp // 6)) AS dcy
+       |       FROM mb m
+       |       JOIN na n0 ON n0.m = m.qp % 6 AND n0.cls = 0
+       |       CROSS JOIN (SELECT h1.i AS bi, h2.i AS bj FROM
+       |         (SELECT DISTINCT i FROM hm) h1,
+       |         (SELECT DISTINCT i FROM hm) h2) g
+       |       LEFT JOIN dcf f ON f.d = m.d AND f.mby = m.mby
+       |         AND f.mbx = m.mbx AND f.bi = g.bi AND f.bj = g.bj),
+       |acc AS (SELECT m.d, m.mby, m.mbx, m.qp, b.blk, b.bx, b.by,
+       |         zz.pr AS zr, zz.pc AS zc,
+       |         (CASE WHEN (m.d + m.idx + b.blk + kk.k) % 2 = 0
+       |               THEN 1 ELSE -1 END)
+       |         * (CASE WHEN kk.k >= (m.d + m.idx + 2 * b.blk) % 3
+       |                   - (m.d + m.idx + 7 * b.blk)
+       |                     % ((m.d + m.idx + 2 * b.blk) % 3 + 1)
+       |                 THEN 1
+       |                 ELSE 2 + (m.d + m.idx + b.blk * 5 + kk.k * 3) % 12
+       |            END) AS lvl
+       |       FROM mb m, bm b, (SELECT unnest([0, 1]) AS k) kk,
+       |            zz
+       |       WHERE kk.k < (m.d + m.idx + 2 * b.blk) % 3
+       |         AND zz.p = 1 + ((m.d + m.idx * 11 + b.blk * 3) % 5)
+       |           + kk.k * (1 + (m.d + b.blk) % 4)),
+       |acd AS (SELECT a.d, a.mby, a.mbx, a.bx, a.by, a.zr, a.zc,
+       |         CASE WHEN a.qp >= 24
+       |           THEN (a.lvl * n1.a)
+       |             * (CAST(1 AS BIGINT) << (a.qp // 6 - 4))
+       |           ELSE (a.lvl * n1.a
+       |             + (CAST(1 AS BIGINT) << (3 - a.qp // 6)))
+       |             >> (4 - a.qp // 6) END AS dv
+       |       FROM acc a
+       |       JOIN na n1 ON n1.m = a.qp % 6 AND n1.cls =
+       |         CASE WHEN a.zr % 2 = 0 AND a.zc % 2 = 0 THEN 0
+       |              WHEN a.zr % 2 = 1 AND a.zc % 2 = 1 THEN 1
+       |              ELSE 2 END),
+       |dmat AS (SELECT m.d, m.mby, m.mbx, b.bx, b.by,
+       |  $dCols
+       |  FROM mb m CROSS JOIN bm b
+       |  LEFT JOIN acd a ON a.d = m.d AND a.mby = m.mby
+       |    AND a.mbx = m.mbx AND a.bx = b.bx AND a.by = b.by
+       |  LEFT JOIN dcy y ON y.d = m.d AND y.mby = m.mby
+       |    AND y.mbx = m.mbx AND y.bi = b.by AND y.bj = b.bx
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |fpass AS (SELECT d, mby, mbx, bx, by,
+       |  $fCols
+       |  FROM dmat),
+       |rmat AS (SELECT d, mby, mbx, bx, by,
+       |  $rCols
+       |  FROM fpass),
+       |pix AS (SELECT r.d, r.mby, r.mbx,
+       |         4 * r.bx + pj.j AS x, 4 * r.by + pi.i AS y,
+       |         CASE pi.i * 4 + pj.j $resCase END AS res
+       |       FROM rmat r,
+       |       (SELECT unnest([0, 1, 2, 3]) AS i) pi,
+       |       (SELECT unnest([0, 1, 2, 3]) AS j) pj),
+       |$steps,
+       |u AS ($union),
+       |agg AS (SELECT m.d, m.mby, m.mbx,
+       |         (m.d + m.idx) % 4 AS dc_tc,
+       |         CASE WHEN m.mbx = 0 THEN 0
+       |              ELSE (m.d + m.idx + 9) % 3 END AS dc_nc,
+       |         SUM((m.d + m.idx + 2 * b.blk) % 3) AS ac_tc_sum,
+       |         SUM(CASE WHEN (m.d + m.idx + 2 * b.blk) % 3 > 0
+       |             THEN 1 ELSE 0 END) AS ac_nz_blocks
+       |       FROM mb m, bm b GROUP BY 1, 2, 3, 4, 5)
+       |SELECT u.d AS doc_id, u.mbx, u.mby,
+       |  CAST(g.dc_tc AS BIGINT) AS dc_tc,
+       |  CAST(g.dc_nc AS BIGINT) AS dc_nc,
+       |  CAST(g.ac_tc_sum AS BIGINT) AS ac_tc_sum,
+       |  CAST(g.ac_nz_blocks AS BIGINT) AS ac_nz_blocks,
+       |  CAST(u.pred AS BIGINT) AS pred,
+       |  CAST(u.recon_sum AS BIGINT) AS recon_sum,
+       |  CAST(u.rc_sum AS BIGINT) AS rc_sum,
+       |  CAST(u.wsum AS BIGINT) AS wsum
+       |FROM u JOIN agg g ON g.d = u.d AND g.mby = u.mby
+       |  AND g.mbx = u.mbx""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // the codec contract: every field re-derived analytically from the
     // same doc_id arithmetic the synthesizer used
@@ -886,6 +1072,7 @@ object SourceQueries {
         |WHERE lang IN ('en', 'de') AND n_chars >= 100""".stripMargin,
     "q_multimodal_h264_mb" -> h264MbOracle,
     "q_multimodal_h264_ac" -> h264AcOracle,
+    "q_multimodal_h264_cbp" -> h264CbpOracle,
     // VAD segments replayed analytically: frame f of doc d is silence
     // iff (d + f) % 5 < 2 (the planted gate), speech energies from the
     // synth formula, islands via the same frame - row_number key

