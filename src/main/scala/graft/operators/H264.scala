@@ -688,13 +688,35 @@ object H264 {
     else sgn * (2 + (d + idx * 3 + k * 11) % 24)
   }
 
-  private def prefixRead(r: BitReader, codes: Iterable[(String, (Int, Int))],
+  // static inverse VLC lookups keyed by (length, bits) — the decoders
+  // run per BLOCK (17 per macroblock in the CBP stream), so per-call
+  // map construction / linear indexOf would dominate the decode
+  private def invVlc(codes: Iterable[(String, Int)]): Map[(Int, Long), Int] =
+    codes.map { case (c, v) =>
+      (c.length, java.lang.Long.parseLong(c, 2)) -> v
+    }.toMap
+  private val CoeffTok0Inv: Map[(Int, Long), (Int, Int)] =
+    CoeffTok0.map { case (k, c) =>
+      (c.length, java.lang.Long.parseLong(c, 2)) -> k
+    }
+  private val CoeffTok2Inv: Map[(Int, Long), (Int, Int)] =
+    CoeffTok2.map { case (k, c) =>
+      (c.length, java.lang.Long.parseLong(c, 2)) -> k
+    }
+  private val TotalZerosInv: Array[Map[(Int, Long), Int]] =
+    Array(Map.empty, invVlc(TotalZeros1.zipWithIndex),
+      invVlc(TotalZeros2.zipWithIndex), invVlc(TotalZeros3.zipWithIndex))
+  private val RunBeforeInv: Array[Map[(Int, Long), Int]] =
+    RunBefore.map(c => invVlc(c.zipWithIndex))
+
+  private def prefixRead(r: BitReader, m: Map[(Int, Long), (Int, Int)],
                          what: String): (Int, Int) = {
-    val s = new StringBuilder
-    val m = codes.toMap
-    while (s.length < 10) {
-      s += (if (r.bit() == 1) '1' else '0')
-      m.get(s.toString) match {
+    var len = 0
+    var bits = 0L
+    while (len < 10) {
+      bits = (bits << 1) | r.bit()
+      len += 1
+      m.get((len, bits)) match {
         case Some(v) => return v
         case None =>
       }
@@ -702,13 +724,17 @@ object H264 {
     throw new IllegalArgumentException(s"h264ac: bad $what")
   }
 
-  private def vlcIndexRead(r: BitReader, tbl: Array[String],
+  private def vlcIndexRead(r: BitReader, m: Map[(Int, Long), Int],
                            what: String): Int = {
-    val s = new StringBuilder
-    while (s.length < 12) {
-      s += (if (r.bit() == 1) '1' else '0')
-      val i = tbl.indexOf(s.toString)
-      if (i >= 0) return i
+    var len = 0
+    var bits = 0L
+    while (len < 12) {
+      bits = (bits << 1) | r.bit()
+      len += 1
+      m.get((len, bits)) match {
+        case Some(v) => return v
+        case None =>
+      }
     }
     throw new IllegalArgumentException(s"h264ac: bad $what")
   }
@@ -773,8 +799,8 @@ object H264 {
     * (pos, lvl) pairs plus (t1s, tzeros). */
   private def readAcBlock(r: BitReader, nC: Long)
       : (Seq[(Int, Long)], Int, Int) = {
-    val tbl = if (nC < 2) CoeffTok0 else CoeffTok2
-    val (t1, tc) = prefixRead(r, tbl.map(_.swap), "coeff_token")
+    val tbl = if (nC < 2) CoeffTok0Inv else CoeffTok2Inv
+    val (t1, tc) = prefixRead(r, tbl, "coeff_token")
     if (tc == 0) return (Nil, 0, 0)
     // levels, highest freq first
     val levels = new Array[Long](tc)
@@ -803,7 +829,7 @@ object H264 {
       if (math.abs(levels(i)) > (3L << (suffixLength - 1)) &&
         suffixLength < 6) suffixLength += 1
     }
-    val tz = vlcIndexRead(r, totalZerosTbl(tc), "total_zeros")
+    val tz = vlcIndexRead(r, TotalZerosInv(tc), "total_zeros")
     // positions from highest freq down: runs of zeros between coeffs
     val pos = new Array[Int](tc)
     pos(0) = tz + tc - 1
@@ -811,10 +837,8 @@ object H264 {
     for (i <- 1 until tc) {
       val run =
         if (zerosLeft == 0) 0
-        else {
-          val rb = vlcIndexRead(r, runBeforeCol(zerosLeft), "run_before")
-          rb
-        }
+        else vlcIndexRead(r, RunBeforeInv(math.min(zerosLeft, 7) - 1),
+          "run_before")
       pos(i) = pos(i - 1) - 1 - run
       zerosLeft -= run
     }
