@@ -233,6 +233,13 @@ object SourceQueries {
     graft.operators.H264.h264CbpFeatures(
       Tables.load(spark, dir, "documents"))
 
+  /** PDF text extraction (r12): real PDF 1.4 files — xref offsets
+    * measured at assembly, FlateDecode content streams, BT/Tf/Td/Tj
+    * operator replay with relative line-matrix semantics. Row-local. */
+  def qMultimodalPdf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pdf.pdfFeatures(
+      Tables.load(spark, dir, "documents"))
+
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -568,6 +575,7 @@ object SourceQueries {
     "q_multimodal_h264_mb" -> (qMultimodalH264Mb _),
     "q_multimodal_h264_ac" -> (qMultimodalH264Ac _),
     "q_multimodal_h264_cbp" -> (qMultimodalH264Cbp _),
+    "q_multimodal_pdf" -> (qMultimodalPdf _),
     "q_image_phash" -> (qImagePhash _),
     "q_image_hash_eval" -> (qImageHashEval _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
@@ -1073,6 +1081,34 @@ object SourceQueries {
     "q_multimodal_h264_mb" -> h264MbOracle,
     "q_multimodal_h264_ac" -> h264AcOracle,
     "q_multimodal_h264_cbp" -> h264CbpOracle,
+    // PDF: every extracted field re-derived from the doc_id arithmetic
+    // the synthesizer used; the text hash replays the 131-fold over the
+    // line-joined extraction (compression-independent by design — the
+    // deflate byte layout is verified in-file, never emitted)
+    "q_multimodal_pdf" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+        |p AS (SELECT d, 3 + d % 6 AS nl, 9 + d % 8 AS fs,
+        |        60 + d % 30 AS x0, 700 + d % 50 AS y0 FROM d),
+        |l AS (SELECT p.d, i.i,
+        |        'doc ' || p.d || ' line ' || i.i || ' ' ||
+        |        ['alpha','bravo','charlie','delta','echo','foxtrot',
+        |         'golf','hotel'][CAST((p.d + i.i) % 8 + 1 AS INT)] AS t
+        |      FROM p, LATERAL (SELECT unnest(generate_series(0,
+        |        CAST(p.nl - 1 AS INT))) AS i) i),
+        |tx AS (SELECT d, string_agg(t, chr(10) ORDER BY i) AS text
+        |       FROM l GROUP BY 1)
+        |SELECT p.d AS doc_id, CAST(5 AS BIGINT) AS n_objs,
+        |  CAST(p.nl AS BIGINT) AS n_lines,
+        |  CAST(p.fs AS BIGINT) AS font_size,
+        |  CAST(len(tx.text) AS BIGINT) AS text_chars,
+        |  CAST(p.x0 AS BIGINT) AS x0, CAST(p.y0 AS BIGINT) AS y0,
+        |  CAST(p.y0 - (p.nl - 1) * (p.fs + 2) AS BIGINT) AS y_last,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_filter(string_split(tx.text, ''),
+        |                               c -> len(c) > 0),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS text_hash
+        |FROM p JOIN tx ON tx.d = p.d""".stripMargin,
     // VAD segments replayed analytically: frame f of doc d is silence
     // iff (d + f) % 5 < 2 (the planted gate), speech energies from the
     // synth formula, islands via the same frame - row_number key

@@ -1628,6 +1628,30 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(_.getAs[Long]("wsum")).distinct.length > 100)
   }
 
+  test("r12 pdf codec: round-trip on real files, tampering fails loud") {
+    import graft.operators.Pdf
+    val b = Pdf.synthPdfBytes(42L)
+    assert(new String(b.take(8), java.nio.charset.StandardCharsets
+      .US_ASCII) == "%PDF-1.4")
+    val row = Pdf.decodePdf(42L, b)
+    assert(row.n_lines == 3 + 42 % 6 && row.font_size == 9 + 42 % 8)
+    assert(row.y_last == row.y0 - (row.n_lines - 1) * (row.font_size + 2))
+    // corrupt one xref offset digit: the decoder must refuse, not
+    // silently mis-navigate (the offsets are load-bearing)
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val xrefAt = s.lastIndexOf("xref\n0 6\n")
+    val entryAt = xrefAt + 9 + 20 // first in-use entry
+    val bad = b.clone()
+    bad(entryAt + 5) = (if (b(entryAt + 5) == '9') '8' else '9').toByte
+    intercept[IllegalArgumentException] { Pdf.decodePdf(42L, bad) }
+    // corrupt a byte inside the compressed stream: inflate or the
+    // operator parse must fail, never return wrong text silently
+    val zAt = s.indexOf("stream\n") + 7
+    val bad2 = b.clone()
+    bad2(zAt + 4) = (bad2(zAt + 4) ^ 0x7f).toByte
+    intercept[Exception] { Pdf.decodePdf(42L, bad2) }
+  }
+
   test("Graft facade mirrors the reference __all__ surface") {
     val polys = GeoData.polyNation(spark, SfDir)
     assert(Graft.dissolve(polys, "rkey").count() === 5)
