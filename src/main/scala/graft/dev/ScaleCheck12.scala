@@ -73,7 +73,8 @@ object ScaleCheck12 {
     def run(q: String, d: String): Long =
       graft.SparkEntry.queries(q)(spark, d).queryExecution.toRdd.count()
 
-    val probed = Seq("q_multimodal_h264_ac", "q_bpe_train",
+    val probed = Seq("q_multimodal_h264_ac", "q_multimodal_h264_cbp",
+      "q_multimodal_pdf", "q_range_shard", "q_bpe_train",
       "q_bpe_fertility", "q_lang_id", "q_langid_eval", "q_lang_keywords",
       "q_entity_resolve_indexed", "q_top_revenue", "q5_local",
       "q9_profit", "q_sales_cube", "q_item_cofreq", "q_html_links")
