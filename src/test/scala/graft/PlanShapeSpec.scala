@@ -181,6 +181,28 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"q_top_revenue lost its size-based broadcast at test sf:\n$p")
   }
 
+  test("r12 codecs are row-local; range shard sorts only the bounded " +
+    "histogram") {
+    // the three new codec paths are scan -> mapPartitions: ANY exchange
+    // is a plan regression
+    for (q <- Seq("q_multimodal_pdf", "q_multimodal_h264_ac",
+        "q_multimodal_h264_cbp")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q claims row-local but:\n$p")
+    }
+    // range shard: the only Sort is the cumulative window over the
+    // bounded key histogram — the corpus is never sorted; shuffles are
+    // the histogram aggregate + the 16-row shard aggregate
+    val p = plan("q_range_shard")
+    assert("Sort \\[".r.findAllIn(p).size <= 1,
+      s"q_range_shard sorts more than the histogram:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"q_range_shard grew extra corpus shuffles:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"),
+      s"q_range_shard lost its broadcast join-back:\n$p")
+  }
+
   test("r11c ORC read-back prunes partitions and pushes the residual " +
     "filter into the reader") {
     val p = plan("q_orc_roundtrip")
