@@ -240,6 +240,13 @@ object SourceQueries {
     graft.operators.Pdf.pdfFeatures(
       Tables.load(spark, dir, "documents"))
 
+  /** Format sniffing (r12): magic-byte routing over real bytes from
+    * all nine codecs, with a tamper stratum that must come out
+    * 'unknown'. Row-local. */
+  def qFormatSniff(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sniff.sniffFeatures(
+      Tables.load(spark, dir, "documents"))
+
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -576,6 +583,7 @@ object SourceQueries {
     "q_multimodal_h264_ac" -> (qMultimodalH264Ac _),
     "q_multimodal_h264_cbp" -> (qMultimodalH264Cbp _),
     "q_multimodal_pdf" -> (qMultimodalPdf _),
+    "q_format_sniff" -> (qFormatSniff _),
     "q_image_phash" -> (qImagePhash _),
     "q_image_hash_eval" -> (qImageHashEval _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
@@ -1085,6 +1093,19 @@ object SourceQueries {
     // the synthesizer used; the text hash replays the 131-fold over the
     // line-joined extraction (compression-independent by design — the
     // deflate byte layout is verified in-file, never emitted)
+    // sniffing: the routing decision re-derived from the same doc_id
+    // arithmetic that picked the synth; tampered docs MUST be 'unknown'
+    "q_format_sniff" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+        |f AS (SELECT d,
+        |        ['pdf','wav','bmp','png','jpeg','mp4','mp3','h264',
+        |         'tiff'][CAST(d % 9 + 1 AS INT)] AS fmt,
+        |        d % 17 = 0 AS tampered FROM d)
+        |SELECT d AS doc_id, fmt AS fmt_true,
+        |  CASE WHEN tampered THEN 'unknown' ELSE fmt END AS detected,
+        |  tampered, NOT tampered AS is_match
+        |FROM f""".stripMargin,
+
     "q_multimodal_pdf" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
         |p AS (SELECT d, 3 + d % 6 AS nl, 9 + d % 8 AS fs,

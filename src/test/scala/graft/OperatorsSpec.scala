@@ -1652,6 +1652,20 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     intercept[Exception] { Pdf.decodePdf(42L, bad2) }
   }
 
+  test("r12 format sniffing: every codec round-trips its magic; " +
+    "tampering routes to unknown, never mis-routes") {
+    import graft.operators.Sniff
+    for ((f, i) <- Sniff.Formats.zipWithIndex) {
+      val b = Sniff.synthFor(f, 100L + i)
+      assert(Sniff.sniff(b) == f, s"$f mis-sniffed as ${Sniff.sniff(b)}")
+      val t = b.clone()
+      t(0) = (t(0) ^ 0x55).toByte
+      t(4) = (t(4) ^ 0x55).toByte
+      assert(Sniff.sniff(t) == "unknown",
+        s"tampered $f still routed as ${Sniff.sniff(t)}")
+    }
+  }
+
   test("Graft facade mirrors the reference __all__ surface") {
     val polys = GeoData.polyNation(spark, SfDir)
     assert(Graft.dissolve(polys, "rkey").count() === 5)
