@@ -364,9 +364,10 @@ object HtmlQueries {
          |      regexp_replace(
          |        regexp_replace(
          |          regexp_replace(
-         |            regexp_replace(html, '(?s)<head>.*?</head>', ' '),
-         |            '(?s)<nav>.*?</nav>', ' '),
-         |          '(?s)<footer>.*?</footer>', ' '),
+         |            regexp_replace(html, '(?s)<head>.*?</head>', ' ',
+         |              'g'),
+         |            '(?s)<nav>.*?</nav>', ' ', 'g'),
+         |          '(?s)<footer>.*?</footer>', ' ', 'g'),
          |        '<[^>]*>', ' ', 'g'),
          |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
          |    '\\s+', ' ', 'g')) AS main_text FROM p)
