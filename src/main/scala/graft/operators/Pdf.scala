@@ -11,25 +11,27 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * workloads, and its structure is exactly the kind a distributed
   * ingest job must navigate byte-exactly.
   *
-  * The synthesizer emits a GENUINE PDF 1.4 file: header, five indirect
-  * objects (catalog → page tree → page → FlateDecode-compressed
-  * content stream → font), a cross-reference TABLE whose 10-digit
-  * offsets are measured during assembly (the MP4 stco move — offset
-  * bookkeeping is load-bearing, not decorative), trailer, startxref,
-  * %%EOF. The content stream is real zlib (java.util.zip, the PNG
-  * codec's dependency) wrapping the text operators BT / Tf / Td / Tj /
-  * ET, with Td carrying the spec's RELATIVE line-matrix translation
-  * semantics.
+  * The synthesizer emits a GENUINE multi-page PDF 1.4 file: header, a
+  * catalog → page-tree → per-page (page, FlateDecode content stream)
+  * object graph with 1-3 pages (r12b: the /Kids ARRAY walk and /Count
+  * check are real, not a single hard-coded page), a shared font
+  * object, a cross-reference TABLE whose 10-digit offsets are measured
+  * during assembly (the MP4 stco move — offset bookkeeping is
+  * load-bearing, not decorative), trailer, startxref, %%EOF. Content
+  * streams are real zlib (java.util.zip, the PNG codec's dependency)
+  * wrapping the text operators BT / Tf / Td / Tj / ET, with Td
+  * carrying the spec's RELATIVE line-matrix translation semantics.
   *
   * The decoder does the real navigation: locate `startxref` from the
   * tail, parse the xref table, REQUIRE every offset to land on its
   * `N 0 obj` header, then follow REFERENCES (trailer /Root → catalog
-  * /Pages → kids → page /Contents) rather than assuming positions;
-  * inflate the stream (checked against /Length) and replay the text
-  * operators, accumulating the Td translation chain. Extracted
-  * features are compression-independent on purpose: deflate byte
-  * layout may vary across zlib builds, so offsets/lengths are
-  * verified in-file but never emitted.
+  * /Pages → every /Kids entry in order, /Count cross-checked → page
+  * /Contents) rather than assuming positions; inflate each stream
+  * (checked against /Length) and replay the text operators,
+  * accumulating the Td translation chain per page. Extracted features
+  * are compression-independent on purpose: deflate byte layout may
+  * vary across zlib builds, so offsets/lengths are verified in-file
+  * but never emitted.
   *
   * Constrained-corpus contract (the JPEG/H.264 move): text avoids
   * `(`, `)` and `\` so string objects need no escapes — escape
@@ -40,69 +42,77 @@ import java.nio.charset.StandardCharsets.US_ASCII
   */
 object Pdf {
 
-  case class PdfRow(doc_id: Long, n_objs: Long, n_lines: Long,
-                    font_size: Long, text_chars: Long, x0: Long,
-                    y0: Long, y_last: Long, text_hash: Long)
+  case class PdfRow(doc_id: Long, page: Long, n_objs: Long,
+                    n_pages: Long, n_lines: Long, font_size: Long,
+                    text_chars: Long, x0: Long, y0: Long, y_last: Long,
+                    text_hash: Long)
 
   private val Words = Array("alpha", "bravo", "charlie", "delta",
     "echo", "foxtrot", "golf", "hotel")
 
-  private[graft] def nLines(d: Long): Int = (3 + d % 6).toInt
-  private[graft] def fontSize(d: Long): Int = (9 + d % 8).toInt
-  private[graft] def x0(d: Long): Int = (60 + d % 30).toInt
-  private[graft] def y0(d: Long): Int = (700 + d % 50).toInt
-  private[graft] def lineText(d: Long, i: Int): String =
-    s"doc $d line $i ${Words(((d + i) % 8).toInt)}"
+  private[graft] def nPages(d: Long): Int = (1 + d % 3).toInt
+  private[graft] def nLines(d: Long, p: Int): Int = (3 + (d + p) % 6).toInt
+  private[graft] def fontSize(d: Long, p: Int): Int =
+    (9 + (d + p) % 8).toInt
+  private[graft] def x0(d: Long, p: Int): Int = (60 + (d + 3 * p) % 30).toInt
+  private[graft] def y0(d: Long, p: Int): Int = (700 + (d + 7 * p) % 50).toInt
+  private[graft] def lineText(d: Long, p: Int, i: Int): String =
+    s"doc $d page $p line $i ${Words(((d + p + i) % 8).toInt)}"
 
-  /** Assemble a complete single-page PDF for the doc id. */
-  def synthPdfBytes(d: Long): Array[Byte] = {
-    val fs = fontSize(d)
-    val leading = fs + 2
-    val content = {
-      val sb = new StringBuilder
-      sb.append(s"BT /F1 $fs Tf ${x0(d)} ${y0(d)} Td ")
-      for (i <- 0 until nLines(d)) {
-        if (i > 0) sb.append(s"0 -$leading Td ")
-        sb.append(s"(${lineText(d, i)}) Tj ")
-      }
-      sb.append("ET")
-      sb.toString.getBytes(US_ASCII)
-    }
+  private def deflate(content: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     defl.setInput(content); defl.finish()
     val zbuf = new Array[Byte](content.length + 64)
     var zlen = 0
     while (!defl.finished()) zlen += defl.deflate(zbuf, zlen, zbuf.length - zlen)
     defl.end()
-    val z = java.util.Arrays.copyOf(zbuf, zlen)
-    val objs = Array(
-      "<< /Type /Catalog /Pages 2 0 R >>",
-      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-        "/MediaBox [0 0 612 792] " +
-        "/Resources << /Font << /F1 5 0 R >> >> >>",
-      null, // object 4 is the stream, assembled below
-      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    java.util.Arrays.copyOf(zbuf, zlen)
+  }
+
+  /** Assemble a complete 1-3 page PDF for the doc id. Object layout:
+    * 1 catalog, 2 page tree, then (3+2p) page / (4+2p) content per
+    * page p, and the shared font object last. */
+  def synthPdfBytes(d: Long): Array[Byte] = {
+    val np = nPages(d)
+    val fontObj = 3 + 2 * np
     val out = new java.io.ByteArrayOutputStream()
     def put(s: String): Unit = out.write(s.getBytes(US_ASCII))
     put("%PDF-1.4\n")
-    val offsets = new Array[Int](5)
-    for (n <- 1 to 5) {
+    val offsets = new Array[Int](fontObj)
+    def obj(n: Int)(body: => Unit): Unit = {
       offsets(n - 1) = out.size()
-      if (n == 4) {
-        put(s"4 0 obj\n<< /Length $zlen /Filter /FlateDecode >>\n" +
-          "stream\n")
-        out.write(z, 0, zlen)
-        put("\nendstream\nendobj\n")
-      } else {
-        put(s"$n 0 obj\n${objs(n - 1)}\nendobj\n")
+      put(s"$n 0 obj\n"); body; put("endobj\n")
+    }
+    obj(1)(put("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    val kids = (0 until np).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+    obj(2)(put(s"<< /Type /Pages /Kids [$kids] /Count $np >>\n"))
+    for (p <- 0 until np) {
+      obj(3 + 2 * p)(put(
+        s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * p} 0 R " +
+          "/MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>\n"))
+      val fs = fontSize(d, p)
+      val sb = new StringBuilder
+      sb.append(s"BT /F1 $fs Tf ${x0(d, p)} ${y0(d, p)} Td ")
+      for (i <- 0 until nLines(d, p)) {
+        if (i > 0) sb.append(s"0 -${fs + 2} Td ")
+        sb.append(s"(${lineText(d, p, i)}) Tj ")
+      }
+      sb.append("ET")
+      val z = deflate(sb.toString.getBytes(US_ASCII))
+      obj(4 + 2 * p) {
+        put(s"<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(z, 0, z.length)
+        put("\nendstream\n")
       }
     }
+    obj(fontObj)(put(
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
     val xrefAt = out.size()
-    put("xref\n0 6\n")
+    put(s"xref\n0 ${fontObj + 1}\n")
     put("0000000000 65535 f \n")
     offsets.foreach(o => put(f"$o%010d 00000 n \n"))
-    put("trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n" +
+    put(s"trailer\n<< /Size ${fontObj + 1} /Root 1 0 R >>\nstartxref\n" +
       s"$xrefAt\n%%EOF\n")
     out.toByteArray
   }
@@ -110,24 +120,21 @@ object Pdf {
   private def ascii(b: Array[Byte], from: Int, until: Int): String =
     new String(b, from, until - from, US_ASCII)
 
-  /** Parse + verify the file, extract the text. Every structural claim
-    * is REQUIREd: offsets land on their object headers, references
-    * resolve, /Length matches, the inflated operator stream parses to
-    * its ET. */
-  def decodePdf(d: Long, bytes: Array[Byte]): PdfRow = {
+  /** Parse + verify the file, extract the text per page. Every
+    * structural claim is REQUIREd: offsets land on their object
+    * headers, references resolve, /Count equals the kid count,
+    * /Length matches, every operator stream parses to its ET. */
+  def decodePdf(d: Long, bytes: Array[Byte]): Seq[PdfRow] = {
     val whole = new String(bytes, US_ASCII) // ASCII superstructure view
     require(whole.startsWith("%PDF-1.4"), "pdf: header")
-    // startxref from the tail
     val sxAt = whole.lastIndexOf("startxref")
     require(sxAt > 0 && whole.endsWith("%%EOF\n"), "pdf: trailer end")
     val xrefAt = whole.substring(sxAt + 10, whole.indexOf('\n', sxAt + 10))
       .trim.toInt
     require(ascii(bytes, xrefAt, xrefAt + 4) == "xref", "pdf: xref magic")
-    // xref table: "xref\n0 6\n" then 6 fixed 20-byte entries
     val hdrEnd = whole.indexOf('\n', whole.indexOf('\n', xrefAt) + 1) + 1
     val count = whole.substring(whole.indexOf('\n', xrefAt) + 1,
       hdrEnd - 1).split(" ")(1).toInt
-    require(count == 6, "pdf: xref size")
     val offsets = (0 until count).map { i =>
       val e = whole.substring(hdrEnd + 20 * i, hdrEnd + 20 * i + 20)
       (e.substring(0, 10).toInt, e.charAt(17))
@@ -136,80 +143,86 @@ object Pdf {
     for (n <- 1 until count)
       require(whole.startsWith(s"$n 0 obj", offsets(n)._1),
         s"pdf: object $n offset")
-    // trailer dict
     val trAt = whole.indexOf("trailer", hdrEnd)
     val trailer = whole.substring(trAt, sxAt)
-    require(trailer.contains("/Size 6"), "pdf: trailer size")
+    require(trailer.contains(s"/Size $count"), "pdf: trailer size")
     require(trailer.contains("/Root 1 0 R"), "pdf: no root")
     def objBody(n: Int): String = {
       val start = offsets(n)._1
       whole.substring(whole.indexOf("obj", start) + 3,
         whole.indexOf("endobj", start))
     }
-    // reference chain: catalog -> pages -> kid -> contents
     val cat = objBody(1)
     require(cat.contains("/Type /Catalog"), "pdf: catalog")
     val pagesRef = "/Pages (\\d+) 0 R".r.findFirstMatchIn(cat)
       .map(_.group(1).toInt).getOrElse(sys.error("pdf: pages ref"))
     val pages = objBody(pagesRef)
-    val kidRef = "/Kids \\[(\\d+) 0 R\\]".r.findFirstMatchIn(pages)
-      .map(_.group(1).toInt).getOrElse(sys.error("pdf: kid ref"))
-    val page = objBody(kidRef)
-    require(page.contains("/MediaBox [0 0 612 792]"), "pdf: mediabox")
-    val contRef = "/Contents (\\d+) 0 R".r.findFirstMatchIn(page)
-      .map(_.group(1).toInt).getOrElse(sys.error("pdf: contents ref"))
-    // content stream object: /Length + FlateDecode + byte payload
-    val cStart = offsets(contRef)._1
-    val cDict = whole.substring(cStart, whole.indexOf("stream", cStart))
-    require(cDict.contains("/Filter /FlateDecode"), "pdf: filter")
-    val len = "/Length (\\d+)".r.findFirstMatchIn(cDict)
-      .map(_.group(1).toInt).getOrElse(sys.error("pdf: length"))
-    val zFrom = whole.indexOf("stream", cStart) + 7 // past "stream\n"
-    require(ascii(bytes, zFrom + len, zFrom + len + 11) == "\nendstream\n",
-      "pdf: stream length mismatch")
-    val infl = new java.util.zip.Inflater()
-    infl.setInput(bytes, zFrom, len)
-    val buf = new java.io.ByteArrayOutputStream()
-    val tmp = new Array[Byte](1024)
-    while (!infl.finished()) {
-      val n = infl.inflate(tmp)
-      require(n > 0 || infl.finished(), "pdf: truncated stream")
-      buf.write(tmp, 0, n)
+    val kidRefs = "/Kids \\[([0-9 R]+)\\]".r.findFirstMatchIn(pages)
+      .map(_.group(1)).getOrElse(sys.error("pdf: kids"))
+      .split("R").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(" ")(0).toInt).toSeq
+    val declared = "/Count (\\d+)".r.findFirstMatchIn(pages)
+      .map(_.group(1).toInt).getOrElse(sys.error("pdf: count"))
+    require(declared == kidRefs.size, "pdf: /Count vs kids mismatch")
+    val rows = kidRefs.zipWithIndex.map { case (kidRef, pIdx) =>
+      val page = objBody(kidRef)
+      require(page.contains("/MediaBox [0 0 612 792]"), "pdf: mediabox")
+      val contRef = "/Contents (\\d+) 0 R".r.findFirstMatchIn(page)
+        .map(_.group(1).toInt).getOrElse(sys.error("pdf: contents ref"))
+      val cStart = offsets(contRef)._1
+      val cDict = whole.substring(cStart, whole.indexOf("stream", cStart))
+      require(cDict.contains("/Filter /FlateDecode"), "pdf: filter")
+      val len = "/Length (\\d+)".r.findFirstMatchIn(cDict)
+        .map(_.group(1).toInt).getOrElse(sys.error("pdf: length"))
+      val zFrom = whole.indexOf("stream", cStart) + 7 // past "stream\n"
+      require(ascii(bytes, zFrom + len, zFrom + len + 11) == "\nendstream\n",
+        "pdf: stream length mismatch")
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(bytes, zFrom, len)
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](1024)
+      while (!infl.finished()) {
+        val n = infl.inflate(tmp)
+        require(n > 0 || infl.finished(), "pdf: truncated stream")
+        buf.write(tmp, 0, n)
+      }
+      infl.end()
+      val ops = new String(buf.toByteArray, US_ASCII)
+      require(ops.startsWith("BT ") && ops.endsWith("ET"), "pdf: BT/ET")
+      val fs = "/F1 (\\d+) Tf".r.findFirstMatchIn(ops)
+        .map(_.group(1).toLong).getOrElse(sys.error("pdf: Tf"))
+      var tx = 0L
+      var ty = 0L
+      var first = true
+      var x00 = 0L
+      var y00 = 0L
+      val lines = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String)]
+      val tdOrTj = "(-?\\d+) (-?\\d+) Td|\\(([^()\\\\]*)\\) Tj".r
+      tdOrTj.findAllMatchIn(ops).foreach { m =>
+        if (m.group(3) == null) {
+          tx += m.group(1).toLong // Td translates the PREVIOUS line matrix
+          ty += m.group(2).toLong
+          if (first) { x00 = tx; y00 = ty; first = false }
+        } else lines += ((tx, ty, m.group(3)))
+      }
+      require(lines.nonEmpty, "pdf: no text")
+      val text = lines.map(_._3).mkString("\n")
+      var h = 0L
+      text.foreach(c => h = (h * 131 + c.toLong) % 1000000007L)
+      PdfRow(d, pIdx.toLong, (count - 1).toLong,
+        kidRefs.size.toLong, lines.size.toLong, fs,
+        text.length.toLong, x00, y00, lines.last._2, h)
     }
-    infl.end()
-    val ops = new String(buf.toByteArray, US_ASCII)
-    // text-operator replay: BT, Tf, relative Td chain, Tj strings
-    require(ops.startsWith("BT ") && ops.endsWith("ET"), "pdf: BT/ET")
-    val fs = "/F1 (\\d+) Tf".r.findFirstMatchIn(ops)
-      .map(_.group(1).toLong).getOrElse(sys.error("pdf: Tf"))
-    var tx = 0L
-    var ty = 0L
-    var first = true
-    val lines = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
-    val tdOrTj = "(-?\\d+) (-?\\d+) Td|\\(([^()\\\\]*)\\) Tj".r
-    var x00 = 0L
-    var y00 = 0L
-    tdOrTj.findAllMatchIn(ops).foreach { m =>
-      if (m.group(3) == null) {
-        tx += m.group(1).toLong // Td translates the PREVIOUS line matrix
-        ty += m.group(2).toLong
-        if (first) { x00 = tx; y00 = ty; first = false }
-      } else lines += ((tx, ty, m.group(3)))
-    }
-    require(lines.nonEmpty, "pdf: no text")
-    val text = lines.map(_._3).mkString("\n")
-    var h = 0L
-    text.foreach(c => h = (h * 131 + c.toLong) % 1000000007L)
-    PdfRow(d, 5L, lines.size.toLong, fs, text.length.toLong,
-      x00, y00, lines.last._2, h)
+    rows
   }
 
-  /** Row-local generate + parse — scan -> map, no shuffle. */
+  /** Row-local generate + parse — scan -> flatMap, no shuffle. */
   def pdfFeatures(docs: DataFrame): DataFrame = {
     implicit val encL = Encoders.scalaLong
     implicit val encF = Encoders.product[PdfRow]
     docs.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(_.map(d => decodePdf(d, synthPdfBytes(d))))
+      .mapPartitions(_.flatMap(d => decodePdf(d, synthPdfBytes(d))))
       .toDF()
   }
 }

@@ -1108,28 +1108,38 @@ object SourceQueries {
 
     "q_multimodal_pdf" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
-        |p AS (SELECT d, 3 + d % 6 AS nl, 9 + d % 8 AS fs,
-        |        60 + d % 30 AS x0, 700 + d % 50 AS y0 FROM d),
-        |l AS (SELECT p.d, i.i,
-        |        'doc ' || p.d || ' line ' || i.i || ' ' ||
+        |pg AS (SELECT d, 1 + d % 3 AS np FROM d),
+        |pp AS (SELECT pg.d, pg.np, pz.p,
+        |         3 + (pg.d + pz.p) % 6 AS nl,
+        |         9 + (pg.d + pz.p) % 8 AS fs,
+        |         60 + (pg.d + 3 * pz.p) % 30 AS x0,
+        |         700 + (pg.d + 7 * pz.p) % 50 AS y0
+        |       FROM pg, LATERAL (SELECT unnest(generate_series(0,
+        |         CAST(pg.np - 1 AS INT))) AS p) pz),
+        |l AS (SELECT pp.d, pp.p, i.i,
+        |        'doc ' || pp.d || ' page ' || pp.p || ' line ' || i.i
+        |        || ' ' ||
         |        ['alpha','bravo','charlie','delta','echo','foxtrot',
-        |         'golf','hotel'][CAST((p.d + i.i) % 8 + 1 AS INT)] AS t
-        |      FROM p, LATERAL (SELECT unnest(generate_series(0,
-        |        CAST(p.nl - 1 AS INT))) AS i) i),
-        |tx AS (SELECT d, string_agg(t, chr(10) ORDER BY i) AS text
-        |       FROM l GROUP BY 1)
-        |SELECT p.d AS doc_id, CAST(5 AS BIGINT) AS n_objs,
-        |  CAST(p.nl AS BIGINT) AS n_lines,
-        |  CAST(p.fs AS BIGINT) AS font_size,
+        |         'golf','hotel'][CAST((pp.d + pp.p + i.i) % 8 + 1 AS INT)]
+        |          AS t
+        |      FROM pp, LATERAL (SELECT unnest(generate_series(0,
+        |        CAST(pp.nl - 1 AS INT))) AS i) i),
+        |tx AS (SELECT d, p, string_agg(t, chr(10) ORDER BY i) AS text
+        |       FROM l GROUP BY 1, 2)
+        |SELECT pp.d AS doc_id, CAST(pp.p AS BIGINT) AS page,
+        |  CAST(3 + 2 * pp.np AS BIGINT) AS n_objs,
+        |  CAST(pp.np AS BIGINT) AS n_pages,
+        |  CAST(pp.nl AS BIGINT) AS n_lines,
+        |  CAST(pp.fs AS BIGINT) AS font_size,
         |  CAST(len(tx.text) AS BIGINT) AS text_chars,
-        |  CAST(p.x0 AS BIGINT) AS x0, CAST(p.y0 AS BIGINT) AS y0,
-        |  CAST(p.y0 - (p.nl - 1) * (p.fs + 2) AS BIGINT) AS y_last,
+        |  CAST(pp.x0 AS BIGINT) AS x0, CAST(pp.y0 AS BIGINT) AS y0,
+        |  CAST(pp.y0 - (pp.nl - 1) * (pp.fs + 2) AS BIGINT) AS y_last,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(list_filter(string_split(tx.text, ''),
         |                               c -> len(c) > 0),
         |                   c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 131 + b) % 1000000007) AS text_hash
-        |FROM p JOIN tx ON tx.d = p.d""".stripMargin,
+        |FROM pp JOIN tx ON tx.d = pp.d AND tx.p = pp.p""".stripMargin,
     // VAD segments replayed analytically: frame f of doc d is silence
     // iff (d + f) % 5 < 2 (the planted gate), speech energies from the
     // synth formula, islands via the same frame - row_number key

@@ -1633,9 +1633,15 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     val b = Pdf.synthPdfBytes(42L)
     assert(new String(b.take(8), java.nio.charset.StandardCharsets
       .US_ASCII) == "%PDF-1.4")
-    val row = Pdf.decodePdf(42L, b)
+    val row = Pdf.decodePdf(42L, b).head
     assert(row.n_lines == 3 + 42 % 6 && row.font_size == 9 + 42 % 8)
     assert(row.y_last == row.y0 - (row.n_lines - 1) * (row.font_size + 2))
+    // multi-page: the Kids array walk is real — 43 % 3 = 1 -> 2 pages,
+    // each with its own content stream, fonts/geometry per page
+    val multi = Pdf.decodePdf(43L, Pdf.synthPdfBytes(43L))
+    assert(multi.size == 2 && multi.map(_.page) == Seq(0L, 1L))
+    assert(multi(0).font_size != multi(1).font_size ||
+      multi(0).n_lines != multi(1).n_lines)
     // corrupt one xref offset digit: the decoder must refuse, not
     // silently mis-navigate (the offsets are load-bearing)
     val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
