@@ -188,6 +188,28 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.96, s"deletion-neighborhood recall $recall")
   }
 
+  test("deletion-neighborhood index is append-only: base+delta posting " +
+    "union serves identically to a from-scratch build") {
+    // the add-after-train contract on the r12 ER index: unlike IVF/PQ
+    // (frozen quantizers), the deletion index is a pure per-row
+    // derivation, so appending a new batch's postings IS the refresh —
+    // no refit exists to go stale. Worth pinning precisely because it
+    // is structural: a future 'optimization' that adds global state
+    // (df caps, pruning thresholds) would break this test first.
+    import graft.queries.Analytics
+    val c = Analytics.entityMasterNames(
+      graft.Tables.load(spark, SfDir, "customer")).localCheckpoint()
+    val base = c.filter(col("ckey") % 5 =!= 4)
+    val delta = c.filter(col("ckey") % 5 === 4)
+    val unioned = Analytics.entityDeletionPostings(base)
+      .unionByName(Analytics.entityDeletionPostings(delta))
+    val full = Analytics.entityDeletionPostings(c)
+    val a = Analytics.entityResolveExactOn(c, unioned)
+    val b = Analytics.entityResolveExactOn(c, full)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "append-built index diverged from the from-scratch build")
+  }
+
   test("attribution: touch window is honored and last touch matches " +
     "the as-of rule") {
     val rows = graft.queries.EventQueries
