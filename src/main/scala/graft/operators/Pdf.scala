@@ -35,7 +35,10 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *
   * Constrained-corpus contract (the JPEG/H.264 move): text avoids
   * `(`, `)` and `\` so string objects need no escapes — escape
-  * handling is documented out of scope, not stubbed.
+  * handling is documented out of scope, not stubbed. Likewise out of
+  * scope, stated: PDF 1.5+ cross-reference STREAMS and object streams
+  * (the classic xref TABLE is what this corpus exercises), incremental
+  * updates (multiple xref sections), and encryption.
   *
   * Reference tie-in: gpd_lite_toolbox has no media path; this extends
   * SURVEY §2's multimodal rows (see row 38 and the codec family).
