@@ -85,6 +85,109 @@ object Exif {
     bb.array()
   }
 
+  // ------------------------------------------------ multi-IFD chain (r12)
+
+  case class TiffPageRow(doc_id: Long, page: Long, n_pages: Long,
+                         byte_order: String, width: Long, height: Long,
+                         orientation: Long, make: String)
+
+  private[graft] def tiffPages(d: Long): Int = (1 + d % 3).toInt
+
+  /** Multi-page TIFF: 1-3 IFDs chained through the NEXT-IFD pointer —
+    * the structure multi-page scans/faxes actually ship (TIFF 6.0 §2,
+    * PageNumber tag 0x0129). Offsets are MEASURED during assembly (the
+    * xref/stco move); PageNumber is a count=2 SHORT whose BOTH values
+    * ride inline in the 4-byte field — a parser case the single-value
+    * corpus never exercised. Only IFD0 carries the Make string, so the
+    * offset-addressed ASCII path stays exercised beside the chain. */
+  def synthTiffMultiBytes(d: Long): Array[Byte] = {
+    val little = d % 2 == 0
+    val np = tiffPages(d)
+    // per-page IFD: IFD0 has 5 entries (w/h/orient/page/make), others 4
+    def ifdSize(p: Int): Int = 2 + (if (p == 0) 5 else 4) * 12 + 4
+    val offs = new Array[Int](np)
+    offs(0) = 8
+    for (p <- 1 until np) offs(p) = offs(p - 1) + ifdSize(p - 1)
+    val offMake = offs(np - 1) + ifdSize(np - 1)
+    val total = offMake + 6
+    val bb = ByteBuffer.allocate(total)
+      .order(if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val mark = if (little) "II" else "MM"
+    bb.put(mark.charAt(0).toByte).put(mark.charAt(1).toByte)
+    bb.putShort(42)
+    bb.putInt(offs(0))
+    for (p <- 0 until np) {
+      assert(bb.position() == offs(p))
+      bb.putShort(if (p == 0) 5 else 4)
+      def entryShort(tag: Int, v: Int): Unit = {
+        bb.putShort(tag.toShort); bb.putShort(TShort.toShort); bb.putInt(1)
+        bb.putShort(v.toShort); bb.putShort(0)
+      }
+      entryShort(0x0100, (640 + ((d + p) % 7) * 80).toInt)
+      entryShort(0x0101, (480 + ((d + p) % 5) * 60).toInt)
+      entryShort(0x0112, (1 + (d + p) % 8).toInt)
+      // PageNumber: count=2 SHORT, both values INLINE in the 4-byte field
+      bb.putShort(0x0129.toShort); bb.putShort(TShort.toShort); bb.putInt(2)
+      bb.putShort(p.toShort); bb.putShort(np.toShort)
+      if (p == 0) {
+        bb.putShort(0x010f.toShort); bb.putShort(TAscii.toShort)
+        bb.putInt(5); bb.putInt(offMake)
+      }
+      bb.putInt(if (p + 1 < np) offs(p + 1) else 0) // next-IFD pointer
+    }
+    assert(bb.position() == offMake)
+    bb.put(s"cam${d % 5}".getBytes("US-ASCII")).put(0.toByte)
+    bb.put(0.toByte) // alignment pad
+    bb.array()
+  }
+
+  /** Walk the next-IFD chain; every page's declared PageNumber must
+    * match its chain position and total — a broken pointer or a
+    * mis-numbered page fails loudly, never silently drops pages. */
+  def parseTiffMulti(d: Long, payload: Array[Byte]): Seq[TiffPageRow] = {
+    require(payload.length >= 8, "tiff: truncated header")
+    val mark = new String(payload.take(2), "US-ASCII")
+    val order = mark match {
+      case "II" => ByteOrder.LITTLE_ENDIAN
+      case "MM" => ByteOrder.BIG_ENDIAN
+      case m => throw new IllegalArgumentException(s"tiff: bad mark $m")
+    }
+    val bb = ByteBuffer.wrap(payload).order(order)
+    require((bb.getShort(2) & 0xffff) == 42, "tiff: bad magic")
+    var off = bb.getInt(4)
+    var make = ""
+    val rows = scala.collection.mutable.ArrayBuffer.empty[TiffPageRow]
+    var guard = 0
+    while (off != 0) {
+      require(guard < 64, "tiff: IFD chain cycle")
+      guard += 1
+      val ifd = readIfd(bb, off, payload.length)
+      if (rows.isEmpty) make = ifd(0x010f).str
+      val pn = ifd(0x0129)
+      require(pn.longs.length == 2, "tiff: PageNumber arity")
+      require(pn.longs(0) == rows.size, "tiff: page number out of order")
+      rows += TiffPageRow(d, pn.longs(0), pn.longs(1), mark,
+        ifd(0x0100).longs(0), ifd(0x0101).longs(0),
+        ifd(0x0112).longs(0), make)
+      // next-IFD pointer sits right after the entry table
+      val n = bb.getShort(off) & 0xffff
+      off = bb.getInt(off + 2 + n * 12)
+    }
+    require(rows.nonEmpty && rows.forall(_.n_pages == rows.size),
+      "tiff: declared page total diverges from the chain")
+    rows.toSeq
+  }
+
+  /** Row-local generate + chain walk — scan -> flatMap, no shuffle. */
+  def tiffPageFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[TiffPageRow]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap(d =>
+        parseTiffMulti(d, synthTiffMultiBytes(d))))
+      .toDF()
+  }
+
   /** One parsed IFD entry: resolved longs and/or string value. */
   private case class Entry(typ: Int, longs: Array[Long], str: String)
 
@@ -104,6 +207,11 @@ object Exif {
         case TShort if count == 1 =>
           // inline, left-justified in the value field
           Entry(typ, Array((bb.getShort(valuePos) & 0xffff).toLong), "")
+        case TShort if count == 2 =>
+          // count=2 SHORTs fill the 4-byte field exactly (r12:
+          // PageNumber) — both values inline, no offset indirection
+          Entry(typ, Array((bb.getShort(valuePos) & 0xffff).toLong,
+            (bb.getShort(valuePos + 2) & 0xffff).toLong), "")
         case TLong if count == 1 =>
           Entry(typ, Array(bb.getInt(valuePos).toLong & 0xffffffffL), "")
         case TAscii =>

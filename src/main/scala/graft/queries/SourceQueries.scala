@@ -247,6 +247,13 @@ object SourceQueries {
     graft.operators.Sniff.sniffFeatures(
       Tables.load(spark, dir, "documents"))
 
+  /** Multi-page TIFF (r12): 1-3 IFDs chained through the next-IFD
+    * pointer, PageNumber count=2 SHORT inline, chain order and
+    * declared totals REQUIREd. Row-local. */
+  def qMultimodalTiffPages(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Exif.tiffPageFeatures(
+      Tables.load(spark, dir, "documents"))
+
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
 
@@ -584,6 +591,7 @@ object SourceQueries {
     "q_multimodal_h264_cbp" -> (qMultimodalH264Cbp _),
     "q_multimodal_pdf" -> (qMultimodalPdf _),
     "q_format_sniff" -> (qFormatSniff _),
+    "q_multimodal_tiff_pages" -> (qMultimodalTiffPages _),
     "q_image_phash" -> (qImagePhash _),
     "q_image_hash_eval" -> (qImageHashEval _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
@@ -1093,6 +1101,23 @@ object SourceQueries {
     // the synthesizer used; the text hash replays the 131-fold over the
     // line-joined extraction (compression-independent by design — the
     // deflate byte layout is verified in-file, never emitted)
+    // multi-page TIFF: every field re-derived from the (doc_id, page)
+    // arithmetic; the chain walk itself is engine work the totals pin
+    "q_multimodal_tiff_pages" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+        |pg AS (SELECT d, 1 + d % 3 AS np FROM d),
+        |pp AS (SELECT pg.d, pg.np, pz.p
+        |       FROM pg, LATERAL (SELECT unnest(generate_series(0,
+        |         CAST(pg.np - 1 AS INT))) AS p) pz)
+        |SELECT d AS doc_id, CAST(p AS BIGINT) AS page,
+        |  CAST(np AS BIGINT) AS n_pages,
+        |  CASE WHEN d % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(640 + ((d + p) % 7) * 80 AS BIGINT) AS width,
+        |  CAST(480 + ((d + p) % 5) * 60 AS BIGINT) AS height,
+        |  CAST(1 + (d + p) % 8 AS BIGINT) AS orientation,
+        |  'cam' || CAST(d % 5 AS VARCHAR) AS make
+        |FROM pp""".stripMargin,
+
     // sniffing: the routing decision re-derived from the same doc_id
     // arithmetic that picked the synth; tampered docs MUST be 'unknown'
     "q_format_sniff" ->
