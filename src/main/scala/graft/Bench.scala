@@ -34,20 +34,33 @@ object Bench {
     * `"contended_queries"` — inflation can no longer ship unlabeled. */
   private val FloorRatio = 2.5
 
-  private def loadFloors(sfDir: String): Map[String, Double] = {
-    try {
-      val p = java.nio.file.Paths.get("FLOORS.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val s = java.nio.file.Files.readString(p)
-        // floors only gate runs at the sf they were measured at
-        val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
-          .exists(m => sfDir.endsWith(m.group(1)))
-        if (!sfOk) Map.empty
-        else "\"(q[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(s)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
+  /** Returns (floors, status). status != "active" means the gate is
+    * OFF — and that must be loud: a malformed FLOORS.json or an sf
+    * mismatch used to silently disable the gate with floors_n=0 as the
+    * only trace. Now the status ships in the JSON and non-active
+    * statuses print a stderr warning. */
+  private def loadFloors(sfDir: String): (Map[String, Double], String) = {
+    val r =
+      try {
+        val p = java.nio.file.Paths.get("FLOORS.json")
+        if (!java.nio.file.Files.exists(p)) (Map.empty[String, Double], "no_file")
+        else {
+          val s = java.nio.file.Files.readString(p)
+          // floors only gate runs at the sf they were measured at
+          val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
+            .exists(m => sfDir.endsWith(m.group(1)))
+          if (!sfOk) (Map.empty[String, Double], "sf_mismatch")
+          else {
+            val m = "\"(q[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(s)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            if (m.isEmpty) (m, "empty_parse") else (m, "active")
+          }
+        }
+      } catch { case e: Throwable =>
+        (Map.empty[String, Double], s"read_error:${e.getClass.getSimpleName}") }
+    if (r._2 != "active")
+      System.err.println(s"WARNING: per-query floor gate DISABLED (${r._2})")
+    r
   }
 
   /** Two fixed corpus-independent probes, min-of-2 each: a pure
@@ -105,7 +118,10 @@ object Bench {
     }
     val warmSec = (System.nanoTime() - tWarm0) / 1e9
     val (cs1, cs2) = canary(spark)
-    val floors = loadFloors(sfDir)
+    val (floors, floorsStatus) = loadFloors(sfDir)
+    // retry crashes are real flakiness even when the first (successful)
+    // timing ships — record them instead of dropping them (ADVICE r12)
+    val retryErrors = scala.collection.mutable.Map.empty[String, String]
     // Same-commit runs on this box have differed 2.1x end-to-end (59 s vs
     // 125 s) with untouched single queries swinging up to 12x — CPU
     // contention noise, not code. Queries over 1 s therefore run up to 3
@@ -136,9 +152,11 @@ object Bench {
       def floorGate(t: Double): Double = floors.get(name) match {
         case Some(f) if f > 0.05 && t > FloorRatio * f =>
           val (tr, er) = once()
+          er.foreach(e => retryErrors(name) = e)
           val lo = if (er.isDefined) t else math.min(t, tr)
           if (lo > FloorRatio * f) {
             val (tr2, er2) = once()
+            er2.foreach(e => retryErrors(name) = e)
             if (er2.isDefined) lo else math.min(lo, tr2)
           } else lo
         case _ => t
@@ -192,11 +210,14 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":" + jstr(e)
     }.mkString("{", ",", "}")
+    val retryErrs = retryErrors.toSeq.sortBy(_._1)
+      .map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
     // only successful timings count toward the headline total
     val total = results.collect { case (_, v, None) => v }.sum
     val cjson = s"""{"start":[${num(cs1)},${num(cs2)}],"end":[${num(ce1)},${num(ce2)}],"floors":[${num(CpuFloorSec)},${num(ShufFloorSec)}]}"""
     val cqjson = contendedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","warmed":$warmed,"warm_sec":${num(warmSec)},"contended":$contended,"floors_n":${floors.size},"floor_ratio":$FloorRatio,"contended_queries":$cqjson,"canary":$cjson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","warmed":$warmed,"warm_sec":${num(warmSec)},"contended":$contended,"floors_n":${floors.size},"floors_status":"$floorsStatus","floor_ratio":$FloorRatio,"contended_queries":$cqjson,"retry_errors":$retryErrs,"canary":$cjson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with [info], which can defeat line-level JSON
     // parsing downstream — also drop the bare line in a file.
@@ -221,7 +242,7 @@ object Bench {
     // flagged-query list here (the full list is in BENCH_LATEST.json)
     val cqCap = contendedQs.take(8).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"warm_sec":${num(warmSec)},"err_n":$nerr,"contended":$contended,"floors_n":${floors.size},"cq_n":${contendedQs.size},"contended_queries":$cqCap,"key_order":"sorted(queries.keys)","qt":$qt,"queries_full":"BENCH_LATEST.json"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"warm_sec":${num(warmSec)},"err_n":$nerr,"retry_err_n":${retryErrors.size},"contended":$contended,"floors_n":${floors.size},"floors_status":"$floorsStatus","cq_n":${contendedQs.size},"contended_queries":$cqCap,"key_order":"sorted(queries.keys)","qt":$qt,"queries_full":"BENCH_LATEST.json"}""")
     spark.stop()
   }
 }

@@ -37,14 +37,25 @@ object ConnectedComponents {
     * set difference over the checkpointed frames) costs two small
     * jobs on a pair-table-sized input — nothing corpus-sized.
     * Kiveris et al. 2014 prove O(log n) rounds, so the cap is a
-    * safety net, not a tuning knob. */
+    * safety net, not a tuning knob.
+    *
+    * Star rounds never GROW the edge set, so a count change alone
+    * proves non-convergence — the previous round's count is carried
+    * forward and each round pays ONE count job; the exceptAll (the
+    * expensive set-difference) only runs at count equality, where it
+    * is the proof (equal sizes + one-sided emptiness = multiset
+    * equality). */
   private def converge(e0: DataFrame, maxRounds: Int): DataFrame = {
     var e = e0
+    var eCnt = -1L // e's count, computed lazily on first equality test
     var r = 0
     while (r < maxRounds) {
       val next = round(e)
-      val stable = next.count() == e.count() && next.exceptAll(e).isEmpty
+      val nextCnt = next.count()
+      if (eCnt < 0) eCnt = e.count()
+      val stable = nextCnt == eCnt && next.exceptAll(e).isEmpty
       e = next
+      eCnt = nextCnt
       r += 1
       if (stable) return e
     }
