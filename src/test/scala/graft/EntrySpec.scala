@@ -17,7 +17,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *     check; an oracle without a query is dead SQL);
   *  3. SURVEY.md §2's inventory must list exactly the `queries` keys —
   *     the judge reads §2 line by line, and rounds 8 and 9 both
-  *     drifted (q_crs_distance, then q_quality_classifier).
+  *     drifted (q_crs_distance, then q_quality_classifier);
+  *  4. FLOORS.json must carry a floor for exactly the `queries` keys
+  *     (r13, VERDICT r12 item 2): q_multimodal_tiff_pages shipped in
+  *     r12's final snapshot with no committed floor, so the bench's
+  *     contention gate never covered it. A floor-less query now fails
+  *     the build — every new query needs a TimeOne min-of-2 floor at
+  *     sf0.1 appended to FLOORS.json the moment it is declared.
   */
 class EntrySpec extends AnyFunSuite with SharedSpark {
 
@@ -54,5 +60,19 @@ class EntrySpec extends AnyFunSuite with SharedSpark {
       s"queries missing from SURVEY §2: ${(queryKeys -- surveyKeys).toSeq.sorted}")
     assert((surveyKeys -- queryKeys).isEmpty,
       s"SURVEY §2 rows with no query: ${(surveyKeys -- queryKeys).toSeq.sorted}")
+  }
+
+  test("FLOORS.json carries a floor for every SparkEntry.queries key") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("FLOORS.json")), java.nio.charset.StandardCharsets.UTF_8)
+    // same tolerant extraction Bench.loadFloors uses: q-prefixed keys
+    // mapped to numbers (meta keys sf/passes/note don't match)
+    val floorKeys = "\"(q[a-z0-9_]+)\"\\s*:\\s*[0-9.]+".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    val queryKeys = SparkEntry.queries.keySet
+    assert((queryKeys -- floorKeys).isEmpty,
+      s"queries with no committed floor: ${(queryKeys -- floorKeys).toSeq.sorted}")
+    assert((floorKeys -- queryKeys).isEmpty,
+      s"floors with no query: ${(floorKeys -- queryKeys).toSeq.sorted}")
   }
 }
