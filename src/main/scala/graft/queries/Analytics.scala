@@ -507,16 +507,19 @@ object Analytics {
       .select(col("ckey"), col("name").as("cn"), col("gs").as("gs_c"))
     val dArr = gramArr(dirty, "rid", 3)
       .select(col("rid"), col("name").as("dn"), col("gs"))
+    // threshold-1 levenshtein (r13): the serve only keeps lev <= 1, so
+    // the banded DP with early exit decides in O(len) where the full
+    // DP pays O(len^2) per candidate; -1 encodes "above threshold"
     val scored = cand
       .join(dArr, Seq("rid"))
       .join(cArr, Seq("ckey"))
       .select(col("rid"), col("ckey"),
-        levenshtein(col("dn"), col("cn")).cast("double").as("lev"),
+        levenshtein(col("dn"), col("cn"), 1).cast("double").as("lev"),
         size(array_intersect(col("gs"), col("gs_c"))).cast("long")
           .as("shared"),
         size(col("gs")).cast("long").as("nb"),
         size(col("gs_c")).cast("long").as("na"))
-      .filter(col("lev") <= 1.0)
+      .filter(col("lev") >= 0.0)
       .select(col("rid"), col("ckey"), col("lev"),
         round(col("shared").cast("double")
           / (col("na") + col("nb") - col("shared")).cast("double"), 4)
@@ -628,16 +631,28 @@ object Analytics {
     // arithmetic on the attached trigram arrays — two equi-joins on
     // the id keys, no per-gram three-way join (the gram tables are
     // entity-sized, so AQE broadcasts them here; at scale the same
-    // equi-joins hash-partition on the ids)
-    def score(cand: DataFrame): DataFrame = cand
+    // equi-joins hash-partition on the ids).
+    // Pass 1 scores with THRESHOLD-1 levenshtein (r13, VERDICT r12
+    // item 3): the pass-1 decision is only "does a lev<=1 candidate
+    // exist, and which lev<=1 row wins" — lev dominates the composite
+    // key (2*lev > any 1-jac delta), so a rid with any lev<=1
+    // candidate has the same winner whether or not its lev>=2 rows
+    // enter the heap. The banded DP decides lev<=1 in O(len) against
+    // the full DP's O(len^2); only the retry residual (~3% of rids)
+    // ever pays exact distances, and it re-scores its own pass-1
+    // candidates below.
+    def score(cand: DataFrame, threshold: Option[Int]): DataFrame = cand
       .join(dArr, Seq("rid"))
       .join(cArr, Seq("ckey"))
       .select(col("rid"), col("ckey"),
-        levenshtein(col("dn"), col("cn")).cast("double").as("lev"),
+        threshold.fold(levenshtein(col("dn"), col("cn")))(t =>
+          levenshtein(col("dn"), col("cn"), t))
+          .cast("double").as("lev"),
         size(array_intersect(col("gs"), col("gs_c"))).cast("long")
           .as("shared"),
         size(col("gs")).cast("long").as("nb"),
         size(col("gs_c")).cast("long").as("na"))
+      .filter(col("lev") >= 0.0) // -1 = above threshold, never a winner
       .select(col("rid"), col("ckey"), col("lev"),
         round(col("shared").cast("double")
           / (col("na") + col("nb") - col("shared")).cast("double"), 4)
@@ -651,6 +666,7 @@ object Analytics {
       .join(cg5, Seq("ge"))
       .filter(abs(col("dl") - col("cl")) <= 1)
       .select(col("rid"), col("ckey")).distinct()
+      .localCheckpoint() // pass-1 scoring + retry re-score share it
     // rank by (lev asc, jac desc, ckey asc): the composite key keeps
     // lev dominant (lev*2 > any 1-jac delta) and 1-jac is monotone in
     // jac with round-4 spacing far above double ulp — same order the
@@ -664,11 +680,11 @@ object Analytics {
       .select(col("rid"),
         element_at(col("tk"), 1).getField("payload").as("matched_key"),
         element_at(col("tk"), 1).getField("key").as("k"))
-    // ONE scoring pass over pass-1 candidates straight into the k=1
-    // heap — the winner row is the only pass-1 state the rescue needs,
-    // so the full scored table is never materialized or re-read
-    val best1 = keyOf(score(cand1))
-      .localCheckpoint() // done/retry split + retry re-rank rows
+    // ONE threshold-1 scoring pass over pass-1 candidates straight
+    // into the k=1 heap; best1 holds exactly the rids that HAVE a
+    // lev<=1 candidate (the old k<4 test, decided structurally)
+    val best1 = keyOf(score(cand1, threshold = Some(1)))
+      .localCheckpoint() // done/retry split + final union
     // second chance: rids whose pass-1 winner is not lev<=1 (blocking
     // missed the twin, or no candidates survived at all) — a small
     // set, so the extra work is bounded by the residual, not the
@@ -682,8 +698,7 @@ object Analytics {
     // rarest-gram ranking runs out of signal exactly when blocking
     // missed); the tail block is ~retry x bucket-size.
     val retryIds = dirty.select(col("rid"))
-      .join(best1.filter(col("k") < 4.0).select("rid"),
-        Seq("rid"), "left_anti")
+      .join(best1.select("rid"), Seq("rid"), "left_anti")
     val cand2 = dirty.join(retryIds, Seq("rid"))
       .select(col("rid"), length(col("name")).cast("long").as("dl"),
         expr("right(name, 12)").as("tk"))
@@ -691,17 +706,25 @@ object Analytics {
         .as("cl"), expr("right(name, 12)").as("tk")), Seq("tk"))
       .filter(abs(col("dl") - col("cl")) <= 1)
       .select(col("rid"), col("ckey"))
-    // retry re-rank: the pass-1 winner re-enters as a candidate row
-    // beside the fresh tail-block scores (a duplicate of a cand2 pair
-    // is harmless — identical (key, tie) can't change a k=1 heap), so
-    // no pass-1 re-score and no disjointness anti-join are needed
-    val retryRows = best1.filter(col("k") >= 4.0)
-      .select(col("rid"), col("matched_key").as("ckey"),
-        floor(col("k") / 2).cast("double").as("lev"),
-        round(lit(1.0) - (col("k") - floor(col("k") / 2) * 2), 4)
-          .as("jac"))
-    val best2 = keyOf(score(cand2).unionByName(retryRows))
-    best1.filter(col("k") < 4.0).unionByName(best2)
+      .localCheckpoint() // thr-1 retry pass + residual re-score share it
+    // STAGED retry (r13): the tail block scores with threshold-1 first
+    // — a retry rid whose tail bucket holds a lev<=1 candidate is
+    // decided there (its pass-1 candidates are all lev>=2 by the retry
+    // definition, so they cannot beat it; measured: ALL 1150 retry
+    // rids at sf0.1 resolve here, 0.75 s vs 4.1 s for exact-DP over
+    // the union). Only the doubly-residual rids — no lev<=1 candidate
+    // in EITHER pass — re-score their full candidate set through the
+    // exact DP, because their winners sit at lev >= 2 where exact
+    // distances order the ranking. A duplicate pair inside the union
+    // is harmless (identical (key, tie) can't change a k=1 heap).
+    val best2a = keyOf(score(cand2, threshold = Some(1)))
+      .localCheckpoint() // residual split + final union
+    val retry2 = retryIds
+      .join(best2a.select("rid"), Seq("rid"), "left_anti")
+    val candResid = cand1.join(retry2, Seq("rid"))
+      .unionByName(cand2.join(retry2, Seq("rid")))
+    val best2b = keyOf(score(candResid, threshold = None))
+    best1.unionByName(best2a).unionByName(best2b)
       .select(col("rid"), col("matched_key"),
         floor(col("k") / 2).cast("long").as("lev"),
         round(lit(1.0) - (col("k") - floor(col("k") / 2) * 2), 4)
