@@ -68,6 +68,25 @@ object ProfileEntity13 {
       .select(col("rid"), length(col("name")).cast("long").as("dl"),
         explode(col("gs")).as("g"))
       .select(col("rid"), col("dl"), encGram(col("g")).as("ge"))
+    t("dg5 build only") { dg5.queryExecution.toRdd.count() }
+    // cheaper encoding: one char-code array, then 5-gram codes by
+    // element_at arithmetic — no gram strings, no per-gram substr.
+    // MEASURED 0.74 s vs 0.99 s — a 0.25 s gain that buys ANSI
+    // element_at out-of-bounds risk on short names; not adopted.
+    val dg5b = dirty.select(col("rid"),
+      length(col("name")).cast("long").as("dl"),
+      transform(sequence(lit(1), length(col("name"))),
+        i => ascii(substring(col("name"), i.cast("int"), lit(1)))
+          .cast("long")).as("codes"))
+      .select(col("rid"), col("dl"),
+        explode(array_distinct(transform(
+          sequence(lit(1L), greatest(col("dl") - 4, lit(1L))),
+          i => element_at(col("codes"), i.cast("int")) * lit(128L * 128 * 128 * 128)
+            + element_at(col("codes"), (i + 1).cast("int")) * lit(128L * 128 * 128)
+            + element_at(col("codes"), (i + 2).cast("int")) * lit(128L * 128)
+            + element_at(col("codes"), (i + 3).cast("int")) * lit(128L)
+            + element_at(col("codes"), (i + 4).cast("int"))))).as("ge"))
+    t("dg5b build only") { dg5b.queryExecution.toRdd.count() }
     val probesAll = t("probesAll (heap)") {
       dg5.join(dfTab, Seq("ge"))
         .groupBy("rid", "dl")
