@@ -854,4 +854,30 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(out.size === 64)
     assert(out.values.toSet === Set(1L)) // one component, canonical = 1
   }
+
+  test("FastCDC chunking is shift-robust where fixed-width is not") {
+    // the property the operator exists to prove: a prefix-shifted twin
+    // keeps most content-defined chunk fingerprints (only the chunks
+    // before the first boundary re-align) while fixed-width chunking
+    // keeps NONE — every boundary shifts, the store re-ingests the
+    // whole blob (fw_new_bytes == twin_bytes)
+    val rows = graft.queries.DedupQueries
+      .qDedupFastCdc(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val cdcFrac = rows.map(_.getAs[Double]("cdc_frac")).sum / rows.length
+    val fwFrac = rows.map(_.getAs[Double]("fw_frac")).sum / rows.length
+    assert(cdcFrac > 0.7, s"cdc shared fraction $cdcFrac - not shift-robust")
+    assert(fwFrac == 0.0, s"fixed-width shared fraction $fwFrac - " +
+      "expected total loss under shift")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fw_new_bytes") == r.getAs[Long]("twin_bytes"))
+      // a boundary-free short blob is one whole chunk: its shifted twin
+      // legitimately shares nothing, so per-row the bound is <=
+      assert(r.getAs[Long]("cdc_new_bytes") <= r.getAs[Long]("twin_bytes"))
+      assert(r.getAs[Long]("n_cdc") >= 1L)
+    }
+    assert(rows.map(_.getAs[Long]("cdc_new_bytes")).sum <
+      rows.map(_.getAs[Long]("twin_bytes")).sum / 2,
+      "cdc re-stored more than half the shifted bytes")
+  }
 }
