@@ -331,6 +331,36 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streaming as-of join matches the batch twin on watermark-ripe " +
+    "clicks and never emits a row the batch twin lacks") {
+    import graft.streaming.AsofStream
+    val q = AsofStream.run(spark, SfDir, "asof_test")
+    try {
+      q.processAllAvailable()
+      val cols = Seq("click_id", "user_id", "click_ts_us", "view_id",
+        "view_ts_us", "lag_us")
+      val streamed = spark.table("asof_test").select(cols.map(col): _*)
+      val batch = graft.queries.EventQueries.qAsofJoin(spark, SfDir)
+        .select(cols.map(col): _*)
+      // every streamed match is exactly a batch match (exactly-once,
+      // correct anchor)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      // completeness up to the emission bound: the watermark is
+      // max(view/click ts) - 2h (the filter precedes the watermark
+      // node), and a click emits once the watermark passes it; 1s
+      // slack absorbs ms truncation + strictness
+      val ev = graft.Tables.eventsUs(spark, SfDir)
+        .filter(col("event_type").isin("view", "click"))
+      val wmUs = ev.agg(max("ts_us")).head().getLong(0) -
+        2L * 3600 * 1000000L
+      val mustHave = batch.filter(col("click_ts_us") < wmUs - 1000000L)
+      assert(mustHave.count() > 0, "bound leaves nothing to check")
+      assert(mustHave.exceptAll(streamed).count() === 0,
+        "a watermark-ripe click never emitted its as-of match")
+    } finally q.stop()
+  }
+
   test("streaming rate limiter matches the batch token-bucket fold") {
     import graft.streaming.RateLimitStream
     val q = RateLimitStream.run(spark, SfDir, "rate_test")
