@@ -601,6 +601,50 @@ object TextQueries {
         expr("n_chars * 10000 div n_tokens").as("chars_per_token_x1e4"))
   }
 
+  /** Per-language BPE fertility (r13, VERDICT r12 item 6) — the number
+    * multilingual vocab allocation actually decides on: the corpus-wide
+    * curve (q_bpe_fertility) averages away exactly the question a
+    * tokenizer budget answers, WHICH language's sequences shrink as the
+    * shared vocab grows. Same GLOBAL merge chain as q_bpe_train (the
+    * merges are corpus-argmax — one vocab for all languages, which is
+    * what creates the allocation pressure being measured), with lang
+    * carried through every replace and each stage's token sum grouped
+    * per language: 6 vocab steps × 5 languages, each row pricing that
+    * language's chars-per-token at that vocab size. Per stage ONE
+    * map-side-combined (lang) sum over ≤5 groups; the oracle unrolls
+    * the identical chain with a GROUP BY lang. On this corpus the
+    * merges land in shared template vocabulary, so the per-language
+    * curves move together with small spreads — the honest readout for
+    * a corpus whose languages share a generator; the planted-marker
+    * languages differ in char mass, which the n_chars column keeps
+    * visible. */
+  def qBpeFertilityLang(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir)
+      .select(col("lang"), lower(col("text")).as("t"))
+      .localCheckpoint() // every stage + the per-lang char totals read it
+    def stage(df: DataFrame, k: Long, merge: String): DataFrame =
+      df.groupBy("lang")
+        .agg(sum(length(col("t")).cast("long")).as("n_tokens"))
+        .select(lit(k).as("k"),
+          lit(if (merge.isEmpty) 0L else merge.charAt(0).toLong).as("a"),
+          lit(if (merge.isEmpty) 0L else merge.charAt(1).toLong).as("b"),
+          col("lang"), col("n_tokens"))
+    val (stages, _) = (1 to BpeRounds)
+      .foldLeft((Seq(stage(d0, 0L, "")), d0)) { case ((acc, d), r) =>
+        val m = bpeBestMerge(bpePairs(d))
+        val dn = d.select(col("lang"), replace(col("t"), lit(m),
+          lit(r.toChar.toString)).as("t")).localCheckpoint()
+        (acc :+ stage(dn, r.toLong, m), dn)
+      }
+    val chars0 = d0.groupBy("lang")
+      .agg(sum(length(col("t")).cast("long")).as("n_chars"))
+    stages.reduce(_ unionAll _)
+      .join(broadcast(chars0), Seq("lang"))
+      .select(col("k"), col("a"), col("b"), col("lang"),
+        col("n_tokens"), col("n_chars"),
+        expr("n_chars * 10000 div n_tokens").as("chars_per_token_x1e4"))
+  }
+
   /** Per-language distinctive keywords — the corpus-report staple
     * (what IS each slice about): per (lang, word) term frequency in
     * basis points of the language's token mass, restricted to the
@@ -1337,6 +1381,49 @@ object TextQueries {
          |FROM u, c0""".stripMargin
     },
 
+    "q_bpe_fertility_lang" -> {
+      def pairsSql(src: String): String =
+        s"""SELECT substr(t, CAST(i AS INT), 2) AS pr, COUNT(*) AS c
+           |FROM $src, LATERAL (SELECT unnest(generate_series(1,
+           |       greatest(len(t) - 1, 1))) AS i) u
+           |WHERE len(substr(t, CAST(i AS INT), 2)) = 2 GROUP BY 1"""
+          .stripMargin
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""p$r AS (${pairsSql(s"d${r - 1}")}),
+           |m$r AS (SELECT pr FROM p$r ORDER BY c DESC, pr ASC LIMIT 1),
+           |d$r AS (SELECT lang,
+           |         replace(t, (SELECT pr FROM m$r), chr($r)) AS t
+           |       FROM d${r - 1})""".stripMargin
+      }.mkString(",\n")
+      val stages = (0 to BpeRounds).map { k =>
+        if (k == 0)
+          s"""t0 AS (SELECT CAST(0 AS BIGINT) AS k,
+             |         CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+             |         lang, CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+             |       FROM d0 GROUP BY lang)""".stripMargin
+        else
+          s"""t$k AS (SELECT CAST($k AS BIGINT),
+             |         CAST(unicode(substr((SELECT pr FROM m$k), 1, 1))
+             |           AS BIGINT),
+             |         CAST(unicode(substr((SELECT pr FROM m$k), 2, 1))
+             |           AS BIGINT),
+             |         lang, CAST(SUM(len(t)) AS BIGINT)
+             |       FROM d$k GROUP BY lang)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to BpeRounds).map(k => s"SELECT * FROM t$k")
+        .mkString(" UNION ALL ")
+      s"""WITH d0 AS (SELECT lang, lower(text) AS t FROM documents),
+         |$rounds,
+         |$stages,
+         |u AS ($unions),
+         |c0 AS (SELECT lang, CAST(SUM(len(t)) AS BIGINT) AS n_chars
+         |       FROM d0 GROUP BY lang)
+         |SELECT u.k, u.a, u.b, u.lang, u.n_tokens, c0.n_chars,
+         |  CAST(c0.n_chars * 10000 // u.n_tokens AS BIGINT)
+         |    AS chars_per_token_x1e4
+         |FROM u JOIN c0 ON c0.lang = u.lang""".stripMargin
+    },
+
     "q_lang_keywords" -> {
       val profRows = langidProfiles.flatMap { case (l, ws) =>
         ws.zipWithIndex.map { case (w, i) => s"('$l', $i, '$w')" }
@@ -1941,6 +2028,7 @@ object TextQueries {
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_fertility" -> (qBpeFertility _),
+    "q_bpe_fertility_lang" -> (qBpeFertilityLang _),
     "q_lang_keywords" -> (qLangKeywords _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_bm25" -> (qBm25 _))
