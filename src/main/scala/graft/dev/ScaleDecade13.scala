@@ -1,0 +1,169 @@
+package graft.dev
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r13 scale DECADE (VERDICT r12 item 1): the 30 most expensive
+  * committed bench rows, production query functions UNCHANGED, on
+  * sf0.1 vs a materialized 10x corpus — one full measured order of
+  * magnitude, where every prior round argued scale from 4x/16x spot
+  * probes on a handful of operators.
+  *
+  * Corpus construction (the ScaleCheck11c pattern, copy hygiene):
+  * documents/events/embeddings/customer/orders/lineitem x10 with
+  * 1e8*i id shifts and consistent FK shifts; text mutated per copy
+  * (translate maps + reversal — each copy's shingle vocabulary is
+  * disjoint from the others, so near-dup candidate volume scales
+  * LINEARLY, not quadratically, exactly like ten independent crawl
+  * partitions); embedding geometry mutated per copy (reversal / sign
+  * / scale combos). Bounded dims (nation, region, supplier, part)
+  * stay 1x — their cardinality does not scale, which is the point of
+  * their broadcast treatment.
+  *
+  * Timing: per query, one sf0.01 warm-up (JIT + codegen), then
+  * min-of-2 at sf0.1 and min-of-2 at 10x (the TimeOne discipline; for
+  * build/serve-split operators run 2 pays the SERVE path at both
+  * scales, matching how their floors were measured). Emits
+  * SCALE_r13.json {t1, t10, ratio} per query.
+  */
+object ScaleDecade13 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_scale13"
+    val S = 100000000L
+    val N = 10
+
+    if (!new java.io.File(s"$out/_built").exists()) {
+      val docs1 = graft.Tables.load(spark, dir, "documents")
+      (0 until N).map { i =>
+        val t = i match {
+          case 0 => col("text")
+          case 1 => translate(col("text"), "aeiou", "12345")
+          case 2 => translate(col("text"), "aeiou", "67890")
+          case 3 => reverse(col("text"))
+          case 4 => reverse(translate(col("text"), "aeiou", "12345"))
+          case 5 => reverse(translate(col("text"), "aeiou", "67890"))
+          case 6 => translate(col("text"), "rstln", "12345")
+          case 7 => translate(col("text"), "rstln", "67890")
+          case 8 => translate(col("text"), "aeiou", "uoiea")
+          case _ => reverse(translate(col("text"), "rstln", "12345"))
+        }
+        docs1.select((col("doc_id") + i * S).as("doc_id"), t.as("text"),
+          col("lang"), col("source"))
+      }.reduce(_ union _)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+      val ev1 = spark.read.parquet(s"$dir/events.parquet")
+      (0 until N).map(i => ev1
+          .withColumn("event_id", col("event_id") + i * S)
+          .withColumn("user_id", col("user_id") + i * S))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+      val em1 = spark.read.parquet(s"$dir/embeddings.parquet")
+      (0 until N).map { i =>
+        val base = i % 4 match {
+          case 0 => col("embedding")
+          case 1 => reverse(col("embedding"))
+          case 2 => transform(col("embedding"), x => -x)
+          case _ => transform(reverse(col("embedding")), x => -x)
+        }
+        val sc = Seq(1.0f, 0.5f, 0.25f)(i / 4)
+        em1.select((col("vec_id") + i * S).as("vec_id"),
+          transform(base, x => x * lit(sc)).as("embedding"), col("label"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+      // c_name is mutated per copy: a real 10x registry has 10x
+      // DISTINCT names — identical names across copies made every
+      // dirty record match 10 equally-good twins (candidates x10,
+      // verification x100: the first probe run measured ER at 13.3x
+      // from this corpus artifact, not from the operator)
+      val digitMaps = Seq("0123456789", "9876543210", "1234567890",
+        "5678901234", "2468013579", "1357924680", "3210987654",
+        "4567890123", "8901234567", "6789012345")
+      val c1 = spark.read.parquet(s"$dir/customer.parquet")
+      (0 until N).map(i => c1
+          .withColumn("c_custkey", col("c_custkey") + i * S)
+          .withColumn("c_name",
+            translate(col("c_name"), "0123456789", digitMaps(i))))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      val o1 = spark.read.parquet(s"$dir/orders.parquet")
+      (0 until N).map(i => o1
+          .withColumn("o_orderkey", col("o_orderkey") + i * S)
+          .withColumn("o_custkey", col("o_custkey") + i * S))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val li1 = spark.read.parquet(s"$dir/lineitem.parquet")
+      (0 until N).map(i => li1
+          .withColumn("l_orderkey", col("l_orderkey") + i * S))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      for (t <- Seq("nation", "region", "supplier", "part"))
+        spark.read.parquet(s"$dir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      new java.io.FileOutputStream(s"$out/_built").close()
+    }
+
+    def run(q: String, d: String): Long =
+      graft.SparkEntry.queries(q)(spark, d).queryExecution.toRdd.count()
+    def clear(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def minOf2(q: String, d: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); run(q, d); clear()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+
+    val probed = Seq("q_entity_resolve", "q_dedup_cc_delta",
+      "q_item_cofreq", "q_heavy_hitters_cms", "q_split_dedup_aware",
+      "q_dedup_containment", "q_dedup_evidence", "q_maxsim",
+      "q_dedup_ngram_jaccard", "q_dedup_fastcdc", "q_match_lines",
+      "q_ann_pq", "q_multimodal_h264_cbp", "q_dedup_cc",
+      "q_dedup_spans", "q_snap_to_nearest", "q_ann_pq_delta",
+      "q_decontaminate_bloom", "q_ann_recall_binary",
+      "q_dedup_keep_best", "q_match_lines_cluster", "q_ngram_novelty",
+      "q_dedup_eval", "q_dsir_resample", "q_match_lines_kmeans",
+      "q_ann_recall_delta", "q_hard_negatives", "q_bpe_fertility_lang",
+      "q_semdedup", "q_entity_resolve_indexed")
+    val onlyArg = args.headOption
+    val todo = onlyArg.fold(probed)(p => probed.filter(_.contains(p)))
+
+    // JIT/codegen warm pass at sf0.01
+    todo.foreach { q =>
+      try { run(q, "/root/testdata/sf0.01") }
+      catch { case _: Throwable => () }
+      clear()
+    }
+    val results = todo.map { q =>
+      val t1 = minOf2(q, dir)
+      val t10 = minOf2(q, out)
+      println(f"SCALE $q%-26s t1=$t1%6.2f t10=$t10%7.2f ratio=${t10 / t1}%5.2f (linear=10)")
+      (q, t1, t10)
+    }
+    def num(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (q, t1, t10) =>
+      s""""$q":{"t1":${num(t1)},"t10":${num(t10)},"ratio":${num(t10 / t1)}}"""
+    }.mkString(",")
+    val json = s"""{"base":"$dir","factor":$N,"method":"min-of-2 per scale after sf0.01 warm; artifact queries serve-path on run 2; bounded dims (nation/region/supplier/part) kept 1x","queries":{$qs}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALE_r13.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

@@ -15,24 +15,39 @@ object AnnQueries {
   private val K = 10
   private val QueryMod = 50
 
+  /** FIXED query panel (r13): every ANN/recall/mining row probes with
+    * vec_id % 50 == 0 AND vec_id < 2000 — the second clause is the
+    * decade probe's lesson (the ScaleCheck11 bloom rule applied to the
+    * whole family): a recall monitor or hard-negative miner whose
+    * query panel grows WITH the corpus turns its exact-truth side into
+    * an n² sweep (measured 14.5x and 24.5x at 10x data). Production
+    * panels are fixed samples — the corpus grows, the panel doesn't.
+    * The cap covers every shipped sf's full id range (max vec_id 1999
+    * at sf0.1), so committed behavior and every oracle hash are
+    * unchanged at test scales; only genuinely larger corpora feel it,
+    * where it is exactly the bound that makes the eval linear. */
+  private val PanelCap = 2000L
+  private def panel(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % QueryMod === 0 && col("vec_id") < PanelCap)
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
 
   def qCosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    Ann.cosineTopK(e, e.filter(col("vec_id") % QueryMod === 0), K)
+    Ann.cosineTopK(e, e.transform(panel), K)
   }
 
   def qCosineLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    Ann.cosineTopKLsh(e, e.filter(col("vec_id") % QueryMod === 0), K,
+    Ann.cosineTopKLsh(e, e.transform(panel), K,
       planes = 8, dim = 64)
   }
 
   def qCosineIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    Ann.ivfTopK(e, e.filter(col("vec_id") % QueryMod === 0), K,
+    Ann.ivfTopK(e, e.transform(panel), K,
       nlist = 16, nprobe = 2, iters = 2)
   }
 
@@ -44,7 +59,7 @@ object AnnQueries {
     val e = emb(spark, dir)
     val base = e.filter(col("vec_id") % 10 =!= 6)
     Ann.ivfDeltaTopK(base, e.filter(col("vec_id") % 10 === 6),
-      base.filter(col("vec_id") % QueryMod === 0), K,
+      base.transform(panel), K,
       nlist = 16, nprobe = 2, iters = 2, dim = Ann.DefaultDim)
   }
 
@@ -58,7 +73,7 @@ object AnnQueries {
   /** Top-k over int8-quantized vectors (compressed-index baseline). */
   def qQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    Ann.quantizedTopK(e, e.filter(col("vec_id") % QueryMod === 0), K)
+    Ann.quantizedTopK(e, e.transform(panel), K)
   }
 
   /** Recall@k of the quantized index against the float brute force —
@@ -293,13 +308,13 @@ object AnnQueries {
     * against the one shared exact baseline. */
   def qAnnRecallMatryoshka(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).localCheckpoint()
-    val exact = Ann.cosineTopK(e, e.filter(col("vec_id") % QueryMod === 0),
+    val exact = Ann.cosineTopK(e, e.transform(panel),
       K).localCheckpoint()
     MatDims.map { d =>
       val t = e.select(col("vec_id"),
         expr(s"slice(embedding, 1, $d)").as("embedding"))
       val approx = Ann.cosineTopK(t,
-        t.filter(col("vec_id") % QueryMod === 0), K, dim = d)
+        t.transform(panel), K, dim = d)
       Ann.recallAtK(approx, exact, K).withColumn("dim", lit(d.toLong))
     }.reduce(_ unionAll _)
       .select(col("dim"), col("qid"), col("n_hits"), col("n_exact"),
@@ -340,7 +355,7 @@ object AnnQueries {
     val base = e.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("e"), nrm.as("nn"))
       .localCheckpoint() // corpus side + query side
-    val q = base.filter(col("vec_id") % QueryMod === 0)
+    val q = base.transform(panel)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("e").as("qe"), col("nn").as("qn"))
     val dot = (0 until Ann.DefaultDim).map(i =>
@@ -397,7 +412,7 @@ object AnnQueries {
     * 1-bit). */
   def qBinaryTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    Ann.binaryTopK(e, e.filter(col("vec_id") % QueryMod === 0), K)
+    Ann.binaryTopK(e, e.transform(panel), K)
   }
 
   /** Recall@k of the binary sign index against the float brute force —
@@ -450,9 +465,26 @@ object AnnQueries {
                      dir: String): (Seq[(Long, Array[Double])], DataFrame) = {
     val tag = runTag(spark, dir)
     graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_coarse/$tag")
-    Ann.coarseIndex(emb(spark, dir), nlist = 16, iters = 2, dim = 64,
+    Ann.coarseIndex(emb(spark, dir), nlist = coarseNlist(spark, dir),
+      iters = 2, dim = 64,
       table = s"graft_coarse$tag", path = s"/tmp/graft_coarse/$tag")
   }
+
+  /** Corpus-scaled cell count for the shared coarse quantizer — the
+    * r13 decade probe's biggest finding: SemDeDup's within-cluster
+    * pair sweep is n²/nlist, so a FIXED nlist=16 turned 10x data into
+    * a measured 79x wall (every cluster's occupancy grew 10x, its
+    * pair count 100x). The standard IVF sizing rule is cells ∝ corpus
+    * (bounded cell OCCUPANCY, which is what both the pair sweep and a
+    * probe's scan cost are linear in): nlist = max(16, n/125) — by
+    * construction exactly 16 at every oracle-tested sf (500 and 2000
+    * vectors), so the hardcoded-16 oracle CTE chains stay literal
+    * replays there, while the 10x probe corpus (20k vectors) trains
+    * 160 cells and restores ~linear scaling (re-measured in
+    * SCALE_r13). The count is a 1-row aggregate on the embeddings
+    * scan — driver-bounded. */
+  private def coarseNlist(spark: SparkSession, dir: String): Int =
+    math.max(16L, emb(spark, dir).count() / 125L).toInt
 
   /** Persisted-index IVF: same parameters and RESULTS as q_ann_ivf, but
     * served from the session's shared cluster-bucketed index + memoized
@@ -462,7 +494,7 @@ object AnnQueries {
   def qAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val (cents, idx) = coarse(spark, dir)
     Ann.ivfProbeScore(idx,
-      emb(spark, dir).filter(col("vec_id") % QueryMod === 0),
+      emb(spark, dir).transform(panel),
       cents, K, nprobe = 2, dim = 64)
   }
 
@@ -471,7 +503,7 @@ object AnnQueries {
     * the compressed-index form whose memory story survives 100 TB. */
   def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    Ann.ivfPqTopK(e, e.filter(col("vec_id") % QueryMod === 0), K,
+    Ann.ivfPqTopK(e, e.transform(panel), K,
       nlist = 16, nprobe = 2, coarseIters = 2, m = 8, ksub = 8,
       pqIters = 2)
   }
@@ -484,7 +516,7 @@ object AnnQueries {
     val e = emb(spark, dir)
     val base = e.filter(col("vec_id") % 10 =!= 6)
     Ann.ivfPqDeltaTopK(base, e.filter(col("vec_id") % 10 === 6),
-      base.filter(col("vec_id") % QueryMod === 0), K,
+      base.transform(panel), K,
       nlist = 16, nprobe = 2, coarseIters = 2, m = 8, ksub = 8,
       pqIters = 2)
   }
@@ -508,7 +540,7 @@ object AnnQueries {
     val tag = runTag(spark, dir)
     graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_pq/$tag")
     graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_coarse/$tag")
-    Ann.ivfPqTopKIndexed(e, e.filter(col("vec_id") % QueryMod === 0), K,
+    Ann.ivfPqTopKIndexed(e, e.transform(panel), K,
       nlist = 16, nprobe = 2, coarseIters = 2, m = 8, ksub = 8,
       pqIters = 2, table = s"graft_pq_idx$tag",
       path = s"/tmp/graft_pq/$tag",
@@ -527,7 +559,7 @@ object AnnQueries {
     * queries x 50 rows. */
   def qAnnPqRerank(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") % QueryMod === 0)
+    val queries = e.transform(panel)
     val tag = runTag(spark, dir)
     graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_pq/$tag")
     graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_coarse/$tag")
@@ -612,7 +644,7 @@ object AnnQueries {
        |sv AS (SELECT n.vec_id, n.e, n.nrm, b.bucket
        |       FROM n JOIN b ON b.vec_id = n.vec_id),
        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM sv
-       |      WHERE vec_id % $QueryMod = 0),
+       |      WHERE vec_id % $QueryMod = 0 AND vec_id < $PanelCap),
        |scored AS (
        |  SELECT q.qid, sv.vec_id AS nid, q.bucket,
        |    ROUND(list_sum(list_transform(range(1, 65),
@@ -671,7 +703,7 @@ object AnnQueries {
        |${recenter("a2", "c2")},
        |${assign("c2", "idx")},
        |q0 AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
-       |       WHERE vec_id % $QueryMod = 0),
+       |       WHERE vec_id % $QueryMod = 0 AND vec_id < $PanelCap),
        |probes AS (
        |  SELECT qid, qe, qn, cluster FROM (
        |    SELECT q0.qid, q0.qe, q0.qn, c.cluster,
@@ -943,7 +975,7 @@ object AnnQueries {
        |               ELSE 0 END)) AS BIGINT) AS w1
        |      FROM v),
        |qs AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1 FROM p
-       |       WHERE vec_id % $QueryMod = 0),
+       |       WHERE vec_id % $QueryMod = 0 AND vec_id < $PanelCap),
        |scored AS (
        |  SELECT qs.qid, p.vec_id AS nid,
        |    CAST(bit_count(xor(p.w0, qs.q0))
@@ -979,7 +1011,7 @@ object AnnQueries {
        |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
        |      FROM v),
        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
-       |      WHERE vec_id % $QueryMod = 0),
+       |      WHERE vec_id % $QueryMod = 0 AND vec_id < $PanelCap),
        |scored AS (
        |  SELECT q.qid, n.vec_id AS nid,
        |    ROUND(list_sum(list_transform(range(1, ${d + 1}),
@@ -1001,7 +1033,7 @@ object AnnQueries {
          |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
          |      FROM v),
          |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
-         |      WHERE vec_id % $QueryMod = 0),
+         |      WHERE vec_id % $QueryMod = 0 AND vec_id < $PanelCap),
          |scored AS (
          |  SELECT q.qid, n.vec_id AS nid,
          |    ROUND(list_sum(list_transform(range(1, 65),
@@ -1032,7 +1064,7 @@ object AnnQueries {
        |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq
        |      FROM qz),
        |qs AS (SELECT vec_id AS qid, q AS qq, nq AS qn FROM nz
-       |       WHERE vec_id % $QueryMod = 0),
+       |       WHERE vec_id % $QueryMod = 0 AND vec_id < $PanelCap),
        |scored AS (
        |  SELECT qs.qid, nz.vec_id AS nid,
        |    ROUND(CAST(list_sum(list_transform(range(1, 65),
@@ -1325,7 +1357,7 @@ object AnnQueries {
          |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nn
          |      FROM v),
          |q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, nn AS qn
-         |      FROM n WHERE vec_id % $QueryMod = 0),
+         |      FROM n WHERE vec_id % $QueryMod = 0 AND vec_id < $PanelCap),
          |s AS (SELECT q.qid, q.qlabel, x.vec_id AS nid, x.label,
          |        ROUND(list_sum(list_transform(range(1, 65),
          |            i -> q.qe[i] * x.e[i]))

@@ -54,9 +54,21 @@ object GeoExtQueries {
   def qMatchLinesCluster(spark: SparkSession, dir: String): DataFrame = {
     // vertex-level descriptor pipeline: no vertex arrays are built when
     // only shape descriptors are consumed (the lid filters push below
-    // the window/aggregation to the parquet scan)
-    val d = MatchLines.descriptorsFromVertices(
-      lineVertices(spark, dir), CellTenths)
+    // the window/aggregation to the parquet scan).
+    // Cell size is DENSITY-ADAPTIVE (r13): the fixed 3.0-unit cell was
+    // tuned for sf0.1's ~150k lines and the decade probe measured what
+    // that costs at 10x the density in the same extent — per-cell
+    // occupancy x10, candidate pairs x100, 28x wall. The same
+    // autoCellTenths rule q_match_lines already uses (target ~135
+    // lines/cell) restores linear candidate volume; at sf0.1 it derives
+    // exactly the old constant (30 tenths), so the committed behavior
+    // is unchanged there, and the oracle re-derives the identical cell
+    // from the identical density aggregate at every sf.
+    val v = lineVertices(spark, dir)
+    val ct = MatchLines.autoCellTenths(
+      v.groupBy("lid").agg(count(lit(1)).as("n"),
+        sum("xi").as("sx"), sum("yi").as("sy")))
+    val d = MatchLines.descriptorsFromVertices(v, ct)
     MatchLines.matchByDescriptorTables(
       d.filter(col("lid") % 20 === 0),
       d.filter(col("lid") % 2 === 1))
@@ -96,8 +108,16 @@ object GeoExtQueries {
 
   /** Per-line descriptor CTEs (ctrx, ctry, brg, len per lid) — the SQL
     * twin of MatchLines' descriptor block; shared by the cluster and
-    * kmeans oracles. Expects a CTE `v` with (lid, seq, xi, yi). */
-  private val descriptorCtes: String =
+    * kmeans oracles. Expects a CTE `v` with (lid, seq, xi, yi); the
+    * centroid-cell divisor is a parameter (kmeans keeps the literal
+    * constant, the cluster oracle derives the density-adaptive cell —
+    * r13). */
+  private def descriptorCtesWith(cell: String): String =
+    descriptorCtesTpl.replace("__CELL__", cell)
+  // def, not val: object-init order (the template is declared below)
+  private def descriptorCtes: String =
+    descriptorCtesWith(CellTenths.toString)
+  private val descriptorCtesTpl: String =
     s"""vo AS (SELECT lid, xi, yi, xi / 10.0 AS x, yi / 10.0 AS y,
        |         ROW_NUMBER() OVER (PARTITION BY lid ORDER BY seq, xi, yi)
        |           AS rn,
@@ -110,8 +130,8 @@ object GeoExtQueries {
        |lens AS (SELECT lid, SUM(slen) AS len FROM segs GROUP BY lid),
        |d AS (
        |  SELECT vo.lid,
-       |    SUM(xi) // (MAX(n) * $CellTenths) AS cx,
-       |    SUM(yi) // (MAX(n) * $CellTenths) AS cy,
+       |    SUM(xi) // (MAX(n) * __CELL__) AS cx,
+       |    SUM(yi) // (MAX(n) * __CELL__) AS cy,
        |    SUM(x) / MAX(n) AS ctrx,
        |    SUM(y) / MAX(n) AS ctry,
        |    180.0 + ATAN2(
@@ -173,7 +193,15 @@ object GeoExtQueries {
 
     "q_match_lines_cluster" ->
       s"""WITH v AS ($lineVerticesSql),
-         |$descriptorCtes,
+         |clines AS (SELECT lid, COUNT(*) AS n, SUM(xi) AS sx,
+         |             SUM(yi) AS sy
+         |           FROM v GROUP BY lid),
+         |cellp AS (SELECT GREATEST(2, CAST(FLOOR(
+         |            (GREATEST(MAX(sx / n) - MIN(sx / n),
+         |                      MAX(sy / n) - MIN(sy / n)) + 1)
+         |            / SQRT(COUNT(*) / 135.0) + 0.5) AS BIGINT)) AS ct
+         |          FROM clines),
+         |${descriptorCtesWith("(SELECT ct FROM cellp)")},
          |a AS (SELECT * FROM dl WHERE lid % 20 = 0),
          |b AS (SELECT * FROM dl WHERE lid % 2 = 1),
          |scored AS (
