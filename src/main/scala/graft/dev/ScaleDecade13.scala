@@ -140,8 +140,14 @@ object ScaleDecade13 {
       "q_dedup_eval", "q_dsir_resample", "q_match_lines_kmeans",
       "q_ann_recall_delta", "q_hard_negatives", "q_bpe_fertility_lang",
       "q_semdedup", "q_entity_resolve_indexed")
+    // "all" sweeps the ENTIRE suite (233 rows) — the definitive form
+    // of the decade; any other arg filters the curated top-30 list
     val onlyArg = args.headOption
-    val todo = onlyArg.fold(probed)(p => probed.filter(_.contains(p)))
+    val todo = onlyArg match {
+      case Some("all") => graft.SparkEntry.queries.keys.toSeq.sorted
+      case Some(p) => probed.filter(_.contains(p))
+      case None => probed
+    }
 
     // JIT/codegen warm pass at sf0.01
     todo.foreach { q =>

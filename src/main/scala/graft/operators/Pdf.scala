@@ -33,12 +33,19 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * vary across zlib builds, so offsets/lengths are verified in-file
   * but never emitted.
   *
-  * Constrained-corpus contract (the JPEG/H.264 move): text avoids
-  * `(`, `)` and `\` so string objects need no escapes — escape
-  * handling is documented out of scope, not stubbed. Likewise out of
-  * scope, stated: PDF 1.5+ cross-reference STREAMS and object streams
-  * (the classic xref TABLE is what this corpus exercises), incremental
-  * updates (multiple xref sections), and encryption.
+  * Literal-string ESCAPES (r13, the r12 verdict's named next
+  * increment): a deterministic stratum of lines carries `(`, `)` and
+  * `\` in its LOGICAL text; the writer escapes them per ISO 32000-1
+  * §7.3.4.2 (`\(`, `\)`, `\\`) and the reader's string token accepts
+  * exactly those escape pairs and unescapes them — so the emitted
+  * features (text length, 131-fold hash, escape-char count) are over
+  * the logical text, byte-independent of the escaping, and the oracle
+  * replays them from the line arithmetic alone. Octal and \n-class
+  * escapes remain out of scope, stated (this corpus never emits
+  * them). Likewise out of scope: PDF 1.5+ cross-reference STREAMS and
+  * object streams (the classic xref TABLE is what this corpus
+  * exercises), incremental updates (multiple xref sections), and
+  * encryption.
   *
   * Reference tie-in: gpd_lite_toolbox has no media path; this extends
   * SURVEY §2's multimodal rows (see row 38 and the codec family).
@@ -47,8 +54,8 @@ object Pdf {
 
   case class PdfRow(doc_id: Long, page: Long, n_objs: Long,
                     n_pages: Long, n_lines: Long, font_size: Long,
-                    text_chars: Long, x0: Long, y0: Long, y_last: Long,
-                    text_hash: Long)
+                    text_chars: Long, esc_chars: Long, x0: Long,
+                    y0: Long, y_last: Long, text_hash: Long)
 
   private val Words = Array("alpha", "bravo", "charlie", "delta",
     "echo", "foxtrot", "golf", "hotel")
@@ -59,8 +66,17 @@ object Pdf {
     (9 + (d + p) % 8).toInt
   private[graft] def x0(d: Long, p: Int): Int = (60 + (d + 3 * p) % 30).toInt
   private[graft] def y0(d: Long, p: Int): Int = (700 + (d + 7 * p) % 50).toInt
-  private[graft] def lineText(d: Long, p: Int, i: Int): String =
-    s"doc $d page $p line $i ${Words(((d + p + i) % 8).toInt)}"
+  /** Logical line text. Every 4th (d+p+i) line carries a suffix with
+    * `(`, `)` and `\` — the escape stratum. */
+  private[graft] def lineText(d: Long, p: Int, i: Int): String = {
+    val base = s"doc $d page $p line $i ${Words(((d + p + i) % 8).toInt)}"
+    if ((d + p + i) % 4 == 0) base + s" (ref \\${(d + i) % 9})" else base
+  }
+
+  /** ISO 32000-1 §7.3.4.2 literal-string escaping (the three escapes
+    * this corpus needs; backslash FIRST so it never re-escapes). */
+  private[graft] def escapeString(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
   private def deflate(content: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
@@ -99,7 +115,7 @@ object Pdf {
       sb.append(s"BT /F1 $fs Tf ${x0(d, p)} ${y0(d, p)} Td ")
       for (i <- 0 until nLines(d, p)) {
         if (i > 0) sb.append(s"0 -${fs + 2} Td ")
-        sb.append(s"(${lineText(d, p, i)}) Tj ")
+        sb.append(s"(${escapeString(lineText(d, p, i))}) Tj ")
       }
       sb.append("ET")
       val z = deflate(sb.toString.getBytes(US_ASCII))
@@ -201,21 +217,30 @@ object Pdf {
       var y00 = 0L
       val lines = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, String)]
-      val tdOrTj = "(-?\\d+) (-?\\d+) Td|\\(([^()\\\\]*)\\) Tj".r
+      // string token: plain chars or exactly the three escape pairs
+      // \( \) \\ — any OTHER backslash use fails to tokenize and the
+      // structural REQUIREs below refuse the file (never a silent
+      // misread)
+      val tdOrTj =
+        "(-?\\d+) (-?\\d+) Td|\\(((?:[^()\\\\]|\\\\[()\\\\])*)\\) Tj".r
+      val unesc = "\\\\([()\\\\])".r
       tdOrTj.findAllMatchIn(ops).foreach { m =>
         if (m.group(3) == null) {
           tx += m.group(1).toLong // Td translates the PREVIOUS line matrix
           ty += m.group(2).toLong
           if (first) { x00 = tx; y00 = ty; first = false }
-        } else lines += ((tx, ty, m.group(3)))
+        } else lines += ((tx, ty,
+          unesc.replaceAllIn(m.group(3), mm =>
+            java.util.regex.Matcher.quoteReplacement(mm.group(1)))))
       }
       require(lines.nonEmpty, "pdf: no text")
       val text = lines.map(_._3).mkString("\n")
       var h = 0L
       text.foreach(c => h = (h * 131 + c.toLong) % 1000000007L)
+      val esc = text.count(c => c == '(' || c == ')' || c == '\\').toLong
       PdfRow(d, pIdx.toLong, (count - 1).toLong,
         kidRefs.size.toLong, lines.size.toLong, fs,
-        text.length.toLong, x00, y00, lines.last._2, h)
+        text.length.toLong, esc, x00, y00, lines.last._2, h)
     }
     rows
   }

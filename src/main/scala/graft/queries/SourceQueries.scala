@@ -1146,6 +1146,10 @@ object SourceQueries {
         |        || ' ' ||
         |        ['alpha','bravo','charlie','delta','echo','foxtrot',
         |         'golf','hotel'][CAST((pp.d + pp.p + i.i) % 8 + 1 AS INT)]
+        |        || CASE WHEN (pp.d + pp.p + i.i) % 4 = 0
+        |             THEN ' (ref ' || chr(92)
+        |               || CAST((pp.d + i.i) % 9 AS VARCHAR) || ')'
+        |             ELSE '' END
         |          AS t
         |      FROM pp, LATERAL (SELECT unnest(generate_series(0,
         |        CAST(pp.nl - 1 AS INT))) AS i) i),
@@ -1157,6 +1161,8 @@ object SourceQueries {
         |  CAST(pp.nl AS BIGINT) AS n_lines,
         |  CAST(pp.fs AS BIGINT) AS font_size,
         |  CAST(len(tx.text) AS BIGINT) AS text_chars,
+        |  CAST(len(tx.text) - len(replace(replace(replace(tx.text,
+        |    '(', ''), ')', ''), chr(92), ''))  AS BIGINT) AS esc_chars,
         |  CAST(pp.x0 AS BIGINT) AS x0, CAST(pp.y0 AS BIGINT) AS y0,
         |  CAST(pp.y0 - (pp.nl - 1) * (pp.fs + 2) AS BIGINT) AS y_last,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -1656,6 +1656,20 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     val bad2 = b.clone()
     bad2(zAt + 4) = (bad2(zAt + 4) ^ 0x7f).toByte
     intercept[Exception] { Pdf.decodePdf(42L, bad2) }
+    // r13 escapes: doc 42 line 2 is in the escape stratum ((42+0+2)%4
+    // == 0), so the LOGICAL text carries ' (ref \8)' — 3 escape-class
+    // chars — while the emitted literal string escapes them per
+    // §7.3.4.2; the decode must return the logical form
+    assert(Pdf.lineText(42L, 0, 2).endsWith(" (ref \\8)"))
+    assert(Pdf.escapeString("a(b)c\\d") == "a\\(b\\)c\\\\d")
+    assert(row.esc_chars == 3L,
+      s"escape stratum chars ${row.esc_chars}")
+    // every escape-stratum line contributes exactly the 3-char
+    // '(', '\', ')' set, so any page's esc_chars is a multiple of 3 —
+    // a partial count would mean the tokenizer split a string at an
+    // escaped paren
+    val multi45 = Pdf.decodePdf(45L, Pdf.synthPdfBytes(45L))
+    assert(multi45.forall(r => r.esc_chars % 3 == 0))
   }
 
   test("r12 format sniffing: every codec round-trips its magic; " +
