@@ -145,7 +145,8 @@ object ScaleDecade13 {
     val onlyArg = args.headOption
     val todo = onlyArg match {
       case Some("all") => graft.SparkEntry.queries.keys.toSeq.sorted
-      case Some(p) => probed.filter(_.contains(p))
+      case Some(p) =>
+        graft.SparkEntry.queries.keys.toSeq.sorted.filter(_.contains(p))
       case None => probed
     }
 

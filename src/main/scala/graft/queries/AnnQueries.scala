@@ -65,10 +65,20 @@ object AnnQueries {
 
   /** Embedding-cosine near-dup sweep over the whole corpus (threshold
     * tuned so the synthetic random embeddings yield a non-trivial pair
-    * set; real corpora use ~0.95+). */
-  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    Ann.cosineNearDupPairs(emb(spark, dir), planes = 8, dim = 64,
-      minCos = 0.3)
+    * set; real corpora use ~0.95+). Hyperplane count is CORPUS-SCALED
+    * (r13 full-suite decade: fixed 8 planes = 256 buckets made the
+    * within-bucket all-pairs n²/256 — measured 22.8× at 10× data):
+    * planes = max(8, ceil(log2(n/8))) targets ~8 vectors per bucket at
+    * any corpus size, the standard LSH sizing rule; by construction
+    * exactly 8 at every shipped sf (500 and 2000 vectors), so the
+    * oracle's 8-plane replay stays literal there. */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val n = math.max(e.count(), 1L)
+    val planes = math.max(8,
+      math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
+    Ann.cosineNearDupPairs(e, planes = planes, dim = 64, minCos = 0.3)
+  }
 
   /** Top-k over int8-quantized vectors (compressed-index baseline). */
   def qQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
