@@ -168,8 +168,11 @@ object ScaleDecade13 {
       s""""$q":{"t1":${num(t1)},"t10":${num(t10)},"ratio":${num(t10 / t1)}}"""
     }.mkString(",")
     val json = s"""{"base":"$dir","factor":$N,"method":"min-of-2 per scale after sf0.01 warm; artifact queries serve-path on run 2; bounded dims (nation/region/supplier/part) kept 1x","queries":{$qs}}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_r13.json"), json + "\n")
+    // only a full (unfiltered) sweep may overwrite the committed record
+    // — a single-query probe once clobbered the 233-row file
+    if (onlyArg.isEmpty || onlyArg.contains("all"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALE_r13.json"), json + "\n")
     println(json)
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -371,52 +371,63 @@ object DedupQueries {
     * prices. Everything is exact integer arithmetic over per-char
     * code arrays plus round-4 fractions, replayed verbatim by the
     * DuckDB oracle. */
+  private def codesOf(t: Column): Column = transform(
+    filter(split(t, ""), ch => length(ch) > lit(0)),
+    ch => ascii(ch).cast("long"))
+  private def winHash(codes: Column, i: Column): Column =
+    aggregate(slice(codes, i - (CdcW - 1), lit(CdcW)), lit(0L),
+      (a, x) => (a * 31L + x) % CdcP)
+  private def chunkFp(codes: Column, start: Column, len: Column): Column =
+    aggregate(slice(codes, start, len), lit(0L),
+      (a, x) => (a * 31L + x) % CdcP)
+  // cdc edge list 0 ++ content-defined bounds ++ n over a codes array
+  private def cdcEdges(codes: Column): Column = {
+    val n = size(codes).cast("long")
+    // guard: Spark sequence(a, b) DESCENDS when b < a (DuckDB's
+    // generate_series is empty) — short blobs are one whole chunk
+    val bounds = when(n - 1 >= CdcW,
+      filter(sequence(lit(CdcW.toLong), n - 1),
+        i => winHash(codes, i) % CdcD === 0))
+      .otherwise(array().cast("array<bigint>"))
+    concat(array(lit(0L)), bounds, array(n))
+  }
+  // chunk (fp, ln) structs from a STAGED edge attribute — edges must
+  // be a column reference here, never the bounds expression itself:
+  // an expression inside a lambda body re-evaluates per element, and
+  // HOFs run interpreted, so an inlined boundary scan costs ~ms per
+  // chunk access (measured ~50 s at sf0.1 vs ~2 s staged)
+  private def pairsOf(codes: Column, edges: Column): Column =
+    transform(sequence(lit(2L), size(edges).cast("long")), j => {
+      val prev = element_at(edges, (j - 1).cast("int"))
+      val cur = element_at(edges, j.cast("int"))
+      struct(chunkFp(codes, prev + 1, cur - prev).as("fp"),
+        (cur - prev).as("ln"))
+    })
+  private def fwPairs(codes: Column): Column = {
+    val n = size(codes).cast("long")
+    transform(sequence(lit(0L),
+      ((n + FwWidth - 1) / FwWidth).cast("long") - 1), k =>
+      struct(chunkFp(codes, k * FwWidth + 1,
+        least(lit(FwWidth), n - k * FwWidth)).as("fp"),
+        least(lit(FwWidth), n - k * FwWidth).as("ln")))
+  }
+
+  /** Exploded cdc chunk rows (doc_id, fp, ln) for a (doc_id, text)
+    * frame — the same staged-barrier evaluation as the pair report. */
+  private def cdcChunkRows(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), codesOf(col("text")).as("c"))
+    .localCheckpoint()
+    .select(col("doc_id"), col("c"), cdcEdges(col("c")).as("e"))
+    .localCheckpoint()
+    .select(col("doc_id"), explode(pairsOf(col("c"), col("e"))).as("p"))
+    .select(col("doc_id"), col("p").getField("fp").as("fp"),
+      col("p").getField("ln").as("ln"))
+
   def qDedupFastCdc(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Column
     val d = docs(spark, dir).filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("text").as("orig"),
         concat(expr("repeat('x', CAST(1 + doc_id % 7 AS INT))"),
           col("text")).as("twin"))
-    def codesOf(t: Column): Column = transform(
-      filter(split(t, ""), ch => length(ch) > lit(0)),
-      ch => ascii(ch).cast("long"))
-    def winHash(codes: Column, i: Column): Column =
-      aggregate(slice(codes, i - (CdcW - 1), lit(CdcW)), lit(0L),
-        (a, x) => (a * 31L + x) % CdcP)
-    def chunkFp(codes: Column, start: Column, len: Column): Column =
-      aggregate(slice(codes, start, len), lit(0L),
-        (a, x) => (a * 31L + x) % CdcP)
-    // cdc edge list 0 ++ content-defined bounds ++ n over a codes array
-    def cdcEdges(codes: Column): Column = {
-      val n = size(codes).cast("long")
-      // guard: Spark sequence(a, b) DESCENDS when b < a (DuckDB's
-      // generate_series is empty) — short blobs are one whole chunk
-      val bounds = when(n - 1 >= CdcW,
-        filter(sequence(lit(CdcW.toLong), n - 1),
-          i => winHash(codes, i) % CdcD === 0))
-        .otherwise(array().cast("array<bigint>"))
-      concat(array(lit(0L)), bounds, array(n))
-    }
-    // chunk (fp, ln) structs from a STAGED edge attribute — edges must
-    // be a column reference here, never the bounds expression itself:
-    // an expression inside a lambda body re-evaluates per element, and
-    // HOFs run interpreted, so an inlined boundary scan costs ~ms per
-    // chunk access (measured ~50 s at sf0.1 vs ~2 s staged)
-    def pairsOf(codes: Column, edges: Column): Column =
-      transform(sequence(lit(2L), size(edges).cast("long")), j => {
-        val prev = element_at(edges, (j - 1).cast("int"))
-        val cur = element_at(edges, j.cast("int"))
-        struct(chunkFp(codes, prev + 1, cur - prev).as("fp"),
-          (cur - prev).as("ln"))
-      })
-    def fwPairs(codes: Column): Column = {
-      val n = size(codes).cast("long")
-      transform(sequence(lit(0L),
-        ((n + FwWidth - 1) / FwWidth).cast("long") - 1), k =>
-        struct(chunkFp(codes, k * FwWidth + 1,
-          least(lit(FwWidth), n - k * FwWidth)).as("fp"),
-          least(lit(FwWidth), n - k * FwWidth).as("ln")))
-    }
     def fpsOf(pairs: Column): Column =
       array_distinct(transform(pairs, p => p.getField("fp")))
     def report(tag: String, po: Column, pt: Column,
@@ -469,8 +480,53 @@ object DedupQueries {
             col("twin_bytes"))): _*)
   }
 
+  /** FastCDC DELTA ingest (r13) — the build/serve + delta contract
+    * (Ann.ivfDeltaTopK, ER's persisted postings, componentsDelta)
+    * applied to the chunk store: a 100 TB blob store does not
+    * re-chunk the corpus when a batch of re-uploads lands; the BASE
+    * corpus's distinct chunk fingerprints ARE the standing store, the
+    * delta batch (every 3rd blob re-uploaded with a 1-7 char shift —
+    * the classic "same file, new header" snapshot case) chunks
+    * row-locally and equi-joins the store on fp, and each delta blob
+    * prices its ingest: chunks deduplicated against the store vs new
+    * fingerprints (and bytes) the store must actually absorb. Work is
+    * ∝ base (one distinct) + delta (one join keyed on fp) — never
+    * delta × corpus; at a real deployment the store side is the
+    * persisted artifact, here built in-query like q_dedup_incremental.
+    * Cross-BLOB dedup happens naturally (a delta chunk may hit any
+    * blob's chunk, not just its own source), which is the thing the
+    * per-pair report (q_dedup_fastcdc) cannot see. */
+  def qDedupFastCdcDelta(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val store = cdcChunkRows(d.select(col("doc_id"), col("text")))
+      .select("fp").distinct()
+    val delta = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(expr("repeat('x', CAST(1 + doc_id % 7 AS INT))"),
+          col("text")).as("text"))
+    val dc = cdcChunkRows(delta)
+      .join(store.withColumn("hit", lit(1L)), Seq("fp"), "left")
+      .localCheckpoint() // per-blob rollup + distinct-new rollup
+    val tot = dc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("ln").as("blob_bytes"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dedup"),
+        sum(when(col("hit").isNotNull, col("ln")).otherwise(0L))
+          .as("dedup_bytes"))
+    val fresh = dc.filter(col("hit").isNull)
+      .select("doc_id", "fp", "ln").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_new_fp"), sum("ln").as("new_bytes"))
+    tot.join(fresh, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("blob_bytes"),
+        col("n_dedup"), col("dedup_bytes"),
+        coalesce(col("n_new_fp"), lit(0L)).as("n_new_fp"),
+        coalesce(col("new_bytes"), lit(0L)).as("new_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_fastcdc" -> (qDedupFastCdc _),
+    "q_dedup_fastcdc_delta" -> (qDedupFastCdcDelta _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_ngram_jaccard" -> (qNgramJaccard _),
@@ -621,22 +677,41 @@ object DedupQueries {
     * algebra: same char-code arrays, same window-hash boundary rule,
     * same per-chunk polynomial fingerprints, same distinct-fp set
     * arithmetic — nothing about the engine is trusted. */
+  // chunk (fp, ln) structs from an edge list over a codes array (SQL)
+  private def cdcPairsSql(codes: String, edges: String): String =
+    s"""list_transform(generate_series(CAST(2 AS BIGINT), len($edges)),
+       |  j -> struct_pack(
+       |    fp := list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            $codes[CAST($edges[CAST(j AS INT)-1]+1 AS INT):
+       |                   CAST($edges[CAST(j AS INT)] AS INT)]),
+       |          (a, x) -> (a * 31 + x) % $CdcP),
+       |    ln := $edges[CAST(j AS INT)] - $edges[CAST(j AS INT)-1]))"""
+      .stripMargin
+  private def cdcBoundsSql(codes: String): String =
+    s"""list_filter(generate_series(CAST($CdcW AS BIGINT), len($codes) - 1),
+       |  i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         $codes[CAST(i AS INT)-${CdcW - 1}:CAST(i AS INT)]),
+       |       (a, x) -> (a * 31 + x) % $CdcP) % $CdcD = 0)""".stripMargin
+  private def cdcCodesSql(t: String): String =
+    s"""list_transform(list_filter(string_split($t, ''), ch -> len(ch) > 0),
+       |               ch -> CAST(ascii(ch) AS BIGINT))""".stripMargin
+  /** SQL CTE chain `<pfx>c/<pfx>e/<pfx>p` producing exploded chunk rows
+    * (doc_id, fp, ln) for a blob CTE `src(doc_id, text)`. */
+  private def cdcChunkRowsSql(pfx: String, src: String): String =
+    s"""${pfx}c AS (SELECT doc_id, ${cdcCodesSql("text")} AS c FROM $src),
+       |${pfx}e AS (SELECT doc_id, c,
+       |  list_concat(list_concat([CAST(0 AS BIGINT)], ${cdcBoundsSql("c")}),
+       |    [CAST(len(c) AS BIGINT)]) AS e
+       |  FROM ${pfx}c),
+       |${pfx}u AS (SELECT doc_id, unnest(${cdcPairsSql("c", "e")}) AS p
+       |  FROM ${pfx}e),
+       |${pfx}p AS (SELECT doc_id, p.fp AS fp, p.ln AS ln FROM ${pfx}u)"""
+      .stripMargin
+
   private val fastCdcOracle: String = {
-    // chunk (fp, ln) structs from an edge list over a codes array
     def pairsSql(codes: String, edges: String): String =
-      s"""list_transform(generate_series(CAST(2 AS BIGINT), len($edges)),
-         |  j -> struct_pack(
-         |    fp := list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |            $codes[CAST($edges[CAST(j AS INT)-1]+1 AS INT):
-         |                   CAST($edges[CAST(j AS INT)] AS INT)]),
-         |          (a, x) -> (a * 31 + x) % $CdcP),
-         |    ln := $edges[CAST(j AS INT)] - $edges[CAST(j AS INT)-1]))"""
-        .stripMargin
-    def boundsSql(codes: String): String =
-      s"""list_filter(generate_series(CAST($CdcW AS BIGINT), len($codes) - 1),
-         |  i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |         $codes[CAST(i AS INT)-${CdcW - 1}:CAST(i AS INT)]),
-         |       (a, x) -> (a * 31 + x) % $CdcP) % $CdcD = 0)""".stripMargin
+      cdcPairsSql(codes, edges)
+    def boundsSql(codes: String): String = cdcBoundsSql(codes)
     def fwEdgesSql(codes: String): String =
       s"""list_concat(list_transform(
          |  generate_series(CAST(0 AS BIGINT), (len($codes) + ${FwWidth - 1})
@@ -687,8 +762,38 @@ object DedupQueries {
        |FROM f""".stripMargin
   }
 
+  /** Delta-ingest oracle: full replay — base chunk store as DISTINCT
+    * fps over the whole corpus, delta twins re-chunked, per-blob
+    * dedup/new rollups joined back. */
+  private val fastCdcDeltaOracle: String =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+       |           FROM documents),
+       |delta AS (SELECT doc_id + 1000000000 AS doc_id,
+       |            repeat('x', CAST(1 + doc_id % 7 AS INT)) || text AS text
+       |          FROM d WHERE doc_id % 3 = 0),
+       |${cdcChunkRowsSql("b", "d")},
+       |store AS (SELECT DISTINCT fp FROM bp),
+       |${cdcChunkRowsSql("t", "delta")},
+       |j AS (SELECT tp.doc_id, tp.fp, tp.ln, s.fp IS NOT NULL AS hit
+       |      FROM tp LEFT JOIN store s ON s.fp = tp.fp),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_chunks, SUM(ln) AS blob_bytes,
+       |          SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_dedup,
+       |          SUM(CASE WHEN hit THEN ln ELSE 0 END) AS dedup_bytes
+       |        FROM j GROUP BY 1),
+       |fr AS (SELECT doc_id, COUNT(*) AS n_new_fp, SUM(ln) AS new_bytes
+       |       FROM (SELECT DISTINCT doc_id, fp, ln FROM j WHERE NOT hit)
+       |       GROUP BY 1)
+       |SELECT tot.doc_id, CAST(tot.n_chunks AS BIGINT) AS n_chunks,
+       |  CAST(tot.blob_bytes AS BIGINT) AS blob_bytes,
+       |  CAST(tot.n_dedup AS BIGINT) AS n_dedup,
+       |  CAST(tot.dedup_bytes AS BIGINT) AS dedup_bytes,
+       |  CAST(COALESCE(fr.n_new_fp, 0) AS BIGINT) AS n_new_fp,
+       |  CAST(COALESCE(fr.new_bytes, 0) AS BIGINT) AS new_bytes
+       |FROM tot LEFT JOIN fr ON fr.doc_id = tot.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_fastcdc" -> fastCdcOracle,
+    "q_dedup_fastcdc_delta" -> fastCdcDeltaOracle,
     "q_dedup_minhash" -> minhashOracle,
 
     // the LSH path replayed ON THE SAMPLE (band CTEs parameterized by

@@ -880,4 +880,24 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
       rows.map(_.getAs[Long]("twin_bytes")).sum / 2,
       "cdc re-stored more than half the shifted bytes")
   }
+
+  test("FastCDC delta ingest dedupes most re-uploaded bytes against " +
+    "the standing store") {
+    val rows = graft.queries.DedupQueries
+      .qDedupFastCdcDelta(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val blobBytes = rows.map(_.getAs[Long]("blob_bytes")).sum
+    val dedupBytes = rows.map(_.getAs[Long]("dedup_bytes")).sum
+    assert(dedupBytes * 10 > blobBytes * 7,
+      s"store absorbed ${blobBytes - dedupBytes} of $blobBytes bytes - " +
+        "expected >70% dedup on shifted re-uploads")
+    rows.foreach { r =>
+      // accounting closes: every chunk is a store hit or new, and
+      // distinct-new bytes can never exceed the non-dedup'd residue
+      // (within-blob repeats of a new fp are stored once)
+      assert(r.getAs[Long]("n_dedup") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("dedup_bytes") + r.getAs[Long]("new_bytes") <=
+        r.getAs[Long]("blob_bytes"))
+    }
+  }
 }
