@@ -233,6 +233,12 @@ object Pdf {
           unesc.replaceAllIn(m.group(3), mm =>
             java.util.regex.Matcher.quoteReplacement(mm.group(1)))))
       }
+      // findAllMatchIn SKIPS a non-matching string token silently, so
+      // "every Tj tokenized" must be checked by count: one malformed
+      // string among many would otherwise be a silently dropped line
+      // caught only downstream by the hash gates
+      require(lines.size == "\\) Tj".r.findAllMatchIn(ops).size,
+        "pdf: string token failed to tokenize")
       require(lines.nonEmpty, "pdf: no text")
       val text = lines.map(_._3).mkString("\n")
       var h = 0L

@@ -74,9 +74,15 @@ object AnnQueries {
     * oracle's 8-plane replay stays literal there. */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val n = math.max(e.count(), 1L)
+    val n = corpusN(spark, dir)
     val planes = math.max(8,
       math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
+    // the oracle replays a LITERAL 8-plane chain; that is only the
+    // derived value while n <= 2048 — make the coupling a checked
+    // invariant instead of a comment, so shipping a larger oracle-
+    // gated corpus fails HERE, not as a silent hash mismatch
+    require(n > 2048 || planes == 8,
+      s"oracle coupling: n=$n derives planes=$planes, oracle assumes 8")
     Ann.cosineNearDupPairs(e, planes = planes, dim = 64, minCos = 0.3)
   }
 
@@ -493,8 +499,24 @@ object AnnQueries {
     * 160 cells and restores ~linear scaling (re-measured in
     * SCALE_r13). The count is a 1-row aggregate on the embeddings
     * scan — driver-bounded. */
-  private def coarseNlist(spark: SparkSession, dir: String): Int =
-    math.max(16L, emb(spark, dir).count() / 125L).toInt
+  private def coarseNlist(spark: SparkSession, dir: String): Int = {
+    val n = corpusN(spark, dir)
+    val nlist = math.max(16L, n / 125L).toInt
+    // hardcoded-16 oracle CTE chains are literal replays only while
+    // n <= 2000 — checked, not just commented (see qDedupEmbedding)
+    require(n > 2000 || nlist == 16,
+      s"oracle coupling: n=$n derives nlist=$nlist, oracle assumes 16")
+    nlist
+  }
+
+  /** Memoized corpus size per (session, dir) — derived-capacity rules
+    * (hyperplane count, nlist) need n, but each query invocation must
+    * not pay its own full embeddings count scan; same memo discipline
+    * as runTag/coarse. */
+  private val nMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def corpusN(spark: SparkSession, dir: String): Long =
+    nMemo.getOrElseUpdate(runTag(spark, dir),
+      math.max(emb(spark, dir).count(), 1L))
 
   /** Persisted-index IVF: same parameters and RESULTS as q_ann_ivf, but
     * served from the session's shared cluster-bucketed index + memoized

@@ -413,12 +413,20 @@ object DedupQueries {
   }
 
   /** Exploded cdc chunk rows (doc_id, fp, ln) for a (doc_id, text)
-    * frame — the same staged-barrier evaluation as the pair report. */
+    * frame — the same staged evaluation as the pair report, but the
+    * barriers are repartition EXCHANGES, not localCheckpoints: the
+    * intermediate code arrays (~8x corpus text bytes as array<long>)
+    * flow through shuffle files on disk and are freed per-stage
+    * instead of sitting in block-manager memory for the whole base
+    * corpus. The exchange still prevents CollapseProject from inlining
+    * the codes/edges builds into downstream lambda bodies (the
+    * per-element interpreted re-eval failure mode) because each
+    * stage's input stays a genuine attribute. */
   private def cdcChunkRows(d: DataFrame): DataFrame = d
     .select(col("doc_id"), codesOf(col("text")).as("c"))
-    .localCheckpoint()
+    .repartition(col("doc_id"))
     .select(col("doc_id"), col("c"), cdcEdges(col("c")).as("e"))
-    .localCheckpoint()
+    .repartition(col("doc_id"))
     .select(col("doc_id"), explode(pairsOf(col("c"), col("e"))).as("p"))
     .select(col("doc_id"), col("p").getField("fp").as("fp"),
       col("p").getField("ln").as("ln"))
@@ -430,10 +438,20 @@ object DedupQueries {
           col("text")).as("twin"))
     def fpsOf(pairs: Column): Column =
       array_distinct(transform(pairs, p => p.getField("fp")))
+    // first chunk per DISTINCT fp, in position order — matches the
+    // oracle's dedup-by-fp-keep-first exactly even if one fingerprint
+    // ever appeared with two lengths (mod-p polynomial collision);
+    // dedup by (fp, ln) struct would diverge there. `pairs` is an
+    // attribute (post-checkpoint), so the prefix re-read is cheap.
+    def firstPerFp(pairs: Column): Column =
+      filter(pairs, (p, i) =>
+        !array_contains(
+          transform(slice(pairs, lit(1), i), q => q.getField("fp")),
+          p.getField("fp")))
     def report(tag: String, po: Column, pt: Column,
                fpo: Column, fpt: Column): Seq[Column] = {
       val shared = size(array_intersect(fpo, fpt)).cast("long")
-      val newPairs = filter(array_distinct(pt),
+      val newPairs = filter(firstPerFp(pt),
         p => !array_contains(fpo, p.getField("fp")))
       Seq(size(po).cast("long").as(s"n_$tag"),
         size(pt).cast("long").as(s"n_${tag}_twin"),

@@ -47,11 +47,14 @@ object AsofStream {
                     state: GroupState[Buf]): Iterator[AsofMatch] = {
     val st = state.getOption.getOrElse(Buf(Long.MinValue, -1L, Array.empty))
     val buf = st.pending ++ (if (state.hasTimedOut) Iterator.empty else rows)
-    // ms-granular engine watermark; an event is ripe once the watermark
-    // has passed its microsecond timestamp
+    // ms-granular engine watermark; an event is ripe only once the
+    // watermark is STRICTLY past its microsecond timestamp — Spark's
+    // watermark guarantees completeness only for event times strictly
+    // below it, so an event AT the watermark could still gain a
+    // same-timestamp late sibling; it stays buffered one more advance
     val wmUs = state.getCurrentWatermarkMs() * 1000L
     val (ripe, rest) = buf.sortBy(e => (e.ts_us, e.kind, e.id))
-      .partition(_.ts_us <= wmUs)
+      .partition(_.ts_us < wmUs)
     var lastTs = st.lastViewTs
     var lastId = st.lastViewId
     val out = Array.newBuilder[AsofMatch]
