@@ -259,4 +259,377 @@ object Pdf {
       .mapPartitions(_.flatMap(d => decodePdf(d, synthPdfBytes(d))))
       .toDF()
   }
+
+  // ======================================================================
+  // PDF 1.5: cross-reference STREAMS + OBJECT streams (r14 — the r13
+  // verdict's named next increment; ISO 32000-1 §7.5.7 /XRef streams,
+  // §7.5.8 entry types, §7.5.7 W-array field widths + PNG Up predictor
+  // via /DecodeParms, §7.5.8.3 type-2 in-ObjStm entries). Real crawled
+  // PDFs are predominantly 1.5+: the xref is itself a FlateDecode
+  // stream of fixed-width binary rows under a PNG row predictor, and
+  // most non-stream objects live PACKED inside a compressed /ObjStm
+  // container, so a reader that only walks classic xref TABLES reads
+  // nothing. Layout here: catalog, page tree, page dicts and the font
+  // are packed in one /ObjStm (streams may not live in an ObjStm, so
+  // content streams stay top-level); the /XRef stream carries
+  // W=[1 3 1] big-endian fields (type, offset-or-objstm, gen-or-index)
+  // under Predictor 12 (PNG Up), /Root and /Size live in ITS dict (no
+  // `trailer` keyword anywhere in the file), and startxref points at
+  // it. Every structural fact is REQUIREd: predictor tag byte per row,
+  // decoded length = Size x (1+Columns), every type-1 offset lands on
+  // its object header, every type-2 entry resolves through the ObjStm
+  // header pair table at exactly its declared index.
+  //
+  // Literal strings use the FULL §7.3.4.2 escape set the 1.4 corpus
+  // left out: named classes \n \r \t \b \f and 3-digit OCTAL \ooo for
+  // the remaining control range — the escape stratum plants a tab and
+  // a control char (code 1..26) per 3rd line, so named-class and octal
+  // paths both fire; features are over the LOGICAL text, so the
+  // oracle replays them from line arithmetic alone.
+  // ======================================================================
+
+  case class PdfXRow(doc_id: Long, page: Long, n_objs: Long,
+                     n_pages: Long, n_objstm: Long, n_lines: Long,
+                     font_size: Long, text_chars: Long, esc_chars: Long,
+                     x0: Long, y0: Long, y_last: Long, text_hash: Long)
+
+  private[graft] def nPagesX(d: Long): Int = (1 + (d + 1) % 3).toInt
+  private[graft] def nLinesX(d: Long, p: Int): Int =
+    (3 + (d + 2 * p) % 6).toInt
+  private[graft] def fontSizeX(d: Long, p: Int): Int =
+    (9 + (d + 2 * p) % 8).toInt
+  private[graft] def x0X(d: Long, p: Int): Int =
+    (55 + (d + 5 * p) % 40).toInt
+  private[graft] def y0X(d: Long, p: Int): Int =
+    (690 + (d + 11 * p) % 60).toInt
+
+  /** Logical line text; every 3rd (d+p+i) line carries the escape
+    * stratum: tab + `(` + `\` + a control char (code 1 + (d+i)%26,
+    * never 0) + `)` — five chars that all need §7.3.4.2 escaping. */
+  private[graft] def lineTextX(d: Long, p: Int, i: Int): String = {
+    val base =
+      s"xdoc $d pg $p ln $i ${Words(((d + 2 * p + 3 * i) % 8).toInt)}"
+    if ((d + p + i) % 3 == 0)
+      base + "\t(\\" + (1 + (d + i) % 26).toChar + ")"
+    else base
+  }
+
+  /** Full §7.3.4.2 writer escaping: delimiters, named control classes,
+    * 3-digit octal for everything else outside printable ASCII. */
+  private[graft] def escapeString15(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '(' => "\\("
+    case ')' => "\\)"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case '\b' => "\\b"
+    case '\f' => "\\f"
+    case c if c < 32 || c > 126 => f"\\${c.toInt}%03o"
+    case c => c.toString
+  }
+
+  private[graft] def unescape15(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '\\') { sb += c; i += 1 }
+      else s.charAt(i + 1) match {
+        case 'n' => sb += '\n'; i += 2
+        case 'r' => sb += '\r'; i += 2
+        case 't' => sb += '\t'; i += 2
+        case 'b' => sb += '\b'; i += 2
+        case 'f' => sb += '\f'; i += 2
+        case d @ ('(' | ')' | '\\') => sb += d; i += 2
+        case o if o >= '0' && o <= '7' =>
+          // up to 3 octal digits, greedy (§7.3.4.2's \ddd rule)
+          var j = i + 1
+          var v = 0
+          while (j < s.length && j < i + 4 &&
+            s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+            v = v * 8 + (s.charAt(j) - '0'); j += 1
+          }
+          sb += v.toChar; i = j
+        case _ => sys.error("pdf15: bad escape")
+      }
+    }
+    sb.toString
+  }
+
+  /** Assemble a complete PDF 1.5 file. Numbering: 1 catalog, 2 page
+    * tree, 3..2+np page dicts, 3+np..2+2np content streams, 3+2np
+    * font, 4+2np the /ObjStm, 5+2np the /XRef stream. Catalog, page
+    * tree, page dicts and font are PACKED in the ObjStm; content
+    * streams and the two stream containers are top-level.
+    * `applyPredictor=false` is the tamper hook: rows are stored RAW
+    * under the same tag bytes, so a reader that skips the Up pass
+    * would accept the file — the spec proves ours refuses it. */
+  def synthPdfXBytes(d: Long, applyPredictor: Boolean = true): Array[Byte] = {
+    val np = nPagesX(d)
+    val fontObj = 3 + 2 * np
+    val objStmNum = 4 + 2 * np
+    val xrefNum = 5 + 2 * np
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(US_ASCII))
+    put("%PDF-1.5\n")
+    val offsets = new Array[Int](xrefNum + 1)
+    // -- top-level content streams --
+    for (p <- 0 until np) {
+      val fs = fontSizeX(d, p)
+      val sb = new StringBuilder
+      sb.append(s"BT /F1 $fs Tf ${x0X(d, p)} ${y0X(d, p)} Td ")
+      for (i <- 0 until nLinesX(d, p)) {
+        if (i > 0) sb.append(s"0 -${fs + 2} Td ")
+        sb.append(s"(${escapeString15(lineTextX(d, p, i))}) Tj ")
+      }
+      sb.append("ET")
+      val z = deflate(sb.toString.getBytes(US_ASCII))
+      val n = 3 + np + p
+      offsets(n) = out.size()
+      put(s"$n 0 obj\n<< /Length ${z.length} /Filter /FlateDecode >>" +
+        "\nstream\n")
+      out.write(z, 0, z.length)
+      put("\nendstream\nendobj\n")
+    }
+    // -- the ObjStm: header pair table + packed bodies --
+    val kids = (0 until np).map(p => s"${3 + p} 0 R").mkString(" ")
+    val packed: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kids] /Count $np >>") ++
+        (0 until np).map(p => (3 + p) ->
+          (s"<< /Type /Page /Parent 2 0 R /Contents ${3 + np + p} 0 R " +
+            "/MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>")) :+
+        (fontObj ->
+          "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodies = new StringBuilder
+    val rel = packed.map { case (n, b) =>
+      val o = bodies.length; bodies.append(b).append(' '); (n, o)
+    }
+    val header = rel.map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+    val stmPayload = header + bodies.toString
+    val zStm = deflate(stmPayload.getBytes(US_ASCII))
+    offsets(objStmNum) = out.size()
+    put(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${packed.size} " +
+      s"/First ${header.length} /Length ${zStm.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+    out.write(zStm, 0, zStm.length)
+    put("\nendstream\nendobj\n")
+    // -- the XRef stream (its own entry knows its own offset) --
+    offsets(xrefNum) = out.size()
+    val size = xrefNum + 1
+    val idxOf = packed.zipWithIndex.map { case ((n, _), i) => n -> i }.toMap
+    val rows: Array[Array[Int]] = (0 until size).map { n =>
+      if (n == 0) Array(0, 0, 0, 0, 255)
+      else idxOf.get(n) match {
+        case Some(i) => Array(2, (objStmNum >> 16) & 0xFF,
+          (objStmNum >> 8) & 0xFF, objStmNum & 0xFF, i)
+        case None =>
+          val o = offsets(n)
+          Array(1, (o >> 16) & 0xFF, (o >> 8) & 0xFF, o & 0xFF, 0)
+      }
+    }.toArray
+    val enc = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Int](5)
+    rows.foreach { r =>
+      enc.write(2) // PNG filter tag: Up
+      for (i <- 0 until 5)
+        enc.write(if (applyPredictor) (r(i) - prev(i)) & 0xFF else r(i))
+      prev = r
+    }
+    val zX = deflate(enc.toByteArray)
+    put(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /Root 1 0 R " +
+      s"/W [1 3 1] /DecodeParms << /Predictor 12 /Columns 5 >> " +
+      s"/Filter /FlateDecode /Length ${zX.length} >>\nstream\n")
+    out.write(zX, 0, zX.length)
+    put("\nendstream\nendobj\n")
+    put(s"startxref\n${offsets(xrefNum)}\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def inflateAll(bytes: Array[Byte], from: Int,
+                         len: Int): Array[Byte] = {
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(bytes, from, len)
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](1024)
+    while (!infl.finished()) {
+      val n = infl.inflate(tmp)
+      require(n > 0 || infl.finished(), "pdf15: truncated stream")
+      buf.write(tmp, 0, n)
+    }
+    infl.end()
+    buf.toByteArray
+  }
+
+  /** Parse + verify a 1.5 file: startxref -> /XRef stream -> undo the
+    * Up predictor -> W-field entries -> ObjStm unpack -> the same
+    * reference walk as 1.4, with the full-escape string tokenizer. */
+  def decodePdfX(d: Long, bytes: Array[Byte]): Seq[PdfXRow] = {
+    val whole = new String(bytes, US_ASCII)
+    require(whole.startsWith("%PDF-1.5"), "pdf15: header")
+    val sxAt = whole.lastIndexOf("startxref")
+    require(sxAt > 0 && whole.endsWith("%%EOF\n"), "pdf15: trailer end")
+    val xAt = whole.substring(sxAt + 10, whole.indexOf('\n', sxAt + 10))
+      .trim.toInt
+    val xHdr = "^(\\d+) 0 obj".r.findFirstMatchIn(whole.substring(xAt))
+      .getOrElse(sys.error("pdf15: xref obj header"))
+    val xrefNum = xHdr.group(1).toInt
+    val xDict = whole.substring(xAt, whole.indexOf("stream", xAt))
+    require(xDict.contains("/Type /XRef"), "pdf15: xref type")
+    def dictInt(dict: String, key: String): Int =
+      (java.util.regex.Pattern.quote(key) + " (\\d+)").r
+        .findFirstMatchIn(dict).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"pdf15: $key"))
+    val size = dictInt(xDict, "/Size")
+    require(xDict.contains("/Root 1 0 R"), "pdf15: root")
+    val wm = "/W \\[(\\d+) (\\d+) (\\d+)\\]".r.findFirstMatchIn(xDict)
+      .getOrElse(sys.error("pdf15: W"))
+    val (w1, w2, w3) = (wm.group(1).toInt, wm.group(2).toInt,
+      wm.group(3).toInt)
+    val cols = w1 + w2 + w3
+    require(dictInt(xDict, "/Predictor") == 12, "pdf15: predictor")
+    require(dictInt(xDict, "/Columns") == cols, "pdf15: columns vs W")
+    require(xDict.contains("/Filter /FlateDecode"), "pdf15: xref filter")
+    val xLen = dictInt(xDict, "/Length")
+    val xFrom = whole.indexOf("stream", xAt) + 7
+    require(ascii(bytes, xFrom + xLen, xFrom + xLen + 11) == "\nendstream\n",
+      "pdf15: xref stream length")
+    val pred = inflateAll(bytes, xFrom, xLen)
+    require(pred.length == size * (1 + cols), "pdf15: xref row count")
+    // undo PNG Up: each row starts with tag 2; raw = enc + prior raw
+    val raw = new Array[Int](size * cols)
+    for (r <- 0 until size) {
+      require((pred(r * (1 + cols)) & 0xFF) == 2, "pdf15: png tag")
+      for (i <- 0 until cols) {
+        val e = pred(r * (1 + cols) + 1 + i) & 0xFF
+        raw(r * cols + i) =
+          (e + (if (r == 0) 0 else raw((r - 1) * cols + i))) & 0xFF
+      }
+    }
+    def field(r: Int, from: Int, w: Int): Int = {
+      var v = 0
+      for (i <- 0 until w) v = (v << 8) | raw(r * cols + from + i)
+      v
+    }
+    val entries = (0 until size).map(r =>
+      (field(r, 0, w1), field(r, w1, w2), field(r, w1 + w2, w3)))
+    require(entries(0)._1 == 0, "pdf15: free head")
+    val inStm = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    entries.zipWithIndex.drop(1).foreach {
+      case ((1, off, _), n) =>
+        require(whole.startsWith(s"$n 0 obj", off), s"pdf15: obj $n offset")
+      case ((2, stm, idx), n) => inStm(n) = (stm, idx)
+      case ((t, _, _), n) => sys.error(s"pdf15: entry type $t for obj $n")
+    }
+    require(inStm.values.map(_._1).toSet.size == 1, "pdf15: one ObjStm")
+    val objStmNum = inStm.values.head._1
+    require(entries(objStmNum)._1 == 1, "pdf15: ObjStm must be top-level")
+    // -- unpack the ObjStm --
+    val sAt = entries(objStmNum)._2
+    val sDict = whole.substring(sAt, whole.indexOf("stream", sAt))
+    require(sDict.contains("/Type /ObjStm"), "pdf15: objstm type")
+    val nPacked = dictInt(sDict, "/N")
+    val first = dictInt(sDict, "/First")
+    require(sDict.contains("/Filter /FlateDecode"), "pdf15: objstm filter")
+    val sLen = dictInt(sDict, "/Length")
+    val sFrom = whole.indexOf("stream", sAt) + 7
+    require(ascii(bytes, sFrom + sLen, sFrom + sLen + 11) == "\nendstream\n",
+      "pdf15: objstm stream length")
+    val payload = new String(inflateAll(bytes, sFrom, sLen), US_ASCII)
+    val hdrInts = payload.substring(0, first).trim.split("\\s+")
+      .map(_.toInt)
+    require(hdrInts.length == 2 * nPacked, "pdf15: objstm header pairs")
+    val pairs = hdrInts.grouped(2).map(a => (a(0), a(1))).toSeq
+    require(inStm.size == nPacked, "pdf15: type-2 count vs /N")
+    pairs.zipWithIndex.foreach { case ((n, _), i) =>
+      require(inStm.get(n).contains((objStmNum, i)),
+        s"pdf15: obj $n xref/objstm index mismatch")
+    }
+    val bodyAt = pairs.map(_._2)
+    def objBody(n: Int): String = inStm.get(n) match {
+      case Some((_, i)) =>
+        val from = first + bodyAt(i)
+        val until = if (i + 1 < nPacked) first + bodyAt(i + 1)
+          else payload.length
+        payload.substring(from, until)
+      case None =>
+        val start = entries(n)._2
+        whole.substring(whole.indexOf("obj", start) + 3,
+          whole.indexOf("endobj", start))
+    }
+    // -- the same reference walk as 1.4 --
+    val cat = objBody(1)
+    require(cat.contains("/Type /Catalog"), "pdf15: catalog")
+    val pagesRef = "/Pages (\\d+) 0 R".r.findFirstMatchIn(cat)
+      .map(_.group(1).toInt).getOrElse(sys.error("pdf15: pages ref"))
+    val pages = objBody(pagesRef)
+    val kidRefs = "/Kids \\[([0-9 R]+)\\]".r.findFirstMatchIn(pages)
+      .map(_.group(1)).getOrElse(sys.error("pdf15: kids"))
+      .split("R").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(" ")(0).toInt).toSeq
+    val declared = "/Count (\\d+)".r.findFirstMatchIn(pages)
+      .map(_.group(1).toInt).getOrElse(sys.error("pdf15: count"))
+    require(declared == kidRefs.size, "pdf15: /Count vs kids mismatch")
+    kidRefs.zipWithIndex.map { case (kidRef, pIdx) =>
+      val page = objBody(kidRef)
+      require(page.contains("/MediaBox [0 0 612 792]"), "pdf15: mediabox")
+      val contRef = "/Contents (\\d+) 0 R".r.findFirstMatchIn(page)
+        .map(_.group(1).toInt).getOrElse(sys.error("pdf15: contents ref"))
+      require(entries(contRef)._1 == 1,
+        "pdf15: content stream must be top-level")
+      val cStart = entries(contRef)._2
+      val cDict = whole.substring(cStart, whole.indexOf("stream", cStart))
+      require(cDict.contains("/Filter /FlateDecode"), "pdf15: filter")
+      val len = dictInt(cDict, "/Length")
+      val zFrom = whole.indexOf("stream", cStart) + 7
+      require(ascii(bytes, zFrom + len, zFrom + len + 11) == "\nendstream\n",
+        "pdf15: stream length mismatch")
+      val ops = new String(inflateAll(bytes, zFrom, len), US_ASCII)
+      require(ops.startsWith("BT ") && ops.endsWith("ET"), "pdf15: BT/ET")
+      val fs = "/F1 (\\d+) Tf".r.findFirstMatchIn(ops)
+        .map(_.group(1).toLong).getOrElse(sys.error("pdf15: Tf"))
+      var tx = 0L
+      var ty = 0L
+      var first0 = true
+      var x00 = 0L
+      var y00 = 0L
+      val lines = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String)]
+      // full §7.3.4.2 string token: plain chars, the three delimiter
+      // escapes, the five named classes, or 1-3 octal digits
+      val tdOrTj = ("(-?\\d+) (-?\\d+) Td|\\(((?:[^()\\\\]" +
+        "|\\\\[nrtbf()\\\\]|\\\\[0-7]{1,3})*)\\) Tj").r
+      tdOrTj.findAllMatchIn(ops).foreach { m =>
+        if (m.group(3) == null) {
+          tx += m.group(1).toLong
+          ty += m.group(2).toLong
+          if (first0) { x00 = tx; y00 = ty; first0 = false }
+        } else lines += ((tx, ty, unescape15(m.group(3))))
+      }
+      require(lines.size == "\\) Tj".r.findAllMatchIn(ops).size,
+        "pdf15: string token failed to tokenize")
+      require(lines.nonEmpty, "pdf15: no text")
+      val text = lines.map(_._3).mkString("\n")
+      var h = 0L
+      text.foreach(c => h = (h * 131 + c.toLong) % 1000000007L)
+      // escape-needing chars of the LOGICAL line texts (per-line sum,
+      // so the join separators don't count): delimiters + control range
+      val esc = lines.map(_._3.count(c =>
+        c < 32 || c == '(' || c == ')' || c == '\\').toLong).sum
+      PdfXRow(d, pIdx.toLong, (size - 1).toLong, kidRefs.size.toLong,
+        nPacked.toLong, lines.size.toLong, fs, text.length.toLong, esc,
+        x00, y00, lines.last._2, h)
+    }
+  }
+
+  /** Row-local generate + parse — scan -> flatMap, no shuffle. */
+  def pdfXFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[PdfXRow]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap(d => decodePdfX(d, synthPdfXBytes(d))))
+      .toDF()
+  }
 }

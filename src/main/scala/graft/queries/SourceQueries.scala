@@ -240,6 +240,13 @@ object SourceQueries {
     graft.operators.Pdf.pdfFeatures(
       Tables.load(spark, dir, "documents"))
 
+  /** PDF 1.5 text extraction (r14): cross-reference STREAMS (W-array
+    * fields under the PNG Up predictor) + /ObjStm-packed objects +
+    * the full §7.3.4.2 escape set (named classes + octal). Row-local. */
+  def qMultimodalPdfXrefstream(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pdf.pdfXFeatures(
+      Tables.load(spark, dir, "documents"))
+
   /** Format sniffing (r12): magic-byte routing over real bytes from
     * all nine codecs, with a tamper stratum that must come out
     * 'unknown'. Row-local. */
@@ -590,6 +597,7 @@ object SourceQueries {
     "q_multimodal_h264_ac" -> (qMultimodalH264Ac _),
     "q_multimodal_h264_cbp" -> (qMultimodalH264Cbp _),
     "q_multimodal_pdf" -> (qMultimodalPdf _),
+    "q_multimodal_pdf_xrefstream" -> (qMultimodalPdfXrefstream _),
     "q_format_sniff" -> (qFormatSniff _),
     "q_multimodal_tiff_pages" -> (qMultimodalTiffPages _),
     "q_image_phash" -> (qImagePhash _),
@@ -1163,6 +1171,54 @@ object SourceQueries {
         |  CAST(len(tx.text) AS BIGINT) AS text_chars,
         |  CAST(len(tx.text) - len(replace(replace(replace(tx.text,
         |    '(', ''), ')', ''), chr(92), ''))  AS BIGINT) AS esc_chars,
+        |  CAST(pp.x0 AS BIGINT) AS x0, CAST(pp.y0 AS BIGINT) AS y0,
+        |  CAST(pp.y0 - (pp.nl - 1) * (pp.fs + 2) AS BIGINT) AS y_last,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_filter(string_split(tx.text, ''),
+        |                               c -> len(c) > 0),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS text_hash
+        |FROM pp JOIN tx ON tx.d = pp.d AND tx.p = pp.p""".stripMargin,
+    // PDF 1.5 features replayed from line arithmetic: logical text per
+    // line (escape stratum = tab + paren + backslash + control char
+    // every 3rd (d+p+i)), pages/lines/position formulas, object counts
+    // from the 1.5 layout (5+2np numbered objects, np+3 ObjStm-packed)
+    "q_multimodal_pdf_xrefstream" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+        |pg AS (SELECT d, 1 + (d + 1) % 3 AS np FROM d),
+        |pp AS (SELECT pg.d, pg.np, pz.p,
+        |         3 + (pg.d + 2 * pz.p) % 6 AS nl,
+        |         9 + (pg.d + 2 * pz.p) % 8 AS fs,
+        |         55 + (pg.d + 5 * pz.p) % 40 AS x0,
+        |         690 + (pg.d + 11 * pz.p) % 60 AS y0
+        |       FROM pg, LATERAL (SELECT unnest(generate_series(0,
+        |         CAST(pg.np - 1 AS INT))) AS p) pz),
+        |l AS (SELECT pp.d, pp.p, i.i,
+        |        'xdoc ' || pp.d || ' pg ' || pp.p || ' ln ' || i.i
+        |        || ' ' ||
+        |        ['alpha','bravo','charlie','delta','echo','foxtrot',
+        |         'golf','hotel']
+        |          [CAST((pp.d + 2 * pp.p + 3 * i.i) % 8 + 1 AS INT)]
+        |        || CASE WHEN (pp.d + pp.p + i.i) % 3 = 0
+        |             THEN chr(9) || '(' || chr(92)
+        |               || chr(CAST(1 + (pp.d + i.i) % 26 AS INT)) || ')'
+        |             ELSE '' END
+        |          AS t,
+        |        CASE WHEN (pp.d + pp.p + i.i) % 3 = 0 THEN 5 ELSE 0 END
+        |          AS esc
+        |      FROM pp, LATERAL (SELECT unnest(generate_series(0,
+        |        CAST(pp.nl - 1 AS INT))) AS i) i),
+        |tx AS (SELECT d, p, string_agg(t, chr(10) ORDER BY i) AS text,
+        |         SUM(esc) AS esc
+        |       FROM l GROUP BY 1, 2)
+        |SELECT pp.d AS doc_id, CAST(pp.p AS BIGINT) AS page,
+        |  CAST(5 + 2 * pp.np AS BIGINT) AS n_objs,
+        |  CAST(pp.np AS BIGINT) AS n_pages,
+        |  CAST(pp.np + 3 AS BIGINT) AS n_objstm,
+        |  CAST(pp.nl AS BIGINT) AS n_lines,
+        |  CAST(pp.fs AS BIGINT) AS font_size,
+        |  CAST(len(tx.text) AS BIGINT) AS text_chars,
+        |  CAST(tx.esc AS BIGINT) AS esc_chars,
         |  CAST(pp.x0 AS BIGINT) AS x0, CAST(pp.y0 AS BIGINT) AS y0,
         |  CAST(pp.y0 - (pp.nl - 1) * (pp.fs + 2) AS BIGINT) AS y_last,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),

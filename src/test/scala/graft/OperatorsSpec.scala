@@ -1672,6 +1672,49 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(multi45.forall(r => r.esc_chars % 3 == 0))
   }
 
+  test("r14 pdf 1.5: xref STREAM (Up predictor) + ObjStm round-trip; " +
+    "predictor and pair-table are load-bearing; full escape set") {
+    import graft.operators.Pdf
+    val b = Pdf.synthPdfXBytes(42L)
+    assert(new String(b.take(8), java.nio.charset.StandardCharsets
+      .US_ASCII) == "%PDF-1.5")
+    // no classic trailer keyword anywhere in the 1.5 layout
+    assert(!new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("trailer"))
+    val rows = Pdf.decodePdfX(42L, b)
+    assert(rows.size == Pdf.nPagesX(42L) && rows.size == 2)
+    val r0 = rows.head
+    assert(r0.n_objs == 5 + 2 * 2 && r0.n_objstm == 2 + 3)
+    assert(r0.y_last == r0.y0 - (r0.n_lines - 1) * (r0.font_size + 2))
+    // escape stratum: tab + '(' + '\' + ctrl + ')' = 5 per stratum line
+    assert(rows.forall(_.esc_chars % 5 == 0) && rows.exists(_.esc_chars > 0))
+    // writer/reader escape pair: named classes AND 3-digit octal
+    assert(Pdf.escapeString15("a\tbc(d)e\\f") ==
+      "a\\tb\\001c\\(d\\)e\\\\f")
+    assert(Pdf.unescape15("a\\tb\\001c\\(d\\)e\\\\f") ==
+      "a\tbc(d)e\\f")
+    // the Up predictor is LOAD-BEARING: the tamper variant stores raw
+    // rows under the same tag bytes — a reader that skipped the Up
+    // pass would accept it; ours must refuse on a structural REQUIRE
+    intercept[Exception] {
+      Pdf.decodePdfX(42L, Pdf.synthPdfXBytes(42L, applyPredictor = false))
+    }
+    // corrupt one byte of the compressed xref stream: inflate or the
+    // entry parse must fail loud
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val xObjAt = s.lastIndexOf(" 0 obj\n<< /Type /XRef")
+    val zAt = s.indexOf("stream\n", xObjAt) + 7
+    val bad = b.clone()
+    bad(zAt + 3) = (bad(zAt + 3) ^ 0x7f).toByte
+    intercept[Exception] { Pdf.decodePdfX(42L, bad) }
+    // every doc id decodes clean (octal/named escapes across the
+    // control range, 1-3 pages, all ObjStm indices)
+    (0L until 60L).foreach { d =>
+      val rs = Pdf.decodePdfX(d, Pdf.synthPdfXBytes(d))
+      assert(rs.size == Pdf.nPagesX(d))
+    }
+  }
+
   test("r12 format sniffing: every codec round-trips its magic; " +
     "tampering routes to unknown, never mis-routes") {
     import graft.operators.Sniff
