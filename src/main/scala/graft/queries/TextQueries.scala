@@ -645,6 +645,194 @@ object TextQueries {
         expr("n_chars * 10000 div n_tokens").as("chars_per_token_x1e4"))
   }
 
+  // --------------------------------------------- Unigram-LM train (r14)
+
+  /** Max piece length, seed multi-piece budget, EM rounds, and the
+    * integer floor score for pieces the hard-EM round assigns zero
+    * count (ln-scale x1e4; ~e^-30, far below any real piece but
+    * finite so the lattice stays connected). Shared verbatim with the
+    * oracle's unrolled SQL. */
+  private[queries] val UniMaxLen = 4
+  private[queries] val UniSeedMulti = 64
+  private[queries] val UniRounds = 2
+  private[queries] val UniFloorScore = -300000L
+  private val UniNegInf = -400000000000000L
+
+  case class UniWord(w: String, f: Long)
+
+  private def uniRound(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Distinct-word table with frequencies — SentencePiece's own
+    * compression trick (Kudo 2018 trains over word counts, not raw
+    * text): the corpus collapses to its distinct-word table ONCE, and
+    * every EM pass runs over that (weighted) table. At 100 TB the
+    * distinct-word table is the long tail (≪ corpus); the heavy
+    * hitters cost one segmentation each regardless of corpus mass. */
+  private def uniWords(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).cast("long").as("f"))
+
+  /** Viterbi E-step (hard EM): segment every distinct word with the
+    * current integer scores, emit (piece, word-freq) usages, ONE
+    * map-side-combined sum per round. Integer DP: scores are ln-scale
+    * x1e4 longs, so the argmax is bit-identical in both engines; ties
+    * break toward the LONGER piece (the only possible equal-value
+    * candidates differ in length), replayed by the oracle's ORDER BY
+    * l DESC. */
+  private def uniSegmentCounts(words: org.apache.spark.sql.Dataset[UniWord],
+                               scores: Map[String, Long]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.mapPartitions { it =>
+      it.flatMap { uw =>
+        val w = uw.w
+        val n = w.length
+        val best = Array.fill(n + 1)(UniNegInf)
+        best(0) = 0L
+        var i = 1
+        while (i <= n) {
+          var l = 1
+          while (l <= math.min(UniMaxLen, i)) {
+            scores.get(w.substring(i - l, i)) match {
+              case Some(sc) if best(i - l) + sc > best(i) =>
+                best(i) = best(i - l) + sc
+              case _ => ()
+            }
+            l += 1
+          }
+          i += 1
+        }
+        // backtrack, longer-piece tie-break (oracle: ORDER BY l DESC)
+        val out = List.newBuilder[(String, Long)]
+        var j = n
+        while (j > 0) {
+          var chosen = -1
+          var l = math.min(UniMaxLen, j)
+          while (l >= 1 && chosen < 0) {
+            val p = w.substring(j - l, j)
+            if (scores.get(p).exists(sc => best(j - l) + sc == best(j)))
+              chosen = l
+            l -= 1
+          }
+          require(chosen > 0, s"unigram: unsegmentable '$w' at $j")
+          out += ((w.substring(j - chosen, j), uw.f))
+          j -= chosen
+        }
+        out.result()
+      }
+    }.toDF("s", "f").groupBy("s").agg(sum("f").as("c"))
+  }
+
+  /** M-step over the driver-sized vocab: score = round(ln(c/T) x1e4)
+    * for used pieces, the floor for zero-count ones (kept in the
+    * lattice — final output prunes, EM does not). */
+  private def uniMStep(vocab: Seq[String],
+                       counts: Map[String, Long]): Map[String, Long] = {
+    val t = counts.values.sum.toDouble
+    vocab.map { p =>
+      val c = counts.getOrElse(p, 0L)
+      p -> (if (c == 0L) UniFloorScore
+            else uniRound(math.log(c / t) * 1e4))
+    }.toMap
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training (VERDICT r13
+    * item 3 — the missing half of the tokenizer family; Kudo 2018,
+    * arXiv:1804.10959): seed vocab = every corpus char + the top-64
+    * multi-char substrings (len 2-4) by weighted occurrence count;
+    * then UniRounds hard-EM iterations where the E-step is a Viterbi
+    * re-segmentation of the distinct-word table (ONE map-side-combined
+    * usage-count aggregate per round — the qBpeTrain shape) and the
+    * M-step renormalizes over the driver-sized vocab (bounded collect,
+    * the IVF-centroid pattern). Scores are integer ln-x1e4 (the
+    * qQualityClassifier bit-replay discipline), so the DuckDB oracle
+    * retrains the identical model: same seed, same integer DP with the
+    * same longer-piece tie-break, same floors. Output = the final
+    * vocab (zero-count pieces pruned) with usage counts, scores and
+    * rank — computed distributed from the round-2 usage table (the
+    * only window runs over the vocab-bounded count table). */
+  /** Shared training chain: seed vocab from the weighted substring
+    * table (chars + top-UniSeedMulti multi-char pieces — one bounded
+    * aggregate + two vocab-sized collects), then UniRounds-1 hard-EM
+    * rounds each collecting only the vocab-sized usage counts. Returns
+    * the checkpointed word table + the final scores (the last round's
+    * usage table stays distributed at the call sites). */
+  private def uniTrain(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.Dataset[UniWord], Map[String, Long]) = {
+    import spark.implicits._
+    val words = uniWords(spark, dir).localCheckpoint().as[UniWord]
+    val subs = words.toDF()
+      .select(col("f"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), i =>
+          transform(sequence(lit(1),
+            least(lit(UniMaxLen), length(col("w")) - i + 1)), l =>
+            col("w").substr(i, l))))).as("s"))
+      .groupBy("s").agg(sum("f").as("c"))
+      .localCheckpoint() // chars + top-multi read it
+    val chars = subs.filter(length(col("s")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = subs.filter(length(col("s")) >= 2)
+      .orderBy(col("c").desc, col("s").asc).limit(UniSeedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val vocab = (chars ++ multi).map(_._1).toSeq
+    var scores = uniMStep(vocab, (chars ++ multi).toMap)
+    for (_ <- 1 until UniRounds) {
+      val c = uniSegmentCounts(words, scores)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      scores = uniMStep(vocab, c)
+    }
+    (words, scores)
+  }
+
+  def qUnigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (words, scores) = uniTrain(spark, dir)
+    val cFinal = uniSegmentCounts(words, scores)
+    val t = cFinal.agg(sum("c").as("t"))
+    cFinal.crossJoin(broadcast(t))
+      .select(col("s").as("piece"),
+        length(col("s")).cast("long").as("len"),
+        col("c").cast("long").as("cnt"),
+        round(log(col("c").cast("double") / col("t").cast("double"))
+          * 1e4, 0).cast("long").as("score_x1e4"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("piece").asc)).cast("long"))
+  }
+
+  /** Fertility: unigram vs the BPE chain at matched corpus (VERDICT
+    * r13 item 3's comparison row) — tokens and chars-per-token for (a)
+    * raw chars, (b) the 5-round BPE chain of q_bpe_train, (c) the
+    * trained unigram model's final segmentation. BPE counts spaces
+    * (it tokenizes running text); unigram pre-tokenizes on whitespace
+    * (spaces are not pieces), so each row carries ITS OWN char mass —
+    * the honest per-tokenizer accounting. */
+  def qUnigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val (words, scores) = uniTrain(spark, dir)
+    val uniTok = uniSegmentCounts(words, scores)
+      .agg(sum("c").cast("long").as("n_tokens"))
+    val uniChars = words.toDF()
+      .agg(sum(length(col("w")).cast("long") * col("f")).as("n_chars"))
+    // BPE twin: replay the exact q_bpe_train merge chain, count tokens
+    val d0 = docs(spark, dir).select(lower(col("text")).as("t"))
+    val dFinal = (1 to BpeRounds).foldLeft(d0) { (d, r) =>
+      val m = bpeBestMerge(bpePairs(d))
+      d.select(replace(col("t"), lit(m), lit(r.toChar.toString)).as("t"))
+    }
+    val bpeTok = dFinal.agg(sum(length(col("t")).cast("long"))
+      .as("n_tokens"))
+    val bpeChars = d0.agg(sum(length(col("t")).cast("long")).as("n_chars"))
+    def row(tok: String, nt: DataFrame, nc: DataFrame): DataFrame =
+      nt.crossJoin(broadcast(nc))
+        .select(lit(tok).as("tok"), col("n_tokens"), col("n_chars"),
+          expr("n_chars * 10000 div n_tokens").as("chars_per_token_x1e4"))
+    row("bpe5", bpeTok, bpeChars)
+      .unionAll(row("chars", bpeChars
+        .select(col("n_chars").as("n_tokens")), bpeChars))
+      .unionAll(row("unigram", uniTok, uniChars))
+  }
+
   /** Per-language distinctive keywords — the corpus-report staple
     * (what IS each slice about): per (lang, word) term frequency in
     * basis points of the language's token mass, restricted to the
@@ -1245,7 +1433,161 @@ object TextQueries {
        |            CAST(mkey // 2097152 AS BIGINT) AS fp
        |          FROM wn WHERE cnt = LEAST($WinW, npos))""".stripMargin
 
+  // Unigram-LM oracle chain (r14): the SAME training the engine runs,
+  // unrolled as recursive-CTE SQL — weighted substring seed, then per
+  // EM round a forward Viterbi DP (recursive CTE carrying the last
+  // UniMaxLen best values, integer ln-x1e4 scores so the argmax is
+  // bit-identical), a backtrack CTE re-deriving each chosen piece with
+  // the ORDER BY l DESC longer-piece tie-break, usage counts, and the
+  // M-step re-scoring with the same zero-count floor.
+  // DuckDB constraints that shaped this SQL (both discovered by
+  // probe): correlated scalar subqueries inside a RECURSIVE part
+  // silently evaluate to NULL, so every score/best lookup is a plain
+  // JOIN; and shared CTEs must be AS MATERIALIZED or the recursive
+  // chains re-inline each other exponentially (>60 s at 31 words vs
+  // 0.1 s materialized). The backtrack exploits path-independence:
+  // the argmax piece at position i doesn't depend on the path, so
+  // `chosen` is a flat table built OUTSIDE the recursion and the
+  // recursive walk is one equi-join per step.
+  private def uniNegInfSql = "CAST(-400000000000000 AS BIGINT)"
+  private def uniSetupSql: String =
+    s"""words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents) z
+       |  WHERE len(w) > 0 GROUP BY w),
+       |subs AS MATERIALIZED (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS s,
+       |    SUM(f) AS c
+       |  FROM words,
+       |    LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) ii,
+       |    LATERAL (SELECT unnest(generate_series(1, $UniMaxLen))
+       |             AS l) ll
+       |  WHERE i + l - 1 <= len(w) GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT s, c FROM subs WHERE len(s) = 1
+       |  UNION ALL
+       |  SELECT s, c FROM (SELECT s, c FROM subs WHERE len(s) >= 2
+       |                    ORDER BY c DESC, s ASC
+       |                    LIMIT $UniSeedMulti) m),
+       |sc0 AS MATERIALIZED (
+       |  SELECT s, CAST(round(ln(c * 1.0 /
+       |    (SELECT SUM(c) FROM v0)) * 10000, 0) AS BIGINT) AS sc
+       |  FROM v0)""".stripMargin
+  private def uniRoundSql(r: Int): String = {
+    val sp = if (r == 1) "sc0" else s"sc${r - 1}"
+    val cands = (1 to UniMaxLen).map(l =>
+      s"CASE WHEN fr.i >= ${l - 1} THEN fr.b${l - 1} + " +
+        s"COALESCE(s$l.sc, $uniNegInfSql) ELSE $uniNegInfSql END")
+      .mkString(",\n    ")
+    val joins = (1 to UniMaxLen).map(l =>
+      s"  LEFT JOIN $sp s$l ON fr.i >= ${l - 1} AND " +
+        s"s$l.s = substr(fr.w, CAST(fr.i + 2 - $l AS INT), $l)")
+      .mkString("\n")
+    val carried = (1 until UniMaxLen).map(l => s"fr.b${l - 1}")
+      .mkString(", ")
+    val lVals = (1 to UniMaxLen).map(l => s"($l)").mkString(",")
+    s"""f$r AS (
+       |  SELECT w, f, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS b0,
+       |    $uniNegInfSql AS b1, $uniNegInfSql AS b2, $uniNegInfSql AS b3
+       |  FROM words
+       |  UNION ALL
+       |  SELECT fr.w, fr.f, fr.i + 1,
+       |    greatest($cands),
+       |    $carried
+       |  FROM f$r fr
+       |$joins
+       |  WHERE fr.i < len(fr.w)),
+       |fb$r AS MATERIALIZED (SELECT w, i, b0 AS best FROM f$r),
+       |chosen$r AS MATERIALIZED (
+       |  SELECT w, i, l, s FROM (
+       |    SELECT c.w, c.i, c.l, c.s,
+       |      ROW_NUMBER() OVER (PARTITION BY c.w, c.i
+       |                         ORDER BY c.l DESC) AS rn
+       |    FROM (SELECT fb.w, fb.i, ls.l,
+       |            substr(fb.w, CAST(fb.i - ls.l + 1 AS INT),
+       |              CAST(ls.l AS INT)) AS s
+       |          FROM fb$r fb, (VALUES $lVals) ls(l)
+       |          WHERE fb.i > 0 AND ls.l <= fb.i) c
+       |    JOIN fb$r p ON p.w = c.w AND p.i = c.i - c.l
+       |    JOIN $sp v ON v.s = c.s
+       |    JOIN fb$r cur ON cur.w = c.w AND cur.i = c.i
+       |    WHERE p.best + v.sc = cur.best) z
+       |  WHERE rn = 1),
+       |bk$r AS (
+       |  SELECT w, f, len(w) AS i FROM words
+       |  UNION ALL
+       |  SELECT b.w, b.f, b.i - ch.l
+       |  FROM bk$r b JOIN chosen$r ch ON ch.w = b.w AND ch.i = b.i
+       |  WHERE b.i > 0),
+       |used$r AS MATERIALIZED (
+       |  SELECT ch.s, SUM(b.f) AS c
+       |  FROM bk$r b JOIN chosen$r ch ON ch.w = b.w AND ch.i = b.i
+       |  GROUP BY 1),
+       |vr$r AS MATERIALIZED (
+       |  SELECT v0.s, COALESCE(u.c, 0) AS c
+       |  FROM v0 LEFT JOIN used$r u USING (s)),
+       |sc$r AS MATERIALIZED (
+       |  SELECT s, CASE WHEN c = 0
+       |    THEN CAST($UniFloorScore AS BIGINT)
+       |    ELSE CAST(round(ln(c * 1.0 /
+       |      (SELECT SUM(c) FROM vr$r)) * 10000, 0) AS BIGINT) END AS sc
+       |  FROM vr$r)""".stripMargin
+  }
+  private def uniChainSql: String =
+    (uniSetupSql +: (1 to UniRounds).map(uniRoundSql)).mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "q_unigram_train" ->
+      s"""WITH RECURSIVE
+         |$uniChainSql
+         |SELECT s AS piece, CAST(len(s) AS BIGINT) AS len,
+         |  CAST(c AS BIGINT) AS cnt,
+         |  CAST(round(ln(c * 1.0 /
+         |    (SELECT SUM(c) FROM vr$UniRounds)) * 10000, 0) AS BIGINT)
+         |    AS score_x1e4,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY c DESC, s ASC) AS BIGINT)
+         |    AS rank
+         |FROM vr$UniRounds WHERE c > 0""".stripMargin,
+
+    "q_unigram_fertility" -> {
+      def pairsSql(src: String): String =
+        s"""SELECT substr(t, CAST(i AS INT), 2) AS pr, COUNT(*) AS c
+           |FROM $src, LATERAL (SELECT unnest(generate_series(1,
+           |       greatest(len(t) - 1, 1))) AS i) u
+           |WHERE len(substr(t, CAST(i AS INT), 2)) = 2 GROUP BY 1"""
+          .stripMargin
+      val bpeRounds = (1 to BpeRounds).map { r =>
+        s"""p$r AS (${pairsSql(s"d${r - 1}")}),
+           |m$r AS (SELECT pr FROM p$r ORDER BY c DESC, pr ASC LIMIT 1),
+           |d$r AS (SELECT replace(t, (SELECT pr FROM m$r), chr($r)) AS t
+           |       FROM d${r - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |$uniChainSql,
+         |uni_t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens
+         |          FROM vr$UniRounds),
+         |uni_c AS (SELECT CAST(SUM(f * len(w)) AS BIGINT) AS n_chars
+         |          FROM words),
+         |d0 AS (SELECT lower(text) AS t FROM documents),
+         |$bpeRounds,
+         |bpe_t AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+         |          FROM d$BpeRounds),
+         |bpe_c AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_chars
+         |          FROM d0)
+         |SELECT 'bpe5' AS tok, bpe_t.n_tokens, bpe_c.n_chars,
+         |  CAST(bpe_c.n_chars * 10000 // bpe_t.n_tokens AS BIGINT)
+         |    AS chars_per_token_x1e4
+         |FROM bpe_t, bpe_c
+         |UNION ALL
+         |SELECT 'chars', bpe_c.n_chars, bpe_c.n_chars,
+         |  CAST(10000 AS BIGINT) FROM bpe_c
+         |UNION ALL
+         |SELECT 'unigram', uni_t.n_tokens, uni_c.n_chars,
+         |  CAST(uni_c.n_chars * 10000 // uni_t.n_tokens AS BIGINT)
+         |FROM uni_t, uni_c""".stripMargin
+    },
+
     // per-term occurrence counts by the replace-arithmetic closed form
     // (terms are border-free, so non-overlapping == every-occurrence),
     // first_pos = min strpos over present terms — an INDEPENDENT
@@ -2004,6 +2346,8 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unigram_train" -> (qUnigramTrain _),
+    "q_unigram_fertility" -> (qUnigramFertility _),
     "q_collocations_pmi" -> (qCollocationsPmi _),
     "q_blocklist_filter" -> (qBlocklistFilter _),
     "q_langid_eval" -> (qLangidEval _),

@@ -631,6 +631,45 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(all.head.getAs[Long]("share_pm") === 1000L)
   }
 
+  test("unigram-LM train: vocab is a valid pruned lattice model and " +
+    "the segmentation it induces reconstructs the corpus exactly") {
+    val rows = graft.queries.TextQueries.qUnigramTrain(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // ranks are a dense 1..n permutation ordered by (cnt desc, piece)
+    val byRank = rows.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq ===
+      (1L to rows.length).toSeq)
+    assert(byRank.sliding(2).forall {
+      case Array(a, b) =>
+        val (ca, cb) = (a.getAs[Long]("cnt"), b.getAs[Long]("cnt"))
+        ca > cb || (ca == cb &&
+          a.getAs[String]("piece") < b.getAs[String]("piece"))
+      case _ => true
+    })
+    // every piece obeys the length cap; only USED pieces survive prune
+    assert(rows.forall(r => r.getAs[Long]("len") >= 1 &&
+      r.getAs[Long]("len") <= 4 && r.getAs[Long]("cnt") > 0))
+    // mass conservation: sum over pieces of cnt*len == total word
+    // chars — the segmentation is a PARTITION of every word, so a
+    // dropped or doubled piece breaks this exactly
+    val pieceChars = rows.map(r =>
+      r.getAs[Long]("cnt") * r.getAs[Long]("len")).sum
+    val wordChars = graft.Tables.load(spark, SfDir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    assert(pieceChars === wordChars)
+    // fertility: unigram (larger effective vocab) must beat raw chars,
+    // and the comparison table carries all three tokenizers
+    val fert = graft.queries.TextQueries.qUnigramFertility(spark, SfDir)
+      .collect().map(r => r.getAs[String]("tok") ->
+        r.getAs[Long]("chars_per_token_x1e4")).toMap
+    assert(fert.keySet === Set("chars", "bpe5", "unigram"))
+    assert(fert("chars") === 10000L)
+    assert(fert("unigram") > 10000L)
+  }
+
   test("item co-occurrence: ranked neighbor lists are valid and the " +
     "power-user cap genuinely bites") {
     import org.apache.spark.sql.functions.{col => c}
