@@ -111,11 +111,31 @@ object ImageHash {
       .toDF()
   }
 
+  final case class ItemImg(item_id: Long, img: Long)
+
+  /** Signatures for an ITEM table whose image id is decoupled from the
+    * item id ((item_id, img) — the cross-modal dedup shape: the same
+    * image may be re-posted under many items). Row-local. */
+  def imageSignaturesItems(items: DataFrame): DataFrame = {
+    implicit val encP = Encoders.product[ItemImg]
+    implicit val encS = Encoders.product[ImgSig]
+    items.select(col("item_id").cast("long"), col("img").cast("long"))
+      .as[ItemImg]
+      .mapPartitions(_.map(p => ImgSig(p.item_id,
+        dhash60(Multimodal.decodeBmp(synthGroupBmpBytes(p.img))))))
+      .toDF()
+  }
+
   /** Near-dup image pairs: 4x15-bit band equi-join + min-band pair
     * dedup (pair survives only in the first agreeing band — no
     * dropDuplicates shuffle), exact Hamming verify. */
-  def dhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = imageSignatures(docs)
+  def dhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    dhashPairsOfSigs(imageSignatures(docs), maxHamming)
+
+  /** Same band join + verify over an already-built signature table
+    * ((doc_id, sig) — from imageSignatures or imageSignaturesItems). */
+  def dhashPairsOfSigs(sigsIn: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = sigsIn
     def bandOf(sig: Column, j: Int): Column =
       shiftright(sig, j * 15).bitwiseAND(lit(0x7FFFL))
     val bandVals = array((0 until 4).map(j => bandOf(col("sig"), j)): _*)

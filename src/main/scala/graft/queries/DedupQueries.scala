@@ -542,7 +542,67 @@ object DedupQueries {
         coalesce(col("new_bytes"), lit(0L)).as("new_bytes"))
   }
 
+  /** Cross-modal near-dup agreement (r14, VERDICT r13 item 6) — the
+    * dedup-family member a multimodal (image, caption) corpus needs
+    * that neither single-modality arm covers: which near-dup pairs do
+    * the IMAGE arm (row 81's dHash band join) and the TEXT arm (row
+    * 29's minhash band join) agree on, and which does each flag alone
+    * — the curation signal that decides whether a re-captioned image
+    * is a duplicate (drop) or a new caption worth keeping. The item
+    * table is the doc corpus plus three planted strata proving each
+    * agreement class fires for a known reason:
+    *   - repost (doc_id%7==0, +1e7): same image group (+700 keeps
+    *     gk AND the bump count — 700 ≡ 0 mod 4), caption + ' repost'
+    *     (16-shingle jaccard stays high) → BOTH arms;
+    *   - re-caption (%7==1, +2e7): same image group (+300), caption
+    *     REVERSED (every 16-shingle changes) → IMAGE-ONLY;
+    *   - stock-swap (%7==2, +3e7): caption + ' mirror', image from a
+    *     DIFFERENT group (+50 — and identical to base doc d+50's
+    *     image, the classic stock-photo reuse) → TEXT-ONLY.
+    * Both kernels are the existing band-join operators (never
+    * all-pairs); the agreement is ONE full outer equi-join of two
+    * already-bounded pair sets, so the scale story is exactly the
+    * arms'. Stratum = max(id)/1e7 keeps every pair attributable. */
+  def qDedupCrossmodal(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    def stratum(mod: Int, idOff: Long, imgOff: Long,
+                cap: Column): DataFrame =
+      d.filter(col("doc_id") % 7 === mod)
+        .select((col("doc_id") + idOff).as("item_id"),
+          (col("doc_id") + imgOff).as("img"), cap.as("caption"))
+    val items = d
+      .select(col("doc_id").as("item_id"), col("doc_id").as("img"),
+        lower(col("text")).as("caption"))
+      .unionAll(stratum(0, 10000000L, 700L,
+        concat(lower(col("text")), lit(" repost"))))
+      .unionAll(stratum(1, 20000000L, 300L, reverse(lower(col("text")))))
+      .unionAll(stratum(2, 30000000L, 50L,
+        concat(lower(col("text")), lit(" mirror"))))
+      .localCheckpoint() // both arms scan it
+    val img = graft.operators.ImageHash.dhashPairsOfSigs(
+      graft.operators.ImageHash.imageSignaturesItems(items),
+      maxHamming = 10)
+    val txt = Dedup.minhashPairs(
+      items.select(col("item_id").as("doc_id"),
+        col("caption").as("text")),
+      K, numHashes = 64, bands = 16, minEst = 0.2)
+    img.select(col("ida"), col("idb"), col("hamming"),
+        lit(true).as("ih"))
+      .join(txt.select(col("ida"), col("idb"), col("est"),
+        lit(true).as("th")), Seq("ida", "idb"), "full")
+      .select(col("ida"), col("idb"),
+        coalesce(col("ih"), lit(false)).as("image_hit"),
+        coalesce(col("th"), lit(false)).as("text_hit"),
+        when(col("ih").isNotNull && col("th").isNotNull, "both")
+          .when(col("ih").isNotNull, "image_only")
+          .otherwise("text_only").as("agreement"),
+        expr("greatest(ida, idb) div 10000000").as("stratum"),
+        coalesce(col("hamming"), lit(-1L)).as("hamming"),
+        coalesce(col("est"), lit(-1.0)).as("est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_crossmodal" -> (qDedupCrossmodal _),
     "q_dedup_fastcdc" -> (qDedupFastCdc _),
     "q_dedup_fastcdc_delta" -> (qDedupFastCdcDelta _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -572,12 +632,17 @@ object DedupQueries {
 
   /** Same CTE prefix over a filtered documents slice (the eval harness
     * replays the LSH path on its sample). */
-  private def minhashBandCtesOn(where: String): String = {
-    val P = 2147483647L
+  private def minhashBandCtesOn(where: String): String =
     s"""d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
        |           FROM documents $where),
-       |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $K) AS s
-       |       FROM d, LATERAL (SELECT unnest(generate_series(1,
+       |${minhashBandCtesSrc("d")}""".stripMargin
+
+  /** Band CTEs over an arbitrary (doc_id, t) source CTE — the
+    * cross-modal query feeds item captions instead of `documents`. */
+  private def minhashBandCtesSrc(src: String): String = {
+    val P = 2147483647L
+    s"""sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $K) AS s
+       |       FROM $src, LATERAL (SELECT unnest(generate_series(1,
        |              greatest(len(t) - ${K - 1}, 1))) AS i) u
        |       WHERE len(substr(t, CAST(i AS INT), $K)) = $K),
        |shh AS (SELECT doc_id,
@@ -813,6 +878,48 @@ object DedupQueries {
     "q_dedup_fastcdc" -> fastCdcOracle,
     "q_dedup_fastcdc_delta" -> fastCdcDeltaOracle,
     "q_dedup_minhash" -> minhashOracle,
+
+    // both arms replayed over the planted item table: the dHash chain
+    // (SourceQueries.imageSigCtesOn — pixels from `img`, keys from
+    // item id) and the minhash chain (band CTEs over the caption
+    // source), then the same full-outer agreement join
+    "q_dedup_crossmodal" ->
+      s"""WITH items AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS item_id,
+         |    CAST(doc_id AS BIGINT) AS img, lower(text) AS t
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, doc_id + 700, lower(text) || ' repost'
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, doc_id + 300, reverse(lower(text))
+         |  FROM documents WHERE doc_id % 7 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 30000000, doc_id + 50, lower(text) || ' mirror'
+         |  FROM documents WHERE doc_id % 7 = 2),
+         |${graft.queries.SourceQueries.imageSigCtesOn(
+              "SELECT item_id AS doc_id, img FROM items")},
+         |ip AS (SELECT ida, idb,
+         |         CAST(bit_count(xor(siga, sigb)) AS BIGINT) AS hamming
+         |       FROM pr WHERE bit_count(xor(siga, sigb)) <= 10),
+         |caps AS (SELECT item_id AS doc_id, t FROM items),
+         |${minhashBandCtesSrc("caps")},
+         |$minhashPairCtes,
+         |tp AS (SELECT ida, idb, est FROM est WHERE est >= 0.2)
+         |SELECT COALESCE(ip.ida, tp.ida) AS ida,
+         |  COALESCE(ip.idb, tp.idb) AS idb,
+         |  ip.ida IS NOT NULL AS image_hit,
+         |  tp.ida IS NOT NULL AS text_hit,
+         |  CASE WHEN ip.ida IS NOT NULL AND tp.ida IS NOT NULL
+         |         THEN 'both'
+         |       WHEN ip.ida IS NOT NULL THEN 'image_only'
+         |       ELSE 'text_only' END AS agreement,
+         |  CAST(greatest(COALESCE(ip.ida, tp.ida),
+         |    COALESCE(ip.idb, tp.idb)) // 10000000 AS BIGINT) AS stratum,
+         |  COALESCE(ip.hamming, -1) AS hamming,
+         |  COALESCE(tp.est, -1.0) AS est
+         |FROM ip FULL JOIN tp
+         |  ON ip.ida = tp.ida AND ip.idb = tp.idb""".stripMargin,
 
     // the LSH path replayed ON THE SAMPLE (band CTEs parameterized by
     // the sample filter), exact Jaccard truth from the same shingle

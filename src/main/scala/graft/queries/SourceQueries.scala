@@ -615,21 +615,21 @@ object SourceQueries {
     * the phash oracle (full corpus) and the banding-recall eval
     * (parameterized to the bounded eval slice — the minhashBandCtesOn
     * move). */
-  private def imageSigCtesOn(base: String): String =
+  private[queries] def imageSigCtesOn(base: String): String =
     s"d AS ($base),\n" +
-    """gp AS (SELECT doc_id, doc_id % 100 AS gk,
-      |         8 + (doc_id % 100) % 9 AS w,
-      |         8 + (doc_id % 100) % 5 AS h,
-      |         doc_id % 4 AS m FROM d),
-      |co AS (SELECT doc_id, gk, w, h, m, x, y,
+    """gp AS (SELECT doc_id, img % 100 AS gk,
+      |         8 + (img % 100) % 9 AS w,
+      |         8 + (img % 100) % 5 AS h,
+      |         img % 4 AS m, img FROM d),
+      |co AS (SELECT doc_id, gk, w, h, m, img, x, y,
       |         (x * w) // 11 AS sx, (y * h) // 6 AS sy
       |       FROM gp,
       |       LATERAL (SELECT unnest(generate_series(0, 10)) AS x) xs,
       |       LATERAL (SELECT unnest(generate_series(0, 5)) AS y) ys),
       |bp AS (SELECT doc_id, x, y, gk, sx, sy,
       |         CASE WHEN len(list_filter(range(0, m), j ->
-      |             (doc_id * 13 + j * 7) % w = sx
-      |             AND (doc_id * 17 + j * 11) % h = sy)) > 0
+      |             (img * 13 + j * 7) % w = sx
+      |             AND (img * 17 + j * 11) % h = sy)) > 0
       |           THEN 40 ELSE 0 END AS bump
       |       FROM co),
       |px AS (SELECT doc_id, x, y,
@@ -655,12 +655,14 @@ object SourceQueries {
       |         AND a.doc_id < b.doc_id)""".stripMargin
 
   private val imageSigCtes: String = imageSigCtesOn(
-    "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents")
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+      "CAST(doc_id AS BIGINT) AS img FROM documents")
 
   /** The eval's bounded base: top-2000 docs by multiplicative hash —
     * same slice the engine takes, so truth stays O(cap²) at any sf. */
   private val imageEvalBase: String =
-    "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents " +
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+      "CAST(doc_id AS BIGINT) AS img FROM documents " +
       "ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 1000000007, " +
       "doc_id LIMIT 2000"
 

@@ -631,6 +631,42 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(all.head.getAs[Long]("share_pm") === 1000L)
   }
 
+  test("cross-modal dedup: each planted stratum fires exactly the arm " +
+    "it was built to fire") {
+    val rows = graft.queries.DedupQueries.qDedupCrossmodal(spark, SfDir)
+      .collect()
+    def twins(off: Long) = rows.filter(r =>
+      r.getAs[Long]("idb") == r.getAs[Long]("ida") + off)
+    // re-caption (+2e7): same image group, reversed caption — the
+    // IMAGE arm must flag every twin pair, the text arm none
+    val recap = twins(20000000L)
+    assert(recap.nonEmpty &&
+      recap.forall(_.getAs[String]("agreement") == "image_only"))
+    // stock-swap (+3e7): same caption + suffix, different image group
+    // — the TEXT arm must flag every twin pair, the image arm none
+    val swap = twins(30000000L)
+    assert(swap.nonEmpty &&
+      swap.forall(_.getAs[String]("agreement") == "text_only"))
+    // repost (+1e7): near-dup image AND near-dup caption — BOTH arms
+    // on the overwhelming majority (banding may miss a rare pair)
+    val repost = twins(10000000L)
+    assert(repost.nonEmpty)
+    val both = repost.count(_.getAs[String]("agreement") == "both")
+    assert(both * 10 >= repost.length * 9,
+      s"repost twins: $both/${repost.length} both")
+    // agreement is consistent with the hit flags on every pair
+    assert(rows.forall { r =>
+      val (ih, th) = (r.getAs[Boolean]("image_hit"),
+        r.getAs[Boolean]("text_hit"))
+      r.getAs[String]("agreement") match {
+        case "both" => ih && th
+        case "image_only" => ih && !th
+        case "text_only" => th && !ih
+        case _ => false
+      }
+    })
+  }
+
   test("unigram-LM train: vocab is a valid pruned lattice model and " +
     "the segmentation it induces reconstructs the corpus exactly") {
     val rows = graft.queries.TextQueries.qUnigramTrain(spark, SfDir)
