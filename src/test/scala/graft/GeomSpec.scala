@@ -203,6 +203,72 @@ class GeomSpec extends AnyFunSuite with SharedSpark {
     assert(m === 1000000L)
   }
 
+  test("clip rings general: per-pair ring area equals the exact box-" +
+    "union area, and disconnected components really occur") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.PolyQueries.qClipRingsGeneral(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // group vertices per (pair, ring) in walk order
+    val rings = rows.groupBy(r => (r.getAs[Long]("ida"),
+        r.getAs[Long]("idb"), r.getAs[Int]("ring")))
+      .map { case (k, vs) =>
+        k -> vs.sortBy(_.getAs[Int]("vi"))
+          .map(r => (r.getAs[Double]("x"), r.getAs[Double]("y")))
+      }
+    // the U's two prongs crossing the L must yield >= one pair with
+    // two DISCONNECTED rings — the case a single S-H ring can't emit
+    assert(rings.keys.exists(_._3 > 0), "no multi-component pair found")
+    // shoelace per ring; outer rings all walk one orientation here
+    // (no holes are geometrically possible for this U ∩ L family)
+    def shoelace(vs: Array[(Double, Double)]): Double =
+      vs.indices.map { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.length)
+        x1 * y2 - x2 * y1
+      }.sum / 2.0
+    val ringArea = rings.toSeq
+      .groupBy { case ((ida, idb, _), _) => (ida, idb) }
+      .map { case (k, rs) =>
+        k -> rs.map { case (_, vs) => math.abs(shoelace(vs)) }.sum }
+    // independent truth: the ≤6 candidate boxes have pairwise DISJOINT
+    // interiors (U parts disjoint x L parts disjoint), so the exact
+    // intersection area is the plain sum of box areas
+    val a = graft.GeoData.rectCustomer(spark, SfDir)
+    val b = graft.GeoData.polyNation(spark, SfDir)
+      .select(col("pid").as("rid"), col("x0"), col("y0"),
+        col("x1"), col("y1"))
+    val pairs = graft.operators.Rects.intersectPairs(a, b, 20.0)
+      .collect()
+    val truth = pairs.map { r =>
+      val (ax0, ay0, ax1, ay1) = (r.getAs[Double]("ax0"),
+        r.getAs[Double]("ay0"), r.getAs[Double]("ax1"),
+        r.getAs[Double]("ay1"))
+      val (bx0, by0, bx1, by1) = (r.getAs[Double]("bx0"),
+        r.getAs[Double]("by0"), r.getAs[Double]("bx1"),
+        r.getAs[Double]("by1"))
+      val midY = ay0 + (ay1 - ay0) / 2.0
+      val qw = (ax1 - ax0) / 4.0
+      val u = Seq((ax0, ay0, ax1, midY), (ax0, midY, ax0 + qw, ay1),
+        (ax1 - qw, midY, ax1, ay1))
+      val l = Seq((bx0, by0, bx1, by0 + 10.0),
+        (bx0, by0 + 10.0, bx0 + 8.0, by1))
+      val area = (for { (ux0, uy0, ux1, uy1) <- u
+                        (lx0, ly0, lx1, ly1) <- l } yield {
+        val w = math.min(ux1, lx1) - math.max(ux0, lx0)
+        val h = math.min(uy1, ly1) - math.max(uy0, ly0)
+        if (w > 0 && h > 0) w * h else 0.0
+      }).sum
+      (r.getAs[Long]("ida"), r.getAs[Long]("idb")) -> area
+    }.toMap
+    assert(ringArea.nonEmpty)
+    ringArea.foreach { case (k, ra) =>
+      assert(math.abs(ra - truth(k)) < 1e-6, s"pair $k: $ra vs ${truth(k)}")
+    }
+    // and every positive-truth pair produced rings
+    truth.filter(_._2 > 0).keys.foreach(k =>
+      assert(ringArea.contains(k), s"pair $k missing rings"))
+  }
+
   test("graft_hausdorff is callable from SQL via extensions registration") {
     val (ident, info, builder) = graft.plans.GraftExtensions.hausdorffFunction
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
