@@ -592,7 +592,7 @@ object Ann {
     * forms, so DuckDB's bucket replay is unchanged. The inlined
     * flat-scalar chain (planes x dim ~ 1k nodes) blew past Janino's
     * method limits and silently dropped the whole stage out of codegen. */
-  private def hyperplaneBucket(e: Column, planes: Int, dim: Int): Column =
+  private[graft] def hyperplaneBucket(e: Column, planes: Int, dim: Int): Column =
     graft.functions.HyperplaneBucket(e,
       (0 until planes).map(j => hyperplane(j, dim)))
 
