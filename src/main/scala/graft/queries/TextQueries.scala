@@ -808,6 +808,80 @@ object TextQueries {
     * (it tokenizes running text); unigram pre-tokenizes on whitespace
     * (spaces are not pieces), so each row carries ITS OWN char mass —
     * the honest per-tokenizer accounting. */
+  /** Per-word piece counts under the trained model — the serve-side
+    * artifact (same DP as uniSegmentCounts, emitting one row per
+    * distinct word instead of per piece). */
+  private def uniWordPieceCounts(
+      words: org.apache.spark.sql.Dataset[UniWord],
+      scores: Map[String, Long]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.mapPartitions { it =>
+      it.map { uw =>
+        val w = uw.w
+        val n = w.length
+        val best = Array.fill(n + 1)(UniNegInf)
+        best(0) = 0L
+        var i = 1
+        while (i <= n) {
+          var l = 1
+          while (l <= math.min(UniMaxLen, i)) {
+            scores.get(w.substring(i - l, i)) match {
+              case Some(sc) if best(i - l) + sc > best(i) =>
+                best(i) = best(i - l) + sc
+              case _ => ()
+            }
+            l += 1
+          }
+          i += 1
+        }
+        var np = 0L
+        var j = n
+        while (j > 0) {
+          var chosen = -1
+          var l = math.min(UniMaxLen, j)
+          while (l >= 1 && chosen < 0) {
+            val p = w.substring(j - l, j)
+            if (scores.get(p).exists(sc => best(j - l) + sc == best(j)))
+              chosen = l
+            l -= 1
+          }
+          require(chosen > 0, s"unigram: unsegmentable '$w' at $j")
+          np += 1
+          j -= chosen
+        }
+        (w, np)
+      }
+    }.toDF("w", "np")
+  }
+
+  /** Unigram ENCODE — the serve path of the trained model (the
+    * build/serve split the IVF/PQ/ER/CC families all carry, applied
+    * to the tokenizer): per document, token count under the final
+    * vocab's Viterbi segmentation. The corpus is never re-segmented
+    * per document — the DISTINCT-WORD piece-count table (one DP per
+    * distinct word, the artifact a deployment persists) equi-joins
+    * the exploded doc words (AQE decides the join — the word table is
+    * scale-proportional, never force-broadcast), ONE rollup per doc.
+    * Oracle replays the chain and derives per-word piece counts from
+    * the backtrack join. */
+  def qUnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (words, scores) = uniTrain(spark, dir)
+    val wpc = uniWordPieceCounts(words, scores)
+    docs(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wpc, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum("np").as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        expr("n_chars * 10000 div n_tokens").as("chars_per_token_x1e4"))
+  }
+
   def qUnigramFertility(spark: SparkSession, dir: String): DataFrame = {
     val (words, scores) = uniTrain(spark, dir)
     val uniTok = uniSegmentCounts(words, scores)
@@ -1549,6 +1623,28 @@ object TextQueries {
          |  CAST(ROW_NUMBER() OVER (ORDER BY c DESC, s ASC) AS BIGINT)
          |    AS rank
          |FROM vr$UniRounds WHERE c > 0""".stripMargin,
+
+    // encode = the chain + per-word piece counts from the backtrack
+    // join + per-doc rollup over the exploded words
+    "q_unigram_encode" ->
+      s"""WITH RECURSIVE
+         |$uniChainSql,
+         |wpc AS MATERIALIZED (
+         |  SELECT b.w, CAST(COUNT(*) AS BIGINT) AS np
+         |  FROM bk$UniRounds b
+         |  JOIN chosen$UniRounds ch ON ch.w = b.w AND ch.i = b.i
+         |  GROUP BY 1),
+         |dw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |    FROM documents) z
+         |  WHERE len(w) > 0)
+         |SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(dw.w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(wpc.np) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(len(dw.w)) * 10000 // SUM(wpc.np) AS BIGINT)
+         |    AS chars_per_token_x1e4
+         |FROM dw JOIN wpc ON wpc.w = dw.w
+         |GROUP BY dw.doc_id""".stripMargin,
 
     "q_unigram_fertility" -> {
       def pairsSql(src: String): String =
@@ -2348,6 +2444,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
     "q_unigram_fertility" -> (qUnigramFertility _),
+    "q_unigram_encode" -> (qUnigramEncode _),
     "q_collocations_pmi" -> (qCollocationsPmi _),
     "q_blocklist_filter" -> (qBlocklistFilter _),
     "q_langid_eval" -> (qLangidEval _),
