@@ -463,25 +463,21 @@ object Pdf {
     buf.toByteArray
   }
 
-  /** Parse + verify a 1.5 file: startxref -> /XRef stream -> undo the
-    * Up predictor -> W-field entries -> ObjStm unpack -> the same
-    * reference walk as 1.4, with the full-escape string tokenizer. */
-  def decodePdfX(d: Long, bytes: Array[Byte]): Seq[PdfXRow] = {
-    val whole = new String(bytes, US_ASCII)
-    require(whole.startsWith("%PDF-1.5"), "pdf15: header")
-    val sxAt = whole.lastIndexOf("startxref")
-    require(sxAt > 0 && whole.endsWith("%%EOF\n"), "pdf15: trailer end")
-    val xAt = whole.substring(sxAt + 10, whole.indexOf('\n', sxAt + 10))
-      .trim.toInt
-    val xHdr = "^(\\d+) 0 obj".r.findFirstMatchIn(whole.substring(xAt))
-      .getOrElse(sys.error("pdf15: xref obj header"))
-    val xrefNum = xHdr.group(1).toInt
-    val xDict = whole.substring(xAt, whole.indexOf("stream", xAt))
+  private def dictInt(dict: String, key: String): Int =
+    (java.util.regex.Pattern.quote(key) + " (\\d+)").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+      .getOrElse(sys.error(s"pdf15: $key"))
+
+  /** One cross-reference STREAM section at byte offset `at`: verified
+    * /W / /Predictor / /Index parse (Index defaults to [0 Size] —
+    * incremental sections cover only their changed objects), Up-chain
+    * reconstruction, big-endian fields. Returns the section's
+    * (objnum -> entry) list in Index order, its /Size, and /Prev. */
+  private def parseXrefSection(bytes: Array[Byte], whole: String,
+                               at: Int)
+      : (Seq[(Int, (Int, Int, Int))], Int, Option[Int]) = {
+    val xDict = whole.substring(at, whole.indexOf("stream", at))
     require(xDict.contains("/Type /XRef"), "pdf15: xref type")
-    def dictInt(dict: String, key: String): Int =
-      (java.util.regex.Pattern.quote(key) + " (\\d+)").r
-        .findFirstMatchIn(dict).map(_.group(1).toInt)
-        .getOrElse(sys.error(s"pdf15: $key"))
     val size = dictInt(xDict, "/Size")
     require(xDict.contains("/Root 1 0 R"), "pdf15: root")
     val wm = "/W \\[(\\d+) (\\d+) (\\d+)\\]".r.findFirstMatchIn(xDict)
@@ -493,14 +489,19 @@ object Pdf {
     require(dictInt(xDict, "/Columns") == cols, "pdf15: columns vs W")
     require(xDict.contains("/Filter /FlateDecode"), "pdf15: xref filter")
     val xLen = dictInt(xDict, "/Length")
-    val xFrom = whole.indexOf("stream", xAt) + 7
+    val xFrom = whole.indexOf("stream", at) + 7
     require(ascii(bytes, xFrom + xLen, xFrom + xLen + 11) == "\nendstream\n",
       "pdf15: xref stream length")
     val pred = inflateAll(bytes, xFrom, xLen)
-    require(pred.length == size * (1 + cols), "pdf15: xref row count")
+    val objNums = "/Index \\[([0-9 ]+)\\]".r.findFirstMatchIn(xDict)
+      .map(_.group(1).trim.split(" ").map(_.toInt).toSeq)
+      .getOrElse(Seq(0, size))
+      .grouped(2).flatMap(p => p(0) until p(0) + p(1)).toSeq
+    require(pred.length == objNums.size * (1 + cols),
+      "pdf15: xref row count")
     // undo PNG Up: each row starts with tag 2; raw = enc + prior raw
-    val raw = new Array[Int](size * cols)
-    for (r <- 0 until size) {
+    val raw = new Array[Int](objNums.size * cols)
+    for (r <- objNums.indices) {
       require((pred(r * (1 + cols)) & 0xFF) == 2, "pdf15: png tag")
       for (i <- 0 until cols) {
         val e = pred(r * (1 + cols) + 1 + i) & 0xFF
@@ -513,15 +514,73 @@ object Pdf {
       for (i <- 0 until w) v = (v << 8) | raw(r * cols + from + i)
       v
     }
-    val entries = (0 until size).map(r =>
-      (field(r, 0, w1), field(r, w1, w2), field(r, w1 + w2, w3)))
+    val prev = "/Prev (\\d+)".r.findFirstMatchIn(xDict)
+      .map(_.group(1).toInt)
+    (objNums.zipWithIndex.map { case (n, r) =>
+      n -> ((field(r, 0, w1), field(r, w1, w2), field(r, w1 + w2, w3)))
+    }, size, prev)
+  }
+
+  private def startxrefAt(whole: String): Int = {
+    val sxAt = whole.lastIndexOf("startxref")
+    require(sxAt > 0 && whole.endsWith("%%EOF\n"), "pdf15: trailer end")
+    whole.substring(sxAt + 10, whole.indexOf('\n', sxAt + 10)).trim.toInt
+  }
+
+  /** Parse + verify a single-section 1.5 file: startxref -> /XRef
+    * stream -> ObjStm unpack -> the same reference walk as 1.4, with
+    * the full-escape string tokenizer. */
+  def decodePdfX(d: Long, bytes: Array[Byte]): Seq[PdfXRow] = {
+    val whole = new String(bytes, US_ASCII)
+    require(whole.startsWith("%PDF-1.5"), "pdf15: header")
+    val (ents, size, prev) = parseXrefSection(bytes, whole,
+      startxrefAt(whole))
+    require(prev.isEmpty, "pdf15: unexpected /Prev in base file")
+    require(ents.size == size, "pdf15: base section must cover 0..Size")
+    walkX(d, bytes, whole, ents.toMap, size)
+  }
+
+  /** Parse + verify an INCREMENTALLY UPDATED file (ISO 32000-1
+    * §7.5.6): startxref points at the NEWEST section, whose /Prev
+    * chains to older ones; entries merge newest-wins, so an updated
+    * object's new body shadows the original bytes that are still
+    * physically present in the file. */
+  def decodePdfXInc(d: Long, bytes: Array[Byte]): Seq[PdfXRow] = {
+    val whole = new String(bytes, US_ASCII)
+    require(whole.startsWith("%PDF-1.5"), "pdf15: header")
+    val merged = scala.collection.mutable.Map.empty[Int, (Int, Int, Int)]
+    var at = Option(startxrefAt(whole))
+    var newestSize = -1
+    var nSections = 0
+    while (at.isDefined) {
+      val (ents, size, prev) = parseXrefSection(bytes, whole, at.get)
+      if (newestSize < 0) newestSize = size
+      // newest section parsed first: earlier sections never override
+      ents.foreach { case (n, e) =>
+        if (!merged.contains(n)) merged(n) = e
+      }
+      nSections += 1
+      require(nSections <= 16, "pdf15: /Prev cycle")
+      at = prev
+    }
+    require(nSections >= 2, "pdf15: expected incremental sections")
+    require(merged.size == newestSize,
+      "pdf15: merged sections must cover 0..Size")
+    walkX(d, bytes, whole, merged.toMap, newestSize)
+  }
+
+  /** The post-entries walk shared by the single-section and the
+    * incremental decoders. */
+  private def walkX(d: Long, bytes: Array[Byte], whole: String,
+                    entries: Map[Int, (Int, Int, Int)],
+                    size: Int): Seq[PdfXRow] = {
     require(entries(0)._1 == 0, "pdf15: free head")
     val inStm = scala.collection.mutable.Map.empty[Int, (Int, Int)]
-    entries.zipWithIndex.drop(1).foreach {
-      case ((1, off, _), n) =>
+    entries.toSeq.sortBy(_._1).drop(1).foreach {
+      case (n, (1, off, _)) =>
         require(whole.startsWith(s"$n 0 obj", off), s"pdf15: obj $n offset")
-      case ((2, stm, idx), n) => inStm(n) = (stm, idx)
-      case ((t, _, _), n) => sys.error(s"pdf15: entry type $t for obj $n")
+      case (n, (2, stm, idx)) => inStm(n) = (stm, idx)
+      case (n, (t, _, _)) => sys.error(s"pdf15: entry type $t for obj $n")
     }
     require(inStm.values.map(_._1).toSet.size == 1, "pdf15: one ObjStm")
     val objStmNum = inStm.values.head._1
@@ -630,6 +689,81 @@ object Pdf {
     implicit val encF = Encoders.product[PdfXRow]
     docs.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.flatMap(d => decodePdfX(d, synthPdfXBytes(d))))
+      .toDF()
+  }
+
+  // ------------------------------------------- incremental update (r14)
+
+  /** The revision line the incremental update appends to page 0. */
+  private[graft] def revLine(d: Long): String =
+    s"rev 1 doc $d ${Words(((d + 5) % 8).toInt)}"
+
+  /** Append an INCREMENTAL UPDATE (ISO 32000-1 §7.5.6) to the 1.5
+    * file: a new generation of page 0's content stream (same object
+    * NUMBER — update semantics — with the revision line appended) and
+    * a second xref STREAM whose /Index covers exactly the two changed
+    * objects and whose /Prev points at the original section. The
+    * original bytes stay in the file untouched — that is the point of
+    * incremental update (signature-preserving append-only edits) and
+    * exactly what makes newest-wins entry merging load-bearing: a
+    * reader that takes the FIRST match (or scans objects positionally)
+    * reads the stale text. `prevOverride` is the tamper hook. */
+  def synthPdfXIncBytes(d: Long,
+                        prevOverride: Option[Int] = None): Array[Byte] = {
+    val base = synthPdfXBytes(d)
+    val np = nPagesX(d)
+    val contentObj = 3 + np
+    val newXrefNum = 6 + 2 * np
+    val s = new String(base, US_ASCII)
+    val oldXrefAt = startxrefAt(s)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, base.length)
+    def put(str: String): Unit = out.write(str.getBytes(US_ASCII))
+    val fs = fontSizeX(d, 0)
+    val sb = new StringBuilder
+    sb.append(s"BT /F1 $fs Tf ${x0X(d, 0)} ${y0X(d, 0)} Td ")
+    for (i <- 0 until nLinesX(d, 0)) {
+      if (i > 0) sb.append(s"0 -${fs + 2} Td ")
+      sb.append(s"(${escapeString15(lineTextX(d, 0, i))}) Tj ")
+    }
+    sb.append(s"0 -${fs + 2} Td (${escapeString15(revLine(d))}) Tj ET")
+    val z = deflate(sb.toString.getBytes(US_ASCII))
+    val contAt = out.size()
+    put(s"$contentObj 0 obj\n<< /Length ${z.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+    out.write(z, 0, z.length)
+    put("\nendstream\nendobj\n")
+    val xAt = out.size()
+    val rows = Array(
+      Array(1, (contAt >> 16) & 0xFF, (contAt >> 8) & 0xFF,
+        contAt & 0xFF, 0),
+      Array(1, (xAt >> 16) & 0xFF, (xAt >> 8) & 0xFF, xAt & 0xFF, 0))
+    val enc = new java.io.ByteArrayOutputStream()
+    var prevRow = new Array[Int](5)
+    rows.foreach { r =>
+      enc.write(2)
+      for (i <- 0 until 5) enc.write((r(i) - prevRow(i)) & 0xFF)
+      prevRow = r
+    }
+    val zX = deflate(enc.toByteArray)
+    put(s"$newXrefNum 0 obj\n<< /Type /XRef /Size ${newXrefNum + 1} " +
+      s"/Root 1 0 R /W [1 3 1] /Index [$contentObj 1 $newXrefNum 1] " +
+      s"/Prev ${prevOverride.getOrElse(oldXrefAt)} " +
+      s"/DecodeParms << /Predictor 12 /Columns 5 >> " +
+      s"/Filter /FlateDecode /Length ${zX.length} >>\nstream\n")
+    out.write(zX, 0, zX.length)
+    put("\nendstream\nendobj\n")
+    put(s"startxref\n$xAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Row-local generate + parse of the incrementally-updated files. */
+  def pdfXIncFeatures(docs: DataFrame): DataFrame = {
+    implicit val encL = Encoders.scalaLong
+    implicit val encF = Encoders.product[PdfXRow]
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap(d =>
+        decodePdfXInc(d, synthPdfXIncBytes(d))))
       .toDF()
   }
 }

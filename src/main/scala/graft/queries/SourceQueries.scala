@@ -247,6 +247,16 @@ object SourceQueries {
     graft.operators.Pdf.pdfXFeatures(
       Tables.load(spark, dir, "documents"))
 
+  /** PDF incremental update (r14): append-only revision section — new
+    * generation of page 0's content stream + a second /XRef stream
+    * with /Index subsections and /Prev chaining; entries merge
+    * newest-wins, so the revision shadows the still-present original
+    * bytes. Row-local. */
+  def qMultimodalPdfIncremental(spark: SparkSession,
+                                dir: String): DataFrame =
+    graft.operators.Pdf.pdfXIncFeatures(
+      Tables.load(spark, dir, "documents"))
+
   /** Format sniffing (r12): magic-byte routing over real bytes from
     * all nine codecs, with a tamper stratum that must come out
     * 'unknown'. Row-local. */
@@ -598,6 +608,7 @@ object SourceQueries {
     "q_multimodal_h264_cbp" -> (qMultimodalH264Cbp _),
     "q_multimodal_pdf" -> (qMultimodalPdf _),
     "q_multimodal_pdf_xrefstream" -> (qMultimodalPdfXrefstream _),
+    "q_multimodal_pdf_incremental" -> (qMultimodalPdfIncremental _),
     "q_format_sniff" -> (qFormatSniff _),
     "q_multimodal_tiff_pages" -> (qMultimodalTiffPages _),
     "q_image_phash" -> (qImagePhash _),
@@ -1215,6 +1226,61 @@ object SourceQueries {
         |       FROM l GROUP BY 1, 2)
         |SELECT pp.d AS doc_id, CAST(pp.p AS BIGINT) AS page,
         |  CAST(5 + 2 * pp.np AS BIGINT) AS n_objs,
+        |  CAST(pp.np AS BIGINT) AS n_pages,
+        |  CAST(pp.np + 3 AS BIGINT) AS n_objstm,
+        |  CAST(pp.nl AS BIGINT) AS n_lines,
+        |  CAST(pp.fs AS BIGINT) AS font_size,
+        |  CAST(len(tx.text) AS BIGINT) AS text_chars,
+        |  CAST(tx.esc AS BIGINT) AS esc_chars,
+        |  CAST(pp.x0 AS BIGINT) AS x0, CAST(pp.y0 AS BIGINT) AS y0,
+        |  CAST(pp.y0 - (pp.nl - 1) * (pp.fs + 2) AS BIGINT) AS y_last,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_filter(string_split(tx.text, ''),
+        |                               c -> len(c) > 0),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS text_hash
+        |FROM pp JOIN tx ON tx.d = pp.d AND tx.p = pp.p""".stripMargin,
+    // incremental update replayed: page 0 carries one extra revision
+    // line (escape-free), n_objs grows by the new xref stream object;
+    // other pages identical to the xrefstream oracle
+    "q_multimodal_pdf_incremental" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+        |pg AS (SELECT d, 1 + (d + 1) % 3 AS np FROM d),
+        |pp AS (SELECT pg.d, pg.np, pz.p,
+        |         3 + (pg.d + 2 * pz.p) % 6
+        |           + CASE WHEN pz.p = 0 THEN 1 ELSE 0 END AS nl,
+        |         3 + (pg.d + 2 * pz.p) % 6 AS nl0,
+        |         9 + (pg.d + 2 * pz.p) % 8 AS fs,
+        |         55 + (pg.d + 5 * pz.p) % 40 AS x0,
+        |         690 + (pg.d + 11 * pz.p) % 60 AS y0
+        |       FROM pg, LATERAL (SELECT unnest(generate_series(0,
+        |         CAST(pg.np - 1 AS INT))) AS p) pz),
+        |l AS (SELECT pp.d, pp.p, i.i,
+        |        CASE WHEN pp.p = 0 AND i.i = pp.nl0
+        |          THEN 'rev 1 doc ' || pp.d || ' ' ||
+        |            ['alpha','bravo','charlie','delta','echo','foxtrot',
+        |             'golf','hotel'][CAST((pp.d + 5) % 8 + 1 AS INT)]
+        |          ELSE
+        |        'xdoc ' || pp.d || ' pg ' || pp.p || ' ln ' || i.i
+        |        || ' ' ||
+        |        ['alpha','bravo','charlie','delta','echo','foxtrot',
+        |         'golf','hotel']
+        |          [CAST((pp.d + 2 * pp.p + 3 * i.i) % 8 + 1 AS INT)]
+        |        || CASE WHEN (pp.d + pp.p + i.i) % 3 = 0
+        |             THEN chr(9) || '(' || chr(92)
+        |               || chr(CAST(1 + (pp.d + i.i) % 26 AS INT)) || ')'
+        |             ELSE '' END
+        |        END AS t,
+        |        CASE WHEN pp.p = 0 AND i.i = pp.nl0 THEN 0
+        |             WHEN (pp.d + pp.p + i.i) % 3 = 0 THEN 5
+        |             ELSE 0 END AS esc
+        |      FROM pp, LATERAL (SELECT unnest(generate_series(0,
+        |        CAST(pp.nl - 1 AS INT))) AS i) i),
+        |tx AS (SELECT d, p, string_agg(t, chr(10) ORDER BY i) AS text,
+        |         SUM(esc) AS esc
+        |       FROM l GROUP BY 1, 2)
+        |SELECT pp.d AS doc_id, CAST(pp.p AS BIGINT) AS page,
+        |  CAST(6 + 2 * pp.np AS BIGINT) AS n_objs,
         |  CAST(pp.np AS BIGINT) AS n_pages,
         |  CAST(pp.np + 3 AS BIGINT) AS n_objstm,
         |  CAST(pp.nl AS BIGINT) AS n_lines,

@@ -1715,6 +1715,41 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("r14 pdf incremental update: newest-wins /Prev chain shadows " +
+    "the still-present original; a stale read differs") {
+    import graft.operators.Pdf
+    val d = 42L
+    val base = Pdf.decodePdfX(d, Pdf.synthPdfXBytes(d))
+    val inc = Pdf.decodePdfXInc(d, Pdf.synthPdfXIncBytes(d))
+    assert(inc.size == base.size)
+    // page 0: one extra revision line, new hash — the updated content
+    // stream won even though the ORIGINAL bytes are still in the file
+    assert(inc.head.n_lines == base.head.n_lines + 1)
+    assert(inc.head.text_hash != base.head.text_hash)
+    assert(inc.head.y_last ==
+      base.head.y_last - (base.head.font_size + 2))
+    // other pages byte-identical features (only n_objs grew: the
+    // second xref stream object)
+    inc.tail.zip(base.tail).foreach { case (i, b) =>
+      assert(i.text_hash == b.text_hash && i.n_lines == b.n_lines)
+    }
+    assert(inc.head.n_objs == base.head.n_objs + 1)
+    // a broken /Prev must refuse loud (never fall back to a stale or
+    // positional read)
+    intercept[Exception] {
+      Pdf.decodePdfXInc(d, Pdf.synthPdfXIncBytes(d, prevOverride = Some(5)))
+    }
+    // the single-section decoder refuses an incremental file rather
+    // than silently reading only the newest section
+    intercept[Exception] {
+      Pdf.decodePdfX(d, Pdf.synthPdfXIncBytes(d))
+    }
+    (0L until 40L).foreach { dd =>
+      assert(Pdf.decodePdfXInc(dd, Pdf.synthPdfXIncBytes(dd)).size ==
+        Pdf.nPagesX(dd))
+    }
+  }
+
   test("r12 format sniffing: every codec round-trips its magic; " +
     "tampering routes to unknown, never mis-routes") {
     import graft.operators.Sniff

@@ -186,6 +186,7 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     // the three new codec paths are scan -> mapPartitions: ANY exchange
     // is a plan regression
     for (q <- Seq("q_multimodal_pdf", "q_multimodal_pdf_xrefstream",
+        "q_multimodal_pdf_incremental",
         "q_multimodal_h264_ac", "q_multimodal_h264_cbp")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q claims row-local but:\n$p")
