@@ -204,6 +204,28 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"q_range_shard lost its broadcast join-back:\n$p")
   }
 
+  test("r14 pair enumerators stay bucketed: no cartesian or " +
+    "nested-loop join in cross-modal dedup or general clip rings") {
+    // both rows claim "never all-pairs" — candidates exist only inside
+    // (band, value) / grid-cell buckets, so ANY cartesian/NL join is a
+    // plan regression that would explode at the first real corpus
+    for (q <- Seq("q_dedup_crossmodal", "q_clip_rings_general")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a nested-loop join:\n$p")
+    }
+    // unigram encode: the word-piece artifact joins the exploded doc
+    // words without a FORCED broadcast (word table is scale-
+    // proportional; AQE decides) — no broadcast-exchange HINT survives
+    // to the plan on the artifact side at test sf unless AQE chose it,
+    // and the join key must be the word itself (one shuffle family)
+    val pe = plan("q_unigram_encode")
+    assert(!pe.contains("CartesianProduct") &&
+      !pe.contains("BroadcastNestedLoopJoin"),
+      s"q_unigram_encode join degenerated:\n$pe")
+  }
+
   test("r11c ORC read-back prunes partitions and pushes the residual " +
     "filter into the reader") {
     val p = plan("q_orc_roundtrip")
