@@ -175,6 +175,7 @@ object GrowthAttrib14 {
         ((System.nanoTime() - t0) / 1e9, n)
       }
       val (a, b) = (once(), once())
+      assert(a._2 == b._2, s"$q nondeterministic: ${a._2} vs ${b._2}")
       (math.min(a._1, b._1), a._2)
     }
 

@@ -1,0 +1,325 @@
+package graft.geom
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Intersection RING GEOMETRY for ARBITRARY simple polygons — concave,
+  * non-rectilinear, with holes — the last reference semantics row 7
+  * still re-expressed area-only (shapely `geom.intersection` returns
+  * true geometry for arbitrary inputs, gpd_lite_toolbox/utils.py:188-207;
+  * PolyQueries documented the non-rectilinear ring gap through r14).
+  *
+  * NOT a Weiler–Atherton tracer: WA needs general-position input (it
+  * breaks on vertex-on-edge, collinear overlaps and tangencies, all of
+  * which occur on gridded data). Instead: exact-rational VERTICAL SLAB
+  * DECOMPOSITION on integer coordinates —
+  *
+  *  1. both polygons arrive as EDGE SOUPS (closed even-odd regions, so
+  *     holes need no special casing) with INTEGER coordinates;
+  *  2. slab boundaries = every vertex x + every A-line x B-line crossing
+  *     x (exact rationals; extra breakpoints are harmless, so no segment
+  *     range tests — inside a slab no two spanning edges cross);
+  *  3. per slab, spanning edges sort by exact (y(xl), y(xr)); the gaps
+  *     where BOTH polygons' even-odd parities are odd are the region's
+  *     trapezoids (no interval pairing: two in-region gaps can never be
+  *     adjacent, crossing one edge flips exactly one parity);
+  *  4. trapezoid sides on each slab boundary fragment at all endpoint
+  *     y's and net out (right sides +1, left sides -1): |net|=1
+  *     fragments are boundary, 0 interior — partial overlaps cancel
+  *     exactly because every quantity is a canonical small rational;
+  *  5. the surviving directed fragments form a degree-1 functional
+  *     graph (pinch-free input required loudly); cycles walk out with
+  *     interior on the LEFT, so outer rings emerge CCW and hole rings
+  *     CW; collinear fragment joints (same carrier line) drop, each
+  *     ring rotates to its lexicographically smallest corner, and rings
+  *     number in (x, y) order of those corners — every choice canonical
+  *     so an independent replay (the DuckDB oracle) lands bit-equal.
+  *
+  * Exactness contract: coordinates must be whole numbers with |v| <=
+  * ~2^12 and single-polygon edge spans <= ~2^12; all rationals then
+  * keep numerators under 2^50 and cross-multiplied comparisons under
+  * 2^62 — enforced with Math.*Exact so an out-of-contract input refuses
+  * loudly instead of corrupting geometry.
+  *
+  * Scale: runs once per candidate PAIR after the bucketed bbox join
+  * (never all-pairs) — row-local work bounded by the two shapes' edge
+  * counts, the same per-pair contract as every rect-family kernel.
+  */
+object GeneralIntersect {
+
+  import java.lang.Math.{addExact => addE, multiplyExact => mulE, subtractExact => subE}
+
+  private def gcdL(a0: Long, b0: Long): Long = {
+    var a = math.abs(a0); var b = math.abs(b0)
+    while (b != 0) { val t = a % b; a = b; b = t }
+    a
+  }
+
+  /** Canonical rational: d > 0, gcd(|n|, d) = 1. Stored packed in two
+    * parallel Long arrays by callers; this class is for scalar math. */
+  private final case class Rat(n: Long, d: Long)
+
+  private def mk(n0: Long, d0: Long): Rat = {
+    require(d0 != 0, "generalIntersect: zero denominator")
+    val s = if (d0 < 0) -1L else 1L
+    val n = mulE(n0, s); val d = mulE(d0, s)
+    val g = gcdL(n, d)
+    if (g <= 1) Rat(n, d) else Rat(n / g, d / g)
+  }
+
+  private def cmp(a: Rat, b: Rat): Int =
+    java.lang.Long.compare(mulE(a.n, b.d), mulE(b.n, a.d))
+
+  /** y of non-vertical edge (x0,y0)-(x1,y1) at x = q. */
+  private def yAt(x0: Long, y0: Long, dx: Long, dy: Long, q: Rat): Rat =
+    mk(addE(mulE(mulE(y0, dx), q.d), mulE(subE(q.n, mulE(x0, q.d)), dy)),
+      mulE(dx, q.d))
+
+  /** Canonical line key (a,b,c) for ax + by = c: gcd-reduced,
+    * (a, b) lexicographically positive. */
+  private def lineKey(a0: Long, b0: Long, c0: Long): (Long, Long, Long) = {
+    val g0 = gcdL(gcdL(a0, b0), c0)
+    val g = if (g0 == 0) 1L else g0
+    val (a, b, c) = (a0 / g, b0 / g, c0 / g)
+    if (a < 0 || (a == 0 && b < 0)) (-a, -b, -c) else (a, b, c)
+  }
+
+  private def edgeLine(x0: Long, y0: Long, x1: Long, y1: Long): (Long, Long, Long) = {
+    val dy = subE(y1, y0); val dx = subE(x1, x0)
+    lineKey(dy, -dx, subE(mulE(dy, x0), mulE(dx, y0)))
+  }
+
+  private def vLine(x: Rat): (Long, Long, Long) = lineKey(x.d, 0L, x.n)
+
+  private final case class Edge(tag: Int, idx: Int,
+                                x0: Long, y0: Long, x1: Long, y1: Long) {
+    val dx: Long = x1 - x0
+    val dy: Long = y1 - y0
+    def xmin: Long = math.min(x0, x1)
+    def xmax: Long = math.max(x0, x1)
+  }
+
+  private final case class Frag(fx: Rat, fy: Rat, tx: Rat, ty: Rat,
+                                car: (Long, Long, Long))
+
+  private def readEdges(arr: ArrayData, tag: Int): Array[Edge] = {
+    val n = arr.numElements()
+    val out = new Array[Edge](n)
+    var i = 0
+    while (i < n) {
+      val e = arr.getStruct(i, 4)
+      def whole(v: Double): Long = {
+        val l = v.toLong
+        require(l.toDouble == v && math.abs(l) <= (1L << 13),
+          s"generalIntersect: coordinates must be small whole numbers, got $v")
+        l
+      }
+      out(i) = Edge(tag, i, whole(e.getDouble(0)), whole(e.getDouble(1)),
+        whole(e.getDouble(2)), whole(e.getDouble(3)))
+      require(out(i).dx != 0 || out(i).dy != 0,
+        "generalIntersect: zero-length edge")
+      i += 1
+    }
+    out
+  }
+
+  /** subj/clip: array<struct<x0,y0,x1,y1:double>> integer-valued edge
+    * soups of closed even-odd regions. Returns
+    * array<struct<ring:int, vi:int, x:double, y:double>> — intersection
+    * boundary rings, outer CCW / holes CW, each ring starting at its
+    * lexicographically smallest corner, rings ordered by that corner. */
+  def intersectRings(subj: ArrayData, clip: ArrayData): ArrayData = {
+    val ea = readEdges(subj, 0)
+    val eb = readEdges(clip, 1)
+    val all = ea ++ eb
+    // -- x range of possible intersection --
+    if (ea.isEmpty || eb.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val xlo = math.max(ea.map(_.xmin).min, eb.map(_.xmin).min)
+    val xhi = math.min(ea.map(_.xmax).max, eb.map(_.xmax).max)
+    if (xlo >= xhi) return new GenericArrayData(Array.empty[Any])
+
+    // -- slab breakpoints: vertex xs + A-line x B-line crossing xs --
+    val bps = scala.collection.mutable.ArrayBuffer.empty[Rat]
+    all.foreach { e =>
+      bps += Rat(e.x0, 1L); bps += Rat(e.x1, 1L)
+    }
+    for (a <- ea if a.dx != 0; b <- eb if b.dx != 0) {
+      val den = subE(mulE(a.dy, b.dx), mulE(b.dy, a.dx))
+      if (den != 0) {
+        // y0a + (x - x0a) dya/dxa = y0b + (x - x0b) dyb/dxb
+        val num = addE(subE(mulE(mulE(subE(b.y0, a.y0), a.dx), b.dx),
+          mulE(mulE(b.x0, b.dy), a.dx)), mulE(mulE(a.x0, a.dy), b.dx))
+        bps += mk(num, den)
+      }
+    }
+    val loR = Rat(xlo, 1L); val hiR = Rat(xhi, 1L)
+    val slabXs = bps.filter(r => cmp(r, loR) >= 0 && cmp(r, hiR) <= 0)
+      .distinct.sortWith((p, q) => cmp(p, q) < 0).toArray
+
+    // -- per slab: spanning-edge sort, even-odd gaps, trapezoid sides --
+    val bots = scala.collection.mutable.ArrayBuffer.empty[Frag]
+    // (x, ylo, yhi, dir): right side of a trapezoid +1 (walks up), left -1
+    val sides = scala.collection.mutable.ArrayBuffer.empty[(Rat, Rat, Rat, Int)]
+    var si = 0
+    while (si + 1 < slabXs.length) {
+      val xl = slabXs(si); val xr = slabXs(si + 1)
+      val span = all.filter(e => e.dx != 0 &&
+        mulE(e.xmin, xl.d) <= xl.n && xr.n <= mulE(e.xmax, xr.d))
+        .map(e => (e, yAt(e.x0, e.y0, e.dx, e.dy, xl),
+          yAt(e.x0, e.y0, e.dx, e.dy, xr)))
+        .sortWith { case ((e1, l1, r1), (e2, l2, r2)) =>
+          val c1 = cmp(l1, l2)
+          if (c1 != 0) c1 < 0
+          else {
+            val c2 = cmp(r1, r2)
+            if (c2 != 0) c2 < 0
+            else if (e1.tag != e2.tag) e1.tag < e2.tag
+            else e1.idx < e2.idx
+          }
+        }
+      var pa = 0; var pb = 0
+      var gi = 0
+      while (gi + 1 < span.length) {
+        val (el, lyl, lyr) = span(gi)
+        if (el.tag == 0) pa ^= 1 else pb ^= 1
+        val (eh, hyl, hyr) = span(gi + 1)
+        if (pa == 1 && pb == 1 &&
+          !(cmp(lyl, hyl) == 0 && cmp(lyr, hyr) == 0)) {
+          // trapezoid: lower edge el, upper eh, over [xl, xr]
+          bots += Frag(xl, lyl, xr, lyr, edgeLine(el.x0, el.y0, el.x1, el.y1))
+          bots += Frag(xr, hyr, xl, hyl, edgeLine(eh.x0, eh.y0, eh.x1, eh.y1))
+          if (cmp(lyr, hyr) != 0) sides += ((xr, lyr, hyr, 1))
+          if (cmp(lyl, hyl) != 0) sides += ((xl, lyl, hyl, -1))
+        }
+        gi += 1
+      }
+      si += 1
+    }
+
+    // -- vertical netting per slab-boundary line --
+    val frags = scala.collection.mutable.ArrayBuffer.empty[Frag]
+    frags ++= bots
+    sides.groupBy(_._1).foreach { case (x, ss) =>
+      val ys = ss.flatMap(s => Seq(s._2, s._3)).distinct
+        .sortWith((p, q) => cmp(p, q) < 0)
+      var k = 0
+      while (k + 1 < ys.length) {
+        val u = ys(k); val v = ys(k + 1)
+        var net = 0
+        ss.foreach { case (_, ylo, yhi, dir) =>
+          if (cmp(ylo, u) <= 0 && cmp(v, yhi) <= 0) net += dir
+        }
+        require(math.abs(net) <= 1,
+          "generalIntersect: side multiplicity > 1 — overlapping trapezoids")
+        if (net == 1) frags += Frag(x, u, x, v, vLine(x))
+        else if (net == -1) frags += Frag(x, v, x, u, vLine(x))
+        k += 1
+      }
+    }
+    if (frags.isEmpty) return new GenericArrayData(Array.empty[Any])
+
+    // -- degree-1 functional walk over canonical vertex keys --
+    def key(x: Rat, y: Rat): (Long, Long, Long, Long) = (x.n, x.d, y.n, y.d)
+    val out = scala.collection.mutable.Map.empty[(Long, Long, Long, Long), Int]
+    frags.zipWithIndex.foreach { case (f, i) =>
+      val k = key(f.fx, f.fy)
+      require(!out.contains(k),
+        s"generalIntersect: pinch vertex (out-degree > 1) at $k")
+      out(k) = i
+    }
+    frags.foreach { f =>
+      require(out.contains(key(f.tx, f.ty)),
+        "generalIntersect: open boundary — fragment target has no outgoing")
+    }
+    val visited = new Array[Boolean](frags.length)
+    val rings = scala.collection.mutable.ArrayBuffer
+      .empty[IndexedSeq[(Rat, Rat)]]
+    var f0 = 0
+    while (f0 < frags.length) {
+      if (!visited(f0)) {
+        // collect the cycle's fragments in walk order
+        val cyc = scala.collection.mutable.ArrayBuffer.empty[Frag]
+        var cur = f0
+        while (!visited(cur)) {
+          visited(cur) = true
+          cyc += frags(cur)
+          cur = out(key(frags(cur).tx, frags(cur).ty))
+        }
+        require(cur == f0, "generalIntersect: walk re-entered a ring mid-cycle")
+        // corners: vertices where the incoming carrier differs from the
+        // outgoing — frag i's FROM-vertex has in-carrier cyc(i-1).car
+        val m = cyc.length
+        val corners = (0 until m).filter(i =>
+          cyc((i + m - 1) % m).car != cyc(i).car)
+          .map(i => (cyc(i).fx, cyc(i).fy))
+        require(corners.size >= 3,
+          "generalIntersect: degenerate ring with < 3 corners")
+        // rotate to the lexicographically smallest corner (exact compare)
+        def lt(p: (Rat, Rat), q: (Rat, Rat)): Boolean = {
+          val cx = cmp(p._1, q._1); cx < 0 || (cx == 0 && cmp(p._2, q._2) < 0)
+        }
+        var minI = 0
+        var ci = 1
+        while (ci < corners.length) {
+          if (lt(corners(ci), corners(minI))) minI = ci
+          ci += 1
+        }
+        rings += (corners.drop(minI) ++ corners.take(minI)).toIndexedSeq
+      }
+      f0 += 1
+    }
+    val ordered = rings.sortWith { (r, s) =>
+      val cx = cmp(r.head._1, s.head._1)
+      cx < 0 || (cx == 0 && cmp(r.head._2, s.head._2) < 0)
+    }
+    val rows = new java.util.ArrayList[Any]()
+    ordered.zipWithIndex.foreach { case (r, ri) =>
+      r.zipWithIndex.foreach { case ((x, y), vi) =>
+        rows.add(InternalRow(ri, vi,
+          x.n.toDouble / x.d.toDouble, y.n.toDouble / y.d.toDouble))
+      }
+    }
+    new GenericArrayData(rows.toArray)
+  }
+}
+
+/** Native form: children = subject / clip edge soups
+  * array<struct<x0,y0,x1,y1:double>> (integer-valued, closed even-odd
+  * regions); result = intersection ring vertices
+  * array<struct<ring,vi,x,y>> in canonical order. */
+case class GeneralIntersectRings(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ring", IntegerType, nullable = false),
+    StructField("vi", IntegerType, nullable = false),
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GeneralIntersectRings =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    GeneralIntersect.intersectRings(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    // interpreted and codegen paths share the one kernel
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.geom.GeneralIntersect.intersectRings($l, $r)")
+}
+
+object GeneralIntersectRings {
+  /** Column API: two integer edge soups -> canonical intersection rings. */
+  def apply(subj: Column, clip: Column): Column =
+    ColumnBridge.column(GeneralIntersectRings(
+      ColumnBridge.expression(subj), ColumnBridge.expression(clip)))
+}

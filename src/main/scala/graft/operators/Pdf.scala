@@ -236,8 +236,13 @@ object Pdf {
       // findAllMatchIn SKIPS a non-matching string token silently, so
       // "every Tj tokenized" must be checked by count: one malformed
       // string among many would otherwise be a silently dropped line
-      // caught only downstream by the hash gates
-      require(lines.size == "\\) Tj".r.findAllMatchIn(ops).size,
+      // caught only downstream by the hash gates. The counter consumes
+      // escape pairs FIRST so an escaped "\) Tj" inside a line text
+      // never counts as a string close (and "\\) Tj" — escaped
+      // backslash then a real close — still does).
+      val closeTj = "\\\\[()\\\\]|(\\) Tj)".r
+      require(lines.size ==
+        closeTj.findAllMatchIn(ops).count(_.group(1) != null),
         "pdf: string token failed to tokenize")
       require(lines.nonEmpty, "pdf: no text")
       val text = lines.map(_._3).mkString("\n")
@@ -335,6 +340,7 @@ object Pdf {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c != '\\') { sb += c; i += 1 }
+      else if (i + 1 >= s.length) sys.error("pdf15: bad escape")
       else s.charAt(i + 1) match {
         case 'n' => sb += '\n'; i += 2
         case 'r' => sb += '\r'; i += 2
@@ -564,7 +570,11 @@ object Pdf {
       at = prev
     }
     require(nSections >= 2, "pdf15: expected incremental sections")
-    require(merged.size == newestSize,
+    // exact-set coverage, not cardinality: an out-of-range object
+    // number plus a missing in-range one must fail HERE with the
+    // labeled require, not later as an unlabeled lookup error
+    require(merged.size == newestSize &&
+      (0 until newestSize).forall(merged.contains),
       "pdf15: merged sections must cover 0..Size")
     walkX(d, bytes, whole, merged.toMap, newestSize)
   }
@@ -667,7 +677,10 @@ object Pdf {
           if (first0) { x00 = tx; y00 = ty; first0 = false }
         } else lines += ((tx, ty, unescape15(m.group(3))))
       }
-      require(lines.size == "\\) Tj".r.findAllMatchIn(ops).size,
+      // escape-pair-consuming close counter — see decodePdf's twin
+      val closeTj = "\\\\(?:[nrtbf()\\\\]|[0-7]{1,3})|(\\) Tj)".r
+      require(lines.size ==
+        closeTj.findAllMatchIn(ops).count(_.group(1) != null),
         "pdf15: string token failed to tokenize")
       require(lines.nonEmpty, "pdf15: no text")
       val text = lines.map(_._3).mkString("\n")
