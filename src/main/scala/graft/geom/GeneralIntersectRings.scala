@@ -223,45 +223,92 @@ object GeneralIntersect {
     }
     if (frags.isEmpty) return new GenericArrayData(Array.empty[Any])
 
-    // -- degree-1 functional walk over canonical vertex keys --
+    // -- pinch-aware leftmost-turn pairing walk --
+    // A PINCH vertex (region components or a hole touching the outer
+    // boundary at a point) has out-degree > 1; the walk must pair each
+    // incoming fragment with the first outgoing in CCW order (interior
+    // is kept on the LEFT, so the first-CCW outgoing bounds the same
+    // wedge) — this splits wedges into separate simple rings, the
+    // planar-face traversal shapely performs internally.
+    // Fragment direction as an exact integer vector from its carrier
+    // line (a, b, c): the line direction is +-(b, -a), signed to match
+    // the fragment's actual travel.
+    def dirOf(f: Frag): (Long, Long) = {
+      val (a, b, _) = f.car
+      val cx = cmp(f.tx, f.fx)
+      val pick =
+        if (cx != 0) (b > 0) == (cx > 0) // x-component of (b,-a) is b
+        else (a < 0) == (cmp(f.ty, f.fy) > 0) // y-component is -a
+      if (pick) (b, -a) else (-b, a)
+    }
+    // monotone pseudo-angle in [0, 4) of an integer vector; used BOTH
+    // as the relative turn key (on the u-frame rotation) and as the
+    // canonical tie-break for rings sharing a pinch start vertex.
+    // Double division of exact small ints — bit-equal in the oracle.
+    def pseudo(x: Long, y: Long): Double =
+      if (y > 0) 1.0 - x.toDouble / (math.abs(x) + math.abs(y)).toDouble
+      else if (y == 0 && x < 0) 2.0
+      else if (y < 0) 3.0 + x.toDouble / (math.abs(x) + math.abs(y)).toDouble
+      else 0.0 // y == 0, x > 0
+    // CCW-angle key of candidate w relative to incoming u, in (0, 4]:
+    // rotate w into u's frame (dot, cross) — straight-through ranks last
+    def turnKey(u: (Long, Long), w: (Long, Long)): Double = {
+      val rx = addE(mulE(u._1, w._1), mulE(u._2, w._2))
+      val ry = subE(mulE(u._1, w._2), mulE(u._2, w._1))
+      val p = pseudo(rx, ry)
+      if (p == 0.0) 4.0 else p
+    }
     def key(x: Rat, y: Rat): (Long, Long, Long, Long) = (x.n, x.d, y.n, y.d)
-    val out = scala.collection.mutable.Map.empty[(Long, Long, Long, Long), Int]
+    val dirs = frags.map(dirOf).toArray
+    val byFrom = frags.zipWithIndex.groupBy(fi => key(fi._1.fx, fi._1.fy))
+      .map { case (k, v) => k -> v.map(_._2).toArray }
+    val nxtF = new Array[Int](frags.length)
     frags.zipWithIndex.foreach { case (f, i) =>
-      val k = key(f.fx, f.fy)
-      require(!out.contains(k),
-        s"generalIntersect: pinch vertex (out-degree > 1) at $k")
-      out(k) = i
+      val cands = byFrom.getOrElse(key(f.tx, f.ty),
+        sys.error("generalIntersect: open boundary — no outgoing fragment"))
+      val keyed = cands.map(c => (turnKey(dirs(i), dirs(c)), c))
+      require(keyed.map(_._1).distinct.length == keyed.length,
+        "generalIntersect: ambiguous turn at pinch vertex")
+      nxtF(i) = keyed.minBy(_._1)._2
     }
-    frags.foreach { f =>
-      require(out.contains(key(f.tx, f.ty)),
-        "generalIntersect: open boundary — fragment target has no outgoing")
-    }
+    require(nxtF.toSet.size == frags.length,
+      "generalIntersect: pinch pairing is not a bijection")
+
+    // walk the fragment permutation's cycles; corners are transitions
+    // where the carrier line changes
     val visited = new Array[Boolean](frags.length)
+    // ring = corner list + per-corner out pseudo-angle (pinch tie-break)
     val rings = scala.collection.mutable.ArrayBuffer
-      .empty[IndexedSeq[(Rat, Rat)]]
+      .empty[IndexedSeq[(Rat, Rat, Double)]]
     var f0 = 0
     while (f0 < frags.length) {
       if (!visited(f0)) {
-        // collect the cycle's fragments in walk order
-        val cyc = scala.collection.mutable.ArrayBuffer.empty[Frag]
+        val cyc = scala.collection.mutable.ArrayBuffer.empty[Int]
         var cur = f0
         while (!visited(cur)) {
           visited(cur) = true
-          cyc += frags(cur)
-          cur = out(key(frags(cur).tx, frags(cur).ty))
+          cyc += cur
+          cur = nxtF(cur)
         }
         require(cur == f0, "generalIntersect: walk re-entered a ring mid-cycle")
-        // corners: vertices where the incoming carrier differs from the
-        // outgoing — frag i's FROM-vertex has in-carrier cyc(i-1).car
         val m = cyc.length
-        val corners = (0 until m).filter(i =>
-          cyc((i + m - 1) % m).car != cyc(i).car)
-          .map(i => (cyc(i).fx, cyc(i).fy))
+        val corners = (0 until m).flatMap { j =>
+          val prev = cyc((j + m - 1) % m)
+          val i = cyc(j)
+          if (frags(prev).car != frags(i).car)
+            Some((frags(i).fx, frags(i).fy, pseudo(dirs(i)._1, dirs(i)._2)))
+          else None
+        }
         require(corners.size >= 3,
           "generalIntersect: degenerate ring with < 3 corners")
-        // rotate to the lexicographically smallest corner (exact compare)
-        def lt(p: (Rat, Rat), q: (Rat, Rat)): Boolean = {
-          val cx = cmp(p._1, q._1); cx < 0 || (cx == 0 && cmp(p._2, q._2) < 0)
+        // rotate to the smallest (x, y, outAngle) corner
+        def lt(p: (Rat, Rat, Double), q: (Rat, Rat, Double)): Boolean = {
+          val cx = cmp(p._1, q._1)
+          if (cx != 0) cx < 0
+          else {
+            val cy = cmp(p._2, q._2)
+            if (cy != 0) cy < 0 else p._3 < q._3
+          }
         }
         var minI = 0
         var ci = 1
@@ -275,11 +322,15 @@ object GeneralIntersect {
     }
     val ordered = rings.sortWith { (r, s) =>
       val cx = cmp(r.head._1, s.head._1)
-      cx < 0 || (cx == 0 && cmp(r.head._2, s.head._2) < 0)
+      if (cx != 0) cx < 0
+      else {
+        val cy = cmp(r.head._2, s.head._2)
+        if (cy != 0) cy < 0 else r.head._3 < s.head._3
+      }
     }
     val rows = new java.util.ArrayList[Any]()
     ordered.zipWithIndex.foreach { case (r, ri) =>
-      r.zipWithIndex.foreach { case ((x, y), vi) =>
+      r.zipWithIndex.foreach { case ((x, y, _), vi) =>
         rows.add(InternalRow(ri, vi,
           x.n.toDouble / x.d.toDouble, y.n.toDouble / y.d.toDouble))
       }
