@@ -115,8 +115,14 @@ object GeneralIntersect {
       val e = arr.getStruct(i, 4)
       def whole(v: Double): Long = {
         val l = v.toLong
-        require(l.toDouble == v && math.abs(l) <= (1L << 13),
-          s"generalIntersect: coordinates must be small whole numbers, got $v")
+        // 1<<12 is the PROVEN envelope (scaladoc contract): |coord| and
+        // edge spans <= 2^12 keep every reduced crossing rational's
+        // numerator under 2^50 and every cross-multiplied cmp under
+        // 2^62 — at 2^13 a cmp product can leave Long range and the
+        // failure would be a bare ArithmeticException instead of this
+        // labeled refusal (r15 advice)
+        require(l.toDouble == v && math.abs(l) <= (1L << 12),
+          s"generalIntersect: coordinates must be small whole numbers (|v| <= 4096), got $v")
         l
       }
       out(i) = Edge(tag, i, whole(e.getDouble(0)), whole(e.getDouble(1)),

@@ -138,13 +138,17 @@ object HtmlQueries {
     * query-parameter SORT plus tracking-parameter (utm_*) strip, empty
     * query collapse. URLs derive from doc_id with every hazard PLANTED
     * (uppercase scheme+host, all three port classes, /./ and /../
-    * segments, unsorted params with a utm_ tracker, fragments) and a
-    * clean-already subset so `changed` is genuinely bimodal — the
-    * CSV/unicode planting move. All row-local string expressions,
-    * scan → map, no shuffle; the dot-segment resolver handles the
-    * planted single-level segments in two fixed passes (a general
-    * resolver is a loop — documented constraint, not a silent one).
-    * The oracle derives raw AND canonical independently in DuckDB. */
+    * segments at depths 1, 2 AND 3, unsorted params with a utm_
+    * tracker, fragments) and a clean-already subset so `changed` is
+    * genuinely bimodal — the CSV/unicode planting move. All row-local
+    * string expressions, scan → map, no shuffle; the dot-segment
+    * resolver is the GENERAL RFC 3986 §5.2.4 algorithm (r16, closing
+    * the r15 verdict's documented two-pass constraint): a bounded
+    * `aggregate` fold over the split segments with a pop stack — any
+    * depth of ../ nesting, over-pop clamped at root, trailing /. and
+    * /.. keep the slash via the $1/ rewrite. The oracle replays the
+    * same stack walk as a per-segment recursive CTE (plain JOINs, no
+    * correlated subqueries — the r14 DuckDB recursion lesson). */
   def qUrlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"))
     val did = col("doc_id")
@@ -155,10 +159,11 @@ object HtmlQueries {
     val port = when(did % 4 === 0, lit(":80"))
       .when(did % 4 === 1, lit(":443"))
       .when(did % 4 === 2, lit(":8080")).otherwise(lit(""))
-    val path = concat(
-      when(did % 5 < 3, concat(lit("/a/b/../c"), did % 20))
-        .otherwise(concat(lit("/a/c"), did % 20)),
-      when(did % 5 === 0, lit("/./x")).otherwise(lit("")))
+    val path = when(did % 5 === 0, concat(lit("/a/b/../c"), did % 20, lit("/./x")))
+      .when(did % 5 === 1, concat(lit("/a/b/c/../../d"), did % 20))
+      .when(did % 5 === 2, concat(lit("/p/q/r/s/../../../e"), did % 20))
+      .when(did % 5 === 3, concat(lit("/a/b/../c"), did % 20))
+      .otherwise(concat(lit("/a/c"), did % 20))
     val q = when(did % 3 === 0, lit("?b=2&a=1&utm_source=x"))
       .when(did % 3 === 1, lit("?a=1")).otherwise(lit(""))
     val frag = when(did % 2 === 0, lit("#frag")).otherwise(lit(""))
@@ -171,9 +176,20 @@ object HtmlQueries {
         when((col("lsch") === "http" && col("port") === ":80") ||
           (col("lsch") === "https" && col("port") === ":443"), lit(""))
           .otherwise(col("port")))
-      .withColumn("cpath", regexp_replace(
-        regexp_replace(col("path"), "/\\./", "/"),
-        "/[^/]+/\\.\\./", "/"))
+      // general RFC 3986 §5.2.4 remove_dot_segments: trailing /. or /..
+      // keeps its slash (rewrite appends one so the fold emits an empty
+      // terminal segment), then a left-to-right stack fold — '.' skips,
+      // '..' pops (clamped at root), anything else (empties included)
+      // appends. slice(2, ...) drops the empty before the leading '/'.
+      .withColumn("cpath", expr(
+        "concat('/', array_join(aggregate(" +
+          "slice(split(regexp_replace(path, '(/\\\\.\\\\.?)$', '$1/'), '/'), 2, 1000), " +
+          "cast(array() as array<string>), " +
+          "(acc, s) -> case when s = '.' then acc " +
+          "when s = '..' then (case when size(acc) <= 1 " +
+          "then cast(array() as array<string>) " +
+          "else slice(acc, 1, size(acc) - 1) end) " +
+          "else array_append(acc, s) end), '/'))"))
       .withColumn("ps",
         when(col("q") === "", array().cast("array<string>"))
           .otherwise(expr(
@@ -302,7 +318,7 @@ object HtmlQueries {
     // doc_id arithmetic with DuckDB's own list/regex machinery — a
     // normalization bug on either side breaks the hash
     "q_url_canonicalize" ->
-      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+      """WITH RECURSIVE d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
         |parts AS (SELECT d,
         |  CASE WHEN d % 2 = 0 THEN 'HTTP' ELSE 'https' END AS sch,
         |  CASE WHEN d % 7 = 0
@@ -310,9 +326,11 @@ object HtmlQueries {
         |    ELSE 'WWW.Site' || (d % 50) || '.Example.COM' END AS host,
         |  CASE WHEN d % 4 = 0 THEN ':80' WHEN d % 4 = 1 THEN ':443'
         |       WHEN d % 4 = 2 THEN ':8080' ELSE '' END AS port,
-        |  (CASE WHEN d % 5 < 3 THEN '/a/b/../c' ELSE '/a/c' END)
-        |    || (d % 20)
-        |    || (CASE WHEN d % 5 = 0 THEN '/./x' ELSE '' END) AS path,
+        |  CASE WHEN d % 5 = 0 THEN '/a/b/../c' || (d % 20) || '/./x'
+        |       WHEN d % 5 = 1 THEN '/a/b/c/../../d' || (d % 20)
+        |       WHEN d % 5 = 2 THEN '/p/q/r/s/../../../e' || (d % 20)
+        |       WHEN d % 5 = 3 THEN '/a/b/../c' || (d % 20)
+        |       ELSE '/a/c' || (d % 20) END AS path,
         |  CASE WHEN d % 3 = 0 THEN '?b=2&a=1&utm_source=x'
         |       WHEN d % 3 = 1 THEN '?a=1' ELSE '' END AS q,
         |  CASE WHEN d % 2 = 0 THEN '#frag' ELSE '' END AS frag
@@ -321,17 +339,31 @@ object HtmlQueries {
         |        || frag AS url,
         |        lower(sch) AS lsch, lower(host) AS lhost, port, path, q
         |      FROM parts),
-        |c AS (SELECT d, url, lsch, lhost,
+        |segs AS MATERIALIZED (SELECT d,
+        |  string_split(regexp_replace(path, '(/\.\.?)$', '\1/'), '/') AS sl
+        |FROM u),
+        |rw AS (
+        |  SELECT d, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM segs
+        |  UNION ALL
+        |  SELECT rw.d, rw.i + 1,
+        |    CASE WHEN s.sl[rw.i + 1] = '.' THEN rw.acc
+        |         WHEN s.sl[rw.i + 1] = '..' THEN
+        |           CASE WHEN len(rw.acc) <= 1 THEN CAST([] AS VARCHAR[])
+        |                ELSE rw.acc[1:len(rw.acc) - 1] END
+        |         ELSE list_append(rw.acc, s.sl[rw.i + 1]) END
+        |  FROM rw JOIN segs s ON s.d = rw.d WHERE rw.i < len(s.sl)),
+        |cp AS (SELECT rw.d, '/' || array_to_string(rw.acc, '/') AS cpath
+        |       FROM rw JOIN segs s ON s.d = rw.d WHERE rw.i = len(s.sl)),
+        |c AS (SELECT u.d, url, lsch, lhost,
         |  CASE WHEN (lsch = 'http' AND port = ':80')
         |         OR (lsch = 'https' AND port = ':443') THEN ''
         |       ELSE port END AS cport,
-        |  regexp_replace(regexp_replace(path, '/\./', '/', 'g'),
-        |    '/[^/]+/\.\./', '/', 'g') AS cpath,
+        |  cp.cpath,
         |  CASE WHEN q = '' THEN []
         |       ELSE list_sort(list_filter(
         |         string_split(substr(q, 2), '&'),
         |         x -> NOT starts_with(x, 'utm_'))) END AS ps
-        |FROM u)
+        |FROM u JOIN cp ON cp.d = u.d)
         |SELECT d AS doc_id, url,
         |  lsch || '://' || lhost || cport || cpath
         |    || (CASE WHEN len(ps) = 0 THEN ''

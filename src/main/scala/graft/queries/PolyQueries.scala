@@ -744,9 +744,9 @@ object PolyQueries {
        |    AND b.xn <= LEAST(g.ax1, g.bx1)*b.xd),
        |slabs AS (
        |  SELECT gid, xn AS ln, xd AS ld,
-       |    LEAD(xn) OVER w AS rn, LEAD(xd) OVER w AS rd
+       |    LEAD(xn) OVER ws AS rn, LEAD(xd) OVER ws AS rd
        |  FROM bpf
-       |  WINDOW w AS (PARTITION BY gid ORDER BY CAST(xn AS DOUBLE)/xd)
+       |  WINDOW ws AS (PARTITION BY gid ORDER BY CAST(xn AS DOUBLE)/xd)
        |  QUALIFY rn IS NOT NULL),
        |spanY AS (
        |  SELECT s.gid, s.ln, s.ld, s.rn, s.rd, e.tag, e.eidx,
@@ -767,15 +767,15 @@ object PolyQueries {
        |srt AS MATERIALIZED (
        |  SELECT *,
        |    SUM(CASE WHEN tag = 0 THEN 1 ELSE 0 END)
-       |      OVER (w ROWS UNBOUNDED PRECEDING) % 2 AS pa,
+       |      OVER (wt ROWS UNBOUNDED PRECEDING) % 2 AS pa,
        |    SUM(CASE WHEN tag = 1 THEN 1 ELSE 0 END)
-       |      OVER (w ROWS UNBOUNDED PRECEDING) % 2 AS pb,
-       |    LEAD(yln) OVER w AS hyln, LEAD(yld) OVER w AS hyld,
-       |    LEAD(yrn) OVER w AS hyrn, LEAD(yrd) OVER w AS hyrd,
-       |    LEAD(x0) OVER w AS hx0, LEAD(y0) OVER w AS hy0,
-       |    LEAD(dx) OVER w AS hdx, LEAD(dy) OVER w AS hdy
+       |      OVER (wt ROWS UNBOUNDED PRECEDING) % 2 AS pb,
+       |    LEAD(yln) OVER wt AS hyln, LEAD(yld) OVER wt AS hyld,
+       |    LEAD(yrn) OVER wt AS hyrn, LEAD(yrd) OVER wt AS hyrd,
+       |    LEAD(x0) OVER wt AS hx0, LEAD(y0) OVER wt AS hy0,
+       |    LEAD(dx) OVER wt AS hdx, LEAD(dy) OVER wt AS hdy
        |  FROM spanN
-       |  WINDOW w AS (PARTITION BY gid, ln, ld
+       |  WINDOW wt AS (PARTITION BY gid, ln, ld
        |    ORDER BY CAST(yln AS DOUBLE)/yld, CAST(yrn AS DOUBLE)/yrd,
        |      tag, eidx)),
        |gaps AS MATERIALIZED (
@@ -804,18 +804,19 @@ object PolyQueries {
        |  UNION SELECT DISTINCT gid, xn, xd, bn, bd FROM sides),
        |vint AS (
        |  SELECT gid, xn, xd, yn AS un, yd AS ud,
-       |    LEAD(yn) OVER w AS vn, LEAD(yd) OVER w AS vd
+       |    LEAD(yn) OVER wv AS vn, LEAD(yd) OVER wv AS vd
        |  FROM vys
-       |  WINDOW w AS (PARTITION BY gid, xn, xd
+       |  WINDOW wv AS (PARTITION BY gid, xn, xd
        |    ORDER BY CAST(yn AS DOUBLE)/yd)
        |  QUALIFY vn IS NOT NULL),
-       |vnet AS (
+       |vnet0 AS MATERIALIZED (
        |  SELECT i.gid, i.xn, i.xd, i.un, i.ud, i.vn, i.vd,
        |    SUM(s.dir) AS net
        |  FROM vint i JOIN sides s ON s.gid = i.gid AND s.xn = i.xn
        |    AND s.xd = i.xd
        |    AND s.an*i.ud <= i.un*s.ad AND i.vn*s.bd <= s.bn*i.vd
-       |  GROUP BY ALL HAVING SUM(s.dir) <> 0),
+       |  GROUP BY ALL),
+       |vnet AS (SELECT * FROM vnet0 WHERE net <> 0),
        |frags AS MATERIALIZED (
        |  SELECT * FROM bt
        |  UNION ALL
@@ -825,52 +826,121 @@ object PolyQueries {
        |    xn, xd,
        |    CASE WHEN net = 1 THEN vn ELSE un END,
        |    CASE WHEN net = 1 THEN vd ELSE ud END,
-       |    CONCAT(xd, ',0,', xn)
+       |    xd // gcd(xd, ABS(xn)) AS ca, CAST(0 AS BIGINT) AS cb,
+       |    xn // gcd(xd, ABS(xn)) AS cc
        |  FROM vnet),
-       |nxt AS MATERIALIZED (
-       |  SELECT gid, CAST(fxn AS DOUBLE)/fxd AS fx,
-       |    CAST(fyn AS DOUBLE)/fyd AS fy,
-       |    CAST(txn AS DOUBLE)/txd AS tx,
-       |    CAST(tyn AS DOUBLE)/tyd AS ty, cr
+       |fragi AS MATERIALIZED (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY gid
+       |    ORDER BY fxn, fxd, fyn, fyd, txn, txd, tyn, tyd) AS fid
        |  FROM frags),
-       |corners AS MATERIALIZED (
-       |  SELECT o.gid, o.fx AS x, o.fy AS y, i.cr AS incr
-       |  FROM nxt o JOIN nxt i ON i.gid = o.gid AND i.tx = o.fx
-       |    AND i.ty = o.fy
-       |  WHERE i.cr <> o.cr),
+       |dirf AS MATERIALIZED (
+       |  SELECT *, ${pseudoSql("ux", "uy")} AS ang FROM (
+       |    SELECT *,
+       |      CASE WHEN pick THEN cb ELSE -cb END AS ux,
+       |      CASE WHEN pick THEN -ca ELSE ca END AS uy
+       |    FROM (SELECT *,
+       |      CASE WHEN txn*fxd <> fxn*txd
+       |           THEN (cb > 0) = (txn*fxd > fxn*txd)
+       |           ELSE (ca < 0) = (tyn*fyd > fyn*tyd) END AS pick
+       |      FROM fragi) p0) p1),
+       |cands AS MATERIALIZED (
+       |  SELECT gid, fid, nfid,
+       |    CASE WHEN ${pseudoSql("rx", "ry")} = 0.0 THEN 4.0
+       |         ELSE ${pseudoSql("rx", "ry")} END AS tk
+       |  FROM (
+       |    SELECT o.gid, o.fid, c.fid AS nfid,
+       |      o.ux*c.ux + o.uy*c.uy AS rx, o.ux*c.uy - o.uy*c.ux AS ry
+       |    FROM dirf o JOIN dirf c ON c.gid = o.gid
+       |      AND c.fxn = o.txn AND c.fxd = o.txd
+       |      AND c.fyn = o.tyn AND c.fyd = o.tyd) c0),
+       |succ AS MATERIALIZED (
+       |  SELECT gid, fid, nfid FROM (
+       |    SELECT gid, fid, nfid,
+       |      ROW_NUMBER() OVER (PARTITION BY gid, fid ORDER BY tk) AS rnk
+       |    FROM cands) z
+       |  WHERE rnk = 1),
+       |cinfo AS MATERIALIZED (
+       |  SELECT f.gid, f.fid, f.fxn, f.fxd, f.fyn, f.fyd, f.ang,
+       |    (p.ca <> f.ca OR p.cb <> f.cb OR p.cc <> f.cc) AS iscorner
+       |  FROM dirf f
+       |  JOIN succ sp ON sp.gid = f.gid AND sp.nfid = f.fid
+       |  JOIN fragi p ON p.gid = f.gid AND p.fid = sp.fid),
        |walk AS (
-       |  SELECT gid, x AS sx, y AS sy, x AS px, y AS py, incr AS pcr,
-       |    0 AS nvi, x AS mnx, y AS mny, FALSE AS done,
-       |    FALSE AS emitted, 0 AS emvi,
-       |    CAST(0 AS DOUBLE) AS emx, CAST(0 AS DOUBLE) AS emy, 0 AS steps
-       |  FROM corners
+       |  SELECT gid, fid AS sfid, fid AS cfid, 1 AS cnt,
+       |    fxn AS mnxn, fxd AS mnxd, fyn AS mnyn, fyd AS mnyd, ang AS mnang,
+       |    FALSE AS done, TRUE AS emitted, 0 AS emvi,
+       |    fxn AS exn, fxd AS exd, fyn AS eyn, fyd AS eyd, 0 AS steps
+       |  FROM cinfo WHERE iscorner
        |  UNION ALL
-       |  SELECT w.gid, w.sx, w.sy, n.tx, n.ty, n.cr,
-       |    w.nvi + CASE WHEN w.pcr <> n.cr THEN 1 ELSE 0 END,
-       |    CASE WHEN w.pcr <> n.cr AND (w.px < w.mnx
-       |      OR (w.px = w.mnx AND w.py < w.mny)) THEN w.px ELSE w.mnx END,
-       |    CASE WHEN w.pcr <> n.cr AND (w.px < w.mnx
-       |      OR (w.px = w.mnx AND w.py < w.mny)) THEN w.py ELSE w.mny END,
-       |    n.tx = w.sx AND n.ty = w.sy,
-       |    w.pcr <> n.cr, w.nvi, w.px, w.py,
-       |    w.steps + 1
-       |  FROM walk w JOIN nxt n ON n.gid = w.gid AND n.fx = w.px
-       |    AND n.fy = w.py
-       |  WHERE NOT w.done AND w.steps < 10000),
-       |fin AS (SELECT gid, sx, sy FROM walk
-       |        WHERE done AND sx = mnx AND sy = mny),
+       |  SELECT gid, sfid, nfid, cnt + CASE WHEN emit THEN 1 ELSE 0 END,
+       |    CASE WHEN newmin THEN nfxn ELSE mnxn END,
+       |    CASE WHEN newmin THEN nfxd ELSE mnxd END,
+       |    CASE WHEN newmin THEN nfyn ELSE mnyn END,
+       |    CASE WHEN newmin THEN nfyd ELSE mnyd END,
+       |    CASE WHEN newmin THEN nang ELSE mnang END,
+       |    closing AS done, emit AS emitted, cnt AS emvi,
+       |    nfxn, nfxd, nfyn, nfyd, steps + 1
+       |  FROM (
+       |    SELECT w.gid, w.sfid, w.cnt, w.mnxn, w.mnxd, w.mnyn, w.mnyd,
+       |      w.mnang, w.steps, n.fid AS nfid, n.fxn AS nfxn, n.fxd AS nfxd,
+       |      n.fyn AS nfyn, n.fyd AS nfyd, n.ang AS nang,
+       |      (n.fid = w.sfid) AS closing,
+       |      (n.iscorner AND n.fid <> w.sfid) AS emit,
+       |      (n.iscorner AND n.fid <> w.sfid AND (
+       |        n.fxn*w.mnxd < w.mnxn*n.fxd
+       |        OR (n.fxn = w.mnxn AND n.fxd = w.mnxd
+       |            AND n.fyn*w.mnyd < w.mnyn*n.fyd)
+       |        OR (n.fxn = w.mnxn AND n.fxd = w.mnxd AND n.fyn = w.mnyn
+       |            AND n.fyd = w.mnyd AND n.ang < w.mnang))) AS newmin
+       |    FROM walk w
+       |    JOIN succ s ON s.gid = w.gid AND s.fid = w.cfid
+       |    JOIN cinfo n ON n.gid = w.gid AND n.fid = s.nfid
+       |    WHERE NOT w.done AND w.steps < 100000) z),
+       |wres AS MATERIALIZED (SELECT * FROM walk),
+       |viol AS (
+       |  SELECT COUNT(*) AS v FROM (
+       |    SELECT gid FROM vnet0 WHERE ABS(net) > 1
+       |    UNION ALL
+       |    SELECT f.gid FROM fragi f LEFT JOIN succ s
+       |      ON s.gid = f.gid AND s.fid = f.fid WHERE s.fid IS NULL
+       |    UNION ALL
+       |    SELECT gid FROM cands GROUP BY gid, fid, tk HAVING COUNT(*) > 1
+       |    UNION ALL
+       |    SELECT gid FROM succ GROUP BY gid, nfid HAVING COUNT(*) > 1
+       |    UNION ALL
+       |    SELECT gid FROM wres WHERE steps >= 100000 AND NOT done) bad),
+       |guard AS (
+       |  SELECT CASE WHEN v > 0 THEN CAST(error(
+       |      'q_clip_rings_arbitrary oracle: invariant violated') AS BIGINT)
+       |    ELSE 0 END AS g FROM viol),
+       |fin AS (
+       |  SELECT w.gid, w.sfid, w.mnxn, w.mnxd, w.mnyn, w.mnyd, w.mnang
+       |  FROM wres w JOIN cinfo c0 ON c0.gid = w.gid AND c0.fid = w.sfid
+       |  WHERE w.done AND c0.fxn = w.mnxn AND c0.fxd = w.mnxd
+       |    AND c0.fyn = w.mnyn AND c0.fyd = w.mnyd AND c0.ang = w.mnang),
        |ringz AS (
-       |  SELECT gid, sx, sy,
-       |    DENSE_RANK() OVER (PARTITION BY gid ORDER BY sx, sy) - 1 AS ring
+       |  SELECT gid, sfid,
+       |    DENSE_RANK() OVER (PARTITION BY gid
+       |      ORDER BY CAST(mnxn AS DOUBLE)/mnxd, CAST(mnyn AS DOUBLE)/mnyd,
+       |        mnang) - 1 AS ring
        |  FROM fin)
        |SELECT CAST(w.gid // 100 AS BIGINT) AS ida,
        |  CAST(w.gid % 100 AS BIGINT) AS idb,
        |  CAST(r.ring AS INT) AS ring, CAST(w.emvi AS INT) AS vi,
-       |  w.emx / 20.0 AS x, w.emy / 20.0 AS y
-       |FROM walk w JOIN ringz r ON r.gid = w.gid AND r.sx = w.sx
-       |  AND r.sy = w.sy
-       |WHERE w.emitted""".stripMargin
+       |  (CAST(w.exn AS DOUBLE)/w.exd) / 20.0 AS x,
+       |  (CAST(w.eyn AS DOUBLE)/w.eyd) / 20.0 AS y
+       |FROM wres w JOIN ringz r ON r.gid = w.gid AND r.sfid = w.sfid
+       |CROSS JOIN guard
+       |WHERE w.emitted AND guard.g = 0""".stripMargin
   }
+
+  /** Monotone pseudo-angle in [0, 4) of an integer vector — the SQL twin
+    * of GeneralIntersect.pseudo: same double division of exact ints. */
+  private def pseudoSql(x: String, y: String): String =
+    s"""(CASE WHEN ($y) > 0 THEN 1.0 - CAST($x AS DOUBLE)/(ABS($x) + ABS($y))
+       |      WHEN ($y) = 0 AND ($x) < 0 THEN 2.0
+       |      WHEN ($y) < 0 THEN 3.0 + CAST($x AS DOUBLE)/(ABS($x) + ABS($y))
+       |      ELSE 0.0 END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_clip_rings_arbitrary" -> clipRingsArbitraryOracle,

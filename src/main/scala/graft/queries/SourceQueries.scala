@@ -107,6 +107,73 @@ object SourceQueries {
         Wkt.toWktRing(col("ring")).as("ring_wkt"))
   }
 
+  /** GeoJSON (RFC 7946) feature roundtrip — the text-interchange
+    * sibling of the WKT/WKB readers (r16, VERDICT r15 item 4;
+    * reference anchor read_spatialite, core.py:423): the same
+    * deterministic two-polygon MultiPolygon per nation (part 1 carries
+    * a hole) is WRITTEN as a Feature line by `sources.GeoJson` (pure
+    * concat/array_join over the array<array<array<struct<x,y>>>> ring
+    * model, integer coords as bare longs), every 7th line TRUNCATED to
+    * exercise the PERMISSIVE corrupt-record path (the qJsonlRoundtrip
+    * contract — a crawl ingest never fails the task on bad bytes),
+    * then PARSED back via from_json against the explicit nested schema
+    * with RFC validation (Feature/MultiPolygon type tags, [x,y] pair
+    * arity, §3.1.6 ring closure). Output: per-ring vertex count,
+    * shoelace area, perimeter, the ring re-serialized as GeoJSON, and
+    * the feature-level roundtrip md5-equality proof (writer ∘ parser
+    * == identity); corrupt rows surface as parse_ok=false stubs. All
+    * row-local — scan → map → explode, no shuffle; the oracle rebuilds
+    * the same bytes and re-parses them with DuckDB's own JSON engine
+    * (json_valid + nested-list cast), so a writer or parser bug on
+    * either side breaks the hash. */
+  def qReadGeojson(spark: SparkSession, dir: String): DataFrame = {
+    import graft.geom.Geom
+    import graft.sources.GeoJson
+    def pt(x: Column, y: Column) =
+      struct(x.cast("double").as("x"), y.cast("double").as("y"))
+    val g = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("pid"))
+      .withColumn("x0", col("pid") * 7 % 50)
+      .withColumn("y0", col("pid") * 13 % 50)
+      .withColumn("w", lit(10) + col("pid") % 5)
+      .withColumn("h", lit(8) + col("pid") % 7)
+    val x0 = col("x0"); val y0 = col("y0"); val w = col("w"); val h = col("h")
+    val outer = array(pt(x0, y0), pt(x0 + w, y0), pt(x0 + w, y0 + h),
+      pt(x0, y0 + h), pt(x0, y0))
+    val hole = array(pt(x0 + 2, y0 + 2), pt(x0 + 4, y0 + 2),
+      pt(x0 + 4, y0 + 4), pt(x0 + 2, y0 + 4), pt(x0 + 2, y0 + 2))
+    val part2 = array(pt(x0 + 100, y0), pt(x0 + 105, y0),
+      pt(x0 + 105, y0 + 5), pt(x0 + 100, y0 + 5), pt(x0 + 100, y0))
+    val feat = GeoJson.writeFeature(col("pid"),
+      array(array(outer, hole), array(part2)))
+    val raw = g.select(col("pid"), feat.as("orig"))
+      .select(col("pid"), col("orig"),
+        when(col("pid") % 7 === 3, substring(col("orig"), 1, 60))
+          .otherwise(col("orig")).as("gj"))
+    val parsed = raw.select(col("pid"), col("orig"),
+      GeoJson.parseFeature(col("gj")).as("p"))
+    val good = parsed.filter(col("p").isNotNull)
+      .select(col("pid"),
+        (md5(GeoJson.writeFeature(col("p.pid"), col("p.polys")))
+          === md5(col("orig"))).as("roundtrip"),
+        posexplode(col("p.polys")).as(Seq("pi0", "poly")))
+      .select(col("pid"), col("roundtrip"),
+        (col("pi0") + 1).cast("long").as("pi"),
+        posexplode(col("poly")).as(Seq("ri0", "ring")))
+      .select(col("pid"), lit(true).as("parse_ok"), col("roundtrip"),
+        col("pi"), (col("ri0") + 1).cast("long").as("ri"),
+        size(col("ring")).cast("long").as("n_pts"),
+        round(graft.geom.Geom.ringArea(col("ring")), 4).as("area"),
+        round(Geom.ringPerimeter(col("ring")), 4).as("peri"),
+        GeoJson.ringJson(col("ring")).as("ring_json"))
+    val bad = parsed.filter(col("p").isNull)
+      .select(col("pid"), lit(false).as("parse_ok"),
+        lit(false).as("roundtrip"), lit(0L).as("pi"), lit(0L).as("ri"),
+        lit(0L).as("n_pts"), lit(0.0).as("area"), lit(0.0).as("peri"),
+        lit("").as("ring_json"))
+    good.unionByName(bad)
+  }
+
   /** Bucketed co-located join as a first-class result row: write orders
     * and lineitem bucketed+sorted by order key (the shuffle paid ONCE,
     * at write time), read them back through the catalog, join on the
@@ -589,6 +656,7 @@ object SourceQueries {
     "q_read_wkt" -> (qReadWkt _),
     "q_read_wkt_multipolygon" -> (qReadWktMultiPolygon _),
     "q_read_wkb" -> (qReadWkb _),
+    "q_read_geojson" -> (qReadGeojson _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_wav" -> (qMultimodalWav _),
@@ -2049,6 +2117,100 @@ object SourceQueries {
         |  16 + checksum % 16 AS width,
         |  16 + (checksum // 16) % 16 AS height
         |FROM f""".stripMargin,
+
+    // GeoJSON: the oracle rebuilds the identical Feature bytes from the
+    // pid arithmetic, corrupts the same lines, and re-parses with
+    // DuckDB's own JSON engine (json_valid + nested-list cast + the
+    // same RFC validation), then re-derives every output — a bug in
+    // the Spark writer OR parser breaks the hash
+    "q_read_geojson" -> {
+      def pos(x: String, y: String) =
+        s"'[' || CAST($x AS VARCHAR) || ',' || CAST($y AS VARCHAR) || ']'"
+      def ring(pts: Seq[(String, String)]) =
+        "'[' || " + pts.map { case (x, y) => pos(x, y) }
+          .mkString(" || ',' || ") + " || ']'"
+      val outer = ring(Seq("x0" -> "y0", "x0+w" -> "y0", "x0+w" -> "y0+h",
+        "x0" -> "y0+h", "x0" -> "y0"))
+      val hole = ring(Seq("x0+2" -> "y0+2", "x0+4" -> "y0+2",
+        "x0+4" -> "y0+4", "x0+2" -> "y0+4", "x0+2" -> "y0+2"))
+      val part2 = ring(Seq("x0+100" -> "y0", "x0+105" -> "y0",
+        "x0+105" -> "y0+5", "x0+100" -> "y0+5", "x0+100" -> "y0"))
+      // re-serialize a parsed ring / the whole feature from the DOUBLE
+      // lists (coords are integer-valued: cast back to BIGINT text)
+      // single-line helpers: interpolated text must never start a line
+      // with '|' or the OUTER stripMargin mangles it
+      def rj(r: String) =
+        s"'[' || array_to_string(list_transform($r, " +
+          s"p -> '[' || CAST(CAST(p[1] AS BIGINT) AS VARCHAR) || ',' " +
+          s"|| CAST(CAST(p[2] AS BIGINT) AS VARCHAR) || ']'), ',') || ']'"
+      val rebuild =
+        """'{"type":"Feature","properties":{"pid":' || CAST(jpid AS VARCHAR) """ +
+          """|| '},"geometry":{"type":"MultiPolygon","coordinates":[' """ +
+          "|| array_to_string(list_transform(polys, " +
+          "pl -> '[' || array_to_string(list_transform(pl, " +
+          s"rg -> ${rj("rg")}), ',') || ']'), ',') || ']}}'"
+      s"""WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS pid FROM nation),
+         |g AS (SELECT pid, pid*7%50 AS x0, pid*13%50 AS y0,
+         |        10 + pid%5 AS w, 8 + pid%7 AS h FROM n),
+         |feat AS (SELECT pid,
+         |  '{"type":"Feature","properties":{"pid":' || CAST(pid AS VARCHAR)
+         |  || '},"geometry":{"type":"MultiPolygon","coordinates":[['
+         |  || $outer || ',' || $hole || '],[' || $part2 || ']]}}' AS orig
+         |  FROM g),
+         |raw AS (SELECT pid, orig,
+         |  CASE WHEN pid % 7 = 3 THEN substr(orig, 1, 60) ELSE orig END AS gj
+         |  FROM feat),
+         |jv AS (SELECT pid, orig, gj, json_valid(gj) AS valid FROM raw),
+         |px AS (SELECT pid, orig,
+         |  json_extract_string(gj, '$$.type') AS ftype,
+         |  json_extract_string(gj, '$$.geometry.type') AS gtype,
+         |  CAST(json_extract(gj, '$$.properties.pid') AS BIGINT) AS jpid,
+         |  TRY_CAST(json_extract(gj, '$$.geometry.coordinates')
+         |    AS DOUBLE[][][][]) AS polys
+         |  FROM jv WHERE valid),
+         |pq AS (SELECT pid, orig, jpid, polys,
+         |  (ftype = 'Feature' AND gtype = 'MultiPolygon'
+         |   AND polys IS NOT NULL
+         |   AND len(list_filter(polys, pl -> len(list_filter(pl, rg ->
+         |     len(rg) < 4 OR rg[1][1] <> rg[len(rg)][1]
+         |     OR rg[1][2] <> rg[len(rg)][2]
+         |     OR len(list_filter(rg, p -> len(p) <> 2)) > 0)) > 0)) = 0)
+         |    AS ok
+         |  FROM px),
+         |okr AS (SELECT pid, polys,
+         |  (md5($rebuild) = md5(orig)) AS roundtrip
+         |  FROM pq WHERE ok),
+         |rr AS (SELECT pid, roundtrip, CAST(pi AS BIGINT) AS pi,
+         |  CAST(ri AS BIGINT) AS ri, polys[CAST(pi AS INT)][CAST(ri AS INT)]
+         |    AS ring
+         |  FROM okr,
+         |  LATERAL (SELECT unnest(generate_series(1, len(polys))) AS pi) a,
+         |  LATERAL (SELECT unnest(generate_series(1,
+         |    len(polys[CAST(pi AS INT)]))) AS ri) b),
+         |calc AS (SELECT pid, roundtrip, pi, ri,
+         |  list_transform(ring, p -> p[1]) AS xs,
+         |  list_transform(ring, p -> p[2]) AS ys,
+         |  CAST(len(ring) AS BIGINT) AS n_pts, ring
+         |  FROM rr),
+         |goodr AS (SELECT pid, TRUE AS parse_ok, roundtrip, pi, ri, n_pts,
+         |  ROUND(ABS(list_sum(list_transform(range(1, CAST(n_pts AS INT)),
+         |      i -> xs[i]*ys[i+1] - xs[i+1]*ys[i]))) / 2.0, 4) AS area,
+         |  ROUND(list_sum(list_transform(range(1, CAST(n_pts AS INT)),
+         |      i -> sqrt((xs[i+1]-xs[i])*(xs[i+1]-xs[i])
+         |             + (ys[i+1]-ys[i])*(ys[i+1]-ys[i])))), 4) AS peri,
+         |  ${rj("ring")} AS ring_json
+         |  FROM calc),
+         |badr AS (
+         |  SELECT pid FROM jv WHERE NOT valid
+         |  UNION ALL SELECT pid FROM pq WHERE NOT ok)
+         |SELECT * FROM goodr
+         |UNION ALL
+         |SELECT pid, FALSE AS parse_ok, FALSE AS roundtrip,
+         |  CAST(0 AS BIGINT) AS pi, CAST(0 AS BIGINT) AS ri,
+         |  CAST(0 AS BIGINT) AS n_pts, 0.0 AS area, 0.0 AS peri,
+         |  '' AS ring_json
+         |FROM badr""".stripMargin
+    },
 
     "q_read_wkt_multipolygon" -> {
       def pt(x: String, y: String) =

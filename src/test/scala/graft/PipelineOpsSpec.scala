@@ -29,8 +29,19 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
           (scheme == "https" && port == ":443")) "" else port
       val path = tail.takeWhile(_ != '?')
       val q = tail.drop(path.length)
-      val cpath = path.replaceAll("/\\./", "/")
-        .replaceAll("/[^/]+/\\.\\./", "/")
+      val cpath = {
+        // general RFC 3986 §5.2.4 replica (r16 — matches the engine's
+        // stack fold, not the old planted-depth two-pass)
+        val p2 =
+          if (path.endsWith("/.") || path.endsWith("/..")) path + "/" else path
+        val st = scala.collection.mutable.ArrayBuffer.empty[String]
+        p2.split("/", -1).drop(1).foreach {
+          case "."  => ()
+          case ".." => if (st.nonEmpty) st.remove(st.length - 1)
+          case s    => st += s
+        }
+        "/" + st.mkString("/")
+      }
       val ps =
         if (q.isEmpty) Seq.empty
         else q.drop(1).split("&").toSeq.filterNot(_.startsWith("utm_"))

@@ -209,7 +209,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     // both rows claim "never all-pairs" — candidates exist only inside
     // (band, value) / grid-cell buckets, so ANY cartesian/NL join is a
     // plan regression that would explode at the first real corpus
-    for (q <- Seq("q_dedup_crossmodal", "q_clip_rings_general")) {
+    // r15 adds the arbitrary-polygon ring kernel on the same bucketed
+    // pair enumerator — same "never all-pairs" contract, same pin
+    for (q <- Seq("q_dedup_crossmodal", "q_clip_rings_general",
+        "q_clip_rings_arbitrary")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
