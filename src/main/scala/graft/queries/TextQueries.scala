@@ -580,7 +580,12 @@ object TextQueries {
     * n_tokens(k) falls out of the SAME count table (Σ pair counts +
     * n_docs = Σ len), so the fertility curve costs nothing extra; the
     * oracle computes it with the identical formula. Placeholders are
-    * chr(0x100+r): the corpus is 25 ASCII chars, so 64 rounds stay
+    * chr(0x250+r) — IPA block, chosen CASELESS: the ShingleHash kernel
+    * lowercases internally, and Latin Extended-A placeholders
+    * alternate upper/lower case, so chr(0x102)='Ă' would be COUNTED as
+    * its lowercase twin chr(0x103) — a phantom pair the replace can
+    * never remove (probe-discovered: the chain froze at the first even
+    * placeholder). The corpus is 25 ASCII chars, so 64 IPA rounds stay
     * collision-free, and UTF-16 code-unit order == UTF-8 byte order on
     * the BMP keeps the argmax tiebreak engine-identical. Training is
     * inherently sequential in the merge chain — 64 bounded-size
@@ -608,7 +613,7 @@ object TextQueries {
         lastMerge = new String(Array(
           ((best >> 16) & 0xffff).toChar, (best & 0xffff).toChar))
         d = d.select(replace(col("t"), lit(lastMerge),
-          lit((0x100 + k + 1).toChar.toString)).as("t"))
+          lit((0x250 + k + 1).toChar.toString)).as("t"))
           .localCheckpoint(false)
       }
     }
@@ -1833,6 +1838,50 @@ object TextQueries {
          |FROM pf ORDER BY c DESC, pr ASC LIMIT 10""".stripMargin
     },
 
+    // deep chain: 64 CTE-unrolled rounds generated from the SAME
+    // BpeDeepRounds constant; every round CTE is MATERIALIZED (three
+    // consumers each — the r14 lesson: DuckDB re-inlines plain CTEs,
+    // and a 64-level chain would re-inline exponentially); n_tokens(k)
+    // uses the identical sum-of-pair-counts + n_docs identity the
+    // engine computes from its count table
+    "q_bpe_train_deep" -> {
+      def pairsSql(src: String): String =
+        s"""SELECT substr(t, CAST(i AS INT), 2) AS pr, COUNT(*) AS c
+           |FROM $src, LATERAL (SELECT unnest(generate_series(1,
+           |       greatest(len(t) - 1, 1))) AS i) u
+           |WHERE len(substr(t, CAST(i AS INT), 2)) = 2 GROUP BY 1"""
+          .stripMargin
+      val rounds = (1 to BpeDeepRounds).map { r =>
+        s"""p$r AS MATERIALIZED (${pairsSql(s"d${r - 1}")}),
+           |m$r AS MATERIALIZED (SELECT pr FROM p$r
+           |  ORDER BY c DESC, pr ASC LIMIT 1),
+           |d$r AS MATERIALIZED (SELECT replace(t, (SELECT pr FROM m$r),
+           |  chr(${0x250 + r})) AS t FROM d${r - 1})""".stripMargin
+      }.mkString(",\n") +
+        s",\np${BpeDeepRounds + 1} AS MATERIALIZED (${pairsSql(s"d$BpeDeepRounds")})"
+      val stages = (0 to BpeDeepRounds).map { k =>
+        val ab =
+          if (k == 0) "CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b"
+          else s"CAST(unicode(substr((SELECT pr FROM m$k), 1, 1)) AS BIGINT) AS a, " +
+            s"CAST(unicode(substr((SELECT pr FROM m$k), 2, 1)) AS BIGINT) AS b"
+        s"""t$k AS (SELECT CAST($k AS BIGINT) AS k, $ab,
+           |  CAST((SELECT SUM(c) FROM p${k + 1}) + (SELECT n FROM nd)
+           |    AS BIGINT) AS n_tokens)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to BpeDeepRounds).map(k => s"SELECT * FROM t$k")
+        .mkString(" UNION ALL ")
+      s"""WITH d0 AS MATERIALIZED (SELECT lower(text) AS t FROM documents),
+         |nd AS (SELECT COUNT(*) AS n FROM d0),
+         |$rounds,
+         |$stages,
+         |u AS ($unions)
+         |SELECT u.k, u.a, u.b, u.n_tokens,
+         |  (SELECT n_tokens FROM t0) AS n_chars,
+         |  CAST((SELECT n_tokens FROM t0) * 10000 // u.n_tokens AS BIGINT)
+         |    AS chars_per_token_x1e4
+         |FROM u""".stripMargin
+    },
+
     "q_bpe_fertility" -> {
       def pairsSql(src: String): String =
         s"""SELECT substr(t, CAST(i AS INT), 2) AS pr, COUNT(*) AS c
@@ -2522,6 +2571,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_train_deep" -> (qBpeTrainDeep _),
     "q_bpe_fertility" -> (qBpeFertility _),
     "q_bpe_fertility_lang" -> (qBpeFertilityLang _),
     "q_lang_keywords" -> (qLangKeywords _),
