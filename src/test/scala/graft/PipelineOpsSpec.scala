@@ -659,7 +659,20 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(swap.nonEmpty &&
       swap.forall(_.getAs[String]("agreement") == "text_only"))
     // repost (+1e7): near-dup image AND near-dup caption — BOTH arms
-    // on the overwhelming majority (banding may miss a rare pair)
+    // on the overwhelming majority (banding may miss a rare pair).
+    // The one standing miss is NAMED (dev/CrossmodalChase, r16): pair
+    // (175, 10000175) has true dHash hamming 5 — well inside the <=10
+    // near-dup contract — but the 5 differing bits land 2/1/1/1 across
+    // the four 15-bit bands, so no band is all-zero and the LSH join
+    // cannot surface the pair: the BAND PIGEONHOLE. 4 bands over 60
+    // bits guarantee recall only at hamming <= 3; at hamming 5 the
+    // miss probability is small but nonzero, and this is the one
+    // repost draw that hit it. The text arm flags the pair (caption
+    // jaccard 0.985 -> agreement=text_only), which is exactly the
+    // cross-modal operator's value: the arms cover each other's
+    // banding tails. Kept as an operating-point lesson rather than
+    // re-planting — a >=90% both-arms bound with the analytic tail
+    // documented beats a plant tuned to hide it.
     val repost = twins(10000000L)
     assert(repost.nonEmpty)
     val both = repost.count(_.getAs[String]("agreement") == "both")
