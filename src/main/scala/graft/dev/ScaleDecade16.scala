@@ -277,10 +277,14 @@ object ScaleDecade16 {
 
     def candEntity(d: String): Long = {
       val customer = graft.Tables.load(spark, d, "customer")
+      // NO localCheckpoint here (unlike GrowthAttrib14): at 100x the
+      // deserialized disk form of the 90M-row posting table plus the
+      // candidate join's shuffle files exceeded this box's ~78 GB free
+      // and killed the whole run (r16 first attempt). The probe only
+      // needs a COUNT — recomputing the deterministic lineage per use
+      // trades CPU for disk.
       val names = graft.queries.Analytics.entityMasterNames(customer)
-        .localCheckpoint()
       val cg5 = graft.queries.Analytics.entityBlockingPostings(names)
-        .localCheckpoint()
       val dfTab = cg5.groupBy("ge").agg(count(lit(1)).as("df"))
       val p = (lit(11L) + pmod(col("ckey"), lit(8L))).cast("int")
       val dirty = names.select(col("ckey").as("rid"),
@@ -347,6 +351,12 @@ object ScaleDecade16 {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // nudge the ContextCleaner: unreferenced shuffles only get their
+      // files deleted after a GC notices the dead references — at 100x
+      // a block's shuffle files are tens of GB and the next block needs
+      // the disk back
+      System.gc()
+      Thread.sleep(300)
     }
     // min-of-2 unless the first pass exceeds 300s (the 100x budget
     // guard; a single >5-minute point is already the answer)
@@ -365,9 +375,12 @@ object ScaleDecade16 {
         if (a._1 <= b._1) a else b }
     }
 
-    val heavy = Seq("q_entity_resolve", "q_dedup_embedding",
+    // q_entity_resolve LAST: it is the one block whose 100x disk
+    // footprint brushed this box's limit — if it dies, the other six
+    // results are already on disk (incremental write below)
+    val heavy = Seq("q_dedup_embedding",
       "q_dedup_containment", "q_semdedup", "q_dedup_evidence",
-      "q_dedup_ngram_jaccard", "q_item_cofreq")
+      "q_dedup_ngram_jaccard", "q_item_cofreq", "q_entity_resolve")
     val onlyArg = args.headOption
     val todo = onlyArg match {
       case Some(p) => heavy.filter(_.contains(p))
@@ -387,36 +400,49 @@ object ScaleDecade16 {
       s"""{"spill_mem":${sp._1},"spill_disk":${sp._2},""" +
         s""""shuffle_write":${sp._3},"peak_task_exec_mem":${sp._4}}"""
 
-    val rows = todo.map { q =>
-      val c1 = candProbes(q)(d1); clear()
-      val c10 = candProbes(q)(d10); clear()
-      val c100 = candProbes(q)(d100); clear()
-      val (t1, o1, _) = timed(q, d1)
-      val (t10, o10, sp10) = timed(q, d10)
-      val (t100, o100, sp100) = timed(q, d100)
-      println(f"SCALE16 $q%-24s cand $c1%9d -> $c10%11d -> $c100%12d " +
-        f"(x10 ${c10.toDouble / c1}%5.2f, x100/x10 ${c100.toDouble / c10}%5.2f)")
-      println(f"SCALE16 $q%-24s out  $o1%9d -> $o10%11d -> $o100%12d  " +
-        f"wall $t1%5.2f -> $t10%6.2f -> $t100%7.2f " +
-        f"(x10 ${t10 / t1}%5.2f, x100/x10 ${t100 / t10}%5.2f)")
-      println(f"SCALE16 $q%-24s spill100 mem=${sp100._1}%d disk=${sp100._2}%d " +
-        f"shufW=${sp100._3}%d peakTask=${sp100._4}%d")
-      s""""$q":{"t1":${num(t1)},"t10":${num(t10)},"t100":${num(t100)},""" +
-        s""""ratio10":${num(t10 / t1)},"ratio100_10":${num(t100 / t10)},""" +
-        s""""cand1":$c1,"cand10":$c10,"cand100":$c100,""" +
-        s""""cand_ratio10":${num(c10.toDouble / c1)},""" +
-        s""""cand_ratio100_10":${num(c100.toDouble / c10)},""" +
-        s""""out1":$o1,"out10":$o10,"out100":$o100,""" +
-        s""""metrics10":${spJson(sp10)},"metrics100":${spJson(sp100)}}"""
-    }
-    val json = "{" +
+    val header =
       s""""base":"$d1","factors":[1,10,100],""" +
-      """"method":"second decade on the r14 heavy tail: three-point cand/out/wall curve on one box, min-of-2 per scale after sf0.01 warm (single pass past 300s), 100x corpus = 10 second-level-mutated copies of the 10x corpus (docs: per-block consonant translate; embeddings: per-block 16/64 sign mask; customer: 100 Lehmer-distinct digit permutations from base; dims 1x); metrics = TaskMetrics sums over the faster pass",""" +
-      s""""queries":{${rows.mkString(",")}}}"""
-    if (onlyArg.isEmpty)
+        """"method":"second decade on the r14 heavy tail: three-point cand/out/wall curve on one box, min-of-2 per scale after sf0.01 warm (single pass past 300s), 100x corpus = 10 second-level-mutated copies of the 10x corpus (docs: per-block consonant translate; embeddings: per-block 16/64 sign mask; customer: 100 Lehmer-distinct digit permutations from base; dims 1x); metrics = TaskMetrics sums over the faster pass""""
+    val done = scala.collection.mutable.ArrayBuffer[String]()
+    def flush(): Unit = if (onlyArg.isEmpty)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALE_r16.json"), json + "\n")
-    println(json)
+        java.nio.file.Paths.get("SCALE_r16.json"),
+        "{" + header + s""","queries":{${done.mkString(",")}}}""" + "\n")
+    // each block isolated: one query's disk blowup (the r16 first
+    // attempt died on ENOSPC inside the ER probe) must not void the
+    // others; partial results land on disk immediately
+    todo.foreach { q =>
+      try {
+        val c1 = candProbes(q)(d1); clear()
+        val c10 = candProbes(q)(d10); clear()
+        val c100 = candProbes(q)(d100); clear()
+        val (t1, o1, _) = timed(q, d1)
+        val (t10, o10, sp10) = timed(q, d10)
+        val (t100, o100, sp100) = timed(q, d100)
+        println(f"SCALE16 $q%-24s cand $c1%9d -> $c10%11d -> $c100%12d " +
+          f"(x10 ${c10.toDouble / c1}%5.2f, x100/x10 ${c100.toDouble / c10}%5.2f)")
+        println(f"SCALE16 $q%-24s out  $o1%9d -> $o10%11d -> $o100%12d  " +
+          f"wall $t1%5.2f -> $t10%6.2f -> $t100%7.2f " +
+          f"(x10 ${t10 / t1}%5.2f, x100/x10 ${t100 / t10}%5.2f)")
+        println(f"SCALE16 $q%-24s spill100 mem=${sp100._1}%d disk=${sp100._2}%d " +
+          f"shufW=${sp100._3}%d peakTask=${sp100._4}%d")
+        done += s""""$q":{"t1":${num(t1)},"t10":${num(t10)},"t100":${num(t100)},""" +
+          s""""ratio10":${num(t10 / t1)},"ratio100_10":${num(t100 / t10)},""" +
+          s""""cand1":$c1,"cand10":$c10,"cand100":$c100,""" +
+          s""""cand_ratio10":${num(c10.toDouble / c1)},""" +
+          s""""cand_ratio100_10":${num(c100.toDouble / c10)},""" +
+          s""""out1":$o1,"out10":$o10,"out100":$o100,""" +
+          s""""metrics10":${spJson(sp10)},"metrics100":${spJson(sp100)}}"""
+      } catch {
+        case e: Throwable =>
+          println(s"SCALE16FAIL $q: ${e.getClass.getSimpleName} " +
+            s"${String.valueOf(e.getMessage).take(200)}")
+          done += s""""$q":{"error":${"\"" + e.getClass.getSimpleName + "\""}}"""
+          clear()
+      }
+      flush()
+    }
+    println("{" + header + s""","queries":{${done.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix array over the documents corpus by PREFIX
+  * DOUBLING (Manber–Myers; the distributed formulation follows the
+  * published bulk-synchronous builders, e.g. Flick & Aluru SC'15),
+  * plus EXACT adjacent-suffix LCP recovered by descending the retained
+  * rank levels. This is the structure behind exact substring-level
+  * dedup at scale — Lee et al. 2022 ("Deduplicating Training Data
+  * Makes Language Models Better") build exactly this over their
+  * corpora. The reference toolbox has no text operators; this is a
+  * beyond-reference pipeline component (SURVEY §2 row 213) that
+  * complements the fixed-width shingle span dedup (row 63): shingles
+  * see only k=16 windows, the suffix array measures the TRUE length of
+  * every maximal repeat.
+  *
+  * Algorithmic shape — every step a DataFrame equi-join or a
+  * range-partitioned sort of fixed-width integer keys:
+  *
+  *  - positions (doc_id, pos) carry an initial width-8 rank: the first
+  *    8 chars packed base-128 into one long (7-bit ASCII contract; a
+  *    NUL would collide with the end-of-string pad 0, and the corpus
+  *    is printable text). Packing starts the doubling at width 8,
+  *    saving three char-level rounds.
+  *  - ONE global stitched index seeds width-8 MIN-RANK group ids
+  *    (rank() = first-peer position), built WITHOUT a
+  *    single-partition window and WITHOUT a sampling pass: a COMPUTED
+  *    bucket monotone in the packed key, rank inside each logical
+  *    bucket, cumulative per-bucket offsets from a one-row-per-bucket
+  *    collect. Rank VALUES are independent of physical partitioning
+  *    entirely, so the result is deterministic under any parallelism.
+  *  - every doubling round is Larsson–Sadakane LOCAL refinement with
+  *    discarding (see [[build]]): r[p+w] comes from lead(w) inside
+  *    the per-doc window (positions are contiguous, so a lead of w
+  *    rows IS pos+w; -1 past the end makes shorter suffixes sort
+  *    first exactly like the byte order), and tie groups split IN
+  *    PLACE by group-partitioned windows over the still-tied rows
+  *    only — no global re-ranking after the seed round.
+  *  - rounds stop as soon as ranks are all-distinct (then every
+  *    adjacent LCP < width, which bounds the descent) or once the
+  *    width covers the longest document.
+  *  - adjacent pairs in suffix order recover their EXACT lcp by greedy
+  *    descent over the retained levels, widest first, each width used
+  *    at most once (binary decomposition: entering width w the
+  *    remaining lcp is < 2w, leaving it < w), finishing inside the
+  *    packed width-8 block by base-128 digit comparison; a final
+  *    min(remaining-length) cap makes the identical-truncated-tail
+  *    case exact (two suffixes that are bit-equal to their ends
+  *    compare equal at every width, so the raw descent overshoots by
+  *    design and the cap restores the true value).
+  *
+  * Scale: no all-pairs anywhere, no global single-partition window
+  * (the usual rank() trap), the only driver-side data are the
+  * ≤#partitions offset rows and the max-length scalar. Total cost is
+  * O(n log n) in corpus characters — the same asymptotics the
+  * published distributed suffix-array builders pay — and each level
+  * table is localCheckpoint'd (on a cluster: checkpoint to durable
+  * storage) so the descent joins read materialized fixed-width rows
+  * instead of replaying the doubling lineage.
+  */
+object SuffixArray {
+
+  private def df0Parts(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Positions (doc_id, pos, len, r) with r = the first 8 chars from
+    * pos packed base-128 (pad 0 past the end — sorts below every
+    * printable char, matching byte order on NUL-free text). */
+  def positions(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .where(col("len") > 0)
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(sequence(lit(0L), col("len") - 1L)).as("pos"))
+    val packed = (0 until 8).foldLeft(lit(0L).cast("long")) { (acc, i) =>
+      acc * 128L + expr(
+        s"CASE WHEN pos + $i < len THEN " +
+          s"ascii(substr(text, CAST(pos + ${i + 1} AS INT), 1)) " +
+          "ELSE 0 END").cast("long")
+    }
+    d.select(col("doc_id"), col("pos"), col("len"), packed.as("r"))
+  }
+
+  /** How bucketIndex numbers rows. Row = row_number over a total key
+    * order; MinRank = rank() (first-peer position — equal keys share
+    * the index of their group's first row, the Larsson–Sadakane group
+    * id). */
+  sealed trait IndexMode
+  case object Row extends IndexMode
+  case object MinRank extends IndexMode
+
+  /** Order-exact 1-based global index over `keys`, stitched from a
+    * BUCKET-monotone decomposition: `bucket` must be non-decreasing in
+    * the key order and constant within equal keys (both hold for any
+    * monotone function of the leading key component). Rows are ranked
+    * inside each logical bucket by a parallel window and offset by the
+    * cumulative per-bucket ROW counts (bounded collect, one row per
+    * bucket). No sampling pass (the bucket is computed, not sampled —
+    * one shuffle instead of repartitionByRange's two jobs), no
+    * single-partition window, and the rank VALUES depend only on the
+    * data, never on physical partitioning.
+    * Returns the indexed frame and the total row count. */
+  def bucketIndex(df: DataFrame, bucket: Column, keys: Seq[String],
+      out: String, mode: IndexMode): (DataFrame, Long) = {
+    val kc = keys.map(col)
+    val wb = Window.partitionBy("__b").orderBy(kc: _*)
+    // EAGER checkpoint of the windowed rows BEFORE the offsets
+    // aggregate: the round's pipeline (lead window → bucket shuffle →
+    // rank window) then runs exactly once — the offsets collect and
+    // every downstream consumer read the stored blocks
+    val withLocal = df.withColumn("__b", bucket.cast("long"))
+      .repartition(col("__b"))
+      .withColumn("__lr",
+        (mode match {
+          case Row => row_number()
+          case MinRank => rank()
+        }).over(wb).cast("long"))
+      .localCheckpoint()
+    val cnts = withLocal.groupBy("__b").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = cnts.map { case (b, m) =>
+      val o = (b, acc); acc += m; o
+    }.toMap
+    // map-literal lookup, not a when-chain: the first round can have
+    // hundreds of buckets (one per leading char pair) and a
+    // hundreds-deep conditional tree fights codegen for no reason
+    val offCol =
+      if (offs.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offs), col("__b")), lit(0L))
+    (withLocal.withColumn(out, col("__lr") + offCol)
+      .drop("__b", "__lr"), acc)
+  }
+
+  /** Build the suffix order — Larsson–Sadakane prefix doubling with
+    * DISCARDING. Ranks are MIN-RANK group ids (the 1-based row index
+    * of the group's first row in suffix order — rank() semantics), so
+    * a tie group refines LOCALLY: sorting the group by the partner
+    * rank r2, the subgroup starting at in-group row m gets rank
+    * r + m − 1, with NO global re-indexing — the per-round windows
+    * partition by the group id and touch only still-tied rows, and a
+    * row whose subgroup reaches size 1 is SETTLED (its rank is final
+    * for every wider width) and leaves the working set. One global
+    * stitched index seeds width 8; every later round is: one per-doc
+    * lead() over the current full rank view (r2 lookup) + two
+    * group-partitioned windows over the ACTIVE rows only. On corpora
+    * where ties die fast the working set collapses after a few
+    * rounds; on near-dup corpora it tracks the duplicated mass —
+    * either way never more than the full position count.
+    *
+    * Returns (ord, levels): ord = (doc_id, pos, len, rn) with rn the
+    * 1-based position in the global suffix order (ties between
+    * bit-identical suffixes broken by (doc_id, pos), the same total
+    * order the oracle's ORDER BY suf, doc_id, pos produces); levels =
+    * (width → (doc_id, pos, r)) rank tables retained for the LCP
+    * descent — width 8 first and holding the PACKED chars (the
+    * descent's digit refine reads them), min-ranks after. */
+  def build(docs: DataFrame): (DataFrame, Seq[(Long, DataFrame)]) = {
+    val base = positions(docs).localCheckpoint()
+    val nPos = base.count()
+    val maxLen =
+      if (nPos == 0) 0L
+      else base.agg(max("len")).collect()(0).getLong(0)
+    val packed8 = base.select("doc_id", "pos", "r")
+    val levels = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)](
+      (8L, packed8))
+    // width-8 min-ranks: the one global stitched index (rank() =
+    // first-peer position = the group id)
+    val (r8, _) = bucketIndex(packed8, shiftright(col("r"), 42),
+      Seq("r"), "mr", MinRank)
+    // r[pos+w] by lead() inside the per-doc window — positions are the
+    // contiguous 0..len-1, so a lead of w rows IS pos+w, and the only
+    // full-table shuffle per round is this doc_id hash
+    val docWin = Window.partitionBy("doc_id").orderBy("pos")
+    var width = 8L
+    var settled = List[DataFrame]()
+    var nActive = nPos
+    // the working full view carries an __a flag (still tied?); each
+    // round's view doubles as that width's level table. LAZY
+    // checkpoints: a view materializes inside the next round's one
+    // action (the refined checkpoint), so every round runs exactly one
+    // full pass — lead lookup + active filter in the same job.
+    var curFull = r8.select(col("doc_id"), col("pos"),
+      col("mr").as("r"), lit(true).as("__a"))
+    while (nActive > 0 && width < maxLen) {
+      val wGrp = Window.partitionBy("r").orderBy("r2", "doc_id", "pos")
+      val wSub = Window.partitionBy("r", "r2")
+      val refined = curFull
+        .withColumn("r2",
+          coalesce(lead(col("r"), width.toInt).over(docWin), lit(-1L)))
+        .filter(col("__a"))
+        .withColumn("rnG", row_number().over(wGrp))
+        .withColumn("mrn", min(col("rnG")).over(wSub))
+        .withColumn("gs", count(lit(1)).over(wSub))
+        .select(col("doc_id"), col("pos"),
+          (col("r") + col("mrn") - 1L).as("r"), col("gs"))
+        .localCheckpoint()
+      width *= 2
+      settled = refined.filter(col("gs") === 1L)
+        .select("doc_id", "pos", "r") :: settled
+      val active = refined.filter(col("gs") > 1L)
+        .select("doc_id", "pos", "r")
+      nActive = refined.filter(col("gs") > 1L).count()
+      // coalesce the union: without it each round's view concatenates
+      // every frame's partitions (up to rounds × parallelism tasks per
+      // descent join later) — a narrow fan-in, not a shuffle
+      curFull = (active.withColumn("__a", lit(true)) :: settled
+        .map(_.withColumn("__a", lit(false)))).reduce(_ unionByName _)
+        .coalesce(df0Parts(docs)).localCheckpoint(false)
+      levels += ((width, curFull.select("doc_id", "pos", "r")))
+    }
+    val fullRank = curFull.select("doc_id", "pos", "r")
+    // rows still tied past maxLen are bit-identical suffixes — the
+    // final total order breaks them by (doc_id, pos)
+    val (ord, _) = bucketIndex(
+      fullRank.join(base.select("doc_id", "pos", "len"),
+        Seq("doc_id", "pos")),
+      if (nPos == 0) lit(0L)
+      else expr(s"CAST(((r - 1) * 64) DIV $nPos AS BIGINT)"),
+      Seq("r", "doc_id", "pos"), "rn", Row)
+    (ord.select("doc_id", "pos", "len", "rn"), levels.toSeq)
+  }
+
+  /** Adjacent pairs in suffix order with their EXACT lcp:
+    * (da, pa, db, pb, lcp) for each rn → rn+1 neighbour. */
+  def adjacentLcp(ord: DataFrame,
+      levels: Seq[(Long, DataFrame)]): DataFrame = {
+    val a = ord.select(col("rn"), col("doc_id").as("da"),
+      col("pos").as("pa"), col("len").as("la"))
+    val b = ord.select((col("rn") - 1L).as("rn"),
+      col("doc_id").as("db"), col("pos").as("pb"), col("len").as("lb"))
+    var pairs = a.join(b, "rn")
+      .withColumn("off", lit(0L)).withColumn("lcp", lit(0L))
+    var step = 0
+    for ((w, tbl) <- levels.sortBy(-_._1)) {
+      val ta = tbl.select(col("doc_id").as("da"), col("pos").as("qa"),
+        col("r").as("ra"))
+      val tb = tbl.select(col("doc_id").as("db"), col("pos").as("qb"),
+        col("r").as("rb"))
+      pairs = pairs
+        .withColumn("qa", col("pa") + col("off"))
+        .withColumn("qb", col("pb") + col("off"))
+        .join(ta, Seq("da", "qa"), "left")
+        .join(tb, Seq("db", "qb"), "left")
+        .withColumn("eq", col("ra").isNotNull && col("rb").isNotNull &&
+          col("ra") === col("rb"))
+        .withColumn("off", col("off") + when(col("eq"), w).otherwise(0L))
+        .withColumn("lcp", col("lcp") + when(col("eq"), w).otherwise(0L))
+        .drop("qa", "qb", "ra", "rb", "eq")
+      step += 1
+      if (step % 3 == 0) pairs = pairs.localCheckpoint()
+    }
+    // final <8-char refine inside the packed width-8 block: first
+    // mismatching base-128 digit at the post-descent offsets
+    val (_, packed) = levels.head
+    val pa8 = packed.select(col("doc_id").as("da"), col("pos").as("qa"),
+      col("r").as("p8a"))
+    val pb8 = packed.select(col("doc_id").as("db"), col("pos").as("qb"),
+      col("r").as("p8b"))
+    // digits are 7-bit fields of the packed long — extract by shift,
+    // never by double division (a 2^56 packed value exceeds the 2^53
+    // exact-double range)
+    def digit(c: Column, i: Int): Column =
+      shiftright(c, 7 * (7 - i)).bitwiseAND(lit(127L))
+    val mismatch = (7 to 0 by -1).foldLeft(lit(8L): Column) { (inner, i) =>
+      when(digit(col("p8a"), i) =!= digit(col("p8b"), i), lit(i.toLong))
+        .otherwise(inner)
+    }
+    pairs
+      .withColumn("qa", col("pa") + col("off"))
+      .withColumn("qb", col("pb") + col("off"))
+      .join(pa8, Seq("da", "qa"), "left")
+      .join(pb8, Seq("db", "qb"), "left")
+      .withColumn("lcp",
+        least(
+          col("lcp") + when(col("p8a").isNull || col("p8b").isNull,
+            lit(0L)).otherwise(mismatch),
+          col("la") - col("pa"), col("lb") - col("pb")))
+      .select("da", "pa", "db", "pb", "lcp")
+  }
+}

@@ -1670,7 +1670,126 @@ object TextQueries {
   private def uniChainSql: String =
     (uniSetupSql +: (1 to UniRounds).map(uniRoundSql)).mkString(",\n")
 
+  // ------------------------------------------------- suffix-array dedup
+
+  /** Exact substring-level repeat analysis over the WHOLE corpus via a
+    * distributed SUFFIX ARRAY (SURVEY §2 row 213; the Lee et al. 2022
+    * exact-substring-dedup structure — see
+    * [[graft.operators.SuffixArray]] for the prefix-doubling build and
+    * the level-descent LCP). Per document:
+    *   - n_pos: suffix positions contributed (= characters);
+    *   - sa_ck: Σ rn·(pos+1) over the doc's suffixes — a checksum that
+    *     pins the document's COMPLETE placement in the global suffix
+    *     order (any rank perturbation anywhere in the corpus that
+    *     touches this doc's suffixes moves it);
+    *   - max_lcp: the longest repeat involving this doc — the max
+    *     adjacent-suffix lcp over both sides of every neighbour pair
+    *     the doc participates in (adjacency in suffix order attains
+    *     the global maximum lcp, so this is the true longest repeated
+    *     substring length for the doc);
+    *   - max_lcp_xdoc / n_dup16_xdoc: same restricted to CROSS-doc
+    *     neighbours, and the count of cross-doc neighbour pairs
+    *     sharing a ≥16-char prefix — the shared-passage signal that
+    *     substring dedup acts on (16 matches the shingle width of the
+    *     row-63 span dedup, making the two operators comparable).
+    *
+    * The oracle is deliberately a DIFFERENT algorithm over the same
+    * definition: DuckDB sorts the actual suffix strings (byte order =
+    * code-point order on this ASCII corpus) and measures each adjacent
+    * lcp by direct first-mismatch scan — if the distributed doubling,
+    * the partition-offset indexing, or the level descent mis-ranked a
+    * single suffix, sa_ck or an lcp would move and the hash compare
+    * would catch it. */
+  def qSuffixDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val (ord, levels) = graft.operators.SuffixArray.build(d)
+    val pairs = graft.operators.SuffixArray.adjacentLcp(ord, levels)
+    val duo = pairs
+      .select(col("da").as("doc_id"), col("lcp"),
+        (col("da") =!= col("db")).as("x"))
+      .unionByName(pairs.select(col("db").as("doc_id"), col("lcp"),
+        (col("da") =!= col("db")).as("x")))
+    val perdoc = duo.groupBy("doc_id").agg(
+      max("lcp").as("max_lcp"),
+      max(when(col("x"), col("lcp")).otherwise(0L)).as("max_lcp_xdoc"),
+      sum(when(col("x") && col("lcp") >= 16, 1L).otherwise(0L))
+        .as("n_dup16_xdoc"))
+    val ck = ord.groupBy("doc_id").agg(
+      count(lit(1)).as("n_pos"),
+      sum(col("rn") * (col("pos") + 1L)).as("sa_ck"))
+    d.select("doc_id")
+      .join(ck, Seq("doc_id"), "left")
+      .join(perdoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("sa_ck"), lit(0L)).as("sa_ck"),
+        coalesce(col("max_lcp"), lit(0L)).as("max_lcp"),
+        coalesce(col("max_lcp_xdoc"), lit(0L)).as("max_lcp_xdoc"),
+        coalesce(col("n_dup16_xdoc"), lit(0L)).as("n_dup16_xdoc"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_suffix_dedup" ->
+      """WITH pos AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(g.p AS BIGINT) AS pos,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    substr(text, CAST(g.p AS BIGINT) + 1) AS suf
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(0,
+        |      length(text) - 1)) AS p) g
+        |),
+        |ord AS (
+        |  SELECT doc_id, pos, len, suf,
+        |    CAST(row_number() OVER (ORDER BY suf, doc_id, pos)
+        |      AS BIGINT) AS rn
+        |  FROM pos
+        |),
+        |adj AS (
+        |  SELECT a.doc_id AS da, a.pos AS pa, a.suf AS sa2,
+        |         b.doc_id AS db, b.pos AS pb, b.suf AS sb2
+        |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
+        |),
+        |lcp AS (
+        |  SELECT da, pa, db, pb,
+        |    CAST(COALESCE(
+        |      (SELECT min(g.k)
+        |       FROM (SELECT unnest(generate_series(1,
+        |              least(length(sa2), length(sb2)))) AS k) g
+        |       WHERE substr(sa2, CAST(g.k AS INT), 1)
+        |          <> substr(sb2, CAST(g.k AS INT), 1)) - 1,
+        |      least(length(sa2), length(sb2))) AS BIGINT) AS l
+        |  FROM adj
+        |),
+        |duo AS (
+        |  SELECT da AS doc_id, l,
+        |    CASE WHEN da <> db THEN 1 ELSE 0 END AS x FROM lcp
+        |  UNION ALL
+        |  SELECT db, l, CASE WHEN da <> db THEN 1 ELSE 0 END FROM lcp
+        |),
+        |perdoc AS (
+        |  SELECT doc_id, max(l) AS max_lcp,
+        |    max(CASE WHEN x = 1 THEN l ELSE 0 END) AS max_lcp_xdoc,
+        |    CAST(sum(CASE WHEN x = 1 AND l >= 16 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dup16_xdoc
+        |  FROM duo GROUP BY doc_id
+        |),
+        |ck AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+        |    CAST(sum(rn * (pos + 1)) AS BIGINT) AS sa_ck
+        |  FROM ord GROUP BY doc_id
+        |)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  COALESCE(ck.n_pos, 0) AS n_pos,
+        |  COALESCE(ck.sa_ck, 0) AS sa_ck,
+        |  COALESCE(p.max_lcp, 0) AS max_lcp,
+        |  COALESCE(p.max_lcp_xdoc, 0) AS max_lcp_xdoc,
+        |  COALESCE(p.n_dup16_xdoc, 0) AS n_dup16_xdoc
+        |FROM documents d
+        |LEFT JOIN ck ON ck.doc_id = CAST(d.doc_id AS BIGINT)
+        |LEFT JOIN perdoc p ON p.doc_id = CAST(d.doc_id AS BIGINT)
+        |""".stripMargin,
+
     "q_unigram_train" ->
       s"""WITH RECURSIVE
          |$uniChainSql
@@ -2576,5 +2695,6 @@ object TextQueries {
     "q_bpe_fertility_lang" -> (qBpeFertilityLang _),
     "q_lang_keywords" -> (qLangKeywords _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
+    "q_suffix_dedup" -> (qSuffixDedup _),
     "q_bm25" -> (qBm25 _))
 }

@@ -244,4 +244,36 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Exchange hashpartitioning"),
       s"q_orc_roundtrip claims map-only but:\n$p")
   }
+
+  test("r16 suffix array: no all-pairs, no single-partition global " +
+    "window, and ranks independent of input partition layout") {
+    // §2 row 213 claims: every step an equi-join or range-partitioned
+    // sort — a CartesianProduct/NLJ or an Exchange SinglePartition
+    // (the global-window rank() trap the build exists to avoid) is a
+    // plan regression. Level tables sit behind localCheckpoint
+    // barriers, so the visible plan covers the descent tail, the
+    // refine joins, and the per-doc rollup — exactly where a
+    // degenerate join or global window would appear.
+    val p = plan("q_suffix_dedup")
+    assert(!p.contains("CartesianProduct"), s"suffix dedup all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"suffix dedup nested-loop join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"suffix dedup grew a single-partition exchange:\n$p")
+    // the §2 determinism claim, tested directly: the same tiny corpus
+    // through 1 partition and through 7 shuffled partitions must give
+    // bit-equal (doc_id, pos, rn) — partition-offset stitching and
+    // range boundaries must not leak into rank VALUES
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tiny = Seq((1L, "abracadabra alakazam"), (2L, "abracadabra!"),
+      (3L, "cadabra abra"), (4L, "zzz")).toDF("doc_id", "text")
+    val (o1, _) = graft.operators.SuffixArray.build(tiny.coalesce(1))
+    val (o7, _) = graft.operators.SuffixArray.build(
+      tiny.repartition(7, col("doc_id")))
+    val s1 = o1.select("doc_id", "pos", "rn")
+    val s7 = o7.select("doc_id", "pos", "rn")
+    assert(s1.exceptAll(s7).isEmpty && s7.exceptAll(s1).isEmpty,
+      "suffix ranks changed under a different input partition layout")
+  }
 }
