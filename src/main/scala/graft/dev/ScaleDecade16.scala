@@ -89,6 +89,13 @@ object ScaleDecade16 {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // partition-grain override for the spill-wall follow-ups: the 100x
+    // rows that spill at 32 partitions re-measure at a
+    // scale-proportional grain (the knob any real deployment turns)
+    sys.env.get("SPARK_GRAFT_PARTS").foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      println(s"SCALE16 shuffle.partitions=$p")
+    }
     val d1 = "/root/testdata/sf0.1"
     val d10 = "/tmp/graft_scale13"
     val d100 = "/tmp/graft_scale16"
@@ -180,16 +187,6 @@ object ScaleDecade16 {
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$d100/documents.parquet")
 
-      val em10 = spark.read.parquet(s"$d10/embeddings.parquet")
-      (0 until 10).map { j =>
-        val e = if (j == 0) col("embedding")
-          else transform(col("embedding"), (x, i) =>
-            when(pmod(i * (2 * j + 3), lit(64)) < 16, -x).otherwise(x))
-        em10.select((col("vec_id") + j * OS).as("vec_id"),
-          e.as("embedding"), col("label"))
-      }.reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$d100/embeddings.parquet")
-
       val c1 = spark.read.parquet(s"$d1/customer.parquet")
       (0 until 100).map(k => c1
           .withColumn("c_custkey", col("c_custkey") + k * S)
@@ -214,6 +211,38 @@ object ScaleDecade16 {
           .write.mode("overwrite").parquet(s"$d100/$t.parquet")
       new java.io.FileOutputStream(s"$d100/_built").close()
       println("built 100x corpus")
+    }
+
+    // ---- 100x embeddings, v2 mutation (separate marker: the first
+    // sweep measured the sign-mask-only copies and found them
+    // UNDER-mutated — embeddings whose mass concentrates in dims the
+    // mask skips keep cosine above the near-dup thresholds, and output
+    // grew 45x/decade. v2 composes a per-block affine dim PERMUTATION
+    // (a_j odd => bijection mod 64; moves concentrated mass to
+    // uncorrelated dims regardless of the mass profile) with the sign
+    // mask, so cross-block cosine is generically low for EVERY mass
+    // profile and candidate volume measures the operator, not the
+    // corpus artifact. ----
+    if (!new java.io.File(s"$d100/_emb_v2").exists()) {
+      val em10 = spark.read.parquet(s"$d10/embeddings.parquet")
+      (0 until 10).map { j =>
+        val e =
+          if (j == 0) col("embedding")
+          else {
+            val a = 2 * j + 3 // odd, distinct per block, != 1
+            val b = 11 * j + 5
+            transform(sequence(lit(0), lit(63)), i => {
+              val src = pmod(i * a + b, lit(64))
+              val x = element_at(col("embedding"), (src + 1).cast("int"))
+              when(pmod(i * (2 * j + 3), lit(64)) < 16, -x).otherwise(x)
+            })
+          }
+        em10.select((col("vec_id") + j * OS).as("vec_id"),
+          e.cast("array<float>").as("embedding"), col("label"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$d100/embeddings.parquet")
+      new java.io.FileOutputStream(s"$d100/_emb_v2").close()
+      println("built 100x embeddings v2")
     }
 
     // ---- candidate probes (GrowthAttrib14's, unchanged) ----
