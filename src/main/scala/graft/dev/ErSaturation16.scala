@@ -84,10 +84,49 @@ object ErSaturation16 {
         s""""df_max":${q.getLong(1)},"cand_pass1":$cand}"""
     }
 
+    // counterfactual: the SAME beam over g-gram postings computed
+    // directly from the master names (g=7 → a 10^7 digit namespace)
+    // — demonstrates the gram-length ~ log_alphabet(n) mitigation
+    // without touching production 5-gram semantics
+    def probeG(tag: String, d: String, g: Int): String = {
+      def encG(c: Column): Column =
+        (1 until g).foldLeft(ascii(substring(c, 1, 1)).cast("long"))(
+          (acc, i) => acc * 128L + ascii(substring(c, i + 1, 1)))
+      val customer = graft.Tables.load(spark, d, "customer")
+      val names = graft.queries.Analytics.entityMasterNames(customer)
+      def grams(df: DataFrame, id: String): DataFrame = df
+        .select(col(id), array_distinct(transform(
+          sequence(lit(1), greatest(length(col("name")) - (g - 1),
+            lit(1))),
+          i => substring(col("name"), i.cast("int"), lit(g)))).as("gs"))
+        .select(col(id), explode(col("gs")).as("gr"))
+        .select(col(id), encG(col("gr")).as("ge"))
+      val dfTab = grams(names.select(col("ckey"), col("name")), "ckey")
+        .groupBy("ge").agg(count(lit(1)).as("df")).localCheckpoint()
+      val nGrams = dfTab.count()
+      val p = (lit(11L) + pmod(col("ckey"), lit(8L))).cast("int")
+      val dirty = names.select(col("ckey").as("rid"),
+        concat(substring(col("name"), lit(1), p - 1),
+          substring(col("name"), p + 1, lit(64))).as("name"))
+      val cand = grams(dirty, "rid").join(dfTab, Seq("ge"))
+        .groupBy("rid")
+        .agg(graft.functions.TopKAgg(col("df").cast("double"),
+          col("df"), col("df"), 4).as("beam"))
+        .select(explode(col("beam")).as("b"))
+        .agg(sum(col("b").getField("payload"))).collect()(0).getLong(0)
+      println(f"ERSAT $tag%-9s g=$g grams=$nGrams%9d cand=$cand%13d")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      s""""$tag":{"g":$g,"grams":$nGrams,"cand_pass1":$cand}"""
+    }
+
     val rows = Seq(
       probe("x1", "/root/testdata/sf0.1"),
       probe("x10", "/tmp/graft_scale13"),
-      probe("x100", "/tmp/graft_scale16"))
+      probe("x100", "/tmp/graft_scale16"),
+      probeG("x10_g7", "/tmp/graft_scale13", 7),
+      probeG("x100_g7", "/tmp/graft_scale16", 7))
     println("{" + rows.mkString(",") + "}")
     spark.stop()
   }
