@@ -461,7 +461,97 @@ object RetrievalQueries {
        |FROM u GROUP BY 1, 2, 3""".stripMargin
   }
 
+  // ------------------------------------------- KMV quantile sketch
+
+  private val KmvK = 64
+
+  /** Mergeable QUANTILE sketch for UNBOUNDED value domains (SURVEY §2
+    * row 214) — the gap left by the suite's exact-quantile rows, which
+    * all lean on a bounded score domain (histogram ≤ domain rows:
+    * rows 64/86/168). When the domain is unbounded (or huge), the
+    * scalable primitive is a BOTTOM-K-BY-HASH sample (KMV): hashing
+    * row identity gives every row a uniform draw, and keeping the K
+    * smallest hashes per group is a uniform K-sample WITHOUT
+    * replacement that is (a) deterministic, (b) MERGEABLE — bottom-k
+    * of a union is the bottom-k of per-partition bottom-k's, the same
+    * heap-merge law the suite's TopKAgg already encodes, so the
+    * shuffle carries ≤ K rows per (partition × group) at any corpus
+    * size — and (c) exactly replayable in SQL (a row_number window),
+    * unlike KLL/t-digest whose compaction order is sequential state.
+    * Quantile estimate = the ceil(q·k)-th order statistic of the
+    * sample by VALUE (percentile_disc semantics over the sample).
+    *
+    * The probed value is made unbounded-ish on purpose (n_chars·10⁴ +
+    * a doc-keyed residue) so no histogram could cover it; the hash is
+    * a Knuth multiplicative mix mod the Mersenne-ish 1e9+7, with the
+    * doc_id reduced FIRST so the product stays under 2^63 at any id
+    * scale. Estimate error vs the true quantile is pinned in the spec
+    * at sf0.001 (|rank error| ≤ the DKW-style k^-1/2 band). */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("lang"), col("doc_id"),
+      (length(col("text")).cast("long") * 10000L
+        + pmod(col("doc_id") * 37L, lit(9973L))).as("v"),
+      pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L + 97L,
+        lit(1000000007L)).as("h"))
+    val beams = d.groupBy("lang").agg(
+      graft.functions.TopKAgg(col("h").cast("double"), col("doc_id"),
+        col("v"), KmvK).as("beam"),
+      count(lit(1)).as("n_docs"))
+    beams
+      .select(col("lang"), col("n_docs"),
+        sort_array(transform(col("beam"), b => b.getField("payload")))
+          .as("vs"))
+      .select(col("lang"), col("n_docs"),
+        size(col("vs")).cast("long").as("k_eff"),
+        element_at(col("vs"),
+          expr(s"CAST((size(vs) + 1) DIV 2 AS INT)")).as("q50_est"),
+        element_at(col("vs"),
+          expr(s"CAST((size(vs) * 9 + 9) DIV 10 AS INT)")).as("q90_est"),
+        element_at(col("vs"),
+          expr(s"CAST((size(vs) * 99 + 99) DIV 100 AS INT)"))
+          .as("q99_est"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_quantile_sketch" ->
+      s"""WITH d AS (
+         |  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         |    CAST(length(text) AS BIGINT) * 10000
+         |      + (CAST(doc_id AS BIGINT) * 37) % 9973 AS v,
+         |    ((CAST(doc_id AS BIGINT) % 1000000007) * 2654435761 + 97)
+         |      % 1000000007 AS h
+         |  FROM documents
+         |),
+         |samp AS (
+         |  SELECT lang, v FROM (
+         |    SELECT lang, v,
+         |      row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+         |        AS rn
+         |    FROM d) z
+         |  WHERE rn <= $KmvK
+         |),
+         |srt AS (
+         |  SELECT lang, v,
+         |    row_number() OVER (PARTITION BY lang ORDER BY v) AS rv,
+         |    count(*) OVER (PARTITION BY lang) AS ke
+         |  FROM samp
+         |),
+         |agg AS (
+         |  SELECT lang, CAST(max(ke) AS BIGINT) AS k_eff,
+         |    max(CASE WHEN rv = (ke + 1) // 2 THEN v END) AS q50_est,
+         |    max(CASE WHEN rv = (ke * 9 + 9) // 10 THEN v END)
+         |      AS q90_est,
+         |    max(CASE WHEN rv = (ke * 99 + 99) // 100 THEN v END)
+         |      AS q99_est
+         |  FROM srt GROUP BY lang
+         |),
+         |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM d GROUP BY lang)
+         |SELECT nd.lang, nd.n_docs, a.k_eff,
+         |  a.q50_est, a.q90_est, a.q99_est
+         |FROM nd JOIN agg a ON a.lang = nd.lang
+         |""".stripMargin,
+
     "q_phrase_search" -> phraseSearchOracle,
     "q_chunk_docs" ->
       s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -786,5 +876,6 @@ object RetrievalQueries {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_hll_union" -> (qHllUnion _),
+    "q_quantile_sketch" -> (qQuantileSketch _),
     "q_retrieval_eval" -> (qRetrievalEval _))
 }

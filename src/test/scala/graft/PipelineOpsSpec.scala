@@ -791,4 +791,52 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
       assert(r.getAs[Boolean]("detected") === (r.getAs[Long]("n_moji") > 0L))
     }
   }
+
+  test("r16 KMV quantile sketch: estimates sit in the rank-error band " +
+    "of the true quantiles and the bottom-k sample is merge-invariant") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.RetrievalQueries
+      .qQuantileSketch(spark, SfDir).collect()
+    assert(out.nonEmpty)
+    // true value population per lang (sf0.001 is tiny — exact here)
+    val truth = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select(col("lang"), col("doc_id").cast("long").as("id"),
+        length(col("text")).cast("long").as("len")).collect()
+      .map(r => (r.getString(0),
+        r.getLong(2) * 10000L + (r.getLong(1) * 37L) % 9973L))
+      .groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sorted }
+    out.foreach { r =>
+      val vs = truth(r.getAs[String]("lang"))
+      def frac(v: Long): Double =
+        vs.count(_ <= v).toDouble / vs.length
+      val (q50, q90, q99) = (r.getAs[Long]("q50_est"),
+        r.getAs[Long]("q90_est"), r.getAs[Long]("q99_est"))
+      // k=64 sample of n≈100: rank error well inside ±0.15
+      assert(math.abs(frac(q50) - 0.5) <= 0.15,
+        s"${r.getAs[String]("lang")} q50 rank ${frac(q50)}")
+      assert(frac(q90) >= 0.75, s"q90 rank ${frac(q90)}")
+      assert(q50 <= q90 && q90 <= q99, "quantile monotonicity")
+      assert(r.getAs[Long]("k_eff") ===
+        math.min(64L, r.getAs[Long]("n_docs")))
+    }
+    // merge law: the same sketch through 1 partition and 7 shuffled
+    // partitions must pick bit-identical samples (bottom-k of a union
+    // = bottom-k of per-partition bottom-k's)
+    val base = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+        (length(col("text")).cast("long") * 10000L
+          + pmod(col("doc_id").cast("long") * 37L, lit(9973L))).as("v"),
+        pmod(pmod(col("doc_id").cast("long"), lit(1000000007L))
+          * 2654435761L + 97L, lit(1000000007L)).as("h"))
+    def sketch(df: org.apache.spark.sql.DataFrame) = df.groupBy("lang")
+      .agg(graft.functions.TopKAgg(col("h").cast("double"),
+        col("doc_id"), col("v"), 64).as("beam"))
+      .select(col("lang"), explode(col("beam")).as("b"))
+      .select(col("lang"), col("b").getField("tie").as("id"),
+        col("b").getField("payload").as("v"))
+    val s1 = sketch(base.coalesce(1))
+    val s7 = sketch(base.repartition(7, col("doc_id")))
+    assert(s1.exceptAll(s7).isEmpty && s7.exceptAll(s1).isEmpty,
+      "bottom-k sample changed under a different partition layout")
+  }
 }
