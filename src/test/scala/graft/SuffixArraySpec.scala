@@ -100,6 +100,28 @@ class SuffixArraySpec extends AnyFunSuite with SharedSpark {
     check(docsSeq)
   }
 
+  test("binary-alphabet stress: 20 seeded corpora of a/b strings " +
+    "match brute force under maximal tie pressure") {
+    // a two-letter alphabet maximizes tie-group sizes and truncation
+    // collisions — the exact paths where the Larsson–Sadakane
+    // refinement arithmetic, the settled/active split, and the
+    // descent's identical-tail cap could silently go wrong
+    var seed = 987654321L
+    def nxt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n) + n).toInt % n
+    }
+    for (trial <- 0 until 20) {
+      val nDocs = 1 + nxt(5)
+      val docsSeq = (0 until nDocs).map { i =>
+        val len = nxt(25)
+        (i.toLong + trial * 100L,
+          (0 until len).map(_ => if (nxt(2) == 0) 'a' else 'b').mkString)
+      }.filter(_._2.nonEmpty)
+      if (docsSeq.nonEmpty) check(docsSeq)
+    }
+  }
+
   test("empty and single-char docs do not break the build") {
     // direct operator path: a doc with empty text contributes no
     // positions but must still appear in the query output with zeros
