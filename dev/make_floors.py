@@ -26,6 +26,8 @@ for r in runs:
         floors[q] = min(floors.get(q, float("inf")), t)
 
 out = {"sf": sf, "passes": len(runs), "note":
-       "per-query quiet-box floors; min across warmed Bench passes",
+       "per-query quiet-box floors; min across warmed Bench passes; "
+       "Bench gates each row at max(floor, 0.3s) so sub-noise trivial "
+       "floors cannot flag (r17)",
        **{k: round(v, 3) for k, v in sorted(floors.items())}}
 print(json.dumps(out, indent=0))

@@ -34,6 +34,14 @@ object Bench {
     * `"contended_queries"` — inflation can no longer ship unlabeled. */
   private val FloorRatio = 2.5
 
+  /** Floor EPSILON (r17, VERDICT r16 item 8): a trivial query's floor
+    * (e.g. q_dumb_multi_to_single at 0.12 s) is below the box's own
+    * scheduling noise, so any breeze flags it and the contended-row
+    * list loses signal. Sub-[[FloorEpsSec]] floors gate at
+    * max(floor, 0.3 s) — a row that small is never the story. */
+  private val FloorEpsSec = 0.3
+  private def gateFloor(f: Double): Double = math.max(f, FloorEpsSec)
+
   /** Returns (floors, status). status != "active" means the gate is
     * OFF — and that must be loud: a malformed FLOORS.json or an sf
     * mismatch used to silently disable the gate with floors_n=0 as the
@@ -149,7 +157,7 @@ object Bench {
       // quiet-box floor is presumed contention, re-timed up to twice
       // more; only a row that STAYS above the gate ships, and it ships
       // flagged (see contended_queries below)
-      def floorGate(t: Double): Double = floors.get(name) match {
+      def floorGate(t: Double): Double = floors.get(name).map(gateFloor) match {
         case Some(f) if f > 0.05 && t > FloorRatio * f =>
           val (tr, er) = once()
           er.foreach(e => retryErrors(name) = e)
@@ -183,7 +191,7 @@ object Bench {
     }
     // rows still above the gate after re-timing: shipped, but labeled
     val contendedQs = results.collect {
-      case (k, v, None) if floors.get(k).exists(f =>
+      case (k, v, None) if floors.get(k).map(gateFloor).exists(f =>
         f > 0.05 && v > FloorRatio * f) => k
     }
     val (ce1, ce2) = canary(spark)

@@ -44,7 +44,7 @@ object ErSaturation16 {
     def probe(tag: String, d: String): String = {
       val customer = graft.Tables.load(spark, d, "customer")
       val names = graft.queries.Analytics.entityMasterNames(customer)
-      val cg5 = graft.queries.Analytics.entityBlockingPostings(names)
+      val cg5 = graft.queries.Analytics.entityBlockingPostings(names, 5) // fixed width: the saturation this harness documents
       val dfTab = cg5.groupBy("ge").agg(count(lit(1)).as("df"))
         .localCheckpoint()
       val nNames = names.count()

@@ -104,7 +104,8 @@ object GrowthAttrib14 {
       val customer = graft.Tables.load(spark, d, "customer")
       val names = graft.queries.Analytics.entityMasterNames(customer)
         .localCheckpoint()
-      val cg5 = graft.queries.Analytics.entityBlockingPostings(names)
+      // fixed width 5: the historical shape this harness measured
+      val cg5 = graft.queries.Analytics.entityBlockingPostings(names, 5)
         .localCheckpoint()
       val dfTab = cg5.groupBy("ge").agg(count(lit(1)).as("df"))
       val p = (lit(11L) + pmod(col("ckey"), lit(8L))).cast("int")

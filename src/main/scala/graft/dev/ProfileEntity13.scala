@@ -34,12 +34,12 @@ object ProfileEntity13 {
       graft.queries.Analytics.entityMasterNames(customer).localCheckpoint()
     }
     val cg5 = t("cg5 checkpoint") {
-      graft.queries.Analytics.entityBlockingPostings(names).localCheckpoint()
+      graft.queries.Analytics.entityBlockingPostings(names, 5).localCheckpoint() // fixed width: the historical shape this harness measured
     }
     println(s"[stage] cg5 rows=${cg5.count()}")
     val dfTab = cg5.groupBy("ge").agg(count(lit(1)).as("df"))
     val full = t("resolveOn end-to-end") {
-      graft.queries.Analytics.entityResolveOn(names, cg5, dfTab)
+      graft.queries.Analytics.entityResolveOn(names, cg5, dfTab, 5)
         .queryExecution.toRdd.count()
     }
     println(s"[stage] out rows=$full")

@@ -313,7 +313,7 @@ object ScaleDecade16 {
       // needs a COUNT — recomputing the deterministic lineage per use
       // trades CPU for disk.
       val names = graft.queries.Analytics.entityMasterNames(customer)
-      val cg5 = graft.queries.Analytics.entityBlockingPostings(names)
+      val cg5 = graft.queries.Analytics.entityBlockingPostings(names, 5) // fixed width: the saturation this harness documents
       val dfTab = cg5.groupBy("ge").agg(count(lit(1)).as("df"))
       val p = (lit(11L) + pmod(col("ckey"), lit(8L))).cast("int")
       val dirty = names.select(col("ckey").as("rid"),
@@ -431,7 +431,7 @@ object ScaleDecade16 {
 
     val header =
       s""""base":"$d1","factors":[1,10,100],""" +
-        """"method":"second decade on the r14 heavy tail: three-point cand/out/wall curve on one box, min-of-2 per scale after sf0.01 warm (single pass past 300s), 100x corpus = 10 second-level-mutated copies of the 10x corpus (docs: per-block consonant translate; embeddings: per-block 16/64 sign mask; customer: 100 Lehmer-distinct digit permutations from base; dims 1x); metrics = TaskMetrics sums over the faster pass""""
+        """"method":"second decade on the r14 heavy tail: three-point cand/out/wall curve on one box, min-of-2 per scale after sf0.01 warm (single pass past 300s), 100x corpus = 10 second-level-mutated copies of the 10x corpus (docs: per-block consonant translate; embeddings v2 = per-block affine dim permutation composed with the 16/64 sign mask, _emb_v2 marker; customer: 100 Lehmer-distinct digit permutations from base; dims 1x); metrics = TaskMetrics sums over the faster pass""""
     val done = scala.collection.mutable.ArrayBuffer[String]()
     def flush(): Unit = if (onlyArg.isEmpty)
       java.nio.file.Files.writeString(
@@ -463,11 +463,22 @@ object ScaleDecade16 {
           s""""out1":$o1,"out10":$o10,"out100":$o100,""" +
           s""""metrics10":${spJson(sp10)},"metrics100":${spJson(sp100)}}"""
       } catch {
-        case e: Throwable =>
+        // NonFatal only (ADVICE r16): an OutOfMemoryError or other
+        // fatal JVM error must not be swallowed — subsequent timings
+        // from a corrupted JVM would be misleading. Record the error
+        // entry, flush partial results, then RETHROW fatal ones.
+        // The one fatal-adjacent case kept recoverable: the disk-full
+        // IOException path (ENOSPC killed the first r16 ER probe) is
+        // already NonFatal and lands in the first case.
+        case scala.util.control.NonFatal(e) =>
           println(s"SCALE16FAIL $q: ${e.getClass.getSimpleName} " +
             s"${String.valueOf(e.getMessage).take(200)}")
           done += s""""$q":{"error":${"\"" + e.getClass.getSimpleName + "\""}}"""
           clear()
+        case e: Throwable =>
+          done += s""""$q":{"error":${"\"" + e.getClass.getSimpleName + "\""}}"""
+          flush()
+          throw e
       }
       flush()
     }

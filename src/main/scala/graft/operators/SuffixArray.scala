@@ -70,8 +70,20 @@ object SuffixArray {
     * pos packed base-128 (pad 0 past the end — sorts below every
     * printable char, matching byte order on NUL-free text). */
   def positions(docs: DataFrame): DataFrame = {
+    // 7-bit contract guard (ADVICE r16): base-128 packing is only
+    // byte-order-faithful on ASCII — a code point > 127 would carry
+    // into the adjacent digit field and mis-rank SILENTLY. Fail loud
+    // at the first action instead: one doc-level rlike, row-local,
+    // evaluated before the position explode ever multiplies the rows.
+    val guarded = when(col("text").rlike("[^\\x00-\\x7F]"),
+      raise_error(concat(
+        lit("SuffixArray: non-ASCII text violates the base-128 " +
+          "packing contract (doc_id="),
+        col("doc_id").cast("string"), lit(")"))))
+      .otherwise(col("text"))
     val d = docs
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+      .select(col("doc_id").cast("long").as("doc_id"),
+        guarded.as("text"),
         length(col("text")).cast("long").as("len"))
       .where(col("len") > 0)
       .select(col("doc_id"), col("text"), col("len"),

@@ -221,6 +221,37 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
       "append-built index diverged from the from-scratch build")
   }
 
+  test("adaptive blocking gram width: integer thresholds, cap at the " +
+    "packing limit, and resolution quality survives a width change") {
+    // r17 (VERDICT r16 item 1): the fixed 5-gram namespace saturates
+    // at 100x (ErSaturation16: 5.62B pass-1 candidates); the width now
+    // derives from the entity count — smallest g >= 5 with 8^g >= n,
+    // capped at 9 (the base-128 long packing limit). Integer
+    // comparisons so the DuckDB oracle replays the rule exactly.
+    import graft.queries.Analytics
+    assert(Analytics.adaptiveGramWidth(0L) === 5)
+    assert(Analytics.adaptiveGramWidth(32768L) === 5)
+    assert(Analytics.adaptiveGramWidth(32769L) === 6)
+    assert(Analytics.adaptiveGramWidth(262144L) === 6)
+    assert(Analytics.adaptiveGramWidth(262145L) === 7)
+    assert(Analytics.adaptiveGramWidth(1500000L) === 7) // the 100x point
+    assert(Analytics.adaptiveGramWidth(2097153L) === 8)
+    assert(Analytics.adaptiveGramWidth(16777217L) === 9)
+    assert(Analytics.adaptiveGramWidth(Long.MaxValue) === 9) // cap
+    // a WIDER width on the same corpus must still resolve: the beam
+    // probes rarer grams but the lev<=1 twin stays reachable (pass 1
+    // or the tail-block rescue) — width changes the candidate volume,
+    // never the contract
+    val c = Analytics.entityMasterNames(
+      graft.Tables.load(spark, SfDir, "customer")).localCheckpoint()
+    val cg6 = Analytics.entityBlockingPostings(c, 6).localCheckpoint()
+    val df6 = cg6.groupBy("ge").agg(count(lit(1)).as("df"))
+    val out = Analytics.entityResolveOn(c, cg6, df6, 6).collect()
+    assert(out.length === c.count())
+    val recall = out.count(_.getAs[Boolean]("hit")).toDouble / out.length
+    assert(recall >= 0.96, s"g=6 resolve recall $recall")
+  }
+
   test("attribution: touch window is honored and last touch matches " +
     "the as-of rule") {
     val rows = graft.queries.EventQueries

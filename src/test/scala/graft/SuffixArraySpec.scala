@@ -134,6 +134,19 @@ class SuffixArraySpec extends AnyFunSuite with SharedSpark {
     assert(pairs.map(_.getLong(4)).sorted.toSeq === Seq(1L, 1L))
   }
 
+  test("non-ASCII text fails LOUD, not with a silent mis-rank") {
+    // the base-128 packing is a 7-bit contract (ADVICE r16): a code
+    // point > 127 would carry into the adjacent digit field and
+    // corrupt the order silently — positions() must raise instead
+    import spark.implicits._
+    val d = Seq((1L, "plain ascii"), (2L, "café")).toDF("doc_id", "text")
+    val e = intercept[Exception] { SuffixArray.build(d) }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      String.valueOf(t.getMessage).contains("non-ASCII")))
+  }
+
   test("q_suffix_dedup runs on the sf0.001 corpus and the checksum " +
     "column pins a full permutation of positions") {
     val out = graft.queries.TextQueries.qSuffixDedup(spark, SfDir)
