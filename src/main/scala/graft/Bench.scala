@@ -115,6 +115,9 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // input-proportional exchange grain (r17): resolves to cpus at the
+    // bench sfs, scales with the corpus beyond them
+    Tune.forInput(spark, sfDir)
     // fixed (sorted) order so round-over-round comparisons line up
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val tWarm0 = System.nanoTime()

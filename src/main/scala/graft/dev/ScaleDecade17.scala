@@ -1,0 +1,349 @@
+package graft.dev
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** r17 second-decade RE-MEASUREMENT at DEFAULT engine config (VERDICT
+  * r16 items 1+2): the two fixes this round shipped must be proven on
+  * the same corpora that convicted their predecessors.
+  *
+  *  1. q_entity_resolve with CORPUS-ADAPTIVE gram width
+  *     (Analytics.adaptiveGramWidth: g = 5/6/7 at 1x/10x/100x). Round
+  *     16 measured the fixed-5 blocking infeasible at 100x (5.62 B
+  *     pass-1 candidates, shuffle past the box) and the g=7 namespace
+  *     only as a counterfactual COUNT. This harness runs the real
+  *     resolve end-to-end at all three scales — the verdict's "done"
+  *     is a measured 100x wall growing at or below candidate growth.
+  *  2. q_dedup_containment / q_dedup_ngram_jaccard at 100x WITHOUT a
+  *     partition override. Round 16 measured 35/30 GB of spill at the
+  *     fixed 32-partition grain and zero at a hand-set 128; the engine
+  *     now sizes each input's exchange grain itself
+  *     (graft.Tune.forInput — input-proportional initialPartitionNum,
+  *     AQE coalescing back down per exchange), so the default session
+  *     must reproduce the spill-0 result.
+  *
+  * Corpora: the ScaleDecade13 10x and ScaleDecade16 100x builds,
+  * re-created only when their markers are missing — the builder code
+  * is kept verbatim-equivalent to ScaleDecade16's so the corpora stay
+  * bit-identical to the ones the r16 numbers were measured on
+  * (documents per-block consonant translate; customer 100
+  * Lehmer-distinct digit permutations; embeddings v2 affine
+  * permutation + sign mask — not rebuilt here: only ER/jaccard/
+  * containment tables are needed, but the builders write all tables
+  * for marker integrity). Emits SCALE_r17.json.
+  */
+object ScaleDecade17 {
+
+  final class SpillListener extends SparkListener {
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    val shufWrite = new AtomicLong
+    val peakExec = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peakExec.accumulateAndGet(m.peakExecutionMemory,
+          (a: Long, b: Long) => math.max(a, b))
+      }
+    }
+    def reset(): Unit = {
+      memSpill.set(0); diskSpill.set(0); shufWrite.set(0); peakExec.set(0)
+    }
+    def snapshot(): (Long, Long, Long, Long) = {
+      Thread.sleep(500) // listener bus is async
+      (memSpill.get, diskSpill.get, shufWrite.get, peakExec.get)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    // THE DEFAULT SESSION — identical knobs to Bench/Verify; the r17
+    // input-proportional exchange grain (graft.Tune.forInput) is
+    // applied per scale point exactly as Bench applies it per sf dir.
+    // No per-query overrides anywhere in this harness: that absence is
+    // the point.
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val onlyArg = args.headOption
+
+    val d1 = "/root/testdata/sf0.1"
+    val d10 = "/tmp/graft_scale13"
+    val d100 = "/tmp/graft_scale16"
+    val S = 100000000L
+    val OS = 10000000000L
+
+    // ---- ensure the 10x corpus (ScaleDecade13 builder, verbatim) ----
+    if (!new java.io.File(s"$d10/_built").exists()) {
+      val docs1 = graft.Tables.load(spark, d1, "documents")
+      (0 until 10).map { i =>
+        val t = i match {
+          case 0 => col("text")
+          case 1 => translate(col("text"), "aeiou", "12345")
+          case 2 => translate(col("text"), "aeiou", "67890")
+          case 3 => reverse(col("text"))
+          case 4 => reverse(translate(col("text"), "aeiou", "12345"))
+          case 5 => reverse(translate(col("text"), "aeiou", "67890"))
+          case 6 => translate(col("text"), "rstln", "12345")
+          case 7 => translate(col("text"), "rstln", "67890")
+          case 8 => translate(col("text"), "aeiou", "uoiea")
+          case _ => reverse(translate(col("text"), "rstln", "12345"))
+        }
+        docs1.select((col("doc_id") + i * S).as("doc_id"), t.as("text"),
+          col("lang"), col("source"))
+      }.reduce(_ union _)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$d10/documents.parquet")
+      val ev1 = spark.read.parquet(s"$d1/events.parquet")
+      (0 until 10).map(i => ev1
+          .withColumn("event_id", col("event_id") + i * S)
+          .withColumn("user_id", col("user_id") + i * S))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$d10/events.parquet")
+      val em1 = spark.read.parquet(s"$d1/embeddings.parquet")
+      (0 until 10).map { i =>
+        val base = i % 4 match {
+          case 0 => col("embedding")
+          case 1 => reverse(col("embedding"))
+          case 2 => transform(col("embedding"), x => -x)
+          case _ => transform(reverse(col("embedding")), x => -x)
+        }
+        val sc = Seq(1.0f, 0.5f, 0.25f)(i / 4)
+        em1.select((col("vec_id") + i * S).as("vec_id"),
+          transform(base, x => x * lit(sc)).as("embedding"), col("label"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$d10/embeddings.parquet")
+      val digitMaps = Seq("0123456789", "9876543210", "1234567890",
+        "5678901234", "2468013579", "1357924680", "3210987654",
+        "4567890123", "8901234567", "6789012345")
+      val c1 = spark.read.parquet(s"$d1/customer.parquet")
+      (0 until 10).map(i => c1
+          .withColumn("c_custkey", col("c_custkey") + i * S)
+          .withColumn("c_name",
+            translate(col("c_name"), "0123456789", digitMaps(i))))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$d10/customer.parquet")
+      val o1 = spark.read.parquet(s"$d1/orders.parquet")
+      (0 until 10).map(i => o1
+          .withColumn("o_orderkey", col("o_orderkey") + i * S)
+          .withColumn("o_custkey", col("o_custkey") + i * S))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$d10/orders.parquet")
+      val li1 = spark.read.parquet(s"$d1/lineitem.parquet")
+      (0 until 10).map(i => li1
+          .withColumn("l_orderkey", col("l_orderkey") + i * S))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$d10/lineitem.parquet")
+      for (t <- Seq("nation", "region", "supplier", "part"))
+        spark.read.parquet(s"$d1/$t.parquet")
+          .write.mode("overwrite").parquet(s"$d10/$t.parquet")
+      new java.io.FileOutputStream(s"$d10/_built").close()
+      println("built 10x corpus")
+    }
+
+    // ---- ensure the 100x corpus (ScaleDecade16 builder, verbatim;
+    // the embeddings v2 block is skipped — this harness reads only
+    // documents/customer/orders/lineitem) ----
+    if (!new java.io.File(s"$d100/_built").exists()) {
+      val outerMaps = Seq("", "01234", "56789", "13579", "02468",
+        "97531", "86420", "24680", "75319", "43210")
+      val docs10 = spark.read.parquet(s"$d10/documents.parquet")
+      (0 until 10).map { j =>
+        val t = if (j == 0) col("text")
+          else translate(col("text"), "bcdfg", outerMaps(j))
+        docs10.select((col("doc_id") + j * OS).as("doc_id"), t.as("text"),
+          col("lang"), col("source"),
+          length(t).cast("long").as("n_chars"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$d100/documents.parquet")
+      val c1 = spark.read.parquet(s"$d1/customer.parquet")
+      (0 until 100).map(k => c1
+          .withColumn("c_custkey", col("c_custkey") + k * S)
+          .withColumn("c_name", translate(col("c_name"), "0123456789",
+            ScaleDecade16.permDigits(k))))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$d100/customer.parquet")
+      val o10 = spark.read.parquet(s"$d10/orders.parquet")
+      (0 until 10).map(j => o10
+          .withColumn("o_orderkey", col("o_orderkey") + j * OS)
+          .withColumn("o_custkey", col("o_custkey") + j * OS))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$d100/orders.parquet")
+      val li10 = spark.read.parquet(s"$d10/lineitem.parquet")
+      (0 until 10).map(j => li10
+          .withColumn("l_orderkey", col("l_orderkey") + j * OS))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$d100/lineitem.parquet")
+      for (t <- Seq("nation", "region", "supplier", "part"))
+        spark.read.parquet(s"$d1/$t.parquet")
+          .write.mode("overwrite").parquet(s"$d100/$t.parquet")
+      new java.io.FileOutputStream(s"$d100/_built").close()
+      println("built 100x corpus")
+    }
+
+    // ---- candidate probes ----
+    def docsOf(d: String): DataFrame =
+      graft.Tables.load(spark, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    def pairsOfPostings(df: DataFrame, k: Int, maxDf: Int): Long =
+      graft.operators.Dedup.shingleHashes(df, k, 131L, 1000000007L)
+        .groupBy("s").agg(countDistinct(col("doc_id")).as("n"))
+        .filter(col("n") <= maxDf)
+        .agg(sum(expr("n * (n - 1) DIV 2"))).collect()(0).getLong(0)
+    def candJaccard(d: String): Long = pairsOfPostings(docsOf(d), 16, 20)
+    def candContainment(d: String): Long = {
+      val base = docsOf(d)
+      val frags = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, length(text) DIV 4 + 1, " +
+            "length(text) DIV 2)").as("text"))
+      pairsOfPostings(base.unionByName(frags), 16, 20)
+    }
+    // the ADAPTIVE-width pass-1 candidate count — the production
+    // blocking chain exactly as entityResolveOn now runs it (compare
+    // ScaleDecade16.candEntity, which documents the fixed-5 blowup)
+    def candEntity(d: String): Long = {
+      val customer = graft.Tables.load(spark, d, "customer")
+      val names = graft.queries.Analytics.entityMasterNames(customer)
+      val g = graft.queries.Analytics.adaptiveGramWidth(names.count())
+      println(s"SCALE17 candEntity $d adaptive g=$g")
+      val cgN = graft.queries.Analytics.entityBlockingPostings(names, g)
+      val dfTab = cgN.groupBy("ge").agg(count(lit(1)).as("df"))
+      val p = (lit(11L) + pmod(col("ckey"), lit(8L))).cast("int")
+      val dirty = names.select(col("ckey").as("rid"),
+        concat(substring(col("name"), lit(1), p - 1),
+          substring(col("name"), p + 1, lit(64))).as("name"))
+      def encGram(gm: Column) = (1 to g).foldLeft(lit(0L)) { (acc, i) =>
+        acc * 128L + ascii(substring(gm, i, 1)).cast("long")
+      }
+      val dgN = dirty
+        .select(col("rid"), col("name"), array_distinct(transform(
+          sequence(lit(1), greatest(length(col("name")) - (g - 1),
+            lit(1))),
+          i => substring(col("name"), i.cast("int"), lit(g)))).as("gs"))
+        .select(col("rid"), length(col("name")).cast("long").as("dl"),
+          explode(col("gs")).as("gm"))
+        .select(col("rid"), col("dl"), encGram(col("gm")).as("ge"))
+      val probesAll = dgN.join(dfTab, Seq("ge"))
+        .groupBy("rid", "dl")
+        .agg(graft.functions.TopKAgg(col("df").cast("double"), col("ge"),
+          col("ge"), 4).as("beam"))
+        .select(col("rid"), col("dl"), explode(col("beam")).as("b"))
+        .select(col("rid"), col("dl"),
+          col("b").getField("payload").as("ge"))
+      probesAll.join(cgN, Seq("ge"))
+        .filter(abs(col("dl") - col("cl")) <= 1)
+        .select(col("rid"), col("ckey")).distinct().count()
+    }
+    val candProbes: Map[String, String => Long] = Map(
+      "q_dedup_ngram_jaccard" -> candJaccard,
+      "q_dedup_containment" -> candContainment,
+      "q_entity_resolve" -> candEntity)
+
+    // ---- measurement ----
+    val listener = new SpillListener
+    spark.sparkContext.addSparkListener(listener)
+    def run(q: String, d: String): Long =
+      graft.SparkEntry.queries(q)(spark, d).queryExecution.toRdd.count()
+    def clear(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      Thread.sleep(300)
+    }
+    def timed(q: String, d: String): (Double, Long, (Long, Long, Long, Long)) = {
+      graft.Tune.forInput(spark, d) // the engine rule, per input scale
+      def once(): (Double, Long, (Long, Long, Long, Long)) = {
+        listener.reset()
+        val t0 = System.nanoTime(); val n = run(q, d)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val sp = listener.snapshot(); clear()
+        (wall, n, sp)
+      }
+      val a = once()
+      if (a._1 > 300.0) a
+      else { val b = once()
+        assert(a._2 == b._2, s"$q nondeterministic: ${a._2} vs ${b._2}")
+        if (a._1 <= b._1) a else b }
+    }
+
+    val todo0 = Seq("q_dedup_ngram_jaccard", "q_dedup_containment",
+      "q_entity_resolve")
+    val todo = onlyArg.fold(todo0)(f => todo0.filter(_.contains(f)))
+
+    // warm the plans at sf0.01
+    todo.foreach { q =>
+      try { run(q, "/root/testdata/sf0.01") }
+      catch { case scala.util.control.NonFatal(_) => () }
+      clear()
+    }
+
+    def num(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def spJson(sp: (Long, Long, Long, Long)) =
+      s"""{"spill_mem":${sp._1},"spill_disk":${sp._2},""" +
+        s""""shuffle_write":${sp._3},"peak_task_exec_mem":${sp._4}}"""
+    val header =
+      s""""base":"$d1","factors":[1,10,100],""" +
+        """"method":"r17 re-measurement at DEFAULT engine config (input-proportional AQE initialPartitionNum = max(cpus, inputBytes/32MiB) via graft.Tune.forInput, shuffle.partitions=32, NO per-query overrides): adaptive-gram-width entity resolve (g=5/6/7 at 1x/10x/100x) end-to-end, and the two r16 spill rows re-proven at the engine's own grain; corpora identical to SCALE_r16 (markers reused); min-of-2 per scale after sf0.01 warm (single pass past 300s); metrics = TaskMetrics sums over the faster pass""""
+    val done = scala.collection.mutable.ArrayBuffer[String]()
+    def flush(): Unit = if (onlyArg.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALE_r17.json"),
+        "{" + header + s""","queries":{${done.mkString(",")}}}""" + "\n")
+
+    todo.foreach { q =>
+      try {
+        def cand(d: String): Long = {
+          graft.Tune.forInput(spark, d); candProbes(q)(d)
+        }
+        val c1 = cand(d1); clear()
+        val c10 = cand(d10); clear()
+        val c100 = cand(d100); clear()
+        val (t1, o1, sp1) = timed(q, d1)
+        val (t10, o10, sp10) = timed(q, d10)
+        val (t100, o100, sp100) = timed(q, d100)
+        println(f"SCALE17 $q%-24s cand $c1%9d -> $c10%11d -> $c100%12d " +
+          f"(x10 ${c10.toDouble / c1}%5.2f, x100/x10 ${c100.toDouble / c10}%5.2f)")
+        println(f"SCALE17 $q%-24s out  $o1%9d -> $o10%11d -> $o100%12d  " +
+          f"wall $t1%5.2f -> $t10%6.2f -> $t100%7.2f " +
+          f"(x10 ${t10 / t1}%5.2f, x100/x10 ${t100 / t10}%5.2f)")
+        println(f"SCALE17 $q%-24s spill100 mem=${sp100._1}%d disk=${sp100._2}%d " +
+          f"shufW=${sp100._3}%d peakTask=${sp100._4}%d")
+        done += s""""$q":{"t1":${num(t1)},"t10":${num(t10)},"t100":${num(t100)},""" +
+          s""""ratio10":${num(t10 / t1)},"ratio100_10":${num(t100 / t10)},""" +
+          s""""cand1":$c1,"cand10":$c10,"cand100":$c100,""" +
+          s""""cand_ratio10":${num(c10.toDouble / c1)},""" +
+          s""""cand_ratio100_10":${num(c100.toDouble / c10)},""" +
+          s""""out1":$o1,"out10":$o10,"out100":$o100,""" +
+          s""""metrics1":${spJson(sp1)},""" +
+          s""""metrics10":${spJson(sp10)},"metrics100":${spJson(sp100)}}"""
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"SCALE17FAIL $q: ${e.getClass.getSimpleName} " +
+            s"${String.valueOf(e.getMessage).take(200)}")
+          done += s""""$q":{"error":${"\"" + e.getClass.getSimpleName + "\""}}"""
+          clear()
+        case e: Throwable =>
+          done += s""""$q":{"error":${"\"" + e.getClass.getSimpleName + "\""}}"""
+          flush()
+          throw e
+      }
+      flush()
+    }
+    println("{" + header + s""","queries":{${done.mkString(",")}}}""")
+    spark.stop()
+  }
+}

@@ -238,7 +238,9 @@ object SuffixArray {
   }
 
   /** Adjacent pairs in suffix order with their EXACT lcp:
-    * (da, pa, db, pb, lcp) for each rn → rn+1 neighbour. */
+    * (rn, da, pa, db, pb, lcp) for each rn → rn+1 neighbour (rn = the
+    * LEFT suffix's global index — the apply step's group sessionization
+    * keys on it). */
   def adjacentLcp(ord: DataFrame,
       levels: Seq[(Long, DataFrame)]): DataFrame = {
     val a = ord.select(col("rn"), col("doc_id").as("da"),
@@ -292,6 +294,130 @@ object SuffixArray {
           col("lcp") + when(col("p8a").isNull || col("p8b").isNull,
             lit(0L)).otherwise(mismatch),
           col("la") - col("pa"), col("lb") - col("pb")))
-      .select("da", "pa", "db", "pb", "lcp")
+      .select("rn", "da", "pa", "db", "pb", "lcp")
   }
+
+  /** The substring-dedup APPLY step (r17, VERDICT r16 item 3; Lee et
+    * al. 2022's ExactSubstr with the keep-one-canonical editorial
+    * variant — the step row 213's per-doc statistics stop short of):
+    * per doc, the maximal cross-doc duplicated spans of length >=
+    * `minLen` are located by the adjacent-LCP structure and REMOVED,
+    * keeping the copy in the smallest doc_id (the keep-best
+    * precedent).
+    *
+    * Group semantics — fully relational, oracle-replayable:
+    *  - a >=minLen REPEAT GROUP is a maximal run of suffixes in suffix
+    *    order whose every adjacent pair has lcp >= minLen (runs are
+    *    found by a distributed PREFIX SUM of boundary flags over the
+    *    pair index — the bucketIndex stitch applied to sums: local
+    *    cumsum per computed bucket + cumulative per-bucket offsets
+    *    from a bounded one-row-per-bucket collect, never a
+    *    single-partition window);
+    *  - a member's REMOVAL LENGTH is its max adjacent in-group lcp
+    *    (adjacency attains the max shared prefix, so this is the
+    *    maximal duplicated span starting at that position);
+    *  - a member is REMOVED iff its doc is not the group's min doc_id.
+    *
+    * Every surviving cross-doc repeat >= minLen would need both start
+    * positions kept; both suffixes sit in one group (lcp(a,b) = min of
+    * the adjacent lcps between them >= minLen), whose min-doc rule
+    * marks every non-canonical side — so the cleaned SEGMENTS contain
+    * no cross-doc repeat >= minLen (the spec re-runs the detector on
+    * the segments to pin exactly this; the glued clean_text could
+    * fabricate new adjacencies across a cut, which is why the
+    * guarantee — and the spec — speak in segments).
+    *
+    * Returns (doc_id, text, sp) with sp = the doc's MERGED removal
+    * intervals array<struct<s,e>> (possibly empty), pre-clean text
+    * attached; [[applyDedup]] turns it into the cleaned corpus. */
+  def dedupSpans(docs: DataFrame, minLen: Long): DataFrame = {
+    val d = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .localCheckpoint() // build + reassembly share the originals
+    val (ord, levels) = build(d)
+    val pairs = adjacentLcp(ord, levels)
+      .localCheckpoint() // boundary sum + member lcp share it
+    val nPairs = math.max(pairs.count(), 1L)
+    // ---- distributed prefix sum of boundary flags over pair rn ----
+    val withB = pairs.select(col("rn"),
+      when(col("lcp") >= minLen, 0L).otherwise(1L).as("b"))
+      .withColumn("__b",
+        expr(s"CAST(((rn - 1) * 64) DIV $nPairs AS BIGINT)"))
+    val wLoc = Window.partitionBy("__b").orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val loc = withB.repartition(col("__b"))
+      .withColumn("__s", sum(col("b")).over(wLoc))
+      .localCheckpoint() // offsets collect + psum read it once
+    val cnts = loc.groupBy("__b").agg(sum("b").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = cnts.map { case (b, m) => val o = (b, acc); acc += m; o }
+      .toMap
+    val offCol =
+      if (offs.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offs), col("__b")), lit(0L))
+    // S(rn) = boundaries among pairs 1..rn; suffix rn's group id is
+    // S(rn-1) (0 for rn = 1) — two neighbours share a group iff the
+    // pair between them is NOT a boundary
+    val psum = loc.select((col("rn") + 1L).as("rn"),
+      (col("__s") + offCol).as("gid"))
+    val sfx = ord.select("doc_id", "pos", "rn")
+      .join(psum, Seq("rn"), "left")
+      .select(col("doc_id"), col("pos"), col("rn"),
+        coalesce(col("gid"), lit(0L)).as("gid"))
+    // member rows: suffixes with any adjacent in-group (>= minLen)
+    // pair; L = max such lcp = the maximal duplicated span at pos
+    val memL = pairs.filter(col("lcp") >= minLen)
+      .select(col("rn"), col("lcp"))
+    val touch = memL
+      .unionByName(memL.select((col("rn") + 1L).as("rn"), col("lcp")))
+      .groupBy("rn").agg(max("lcp").as("L"))
+    val members = sfx.join(touch, Seq("rn"))
+    val cdoc = members.groupBy("gid").agg(min("doc_id").as("cdoc"))
+    val marked = members.join(cdoc, Seq("gid"))
+      .filter(col("doc_id") =!= col("cdoc"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + col("L")).as("e"))
+    // per-doc interval merge — row-local HOF over the doc-bounded
+    // sorted span array (array_sort on struct = (s, e) lexicographic)
+    val spans = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_rm"),
+      array_sort(collect_list(struct(col("s"), col("e")))).as("sp0"))
+    val merged = expr(
+      """aggregate(sp0, cast(array() as array<struct<s:bigint,e:bigint>>),
+        |  (acc, x) -> CASE
+        |    WHEN size(acc) > 0 AND element_at(acc, -1).e >= x.s
+        |    THEN concat(slice(acc, 1, size(acc) - 1),
+        |      array(named_struct('s', element_at(acc, -1).s,
+        |        'e', greatest(element_at(acc, -1).e, x.e))))
+        |    ELSE concat(acc, array(x)) END)""".stripMargin)
+    d.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("n_rm"), lit(0L)).as("n_rm"),
+        when(col("sp0").isNull,
+          expr("cast(array() as array<struct<s:bigint,e:bigint>>)"))
+          .otherwise(merged).as("sp"))
+  }
+
+  /** The cleaned corpus: kept segments glued back per doc, plus the
+    * removal statistics. All row-local given [[dedupSpans]] — segment
+    * extraction is substring arithmetic over the merged intervals. */
+  def applyDedup(docs: DataFrame, minLen: Long): DataFrame =
+    dedupSpans(docs, minLen)
+      .select(col("doc_id"), col("n_rm"),
+        expr("aggregate(sp, CAST(0 AS BIGINT), (a, x) -> a + x.e - x.s)")
+          .as("rm_chars"),
+        expr(
+          """array_join(transform(sequence(0, size(sp)), k ->
+            |  substring(text,
+            |    CAST((CASE WHEN k = 0 THEN 0
+            |          ELSE element_at(sp, k).e END) + 1 AS INT),
+            |    CAST((CASE WHEN k = size(sp) THEN length(text)
+            |          ELSE element_at(sp, k + 1).s END)
+            |      - (CASE WHEN k = 0 THEN 0
+            |         ELSE element_at(sp, k).e END) AS INT))), '')"""
+            .stripMargin).as("clean_text"))
+      .select(col("doc_id"), col("n_rm"), col("rm_chars"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        col("clean_text"))
 }

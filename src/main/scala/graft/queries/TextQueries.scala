@@ -1728,6 +1728,21 @@ object TextQueries {
         coalesce(col("n_dup16_xdoc"), lit(0L)).as("n_dup16_xdoc"))
   }
 
+  /** Substring-dedup APPLY (SURVEY §2 row 215, r17; VERDICT r16 item
+    * 3): row 213 measures the duplicated-substring structure, this row
+    * ACTS on it — cross-doc duplicated spans >= 50 chars are removed
+    * from every doc except the smallest doc_id holding them (the
+    * keep-best editorial rule), and the cleaned corpus is re-emitted
+    * with per-doc removal statistics. Semantics + scale shape in
+    * [[graft.operators.SuffixArray.dedupSpans]]; the oracle replays
+    * the identical group/min-doc/span selection over DuckDB's own
+    * suffix sort and rebuilds each cleaned text char-by-char — a
+    * divergence anywhere in the doubling, the sessionized groups, the
+    * span merge or the substring reassembly breaks the hash. */
+  def qSuffixDedupApply(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixArray.applyDedup(
+      docs(spark, dir).select("doc_id", "text"), 50L)
+
   val oracles: Map[String, String] = Map(
     "q_suffix_dedup" ->
       """WITH pos AS (
@@ -1788,6 +1803,89 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN ck ON ck.doc_id = CAST(d.doc_id AS BIGINT)
         |LEFT JOIN perdoc p ON p.doc_id = CAST(d.doc_id AS BIGINT)
+        |""".stripMargin,
+
+    // apply = the same suffix sort, then: sessionized >=50 groups over
+    // the adjacent-lcp chain, min-doc canonical per group, span cover
+    // per non-canonical member, and char-level reassembly of the kept
+    // text (string_agg over uncovered positions) — an INDEPENDENT
+    // reconstruction of the clean_text the Spark side builds by
+    // interval-merge + substring arithmetic
+    "q_suffix_dedup_apply" ->
+      """WITH pos AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(g.p AS BIGINT) AS pos,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    substr(text, CAST(g.p AS BIGINT) + 1) AS suf
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(0,
+        |      length(text) - 1)) AS p) g
+        |),
+        |ord AS (
+        |  SELECT doc_id, pos, len, suf,
+        |    CAST(row_number() OVER (ORDER BY suf, doc_id, pos)
+        |      AS BIGINT) AS rn
+        |  FROM pos
+        |),
+        |adj AS (
+        |  SELECT a.rn AS rn, a.doc_id AS da, a.pos AS pa, a.suf AS sa2,
+        |         b.doc_id AS db, b.pos AS pb, b.suf AS sb2
+        |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
+        |),
+        |lcp AS (
+        |  SELECT rn,
+        |    CAST(COALESCE(
+        |      (SELECT min(g.k)
+        |       FROM (SELECT unnest(generate_series(1,
+        |              least(length(sa2), length(sb2)))) AS k) g
+        |       WHERE substr(sa2, CAST(g.k AS INT), 1)
+        |          <> substr(sb2, CAST(g.k AS INT), 1)) - 1,
+        |      least(length(sa2), length(sb2))) AS BIGINT) AS l
+        |  FROM adj
+        |),
+        |sfx AS (
+        |  SELECT o.doc_id, o.pos, o.rn,
+        |    SUM(CASE WHEN p.l IS NULL OR p.l < 50 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY o.rn) AS gid
+        |  FROM ord o LEFT JOIN lcp p ON p.rn = o.rn - 1
+        |),
+        |tch AS (
+        |  SELECT rn, MAX(l) AS lm FROM (
+        |    SELECT rn, l FROM lcp WHERE l >= 50
+        |    UNION ALL
+        |    SELECT rn + 1 AS rn, l FROM lcp WHERE l >= 50) z
+        |  GROUP BY rn
+        |),
+        |mem AS (SELECT s.doc_id, s.pos, s.gid, t.lm
+        |        FROM sfx s JOIN tch t ON t.rn = s.rn),
+        |cd AS (SELECT gid, MIN(doc_id) AS cdoc FROM mem GROUP BY gid),
+        |mk AS (SELECT m.doc_id, m.pos AS s, m.pos + m.lm AS e
+        |       FROM mem m JOIN cd ON cd.gid = m.gid
+        |       WHERE m.doc_id <> cd.cdoc),
+        |cov AS (SELECT DISTINCT doc_id, CAST(u.j AS BIGINT) AS j
+        |        FROM mk, LATERAL (SELECT unnest(generate_series(s,
+        |          e - 1)) AS j) u),
+        |nrm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rm
+        |        FROM mk GROUP BY doc_id),
+        |rmc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rm_chars
+        |        FROM cov GROUP BY doc_id),
+        |kept AS (
+        |  SELECT p.doc_id, p.pos, substr(p.suf, 1, 1) AS ch
+        |  FROM pos p LEFT JOIN cov v
+        |    ON v.doc_id = p.doc_id AND v.j = p.pos
+        |  WHERE v.j IS NULL
+        |),
+        |cln AS (SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS t
+        |        FROM kept GROUP BY doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  COALESCE(n.n_rm, 0) AS n_rm,
+        |  COALESCE(r.rm_chars, 0) AS rm_chars,
+        |  CAST(length(COALESCE(c.t, '')) AS BIGINT) AS clean_len,
+        |  COALESCE(c.t, '') AS clean_text
+        |FROM documents d
+        |LEFT JOIN nrm n ON n.doc_id = CAST(d.doc_id AS BIGINT)
+        |LEFT JOIN rmc r ON r.doc_id = CAST(d.doc_id AS BIGINT)
+        |LEFT JOIN cln c ON c.doc_id = CAST(d.doc_id AS BIGINT)
         |""".stripMargin,
 
     "q_unigram_train" ->
@@ -2696,5 +2794,6 @@ object TextQueries {
     "q_lang_keywords" -> (qLangKeywords _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_suffix_dedup" -> (qSuffixDedup _),
+    "q_suffix_dedup_apply" -> (qSuffixDedupApply _),
     "q_bm25" -> (qBm25 _))
 }

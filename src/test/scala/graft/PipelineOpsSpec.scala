@@ -252,6 +252,22 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.96, s"g=6 resolve recall $recall")
   }
 
+  test("input-proportional exchange grain: cpus floor at bench scale, " +
+    "scale-linear beyond, capped") {
+    // r17 (VERDICT r16 item 2): the engine sizes AQE's pre-coalesce
+    // grain to the input. The bench corpora must resolve to the
+    // historical cpus grain EXACTLY (bench unchanged by construction);
+    // the r16 100x conviction corpus (~1.5 GB parquet) must resolve
+    // past the 128 partitions measured spill-free.
+    import graft.Tune
+    assert(Tune.initialPartitions(17L << 20, 32) === 32) // sf0.1
+    assert(Tune.initialPartitions(153L << 20, 32) === 32) // 10x
+    assert(Tune.initialPartitions(1530L << 20, 32) > 128) // 100x
+    assert(Tune.initialPartitions(Long.MaxValue / 4, 32)
+      === Tune.MaxInitial)
+    assert(Tune.dirBytes(SfDir) > 0L)
+  }
+
   test("attribution: touch window is honored and last touch matches " +
     "the as-of rule") {
     val rows = graft.queries.EventQueries

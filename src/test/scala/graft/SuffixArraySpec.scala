@@ -50,7 +50,8 @@ class SuffixArraySpec extends AnyFunSuite with SharedSpark {
     val (expOrd, expPairs) = brute(docsSeq)
     assert(gotOrd === expOrd.sortBy(t => (t._1, t._2)),
       s"suffix order differs for $docsSeq")
-    val gotPairs = SuffixArray.adjacentLcp(ord, levels).collect()
+    val gotPairs = SuffixArray.adjacentLcp(ord, levels)
+      .select("da", "pa", "db", "pb", "lcp").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSeq.sortBy(t => (t._1, t._2, t._3, t._4))
     assert(gotPairs === expPairs.sortBy(t => (t._1, t._2, t._3, t._4)),
@@ -131,7 +132,60 @@ class SuffixArraySpec extends AnyFunSuite with SharedSpark {
     assert(ord.count() === 3) // "q", "q"(of qq), "qq"
     val pairs = SuffixArray.adjacentLcp(ord, levels).collect()
     assert(pairs.length === 2)
-    assert(pairs.map(_.getLong(4)).sorted.toSeq === Seq(1L, 1L))
+    assert(pairs.map(_.getAs[Long]("lcp")).sorted.toSeq === Seq(1L, 1L))
+  }
+
+  test("applyDedup: keep-one semantics on a constructed corpus — the " +
+    "min doc keeps the span, every other occurrence loses it") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog repeatedly!!" +
+      "1234" // 60 chars
+    assert(a.length === 60)
+    val d = Seq(
+      (1L, a),
+      (2L, "short head. " + a + " short tail."),
+      (3L, a)).toDF("doc_id", "text")
+    val out = SuffixArray.applyDedup(d, 50L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") === a) // canonical kept
+    assert(out(1L).getAs[Long]("rm_chars") === 0L)
+    assert(out(2L).getAs[String]("clean_text") ===
+      "short head.  short tail.") // span excised, head+tail glued
+    assert(out(2L).getAs[Long]("rm_chars") === 60L)
+    assert(out(3L).getAs[String]("clean_text") === "")
+    assert(out(3L).getAs[Long]("rm_chars") === 60L)
+  }
+
+  test("applyDedup guarantee: cleaned SEGMENTS contain no cross-doc " +
+    "repeat >= threshold (re-run the detector on the output)") {
+    // the verdict-r16-item-3 'done' condition, pinned mechanically:
+    // rebuild the suffix array over the kept segments (segment id =
+    // doc_id * 2^20 + k so same-doc segments don't read as cross-doc)
+    // and assert the detector finds nothing >= the threshold across
+    // original docs. Segments, not the glued text: a cut can fabricate
+    // a new adjacency, and the guarantee is about what was KEPT.
+    val d = graft.Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val spans = SuffixArray.dedupSpans(d, 50L)
+    val segs = spans
+      .select(col("doc_id"), col("text"), col("sp"),
+        explode(sequence(lit(0), size(col("sp")))).as("k"))
+      .select((col("doc_id") * 1048576L + col("k")).as("doc_id"),
+        expr("""substring(text,
+          CAST((CASE WHEN k = 0 THEN 0
+                ELSE element_at(sp, k).e END) + 1 AS INT),
+          CAST((CASE WHEN k = size(sp) THEN length(text)
+                ELSE element_at(sp, k + 1).s END)
+            - (CASE WHEN k = 0 THEN 0
+               ELSE element_at(sp, k).e END) AS INT))""").as("text"))
+      .filter(length(col("text")) > 0)
+    val (ord2, lv2) = SuffixArray.build(segs)
+    val survivors = SuffixArray.adjacentLcp(ord2, lv2)
+      .filter(col("lcp") >= 50L &&
+        expr("da DIV 1048576") =!= expr("db DIV 1048576"))
+      .count()
+    assert(survivors === 0L,
+      s"$survivors cross-doc repeats >= 50 survived the apply step")
   }
 
   test("non-ASCII text fails LOUD, not with a silent mis-rank") {
