@@ -87,4 +87,120 @@ object GeoJson {
       f.getField("properties").getField("pid").as("pid"),
       polys.as("polys")))
   }
+
+  // ---------------------------------------------------------------
+  // Generalized reader (r17, VERDICT r16 item 5): Point / LineString /
+  // Polygon / MultiPolygon geometry KINDS plus FeatureCollection
+  // framing — a 2026 geo user's first file carries both. Every kind
+  // normalizes into the engine's ring model array<array<array<
+  // struct<x,y>>>> (Point = one 1-position ring, LineString = one open
+  // ring, Polygon = one polygon) tagged with the kind, so downstream
+  // geometry operators see one shape. Coordinates nest one array
+  // level deeper per kind; from_json parses the FIXED head (type tags
+  // + pid) once and the coordinates once per kind schema — PERMISSIVE
+  // mode nulls a depth mismatch (verified behavior), and CaseWhen
+  // picks the branch the declared kind requires, so a lying type tag
+  // fails validation instead of mis-parsing.
+  // ---------------------------------------------------------------
+
+  /** Kind + properties head — coordinates handled per kind below. */
+  val anyFeatureHeadSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("properties", StructType(Seq(
+      StructField("pid", LongType)))),
+    StructField("geometry", StructType(Seq(
+      StructField("type", StringType))))))
+
+  private def coordSchema(dt: DataType): StructType = StructType(Seq(
+    StructField("geometry", StructType(Seq(
+      StructField("coordinates", dt))))))
+  private val D1: DataType = ArrayType(DoubleType)
+  private val D2: DataType = ArrayType(D1)
+  private val D3: DataType = ArrayType(D2)
+  private val D4: DataType = ArrayType(D3)
+
+  /** RFC 7946 FeatureCollection framing: `features` parse as RAW JSON
+    * strings (Spark renders a nested object verbatim when the target
+    * field is StringType), each handed to [[parseFeatureAny]]. NULL on
+    * malformed JSON or a wrong collection type tag. */
+  val collectionSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("features", ArrayType(StringType))))
+
+  def parseCollection(json: Column): Column = {
+    val c = from_json(json, collectionSchema)
+    when(c.isNotNull && c.getField("type") === "FeatureCollection" &&
+      c.getField("features").isNotNull, c.getField("features"))
+  }
+
+  /** Parse a Feature of ANY supported kind. Returns
+    * `{pid: long, kind: string, polys: array<array<array<struct<x,y>>>>}`
+    * or NULL for malformed JSON, unknown kinds, arity/closure
+    * violations (rings closed + >= 4 positions for polygon kinds,
+    * >= 2 positions for LineString, exactly [x, y] for Point) — the
+    * PERMISSIVE corrupt-record contract of [[parseFeature]]. */
+  def parseFeatureAny(json: Column): Column = {
+    val f = from_json(json, anyFeatureHeadSchema)
+    val kind = f.getField("geometry").getField("type")
+    def coords(dt: DataType): Column =
+      from_json(json, coordSchema(dt))
+        .getField("geometry").getField("coordinates")
+    val posOf = (p: Column) => struct(p(0).as("x"), p(1).as("y"))
+    val cPt = coords(D1)
+    val cLs = coords(D2)
+    val cPg = coords(D3)
+    val cMp = coords(D4)
+    def ringOk(ring: Column): Column = size(ring) >= 4 &&
+      forall(ring, (pos: Column) => size(pos) === 2) &&
+      element_at(ring, 1)(0) === element_at(ring, -1)(0) &&
+      element_at(ring, 1)(1) === element_at(ring, -1)(1)
+    val okByKind =
+      when(kind === "Point", cPt.isNotNull && size(cPt) === 2)
+        .when(kind === "LineString", cLs.isNotNull && size(cLs) >= 2 &&
+          forall(cLs, (pos: Column) => size(pos) === 2))
+        .when(kind === "Polygon", cPg.isNotNull && size(cPg) >= 1 &&
+          forall(cPg, ringOk _))
+        .when(kind === "MultiPolygon", cMp.isNotNull && size(cMp) >= 1 &&
+          forall(cMp, (poly: Column) =>
+            size(poly) >= 1 && forall(poly, ringOk _)))
+        .otherwise(lit(false))
+    val polysByKind =
+      when(kind === "Point", array(array(array(posOf(cPt)))))
+        .when(kind === "LineString", array(array(transform(cLs, posOf))))
+        .when(kind === "Polygon", array(transform(cPg,
+          (r: Column) => transform(r, posOf))))
+        .otherwise(transform(cMp, (poly: Column) =>
+          transform(poly, (r: Column) => transform(r, posOf))))
+    val ok = f.isNotNull && f.getField("type") === "Feature" && okByKind
+    when(ok, struct(
+      f.getField("properties").getField("pid").as("pid"),
+      kind.as("kind"), polysByKind.as("polys")))
+  }
+
+  /** Serialize `{pid, kind, polys}` back to the Feature line — the
+    * kind selects how far the ring model un-nests (writer ∘ parser =
+    * identity on every kind, the roundtrip the query pins by md5). */
+  def writeFeatureAny(pid: Column, kind: Column, polys: Column): Column = {
+    def polyJson(poly: Column): Column =
+      concat(lit("["), array_join(transform(poly, ringJson _), ","),
+        lit("]"))
+    val coords =
+      when(kind === "Point",
+        posJson(element_at(element_at(element_at(polys, 1), 1), 1)))
+        .when(kind === "LineString",
+          ringJson(element_at(element_at(polys, 1), 1)))
+        .when(kind === "Polygon", polyJson(element_at(polys, 1)))
+        .otherwise(concat(lit("["),
+          array_join(transform(polys, polyJson _), ","), lit("]")))
+    concat(
+      lit("""{"type":"Feature","properties":{"pid":"""),
+      pid.cast("string"),
+      lit("""},"geometry":{"type":""""), kind,
+      lit("""","coordinates":"""), coords, lit("}}"))
+  }
+
+  /** Assemble Feature lines into a FeatureCollection document. */
+  def writeCollection(feats: Column): Column =
+    concat(lit("""{"type":"FeatureCollection","features":["""),
+      array_join(feats, ","), lit("]}"))
 }

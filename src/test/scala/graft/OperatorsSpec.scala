@@ -1775,6 +1775,42 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("GeoJSON kinds: every kind roundtrips, corrupt paths null out " +
+    "at the right level") {
+    import graft.sources.GeoJson
+    import spark.implicits._
+    val feats = Seq(
+      """{"type":"Feature","properties":{"pid":1},"geometry":{"type":"Point","coordinates":[3,4]}}""",
+      """{"type":"Feature","properties":{"pid":2},"geometry":{"type":"LineString","coordinates":[[0,0],[3,4],[6,4]]}}""",
+      """{"type":"Feature","properties":{"pid":3},"geometry":{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,3],[0,0]]]}}""",
+      """{"type":"Feature","properties":{"pid":4},"geometry":{"type":"MultiPolygon","coordinates":[[[[0,0],[4,0],[4,3],[0,0]]],[[[9,9],[12,9],[9,12],[9,9]]]]}}""",
+      // corrupt: unknown kind (valid JSON), lying type tag (declared
+      // Point, LineString-depth coords), unclosed ring, bad arity
+      """{"type":"Feature","properties":{"pid":5},"geometry":{"type":"Blob","coordinates":[3,4]}}""",
+      """{"type":"Feature","properties":{"pid":6},"geometry":{"type":"Point","coordinates":[[0,0],[3,4]]}}""",
+      """{"type":"Feature","properties":{"pid":7},"geometry":{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,3],[1,1]]]}}""",
+      """{"type":"Feature","properties":{"pid":8},"geometry":{"type":"LineString","coordinates":[[0,0],[3]]}}""")
+    val df = feats.toDF("j")
+      .select(col("j"), GeoJson.parseFeatureAny(col("j")).as("p"))
+    val rows = df.collect().map(r => (r.getString(0), r.get(1)))
+    val good = rows.filter(_._2 != null)
+    assert(good.length === 4 && rows.length === 8)
+    // writer ∘ parser = identity byte-for-byte on every kind
+    val rt = df.filter(col("p").isNotNull)
+      .select((GeoJson.writeFeatureAny(col("p.pid"), col("p.kind"),
+        col("p.polys")) === col("j")).as("ok")).collect()
+    assert(rt.forall(_.getBoolean(0)))
+    // FeatureCollection framing: valid FC explodes into raw feature
+    // strings; truncated FC nulls as a unit
+    val fc = """{"type":"FeatureCollection","features":[""" +
+      feats.take(2).mkString(",") + "]}"
+    val both = Seq(fc, fc.take(50), """{"type":"Nope","features":[]}""")
+      .toDF("j").select(GeoJson.parseCollection(col("j")).as("f"))
+      .collect()
+    assert(both(0).getSeq[String](0) === feats.take(2))
+    assert(both(1).isNullAt(0) && both(2).isNullAt(0))
+  }
+
 }
 
 /** Cartogram fixtures shared with the query layer. */
