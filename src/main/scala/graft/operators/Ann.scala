@@ -796,4 +796,71 @@ object Ann {
       .filter(col("cos4") >= minCos)
       .select("ida", "idb", "cos4", "bucket")
   }
+
+  /** MMR diversity rerank (Maximal Marginal Relevance — Carbonell &
+    * Goldstein 1998, public literature): the retrieval-quality step
+    * between shortlist and serving that pure top-k lacks — a RAG
+    * context window of k near-duplicate passages wastes its budget, so
+    * the final k are picked GREEDILY by
+    * `lambda * rel(q, d) - (1 - lambda) * max_{s in selected} sim(d, s)`.
+    *
+    * Scale shape: the expensive part is the shortlist (the existing
+    * brute/ANN top-k machinery, corpus-sized); the rerank itself is
+    * ROW-LOCAL — each query's shortlist collects to one bounded array
+    * (S x dim doubles) and the k greedy steps run inside one HOF
+    * aggregate, no shuffle, no driver loop. Selection order is
+    * deterministic: scores round(…, 4), ties to the smaller id —
+    * the DuckDB oracle replays the greedy chain as k unrolled CTEs
+    * (window rn = 1 per step) over the same normalized doubles.
+    * Requires shortlist >= k (the query panels guarantee it). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, shortlist: Int,
+                k: Int, lambda: Double, dim: Int = DefaultDim): DataFrame = {
+    val top = cosineTopK(corpus, queries, shortlist, dim)
+    // unit-normalized corpus vectors: pairwise sim inside the greedy
+    // loop is then a plain dot, computed once per (candidate, selected)
+    val cn = withNorm(corpus, "vec_id", dim)
+      .select(col("vec_id").as("nid"),
+        transform(col("e"),
+          x => x / greatest(col("nrm"), lit(1e-12))).as("en"))
+    val arr = top.join(cn, Seq("nid"))
+      .groupBy("qid")
+      .agg(array_sort(collect_list(struct(col("rank"), col("nid"),
+        col("cos4"), col("en")))).as("arr"))
+    val st = "struct<rank:int,nid:bigint,cos4:double,en:array<double>," +
+      "mmr5:bigint,sr:int>"
+    // score in EXACT INTEGER space (x1e5): lambda = 0.7 makes the MMR
+    // combination 7*cos_x1e4 - 3*maxsim_x1e4 — a double-space
+    // round(0.7*c - 0.3*m, 4) flickered at the .5 boundary between
+    // engines (measured at sf0.01), integers cannot
+    val Li = math.round(lambda * 10).toInt
+    val Mi = 10 - Li
+    val selExpr = expr(
+      s"""aggregate(sequence(1, $k),
+         |  cast(array() as array<$st>),
+         |  (acc, step) -> concat(acc, array(
+         |    aggregate(
+         |      transform(
+         |        filter(arr, c -> NOT exists(acc, s -> s.nid = c.nid)),
+         |        c -> named_struct(
+         |          'rank', c.rank, 'nid', c.nid, 'cos4', c.cos4,
+         |          'en', c.en,
+         |          'mmr5', $Li * CAST(ROUND(c.cos4 * 10000.0, 0) AS BIGINT)
+         |            - $Mi * (CASE
+         |            WHEN size(acc) = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE aggregate(acc, CAST(-100000 AS BIGINT), (m, s) ->
+         |              greatest(m, CAST(ROUND(aggregate(
+         |                zip_with(c.en, s.en, (x, y) -> x * y),
+         |                CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v)
+         |                * 10000.0, 0) AS BIGINT)))
+         |            END),
+         |          'sr', step)),
+         |      cast(null as $st),
+         |      (best, c) -> CASE WHEN best IS NULL OR c.mmr5 > best.mmr5
+         |        OR (c.mmr5 = best.mmr5 AND c.nid < best.nid)
+         |        THEN c ELSE best END))))""".stripMargin)
+    arr.select(col("qid"), explode(selExpr).as("s"))
+      .select(col("qid"), col("s.sr").cast("long").as("sel_rank"),
+        col("s.nid").as("nid"), col("s.cos4").as("cos4"),
+        col("s.mmr5").as("mmr_x1e5"))
+  }
 }

@@ -621,12 +621,23 @@ object AnnQueries {
   def qSemDedup(spark: SparkSession, dir: String): DataFrame =
     Ann.semDedupOn(coarse(spark, dir)._2, minCos = 0.3, dim = 64)
 
+  /** MMR diversity rerank (SURVEY §2 row 217, r17): shortlist 20 by
+    * exact cosine, then pick 5 greedily at lambda = 0.7 — the
+    * shortlist-vs-redundancy step a RAG server runs between ANN and
+    * the context window. Semantics + scale shape in
+    * [[graft.operators.Ann.mmrRerank]]; the oracle unrolls the 5
+    * greedy steps as chained CTEs over the same normalized doubles. */
+  def qMmrRerank(spark: SparkSession, dir: String): DataFrame =
+    Ann.mmrRerank(emb(spark, dir), emb(spark, dir).transform(panel),
+      shortlist = 20, k = 5, lambda = 0.7, dim = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq_rerank" -> (qAnnPqRerank _),
     "q_ann_recall_rerank" -> (qAnnRecallRerank _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_pq_indexed" -> (qAnnPqIndexed _),
     "q_semdedup" -> (qSemDedup _),
+    "q_mmr_rerank" -> (qMmrRerank _),
     "q_ann_recall_pq" -> (qAnnRecallPq _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_ann_cosine_topk" -> (qCosineTopK _),
@@ -1056,6 +1067,76 @@ object AnnQueries {
        |FROM scored
        |QUALIFY rank <= $K""".stripMargin
 
+  /** DuckDB twin of the MMR greedy chain: the 5 selection steps
+    * UNROLLED as chained CTEs (k is a fixed parameter, so no recursion
+    * is needed) — step i joins the shortlist against the i-1 prior
+    * picks, scores round(0.7*cos4 - 0.3*GREATEST(pairwise cos4s), 4)
+    * over the SAME unit-normalized doubles (list ops iterate in index
+    * order on both engines), and takes rn=1 on (mmr4 DESC, nid). */
+  private val mmrOracle: String = {
+    // exact-integer score space (x1e5): 7*cos_x1e4 - 3*maxsim_x1e4 —
+    // see Ann.mmrRerank's boundary-flicker note
+    def cosv(j: Int) =
+      s"CAST(ROUND(list_sum(list_transform(range(1, 65), " +
+        s"t -> c.en[t] * s$j.en[t])) * 10000, 0) AS BIGINT)"
+    val steps = (2 to 5).map { i =>
+      val joins = (1 until i)
+        .map(j => s"JOIN sel$j s$j ON s$j.qid = c.qid").mkString(" ")
+      val notin = (1 until i).map(j => s"c.nid <> s$j.nid")
+        .mkString(" AND ")
+      val gre =
+        if (i == 2) cosv(1)
+        else "GREATEST(" + (1 until i).map(cosv).mkString(", ") + ")"
+      s"""sel$i AS (SELECT qid, nid, cos4, en, mmr5, $i AS sr FROM (
+         |  SELECT z.*, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY mmr5 DESC, nid) AS rn FROM (
+         |    SELECT c.qid, c.nid, c.cos4, c.en,
+         |      7 * CAST(ROUND(c.cos4 * 10000, 0) AS BIGINT)
+         |        - 3 * $gre AS mmr5
+         |    FROM cand c $joins WHERE $notin) z) w WHERE rn = 1)"""
+        .stripMargin
+    }
+    s"""WITH v AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |      FROM v),
+       |nn AS (SELECT vec_id, nrm,
+       |         list_transform(e, x -> x / greatest(nrm, 1e-12)) AS en
+       |       FROM n),
+       |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+       |      WHERE vec_id % $QueryMod = 0 AND vec_id < $PanelCap),
+       |scored AS (
+       |  SELECT q.qid, n.vec_id AS nid,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |            i -> q.qe[i] * n.e[i]))
+       |        / greatest(q.qn * n.nrm, 1e-12), 4) AS cos4
+       |  FROM n, q WHERE q.qid <> n.vec_id),
+       |sl AS (SELECT qid, nid, cos4 FROM (
+       |    SELECT qid, nid, cos4, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY cos4 DESC, nid) AS rnk
+       |    FROM scored) zz WHERE rnk <= 20),
+       |cand AS (SELECT sl.qid, sl.nid, sl.cos4, nn.en
+       |         FROM sl JOIN nn ON nn.vec_id = sl.nid),
+       |sel1 AS (SELECT qid, nid, cos4, en,
+       |    7 * CAST(ROUND(cos4 * 10000, 0) AS BIGINT) AS mmr5,
+       |    1 AS sr FROM (
+       |    SELECT z.*, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY 7 * CAST(ROUND(cos4 * 10000, 0) AS BIGINT)
+       |          DESC, nid) AS rn
+       |    FROM cand z) w WHERE rn = 1),
+       |${steps.mkString(",\n")}
+       |SELECT qid, CAST(sr AS BIGINT) AS sel_rank, nid, cos4,
+       |  mmr5 AS mmr_x1e5
+       |FROM (SELECT qid, nid, cos4, mmr5, sr FROM sel1
+       |  UNION ALL SELECT qid, nid, cos4, mmr5, sr FROM sel2
+       |  UNION ALL SELECT qid, nid, cos4, mmr5, sr FROM sel3
+       |  UNION ALL SELECT qid, nid, cos4, mmr5, sr FROM sel4
+       |  UNION ALL SELECT qid, nid, cos4, mmr5, sr FROM sel5) u""".stripMargin
+  }
+
   private val topkOracle: String =
     s"""WITH v AS (
          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -1143,6 +1224,7 @@ object AnnQueries {
     "q_ann_pq" -> pqOracle,
     "q_ann_pq_indexed" -> pqOracle,
     "q_semdedup" -> semDedupOracle,
+    "q_mmr_rerank" -> mmrOracle,
     "q_ann_recall_pq" -> recallOracle(pqOracle, topkOracle),
     "q_ann_quantized" -> quantizedOracle,
     "q_ann_binary" -> binaryOracle,
