@@ -506,6 +506,68 @@ object TextQueries {
     }).toDF()
   }
 
+  /** WORD-level Kneser–Ney bigram LM (SURVEY §2 row 218, r17; Kneser &
+    * Ney 1995 / Chen & Goodman 1999 — public literature): the
+    * vocabulary-scale sibling of row 59's charset-bounded trigram LM.
+    * A word vocab is corpus-sized, so the model is NOT collected to
+    * the driver — it stays DISTRIBUTED as tables (bigram counts,
+    * left-context totals, fan-out n1+(w1,•), continuation counts
+    * n1+(•,w2)) and scoring is equi-joins against them: the
+    * "model-as-data" shape a 100 TB LM-scoring pass actually has
+    * (KenLM-style filtering in CCNet pipelines). Interpolated KN with
+    * absolute discount D = 0.75:
+    *   p(w2|w1) = (max(c(w1,w2) − D, 0) + D·n1fwd(w1)·pc(w2)) / c(w1)
+    * backing off to the continuation distribution pc(w2) =
+    * (cont(w2)+1)/(B+1000) for unseen left contexts (add-one on pc
+    * keeps every probability a positive rational — the row-59 +128
+    * floor convention). Bigram formation is ROW-LOCAL (slice/zip on
+    * the word array — no per-position shuffle); per-doc mean bits
+    * round(…, 2) absorbs SUM-order double noise exactly as row 59's
+    * oracle established. Train slice doc_id % 5 = 0, scored corpus-
+    * wide; docs with < 1 bigram drop (the row-59 contract). */
+  def qKnBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), expr(
+        "filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
+    val bi = d.select(col("doc_id"), explode(expr(
+      "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), " +
+        "slice(ws, 2, greatest(size(ws) - 1, 0)), " +
+        "(a, b) -> named_struct('w1', a, 'w2', b))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint() // train tables + scoring share the pairs
+    val ref = bi.filter(col("doc_id") % 5 === 0)
+    val cbi = ref.groupBy("w1", "w2").agg(count(lit(1)).as("cbi"))
+      .localCheckpoint() // three train aggregates + the scoring join
+    val w1t = cbi.groupBy("w1").agg(sum("cbi").as("cw1"),
+      count(lit(1)).as("n1fwd"))
+    val contT = cbi.groupBy("w2").agg(count(lit(1)).as("cont"))
+    val b = cbi.count() // ONE bounded scalar: total bigram TYPES
+    val scored = bi
+      .join(cbi, Seq("w1", "w2"), "left")
+      .join(w1t, Seq("w1"), "left")
+      .join(contT, Seq("w2"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cbi"), lit(0L)).as("c"),
+        coalesce(col("cw1"), lit(0L)).as("c1"),
+        coalesce(col("n1fwd"), lit(0L)).as("nf"),
+        ((coalesce(col("cont"), lit(0L)) + 1.0)
+          / lit(b + 1000.0)).as("pc"))
+      .select(col("doc_id"), col("c"),
+        when(col("c1") > 0,
+          (greatest(col("c") - 0.75, lit(0.0))
+            + lit(0.75) * col("nf") * col("pc")) / col("c1"))
+          .otherwise(col("pc")).as("p"))
+    scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bi"),
+      sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_unseen"),
+      round(sum(when(col("c") === 0, 1.0).otherwise(0.0))
+        / count(lit(1)), 4).as("unseen_frac"),
+      round(sum(-log2(col("p"))) / count(lit(1)), 2).as("bits"))
+      .select(col("doc_id"), col("n_bi"), col("n_unseen"),
+        col("unseen_frac"), col("bits"),
+        round(pow(2.0, col("bits")), 2).as("ppl"))
+  }
+
   // ------------------------------------------------------------ BPE train
 
   /** Distributed BPE tokenizer training, two merge rounds: each round
@@ -2227,6 +2289,47 @@ object TextQueries {
          |FROM rk WHERE rk <= 5""".stripMargin
     },
 
+    // word-level KN bigram LM: the oracle retrains the identical
+    // tables (bigram/left-total/fan-out/continuation + the B scalar)
+    // and re-scores every bigram through the same interpolated-KN
+    // rational; round(mean bits, 2) absorbs SUM-order double noise
+    // (the row-59 convention)
+    "q_kn_bigram_lm" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |bi AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+        |    ws[CAST(i AS INT) + 1] AS w2
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(ws) - 1, 0))) AS i) u),
+        |ref AS (SELECT w1, w2, COUNT(*) AS cbi FROM bi
+        |        WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |w1t AS (SELECT w1, SUM(cbi) AS cw1, COUNT(*) AS nf
+        |        FROM ref GROUP BY 1),
+        |ct AS (SELECT w2, COUNT(*) AS cont FROM ref GROUP BY 1),
+        |bt AS (SELECT COUNT(*) AS b FROM ref),
+        |s AS (SELECT bi.doc_id, COALESCE(r.cbi, 0) AS c,
+        |    COALESCE(w.cw1, 0) AS c1, COALESCE(w.nf, 0) AS nf,
+        |    (COALESCE(ct.cont, 0) + 1.0) / (bt.b + 1000.0) AS pc
+        |  FROM bi LEFT JOIN ref r ON r.w1 = bi.w1 AND r.w2 = bi.w2
+        |  LEFT JOIN w1t w ON w.w1 = bi.w1
+        |  LEFT JOIN ct ON ct.w2 = bi.w2
+        |  CROSS JOIN bt),
+        |pp AS (SELECT doc_id, c, CASE WHEN c1 > 0
+        |    THEN (greatest(c - 0.75, 0.0) + 0.75 * nf * pc) / c1
+        |    ELSE pc END AS p FROM s),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+        |    CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unseen,
+        |    ROUND(SUM(CASE WHEN c = 0 THEN 1.0 ELSE 0.0 END)
+        |      / CAST(COUNT(*) AS DOUBLE), 4) AS unseen_frac,
+        |    ROUND(SUM(-log2(p)) / CAST(COUNT(*) AS DOUBLE), 2) AS bits
+        |  FROM pp GROUP BY doc_id)
+        |SELECT doc_id, n_bi, n_unseen, unseen_frac, bits,
+        |  ROUND(POW(2.0, bits), 2) AS ppl
+        |FROM g""".stripMargin,
+
     "q_lm_perplexity" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t
         |           FROM documents),
@@ -2787,6 +2890,7 @@ object TextQueries {
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_lm_perplexity" -> (qLmPerplexity _),
+    "q_kn_bigram_lm" -> (qKnBigramLm _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_train_deep" -> (qBpeTrainDeep _),
     "q_bpe_fertility" -> (qBpeFertility _),
