@@ -568,7 +568,62 @@ object EventQueries {
     folded.crossJoin(broadcast(m))
   }
 
+  /** CIDR longest-prefix-match IP enrichment (SURVEY §2 row 219, r17)
+    * — the routing-table join every crawl/event pipeline runs to tag
+    * traffic with its AS/geo block, and a textbook case of a join
+    * relational engines can't express directly (the match key is "the
+    * LONGEST prefix of ip present in the table", not an equality).
+    * The scale shape is the standard one: the routing table is
+    * dimension-sized → BROADCAST; the probe side expands each ip once
+    * per prefix LENGTH in use (bounded by construction: lengths 8..24
+    * here, ≤ 33 ever — a fixed fan-out, not a range join), equi-joins
+    * on (masked_ip, len), and keeps the longest match per event with
+    * one bounded-struct max (no window). Synthesized deterministic
+    * table: supplier s → prefix length 8 + s%17, base = LCG(s) masked;
+    * ip = Knuth-mix(user_id) mod 2^32. All INTEGER arithmetic
+    * (mask = ip - ip % 2^(32-len)) so the oracle replays exactly.
+    * Output: matched events per (asn, plen) + one unmatched row
+    * (asn = -1). */
+  def qIpLpmEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val P32 = 4294967296L
+    val rt0 = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("asn"))
+      .withColumn("plen", lit(8L) + pmod(col("asn"), lit(17L)))
+      .withColumn("base",
+        pmod(col("asn") * 1103515245L + 12345L, lit(P32)))
+      .withColumn("pfx", col("base") - pmod(col("base"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - plen AS INT))")))
+    // two suppliers can land on the same (pfx, plen): keep min asn so
+    // the table is a function of its key (deterministic both sides)
+    val rt = rt0.groupBy("pfx", "plen").agg(min("asn").as("asn"))
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id").cast("long").as("event_id"),
+        pmod(col("user_id").cast("long") * 2654435761L, lit(P32))
+          .as("ip"))
+    // fixed fan-out: one probe row per length IN USE (8..24 by
+    // construction — lengths are part of the table's contract, so no
+    // collect is needed to learn them)
+    val probe = ev.select(col("event_id"), col("ip"),
+      explode(array((8 to 24).map(l => lit(l.toLong)): _*)).as("plen"))
+      .withColumn("pfx", col("ip") - pmod(col("ip"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - plen AS INT))")))
+    val cand = probe.join(broadcast(rt), Seq("pfx", "plen"))
+    // longest match, ties to smaller asn: max of (plen, -asn) struct
+    val best = cand.groupBy("event_id")
+      .agg(max(struct(col("plen"), (-col("asn")).as("nasn"))).as("m"))
+      .select(col("event_id"), col("m.plen").as("plen"),
+        (-col("m.nasn")).as("asn"))
+    val matched = best.groupBy("asn", "plen")
+      .agg(count(lit(1)).as("n_events"))
+    val unmatched = ev.join(best.select("event_id"),
+      Seq("event_id"), "left_anti")
+      .agg(count(lit(1)).as("n_events"))
+      .select(lit(-1L).as("asn"), lit(0L).as("plen"), col("n_events"))
+    matched.unionByName(unmatched)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ip_lpm_enrich" -> (qIpLpmEnrich _),
     "q_rate_limit" -> (qRateLimit _),
     "q_split_temporal" -> (qSplitTemporal _),
     "q_latest_by_key" -> (qLatestByKey _),
@@ -631,6 +686,42 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // LPM enrichment: the oracle rebuilds the identical routing table
+    // and probe expansion with the same integer arithmetic and takes
+    // the longest match per event via the same (plen, -asn) max
+    "q_ip_lpm_enrich" ->
+      """WITH rt0 AS (SELECT CAST(s_suppkey AS BIGINT) AS asn,
+        |    8 + CAST(s_suppkey AS BIGINT) % 17 AS plen,
+        |    (CAST(s_suppkey AS BIGINT) * 1103515245 + 12345)
+        |      % 4294967296 AS base
+        |  FROM supplier),
+        |rt AS (SELECT pfx, plen, MIN(asn) AS asn FROM (
+        |    SELECT asn, plen,
+        |      base - base % (CAST(1 AS BIGINT) << CAST(32 - plen AS INT))
+        |        AS pfx
+        |    FROM rt0) z GROUP BY 1, 2),
+        |ev AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+        |    (CAST(user_id AS BIGINT) * 2654435761) % 4294967296 AS ip
+        |  FROM events),
+        |probe AS (SELECT event_id, ip, CAST(u.l AS BIGINT) AS plen,
+        |    ip - ip % (CAST(1 AS BIGINT) << CAST(32 - u.l AS INT)) AS pfx
+        |  FROM ev, LATERAL (SELECT unnest(generate_series(8, 24)) AS l) u),
+        |cand AS (SELECT p.event_id, p.plen, rt.asn
+        |         FROM probe p JOIN rt USING (pfx, plen)),
+        |best AS (SELECT event_id, plen, -nasn AS asn FROM (
+        |    SELECT event_id, plen, nasn, ROW_NUMBER() OVER (
+        |        PARTITION BY event_id ORDER BY plen DESC, nasn DESC)
+        |        AS rn
+        |    FROM (SELECT event_id, plen, -asn AS nasn FROM cand) a) b
+        |  WHERE rn = 1),
+        |matched AS (SELECT asn, plen, CAST(COUNT(*) AS BIGINT)
+        |    AS n_events FROM best GROUP BY 1, 2),
+        |unmatched AS (SELECT CAST(-1 AS BIGINT) AS asn,
+        |    CAST(0 AS BIGINT) AS plen, CAST(COUNT(*) AS BIGINT)
+        |      AS n_events
+        |  FROM ev WHERE event_id NOT IN (SELECT event_id FROM best))
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin,
+
     "q_stream_hll" ->
       """WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS win,
         |              CAST(user_id AS BIGINT) AS u FROM events),
