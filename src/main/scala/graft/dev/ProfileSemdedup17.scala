@@ -27,7 +27,9 @@ object ProfileSemdedup17 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def clear(): Unit = {
+    // between DIRS only — a mid-measurement unpersist would drop the
+    // localCheckpoint blocks the second timing pass reads
+    def clearAll(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -38,7 +40,7 @@ object ProfileSemdedup17 {
         val t0 = System.nanoTime(); val n = f
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val a = once(); clear(); val b = once(); clear()
+      val a = once(); val b = once()
       (math.min(a._1, b._1), a._2)
     }
 
@@ -46,7 +48,6 @@ object ProfileSemdedup17 {
       graft.Tune.forInput(spark, d)
       val e = graft.Tables.load(spark, d, "embeddings")
         .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-        .localCheckpoint()
       val n = e.count()
       val nlist = math.max(16L, n / 125L).toInt
       // BUILD: Lloyd train (2 iters) + assignment, materialized
@@ -65,7 +66,7 @@ object ProfileSemdedup17 {
       println(f"SEMPROF $d%-24s n=$n%7d nlist=$nlist%5d " +
         f"build=$tBuild%7.2f s pairs=$tPairs%7.2f s " +
         f"total=${tBuild + tPairs}%7.2f s")
-      clear()
+      clearAll()
     }
     spark.stop()
   }

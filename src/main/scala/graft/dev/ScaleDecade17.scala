@@ -192,6 +192,30 @@ object ScaleDecade17 {
       println("built 100x corpus")
     }
 
+    // ---- 100x embeddings, v2 mutation (ScaleDecade16's builder,
+    // verbatim; needed for the q_semdedup re-measurement) ----
+    if (!new java.io.File(s"$d100/_emb_v2").exists()) {
+      val em10 = spark.read.parquet(s"$d10/embeddings.parquet")
+      (0 until 10).map { j =>
+        val e =
+          if (j == 0) col("embedding")
+          else {
+            val a = 2 * j + 3
+            val b = 11 * j + 5
+            transform(sequence(lit(0), lit(63)), i => {
+              val src = pmod(i * a + b, lit(64))
+              val x = element_at(col("embedding"), (src + 1).cast("int"))
+              when(pmod(i * (2 * j + 3), lit(64)) < 16, -x).otherwise(x)
+            })
+          }
+        em10.select((col("vec_id") + j * OS).as("vec_id"),
+          e.cast("array<float>").as("embedding"), col("label"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$d100/embeddings.parquet")
+      new java.io.FileOutputStream(s"$d100/_emb_v2").close()
+      println("built 100x embeddings v2")
+    }
+
     // ---- candidate probes ----
     def docsOf(d: String): DataFrame =
       graft.Tables.load(spark, d, "documents")
@@ -246,9 +270,24 @@ object ScaleDecade17 {
         .filter(abs(col("dl") - col("cl")) <= 1)
         .select(col("rid"), col("ckey")).distinct().count()
     }
+    // within-cluster pair volume of the session's coarse artifact —
+    // the SemDeDup candidate measure (ScaleDecade16's probe, verbatim)
+    def candSemdedup(d: String): Long = {
+      val e = graft.Tables.load(spark, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val n = math.max(e.count(), 1L)
+      val nlist = math.max(16L, n / 125L).toInt
+      val tag = ("sd17_" + d).replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_sd17/$tag")
+      val (_, idx) = graft.operators.Ann.coarseIndex(e, nlist, iters = 2,
+        dim = 64, table = s"sd17$tag", path = s"/tmp/graft_sd17/$tag")
+      idx.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) DIV 2"))).collect()(0).getLong(0)
+    }
     val candProbes: Map[String, String => Long] = Map(
       "q_dedup_ngram_jaccard" -> candJaccard,
       "q_dedup_containment" -> candContainment,
+      "q_semdedup" -> candSemdedup,
       "q_entity_resolve" -> candEntity)
 
     // ---- measurement ----
@@ -279,8 +318,12 @@ object ScaleDecade17 {
         if (a._1 <= b._1) a else b }
     }
 
+    // q_semdedup added for item 4: the ProfileSemdedup17 attribution
+    // measured build 1.5x / pairs 4.1x / serve-path 5.5x at the first
+    // decade — the r16-recorded 15.1x does not reproduce in isolation,
+    // so the clean re-measured row lands here. ER last (heaviest).
     val todo0 = Seq("q_dedup_ngram_jaccard", "q_dedup_containment",
-      "q_entity_resolve")
+      "q_semdedup", "q_entity_resolve")
     val todo = onlyArg.fold(todo0)(f => todo0.filter(_.contains(f)))
 
     // warm the plans at sf0.01
