@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** FM-index (Ferragina & Manzini 2000, public literature) over the
+  * corpus suffix array (SURVEY §2 row 213): the BWT + C-table +
+  * blocked-occ rank structure that answers SUBSTRING COUNT queries in
+  * O(pattern) index probes — how a 100 TB corpus serves "how often
+  * does this passage occur" without scanning (decontamination
+  * spot-checks, template frequency, n-gram lookups beyond any fixed
+  * shingle width).
+  *
+  * Multi-string form: suffixes never span documents; bwt[i] is the
+  * char PRECEDING suffix rank i in its own doc (sentinel 0 — below
+  * every corpus char — for doc starts). The LF invariant holds under
+  * the engine's total suffix order (ties between bit-identical
+  * suffixes break by (doc_id, pos), so prepending the same char
+  * preserves relative order — the multi-string BWT requirement).
+  *
+  * Structure, all Spark-first:
+  *  - bwt (rn, ch, blk): ord joined one position left against the
+  *    packed width-8 key's TOP DIGIT (shiftright(r, 49) — char at
+  *    pos without re-reading text);
+  *  - C table: first-char counts (top digit again), ≤ |charset| rows
+  *    — driver-held, like every bounded model in the suite;
+  *  - occ checkpoints: per-(block, ch) counts cumulated per ch over
+  *    block index (a window partitioned by ch — parallel across the
+  *    charset, never a single-partition window); occ(c, i) =
+  *    blockCum(i DIV B, c) + a residual count inside one block,
+  *    resolved by an equi-join on (blk, ch) with an rn <= i filter;
+  *  - backward search: per step ONE bounded job — the ≤ 2·|patterns|
+  *    (c, i) probes broadcast against blockCum + bwt, collected
+  *    driver-side (rows, not data — the BPE sequential-chain
+  *    precedent), state updated lo = C[c] + occ(c, lo−1) + 1,
+  *    hi = C[c] + occ(c, hi). Steps = max pattern length − 1.
+  *
+  * The oracle never sees any of this: it counts pattern occurrences
+  * by DIRECT substring comparison over every position and derives
+  * the rank interval from plain string inequalities — an independent
+  * algorithm; one wrong occ anywhere moves sa_lo/sa_hi/n_occ and
+  * breaks the hash.
+  */
+object FmIndex {
+
+  private val B = 4096L // occ checkpoint block width (ranks)
+
+  /** Substring-count serving: patterns (pid, pat) against the corpus.
+    * Returns (pid, pat, n_occ, n_docs, sa_lo, sa_hi) — empty matches
+    * normalize to (0, 0, 0, -1). */
+  def substringCount(docs: DataFrame,
+                     patterns: Seq[(Long, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (ord0, _) = SuffixArray.build(docs)
+    val ord = ord0.localCheckpoint() // bwt join + interval scan
+    val base0 = SuffixArray.positions(docs)
+    val base = base0.select(col("doc_id"), col("pos"),
+      shiftright(col("r"), 49).as("ch")) // char AT pos
+    // bwt[rn] = char at pos-1 (sentinel 0 for pos = 0: left join miss)
+    val bwt = ord.select(col("rn"), col("doc_id"),
+      (col("pos") - 1L).as("pos"))
+      .join(base, Seq("doc_id", "pos"), "left")
+      .select(col("rn"), coalesce(col("ch"), lit(0L)).as("ch"),
+        expr(s"CAST((rn - 1) DIV $B AS BIGINT)").as("blk"))
+      .localCheckpoint() // blockCum build + per-step residual probes
+    // C table: C[c] = # suffixes with first char < c (driver, ≤ charset)
+    val firstCnt = base.groupBy("ch").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cTab = scala.collection.mutable.LongMap[Long]()
+    var acc = 0L
+    firstCnt.foreach { case (c, n) => cTab(c) = acc; acc += n }
+    val n = acc
+    def cOf(c: Long): Long = cTab.getOrElse(c, {
+      // char absent as a first char: C = # suffixes starting below c
+      firstCnt.takeWhile(_._1 < c).map(_._2).sum
+    })
+    def nextC(c: Long): Long = {
+      val above = firstCnt.dropWhile(_._1 <= c)
+      if (above.isEmpty) n else cTab(above.head._1)
+    }
+    // MULTI-STRING SENTINEL CORRECTION E(c): the suffixes EXACTLY
+    // equal to "c" (a doc's final char) sort at the head of the
+    // c-block (shorter-first) but are never produced by LF from any
+    // ranked suffix — the multi-doc analogue of the classic sentinel
+    // row. Every prepend step must skip past them:
+    //   lo = C[c] + E(c) + occ(c, lo-1) + 1,  hi = C[c] + E(c) + occ(c, hi)
+    // (the init interval keeps them: a bare final char IS an
+    // occurrence of the single-char pattern). Found by brute-force
+    // cross-check on a 3-doc corpus — intervals shifted by exactly
+    // Σ E(step chars) before this term.
+    val eTab = base0.filter(col("pos") === col("len") - 1L)
+      .select(shiftright(col("r"), 49).as("ch"))
+      .groupBy("ch").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def eOf(c: Long): Long = eTab.getOrElse(c, 0L)
+    // occ checkpoints: cum counts per ch up to each block START — on a
+    // DENSE (block × charset) grid: a sparse table would zero any
+    // lookup whose char skipped a block (rare chars skip most blocks —
+    // the first cut undercounted exactly the rare-char patterns).
+    // Grid size = (n/B) × |charset| ≈ n/43 rows: index-sized, not
+    // corpus-sized, and the per-ch window parallelizes across chars.
+    val nBlocks = (acc + B - 1) / B
+    val chDf = bwt.select("ch").distinct()
+    val wCh = Window.partitionBy("ch").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blockCum = spark.range(1, nBlocks + 1).toDF("b")
+      .crossJoin(chDf)
+      .join(bwt.groupBy("blk", "ch").agg(count(lit(1)).as("m"))
+          .select((col("blk") + 1L).as("b"), col("ch"), col("m")),
+        Seq("b", "ch"), "left")
+      .withColumn("cum", sum(coalesce(col("m"), lit(0L))).over(wCh))
+      .select("b", "ch", "cum") // cum = occ(ch, b*B)
+      .localCheckpoint() // probed once per step
+    // occ(c, i) for a batch of probes (qid, c, i): blockCum(i DIV B, c)
+    // + residual inside block (i DIV B)
+    def occBatch(probes: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+      val pr = probes.toDF("qid", "c", "i")
+        .withColumn("b", expr(s"CAST(i DIV $B AS BIGINT)"))
+      val cumPart = pr.join(blockCum,
+        pr("b") === blockCum("b") && pr("c") === blockCum("ch"), "left")
+        .select(col("qid"), coalesce(col("cum"), lit(0L)).as("v"))
+      val residPart = bwt.join(broadcast(pr),
+        bwt("blk") === pr("b") && bwt("ch") === pr("c") &&
+          bwt("rn") <= pr("i"))
+        .groupBy("qid").agg(count(lit(1)).as("v"))
+      cumPart.unionByName(residPart)
+        .groupBy("qid").agg(sum("v").as("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // backward search, all patterns in lockstep
+    val pats = patterns.map { case (pid, p) =>
+      (pid, p, p.codePoints().toArray.map(_.toLong))
+    }
+    val maxLen = pats.map(_._3.length).max
+    // init on the LAST char
+    var state: Map[Long, (Long, Long)] = pats.map { case (pid, _, cs) =>
+      val c = cs.last
+      pid -> (cOf(c) + 1L, nextC(c))
+    }.toMap
+    for (step <- 2 to maxLen) {
+      val active = pats.filter(_._3.length >= step)
+        .filter { case (pid, _, _) =>
+          val (lo, hi) = state(pid); lo <= hi
+        }
+      if (active.nonEmpty) {
+        val probes = active.flatMap { case (pid, _, cs) =>
+          val c = cs(cs.length - step)
+          val (lo, hi) = state(pid)
+          Seq((pid * 2, c, lo - 1L), (pid * 2 + 1, c, hi))
+        }.filter(_._3 >= 0)
+        val occ = occBatch(probes)
+        state = state ++ active.map { case (pid, _, cs) =>
+          val c = cs(cs.length - step)
+          val o1 = occ.getOrElse(pid * 2, 0L)
+          val o2 = occ.getOrElse(pid * 2 + 1, 0L)
+          pid -> (cOf(c) + eOf(c) + o1 + 1L, cOf(c) + eOf(c) + o2)
+        }
+      }
+      // patterns shorter than step, or already empty: unchanged
+      state = state ++ pats.collect {
+        case (pid, _, cs) if cs.length >= step && {
+          val (lo, hi) = state(pid); lo > hi
+        } => pid -> (0L, -1L)
+      }
+    }
+    val resolved = pats.map { case (pid, p, _) =>
+      val (lo, hi) = state(pid)
+      if (hi < lo) (pid, p, 0L, -1L) else (pid, p, lo, hi)
+    }
+    // doc-level rollup for non-empty intervals: one scan of ord with
+    // the ≤ |patterns| rank intervals broadcast
+    val iv = resolved.toDF("pid", "pat", "lo", "hi")
+    val hits = ord.join(broadcast(iv),
+      ord("rn") >= iv("lo") && ord("rn") <= iv("hi"))
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"))
+    iv.join(hits, Seq("pid"), "left")
+      .select(col("pid"), col("pat"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        when(col("hi") < col("lo"), 0L).otherwise(col("lo")).as("sa_lo"),
+        when(col("hi") < col("lo"), -1L).otherwise(col("hi")).as("sa_hi"))
+  }
+}

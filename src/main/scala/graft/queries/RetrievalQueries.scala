@@ -512,7 +512,71 @@ object RetrievalQueries {
           .as("q99_est"))
   }
 
+  /** FM-index substring count (SURVEY §2 row 220, r17): BWT +
+    * C-table + blocked-occ over the corpus suffix array, serving
+    * substring-count queries by BACKWARD SEARCH — O(pattern) bounded
+    * index probes instead of a corpus scan per pattern. Patterns are
+    * 8 deterministic substrings lifted from the corpus itself (doc
+    * k·60+3, offset k·7, length 4+(k·3 mod 9) — lengths 4..12, so the
+    * multi-step chain and the within-packed-width cases both run) plus
+    * two fixed probes (one common, one absent). Structure + LF
+    * invariant in [[graft.operators.FmIndex]]; the oracle counts by
+    * DIRECT substring comparison over every position and derives the
+    * rank interval from plain string inequalities — an algorithm that
+    * shares nothing with the index. */
+  def qFmSubstringCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val seed = d.filter(col("doc_id") % 60 === 3 && col("doc_id") < 480)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val lifted = (0 to 7).map { k =>
+      val t = seed(k * 60L + 3L)
+      (k.toLong, t.substring(k * 7, k * 7 + 4 + (k * 3) % 9))
+    }
+    val pats = lifted ++ Seq((8L, "the "), (9L, "zqxjvvqz"))
+    graft.operators.FmIndex.substringCount(d, pats)
+  }
+
   val oracles: Map[String, String] = Map(
+    // FM substring count: the oracle is a DIFFERENT algorithm — direct
+    // substring comparison at every position (n_occ, n_docs) and plain
+    // string inequalities for the rank interval (sa_lo = #{suffix <
+    // pat} + 1; a suffix with prefix == pat sorts >= pat, so the
+    // strict < count is exactly the rank before the match block)
+    "q_fm_substring_count" ->
+      """WITH pk AS (SELECT CAST(k AS BIGINT) AS pid,
+        |    substr(d.text, k * 7 + 1, 4 + (k * 3) % 9) AS pat
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS k) v
+        |  JOIN documents d ON CAST(d.doc_id AS BIGINT) = k * 60 + 3),
+        |pats AS (SELECT pid, pat FROM pk
+        |  UNION ALL SELECT 8, 'the '
+        |  UNION ALL SELECT 9, 'zqxjvvqz'),
+        |pos AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(g.p AS BIGINT) AS pos,
+        |    substr(text, CAST(g.p AS BIGINT) + 1) AS suf
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(0,
+        |      length(text) - 1)) AS p) g),
+        |hits AS (SELECT p.pid, s.doc_id
+        |  FROM pats p JOIN pos s
+        |    ON substr(s.suf, 1, len(p.pat)) = p.pat),
+        |agg AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM hits GROUP BY pid),
+        |lo AS (SELECT p.pid,
+        |    CAST(COUNT(CASE WHEN s.suf < p.pat THEN 1 END) + 1
+        |      AS BIGINT) AS sa_lo
+        |  FROM pats p, pos s GROUP BY p.pid)
+        |SELECT p.pid, p.pat,
+        |  COALESCE(a.n_occ, 0) AS n_occ,
+        |  COALESCE(a.n_docs, 0) AS n_docs,
+        |  CASE WHEN COALESCE(a.n_occ, 0) = 0 THEN 0
+        |    ELSE l.sa_lo END AS sa_lo,
+        |  CASE WHEN COALESCE(a.n_occ, 0) = 0 THEN -1
+        |    ELSE l.sa_lo + a.n_occ - 1 END AS sa_hi
+        |FROM pats p
+        |LEFT JOIN agg a ON a.pid = p.pid
+        |LEFT JOIN lo l ON l.pid = p.pid""".stripMargin,
     "q_quantile_sketch" ->
       s"""WITH d AS (
          |  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
@@ -869,6 +933,7 @@ object RetrievalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fm_substring_count" -> (qFmSubstringCount _),
     "q_postings_compress" -> (qPostingsCompress _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_chunk_docs" -> (qChunkDocs _),

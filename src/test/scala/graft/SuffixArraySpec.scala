@@ -188,6 +188,31 @@ class SuffixArraySpec extends AnyFunSuite with SharedSpark {
       s"$survivors cross-doc repeats >= 50 survived the apply step")
   }
 
+  test("FM-index backward search matches brute force: counts, doc " +
+    "rollups and the exact rank interval, empty and full-doc patterns") {
+    import spark.implicits._
+    val docsSeq = Seq((1L, "banana"), (2L, "bandana"),
+      (3L, "a banana fan"))
+    val pats = Seq((0L, "ana"), (1L, "an"), (2L, "a"), (3L, "nd"),
+      (4L, "banana"), (5L, "zzz"), (6L, "na"), (7L, "a b"))
+    val got = graft.operators.FmIndex
+      .substringCount(docsSeq.toDF("doc_id", "text"), pats)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val sufs = docsSeq.flatMap { case (id, t) =>
+      (0 until t.length).map(p => (t.substring(p), id, p))
+    }.sortBy(x => (x._1, x._2, x._3))
+    for ((pid, p) <- pats) {
+      val occ = sufs.count(_._1.startsWith(p)).toLong
+      val nd = sufs.filter(_._1.startsWith(p)).map(_._2).distinct.size
+      val lo = sufs.count(_._1 < p) + 1L
+      val exp =
+        if (occ == 0) (0L, 0L, 0L, -1L)
+        else (occ, nd.toLong, lo, lo + occ - 1)
+      assert(got(pid) === exp, s"pattern '$p'")
+    }
+  }
+
   test("non-ASCII text fails LOUD, not with a silent mis-rank") {
     // the base-128 packing is a 7-bit contract (ADVICE r16): a code
     // point > 127 would carry into the adjacent digit field and
