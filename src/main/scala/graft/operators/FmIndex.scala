@@ -53,9 +53,8 @@ object FmIndex {
                      patterns: Seq[(Long, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (ord0, _) = SuffixArray.build(docs)
+    val (ord0, _, base0) = SuffixArray.buildWithBase(docs)
     val ord = ord0.localCheckpoint() // bwt join + interval scan
-    val base0 = SuffixArray.positions(docs)
     val base = base0.select(col("doc_id"), col("pos"),
       shiftright(col("r"), 49).as("ch")) // char AT pos
     // bwt[rn] = char at pos-1 (sentinel 0 for pos = 0: left join miss)

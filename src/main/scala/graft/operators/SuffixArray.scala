@@ -172,6 +172,16 @@ object SuffixArray {
     * descent — width 8 first and holding the PACKED chars (the
     * descent's digit refine reads them), min-ranks after. */
   def build(docs: DataFrame): (DataFrame, Seq[(Long, DataFrame)]) = {
+    val (ord, levels, _) = buildWithBase(docs)
+    (ord, levels)
+  }
+
+  /** [[build]] plus the checkpointed positions table (doc_id, pos,
+    * len, r) — consumers that need per-position chars (FmIndex's BWT
+    * reads them off the packed key) reuse the blocks instead of paying
+    * the position explode + packing scan twice. */
+  def buildWithBase(docs: DataFrame)
+      : (DataFrame, Seq[(Long, DataFrame)], DataFrame) = {
     val base = positions(docs).localCheckpoint()
     val nPos = base.count()
     val maxLen =
@@ -234,7 +244,7 @@ object SuffixArray {
       if (nPos == 0) lit(0L)
       else expr(s"CAST(((r - 1) * 64) DIV $nPos AS BIGINT)"),
       Seq("r", "doc_id", "pos"), "rn", Row)
-    (ord.select("doc_id", "pos", "len", "rn"), levels.toSeq)
+    (ord.select("doc_id", "pos", "len", "rn"), levels.toSeq, base)
   }
 
   /** Adjacent pairs in suffix order with their EXACT lcp:
