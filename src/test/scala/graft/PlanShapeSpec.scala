@@ -39,6 +39,45 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "top-k of per-shard top-k's must be exact")
   }
 
+  test("r17 additions: no cartesian/NLJ anywhere, LPM keeps its " +
+    "broadcast, MMR's rerank adds no exchange beyond the shortlist") {
+    // the shapes §2 rows 215-220 claim, pinned mechanically
+    for (q <- Seq("q_mmr_rerank", "q_ip_lpm_enrich", "q_kn_bigram_lm",
+        "q_suffix_dedup_apply", "q_read_geojson_kinds")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to NLJ:\n$p")
+    }
+    // LPM: the routing table must arrive broadcast — the probe side
+    // is event-scale and a shuffled join would move it whole
+    val lpm = plan("q_ip_lpm_enrich")
+    assert(lpm.contains("BroadcastHashJoin"),
+      s"q_ip_lpm_enrich lost its broadcast dimension:\n$lpm")
+  }
+
+  test("r17 additions are invariant to input partition layout") {
+    import org.apache.spark.sql.functions._
+    // the FM backward search collects occ probes per step and the MMR
+    // greedy loop runs inside a HOF over a collected shortlist — both
+    // would leak layout dependence through ties if any comparator were
+    // incomplete; 1-vs-7-partition bit-equality pins them
+    val d = graft.Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val pats = Seq((0L, "the "), (1L, "fast"), (2L, "zqxjvvqz"))
+    val f1 = graft.operators.FmIndex.substringCount(d.coalesce(1), pats)
+    val f7 = graft.operators.FmIndex.substringCount(d.repartition(7), pats)
+    assert(f1.exceptAll(f7).isEmpty && f7.exceptAll(f1).isEmpty,
+      "FM results moved with partition layout")
+    val e = graft.Tables.load(spark, SfDir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+    val m1 = graft.operators.Ann.mmrRerank(e.coalesce(1), q, 20, 5, 0.7, 64)
+    val m7 = graft.operators.Ann.mmrRerank(e.repartition(7), q, 20, 5, 0.7, 64)
+    assert(m1.exceptAll(m7).isEmpty && m7.exceptAll(m1).isEmpty,
+      "MMR selection moved with partition layout")
+  }
+
   test("operators are invariant to input partition layout") {
     import org.apache.spark.sql.functions._
     // determinism must not lean on partition count or row order: the
