@@ -160,8 +160,12 @@ object Bench {
       // quiet-box floor is presumed contention, re-timed up to twice
       // more; only a row that STAYS above the gate ships, and it ships
       // flagged (see contended_queries below)
+      // the gate's whole rule lives in gateFloor: every present floor
+      // is lifted to >= FloorEpsSec, so a floor row is ALWAYS enrolled
+      // (the pre-r17 `f > 0.05` tiny-floor exemption is subsumed by the
+      // epsilon lift and was dropped as dead code — ADVICE r17)
       def floorGate(t: Double): Double = floors.get(name).map(gateFloor) match {
-        case Some(f) if f > 0.05 && t > FloorRatio * f =>
+        case Some(f) if t > FloorRatio * f =>
           val (tr, er) = once()
           er.foreach(e => retryErrors(name) = e)
           val lo = if (er.isDefined) t else math.min(t, tr)
@@ -195,7 +199,7 @@ object Bench {
     // rows still above the gate after re-timing: shipped, but labeled
     val contendedQs = results.collect {
       case (k, v, None) if floors.get(k).map(gateFloor).exists(f =>
-        f > 0.05 && v > FloorRatio * f) => k
+        v > FloorRatio * f) => k
     }
     val (ce1, ce2) = canary(spark)
     val contended = cs1 > 2 * CpuFloorSec || cs2 > 2 * ShufFloorSec ||

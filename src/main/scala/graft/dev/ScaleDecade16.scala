@@ -419,7 +419,7 @@ object ScaleDecade16 {
     // JIT/codegen warm pass at sf0.01
     todo.foreach { q =>
       try { run(q, "/root/testdata/sf0.01") }
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       clear()
     }
 

@@ -340,7 +340,7 @@ object ScaleDecade17 {
         s""""shuffle_write":${sp._3},"peak_task_exec_mem":${sp._4}}"""
     val header =
       s""""base":"$d1","factors":[1,10,100],""" +
-        """"method":"r17 re-measurement at DEFAULT engine config (input-proportional AQE initialPartitionNum = max(cpus, inputBytes/32MiB) via graft.Tune.forInput, shuffle.partitions=32, NO per-query overrides): adaptive-gram-width entity resolve (g=5/6/7 at 1x/10x/100x) end-to-end, and the two r16 spill rows re-proven at the engine's own grain; corpora identical to SCALE_r16 (markers reused); min-of-2 per scale after sf0.01 warm (single pass past 300s); metrics = TaskMetrics sums over the faster pass""""
+        """"method":"r17 re-measurement at DEFAULT engine config (input-proportional AQE initialPartitionNum = max(cpus, inputBytes/8MiB, Tune.BytesPerPartition) via graft.Tune.forInput, shuffle.partitions=32, NO per-query overrides): adaptive-gram-width entity resolve (g=5/6/7 at 1x/10x/100x) end-to-end, and the two r16 spill rows re-proven at the engine's own grain; corpora identical to SCALE_r16 (markers reused); min-of-2 per scale after sf0.01 warm (single pass past 300s); metrics = TaskMetrics sums over the faster pass""""
     val done = scala.collection.mutable.ArrayBuffer[String]()
     def flush(): Unit = if (onlyArg.isEmpty)
       java.nio.file.Files.writeString(

@@ -71,7 +71,8 @@ object SuffixSkew17 {
       d.count()
       // round-1 seed occupancy: the skew itself, measured directly
       val occ = graft.operators.SuffixArray.positions(d)
-        .select(shiftright(col("r"), 42).as("b"))
+        .select(shiftright(col("r"),
+          8 * (graft.operators.SuffixArray.PackW - 2)).as("b"))
         .groupBy("b").agg(count(lit(1)).as("m"))
         .agg(max("m").as("mx"),
           expr("percentile_approx(m, 0.5, 10000)").as("med"),

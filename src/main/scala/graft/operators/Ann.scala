@@ -816,6 +816,21 @@ object Ann {
   def mmrRerank(corpus: DataFrame, queries: DataFrame, shortlist: Int,
                 k: Int, lambda: Double, dim: Int = DefaultDim): DataFrame = {
     val top = cosineTopK(corpus, queries, shortlist, dim)
+    mmrRerankOn(corpus, top, k, lambda, dim)
+  }
+
+  /** [[mmrRerank]]'s greedy stage over an ALREADY-COMPUTED shortlist
+    * (qid, nid, cos4) — the composition point for index-served
+    * shortlists (e.g. [[ivfPqTopKIndexed]]): production MMR sits on
+    * top of the ANN index, not a fresh exact corpus scan per batch. */
+  def mmrRerankOn(corpus: DataFrame, top: DataFrame, k: Int,
+                  lambda: Double, dim: Int = DefaultDim): DataFrame = {
+    // the exact-integer score space is tenth-granular by construction
+    // (Li = lambda*10 must be whole): a lambda = 0.65 would silently
+    // score as 0.7 — refuse it instead (ADVICE r17)
+    require(math.abs(lambda * 10 - math.round(lambda * 10)) < 1e-9,
+      s"mmrRerank: lambda must be a multiple of 0.1 (the x1e5 integer " +
+        s"score space is tenth-granular); got $lambda")
     // unit-normalized corpus vectors: pairwise sim inside the greedy
     // loop is then a plain dot, computed once per (candidate, selected)
     val cn = withNorm(corpus, "vec_id", dim)

@@ -13,28 +13,31 @@ import org.apache.spark.sql.functions._
   * shingle width).
   *
   * Multi-string form: suffixes never span documents; bwt[i] is the
-  * char PRECEDING suffix rank i in its own doc (sentinel 0 — below
-  * every corpus char — for doc starts). The LF invariant holds under
+  * byte PRECEDING suffix rank i in its own doc (sentinel 0 — below
+  * every corpus byte — for doc starts). The LF invariant holds under
   * the engine's total suffix order (ties between bit-identical
-  * suffixes break by (doc_id, pos), so prepending the same char
+  * suffixes break by (doc_id, pos), so prepending the same byte
   * preserves relative order — the multi-string BWT requirement).
   *
-  * Structure, all Spark-first:
-  *  - bwt (rn, ch, blk): ord joined one position left against the
-  *    packed width-8 key's TOP DIGIT (shiftright(r, 49) — char at
-  *    pos without re-reading text);
-  *  - C table: first-char counts (top digit again), ≤ |charset| rows
-  *    — driver-held, like every bounded model in the suite;
-  *  - occ checkpoints: per-(block, ch) counts cumulated per ch over
+  * Structure, all Spark-first, split BUILD/SERVE (r18, VERDICT r17
+  * item 1 — the artifact persists via [[SuffixIndex.fmFor]] and every
+  * query of the session serves rebuild-free):
+  *  - [[buildTables]] → bwt (rn, ch, blk): ord joined one position
+  *    left against the packed width-[[SuffixArray.PackW]] key's TOP
+  *    BYTE (byte at pos without re-reading text); C table = first-byte
+  *    counts (≤ |charset| rows — driver-held, like every bounded model
+  *    in the suite); E table = the multi-string sentinel correction;
+  *    occ checkpoints = per-(block, ch) counts cumulated per ch over
   *    block index (a window partitioned by ch — parallel across the
-  *    charset, never a single-partition window); occ(c, i) =
-  *    blockCum(i DIV B, c) + a residual count inside one block,
-  *    resolved by an equi-join on (blk, ch) with an rn <= i filter;
-  *  - backward search: per step ONE bounded job — the ≤ 2·|patterns|
-  *    (c, i) probes broadcast against blockCum + bwt, collected
-  *    driver-side (rows, not data — the BPE sequential-chain
-  *    precedent), state updated lo = C[c] + occ(c, lo−1) + 1,
-  *    hi = C[c] + occ(c, hi). Steps = max pattern length − 1.
+  *    charset, never a single-partition window);
+  *  - [[serve]] → backward search: per step ONE bounded job — the
+  *    ≤ 2·|patterns| (c, i) probes broadcast against blockCum + bwt,
+  *    collected driver-side (rows, not data — the BPE
+  *    sequential-chain precedent), state updated
+  *    lo = C[c] + E(c) + occ(c, lo−1) + 1, hi = C[c] + E(c) + occ(c, hi),
+  *    where occ(c, i) = blockCum(i DIV B, c) + a residual count inside
+  *    one block, resolved by an equi-join on (blk, ch) with an
+  *    rn <= i filter. Steps = max pattern length − 1.
   *
   * The oracle never sees any of this: it counts pattern occurrences
   * by DIRECT substring comparison over every position and derives
@@ -46,61 +49,66 @@ object FmIndex {
 
   private val B = 4096L // occ checkpoint block width (ranks)
 
-  /** Substring-count serving: patterns (pid, pat) against the corpus.
-    * Returns (pid, pat, n_occ, n_docs, sa_lo, sa_hi) — empty matches
-    * normalize to (0, 0, 0, -1). */
+  /** Substring-count with an INLINE build — the spec/parity path.
+    * Patterns (pid, pat) against the corpus; returns (pid, pat, n_occ,
+    * n_docs, sa_lo, sa_hi) — empty matches normalize to (0, 0, 0, -1).
+    * Production serving goes through [[SuffixIndex.fmFor]] +
+    * [[serve]]. */
   def substringCount(docs: DataFrame,
                      patterns: Seq[(Long, String)]): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val (ord0, _, base0) = SuffixArray.buildWithBase(docs)
-    val ord = ord0.localCheckpoint() // bwt join + interval scan
+    val ord = ord0.localCheckpoint()
+    serve(ord, buildTables(ord, base0), patterns)
+  }
+
+  /** Top packed BYTE of the width-[[SuffixArray.PackW]] base-256 key =
+    * the byte AT pos, without re-reading text. */
+  private def topByte(r: Column): Column =
+    shiftright(r, 8 * (SuffixArray.PackW - 1))
+
+  /** BUILD: derive the FM serving tables from an already-built suffix
+    * order + packed positions table. `ord`/`base0` must be
+    * materialized (checkpoint or parquet-backed). The returned frames
+    * are localCheckpoint'd so a same-session inline consumer can serve
+    * immediately; the artifact path writes them to parquet. */
+  def buildTables(ord: DataFrame,
+                  base0: DataFrame): SuffixIndex.FmTables = {
+    val spark = ord.sparkSession
+    import spark.implicits._
     val base = base0.select(col("doc_id"), col("pos"),
-      shiftright(col("r"), 49).as("ch")) // char AT pos
-    // bwt[rn] = char at pos-1 (sentinel 0 for pos = 0: left join miss)
+      topByte(col("r")).as("ch")) // byte AT pos
+    // bwt[rn] = byte at pos-1 (sentinel 0 for pos = 0: left join miss)
     val bwt = ord.select(col("rn"), col("doc_id"),
       (col("pos") - 1L).as("pos"))
       .join(base, Seq("doc_id", "pos"), "left")
       .select(col("rn"), coalesce(col("ch"), lit(0L)).as("ch"),
         expr(s"CAST((rn - 1) DIV $B AS BIGINT)").as("blk"))
       .localCheckpoint() // blockCum build + per-step residual probes
-    // C table: C[c] = # suffixes with first char < c (driver, ≤ charset)
+    // C table: C[c] = # suffixes with first byte < c (driver, ≤ charset)
     val firstCnt = base.groupBy("ch").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val cTab = scala.collection.mutable.LongMap[Long]()
-    var acc = 0L
-    firstCnt.foreach { case (c, n) => cTab(c) = acc; acc += n }
-    val n = acc
-    def cOf(c: Long): Long = cTab.getOrElse(c, {
-      // char absent as a first char: C = # suffixes starting below c
-      firstCnt.takeWhile(_._1 < c).map(_._2).sum
-    })
-    def nextC(c: Long): Long = {
-      val above = firstCnt.dropWhile(_._1 <= c)
-      if (above.isEmpty) n else cTab(above.head._1)
-    }
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val n = firstCnt.map(_._2).sum
     // MULTI-STRING SENTINEL CORRECTION E(c): the suffixes EXACTLY
-    // equal to "c" (a doc's final char) sort at the head of the
+    // equal to "c" (a doc's final byte) sort at the head of the
     // c-block (shorter-first) but are never produced by LF from any
     // ranked suffix — the multi-doc analogue of the classic sentinel
     // row. Every prepend step must skip past them:
     //   lo = C[c] + E(c) + occ(c, lo-1) + 1,  hi = C[c] + E(c) + occ(c, hi)
-    // (the init interval keeps them: a bare final char IS an
-    // occurrence of the single-char pattern). Found by brute-force
+    // (the init interval keeps them: a bare final byte IS an
+    // occurrence of the single-byte pattern). Found by brute-force
     // cross-check on a 3-doc corpus — intervals shifted by exactly
-    // Σ E(step chars) before this term.
+    // Σ E(step bytes) before this term.
     val eTab = base0.filter(col("pos") === col("len") - 1L)
-      .select(shiftright(col("r"), 49).as("ch"))
+      .select(topByte(col("r")).as("ch"))
       .groupBy("ch").agg(count(lit(1)).as("m"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    def eOf(c: Long): Long = eTab.getOrElse(c, 0L)
     // occ checkpoints: cum counts per ch up to each block START — on a
     // DENSE (block × charset) grid: a sparse table would zero any
     // lookup whose char skipped a block (rare chars skip most blocks —
     // the first cut undercounted exactly the rare-char patterns).
     // Grid size = (n/B) × |charset| ≈ n/43 rows: index-sized, not
     // corpus-sized, and the per-ch window parallelizes across chars.
-    val nBlocks = (acc + B - 1) / B
+    val nBlocks = (n + B - 1) / B
     val chDf = bwt.select("ch").distinct()
     val wCh = Window.partitionBy("ch").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -112,28 +120,53 @@ object FmIndex {
       .withColumn("cum", sum(coalesce(col("m"), lit(0L))).over(wCh))
       .select("b", "ch", "cum") // cum = occ(ch, b*B)
       .localCheckpoint() // probed once per step
+    SuffixIndex.FmTables(bwt, blockCum, firstCnt, eTab)
+  }
+
+  /** SERVE: backward search over built FM tables, all patterns in
+    * lockstep — pattern units are UTF-8 BYTES, matching the byte-level
+    * suffix order (r18). `ord` is only read by the final doc rollup. */
+  def serve(ord: DataFrame, t: SuffixIndex.FmTables,
+            patterns: Seq[(Long, String)]): DataFrame = {
+    val spark = ord.sparkSession
+    import spark.implicits._
+    val firstCnt = t.firstCnt
+    val cTab = scala.collection.mutable.LongMap[Long]()
+    var acc = 0L
+    firstCnt.foreach { case (c, m) => cTab(c) = acc; acc += m }
+    val n = acc
+    def cOf(c: Long): Long = cTab.getOrElse(c, {
+      // byte absent as a first byte: C = # suffixes starting below c
+      firstCnt.takeWhile(_._1 < c).map(_._2).sum
+    })
+    def nextC(c: Long): Long = {
+      val above = firstCnt.dropWhile(_._1 <= c)
+      if (above.isEmpty) n else cTab(above.head._1)
+    }
+    def eOf(c: Long): Long = t.eTab.getOrElse(c, 0L)
     // occ(c, i) for a batch of probes (qid, c, i): blockCum(i DIV B, c)
     // + residual inside block (i DIV B)
     def occBatch(probes: Seq[(Long, Long, Long)]): Map[Long, Long] = {
       val pr = probes.toDF("qid", "c", "i")
         .withColumn("b", expr(s"CAST(i DIV $B AS BIGINT)"))
-      val cumPart = pr.join(blockCum,
-        pr("b") === blockCum("b") && pr("c") === blockCum("ch"), "left")
+      val cumPart = pr.join(t.blockCum,
+        pr("b") === t.blockCum("b") && pr("c") === t.blockCum("ch"),
+        "left")
         .select(col("qid"), coalesce(col("cum"), lit(0L)).as("v"))
-      val residPart = bwt.join(broadcast(pr),
-        bwt("blk") === pr("b") && bwt("ch") === pr("c") &&
-          bwt("rn") <= pr("i"))
+      val residPart = t.bwt.join(broadcast(pr),
+        t.bwt("blk") === pr("b") && t.bwt("ch") === pr("c") &&
+          t.bwt("rn") <= pr("i"))
         .groupBy("qid").agg(count(lit(1)).as("v"))
       cumPart.unionByName(residPart)
         .groupBy("qid").agg(sum("v").as("v"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
-    // backward search, all patterns in lockstep
     val pats = patterns.map { case (pid, p) =>
-      (pid, p, p.codePoints().toArray.map(_.toLong))
+      (pid, p, p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => (b & 0xff).toLong))
     }
     val maxLen = pats.map(_._3.length).max
-    // init on the LAST char
+    // init on the LAST byte
     var state: Map[Long, (Long, Long)] = pats.map { case (pid, _, cs) =>
       val c = cs.last
       pid -> (cOf(c) + 1L, nextC(c))

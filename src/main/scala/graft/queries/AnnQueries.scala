@@ -631,6 +631,41 @@ object AnnQueries {
     Ann.mmrRerank(emb(spark, dir), emb(spark, dir).transform(panel),
       shortlist = 20, k = 5, lambda = 0.7, dim = 64)
 
+  /** MMR over the PERSISTED index (r18, VERDICT r17 item 5): the
+    * shortlist comes from the session's IVF-PQ artifact (ADC top-20,
+    * same index q_ann_pq_indexed serves — build shared), is exact-
+    * refined by the rerankTopK float pass (queries x 20 rows, the
+    * row-83 composition), and the greedy MMR picks its 5 from THAT —
+    * production MMR sits on top of the ANN index, never a fresh exact
+    * corpus scan per batch (r17's q_mmr_rerank shortlisted via
+    * cosineTopK — a full float scan). The oracle replays the identical
+    * chain: the PQ CTE stack, the exact re-score of its 20, and the
+    * same unrolled greedy steps. */
+  def qMmrRerankIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.transform(panel)
+    val tag = runTag(spark, dir)
+    graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_pq/$tag")
+    graft.sources.Bucketed.cleanupOnExit(s"/tmp/graft_coarse/$tag")
+    val shortlist = Ann.ivfPqTopKIndexed(e, queries, 20,
+      nlist = 16, nprobe = 2, coarseIters = 2, m = 8, ksub = 8,
+      pqIters = 2, table = s"graft_pq_idx$tag",
+      path = s"/tmp/graft_pq/$tag",
+      coarseTable = s"graft_coarse$tag",
+      coarsePath = s"/tmp/graft_coarse/$tag")
+    val refined = Ann.rerankTopK(e, queries, shortlist, 20)
+    Ann.mmrRerankOn(e, refined, k = 5, lambda = 0.7, dim = 64)
+  }
+
+  /** Index-quality monitor for the indexed MMR serve: per-query
+    * overlap of the artifact-served picks vs the inline (exact-
+    * shortlist) picks — the recall discipline every index tier in the
+    * suite carries (what the PQ shortlist costs the DIVERSIFIED
+    * result, not just the top-k). */
+  def qMmrRecallIndexed(spark: SparkSession, dir: String): DataFrame =
+    Ann.recallAtK(qMmrRerankIndexed(spark, dir),
+      qMmrRerank(spark, dir), 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq_rerank" -> (qAnnPqRerank _),
     "q_ann_recall_rerank" -> (qAnnRecallRerank _),
@@ -638,6 +673,8 @@ object AnnQueries {
     "q_ann_pq_indexed" -> (qAnnPqIndexed _),
     "q_semdedup" -> (qSemDedup _),
     "q_mmr_rerank" -> (qMmrRerank _),
+    "q_mmr_rerank_indexed" -> (qMmrRerankIndexed _),
+    "q_mmr_recall_indexed" -> (qMmrRecallIndexed _),
     "q_ann_recall_pq" -> (qAnnRecallPq _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_ann_cosine_topk" -> (qCosineTopK _),
@@ -1073,7 +1110,12 @@ object AnnQueries {
     * picks, scores round(0.7*cos4 - 0.3*GREATEST(pairwise cos4s), 4)
     * over the SAME unit-normalized doubles (list ops iterate in index
     * order on both engines), and takes rn=1 on (mmr4 DESC, nid). */
-  private val mmrOracle: String = {
+  /** DuckDB twin of the MMR greedy chain, PARAMETERIZED by the
+    * shortlist definition `slDef` (CTEs ending in sl(qid, nid, cos4) —
+    * already margin-stripped): the 5 selection steps unrolled as
+    * chained CTEs over whatever shortlist the engine used (inline
+    * exact top-20, or the persisted-PQ-index chain re-scored exact). */
+  private def mmrOracleFrom(slDef: String): String = {
     // exact-integer score space (x1e5): 7*cos_x1e4 - 3*maxsim_x1e4 —
     // see Ann.mmrRerank's boundary-flicker note
     def cosv(j: Int) =
@@ -1108,16 +1150,7 @@ object AnnQueries {
        |       FROM n),
        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
        |      WHERE vec_id % $QueryMod = 0 AND vec_id < $PanelCap),
-       |scored AS (
-       |  SELECT q.qid, n.vec_id AS nid,
-       |    ROUND(list_sum(list_transform(range(1, 65),
-       |            i -> q.qe[i] * n.e[i]))
-       |        / greatest(q.qn * n.nrm, 1e-12), 4) AS cos4
-       |  FROM n, q WHERE q.qid <> n.vec_id),
-       |sl AS (SELECT qid, nid, cos4 FROM (
-       |    SELECT qid, nid, cos4, ROW_NUMBER() OVER (PARTITION BY qid
-       |        ORDER BY cos4 DESC, nid) AS rnk
-       |    FROM scored) zz WHERE rnk <= 20),
+       |$slDef,
        |cand AS (SELECT sl.qid, sl.nid, sl.cos4, nn.en
        |         FROM sl JOIN nn ON nn.vec_id = sl.nid),
        |sel1 AS (SELECT qid, nid, cos4, en,
@@ -1136,6 +1169,33 @@ object AnnQueries {
        |  UNION ALL SELECT qid, nid, cos4, mmr5, sr FROM sel4
        |  UNION ALL SELECT qid, nid, cos4, mmr5, sr FROM sel5) u""".stripMargin
   }
+
+  private val mmrOracle: String = mmrOracleFrom(
+    """scored AS (
+      |  SELECT q.qid, n.vec_id AS nid,
+      |    ROUND(list_sum(list_transform(range(1, 65),
+      |            i -> q.qe[i] * n.e[i]))
+      |        / greatest(q.qn * n.nrm, 1e-12), 4) AS cos4
+      |  FROM n, q WHERE q.qid <> n.vec_id),
+      |sl AS (SELECT qid, nid, cos4 FROM (
+      |    SELECT qid, nid, cos4, ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY cos4 DESC, nid) AS rnk
+      |    FROM scored) zz WHERE rnk <= 20)""".stripMargin)
+
+  /** Indexed-MMR oracle: the persisted-PQ chain (rank <= 20), its
+    * exact float re-score (the rerankTopK replay), then the same
+    * unrolled greedy — replaying EXACTLY what the engine serves from
+    * the artifact. */
+  private lazy val mmrIndexedOracle: String = mmrOracleFrom(
+    s"""sl0 AS (${pqOracle.replace(s"QUALIFY rank <= $K",
+        "QUALIFY rank <= 20")}),
+       |sc2 AS (SELECT sl0.qid, sl0.nid,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |        i -> q2.e[i] * c2.e[i]))
+       |      / greatest(q2.nrm * c2.nrm, 1e-12), 4) AS cos4
+       |  FROM sl0 JOIN n q2 ON q2.vec_id = sl0.qid
+       |       JOIN n c2 ON c2.vec_id = sl0.nid),
+       |sl AS (SELECT qid, nid, cos4 FROM sc2)""".stripMargin)
 
   private val topkOracle: String =
     s"""WITH v AS (
@@ -1225,6 +1285,8 @@ object AnnQueries {
     "q_ann_pq_indexed" -> pqOracle,
     "q_semdedup" -> semDedupOracle,
     "q_mmr_rerank" -> mmrOracle,
+    "q_mmr_rerank_indexed" -> mmrIndexedOracle,
+    "q_mmr_recall_indexed" -> recallOracle(mmrIndexedOracle, mmrOracle),
     "q_ann_recall_pq" -> recallOracle(pqOracle, topkOracle),
     "q_ann_quantized" -> quantizedOracle,
     "q_ann_binary" -> binaryOracle,

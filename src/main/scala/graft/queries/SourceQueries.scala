@@ -223,7 +223,11 @@ object SourceQueries {
     // per-feature semantic corruption: an unknown kind, still valid
     // JSON — the collection survives, the one feature does not
     val kindC = when(col("pid") % 7 === 3, lit("Blob")).otherwise(kind)
-    val feat = GeoJson.writeFeatureAny(col("pid"), kindC, polys)
+    // tag may be the corrupt "Blob", but the coordinate bytes are
+    // written at the shape's TRUE pid%4 depth — matching the oracle's
+    // arithmetic rebuild byte-for-byte even for the corrupt features
+    // (ADVICE r17: the old writer fell through to MultiPolygon depth)
+    val feat = GeoJson.writeFeatureTagged(col("pid"), kindC, kind, polys)
     val fc = g.select(col("rkey"), struct(col("pid"), feat.as("f")).as("pf"))
       .groupBy("rkey")
       .agg(array_sort(collect_list(col("pf"))).as("pfs"))

@@ -568,6 +568,88 @@ object TextQueries {
         round(pow(2.0, col("bits")), 2).as("ppl"))
   }
 
+  /** WORD-level Kneser–Ney TRIGRAM LM with continuation backoff
+    * (SURVEY §2 row 222, r18; VERDICT r17 item 6 — the production
+    * LM-scoring shape row 218's bigram stopped short of; Chen &
+    * Goodman 1999 interpolated KN, public literature). Every table
+    * stays DISTRIBUTED (model-as-data — the vocabulary is never
+    * collected): trigram counts c(w1w2w3), context totals c(w1w2•)
+    * with fan-out N1+(w1w2•), middle-order CONTINUATION counts
+    * N1+(•w2w3) with their per-w2 totals N1+(•w2•) and fan-out
+    * N1+(w2•), and unigram continuation N1+(•w3) — all derived from
+    * ONE trigram-type table of the doc_id % 5 = 0 train slice, and
+    * scoring is five equi-joins. D = 0.75 at both levels:
+    *   p3 = (max(c−D,0) + D·N1+(w1w2•)·p2) / c(w1w2)     [c(w1w2) > 0]
+    *   p2 = (max(N1+(•w2w3)−D,0) + D·N1+(w2•)·pc) / N1+(•w2•)
+    *   pc = (N1+(•w3)+1) / (types23+1000)   [the row-218 +1/+1000 floor]
+    * each level backing off to the next when its context is unseen.
+    * Trigram formation is row-local; per-doc mean bits round(…, 2)
+    * absorbs sum-order double noise (the row-59/218 convention); docs
+    * with < 1 trigram drop. The oracle replays the identical smoothing
+    * arithmetic over DuckDB's own count tables. */
+  def qKnTrigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), expr(
+        "filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
+    // Spark's sequence(1, 0) steps DOWN — guard short docs explicitly
+    val tri = d.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(ws) >= 3 THEN
+        |  transform(sequence(1, size(ws) - 2), i -> named_struct(
+        |    'w1', element_at(ws, i), 'w2', element_at(ws, i + 1),
+        |    'w3', element_at(ws, i + 2)))
+        |ELSE cast(array() as
+        |  array<struct<w1:string,w2:string,w3:string>>) END"""
+        .stripMargin)).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .localCheckpoint() // train tables + scoring share the tokens
+    val ctri = tri.filter(col("doc_id") % 5 === 0)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .localCheckpoint() // four derived tables + the scoring join
+    val ctx12 = ctri.groupBy("w1", "w2")
+      .agg(sum("c3").as("c12"), count(lit(1)).as("nf12"))
+    val mid = ctri.groupBy("w2", "w3").agg(count(lit(1)).as("nmid"))
+      .localCheckpoint() // midctx + cont3 + scoring share it
+    val midctx = mid.groupBy("w2")
+      .agg(sum("nmid").as("ntot2"), count(lit(1)).as("nf2"))
+    val cont3 = mid.groupBy("w3").agg(count(lit(1)).as("cont"))
+    val b23 = mid.count() // ONE bounded scalar: (w2,w3) TYPE count
+    val scored = tri
+      .join(ctri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(mid, Seq("w2", "w3"), "left")
+      .join(midctx, Seq("w2"), "left")
+      .join(cont3, Seq("w3"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c3"), lit(0L)).as("c"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        coalesce(col("nf12"), lit(0L)).as("nf12"),
+        coalesce(col("nmid"), lit(0L)).as("nmid"),
+        coalesce(col("ntot2"), lit(0L)).as("ntot2"),
+        coalesce(col("nf2"), lit(0L)).as("nf2"),
+        ((coalesce(col("cont"), lit(0L)) + 1.0)
+          / lit(b23 + 1000.0)).as("pc"))
+      .withColumn("p2",
+        when(col("ntot2") > 0,
+          (greatest(col("nmid") - 0.75, lit(0.0))
+            + lit(0.75) * col("nf2") * col("pc")) / col("ntot2"))
+          .otherwise(col("pc")))
+      .withColumn("p3",
+        when(col("c12") > 0,
+          (greatest(col("c") - 0.75, lit(0.0))
+            + lit(0.75) * col("nf12") * col("p2")) / col("c12"))
+          .otherwise(col("p2")))
+    scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tri"),
+      sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_unseen"),
+      round(sum(when(col("c") === 0, 1.0).otherwise(0.0))
+        / count(lit(1)), 4).as("unseen_frac"),
+      round(sum(-log2(col("p3"))) / count(lit(1)), 2).as("bits"))
+      .select(col("doc_id"), col("n_tri"), col("n_unseen"),
+        col("unseen_frac"), col("bits"),
+        round(pow(2.0, col("bits")), 2).as("ppl"))
+  }
+
   // ------------------------------------------------------------ BPE train
 
   /** Distributed BPE tokenizer training, two merge rounds: each round
@@ -1763,9 +1845,21 @@ object TextQueries {
     * single suffix, sa_ck or an lcp would move and the hash compare
     * would catch it. */
   def qSuffixDedup(spark: SparkSession, dir: String): DataFrame = {
+    // SERVE from the session suffix-index artifact (r18, VERDICT r17
+    // item 1): the build runs once per (session, corpus) in
+    // SuffixIndex.forCorpus; this query — and the apply/FM rows — read
+    // the persisted ord/pairs instead of each rebuilding them
     val d = docs(spark, dir).select("doc_id", "text")
-    val (ord, levels) = graft.operators.SuffixArray.build(d)
-    val pairs = graft.operators.SuffixArray.adjacentLcp(ord, levels)
+    val h = graft.operators.SuffixIndex.forCorpus(d,
+      graft.operators.SuffixIndex.tagFor(spark, dir))
+    suffixDedupStats(d, h.ord, h.pairs)
+  }
+
+  /** The per-doc aggregation stage of [[qSuffixDedup]] over any built
+    * (ord, pairs) — shared by the artifact serve path and the
+    * indexed==inline parity spec. */
+  def suffixDedupStats(d: DataFrame, ord: DataFrame,
+                       pairs: DataFrame): DataFrame = {
     val duo = pairs
       .select(col("da").as("doc_id"), col("lcp"),
         (col("da") =!= col("db")).as("x"))
@@ -1801,11 +1895,107 @@ object TextQueries {
     * suffix sort and rebuilds each cleaned text char-by-char — a
     * divergence anywhere in the doubling, the sessionized groups, the
     * span merge or the substring reassembly breaks the hash. */
-  def qSuffixDedupApply(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.SuffixArray.applyDedup(
-      docs(spark, dir).select("doc_id", "text"), 50L)
+  def qSuffixDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    // artifact-served (r18): group/mark/merge over the persisted
+    // ord/pairs — the build never reruns for the apply step
+    import graft.operators.{SuffixArray, SuffixIndex}
+    val d0 = docs(spark, dir).select("doc_id", "text")
+    val h = SuffixIndex.forCorpus(d0, SuffixIndex.tagFor(spark, dir))
+    val d = d0.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"))
+    SuffixArray.applyDedupFrom(
+      SuffixArray.dedupSpansOn(d, h.ord, h.pairs, 50L))
+  }
+
+  /** Incremental substring dedup — delta-vs-index (SURVEY §2 row 221,
+    * r18; VERDICT r17 item 4): a NEW batch of docs (deterministically
+    * constructed from every 25th corpus doc: a novel head, a 160-char
+    * span COPIED from the standing corpus, a novel middle, a 40-char
+    * copy UNDER the 50 threshold, a novel tail; every third batch doc
+    * fully novel) is cleaned against the STANDING suffix-index
+    * artifact with NO rebuild — the minhashDelta asymmetric-join shape
+    * applied to suffix order. Matching is rank-label composition
+    * against the persisted base label maps + window-key table
+    * ([[graft.operators.SuffixArray.deltaSpans]]): a delta position
+    * matches iff its composed key equals a base key, i.e. iff its
+    * 50-byte window occurs verbatim in base, and the union of matched
+    * windows equals the union of maximal >=50 base-duplicated spans —
+    * the same spans a full rebuild over base∪delta would remove from
+    * the batch (parity spec-pinned). The oracle shares nothing with
+    * the label machinery: it matches delta 50-grams against the
+    * distinct base 50-gram set by direct string equality and rebuilds
+    * the cleaned text char-by-char from uncovered positions. */
+  def qSuffixDedupDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{SuffixArray, SuffixIndex}
+    val d0 = docs(spark, dir).select("doc_id", "text")
+    val h = SuffixIndex.forCorpus(d0, SuffixIndex.tagFor(spark, dir))
+    val t = SuffixIndex.deltaFor(h, SuffixIndex.tagFor(spark, dir), 50L)
+    SuffixArray.applyDedupFrom(
+      SuffixArray.deltaSpans(deltaBatch(d0), t))
+  }
+
+  /** The delta fixture: deterministic, SQL-replayable (substr/concat
+    * arithmetic only — the oracle rebuilds the identical bytes). */
+  def deltaBatch(d0: DataFrame): DataFrame =
+    d0.select(col("doc_id").cast("long").as("sid"), col("text"))
+      .filter(col("sid") % 25 === 4)
+      .select((col("sid") + 1000000L).as("doc_id"),
+        when(col("sid") % 75 === 29,
+          concat(lit("no copies here "),
+            ((col("sid") * 7919L) % 1000L).cast("string")))
+          .otherwise(concat(
+            lit("novel head "), col("sid").cast("string"), lit(" qq "),
+            expr("substr(text, 31, 160)"),
+            lit(" zz novel mid zz "),
+            expr("substr(text, 11, 40)"),
+            lit(" end"))).as("text"))
 
   val oracles: Map[String, String] = Map(
+    "q_suffix_dedup_delta" ->
+      """WITH src AS (SELECT CAST(doc_id AS BIGINT) AS sid, text
+        |  FROM documents WHERE CAST(doc_id AS BIGINT) % 25 = 4),
+        |delta AS (SELECT 1000000 + sid AS doc_id,
+        |    CASE WHEN sid % 75 = 29
+        |      THEN 'no copies here ' || CAST(sid * 7919 % 1000 AS VARCHAR)
+        |      ELSE 'novel head ' || CAST(sid AS VARCHAR) || ' qq '
+        |        || substr(text, 31, 160) || ' zz novel mid zz '
+        |        || substr(text, 11, 40) || ' end' END AS text
+        |  FROM src),
+        |basegram AS (SELECT DISTINCT substr(text, CAST(i AS INT), 50) AS g
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    length(text) - 49)) AS i) u
+        |  WHERE length(text) >= 50),
+        |mk AS (SELECT d.doc_id, CAST(u.i - 1 AS BIGINT) AS p
+        |  FROM delta d, LATERAL (SELECT unnest(generate_series(1,
+        |    length(d.text) - 49)) AS i) u
+        |  WHERE length(d.text) >= 50
+        |    AND substr(d.text, CAST(u.i AS INT), 50) IN
+        |      (SELECT g FROM basegram)),
+        |cov AS (SELECT DISTINCT doc_id, CAST(u.j AS BIGINT) AS j
+        |  FROM mk, LATERAL (SELECT unnest(generate_series(p, p + 49))
+        |    AS j) u),
+        |nrm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rm
+        |  FROM mk GROUP BY doc_id),
+        |rmc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rm_chars
+        |  FROM cov GROUP BY doc_id),
+        |dpos AS (SELECT d.doc_id, CAST(g.p AS BIGINT) AS p,
+        |    substr(d.text, CAST(g.p + 1 AS INT), 1) AS ch
+        |  FROM delta d, LATERAL (SELECT unnest(generate_series(0,
+        |    length(d.text) - 1)) AS p) g),
+        |kept AS (SELECT dp.doc_id, dp.p, dp.ch FROM dpos dp
+        |  LEFT JOIN cov v ON v.doc_id = dp.doc_id AND v.j = dp.p
+        |  WHERE v.j IS NULL),
+        |cln AS (SELECT doc_id, string_agg(ch, '' ORDER BY p) AS t
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n.n_rm, 0) AS n_rm,
+        |  COALESCE(r.rm_chars, 0) AS rm_chars,
+        |  CAST(length(COALESCE(c.t, '')) AS BIGINT) AS clean_len,
+        |  COALESCE(c.t, '') AS clean_text
+        |FROM delta d
+        |LEFT JOIN nrm n ON n.doc_id = d.doc_id
+        |LEFT JOIN rmc r ON r.doc_id = d.doc_id
+        |LEFT JOIN cln c ON c.doc_id = d.doc_id
+        |""".stripMargin,
     "q_suffix_dedup" ->
       """WITH pos AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -2327,6 +2517,53 @@ object TextQueries {
         |    ROUND(SUM(-log2(p)) / CAST(COUNT(*) AS DOUBLE), 2) AS bits
         |  FROM pp GROUP BY doc_id)
         |SELECT doc_id, n_bi, n_unseen, unseen_frac, bits,
+        |  ROUND(POW(2.0, bits), 2) AS ppl
+        |FROM g""".stripMargin,
+    "q_kn_trigram_lm" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |tri AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+        |    ws[CAST(i AS INT) + 1] AS w2, ws[CAST(i AS INT) + 2] AS w3
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(ws) - 2, 0))) AS i) u),
+        |ctri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri
+        |         WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+        |ctx12 AS (SELECT w1, w2, SUM(c3) AS c12, COUNT(*) AS nf12
+        |          FROM ctri GROUP BY 1, 2),
+        |mid AS (SELECT w2, w3, COUNT(*) AS nmid FROM ctri GROUP BY 1, 2),
+        |midctx AS (SELECT w2, SUM(nmid) AS ntot2, COUNT(*) AS nf2
+        |           FROM mid GROUP BY 1),
+        |ct3 AS (SELECT w3, COUNT(*) AS cont FROM mid GROUP BY 1),
+        |bt AS (SELECT COUNT(*) AS b FROM mid),
+        |s AS (SELECT tri.doc_id, COALESCE(r.c3, 0) AS c,
+        |    COALESCE(x.c12, 0) AS c12, COALESCE(x.nf12, 0) AS nf12,
+        |    COALESCE(m.nmid, 0) AS nmid, COALESCE(mc.ntot2, 0) AS ntot2,
+        |    COALESCE(mc.nf2, 0) AS nf2,
+        |    (COALESCE(ct3.cont, 0) + 1.0) / (bt.b + 1000.0) AS pc
+        |  FROM tri
+        |  LEFT JOIN ctri r ON r.w1 = tri.w1 AND r.w2 = tri.w2
+        |    AND r.w3 = tri.w3
+        |  LEFT JOIN ctx12 x ON x.w1 = tri.w1 AND x.w2 = tri.w2
+        |  LEFT JOIN mid m ON m.w2 = tri.w2 AND m.w3 = tri.w3
+        |  LEFT JOIN midctx mc ON mc.w2 = tri.w2
+        |  LEFT JOIN ct3 ON ct3.w3 = tri.w3
+        |  CROSS JOIN bt),
+        |p2t AS (SELECT doc_id, c, c12, nf12, CASE WHEN ntot2 > 0
+        |    THEN (greatest(nmid - 0.75, 0.0) + 0.75 * nf2 * pc) / ntot2
+        |    ELSE pc END AS p2 FROM s),
+        |pp AS (SELECT doc_id, c, CASE WHEN c12 > 0
+        |    THEN (greatest(c - 0.75, 0.0) + 0.75 * nf12 * p2) / c12
+        |    ELSE p2 END AS p FROM p2t),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+        |    CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unseen,
+        |    ROUND(SUM(CASE WHEN c = 0 THEN 1.0 ELSE 0.0 END)
+        |      / CAST(COUNT(*) AS DOUBLE), 4) AS unseen_frac,
+        |    ROUND(SUM(-log2(p)) / CAST(COUNT(*) AS DOUBLE), 2) AS bits
+        |  FROM pp GROUP BY doc_id)
+        |SELECT doc_id, n_tri, n_unseen, unseen_frac, bits,
         |  ROUND(POW(2.0, bits), 2) AS ppl
         |FROM g""".stripMargin,
 
@@ -2891,6 +3128,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_kn_bigram_lm" -> (qKnBigramLm _),
+    "q_kn_trigram_lm" -> (qKnTrigramLm _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_train_deep" -> (qBpeTrainDeep _),
     "q_bpe_fertility" -> (qBpeFertility _),
@@ -2899,5 +3137,6 @@ object TextQueries {
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_suffix_dedup" -> (qSuffixDedup _),
     "q_suffix_dedup_apply" -> (qSuffixDedupApply _),
+    "q_suffix_dedup_delta" -> (qSuffixDedupDelta _),
     "q_bm25" -> (qBm25 _))
 }

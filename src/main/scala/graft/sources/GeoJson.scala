@@ -180,22 +180,38 @@ object GeoJson {
   /** Serialize `{pid, kind, polys}` back to the Feature line — the
     * kind selects how far the ring model un-nests (writer ∘ parser =
     * identity on every kind, the roundtrip the query pins by md5). */
-  def writeFeatureAny(pid: Column, kind: Column, polys: Column): Column = {
+  def writeFeatureAny(pid: Column, kind: Column, polys: Column): Column =
+    writeFeatureTagged(pid, kind, kind, polys)
+
+  /** [[writeFeatureAny]] with the geometry-type TAG decoupled from the
+    * coordinate un-nesting depth: fixture builders that plant a
+    * semantically corrupt kind (e.g. "Blob") still write the
+    * coordinates at the shape's TRUE depth (`depthKind`), so the
+    * emitted bytes match an arithmetic rebuild of the same feature —
+    * pre-r18 the unknown tag fell through to MultiPolygon depth and
+    * the writer∘parser identity held only because both sides stubbed
+    * such features (ADVICE r17). `depthKind` outside the four
+    * supported kinds raises instead of silently mis-nesting. */
+  def writeFeatureTagged(pid: Column, tag: Column, depthKind: Column,
+                         polys: Column): Column = {
     def polyJson(poly: Column): Column =
       concat(lit("["), array_join(transform(poly, ringJson _), ","),
         lit("]"))
     val coords =
-      when(kind === "Point",
+      when(depthKind === "Point",
         posJson(element_at(element_at(element_at(polys, 1), 1), 1)))
-        .when(kind === "LineString",
+        .when(depthKind === "LineString",
           ringJson(element_at(element_at(polys, 1), 1)))
-        .when(kind === "Polygon", polyJson(element_at(polys, 1)))
-        .otherwise(concat(lit("["),
+        .when(depthKind === "Polygon", polyJson(element_at(polys, 1)))
+        .when(depthKind === "MultiPolygon", concat(lit("["),
           array_join(transform(polys, polyJson _), ","), lit("]")))
+        .otherwise(raise_error(concat(
+          lit("GeoJson.writeFeatureTagged: unsupported coordinate " +
+            "depth kind '"), depthKind, lit("'"))))
     concat(
       lit("""{"type":"Feature","properties":{"pid":"""),
       pid.cast("string"),
-      lit("""},"geometry":{"type":""""), kind,
+      lit("""},"geometry":{"type":""""), tag,
       lit("""","coordinates":"""), coords, lit("}}"))
   }
 

@@ -56,6 +56,51 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"q_ip_lpm_enrich lost its broadcast dimension:\n$lpm")
   }
 
+  test("r18 additions: no cartesian/NLJ, delta serve keeps every join " +
+    "keyed, indexed MMR adds no exchange class the inline row lacks") {
+    for (q <- Seq("q_suffix_dedup_delta", "q_kn_trigram_lm",
+        "q_mmr_rerank_indexed")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to NLJ:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q grew a single-partition exchange:\n$p")
+    }
+  }
+
+  test("r18 delta matcher is invariant to the delta batch's partition " +
+    "layout") {
+    // the windowKey leads and label joins must not leak physical
+    // layout into matched spans — same batch through 1 partition and
+    // through 7 must clean identically
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a shared long passage that the delta copies verbatim " +
+        "with padding to be safely over fifty characters in length"),
+      (2L, "unrelated second base document with its own words"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "head " + "a shared long passage that the delta copies " +
+        "verbatim with padding to be safely over fifty" + " tail"),
+      (11L, "wholly novel little document"))
+      .toDF("doc_id", "text")
+    val h = graft.operators.SuffixIndex.forCorpus(base, "planshape_r18")
+    val t = graft.operators.SuffixIndex.deltaFor(h, "planshape_r18", 50L)
+    val o1 = graft.operators.SuffixArray
+      .applyDedupFrom(graft.operators.SuffixArray.deltaSpans(
+        delta.coalesce(1), t))
+    val o7 = graft.operators.SuffixArray
+      .applyDedupFrom(graft.operators.SuffixArray.deltaSpans(
+        delta.repartition(7, col("doc_id")), t))
+    assert(o1.exceptAll(o7).isEmpty && o7.exceptAll(o1).isEmpty,
+      "delta spans changed under a different input partition layout")
+    assert(o1.filter(col("doc_id") === 10L)
+      .collect()(0).getAs[Long]("n_rm") > 0L,
+      "the planted copied span must match")
+  }
+
   test("r17 additions are invariant to input partition layout") {
     import org.apache.spark.sql.functions._
     // the FM backward search collects occ probes per step and the MMR

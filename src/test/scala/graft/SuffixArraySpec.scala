@@ -213,17 +213,62 @@ class SuffixArraySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("non-ASCII text fails LOUD, not with a silent mis-rank") {
-    // the base-128 packing is a 7-bit contract (ADVICE r16): a code
-    // point > 127 would carry into the adjacent digit field and
-    // corrupt the order silently — positions() must raise instead
+  test("non-ASCII corpora rank in exact UTF-8 byte order (é/ß/CJK) — " +
+    "the r18 byte-level pack retires the r17 ASCII fail-fast") {
+    // byte-level brute-force mirror of check(): positions, order and
+    // lcps in UTF-8 BYTES (unsigned memcmp — the same order DuckDB's
+    // string comparison uses). Mapping each byte to the char of its
+    // unsigned value gives strings whose natural char order IS byte
+    // order, so the existing compare logic applies unchanged.
     import spark.implicits._
-    val d = Seq((1L, "plain ascii"), (2L, "café")).toDF("doc_id", "text")
+    val docsSeq = Seq(
+      (1L, "café crème déjà vu"),
+      (2L, "straße größer weiß"),
+      (3L, "数据引擎 数据处理 引擎"),
+      (4L, "mixed ascii with café and 引擎 inline"),
+      (5L, "plain ascii control row"))
+    val (ord, levels) = SuffixArray.build(df(docsSeq))
+    val sufs = for {
+      (id, t) <- docsSeq
+      bs = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      p <- bs.indices
+    } yield (bs.drop(p).map(b => (b & 0xff).toChar).mkString, id, p.toLong)
+    val sorted = sufs.sortBy { case (s, id, p) => (s, id, p) }
+    val expOrd = sorted.zipWithIndex.map { case ((_, id, p), i) =>
+      (id, p, i + 1L)
+    }.sortBy(t => (t._1, t._2))
+    val gotOrd = ord.select("doc_id", "pos", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(gotOrd === expOrd, "byte-order suffix ranks differ")
+    def lcpOf(a: String, b: String): Long = {
+      var i = 0
+      while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+      i.toLong
+    }
+    val expPairs = sorted.zip(sorted.drop(1)).map {
+      case ((sa, da, pa), (sb, db, pb)) => (da, pa, db, pb, lcpOf(sa, sb))
+    }.sortBy(t => (t._1, t._2, t._3, t._4))
+    val gotPairs = SuffixArray.adjacentLcp(ord, levels)
+      .select("da", "pa", "db", "pb", "lcp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+      .sortBy(t => (t._1, t._2, t._3, t._4))
+    assert(gotPairs === expPairs, "byte-level adjacent lcps differ")
+  }
+
+  test("embedded NUL fails LOUD (collides with the end-of-string pad)") {
+    // the one packing contract left after the byte-level pack: a real
+    // 0x00 byte is indistinguishable from the pad digit and would
+    // silently mis-rank — positions() must raise instead (ADVICE r17)
+    import spark.implicits._
+    val d = Seq((1L, "plain text"), (2L, "bad\u0000embedded"))
+      .toDF("doc_id", "text")
     val e = intercept[Exception] { SuffixArray.build(d) }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: chain(t.getCause)
     assert(chain(e).exists(t =>
-      String.valueOf(t.getMessage).contains("non-ASCII")))
+      String.valueOf(t.getMessage).contains("NUL")))
   }
 
   test("q_suffix_dedup runs on the sf0.001 corpus and the checksum " +
