@@ -878,4 +878,135 @@ object Ann {
         col("s.nid").as("nid"), col("s.cos4").as("cos4"),
         col("s.mmr5").as("mmr_x1e5"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * public literature; the LASER/CCMatrix pipeline shape): candidate
+    * translation pairs between two embedding corpora scored not by raw
+    * cosine but by the DISTANCE margin
+    * `margin(x,y) = cos(x,y) − (r(x) + r(y)) / 2`, where r(v) is the
+    * mean cosine of v's k nearest neighbors on the OTHER side — hubness
+    * correction: a vector that is close to everything (a hub) gets its
+    * neighborhood density subtracted, so only pairs that are close
+    * SPECIFICALLY to each other mine. Forward best = argmax-margin tgt
+    * per src; `mutual` marks pairs that are also their tgt's backward
+    * argmax (the intersection criterion the paper's retrieval variant
+    * uses).
+    *
+    * Scale shape: NEVER all-pairs. Each side gets its own coarse IVF
+    * quantizer (the session precedent: nlist-cell Lloyd, driver-sized
+    * centroid model); every src row is assigned map-only to its nprobe
+    * nearest TGT cells (IvfDistances kernel — no crossJoin) and meets
+    * only those cells' rows through a cluster equi-join — the SemDeDup
+    * bound applied across two corpora. kNN lists, margins, and both
+    * argmaxes are bounded-heap aggregates (TopKAgg), map-side combined.
+    * At 100 TB both sides stream through 2/nlist of the other side —
+    * the approximate-kNN trade every production miner makes (the paper
+    * itself mines with approximate FAISS search).
+    *
+    * Float determinism: the margin is computed over EXACT INTEGER
+    * top-k sums — each neighbor cosine enters as round(cos4·10⁴) (a
+    * long, so the k-sum is order-independent), r(v) = that sum / k_eff
+    * (one IEEE division), and the ranking key
+    * `round(cos4·10⁴) − (r(x)+r(y))/2` is bit-identical in any engine
+    * that replays the same ops — ties break on the smaller candidate
+    * id. Output margin is reported in cosine units (round 6). */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int, nlistSrc: Int,
+                 nlistTgt: Int, nprobe: Int, iters: Int,
+                 dim: Int = DefaultDim): DataFrame = {
+    // per-side coarse quantizers + assigned indexes (nid, ne, nn,
+    // cluster); lineage cut once — four consumers read each
+    val (centsT, idxT0) = ivfTrainAssign(tgt, nlistTgt, iters, dim)
+    val (centsS, idxS0) = ivfTrainAssign(src, nlistSrc, iters, dim)
+    val idxT = idxT0.localCheckpoint()
+    val idxS = idxS0.localCheckpoint()
+    // EXPANSION-AWARE exchange grain for the pair-scoring joins (r18,
+    // measured): the cluster join expands ~nprobe·|probe|·cellsize
+    // rows of ~2·dim doubles — ~1000x its INPUT bytes at the second
+    // decade — so the engine's input-proportional grain (graft.Tune
+    // sizes exchanges by what is READ) undersizes exactly this
+    // exchange: at 100x (200k vectors/side) the 55.9M candidate pairs
+    // landed on 32 partitions, ~1.7 GB of joined rows per task, and
+    // spilled 9.8 GB mem / 1.8 GB disk (ScaleDecade18 first pass).
+    // The operator KNOWS its expansion in closed form before the join
+    // runs — that knowledge, not input size, sizes the exchange:
+    // ~100k pairs (~100 MB of qe+ne rows) per partition, capped at
+    // 2048. Two bounded count()s on the checkpointed indexes; pure
+    // layout, so results are untouched at any sf.
+    val (nS, nT) = (idxS.count(), idxT.count())
+    val minParts = src.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt.toLong
+    def partsFor(probeN: Long, cellRows: Long): Int =
+      math.min(2048L, math.max(minParts,
+        nprobe.toLong * probeN * math.max(cellRows, 1L) / 100000L)).toInt
+    // map-only probe assignment of a WHOLE side against the other
+    // side's centroid model — corpus-scale queries, so no driver
+    // collection and no broadcast of the probe side: the kernel ships
+    // the tiny model, the join is a plain cluster equi-join
+    def probesOf(side: DataFrame, cents: Seq[(Long, Array[Double])]) =
+      withNorm(side, "vec_id", dim)
+        .withColumn("pr", explode(slice(
+          graft.functions.IvfDistances(col("e"), cents), 1, nprobe)))
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn"), col("pr").getField("cluster").as("cluster"))
+    def scoredPairs(index: DataFrame, probes: DataFrame, np: Int) =
+      index.join(probes.repartition(np, col("cluster")), Seq("cluster"))
+        .select(col("qid"), col("nid"),
+          round(dot(col("qe"), col("ne"), dim)
+            / greatest(col("qn") * col("nn"), lit(1e-12)), 4).as("cos4"))
+    val d1 = scoredPairs(idxT, probesOf(src, centsT),
+      partsFor(nS, nT / math.max(nlistTgt, 1)))
+      .localCheckpoint() // r(x) aggregate + forward margin share it
+    val d2 = scoredPairs(idxS, probesOf(tgt, centsS),
+      partsFor(nT, nS / math.max(nlistSrc, 1)))
+      .localCheckpoint() // r(y) aggregate + backward margin share it
+    // r(v): EXACT-INTEGER sum of the top-k round-4 cosines (×1e4 →
+    // longs; order-independent) plus the actual neighbor count
+    def knnScaledSum(d: DataFrame) = d
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg(-col("cos4"), col("nid"),
+        col("nid"), k).as("beam"))
+      .select(col("qid"),
+        aggregate(transform(col("beam"),
+            b => round(-b.getField("key") * 10000.0).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("rsum"),
+        size(col("beam")).cast("long").as("keff"))
+    val rX = knnScaledSum(d1).select(col("qid").as("xid"),
+      col("rsum").as("rsx"), col("keff").as("kx"))
+    val rY = knnScaledSum(d2).select(col("qid").as("yid"),
+      col("rsum").as("rsy"), col("keff").as("ky"))
+    // margin in the ×1e4 integer-anchored space; the two divisions and
+    // the subtraction are single IEEE ops over bit-pinned inputs
+    def withMargin(pairs: DataFrame) = pairs
+      .join(rX, Seq("xid")).join(rY, Seq("yid"))
+      .withColumn("c4s", round(col("cos4") * 10000.0).cast("long"))
+      .withColumn("mrg", col("c4s").cast("double")
+        - (col("rsx").cast("double") / col("kx").cast("double")
+          + col("rsy").cast("double") / col("ky").cast("double")) / 2.0)
+    def bestBy(m: DataFrame, idc: String, otherc: String) = m
+      .groupBy(idc)
+      .agg(graft.functions.TopKAgg(-col("mrg"), col(otherc),
+        col("c4s"), 1).as("tk"))
+      .select(col(idc),
+        element_at(col("tk"), 1).getField("tie").as(otherc),
+        (-element_at(col("tk"), 1).getField("key")).as("mrg"),
+        element_at(col("tk"), 1).getField("payload").as("c4s"))
+    val fwd = bestBy(withMargin(d1.select(col("qid").as("xid"),
+      col("nid").as("yid"), col("cos4"))), "xid", "yid")
+    val bwd = bestBy(withMargin(d2.select(col("qid").as("yid"),
+      col("nid").as("xid"), col("cos4"))), "yid", "xid")
+      .select(col("yid"), col("xid").as("bx"))
+    // margin reported UNROUNDED in the ×1e4 space: with k_eff ∈
+    // {1,2,4} it is an exact dyadic (multiple of 2⁻³) that lands ON
+    // decimal-half boundaries, where Spark's BigDecimal HALF_UP and a
+    // multiply-then-round engine disagree by one ulp (measured at
+    // sf0.01: 0.008088 vs 0.008087) — the MMR mmr_x1e5 rule: when the
+    // arithmetic is bit-pinned on both sides, rounding only ADDS a
+    // divergence channel
+    fwd.join(bwd, Seq("yid"), "left")
+      .select(col("xid").as("src_id"), col("yid").as("tgt_id"),
+        round(col("c4s").cast("double") / 10000.0, 4).as("cos4"),
+        col("mrg").as("margin_x1e4"),
+        coalesce(col("bx") === col("xid"), lit(false)).as("mutual"))
+  }
 }

@@ -123,12 +123,15 @@ object FmIndex {
     SuffixIndex.FmTables(bwt, blockCum, firstCnt, eTab)
   }
 
-  /** SERVE: backward search over built FM tables, all patterns in
-    * lockstep — pattern units are UTF-8 BYTES, matching the byte-level
-    * suffix order (r18). `ord` is only read by the final doc rollup. */
-  def serve(ord: DataFrame, t: SuffixIndex.FmTables,
-            patterns: Seq[(Long, String)]): DataFrame = {
-    val spark = ord.sparkSession
+  /** Backward search over built FM tables, all patterns in lockstep —
+    * pattern units are UTF-8 BYTES, matching the byte-level suffix
+    * order (r18). Returns the resolved SA rank intervals
+    * (pid, pat, lo, hi), hi < lo normalized to (0, -1) for empty
+    * matches — the shared core of [[serve]] (count rollup) and
+    * [[locate]] (occurrence extraction). */
+  def intervals(spark: org.apache.spark.sql.SparkSession,
+                t: SuffixIndex.FmTables,
+                patterns: Seq[(Long, String)]): Seq[(Long, String, Long, Long)] = {
     import spark.implicits._
     val firstCnt = t.firstCnt
     val cTab = scala.collection.mutable.LongMap[Long]()
@@ -197,13 +200,20 @@ object FmIndex {
         } => pid -> (0L, -1L)
       }
     }
-    val resolved = pats.map { case (pid, p, _) =>
+    pats.map { case (pid, p, _) =>
       val (lo, hi) = state(pid)
       if (hi < lo) (pid, p, 0L, -1L) else (pid, p, lo, hi)
     }
-    // doc-level rollup for non-empty intervals: one scan of ord with
-    // the ≤ |patterns| rank intervals broadcast
-    val iv = resolved.toDF("pid", "pat", "lo", "hi")
+  }
+
+  /** SERVE: substring counts — backward search to rank intervals, then
+    * a doc-level rollup against `ord` (one scan with the ≤ |patterns|
+    * rank intervals broadcast). */
+  def serve(ord: DataFrame, t: SuffixIndex.FmTables,
+            patterns: Seq[(Long, String)]): DataFrame = {
+    val spark = ord.sparkSession
+    import spark.implicits._
+    val iv = intervals(spark, t, patterns).toDF("pid", "pat", "lo", "hi")
     val hits = ord.join(broadcast(iv),
       ord("rn") >= iv("lo") && ord("rn") <= iv("hi"))
       .groupBy("pid")
@@ -215,5 +225,26 @@ object FmIndex {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         when(col("hi") < col("lo"), 0L).otherwise(col("lo")).as("sa_lo"),
         when(col("hi") < col("lo"), -1L).otherwise(col("hi")).as("sa_hi"))
+  }
+
+  /** LOCATE: every occurrence position of every pattern — backward
+    * search to rank intervals, then ONE scan of the persisted suffix
+    * order with the ≤ |patterns| intervals broadcast; each rank in
+    * [lo, hi] IS an occurrence (doc_id, byte offset). The classic FM
+    * serving design samples the SA and walks LF to the nearest sample;
+    * here the full order is already a standing distributed table (the
+    * build/serve artifact q_suffix_dedup pays for anyway), so locate
+    * is a broadcast range join against it — no LF walk, no per-rank
+    * driver round-trips, and output size = true occurrence count, the
+    * lower bound any locate pays. Returns (pid, pat, doc_id, pos). */
+  def locate(ord: DataFrame, t: SuffixIndex.FmTables,
+             patterns: Seq[(Long, String)]): DataFrame = {
+    val spark = ord.sparkSession
+    import spark.implicits._
+    val iv = intervals(spark, t, patterns)
+      .filter(x => x._4 >= x._3).toDF("pid", "pat", "lo", "hi")
+    ord.join(broadcast(iv),
+      ord("rn") >= iv("lo") && ord("rn") <= iv("hi"))
+      .select(col("pid"), col("pat"), col("doc_id"), col("pos"))
   }
 }

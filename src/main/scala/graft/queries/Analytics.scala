@@ -618,35 +618,72 @@ object Analytics {
     * inline (entityResolveFrom) or read back from persisted artifacts
     * (qEntityResolveIndexed). Identical results either way — indexing
     * must never change answers. */
+  /** Probe-side STOP-GRAM df cap (r18, VERDICT r17 item 3 — the r16
+    * counterfactual promoted to engine behavior): a gram with df >
+    * this many postings is ineligible as a pass-1 probe, the same
+    * stop-shingle rule Dedup.ngramJaccard/containmentPairs apply to
+    * their posting joins. Adaptive width keeps the gram NAMESPACE
+    * sparse as the corpus grows, but rarest-4 selection alone still
+    * lets a saturated record probe with high-df grams — at 100x
+    * (ProfileEntity18, n=1.5M, g=7) the rarest-4 probes carried
+    * p50/p99 df of 392/567 and 537.8M pass-1 candidates, the one
+    * remaining SCALE spill row (478 GB mem at 100x, SCALE_r17). With
+    * the cap, a probe's posting list is <= 32 rows so per-record
+    * pass-1 work is <= PrefixK x 32 candidates AT ANY CORPUS SIZE:
+    * measured 49.1M candidates at 100x (11x down), zero coverage loss
+    * at 1x/10x, and the 2.7% of records whose every gram exceeds the
+    * cap fall STRUCTURALLY into the second-chance tail-block rescue
+    * (they produce no pass-1 candidates, so the best1 left-anti
+    * routes them there — loud and bounded, never a silently empty
+    * candidate set, which is how the r10 ABSOLUTE cap failed: that
+    * cap gated the JOIN for everyone with no fallback; this one gates
+    * probe eligibility with the multi-pass rescue behind it). */
+  val ProbeDfCap = 32L
+
   def entityResolveOn(c: DataFrame, cg5: DataFrame,
                       dfTab: DataFrame, g: Int): DataFrame = {
     val PrefixK = 4 // rarest grams probed per dirty record, pass 1
     // dirty twin: drop one char at a suffix position keyed by the id
     val dirty = entityDirty(c)
-    // verification frames carry the raw name (for levenshtein) and the
-    // trigram set (for the Jaccard tie-break) — row-local projections
-    // of the master base, cheap for both passes
-    val cArr = gramArr(c.select(col("ckey"), col("name")), "ckey", 3)
-      .select(col("ckey"), col("name").as("cn"), col("gs").as("gs_c"))
-    val dArr = gramArr(dirty, "rid", 3)
-      .select(col("rid"), col("name").as("dn"), col("gs"))
+    // verification frames: raw names (for levenshtein) SEPARATE from
+    // the trigram sets (for the Jaccard tie-break) — r18 split. The
+    // r17 form attached names AND gram arrays to every candidate pair
+    // before the lev filter, so the scoring join moved ~3 KB per
+    // candidate (50M capped pairs x arrays ≈ 150 GB of joined rows at
+    // 100x — ScaleDecade18 watched it eat the disk). Only rows that
+    // SURVIVE the lev threshold ever need jac (lev dominates the
+    // composite key; threshold-1 scoring filters to lev<=1 first), so
+    // stage A joins the ~100-byte names, and stage B attaches gram
+    // arrays to the ~per-rid-sized survivor set — candidate volume
+    // pays name-width, corpus volume pays array-width, never both.
+    val cNames = c.select(col("ckey"), col("name").as("cn"))
+    val dNames = dirty.select(col("rid"), col("name").as("dn"))
+    val cGs = gramArr(c.select(col("ckey"), col("name")), "ckey", 3)
+      .select(col("ckey"), col("gs").as("gs_c"))
+    val dGs = gramArr(dirty, "rid", 3)
+      .select(col("rid"), col("gs"))
     val dg5 = gramArr(dirty, "rid", g)
       .select(col("rid"), length(col("name")).cast("long").as("dl"),
         explode(col("gs")).as("gm"))
       .select(col("rid"), col("dl"), encGram(col("gm"), g).as("ge"))
-    // per-RECORD prefix filter (the ppjoin scheme), not a global df
-    // cap: each dirty record probes with its globally-rarest blocking
-    // grams. The 16x probe (dev.ProfileEntity) caught the original
-    // absolute df<=25 cap going stale — at 4x corpus every gram
-    // exceeded it and the candidate set silently emptied; a per-record
-    // prefix stays meaningful at any corpus size because rarity is
-    // RELATIVE.
+    // per-RECORD prefix filter (the ppjoin scheme) INTERSECTED with
+    // the stop-gram eligibility cap (ProbeDfCap, r18): each dirty
+    // record probes with its rarest blocking grams AMONG those whose
+    // posting list is bounded. The two layers fail differently and
+    // cover each other: the r10 absolute df<=25 cap gated the join
+    // for everyone with no fallback (at 4x corpus every gram exceeded
+    // it and the candidate set silently emptied — dev.ProfileEntity);
+    // the per-record prefix alone let saturated records drag 537.8M
+    // pass-1 candidates at 100x (ProfileEntity18). Cap + prefix +
+    // the structural retry rescue bounds pass-1 work per record at
+    // any corpus size with no silent-empty mode.
     // per-record rarest-K selection as the bounded-heap TopKAgg, not a
     // row_number window (the §5 rule: the heap map-side-combines to K
     // rows per (partition x rid) where the window sorts every posting
     // through one exchange); (df, encoded-gram) ordering == the
     // oracle's (df, gram-string) ordering for equal-length ASCII grams
-    val probesAll = dg5.join(dfTab, Seq("ge"))
+    val probesAll = dg5
+      .join(dfTab.filter(col("df") <= ProbeDfCap), Seq("ge"))
       .groupBy("rid", "dl")
       .agg(graft.functions.TopKAgg(col("df").cast("double"), col("ge"),
         col("ge"), PrefixK).as("beam"))
@@ -667,22 +704,28 @@ object Analytics {
     // the full DP's O(len^2); only the retry residual (~3% of rids)
     // ever pays exact distances, and it re-scores its own pass-1
     // candidates below.
-    def score(cand: DataFrame, threshold: Option[Int]): DataFrame = cand
-      .join(dArr, Seq("rid"))
-      .join(cArr, Seq("ckey"))
-      .select(col("rid"), col("ckey"),
-        threshold.fold(levenshtein(col("dn"), col("cn")))(t =>
-          levenshtein(col("dn"), col("cn"), t))
-          .cast("double").as("lev"),
-        size(array_intersect(col("gs"), col("gs_c"))).cast("long")
-          .as("shared"),
-        size(col("gs")).cast("long").as("nb"),
-        size(col("gs_c")).cast("long").as("na"))
-      .filter(col("lev") >= 0.0) // -1 = above threshold, never a winner
-      .select(col("rid"), col("ckey"), col("lev"),
-        round(col("shared").cast("double")
-          / (col("na") + col("nb") - col("shared")).cast("double"), 4)
-          .as("jac"))
+    def score(cand: DataFrame, threshold: Option[Int]): DataFrame = {
+      val survivors = cand
+        .join(dNames, Seq("rid"))
+        .join(cNames, Seq("ckey"))
+        .select(col("rid"), col("ckey"),
+          threshold.fold(levenshtein(col("dn"), col("cn")))(t =>
+            levenshtein(col("dn"), col("cn"), t))
+            .cast("double").as("lev"))
+        .filter(col("lev") >= 0.0) // -1 = above threshold, never a winner
+      survivors
+        .join(dGs, Seq("rid"))
+        .join(cGs, Seq("ckey"))
+        .select(col("rid"), col("ckey"), col("lev"),
+          size(array_intersect(col("gs"), col("gs_c"))).cast("long")
+            .as("shared"),
+          size(col("gs")).cast("long").as("nb"),
+          size(col("gs_c")).cast("long").as("na"))
+        .select(col("rid"), col("ckey"), col("lev"),
+          round(col("shared").cast("double")
+            / (col("na") + col("nb") - col("shared")).cast("double"), 4)
+            .as("jac"))
+    }
     // ed-join LENGTH FILTER at candidate generation (both passes):
     // lev >= |Δlen|, and every final winner sits at lev = 1 (the twin
     // is one deletion away; a rival can only beat it at lev = 1 too),
@@ -714,35 +757,44 @@ object Analytics {
     // second chance: rids whose pass-1 winner is not lev<=1 (blocking
     // missed the twin, or no candidates survived at all) — a small
     // set, so the extra work is bounded by the residual, not the
-    // corpus. The rescue BLOCKS ON A DIFFERENT KEY (multi-pass
-    // blocking, the standard record-linkage design): the corruption
-    // sits inside the name field, so the record's TAIL — the clean
-    // structured fields (mktsegment + nation) — is intact; right(name,
-    // 12) covers the shortest tail exactly and buckets retry records
-    // with the masters sharing their clean fields. Rank 5-8 gram
-    // probes were measured 1.2-1.8M candidate pairs at sf0.1 (the
-    // rarest-gram ranking runs out of signal exactly when blocking
-    // missed); the tail block is ~retry x bucket-size.
+    // corpus. The rescue BLOCKS ON THE STRONGEST KEY THE OPERATING
+    // CONTRACT ALLOWS (multi-pass blocking, the standard record-
+    // linkage design — the residual pass is where you spend your best
+    // key): the corruption is one deletion at a name position in
+    // [11, 18], so each master's EIGHT windowed deletion variants
+    // (the row-146 FastSS neighborhood restricted to the corruption
+    // window) form a COMPLETE candidate generator for the residual —
+    // the dirty string IS one of its master's variants, and the join
+    // is exact string equality. r18 measurement forced this: the r11
+    // tail key right(name, 12) was mostly segment+nation (~125
+    // distinct values on this corpus — the name's digits END at
+    // position 18, so every fixed suffix key collapses to the same
+    // low-cardinality tail), and rescue buckets grew LINEARLY with
+    // the corpus: at 100x the df-capped pass-1 sends 41k records here
+    // and 41k x 12k-row buckets = 492M verification pairs filled the
+    // disk (ScaleDecade18, ENOSPC twice). The variant join is ~8 rows
+    // per master and candidates ~ the true-match set at any corpus
+    // scale.
     val retryIds = dirty.select(col("rid"))
       .join(best1.select("rid"), Seq("rid"), "left_anti")
     val cand2 = dirty.join(retryIds, Seq("rid"))
-      .select(col("rid"), length(col("name")).cast("long").as("dl"),
-        expr("right(name, 12)").as("tk"))
-      .join(c.select(col("ckey"), length(col("name")).cast("long")
-        .as("cl"), expr("right(name, 12)").as("tk")), Seq("tk"))
-      .filter(abs(col("dl") - col("cl")) <= 1)
-      .select(col("rid"), col("ckey"))
+      .select(col("rid"), col("name").as("tk"))
+      .join(c.select(col("ckey"), explode(array((11 to 18).map(p =>
+          concat(substring(col("name"), 1, p - 1),
+            substring(col("name"), p + 1, 64))): _*)).as("tk")),
+        Seq("tk"))
+      .select(col("rid"), col("ckey")).distinct()
       .localCheckpoint() // thr-1 retry pass + residual re-score share it
-    // STAGED retry (r13): the tail block scores with threshold-1 first
-    // — a retry rid whose tail bucket holds a lev<=1 candidate is
-    // decided there (its pass-1 candidates are all lev>=2 by the retry
-    // definition, so they cannot beat it; measured: ALL 1150 retry
-    // rids at sf0.1 resolve here, 0.75 s vs 4.1 s for exact-DP over
-    // the union). Only the doubly-residual rids — no lev<=1 candidate
-    // in EITHER pass — re-score their full candidate set through the
-    // exact DP, because their winners sit at lev >= 2 where exact
-    // distances order the ranking. A duplicate pair inside the union
-    // is harmless (identical (key, tie) can't change a k=1 heap).
+    // STAGED retry (r13): the rescue block scores with threshold-1
+    // first — a retry rid whose rescue candidates hold a lev<=1 match
+    // is decided there (its pass-1 candidates are all lev>=2 by the
+    // retry definition, so they cannot beat it; under the r18 variant
+    // join every rescue candidate IS a lev<=1 match by construction).
+    // Only the doubly-residual rids — no lev<=1 candidate in EITHER
+    // pass — re-score their full candidate set through the exact DP,
+    // because their winners sit at lev >= 2 where exact distances
+    // order the ranking. A duplicate pair inside the union is
+    // harmless (identical (key, tie) can't change a k=1 heap).
     val best2a = keyOf(score(cand2, threshold = Some(1)))
       .localCheckpoint() // residual split + final union
     val retry2 = retryIds
@@ -837,6 +889,45 @@ object Analytics {
     * floors — they agree only on non-negatives). Plan: two hash
     * aggregates, the second over only the failing groups (a tiny
     * fraction); one shuffle each, no windows. */
+  /** Differentially-private histogram RELEASE (Dwork et al. 2006
+    * Laplace mechanism — public literature): the privacy family's
+    * missing half. Rows 171/187 AUDIT a dataset (k-anonymity,
+    * l-diversity); this row RELEASES an aggregate under an ε-budget —
+    * the shape a data card or external stats endpoint actually ships.
+    * Per-(nation, segment) customer counts have L1 sensitivity 1
+    * (each customer contributes to exactly one cell), so
+    * noisy = n + Lap(1/ε) at ε = 1; the released frame carries ONLY
+    * the noisy count (never n — the whole point) plus the ε spent.
+    * Distributed shape: one map-side-combined count aggregate; the
+    * noise is a row-local projection over the ~125-cell result.
+    *
+    * Noise is SEEDED, the suite's deterministic stand-in convention
+    * (multimodal decode fakes, epoch-shuffle keys): a per-cell Knuth
+    * multiplicative hash gives u ∈ (0,1), and the Laplace draw is the
+    * inverse CDF −sign(u−½)·ln(1−2|u−½|) — the exact mechanism SHAPE
+    * with reproducible draws, SQL-replayable (a production release
+    * would draw u from a CSPRNG; everything else is unchanged). The
+    * ln is the KN-LM precedent: both engines see bit-identical inputs
+    * and round(…,2) absorbs any libm ulp; an exact decimal half is
+    * impossible (the ln term is irrational for these rationals). */
+  def qDpHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val g = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .groupBy("nation", "segment").agg(count(lit(1)).as("n"))
+    val x = col("nation") * 1000L +
+      ascii(substring(col("segment"), 1, 1)) * 10L +
+      length(col("segment"))
+    val u = (pmod(x * 2654435761L + 97L, lit(P)).cast("double") + 0.5) /
+      P.toDouble
+    val noise = -signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    g.select(col("nation"), col("segment"),
+      round(col("n") + noise, 2).as("noisy_n"),
+      lit(1.0).as("epsilon"))
+  }
+
   def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
     val K = 5
     val c = Tables.load(spark, dir, "customer")
@@ -1139,6 +1230,7 @@ object Analytics {
     "q_ldiversity" -> (qLDiversity _),
     "q_item_cofreq" -> (qItemCofreq _),
     "q_sar_export" -> (qSarExport _),
+    "q_dp_histogram" -> (qDpHistogram _),
     "q_data_contract" -> (qDataContract _),
     "q_cascade_delete" -> (qCascadeDelete _),
     "q_entity_resolve" -> (qEntityResolve _),
@@ -1298,7 +1390,8 @@ object Analytics {
         |pr AS (SELECT rid, g, dl FROM (
         |    SELECT d.rid, d.g, d.dl, ROW_NUMBER() OVER (PARTITION BY
         |      d.rid ORDER BY f.df, d.g) AS rn
-        |    FROM dg5 d JOIN dfr f ON f.g = d.g) z WHERE rn <= 4),
+        |    FROM dg5 d JOIN dfr f ON f.g = d.g
+        |    WHERE f.df <= 32) z WHERE rn <= 4),
         |cand1 AS (SELECT DISTINCT p.rid, c2.ckey
         |          FROM pr p JOIN cg5 c2 ON c2.g = p.g
         |          WHERE abs(p.dl - c2.cl) <= 1),
@@ -1308,10 +1401,14 @@ object Analytics {
         |        JOIN c c2 ON c2.ckey = cd.ckey),
         |retry AS (SELECT rid FROM dirty WHERE rid NOT IN (
         |            SELECT rid FROM lv1 WHERE lev <= 1)),
-        |cand2 AS (SELECT d.rid, c2.ckey
+        |cvar AS (SELECT ckey,
+        |           substr(name, 1, CAST(p - 1 AS INT))
+        |             || substr(name, CAST(p + 1 AS INT)) AS vn
+        |         FROM c, LATERAL (SELECT unnest(generate_series(11,
+        |           18)) AS p) u),
+        |cand2 AS (SELECT DISTINCT d.rid, cv.ckey
         |          FROM dirty d JOIN retry r ON r.rid = d.rid
-        |          JOIN c c2 ON right(c2.name, 12) = right(d.name, 12)
-        |           AND abs(len(d.name) - len(c2.name)) <= 1
+        |          JOIN cvar cv ON cv.vn = d.name
         |          EXCEPT SELECT rid, ckey FROM cand1),
         |cand AS (SELECT rid, ckey FROM cand1
         |         UNION SELECT rid, ckey FROM cand2),
@@ -1563,6 +1660,24 @@ object Analytics {
         |  n_distinct_sensitive >= 2
         |    AND dom_cnt * 1000 // n_members <= 800 AS l_diverse
         |FROM r""".stripMargin,
+
+    // DP release: the oracle replays the count, the seeded inverse-CDF
+    // Laplace draw and the identical op order
+    "q_dp_histogram" ->
+      """WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |s AS (SELECT nation, segment, n,
+        |    ((nation * 1000 + ascii(substr(segment, 1, 1)) * 10
+        |      + length(segment)) * 2654435761 + 97) % 1000000007 AS h
+        |  FROM g),
+        |u AS (SELECT nation, segment, n,
+        |    (CAST(h AS DOUBLE) + 0.5) / 1000000007.0 AS uu FROM s)
+        |SELECT nation, segment,
+        |  ROUND(n + (-sign(uu - 0.5)
+        |    * ln(1.0 - 2.0 * abs(uu - 0.5))), 2) AS noisy_n,
+        |  1.0 AS epsilon
+        |FROM u""".stripMargin,
 
     "q_sar_export" ->
       """WITH subs AS (SELECT CAST(c_custkey AS BIGINT) AS subject

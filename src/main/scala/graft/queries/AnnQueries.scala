@@ -666,7 +666,63 @@ object AnnQueries {
     Ann.recallAtK(qMmrRerankIndexed(spark, dir),
       qMmrRerank(spark, dir), 5)
 
+  /** Margin-based bitext mining (SURVEY §2 row 226, r18): parallel-pair
+    * candidates mined between two embedding corpora (even vec_ids =
+    * src side, odd = tgt side) by the Artetxe & Schwenk DISTANCE
+    * margin — cosine minus the mean of both endpoints' k-NN
+    * neighborhoods, the hubness correction raw cosine lacks. Search is
+    * cluster-bounded (per-side IVF coarse quantizers, probe-2 cluster
+    * equi-joins — never all-pairs); margins rank in an exact-integer-
+    * anchored space; forward/backward argmaxes + the mutual-best flag.
+    * The oracle replays both coarse chains, both probe joins and the
+    * identical margin arithmetic in DuckDB ([[graft.operators.Ann
+    * .bitextMine]]). */
+  def qBitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val src = e.filter(col("vec_id") % 2 === 0)
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+    // per-side CORPUS-SCALED nlist (the semdedup rule — ~125 rows per
+    // cell): 16 at every shipped sf, so the oracle's LIMIT-16 coarse
+    // replay is exact there; at decade scale the cell count grows so
+    // the cluster equi-join stays linear instead of saturating 16
+    // cells with n/16-row products. Two bounded count() scalars — the
+    // entityResolveFrom width-sizing shape.
+    def nlistOf(n: Long) = math.max(16L, n / 125L).toInt
+    Ann.bitextMine(src, tgt, k = 4,
+      nlistSrc = nlistOf(src.count()), nlistTgt = nlistOf(tgt.count()),
+      nprobe = 2, iters = 2)
+  }
+
+  /** Bitext-mining recall monitor (SURVEY §2 row 227, r18): what the
+    * cluster-bounded search costs the MINED PAIRS — indexed forward
+    * picks and mutual flags vs EXACT all-pairs margin mining, per src
+    * (the recall discipline every approximate tier in the suite
+    * carries; exact = the nlist-1 degenerate configuration, feasible
+    * at eval scale exactly like the brute-force sides of the ANN
+    * recall rows). */
+  def qBitextRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val src = e.filter(col("vec_id") % 2 === 0)
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+    val idx = qBitextMine(spark, dir)
+      .select(col("src_id"), col("tgt_id").as("tgt_indexed"),
+        col("mutual").as("mutual_indexed"))
+    val exact = Ann.bitextMine(src, tgt, k = 4, nlistSrc = 1,
+      nlistTgt = 1, nprobe = 1, iters = 2)
+      .select(col("src_id"), col("tgt_id").as("tgt_exact"),
+        col("mutual").as("mutual_exact"))
+    exact.join(idx, Seq("src_id"), "left")
+      .select(col("src_id"), col("tgt_exact"),
+        coalesce(col("tgt_indexed"), lit(-1L)).as("tgt_indexed"),
+        coalesce(col("tgt_indexed") === col("tgt_exact"), lit(false))
+          .as("agree"),
+        col("mutual_exact"),
+        coalesce(col("mutual_indexed"), lit(false)).as("mutual_indexed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitext_mine" -> (qBitextMine _),
+    "q_bitext_recall" -> (qBitextRecall _),
     "q_ann_pq_rerank" -> (qAnnPqRerank _),
     "q_ann_recall_rerank" -> (qAnnRecallRerank _),
     "q_ann_pq" -> (qAnnPq _),
@@ -791,6 +847,143 @@ object AnnQueries {
        |        ORDER BY ${ivfD2("q0.qe", "c.ce")}, c.cluster) AS prn
        |    FROM q0, c2 c) WHERE prn <= 2)""".stripMargin
   }
+
+  /** One side's coarse chain for the bitext oracle: CTE names prefixed
+    * so the src and tgt replays coexist in one query. Same seeds (16
+    * smallest vec_ids of the slice), two Lloyd rounds, round(d2,6)
+    * assignment — the ivfCoarseCtesOn arithmetic verbatim. */
+  private def bitextCoarse(p: String, where: String): String = {
+    def assign(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, e, nrm, cluster FROM (
+         |    SELECT n.vec_id, n.e, n.nrm, c.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${ivfD2("n.e", "c.ce")}, c.cluster) AS rn
+         |    FROM ${p}n n, $cents c) WHERE rn = 1)""".stripMargin
+    def recenter(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT cluster, list(m ORDER BY i) AS ce FROM (
+         |    SELECT a.cluster, u.i, AVG(a.e[u.i]) AS m
+         |    FROM $assigned a,
+         |         (SELECT unnest(generate_series(1, 64)) AS i) u
+         |    GROUP BY 1, 2)
+         |  GROUP BY cluster)""".stripMargin
+    s"""${p}v AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings $where),
+       |${p}n AS (SELECT vec_id, e,
+       |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |      FROM ${p}v),
+       |${p}c0 AS (SELECT vec_id AS cluster, e AS ce FROM ${p}n
+       |       ORDER BY vec_id LIMIT 16),
+       |${assign(s"${p}c0", s"${p}a1")},
+       |${recenter(s"${p}a1", s"${p}c1")},
+       |${assign(s"${p}c1", s"${p}a2")},
+       |${recenter(s"${p}a2", s"${p}c2")},
+       |${assign(s"${p}c2", s"${p}idx")}""".stripMargin
+  }
+
+  /** Bitext-mining oracle: both coarse chains, whole-side probe-2
+    * assignment, cluster-join scoring, exact-integer top-4 sums,
+    * identical margin arithmetic, forward/backward argmax + mutual.
+    * The CTE body through bf/bb is shared with the recall oracle. */
+  private val bitextCtes: String = {
+    def probes(p: String, sideN: String, cents: String) =
+      s"""$p AS (
+         |  SELECT qid, qe, qn, cluster FROM (
+         |    SELECT n.vec_id AS qid, n.e AS qe, n.nrm AS qn, c.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${ivfD2("n.e", "c.ce")}, c.cluster) AS prn
+         |    FROM $sideN n, $cents c) WHERE prn <= 2)""".stripMargin
+    def scored(out: String, idx: String, pr: String, qAs: String,
+               nAs: String) =
+      s"""$out AS (
+         |  SELECT p.qid AS $qAs, x.vec_id AS $nAs,
+         |    ROUND(list_sum(list_transform(range(1, 65),
+         |            i -> p.qe[i] * x.e[i]))
+         |        / greatest(p.qn * x.nrm, 1e-12), 4) AS cos4
+         |  FROM $idx x JOIN $pr p ON x.cluster = p.cluster)""".stripMargin
+    def knn(out: String, d: String, idc: String, otherc: String,
+            sumAs: String, kAs: String) =
+      s"""$out AS (
+         |  SELECT $idc, SUM(c4s) AS $sumAs, CAST(COUNT(*) AS BIGINT)
+         |      AS $kAs
+         |  FROM (SELECT $idc, CAST(ROUND(cos4 * 10000) AS BIGINT) AS c4s,
+         |      ROW_NUMBER() OVER (PARTITION BY $idc
+         |        ORDER BY cos4 DESC, $otherc) AS rn FROM $d) z
+         |  WHERE rn <= 4 GROUP BY $idc)""".stripMargin
+    def margins(out: String, d: String, rxT: String, ryT: String) =
+      s"""$out AS (
+         |  SELECT d.xid, d.yid,
+         |    CAST(ROUND(d.cos4 * 10000) AS BIGINT) AS c4s,
+         |    CAST(CAST(ROUND(d.cos4 * 10000) AS BIGINT) AS DOUBLE)
+         |      - (CAST(r1.rsx AS DOUBLE) / CAST(r1.kx AS DOUBLE)
+         |        + CAST(r2.rsy AS DOUBLE) / CAST(r2.ky AS DOUBLE)) / 2.0
+         |      AS mrg
+         |  FROM $d d
+         |  JOIN $rxT r1 ON r1.xid = d.xid
+         |  JOIN $ryT r2 ON r2.yid = d.yid)""".stripMargin
+    // exact all-pairs chain (the recall oracle's reference side): one
+    // cosine table serves both directions — pair sets coincide
+    val exact =
+      s"""d1e AS (
+         |  SELECT s.vec_id AS xid, t.vec_id AS yid,
+         |    ROUND(list_sum(list_transform(range(1, 65),
+         |            i -> s.e[i] * t.e[i]))
+         |        / greatest(s.nrm * t.nrm, 1e-12), 4) AS cos4
+         |  FROM sn s, tn t),
+         |${knn("rxe", "d1e", "xid", "yid", "rsx", "kx")},
+         |${knn("rye", "d1e", "yid", "xid", "rsy", "ky")},
+         |${margins("m1e", "d1e", "rxe", "rye")},
+         |bfe AS (SELECT xid, yid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY xid
+         |      ORDER BY mrg DESC, yid) AS rn FROM m1e) z WHERE rn = 1),
+         |bbe AS (SELECT yid, xid AS bx FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY yid
+         |      ORDER BY mrg DESC, xid) AS rn FROM m1e) z WHERE rn = 1)"""
+        .stripMargin
+    s"""${bitextCoarse("s", "WHERE vec_id % 2 = 0")},
+       |${bitextCoarse("t", "WHERE vec_id % 2 = 1")},
+       |${probes("sp", "sn", "tc2")},
+       |${probes("tp", "tn", "sc2")},
+       |${scored("d1", "tidx", "sp", "xid", "yid")},
+       |${scored("d2", "sidx", "tp", "yid", "xid")},
+       |${knn("rx", "d1", "xid", "yid", "rsx", "kx")},
+       |${knn("ry", "d2", "yid", "xid", "rsy", "ky")},
+       |${margins("m1", "d1", "rx", "ry")},
+       |${margins("m2", "d2", "rx", "ry")},
+       |bf AS (SELECT xid, yid, c4s, mrg FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY xid
+       |      ORDER BY mrg DESC, yid) AS rn FROM m1) z WHERE rn = 1),
+       |bb AS (SELECT yid, xid AS bx FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY yid
+       |      ORDER BY mrg DESC, xid) AS rn FROM m2) z WHERE rn = 1),
+       |$exact""".stripMargin
+  }
+
+  private val bitextOracle: String =
+    s"""WITH $bitextCtes
+       |SELECT bf.xid AS src_id, bf.yid AS tgt_id,
+       |  ROUND(CAST(bf.c4s AS DOUBLE) / 10000.0, 4) AS cos4,
+       |  bf.mrg AS margin_x1e4,
+       |  COALESCE(bb.bx = bf.xid, FALSE) AS mutual
+       |FROM bf LEFT JOIN bb ON bb.yid = bf.yid""".stripMargin
+
+  /** Recall-monitor oracle: the exact all-pairs argmaxes (bfe/bbe)
+    * LEFT-joined to the indexed chain's picks — same comparison frame
+    * the engine builds. */
+  private val bitextRecallOracle: String =
+    s"""WITH $bitextCtes
+       |SELECT f.xid AS src_id, f.yid AS tgt_exact,
+       |  COALESCE(bf.yid, -1) AS tgt_indexed,
+       |  COALESCE(bf.yid = f.yid, FALSE) AS agree,
+       |  COALESCE(be.bx = f.xid, FALSE) AS mutual_exact,
+       |  COALESCE(bb.bx = bf.xid, FALSE) AS mutual_indexed
+       |FROM bfe f
+       |LEFT JOIN bbe be ON be.yid = f.yid
+       |LEFT JOIN bf ON bf.xid = f.xid
+       |LEFT JOIN bb ON bb.yid = bf.yid""".stripMargin
 
   private val ivfOracle: String =
     s"""WITH $ivfCoarseCtes,
@@ -1519,6 +1712,8 @@ object AnnQueries {
       .mkString("\nUNION ALL\n"),
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
+    "q_bitext_mine" -> bitextOracle,
+    "q_bitext_recall" -> bitextRecallOracle,
     "q_ann_ivf_indexed" -> ivfOracle,
     "q_ann_ivf_delta" -> ivfDeltaOracle,
     "q_ann_pq_delta" -> pqDeltaOracle,

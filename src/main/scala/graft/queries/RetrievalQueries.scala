@@ -545,6 +545,38 @@ object RetrievalQueries {
       SuffixIndex.fmFor(h, SuffixIndex.tagFor(spark, dir)), pats)
   }
 
+  /** FM-index LOCATE (SURVEY §2 row 225, r18): every occurrence
+    * POSITION of every pattern, served from the standing suffix-index
+    * artifact — the serving half row 220's count query stopped short
+    * of (decontamination wants the span to excise, not just the
+    * count; template mining wants the sites). Backward search resolves
+    * each pattern to its SA rank interval in O(pattern) bounded index
+    * probes, then ONE scan of the persisted order emits (doc_id, byte
+    * offset) per rank — no corpus text scan per pattern, no LF-walk
+    * driver round-trips (the full order is already a standing
+    * distributed table; see [[graft.operators.FmIndex.locate]]).
+    * Patterns: 8 deterministic substrings lifted from the corpus
+    * (doc k·60+3, offset k·5+2, length 5+(k·2 mod 7) — lengths 5..11,
+    * distinct from row 220's probes) plus one common ("ing ") and one
+    * absent ("zqxjvvqz", locates nothing). The oracle shares no
+    * machinery: direct substring comparison at every corpus
+    * position. */
+  def qFmLocate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val seed = d.filter(col("doc_id") % 60 === 3 && col("doc_id") < 480)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val lifted = (0 to 7).map { k =>
+      val t = seed(k * 60L + 3L)
+      (k.toLong, t.substring(k * 5 + 2, k * 5 + 2 + 5 + (k * 2) % 7))
+    }
+    val pats = lifted ++ Seq((8L, "ing "), (9L, "zqxjvvqz"))
+    import graft.operators.SuffixIndex
+    val h = SuffixIndex.forCorpus(d, SuffixIndex.tagFor(spark, dir))
+    graft.operators.FmIndex.locate(h.ord,
+      SuffixIndex.fmFor(h, SuffixIndex.tagFor(spark, dir)), pats)
+  }
+
   val oracles: Map[String, String] = Map(
     // FM substring count: the oracle is a DIFFERENT algorithm — direct
     // substring comparison at every position (n_occ, n_docs) and plain
@@ -585,6 +617,26 @@ object RetrievalQueries {
         |FROM pats p
         |LEFT JOIN agg a ON a.pid = p.pid
         |LEFT JOIN lo l ON l.pid = p.pid""".stripMargin,
+    // FM locate: the oracle scans every corpus position directly —
+    // shares nothing with the BWT/backward-search machinery; one wrong
+    // rank interval adds or drops an occurrence row and breaks the hash
+    "q_fm_locate" ->
+      """WITH pk AS (SELECT CAST(k AS BIGINT) AS pid,
+        |    substr(d.text, k * 5 + 3, 5 + (k * 2) % 7) AS pat
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS k) v
+        |  JOIN documents d ON CAST(d.doc_id AS BIGINT) = k * 60 + 3),
+        |pats AS (SELECT pid, pat FROM pk
+        |  UNION ALL SELECT 8, 'ing '
+        |  UNION ALL SELECT 9, 'zqxjvvqz'),
+        |pos AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(g.p AS BIGINT) AS pos,
+        |    substr(text, CAST(g.p AS BIGINT) + 1) AS suf
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(0,
+        |      length(text) - 1)) AS p) g)
+        |SELECT p.pid, p.pat, s.doc_id, s.pos
+        |FROM pats p JOIN pos s
+        |  ON substr(s.suf, 1, len(p.pat)) = p.pat""".stripMargin,
     "q_quantile_sketch" ->
       s"""WITH d AS (
          |  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
@@ -942,6 +994,7 @@ object RetrievalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fm_substring_count" -> (qFmSubstringCount _),
+    "q_fm_locate" -> (qFmLocate _),
     "q_postings_compress" -> (qPostingsCompress _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_chunk_docs" -> (qChunkDocs _),

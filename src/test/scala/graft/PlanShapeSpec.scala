@@ -69,6 +69,29 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("r18 bitext mining: every join keyed — no cartesian, no NLJ, " +
+    "no single-partition exchange") {
+    val p = plan("q_bitext_mine")
+    assert(!p.contains("CartesianProduct"), s"bitext went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bitext degraded to NLJ:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"bitext grew a single-partition exchange:\n$p")
+  }
+
+  test("r18 FM locate: the interval join arrives as the bounded-side " +
+    "broadcast range join, never a cartesian") {
+    // the ≤ |patterns| rank intervals broadcast against the persisted
+    // order — a BroadcastNestedLoopJoin with a 10-row build side IS
+    // the designed shape (same as row 220's rollup); what must never
+    // appear is an unbroadcast cartesian of corpus-scale inputs
+    val p = plan("q_fm_locate")
+    assert(!p.contains("CartesianProduct"),
+      s"fm locate went cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"fm locate lost the broadcast on its interval side:\n$p")
+  }
+
   test("r18 delta matcher is invariant to the delta batch's partition " +
     "layout") {
     // the windowKey leads and label joins must not leak physical

@@ -139,4 +139,164 @@ class Round18Spec extends AnyFunSuite with SharedSpark {
     // the unseen doc really exercised the backoff chain
     assert(got(7L)._2 === got(7L)._1, "all trigrams of doc 7 unseen")
   }
+
+  test("FmIndex.locate == brute-force occurrence scan (overlapping " +
+    "occurrences, multi-doc, absent pattern)") {
+    import spark.implicits._
+    import graft.operators.{FmIndex, SuffixArray}
+    val corpus = Seq((1L, "abracadabra"), (2L, "banana banana"),
+      (3L, "aaaaaa"), (4L, "xyz"))
+    val docs = corpus.toDF("doc_id", "text")
+    // "aa" overlaps inside doc 3 (5 occurrences); "ana" overlaps in
+    // "banana" (2 per word); "qq" locates nothing
+    val pats = Seq((0L, "a"), (1L, "ana"), (2L, "aa"), (3L, "abra"),
+      (4L, "qq"))
+    val (ord0, _, base0) = SuffixArray.buildWithBase(docs)
+    val ord = ord0.localCheckpoint()
+    val got = FmIndex.locate(ord, FmIndex.buildTables(ord, base0), pats)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSet
+    val exp = (for {
+      (pid, p) <- pats
+      (did, t) <- corpus
+      i <- 0 to t.length - p.length
+      if t.substring(i, i + p.length) == p
+    } yield (pid, did, i.toLong)).toSet
+    assert(got === exp)
+    assert(exp.count(_._1 == 2L) === 5, "overlap fixture sane")
+    assert(!exp.exists(_._1 == 4L), "absent fixture sane")
+  }
+
+  test("bitextMine margins == in-memory replay of the exact-integer " +
+    "margin arithmetic (single-cluster config => exact kNN)") {
+    import spark.implicits._
+    def v(xs: Double*): Seq[Double] =
+      (xs ++ Seq.fill(64 - xs.length)(0.0))
+    // tgt 5 is a HUB: closer to src 0 than src 0's true partner tgt 1
+    // (raw cosine 0.7035 vs 0.65) but equally close to src 2, so its
+    // kNN density r(t5) ≈ 0.7035 while r(t1) ≈ 0.335 — the margin
+    // subtracts the density and flips the pick to the partner
+    val src = Seq((0L, v(1.0, 0.0, 0.0)), (2L, v(0.0, 1.0, 0.0)),
+      (4L, v(0.0, 0.0, 1.0)))
+    val tgt = Seq((1L, v(0.65, 0.02, 0.02).updated(10, 0.76)),
+      (3L, v(0.05, 0.9, 0.05)), (5L, v(0.7, 0.7, 0.1)))
+    val got = Ann.bitextMine(src.toDF("vec_id", "embedding"),
+      tgt.toDF("vec_id", "embedding"), k = 2, nlistSrc = 1,
+      nlistTgt = 1, nprobe = 1, iters = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    // replay: nlist=1 => every pair is a candidate on both sides
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def nrm(a: Seq[Double]) = math.sqrt(dot(a, a))
+    def cos4(a: Seq[Double], b: Seq[Double]) =
+      BigDecimal(dot(a, b) / math.max(nrm(a) * nrm(b), 1e-12))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairs = for { (x, xe) <- src; (y, ye) <- tgt }
+      yield ((x, y), cos4(xe, ye))
+    val pm = pairs.toMap
+    def knn(of: Long, side: Char): (Long, Long) = {
+      val ns = pairs.collect {
+        case ((x, y), c) if (if (side == 'x') x else y) == of =>
+          (c, if (side == 'x') y else x)
+      }.sortBy { case (c, id) => (-c, id) }.take(2)
+      (ns.map(c => math.round(c._1 * 10000.0)).sum, ns.size.toLong)
+    }
+    def margin(x: Long, y: Long): Double = {
+      val (rsx, kx) = knn(x, 'x'); val (rsy, ky) = knn(y, 'y')
+      math.round(pm((x, y)) * 10000.0).toDouble -
+        (rsx.toDouble / kx.toDouble + rsy.toDouble / ky.toDouble) / 2.0
+    }
+    val expFwd = src.map(_._1).map { x =>
+      val best = tgt.map(_._1).map(y => (y, margin(x, y)))
+        .minBy { case (y, m) => (-m, y) }
+      x -> best
+    }.toMap
+    val expBwd = tgt.map(_._1).map { y =>
+      y -> src.map(_._1).map(x => (x, margin(x, y)))
+        .minBy { case (x, m) => (-m, x) }._1
+    }.toMap
+    for (x <- src.map(_._1)) {
+      val (y, m) = expFwd(x)
+      val (gy, gc, gm, gmu) = got(x)
+      assert(gy === y, s"forward pick for $x")
+      assert(gc === pm((x, y)), s"cos4 for ($x,$y)")
+      assert(gm === m, s"margin for ($x,$y) must be bit-identical")
+      assert(gmu === (expBwd(y) == x), s"mutual for ($x,$y)")
+    }
+    // the hub fixture really bites: some src's raw-cosine argmax is
+    // the hub while its margin argmax is not
+    val rawFwd = src.map(_._1).map { x =>
+      x -> tgt.map(_._1).map(y => (y, pm((x, y))))
+        .minBy { case (y, c) => (-c, y) }._1
+    }.toMap
+    assert(src.map(_._1).exists(x =>
+      rawFwd(x) == 5L && expFwd(x)._1 != 5L),
+      "margin must override a raw-cosine hub pick somewhere")
+  }
+
+  test("DP histogram release: noisy counts equal an independent Scala " +
+    "replay of the seeded inverse-CDF Laplace draw; the true count is " +
+    "never released") {
+    val out = graft.queries.Analytics.qDpHistogram(spark, SfDir).collect()
+    assert(out.nonEmpty)
+    assert(!out.head.schema.fieldNames.contains("n"),
+      "a DP release must not carry the true count")
+    val rows = spark.read.parquet(s"$SfDir/customer.parquet")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val counts = rows.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    for (r <- out) {
+      val (nation, seg) = (r.getLong(0), r.getString(1))
+      val n = counts((nation, seg))
+      val x = nation * 1000L + seg.charAt(0).toLong * 10L + seg.length
+      val u = ((x * 2654435761L + 97L) % 1000000007L).toDouble + 0.5
+      val d = u / 1000000007.0 - 0.5
+      val noise = -math.signum(d) * math.log(1.0 - 2.0 * math.abs(d))
+      val exp = BigDecimal(n + noise)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === exp, s"cell ($nation, $seg)")
+      assert(r.getDouble(3) === 1.0)
+    }
+    assert(out.exists(r =>
+      r.getDouble(2) != math.rint(r.getDouble(2))),
+      "the mechanism must actually perturb some cell")
+  }
+
+  test("ER stop-gram probe cap: a clone family whose every gram " +
+    "exceeds the cap resolves through the tail-block rescue") {
+    import spark.implicits._
+    // 40 records with IDENTICAL entity strings: every blocking gram
+    // has df = 40 > ProbeDfCap, so pass 1 generates NO candidates for
+    // them and the best1 left-anti routes the whole family to the
+    // second-chance tail block (never a silent empty result). All 40
+    // dirty twins sit at lev = 1 of every clone master; the (lev, jac
+    // DESC, ckey) rule resolves each to the family's smallest ckey.
+    val clones = (1 to 40).map(i =>
+      (i.toLong, "Identical Clone Entity Name Body", "AUTOMOBILE", 7L))
+    // distinct records resolve in pass 1 (their grams are rare)
+    val normals = (101 to 110).map(i =>
+      (i.toLong, s"Customer Unique Number 00$i Pad", "BUILDING", 3L))
+    val customer = (clones ++ normals).toDF(
+      "c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    val out = graft.queries.Analytics.entityResolveFrom(customer)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(4)))).toMap
+    assert(out.size === 50, "every record resolves exactly once")
+    for (i <- 1 to 40) {
+      val (mk, lev, hit) = out(i.toLong)
+      assert(mk === 1L, s"clone $i resolves to the family min ckey")
+      assert(lev === 1L, s"clone $i verified at lev 1")
+      assert(hit === (i == 1), s"hit flag for clone $i")
+    }
+    for (i <- 101 to 110) {
+      val (mk, lev, hit) = out(i.toLong)
+      assert(mk === i.toLong && lev === 1L && hit,
+        s"distinct record $i resolves to itself in pass 1")
+    }
+  }
 }
