@@ -60,5 +60,15 @@ object Tune {
     spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       p.toString)
+    // Whole-stage-codegen methods past the JIT's DontCompileHugeMethods
+    // limit (8000 bytecodes) are never JIT-compiled, so the entire fused
+    // stage runs in the bytecode INTERPRETER — measured 65 µs/row on the
+    // bitext pair-scoring stage (~300x a compiled loop; r18). Spark's
+    // own guard defaults to Janino's 64KB limit, far past the JIT's.
+    // Setting it to the JIT limit makes Spark fall back to un-fused
+    // execution exactly where fusion stops being compilable — a
+    // per-generated-method, data-independent property, valid at every
+    // scale and every deployment.
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
   }
 }

@@ -27,11 +27,13 @@ object Ann {
   /** Embedding width of the documents/embeddings testdata. */
   val DefaultDim = 64
 
-  /** Flat codegen'd dot product over two array<double> columns:
-    * same left fold (0 + t0) + t1 ... as the zip_with/aggregate form. */
+  /** Native-kernel dot product over two array<double> columns — bit-equal
+    * to the flat fold (0 + t0) + t1 ... and to the zip_with/aggregate
+    * form, but one tiny generated call instead of ~4·dim inlined bytecode
+    * ops (the flat form blew fused stages past the JIT's 8000-bytecode
+    * compile limit — see [[graft.functions.ArrDotKernel]]). */
   private def dot(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map(i => a.getItem(i) * b.getItem(i))
-      .foldLeft(lit(0.0))(_ + _)
+    graft.functions.ArrDot(a, b, dim)
 
   /** Cast a float embedding to double and attach its L2 norm. Flat scalar
     * projection (one getItem per element) so the stage stays inside
@@ -914,12 +916,37 @@ object Ann {
   def bitextMine(src: DataFrame, tgt: DataFrame, k: Int, nlistSrc: Int,
                  nlistTgt: Int, nprobe: Int, iters: Int,
                  dim: Int = DefaultDim): DataFrame = {
+    // DEGENERATE (nlist=1 both sides) = the EXACT all-pairs baseline the
+    // recall row runs. Backward cosines are then the bit-exact TRANSPOSE
+    // of the forward table (dot and the norm product are term-by-term
+    // commutative, summation order identical), so the second all-pairs
+    // scan — and the src-side quantizer train feeding it — is never run
+    // (r18 opt: q_bitext_recall computed every cosine twice).
+    val degenerate = nlistSrc == 1 && nlistTgt == 1
     // per-side coarse quantizers + assigned indexes (nid, ne, nn,
-    // cluster); lineage cut once — four consumers read each
-    val (centsT, idxT0) = ivfTrainAssign(tgt, nlistTgt, iters, dim)
-    val (centsS, idxS0) = ivfTrainAssign(src, nlistSrc, iters, dim)
-    val idxT = idxT0.localCheckpoint()
-    val idxS = idxS0.localCheckpoint()
+    // cluster); lineage cut once — four consumers read each. In the
+    // degenerate mode the single cluster holds EVERYTHING whatever the
+    // centroid values are, so the Lloyd train (seed collect + iters
+    // recenter jobs per side) is dead weight — both sides get a literal
+    // cluster id and the train never runs. Membership, and therefore
+    // every pair, is identical either way.
+    val (centsT, idxT) =
+      if (degenerate)
+        (Seq.empty[(Long, Array[Double])],
+          withNorm(tgt, "vec_id", dim)
+            .select(col("vec_id").as("nid"), col("e").as("ne"),
+              col("nrm").as("nn"), lit(0L).as("cluster"))
+            .localCheckpoint())
+      else {
+        val (ct, idxT0) = ivfTrainAssign(tgt, nlistTgt, iters, dim)
+        (ct, idxT0.localCheckpoint())
+      }
+    val (centsS, idxS) =
+      if (degenerate) (Seq.empty[(Long, Array[Double])], idxT)
+      else {
+        val (cs, idxS0) = ivfTrainAssign(src, nlistSrc, iters, dim)
+        (cs, idxS0.localCheckpoint())
+      }
     // EXPANSION-AWARE exchange grain for the pair-scoring joins (r18,
     // measured): the cluster join expands ~nprobe·|probe|·cellsize
     // rows of ~2·dim doubles — ~1000x its INPUT bytes at the second
@@ -933,7 +960,8 @@ object Ann {
     // ~100k pairs (~100 MB of qe+ne rows) per partition, capped at
     // 2048. Two bounded count()s on the checkpointed indexes; pure
     // layout, so results are untouched at any sf.
-    val (nS, nT) = (idxS.count(), idxT.count())
+    val nT = idxT.count()
+    val nS = if (degenerate) src.count() else idxS.count()
     val minParts = src.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt.toLong
     def partsFor(probeN: Long, cellRows: Long): Int =
@@ -944,22 +972,52 @@ object Ann {
     // collection and no broadcast of the probe side: the kernel ships
     // the tiny model, the join is a plain cluster equi-join
     def probesOf(side: DataFrame, cents: Seq[(Long, Array[Double])]) =
-      withNorm(side, "vec_id", dim)
+      if (degenerate)
+        withNorm(side, "vec_id", dim)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qn"), lit(0L).as("cluster"))
+      else withNorm(side, "vec_id", dim)
         .withColumn("pr", explode(slice(
           graft.functions.IvfDistances(col("e"), cents), 1, nprobe)))
         .select(col("vec_id").as("qid"), col("e").as("qe"),
           col("nrm").as("qn"), col("pr").getField("cluster").as("cluster"))
-    def scoredPairs(index: DataFrame, probes: DataFrame, np: Int) =
-      index.join(probes.repartition(np, col("cluster")), Seq("cluster"))
+    // nlist=1 (the exact baseline): the cluster key is a CONSTANT, so
+    // hash-partitioning by it lands EVERY pair expansion on one task and
+    // the checkpointed index's unknown size estimate blocks the auto-
+    // broadcast — measured 47.6 s for q_bitext_recall at sf0.1, both
+    // all-pairs scans single-threaded. Round-robin the probe side over
+    // the expansion-aware grain and broadcast the (eval-scale by
+    // contract) index side instead: the dots parallelize, no pair
+    // shuffle at all. The clustered path is unchanged.
+    def scoredPairs(index: DataFrame, probes: DataFrame, np: Int,
+                    constKey: Boolean) = {
+      // BOTH sides land on the expansion-aware grain: the index side is
+      // a localCheckpoint whose partition count is the PARQUET SCAN's
+      // (1 at the bench sfs), and when AQE broadcasts the probe side the
+      // join's output partitioning IS the index side's — measured 2.4 s
+      // single-task pair stages (r18). Repartitioning the index by the
+      // join key keeps the pair expansion + dot work at np-way
+      // parallelism whichever side AQE broadcasts.
+      val pr = if (constKey) probes.repartition(np)
+        else probes.repartition(np, col("cluster"))
+      val ix = if (constKey) broadcast(index)
+        else index.repartition(np, col("cluster"))
+      ix.join(pr, Seq("cluster"))
         .select(col("qid"), col("nid"),
           round(dot(col("qe"), col("ne"), dim)
             / greatest(col("qn") * col("nn"), lit(1e-12)), 4).as("cos4"))
+    }
     val d1 = scoredPairs(idxT, probesOf(src, centsT),
-      partsFor(nS, nT / math.max(nlistTgt, 1)))
+      partsFor(nS, nT / math.max(nlistTgt, 1)), nlistTgt == 1)
       .localCheckpoint() // r(x) aggregate + forward margin share it
-    val d2 = scoredPairs(idxS, probesOf(tgt, centsS),
-      partsFor(nT, nS / math.max(nlistSrc, 1)))
-      .localCheckpoint() // r(y) aggregate + backward margin share it
+    // degenerate: projection of d1's checkpointed blocks — no second
+    // all-pairs job, no second checkpoint copy
+    val d2 =
+      if (degenerate)
+        d1.select(col("nid").as("qid"), col("qid").as("nid"), col("cos4"))
+      else scoredPairs(idxS, probesOf(tgt, centsS),
+        partsFor(nT, nS / math.max(nlistSrc, 1)), nlistSrc == 1)
+        .localCheckpoint() // r(y) aggregate + backward margin share it
     // r(v): EXACT-INTEGER sum of the top-k round-4 cosines (×1e4 →
     // longs; order-independent) plus the actual neighbor count
     def knnScaledSum(d: DataFrame) = d

@@ -688,8 +688,13 @@ object AnnQueries {
     // cells with n/16-row products. Two bounded count() scalars — the
     // entityResolveFrom width-sizing shape.
     def nlistOf(n: Long) = math.max(16L, n / 125L).toInt
+    // both side counts from ONE corpus pass (r18 opt: two separate
+    // count() jobs paid two scans' scheduling for one table)
+    val cnt = e.agg(
+      sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)),
+      sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))).collect()(0)
     Ann.bitextMine(src, tgt, k = 4,
-      nlistSrc = nlistOf(src.count()), nlistTgt = nlistOf(tgt.count()),
+      nlistSrc = nlistOf(cnt.getLong(0)), nlistTgt = nlistOf(cnt.getLong(1)),
       nprobe = 2, iters = 2)
   }
 
