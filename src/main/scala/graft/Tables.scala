@@ -56,4 +56,19 @@ object Tables {
   /** The events table with `ts` replaced by normalized `ts_us` (long). */
   def eventsUs(spark: SparkSession, dir: String): DataFrame =
     normalizeTs(load(spark, dir, "events"))
+
+  /** Spread an UNSPLITTABLE input across the session's cores before a
+    * map-heavy stage (guide rule: one huge unsplittable file → repartition
+    * right after the read). The test corpora ship as single-row-group
+    * parquet, so every scan plans at parallelism 1 and a row-local
+    * expansion (codec decode, shingle hashing, token explode) runs
+    * single-threaded behind 31 idle cores — measured 18.7 s single-task
+    * on the H.264 CBP decode at sf0.1 (r18). The exchange moves only the
+    * narrow seed rows (the pipeline's cheapest point), and on a real
+    * many-file corpus the guard makes this a NO-OP: scan parallelism
+    * already ≥ cores, nothing is shuffled. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

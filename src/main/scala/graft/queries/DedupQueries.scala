@@ -19,9 +19,13 @@ object DedupQueries {
   private val MaxDf = 20    // posting-list cap
   private val MinJac = 0.2
 
+  // every consumer runs a per-doc kernel (shingle/minhash/simhash/CDC)
+  // before its first exchange — spread the single-row-group scan so the
+  // kernel work isn't single-threaded (Tables.spread: no-op on real
+  // many-file corpora)
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    Tables.spread(Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text")))
 
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(spark, dir), K, MaxDf, MinJac)
@@ -176,9 +180,9 @@ object DedupQueries {
     * held-out benchmark; every other doc reports what fraction of its
     * distinct 16-shingles leak from that set. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.spread(Tables.load(spark, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        col("source"))
+        col("source")))
     Dedup.decontaminate(
       d.filter(col("source") =!= "src0").select("doc_id", "text"),
       d.filter(col("source") === "src0").select("doc_id", "text"),
@@ -191,9 +195,9 @@ object DedupQueries {
     * result; the bloom diagnostics (pass/false-positive counts) are
     * part of the output so the oracle pins the filter itself. */
   def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.spread(Tables.load(spark, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        col("source"))
+        col("source")))
     Dedup.decontaminateBloom(
       d.filter(col("source") =!= "src0").select("doc_id", "text"),
       d.filter(col("source") === "src0").select("doc_id", "text"),

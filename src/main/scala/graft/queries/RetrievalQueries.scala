@@ -14,10 +14,13 @@ import graft.functions.TextFunctions._
   */
 object RetrievalQueries {
 
+  // consumers tokenize/explode per doc before their first exchange —
+  // spread the single-row-group scan (Tables.spread: no-op on real
+  // many-file corpora)
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.spread(Tables.load(spark, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        col("lang"), col("source"))
+        col("lang"), col("source")))
 
   // ------------------------------------------------------------- chunking
 

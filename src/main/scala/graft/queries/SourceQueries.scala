@@ -319,41 +319,41 @@ object SourceQueries {
 
   def qMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
-      Multimodal.mediaTable(Tables.load(spark, dir, "documents"))).toDF()
+      Multimodal.mediaTable(Tables.spread(Tables.load(spark, dir, "documents")))).toDF()
 
   def qMultimodalWav(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.wavFeatures(Tables.load(spark, dir, "documents"))
+    Multimodal.wavFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qMultimodalBmp(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.bmpFeatures(Tables.load(spark, dir, "documents"))
+    Multimodal.bmpFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qMultimodalExif(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Exif.exifFeatures(Tables.load(spark, dir, "documents"))
+    graft.operators.Exif.exifFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qMultimodalJpegExif(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Exif.jpegExifFeatures(
-      Tables.load(spark, dir, "documents"))
+      Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qAudioResample(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.resampleFeatures(Tables.load(spark, dir, "documents"))
+    Multimodal.resampleFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.videoFrameFeatures(Tables.load(spark, dir, "documents"))
+    Multimodal.videoFrameFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qVideoKeyframes(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.videoKeyframes(Tables.load(spark, dir, "documents"))
+    Multimodal.videoKeyframes(Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qMultimodalMp4(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.mp4FrameFeatures(Tables.load(spark, dir, "documents"))
+    Multimodal.mp4FrameFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qMultimodalMp3(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.mp3Features(Tables.load(spark, dir, "documents"))
+    Multimodal.mp3Features(Tables.spread(Tables.load(spark, dir, "documents")))
 
   /** Full Layer III SPECTRAL decode (side info -> scalefactors ->
     * Huffman -> requantize -> alias -> windowed IMDCT + overlap-add):
     * per-granule per-subband energies over genuinely CODED frames. */
   def qMultimodalMp3Spectral(spark: SparkSession, dir: String): DataFrame =
-    Mp3.mp3SpectralFeatures(Tables.load(spark, dir, "documents"))
+    Mp3.mp3SpectralFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
       .select(col("doc_id"), col("gi"), col("subband"),
         round(col("e_spec"), 6).as("e_spec"),
         round(col("e_ola"), 6).as("e_ola"))
@@ -363,7 +363,7 @@ object SourceQueries {
     * synthesis filterbank (V FIFO + N-matrixing + 512-tap windowed
     * 16-tap accumulation) -> per-granule PCM energy + peak. */
   def qMultimodalMp3Pcm(spark: SparkSession, dir: String): DataFrame =
-    Mp3.mp3PcmFeatures(Tables.load(spark, dir, "documents"))
+    Mp3.mp3PcmFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
       .select(col("doc_id"), col("gi"),
         round(col("e_pcm"), 6).as("e_pcm"),
         round(col("peak_pcm"), 6).as("peak_pcm"))
@@ -372,13 +372,13 @@ object SourceQueries {
     * corpus -> 60-bit dHash -> 4x15-bit band join -> Hamming verify. */
   def qImagePhash(spark: SparkSession, dir: String): DataFrame =
     graft.operators.ImageHash.dhashPairs(
-      Tables.load(spark, dir, "documents"), maxHamming = 10)
+      Tables.spread(Tables.load(spark, dir, "documents")), maxHamming = 10)
 
   /** H.264 Annex-B structure parse (r10): real start-code NAL walk,
     * emulation-prevention unescape, exp-Golomb SPS/PPS/slice-header
     * decode with the SPS-drives-slice-width dependency. */
   def qMultimodalH264(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.H264.h264Features(Tables.load(spark, dir, "documents"))
+    graft.operators.H264.h264Features(Tables.spread(Tables.load(spark, dir, "documents")))
 
   /** H.264 macroblock layer (r11): I_16x16 DC-only CAVLC residual
     * decode + intra DC prediction + spec reconstruction per
@@ -386,7 +386,7 @@ object SourceQueries {
     * operators.H264's macroblock section). */
   def qMultimodalH264Mb(spark: SparkSession, dir: String): DataFrame =
     graft.operators.H264.h264MbFeatures(
-      Tables.load(spark, dir, "documents"))
+      Tables.spread(Tables.load(spark, dir, "documents")))
 
   /** Multi-coefficient CAVLC stream (r12): TotalCoeff 0-3 per DC block
     * exercises the 2<=nC<4 coeff_token table, TrailingOnes signs, the
@@ -395,7 +395,7 @@ object SourceQueries {
     * unreachable. Row-local, like every codec path. */
   def qMultimodalH264Ac(spark: SparkSession, dir: String): DataFrame =
     graft.operators.H264.h264AcFeatures(
-      Tables.load(spark, dir, "documents"))
+      Tables.spread(Tables.load(spark, dir, "documents")))
 
   /** CBP luma-15 stream (r12): Intra_16x16_2_0_15 MBs — the DC block
     * PLUS sixteen Intra16x16ACLevel 4x4 blocks per MB with the real
@@ -404,21 +404,21 @@ object SourceQueries {
     * Row-local. */
   def qMultimodalH264Cbp(spark: SparkSession, dir: String): DataFrame =
     graft.operators.H264.h264CbpFeatures(
-      Tables.load(spark, dir, "documents"))
+      Tables.spread(Tables.load(spark, dir, "documents")))
 
   /** PDF text extraction (r12): real PDF 1.4 files — xref offsets
     * measured at assembly, FlateDecode content streams, BT/Tf/Td/Tj
     * operator replay with relative line-matrix semantics. Row-local. */
   def qMultimodalPdf(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Pdf.pdfFeatures(
-      Tables.load(spark, dir, "documents"))
+      Tables.spread(Tables.load(spark, dir, "documents")))
 
   /** PDF 1.5 text extraction (r14): cross-reference STREAMS (W-array
     * fields under the PNG Up predictor) + /ObjStm-packed objects +
     * the full §7.3.4.2 escape set (named classes + octal). Row-local. */
   def qMultimodalPdfXrefstream(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Pdf.pdfXFeatures(
-      Tables.load(spark, dir, "documents"))
+      Tables.spread(Tables.load(spark, dir, "documents")))
 
   /** PDF incremental update (r14): append-only revision section — new
     * generation of page 0's content stream + a second /XRef stream
@@ -428,24 +428,24 @@ object SourceQueries {
   def qMultimodalPdfIncremental(spark: SparkSession,
                                 dir: String): DataFrame =
     graft.operators.Pdf.pdfXIncFeatures(
-      Tables.load(spark, dir, "documents"))
+      Tables.spread(Tables.load(spark, dir, "documents")))
 
   /** Format sniffing (r12): magic-byte routing over real bytes from
     * all nine codecs, with a tamper stratum that must come out
     * 'unknown'. Row-local. */
   def qFormatSniff(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sniff.sniffFeatures(
-      Tables.load(spark, dir, "documents"))
+      Tables.spread(Tables.load(spark, dir, "documents")))
 
   /** Multi-page TIFF (r12): 1-3 IFDs chained through the next-IFD
     * pointer, PageNumber count=2 SHORT inline, chain order and
     * declared totals REQUIREd. Row-local. */
   def qMultimodalTiffPages(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Exif.tiffPageFeatures(
-      Tables.load(spark, dir, "documents"))
+      Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.wavFrameFeatures(Tables.load(spark, dir, "documents"))
+    Multimodal.wavFrameFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
 
   /** VAD segmentation (r11) — the silence-trimming curation step over
     * the audio corpus: real WAV decode of the silence-planted clips,
@@ -458,7 +458,7 @@ object SourceQueries {
   def qAudioVadSegments(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val frames = Multimodal.wavVadFrames(
-      Tables.load(spark, dir, "documents"))
+      Tables.spread(Tables.load(spark, dir, "documents")))
     val speech = frames.filter(col("energy") > 0)
     val wDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
     val seg = speech
@@ -483,19 +483,19 @@ object SourceQueries {
     * 1..3 of every 10th track) must match their source at dt=1. */
   def qAudioFingerprint(spark: SparkSession, dir: String): DataFrame =
     graft.operators.AudioFp.fingerprintMatch(
-      Tables.load(spark, dir, "documents"))
+      Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qMultimodalAugment(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.augmentFeatures(Tables.load(spark, dir, "documents"))
+    Multimodal.augmentFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qMultimodalPng(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.pngFeatures(Tables.load(spark, dir, "documents"))
+    Multimodal.pngFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qMultimodalJpeg(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Jpeg.jpegFeatures(Tables.load(spark, dir, "documents"))
+    graft.operators.Jpeg.jpegFeatures(Tables.spread(Tables.load(spark, dir, "documents")))
 
   def qMultimodalJpeg420(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Jpeg.jpeg420Features(Tables.load(spark, dir, "documents"))
+    graft.operators.Jpeg.jpeg420Features(Tables.spread(Tables.load(spark, dir, "documents")))
 
   /** CRS-tagged layer read: the same WKT point source read TWICE — once
     * as a GEOGRAPHIC layer (EPSG:4326, integer-degree lon/lat) and once

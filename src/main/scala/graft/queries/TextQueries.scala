@@ -13,7 +13,23 @@ import graft.functions.TextFunctions._
   */
 object TextQueries {
 
+  // consumers run per-doc kernels (shingle hashes, tokenize explodes,
+  // regex scoring) before their first exchange — spread the single-
+  // row-group scan (Tables.spread: no-op on real many-file corpora)
   private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source")))
+
+  /** UNspread docs for the round-chained trainers (BPE): each of their
+    * R sequential rounds schedules one bounded job over the corpus, so
+    * per-round task count — not map parallelism — is the wall
+    * (measured r18: the 64-round chain ran 1.6x SLOWER behind a spread
+    * 32-partition checkpoint than behind the scan's own layout; each
+    * round's map work is milliseconds). The scan's native partitioning
+    * already scales with corpus bytes, which is the right grain at
+    * every scale. */
+  private def docsRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("lang"), col("source"))
@@ -692,7 +708,7 @@ object TextQueries {
   private[queries] val BpeRounds = 5
 
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = docs(spark, dir).select(lower(col("text")).as("t"))
+    val d0 = docsRaw(spark, dir).select(lower(col("text")).as("t"))
     // each round: ONE map-side-combined pair count (bounded by
     // |alphabet|^2), driver argmax, corpus-wide literal replace - the
     // replaces stack lazily, so round r's count job is still a single
@@ -739,7 +755,7 @@ object TextQueries {
 
   def qBpeTrainDeep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var d = docs(spark, dir).select(lower(col("text")).as("t"))
+    var d = docsRaw(spark, dir).select(lower(col("text")).as("t"))
       .localCheckpoint()
     val nDocs = d.count()
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
@@ -778,7 +794,7 @@ object TextQueries {
     * as q_bpe_train (the oracle unrolls identically); per stage ONE
     * map-side-combined length sum. */
   def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = docs(spark, dir).select(lower(col("text")).as("t"))
+    val d0 = docsRaw(spark, dir).select(lower(col("text")).as("t"))
       .localCheckpoint() // every stage + the char total read it
     def stage(df: DataFrame, k: Long, merge: String): DataFrame =
       df.agg(sum(length(col("t")).cast("long")).as("n_tokens"))
@@ -822,7 +838,7 @@ object TextQueries {
     * languages differ in char mass, which the n_chars column keeps
     * visible. */
   def qBpeFertilityLang(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = docs(spark, dir)
+    val d0 = docsRaw(spark, dir)
       .select(col("lang"), lower(col("text")).as("t"))
       .localCheckpoint() // every stage + the per-lang char totals read it
     def stage(df: DataFrame, k: Long, merge: String): DataFrame =
@@ -1092,7 +1108,7 @@ object TextQueries {
     val uniChars = words.toDF()
       .agg(sum(length(col("w")).cast("long") * col("f")).as("n_chars"))
     // BPE twin: replay the exact q_bpe_train merge chain, count tokens
-    val d0 = docs(spark, dir).select(lower(col("text")).as("t"))
+    val d0 = docsRaw(spark, dir).select(lower(col("text")).as("t"))
     val dFinal = (1 to BpeRounds).foldLeft(d0) { (d, r) =>
       val m = bpeBestMerge(bpePairs(d))
       d.select(replace(col("t"), lit(m), lit(r.toChar.toString)).as("t"))

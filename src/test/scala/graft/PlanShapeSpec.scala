@@ -15,9 +15,20 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
   test("row-local queries have no exchange at all") {
     // each §2 row claims scan -> map, no shuffle
     for (q <- Seq("q_jsonl_roundtrip", "q_csv_roundtrip",
-        "q_blocklist_filter", "q_gopher_rules", "q_snapshot_drift")) {
+        "q_snapshot_drift")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q claims row-local but:\n$p")
+    }
+    // r18: the text rows read through the module's spread docs() (the
+    // unsplittable-input fix — one round-robin exchange of seed rows at
+    // the single-row-group bench sfs, a no-op on many-file corpora);
+    // still never a keyed shuffle
+    for (q <- Seq("q_blocklist_filter", "q_gopher_rules")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q claims row-local but:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"$q grew more than the spread exchange:\n$p")
     }
   }
 
@@ -290,13 +301,20 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
 
   test("r12 codecs are row-local; range shard sorts only the bounded " +
     "histogram") {
-    // the three new codec paths are scan -> mapPartitions: ANY exchange
-    // is a plan regression
+    // the codec paths are scan -> mapPartitions: a KEYED exchange is a
+    // plan regression. r18: the single-row-group test corpus plans the
+    // scan at parallelism 1, so Tables.spread round-robins the narrow
+    // SEED rows once before the decode (guide rule for unsplittable
+    // inputs; a no-op on many-file corpora) — at most that one
+    // round-robin exchange, never a hash shuffle of decoded output
     for (q <- Seq("q_multimodal_pdf", "q_multimodal_pdf_xrefstream",
         "q_multimodal_pdf_incremental",
         "q_multimodal_h264_ac", "q_multimodal_h264_cbp")) {
       val p = plan(q)
-      assert(!p.contains("Exchange"), s"$q claims row-local but:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q claims row-local but:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"$q grew more than the spread exchange:\n$p")
     }
     // range shard: the only Sort is the cumulative window over the
     // bounded key histogram — the corpus is never sorted; shuffles are
