@@ -60,15 +60,17 @@ object Tune {
     spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       p.toString)
-    // Whole-stage-codegen methods past the JIT's DontCompileHugeMethods
-    // limit (8000 bytecodes) are never JIT-compiled, so the entire fused
-    // stage runs in the bytecode INTERPRETER — measured 65 µs/row on the
-    // bitext pair-scoring stage (~300x a compiled loop; r18). Spark's
-    // own guard defaults to Janino's 64KB limit, far past the JIT's.
-    // Setting it to the JIT limit makes Spark fall back to un-fused
-    // execution exactly where fusion stops being compilable — a
-    // per-generated-method, data-independent property, valid at every
-    // scale and every deployment.
-    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    // NOTE (r18, measured twice): spark.sql.codegen.hugeMethodLimit=8000
+    // — the textbook fix for fused methods past the JIT's 8000-bytecode
+    // compile limit — was TRIED engine-wide here and REVERTED. With the
+    // one real sufferer fixed structurally (the flat dim-term dot fold →
+    // graft.functions.ArrDot), the cap was neutral-to-negative on the
+    // geo/ANN rows (match_lines 4.9→5.4 s, isochrone 4.5→5.4, maxsim
+    // 2.9→4.0) and DOUBLED the FM/suffix serve chain (q_fm_locate cold
+    // 57→110 s): Spark splits hot expression work into sub-JIT-limit
+    // helper methods, so a >8000-byte outer processNext still runs its
+    // inner loops compiled, and forcing those stages un-fused only adds
+    // per-operator row overhead. Keep oversized-fold fixes structural
+    // (kernel expressions), not configuration.
   }
 }

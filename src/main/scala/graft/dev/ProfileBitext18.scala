@@ -35,10 +35,13 @@ object ProfileBitext18 {
           yield (a - b) / 1000.0).getOrElse(-1.0)
         if (wall > 0.2)
           println(f"[stage] ${i.stageId}%4d wall=$wall%6.2f s run=" +
-            f"${m.executorRunTime / 1000.0}%7.2f s tasks=${i.numTasks}%3d " +
+            f"${m.executorRunTime / 1000.0}%7.2f s gc=" +
+            f"${m.jvmGCTime / 1000.0}%6.2f s cpu=" +
+            f"${m.executorCpuTime / 1e9}%7.2f s spill=" +
+            f"${m.memoryBytesSpilled}%10d tasks=${i.numTasks}%3d " +
             f"sr=${m.shuffleReadMetrics.totalBytesRead}%10d " +
             f"sw=${m.shuffleWriteMetrics.bytesWritten}%10d  " +
-            i.name.takeWhile(_ != '\n').take(90))
+            i.name.takeWhile(_ != '\n').take(60))
       }
     })
     val names = if (args.isEmpty) Seq("q_bitext_recall") else args.toSeq
