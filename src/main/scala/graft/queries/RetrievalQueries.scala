@@ -361,9 +361,9 @@ object RetrievalQueries {
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val d0 = docs(spark, dir)
       .select(col("doc_id"), lower(col("text")).as("t"))
-    val m1 = TextQueries.bpeBestMerge(TextQueries.bpePairs(d0.select("t")))
-    val m2 = TextQueries.bpeBestMerge(TextQueries.bpePairs(
-      d0.select(replace(col("t"), lit(m1), lit("\u0001")).as("t"))))
+    val m1 = TextQueries.bpeBestMergeLocal(d0.select("t"))
+    val m2 = TextQueries.bpeBestMergeLocal(
+      d0.select(replace(col("t"), lit(m1), lit("\u0001")).as("t")))
     val enc = replace(replace(col("t"), lit(m1), lit("\u0001")),
       lit(m2), lit("\u0002"))
     d0.select(col("doc_id"),

@@ -693,10 +693,12 @@ object TextQueries {
       2, 65536L, 4294967296L)
       .groupBy("s").agg(count(lit(1)).as("c"))
 
-  private[queries] def bpeBestMerge(counts: DataFrame): String = {
-    val s = counts.orderBy(col("c").desc, col("s").asc).limit(1)
-      .collect()(0).getLong(0)
-    new String(Array(((s >> 16) & 0xffff).toChar, (s & 0xffff).toChar))
+  /** Argmax merge from the single-stage local count table (r18 opt) —
+    * same (count desc, pair asc) tiebreak as the orderBy/limit form,
+    * one job and zero exchanges per round. */
+  private[queries] def bpeBestMergeLocal(d: DataFrame): String = {
+    val best = bpePairCountsLocal(d).minBy { case (s, c) => (-c, s) }._1
+    new String(Array(((best >> 16) & 0xffff).toChar, (best & 0xffff).toChar))
   }
 
   /** Merge rounds trained by q_bpe_train / priced by q_bpe_fertility:
@@ -714,7 +716,7 @@ object TextQueries {
     // replaces stack lazily, so round r's count job is still a single
     // scan applying r row-local replaces
     val dFinal = (1 to BpeRounds).foldLeft(d0) { (d, r) =>
-      val m = bpeBestMerge(bpePairs(d))
+      val m = bpeBestMergeLocal(d)
       d.select(replace(col("t"), lit(m), lit(r.toChar.toString)).as("t"))
     }
     bpePairs(dFinal)
@@ -753,6 +755,56 @@ object TextQueries {
     * SURVEY §4 decade row prices. */
   private[queries] val BpeDeepRounds = 64
 
+  /** The per-round pair-count table as ONE single-stage job (r18 opt):
+    * the groupBy form plans partial agg → exchange → final agg →
+    * collect — TWO stages + an AQE barrier per round, and the deep
+    * chain pays that barrier 65 times (it was the whole row's cost:
+    * per-round map work is milliseconds). Here each partition folds its
+    * rows through the SAME ShingleHash kernel into a bounded
+    * (≤ |alphabet+vocab|² ≤ 90²) count map and treeReduce merges —
+    * log-depth, bounded payload, identical exact integer counts in any
+    * merge order, so the argmax/curve (and the oracle hash) are
+    * untouched. */
+  private[queries] def bpePairCountsLocal(d: DataFrame): Array[(Long, Long)] = {
+    val merged = d.select(col("t")).queryExecution.toRdd
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[java.lang.Long, Long](1 << 13)
+        while (it.hasNext) {
+          val row = it.next()
+          if (!row.isNullAt(0)) {
+            val arr = graft.functions.ShingleHashKernel.hashes(
+              row.getUTF8String(0), 2, 65536L, 4294967296L)
+            if (arr != null) {
+              var i = 0
+              val n = arr.numElements()
+              while (i < n) {
+                m.merge(arr.getLong(i), 1L, (x, y) => x + y)
+                i += 1
+              }
+            }
+          }
+        }
+        Iterator.single(m)
+      }
+      .treeReduce { (a, b) =>
+        val bi = b.entrySet().iterator()
+        while (bi.hasNext) {
+          val e = bi.next()
+          a.merge(e.getKey, e.getValue, (x, y) => x + y)
+        }
+        a
+      }
+    val out = new Array[(Long, Long)](merged.size())
+    val mi = merged.entrySet().iterator()
+    var i = 0
+    while (mi.hasNext) {
+      val e = mi.next()
+      out(i) = (e.getKey.longValue(), e.getValue)
+      i += 1
+    }
+    out
+  }
+
   def qBpeTrainDeep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     var d = docsRaw(spark, dir).select(lower(col("text")).as("t"))
@@ -761,8 +813,7 @@ object TextQueries {
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var lastMerge = ""
     for (k <- 0 to BpeDeepRounds) {
-      val counts = bpePairs(d).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+      val counts = bpePairCountsLocal(d)
       val nTokens = counts.map(_._2).sum + nDocs
       val (a, b) =
         if (k == 0) (0L, 0L)
@@ -806,7 +857,7 @@ object TextQueries {
     // next round's count AND its own length sum)
     val (stages, _) = (1 to BpeRounds)
       .foldLeft((Seq(stage(d0, 0L, "")), d0)) { case ((acc, d), r) =>
-        val m = bpeBestMerge(bpePairs(d))
+        val m = bpeBestMergeLocal(d)
         val dn = d.select(replace(col("t"), lit(m),
           lit(r.toChar.toString)).as("t")).localCheckpoint()
         (acc :+ stage(dn, r.toLong, m), dn)
@@ -850,7 +901,7 @@ object TextQueries {
           col("lang"), col("n_tokens"))
     val (stages, _) = (1 to BpeRounds)
       .foldLeft((Seq(stage(d0, 0L, "")), d0)) { case ((acc, d), r) =>
-        val m = bpeBestMerge(bpePairs(d))
+        val m = bpeBestMergeLocal(d)
         val dn = d.select(col("lang"), replace(col("t"), lit(m),
           lit(r.toChar.toString)).as("t")).localCheckpoint()
         (acc :+ stage(dn, r.toLong, m), dn)
@@ -1110,7 +1161,7 @@ object TextQueries {
     // BPE twin: replay the exact q_bpe_train merge chain, count tokens
     val d0 = docsRaw(spark, dir).select(lower(col("text")).as("t"))
     val dFinal = (1 to BpeRounds).foldLeft(d0) { (d, r) =>
-      val m = bpeBestMerge(bpePairs(d))
+      val m = bpeBestMergeLocal(d)
       d.select(replace(col("t"), lit(m), lit(r.toChar.toString)).as("t"))
     }
     val bpeTok = dFinal.agg(sum(length(col("t")).cast("long"))
