@@ -715,8 +715,28 @@ object Ann {
     // measured as q_ann_recall_quantized's ~1.2 s of unexplained
     // overhead (2.52 s vs ~1.3 s for its parts, r7 verdict). The top-k
     // table is queries x k rows, so materializing it is ~free.
-    val ex = exact.select(col("qid"), col("nid")).localCheckpoint()
-    val hits = approx.select(col("qid"), col("nid"))
+    // BOTH sides materialize CONCURRENTLY (r18 opt, guide §2.6 —
+    // overlap independent jobs): the approx and exact chains share no
+    // inputs below the monitor, and running the two subplans from two
+    // driver threads lets the scheduler back-fill one chain's stage
+    // tails with the other's tasks. Measured on q_mmr_recall_indexed —
+    // the monitor whose two sides are both full MMR chains — the row
+    // costs ~the slower chain instead of the sum. Results unchanged:
+    // the same two tables feed the same join.
+    val es = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (ex, ap) =
+      try {
+        val exF = es.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame =
+            exact.select(col("qid"), col("nid")).localCheckpoint()
+        })
+        val apF = es.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame =
+            approx.select(col("qid"), col("nid")).localCheckpoint()
+        })
+        (exF.get(), apF.get())
+      } finally es.shutdown()
+    val hits = ap
       .join(ex, Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
     ex.groupBy("qid").agg(count(lit(1)).as("n_exact"))

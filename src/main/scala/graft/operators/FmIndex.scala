@@ -148,19 +148,35 @@ object FmIndex {
     }
     def eOf(c: Long): Long = t.eTab.getOrElse(c, 0L)
     // occ(c, i) for a batch of probes (qid, c, i): blockCum(i DIV B, c)
-    // + residual inside block (i DIV B)
+    // + residual inside block (i DIV B). The residual join used to
+    // probe the FULL corpus-sized bwt scan every step (maxLen-1
+    // sequential steps = that many corpus scans); the probed blocks are
+    // driver-known LITERALS (≤ 2·|patterns| of them), so an isin()
+    // prefilter turns each step into a pushed-down, row-group-prunable
+    // point read of ≤ blocks·B rows (r18 opt, guide §6: make the
+    // predicate reach the scan). Same rows join either way — the
+    // prefilter is the join condition's blk leg applied early.
     def occBatch(probes: Seq[(Long, Long, Long)]): Map[Long, Long] = {
       val pr = probes.toDF("qid", "c", "i")
         .withColumn("b", expr(s"CAST(i DIV $B AS BIGINT)"))
-      val cumPart = pr.join(t.blockCum,
+      val blkIds = probes.map(_._3 / B).distinct
+      val cumPart = pr.join(
+        t.blockCum.filter(col("b").isin(blkIds: _*)),
         pr("b") === t.blockCum("b") && pr("c") === t.blockCum("ch"),
         "left")
         .select(col("qid"), coalesce(col("cum"), lit(0L)).as("v"))
-      val residPart = t.bwt.join(broadcast(pr),
-        t.bwt("blk") === pr("b") && t.bwt("ch") === pr("c") &&
-          t.bwt("rn") <= pr("i"))
-        .groupBy("qid").agg(count(lit(1)).as("v"))
-      cumPart.unionByName(residPart)
+      val residPart = t.bwt.filter(col("blk").isin(blkIds: _*))
+        .join(broadcast(pr),
+          t.bwt("blk") === pr("b") && t.bwt("ch") === pr("c") &&
+            t.bwt("rn") <= pr("i"))
+        .select(col("qid"), lit(1L).as("v"))
+      // coalesce(1) -> SinglePartition satisfies the final aggregate's
+      // clustering requirement, so the whole step is ONE single-stage
+      // job (the groupBy exchange over ~2|patterns| rows cost a full
+      // shuffle barrier per step — the step job floor). The single
+      // task streams <= |probes|*B joined rows, a patterns-bounded
+      // volume at every corpus scale.
+      cumPart.unionByName(residPart).coalesce(1)
         .groupBy("qid").agg(sum("v").as("v"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }

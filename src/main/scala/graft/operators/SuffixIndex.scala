@@ -110,7 +110,13 @@ object SuffixIndex {
       val ok = java.nio.file.Paths.get(s"${h.path}/_FM_OK")
       if (!java.nio.file.Files.exists(ok)) {
         val t = FmIndex.buildTables(h.ord, h.base)
-        t.bwt.write.mode("overwrite").parquet(s"${h.path}/fm_bwt")
+        // rn-sorted: blk = (rn-1) DIV B is monotone in rn, so the
+        // backward-search step's literal isin(blk) prefilter prunes to
+        // the few row groups holding the probed blocks (guide §6 —
+        // sort order on write makes min/max stats effective). One
+        // range shuffle, paid once per (session, corpus) at build.
+        t.bwt.sort("rn").write.mode("overwrite")
+          .parquet(s"${h.path}/fm_bwt")
         t.blockCum.write.mode("overwrite")
           .parquet(s"${h.path}/fm_blockcum")
         import spark.implicits._
