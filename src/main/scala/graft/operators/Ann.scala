@@ -708,34 +708,45 @@ object Ann {
     * measurement is one equi-join + two tiny aggregations — cheap
     * enough to run continuously beside an ANN pipeline as an index
     * quality monitor. */
-  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+                overlap: Boolean = false): DataFrame = {
     // The exact baseline feeds BOTH the hit join and the n_exact
     // aggregate; without a lineage cut its whole subplan (a full exact
     // top-k over the corpus) executes twice inside the monitor —
     // measured as q_ann_recall_quantized's ~1.2 s of unexplained
     // overhead (2.52 s vs ~1.3 s for its parts, r7 verdict). The top-k
     // table is queries x k rows, so materializing it is ~free.
-    // BOTH sides materialize CONCURRENTLY (r18 opt, guide §2.6 —
-    // overlap independent jobs): the approx and exact chains share no
-    // inputs below the monitor, and running the two subplans from two
-    // driver threads lets the scheduler back-fill one chain's stage
-    // tails with the other's tasks. Measured on q_mmr_recall_indexed —
-    // the monitor whose two sides are both full MMR chains — the row
-    // costs ~the slower chain instead of the sum. Results unchanged:
-    // the same two tables feed the same join.
-    val es = java.util.concurrent.Executors.newFixedThreadPool(2)
+    // With overlap=true BOTH sides materialize CONCURRENTLY (r18 opt,
+    // guide §2.6 — overlap independent jobs): the approx and exact
+    // chains share no inputs below the monitor, and running the two
+    // subplans from two driver threads lets the scheduler back-fill
+    // one chain's stage tails with the other's tasks. Measured on
+    // q_mmr_recall_indexed — the monitor whose two sides are both full
+    // MMR chains — the row costs ~the slower chain instead of the sum
+    // (5.6 → 3.4-3.8 s). Opt-in per call site: on the sub-2 s recall
+    // rows the approx side's extra checkpoint job consistently COST
+    // ~0.5-0.9 s across two full passes (the chain is cheaper than a
+    // job round-trip), so the default keeps the approx side lazy
+    // inside the final action. Results identical either way: the same
+    // two tables feed the same join.
     val (ex, ap) =
-      try {
-        val exF = es.submit(new java.util.concurrent.Callable[DataFrame] {
-          def call(): DataFrame =
-            exact.select(col("qid"), col("nid")).localCheckpoint()
-        })
-        val apF = es.submit(new java.util.concurrent.Callable[DataFrame] {
-          def call(): DataFrame =
-            approx.select(col("qid"), col("nid")).localCheckpoint()
-        })
-        (exF.get(), apF.get())
-      } finally es.shutdown()
+      if (!overlap)
+        (exact.select(col("qid"), col("nid")).localCheckpoint(),
+          approx.select(col("qid"), col("nid")))
+      else {
+        val es = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val exF = es.submit(new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame =
+              exact.select(col("qid"), col("nid")).localCheckpoint()
+          })
+          val apF = es.submit(new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame =
+              approx.select(col("qid"), col("nid")).localCheckpoint()
+          })
+          (exF.get(), apF.get())
+        } finally es.shutdown()
+      }
     val hits = ap
       .join(ex, Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))

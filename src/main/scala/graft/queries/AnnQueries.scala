@@ -663,8 +663,11 @@ object AnnQueries {
     * suite carries (what the PQ shortlist costs the DIVERSIFIED
     * result, not just the top-k). */
   def qMmrRecallIndexed(spark: SparkSession, dir: String): DataFrame =
+    // overlap=true: both monitor sides are full MMR chains, so the
+    // concurrent materialization (guide §2.6) pays here — the row
+    // costs ~the slower chain instead of the sum (r18 opt)
     Ann.recallAtK(qMmrRerankIndexed(spark, dir),
-      qMmrRerank(spark, dir), 5)
+      qMmrRerank(spark, dir), 5, overlap = true)
 
   /** Margin-based bitext mining (SURVEY §2 row 226, r18): parallel-pair
     * candidates mined between two embedding corpora (even vec_ids =
