@@ -874,15 +874,37 @@ object Ann {
       .groupBy("qid")
       .agg(array_sort(collect_list(struct(col("rank"), col("nid"),
         col("cos4"), col("en")))).as("arr"))
-    val st = "struct<rank:int,nid:bigint,cos4:double,en:array<double>," +
-      "mmr5:bigint,sr:int>"
     // score in EXACT INTEGER space (x1e5): lambda = 0.7 makes the MMR
     // combination 7*cos_x1e4 - 3*maxsim_x1e4 — a double-space
     // round(0.7*c - 0.3*m, 4) flickered at the .5 boundary between
     // engines (measured at sf0.01), integers cannot
     val Li = math.round(lambda * 10).toInt
     val Mi = 10 - Li
-    val selExpr = expr(
+    // NATIVE greedy selection (r18 opt): the nested-HOF form
+    // ([[mmrSelectHof]], kept for the parity spec) interpreted k x
+    // shortlist x selected dim-wide zip_with dots per query — the MMR
+    // rows' dominant cost. functions.MmrSelect runs the identical
+    // integer-space selection in one compiled kernel call per query
+    // row (bit-equal by construction AND spec-pinned), so the
+    // projection stays inside whole-stage codegen.
+    arr.select(col("qid"),
+      explode(graft.functions.MmrSelect(col("arr"), k, Li, Mi, dim))
+        .as("s"))
+      .select(col("qid"), col("s.sr").cast("long").as("sel_rank"),
+        col("s.nid").as("nid"), col("s.cos4").as("cos4"),
+        col("s.mmr5").as("mmr_x1e5"))
+  }
+
+  /** The pre-r18 nested-HOF greedy MMR selection over a collected
+    * shortlist array column named `arr` — retained ONLY as the parity
+    * oracle for [[graft.functions.MmrSelect]] (the spec asserts the
+    * kernel selects row-identically on the real corpus; the HOF form
+    * is CodegenFallback-interpreted per element, which is why the
+    * serve path no longer uses it). */
+  private[graft] def mmrSelectHof(k: Int, Li: Int, Mi: Int): Column = {
+    val st = "struct<rank:int,nid:bigint,cos4:double,en:array<double>," +
+      "mmr5:bigint,sr:int>"
+    expr(
       s"""aggregate(sequence(1, $k),
          |  cast(array() as array<$st>),
          |  (acc, step) -> concat(acc, array(
@@ -906,10 +928,6 @@ object Ann {
          |      (best, c) -> CASE WHEN best IS NULL OR c.mmr5 > best.mmr5
          |        OR (c.mmr5 = best.mmr5 AND c.nid < best.nid)
          |        THEN c ELSE best END))))""".stripMargin)
-    arr.select(col("qid"), explode(selExpr).as("s"))
-      .select(col("qid"), col("s.sr").cast("long").as("sel_rank"),
-        col("s.nid").as("nid"), col("s.cos4").as("cos4"),
-        col("s.mmr5").as("mmr_x1e5"))
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based

@@ -156,7 +156,7 @@ object Contour {
     * @return (cx, cy, tt_min) for every node reachable from a seed
     */
   def shortestPaths(edges: DataFrame, source: DataFrame,
-                    maxRounds: Int = 256): DataFrame = {
+                    maxRounds: Int = 256, hops: Int = 3): DataFrame = {
     // state carries (node, best distance, improved-last-round flag) in
     // ONE table so each round is a single aggregation + localCheckpoint
     // (one materialization per round, not separate frontier/dist jobs):
@@ -164,18 +164,35 @@ object Contour {
     // take the per-node min distance, and a node is the next frontier
     // iff a flagged row strictly beat every unflagged one — computed in
     // the same aggregate as min(old-only distance) vs min(overall).
+    //
+    // MULTI-HOP relaxation (r18 opt): each round relaxes 1..`hops`
+    // edge steps from the frontier before the per-node min, so the
+    // round count — the row's whole cost on a small-diameter grid,
+    // one scheduled job per round — drops to ~diameter/hops. Multi-hop
+    // Bellman-Ford converges to the same unique fixed point (tentative
+    // distances stay >= the true shortest distance and every round
+    // still includes the 1-hop relaxation, so an empty frontier proves
+    // the classic termination condition); per-round rows grow by at
+    // most frontier x degree^hops into a partial-aggregated min.
+    // Measured (interleaved in-session A/B, ProfileAb18 "bfs" at
+    // sf0.1 on a heavily contended box): min 4.35 s at hops=1 vs
+    // 3.05 s at hops=3 for the q_isochrone_bfs shape.
     var state = source.select(col("cx").cast("long"), col("cy").cast("long"),
       lit(0L).as("tt_min"), lit(1).as("fr")).localCheckpoint()
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val relaxed = state.filter(col("fr") === 1)
-        .join(edges, Seq("cx", "cy"))
-        .select(col("dcx").as("cx"), col("dcy").as("cy"),
-          (col("tt_min") + col("w")).as("tt_min"), lit(1).as("fr"))
+      val fr0 = state.filter(col("fr") === 1)
+        .select(col("cx"), col("cy"), col("tt_min"))
+      val relaxes = Iterator.iterate(fr0)(f =>
+        f.join(edges, Seq("cx", "cy"))
+          .select(col("dcx").as("cx"), col("dcy").as("cy"),
+            (col("tt_min") + col("w")).as("tt_min")))
+        .drop(1).take(hops).toSeq
       state = state.select(col("cx"), col("cy"), col("tt_min"),
           lit(0).as("fr"))
-        .union(relaxed)
+        .union(relaxes.map(_.select(col("cx"), col("cy"), col("tt_min"),
+          lit(1).as("fr"))).reduce(_ union _))
         .groupBy("cx", "cy")
         .agg(min("tt_min").as("tt_min"),
           // improved iff the overall min beats the best PRE-EXISTING

@@ -406,10 +406,6 @@ object SuffixArray {
     // pair between them is NOT a boundary
     val psum = loc.select((col("rn") + 1L).as("rn"),
       (col("__s") + offCol).as("gid"))
-    val sfx = ord.select("doc_id", "pos", "rn")
-      .join(psum, Seq("rn"), "left")
-      .select(col("doc_id"), col("pos"), col("rn"),
-        coalesce(col("gid"), lit(0L)).as("gid"))
     // member rows: suffixes with any adjacent in-group (>= minLen)
     // pair; L = max such lcp = the maximal duplicated span at pos
     val memL = pairs.filter(col("lcp") >= minLen)
@@ -417,7 +413,18 @@ object SuffixArray {
     val touch = memL
       .unionByName(memL.select((col("rn") + 1L).as("rn"), col("lcp")))
       .groupBy("rn").agg(max("lcp").as("L"))
-    val members = sfx.join(touch, Seq("rn"))
+    // join ORDER (r18 opt, guide §3.2 shape): restrict ord to the
+    // touched rns FIRST — touch is only the duplicated positions, a
+    // small fraction of the corpus — so the group-id lookup joins a
+    // members-sized probe against psum instead of a full corpus×corpus
+    // rn merge that the touch filter then throws mostly away. touch
+    // and psum are both unique on rn, so the inner/left joins commute
+    // row-for-row with the previous sfx-then-touch order.
+    val members = ord.select("doc_id", "pos", "rn")
+      .join(touch, Seq("rn"))
+      .join(psum, Seq("rn"), "left")
+      .select(col("doc_id"), col("pos"), col("rn"),
+        coalesce(col("gid"), lit(0L)).as("gid"), col("L"))
     val cdoc = members.groupBy("gid").agg(min("doc_id").as("cdoc"))
     val marked = members.join(cdoc, Seq("gid"))
       .filter(col("doc_id") =!= col("cdoc"))

@@ -206,16 +206,22 @@ object AnnQueries {
     val q0 = e.filter(col("vec_id") === 0)
       .select(col("embedding")).collect()(0)
       .getSeq[Float](0).map(_.toDouble).toArray
-    val qts: Seq[Array[Double]] = q0.grouped(8).toSeq
-    val ed = transform(col("embedding"), x => x.cast("double"))
-    def dot8(qt: Array[Double], t: org.apache.spark.sql.Column) =
-      (0 until 8).map(k =>
-        lit(qt(k)) * element_at(ed, (t * 8 + k + 1).cast("int")))
-        .reduce(_ + _)
-    val score = qts.map(qt =>
-      array_max(transform(sequence(lit(0), lit(7)), t => dot8(qt, t))))
-      .reduce(_ + _)
-    e.filter(col("vec_id") =!= 0)
+    // NATIVE MaxSim kernel (r18 opt): the unrolled HOF grid (8 query
+    // tokens x array_max over 8 doc-token dots, each dot 8 inlined
+    // cast+multiply terms over an inlined cast-transform) built ~2000
+    // Catalyst nodes — seconds of driver optimize/codegen time per
+    // run plus interpreted per-row HOF evaluation. One kernel node
+    // runs the identical pinned left-fold arithmetic in a compiled
+    // triple loop (functions.MaxSimScore scaladoc has the fold-order
+    // proof); the oracle's unrolled replay is untouched. Measured
+    // isolated (TimeOne min): ~2.7-3.1 s before -> 0.88 s with the
+    // kernel + the spread below (spread alone moved nothing — the
+    // cost was the tree, not the scan).
+    val score = graft.functions.MaxSimScore(col("embedding"), q0, 8, 8)
+    // spread the scored scan (r18 opt, the Tables.spread rule): the
+    // single-row-group corpus plans at parallelism 1. No-op on a real
+    // many-file corpus.
+    Tables.spread(e.filter(col("vec_id") =!= 0))
       .select(col("vec_id"), round(score, 4).as("maxsim4"))
       .groupBy()
       .agg(graft.functions.TopKAgg(-col("maxsim4"), col("vec_id"),
@@ -708,17 +714,47 @@ object AnnQueries {
     * carries; exact = the nlist-1 degenerate configuration, feasible
     * at eval scale exactly like the brute-force sides of the ANN
     * recall rows). */
-  def qBitextRecall(spark: SparkSession, dir: String): DataFrame = {
+  def qBitextRecall(spark: SparkSession, dir: String): DataFrame =
+    qBitextRecallWith(spark, dir, overlap = true)
+
+  /** [[qBitextRecall]] with the side-materialization strategy explicit
+    * — the A/B hook ProfileAb18 measures (results identical either
+    * way: the same two tables feed the same join). */
+  private[graft] def qBitextRecallWith(spark: SparkSession, dir: String,
+                                       overlap: Boolean): DataFrame = {
     val e = emb(spark, dir)
     val src = e.filter(col("vec_id") % 2 === 0)
     val tgt = e.filter(col("vec_id") % 2 === 1)
-    val idx = qBitextMine(spark, dir)
+    // overlap=true: the two sides materialize from two driver threads
+    // (guide §2.6 — the recallAtK opt-in move; the chains share
+    // nothing below the final join). overlap=false: both sides stay
+    // lazy inside the final action, as in the build round. Results
+    // identical either way — the same two tables feed the same join.
+    // Decided by interleaved in-session A/B (ProfileAb18 at sf0.1:
+    // lazy min 8.46 s vs overlapped 7.91 s, 3/4 pairwise wins).
+    def idxSide() = qBitextMine(spark, dir)
       .select(col("src_id"), col("tgt_id").as("tgt_indexed"),
         col("mutual").as("mutual_indexed"))
-    val exact = Ann.bitextMine(src, tgt, k = 4, nlistSrc = 1,
+    def exSide() = Ann.bitextMine(src, tgt, k = 4, nlistSrc = 1,
       nlistTgt = 1, nprobe = 1, iters = 2)
       .select(col("src_id"), col("tgt_id").as("tgt_exact"),
         col("mutual").as("mutual_exact"))
+    val (idx, exact) =
+      if (!overlap) (idxSide(), exSide())
+      else {
+        val es = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val idxF = es.submit(
+            new java.util.concurrent.Callable[DataFrame] {
+              def call(): DataFrame = idxSide().localCheckpoint()
+            })
+          val exF = es.submit(
+            new java.util.concurrent.Callable[DataFrame] {
+              def call(): DataFrame = exSide().localCheckpoint()
+            })
+          (idxF.get(), exF.get())
+        } finally es.shutdown()
+      }
     exact.join(idx, Seq("src_id"), "left")
       .select(col("src_id"), col("tgt_exact"),
         coalesce(col("tgt_indexed"), lit(-1L)).as("tgt_indexed"),

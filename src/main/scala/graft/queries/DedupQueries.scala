@@ -15,7 +15,7 @@ import graft.operators.{Dedup, Triangles}
   */
 object DedupQueries {
 
-  private val K = 16        // shingle width
+  private[graft] val K = 16 // shingle width
   private val MaxDf = 20    // posting-list cap
   private val MinJac = 0.2
 
@@ -23,7 +23,7 @@ object DedupQueries {
   // before its first exchange — spread the single-row-group scan so the
   // kernel work isn't single-threaded (Tables.spread: no-op on real
   // many-file corpora)
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.load(spark, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text")))
 
@@ -418,19 +418,25 @@ object DedupQueries {
 
   /** Exploded cdc chunk rows (doc_id, fp, ln) for a (doc_id, text)
     * frame — the same staged evaluation as the pair report, but the
-    * barriers are repartition EXCHANGES, not localCheckpoints: the
-    * intermediate code arrays (~8x corpus text bytes as array<long>)
-    * flow through shuffle files on disk and are freed per-stage
-    * instead of sitting in block-manager memory for the whole base
-    * corpus. The exchange still prevents CollapseProject from inlining
-    * the codes/edges builds into downstream lambda bodies (the
-    * per-element interpreted re-eval failure mode) because each
-    * stage's input stays a genuine attribute. */
+    * barriers are one-row GENERATES (explode of a one-element array),
+    * not exchanges or localCheckpoints: a generator output is a
+    * genuine attribute Catalyst never substitutes a projection into,
+    * so the codes/edges builds still cannot inline into downstream
+    * lambda bodies (the CollapseProject per-element interpreted
+    * re-eval failure mode), and the ~8x corpus text bytes of code
+    * arrays now stream through ONE fused stage instead of riding two
+    * full-corpus repartition exchanges to shuffle disk (r18 opt,
+    * guide §2.4; q_dedup_fastcdc_delta — the only caller, twice —
+    * measured 3.60 → 1.77 s isolated min-of-2 at sf0.1 together with
+    * its single-pass rollup, its plan's keyed exchanges now only the
+    * store distinct and the two rollup aggregates, and the timing
+    * proves the generator boundary held: an inlined codes build costs
+    * ~50 s here, not ~2 s). */
   private def cdcChunkRows(d: DataFrame): DataFrame = d
-    .select(col("doc_id"), codesOf(col("text")).as("c"))
-    .repartition(col("doc_id"))
-    .select(col("doc_id"), col("c"), cdcEdges(col("c")).as("e"))
-    .repartition(col("doc_id"))
+    .select(col("doc_id"), codesOf(col("text")).as("c0"))
+    .select(col("doc_id"), explode(array(col("c0"))).as("c"))
+    .select(col("doc_id"), col("c"),
+      explode(array(cdcEdges(col("c")))).as("e"))
     .select(col("doc_id"), explode(pairsOf(col("c"), col("e"))).as("p"))
     .select(col("doc_id"), col("p").getField("fp").as("fp"),
       col("p").getField("ln").as("ln"))
@@ -526,24 +532,32 @@ object DedupQueries {
       .select((col("doc_id") + 1000000000L).as("doc_id"),
         concat(expr("repeat('x', CAST(1 + doc_id % 7 AS INT))"),
           col("text")).as("text"))
-    val dc = cdcChunkRows(delta)
+    // ONE pass over the joined chunk rows (r18 opt, guide §2.3/§2.4):
+    // the per-blob rollup and the distinct-new rollup used to be two
+    // separate consumers of a localCheckpoint (chunk+join job, two
+    // aggregate jobs, then a rollup join). `hit` is functionally
+    // determined by fp (the store side is DISTINCT fps), so grouping
+    // by (doc_id, fp, ln, hit) first gives BOTH the distinct-triple
+    // view (fresh counted distinct (doc_id, fp, ln)) and, via the
+    // group size c, every per-row sum — two cascaded hash aggregates,
+    // no checkpoint, no join, identical values row-for-row.
+    val g1 = cdcChunkRows(delta)
       .join(store.withColumn("hit", lit(1L)), Seq("fp"), "left")
-      .localCheckpoint() // per-blob rollup + distinct-new rollup
-    val tot = dc.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum("ln").as("blob_bytes"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_dedup"),
-        sum(when(col("hit").isNotNull, col("ln")).otherwise(0L))
-          .as("dedup_bytes"))
-    val fresh = dc.filter(col("hit").isNull)
-      .select("doc_id", "fp", "ln").distinct()
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_new_fp"), sum("ln").as("new_bytes"))
-    tot.join(fresh, Seq("doc_id"), "left")
+      .groupBy("doc_id", "fp", "ln", "hit")
+      .agg(count(lit(1)).as("c"))
+    g1.groupBy("doc_id")
+      .agg(sum("c").as("n_chunks"),
+        sum(col("ln") * col("c")).as("blob_bytes"),
+        sum(when(col("hit").isNotNull, col("c")).otherwise(0L))
+          .as("n_dedup"),
+        sum(when(col("hit").isNotNull, col("ln") * col("c"))
+          .otherwise(0L)).as("dedup_bytes"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_new_fp"),
+        sum(when(col("hit").isNull, col("ln")).otherwise(0L))
+          .as("new_bytes"))
       .select(col("doc_id"), col("n_chunks"), col("blob_bytes"),
-        col("n_dedup"), col("dedup_bytes"),
-        coalesce(col("n_new_fp"), lit(0L)).as("n_new_fp"),
-        coalesce(col("new_bytes"), lit(0L)).as("new_bytes"))
+        col("n_dedup"), col("dedup_bytes"), col("n_new_fp"),
+        col("new_bytes"))
   }
 
   /** Cross-modal near-dup agreement (r14, VERDICT r13 item 6) — the

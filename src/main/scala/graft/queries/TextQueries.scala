@@ -765,8 +765,9 @@ object TextQueries {
     * log-depth, bounded payload, identical exact integer counts in any
     * merge order, so the argmax/curve (and the oracle hash) are
     * untouched. */
-  private[queries] def bpePairCountsLocal(d: DataFrame): Array[(Long, Long)] = {
-    val merged = d.select(col("t")).queryExecution.toRdd
+  private[graft] def bpePairCountsLocal(d: DataFrame,
+      forceTree: Boolean = false): Array[(Long, Long)] = {
+    val mapped = d.select(col("t")).queryExecution.toRdd
       .mapPartitions { it =>
         val m = new java.util.HashMap[java.lang.Long, Long](1 << 13)
         while (it.hasNext) {
@@ -786,14 +787,27 @@ object TextQueries {
         }
         Iterator.single(m)
       }
-      .treeReduce { (a, b) =>
-        val bi = b.entrySet().iterator()
-        while (bi.hasNext) {
-          val e = bi.next()
-          a.merge(e.getKey, e.getValue, (x, y) => x + y)
-        }
-        a
+    def mergeMaps(a: java.util.HashMap[java.lang.Long, Long],
+                  b: java.util.HashMap[java.lang.Long, Long]) = {
+      val bi = b.entrySet().iterator()
+      while (bi.hasNext) {
+        val e = bi.next()
+        a.merge(e.getKey, e.getValue, (x, y) => x + y)
       }
+      a
+    }
+    // plain reduce below 64 partitions: each partition ships one
+    // bounded (≤ 90² entries) map, so the driver merge is trivial and
+    // the round stays ONE stage — treeReduce's intermediate level is
+    // a shuffle stage the deep chain would pay 65 times (r18 opt;
+    // interleaved A/B ProfileAb18 on the deep chain at sf0.1:
+    // treeReduce min 12.24 s vs reduce 11.12 s, 4/4 pairwise wins).
+    // Past 64 partitions the tree caps what the driver receives at
+    // once — same exact integer counts in any merge order.
+    val merged =
+      if (!forceTree && mapped.getNumPartitions <= 64)
+        mapped.reduce(mergeMaps)
+      else mapped.treeReduce(mergeMaps)
     val out = new Array[(Long, Long)](merged.size())
     val mi = merged.entrySet().iterator()
     var i = 0
@@ -805,7 +819,14 @@ object TextQueries {
     out
   }
 
-  def qBpeTrainDeep(spark: SparkSession, dir: String): DataFrame = {
+  def qBpeTrainDeep(spark: SparkSession, dir: String): DataFrame =
+    qBpeTrainDeepVia(spark, dir, forceTree = false)
+
+  /** [[qBpeTrainDeep]] with the per-round merge strategy explicit —
+    * the A/B hook ProfileAb18 measures (identical exact integer counts
+    * either way). */
+  private[graft] def qBpeTrainDeepVia(spark: SparkSession, dir: String,
+                                      forceTree: Boolean): DataFrame = {
     import spark.implicits._
     var d = docsRaw(spark, dir).select(lower(col("text")).as("t"))
       .localCheckpoint()
@@ -813,7 +834,7 @@ object TextQueries {
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var lastMerge = ""
     for (k <- 0 to BpeDeepRounds) {
-      val counts = bpePairCountsLocal(d)
+      val counts = bpePairCountsLocal(d, forceTree)
       val nTokens = counts.map(_._2).sum + nDocs
       val (a, b) =
         if (k == 0) (0L, 0L)

@@ -55,6 +55,45 @@ class Round18Spec extends AnyFunSuite with SharedSpark {
     assert(got.toSeq === exp)
   }
 
+  test("MmrSelect kernel == the nested-HOF greedy selection it replaced " +
+    "(incl. sub-k shortlist exhaustion)") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    // 5 query shortlists; qid 5 has only 2 candidates < k = 4, so the
+    // exhaustion path (null elements past the shortlist) is exercised
+    val rows = for {
+      q <- 1 to 5
+      r <- 1 to (if (q == 5) 2 else 10)
+    } yield (q.toLong, r,
+      (q * 100 + r).toLong,
+      BigDecimal(rnd.nextDouble() * 2 - 1)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val df = rows.toDF("qid", "rank", "nid", "cos4", "en")
+      .groupBy("qid")
+      .agg(array_sort(collect_list(struct(col("rank"), col("nid"),
+        col("cos4"), col("en")))).as("arr"))
+      .localCheckpoint()
+    val (k, li, mi) = (4, 7, 3)
+    def rowsOf(sel: org.apache.spark.sql.Column) = df
+      .select(col("qid"), explode(sel).as("s"))
+      .select(col("qid"), col("s.sr"), col("s.nid"), col("s.cos4"),
+        col("s.mmr5"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(t => (t._1, t._2.getOrElse(99), t._3.getOrElse(-1L)))
+    val viaKernel =
+      rowsOf(graft.functions.MmrSelect(col("arr"), k, li, mi, dim))
+    val viaHof = rowsOf(Ann.mmrSelectHof(k, li, mi))
+    assert(viaKernel.length === 5 * k)
+    assert(viaKernel.toSeq === viaHof.toSeq)
+  }
+
   test("mmrRerank refuses a lambda outside the tenth-granular integer " +
     "score space (ADVICE r17)") {
     import spark.implicits._
