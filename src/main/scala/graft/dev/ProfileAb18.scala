@@ -82,7 +82,49 @@ object ProfileAb18 {
       exec(bfsBuild(spark, sfDir, hops = 1)),
       exec(bfsBuild(spark, sfDir, hops = 3)))
 
+    // ---- A/B 5: CC-family checkpoint EAGER (old) vs LAZY (new) ----
+    // lazy = localCheckpoint(eager = false): same LogicalRDD plan cut,
+    // materialization folds into the next consuming job (converge's
+    // count / the hop chain's final action) — one driver job round-trip
+    // saved per star round / label hop.
+    if (want("cp")) {
+      ab("cc_delta_lazyCp",
+        exec(ccDeltaBuild(spark, sfDir, eagerCp = true)),
+        exec(ccDeltaBuild(spark, sfDir, eagerCp = false)))
+      ab("clusters_lazyCp",
+        exec(clustersBuild(spark, sfDir, eagerCp = true)),
+        exec(clustersBuild(spark, sfDir, eagerCp = false)))
+    }
+
     spark.stop()
+  }
+
+  /** q_dedup_cc_delta rebuilt with the eagerCp knob threaded through. */
+  private def ccDeltaBuild(spark: SparkSession, dir: String,
+                           eagerCp: Boolean) = {
+    val d = graft.queries.DedupQueries.docs(spark, dir)
+    val all = graft.operators.Dedup.minhashPairs(d,
+      graft.queries.DedupQueries.K, numHashes = 64, bands = 16,
+      minEst = 0.2).select(col("ida"), col("idb")).localCheckpoint()
+    val basePairs = all.filter(col("ida") % 5 =!= 4 && col("idb") % 5 =!= 4)
+    val deltaPairs = all.filter(col("ida") % 5 === 4 || col("idb") % 5 === 4)
+    val baseAssign = graft.operators.ConnectedComponents
+      .components(d.filter(col("doc_id") % 5 =!= 4), basePairs,
+        eagerCp = eagerCp)
+      .select(col("doc_id"), col("canonical_id"))
+    graft.operators.ConnectedComponents
+      .componentsDelta(d, baseAssign, deltaPairs, eagerCp = eagerCp)
+  }
+
+  /** q_dedup_clusters rebuilt with the eagerCp knob threaded through. */
+  private def clustersBuild(spark: SparkSession, dir: String,
+                            eagerCp: Boolean) = {
+    val d = graft.queries.DedupQueries.docs(spark, dir)
+    graft.operators.Dedup.dedupClusters(d,
+      graft.operators.Dedup.minhashPairs(d,
+        graft.queries.DedupQueries.K, numHashes = 64, bands = 16,
+        minEst = 0.2),
+      iters = 3, eagerCp = eagerCp)
   }
 
   /** q_isochrone_bfs rebuilt with the hops knob threaded through. */

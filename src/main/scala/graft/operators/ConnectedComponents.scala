@@ -46,12 +46,13 @@ object ConnectedComponents {
     * is the proof (equal sizes + one-sided emptiness = multiset
     * equality). */
   private def converge(e0: DataFrame, maxRounds: Int,
-                       lsDistinct: Boolean): DataFrame = {
+                       lsDistinct: Boolean,
+                       eagerCp: Boolean): DataFrame = {
     var e = e0
     var eCnt = -1L // e's count, computed lazily on first equality test
     var r = 0
     while (r < maxRounds) {
-      val next = round(e, lsDistinct)
+      val next = round(e, lsDistinct, eagerCp)
       val nextCnt = next.count()
       if (eCnt < 0) eCnt = e.count()
       val stable = nextCnt == eCnt && next.exceptAll(e).isEmpty
@@ -67,7 +68,8 @@ object ConnectedComponents {
   /** One large-star + small-star round over a symmetric edge set
     * (src, dst). Returns the rewritten (still symmetric-on-read)
     * edge set; self-loops are dropped. */
-  private def round(edges: DataFrame, lsDistinct: Boolean): DataFrame = {
+  private def round(edges: DataFrame, lsDistinct: Boolean,
+                    eagerCp: Boolean): DataFrame = {
     // large-star: (v, m(u)) for v in Γ(u), v > u
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -99,7 +101,15 @@ object ConnectedComponents {
       .unionAll(withM.select(col("src"), col("m").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint() // lineage cut per round (the dedupClusters rule)
+      // lineage cut per round (the dedupClusters rule). eagerCp was
+      // A/B'd in r18 (ProfileAb18 "cp": lazy localCheckpoint merges the
+      // materialization into converge's count, one driver round-trip
+      // less per round) and measured a TIE-to-slightly-worse
+      // (cc_delta min 5.02 eager vs 5.41 lazy, 2/4; clusters 2.21 vs
+      // 2.15, 2/4) — the ~50 ms/round saving is noise against the
+      // round's own work, so EAGER stays the default and the flag
+      // keeps the A/B re-runnable.
+      .localCheckpoint(eager = eagerCp)
   }
 
   /** Incremental component update — the add-after-train contract
@@ -116,9 +126,10 @@ object ConnectedComponents {
     * Spec-pinned equal to a from-scratch build over the union. */
   def componentsDelta(docs: DataFrame, baseAssign: DataFrame,
                       deltaPairs: DataFrame, maxRounds: Int = 20,
-                      lsDistinct: Boolean = false): DataFrame = {
+                      lsDistinct: Boolean = false,
+                      eagerCp: Boolean = true): DataFrame = {
     val m = baseAssign.select(col("doc_id"), col("canonical_id"))
-      .localCheckpoint() // contraction map, read by both endpoints
+      .localCheckpoint(eager = eagerCp) // contraction map, read 3x
     val e = deltaPairs
       .join(m.select(col("doc_id").as("ida"),
         col("canonical_id").as("ca")), Seq("ida"), "left")
@@ -127,8 +138,8 @@ object ConnectedComponents {
       .select(coalesce(col("ca"), col("ida")).as("src"),
         coalesce(col("cb"), col("idb")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint()
-    val conv = converge(e, maxRounds, lsDistinct)
+      .localCheckpoint(eager = eagerCp)
+    val conv = converge(e, maxRounds, lsDistinct, eagerCp)
     val merge = conv
       .unionAll(conv.select(col("dst").as("src"), col("dst").as("dst")))
       .groupBy("src").agg(min("dst").as("new_canon"))
@@ -147,10 +158,11 @@ object ConnectedComponents {
     * pair table; docs in no pair are their own canonical — the same
     * output contract as [[Dedup.dedupClusters]]. */
   def components(docs: DataFrame, pairs: DataFrame,
-                 maxRounds: Int = 20, lsDistinct: Boolean = false): DataFrame = {
+                 maxRounds: Int = 20, lsDistinct: Boolean = false,
+                 eagerCp: Boolean = true): DataFrame = {
     val e0 = pairs.select(col("ida").as("src"), col("idb").as("dst"))
-      .localCheckpoint()
-    val converged = converge(e0, maxRounds, lsDistinct)
+      .localCheckpoint(eager = eagerCp)
+    val converged = converge(e0, maxRounds, lsDistinct, eagerCp)
     // at the (asserted) fixed point every edge points node -> component min
     val canon = converged
       .unionAll(converged.select(col("dst").as("src"),

@@ -485,7 +485,7 @@ object Dedup {
     * no driver-side graph state. Docs in no pair are their own canonical.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
-                    iters: Int = 4): DataFrame = {
+                    iters: Int = 4, eagerCp: Boolean = true): DataFrame = {
     // The pair table may be an expensive pipeline (e.g. minhash LSH) and
     // every propagation iteration consumes it. localCheckpoint (eager)
     // runs that pipeline EXACTLY ONCE — before the src/dst union can
@@ -498,24 +498,30 @@ object Dedup {
     // job fails the job instead of recomputing from lineage. On
     // preemption-prone clusters set a reliable checkpoint dir and swap
     // these for Dataset.checkpoint — the plan shape is unchanged.
-    val p = pairs.select(col("ida"), col("idb")).localCheckpoint()
+    // eagerCp: LAZY checkpoints (eager = false) were A/B'd in r18
+    // (ProfileAb18 "cp") — same LogicalRDD plan cut, materialization
+    // deferred into the consumer's action — and measured a tie
+    // (min 2.21 eager vs 2.15 lazy, 2/4 wins): the per-hop driver
+    // round-trip is noise against the hop's own shuffle. EAGER stays
+    // the default; the flag keeps the A/B re-runnable.
+    val p = pairs.select(col("ida"), col("idb"))
+      .localCheckpoint(eager = eagerCp)
     val edges = p.select(col("ida").as("src"), col("idb").as("dst"))
       .union(p.select(col("idb").as("src"), col("ida").as("dst")))
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(eager = eagerCp)
     for (_ <- 1 to iters) {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-      // eager checkpoint: materializes this hop and frees its lineage;
       // the label table is O(docs-in-pairs) rows of two longs — tiny
       // relative to the corpus at any scale.
       labels = labels.union(fromNeighbors)
         .groupBy("node")
         .agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = eagerCp)
     }
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
