@@ -3,20 +3,25 @@ package graft.dev
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Interleaved in-session A/B for the three round-18 candidate changes
-  * whose single-probe timings were swamped by this box's external
+/** Interleaved in-session A/B for round-18 candidate changes whose
+  * single-probe timings were swamped by this box's external
   * contention (load swings with no local process behind them — same
   * variance the session-3 notes record). Variants alternate A,B,A,B,…
   * inside ONE session, so slow drift hits both sides equally; decide
   * by min and by pairwise wins.
   *
-  *   A/B 1 — ConnectedComponents round: large-star distinct kept
-  *           (old) vs dropped (one exchange less, duplicate rows into
-  *           small-star), on the q_dedup_cc pair graph.
-  *   A/B 2 — deep-BPE per-round merge: treeReduce (old, extra tiny
-  *           shuffle stage) vs partition-adaptive plain reduce.
-  *   A/B 3 — q_bitext_recall sides: lazy in one action (old) vs
-  *           overlapped via two driver threads + localCheckpoint.
+  *   A/B 1 "cc"     — ConnectedComponents round: large-star distinct
+  *           kept (old) vs dropped (one exchange less, duplicate rows
+  *           into small-star), on the q_dedup_cc pair graph.
+  *   A/B 2 "bpe"    — deep-BPE per-round merge: treeReduce (old, extra
+  *           tiny shuffle stage) vs partition-adaptive plain reduce.
+  *   A/B 3 "bitext" — q_bitext_recall sides: lazy in one action (old)
+  *           vs overlapped via two driver threads + localCheckpoint.
+  *   A/B 4 "bfs"    — Contour.shortestPaths: 1-hop (old) vs 3-hop
+  *           relaxation per Bellman-Ford round.
+  *   A/B 5 "cp"     — CC-family checkpoints: eager (old, kept) vs
+  *           lazy localCheckpoint on the q_dedup_cc_delta and
+  *           q_dedup_clusters shapes; measured a tie, eager stays.
   */
 object ProfileAb18 {
   def main(args: Array[String]): Unit = {
@@ -99,33 +104,15 @@ object ProfileAb18 {
     spark.stop()
   }
 
-  /** q_dedup_cc_delta rebuilt with the eagerCp knob threaded through. */
+  /** The bench rows themselves with the eagerCp knob threaded through
+    * (the qBpeTrainDeepVia pattern — no shape duplication here). */
   private def ccDeltaBuild(spark: SparkSession, dir: String,
-                           eagerCp: Boolean) = {
-    val d = graft.queries.DedupQueries.docs(spark, dir)
-    val all = graft.operators.Dedup.minhashPairs(d,
-      graft.queries.DedupQueries.K, numHashes = 64, bands = 16,
-      minEst = 0.2).select(col("ida"), col("idb")).localCheckpoint()
-    val basePairs = all.filter(col("ida") % 5 =!= 4 && col("idb") % 5 =!= 4)
-    val deltaPairs = all.filter(col("ida") % 5 === 4 || col("idb") % 5 === 4)
-    val baseAssign = graft.operators.ConnectedComponents
-      .components(d.filter(col("doc_id") % 5 =!= 4), basePairs,
-        eagerCp = eagerCp)
-      .select(col("doc_id"), col("canonical_id"))
-    graft.operators.ConnectedComponents
-      .componentsDelta(d, baseAssign, deltaPairs, eagerCp = eagerCp)
-  }
+                           eagerCp: Boolean) =
+    graft.queries.DedupQueries.qDedupCcDeltaWith(spark, dir, eagerCp)
 
-  /** q_dedup_clusters rebuilt with the eagerCp knob threaded through. */
   private def clustersBuild(spark: SparkSession, dir: String,
-                            eagerCp: Boolean) = {
-    val d = graft.queries.DedupQueries.docs(spark, dir)
-    graft.operators.Dedup.dedupClusters(d,
-      graft.operators.Dedup.minhashPairs(d,
-        graft.queries.DedupQueries.K, numHashes = 64, bands = 16,
-        minEst = 0.2),
-      iters = 3, eagerCp = eagerCp)
-  }
+                            eagerCp: Boolean) =
+    graft.queries.DedupQueries.qDedupClustersWith(spark, dir, eagerCp)
 
   /** q_isochrone_bfs rebuilt with the hops knob threaded through. */
   private def bfsBuild(spark: SparkSession, dir: String, hops: Int) = {
