@@ -710,7 +710,13 @@ object TextQueries {
   private[queries] val BpeRounds = 5
 
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = docsRaw(spark, dir).select(lower(col("text")).as("t"))
+    // spread once before the merge chain (r18 session 5, the
+    // qBpeTrainDeepVia move: the narrow per-round select preserves the
+    // layout, so every round's kernel count job runs at engine
+    // parallelism for ONE round-robin exchange; counts/argmax exact
+    // either way)
+    val d0 = graft.Tables.spread(
+      docsRaw(spark, dir).select(lower(col("text")).as("t")))
     // each round: ONE map-side-combined pair count (bounded by
     // |alphabet|^2), driver argmax, corpus-wide literal replace - the
     // replaces stack lazily, so round r's count job is still a single
@@ -828,7 +834,20 @@ object TextQueries {
   private[graft] def qBpeTrainDeepVia(spark: SparkSession, dir: String,
                                       forceTree: Boolean): DataFrame = {
     import spark.implicits._
-    var d = docsRaw(spark, dir).select(lower(col("text")).as("t"))
+    // spread ONCE before the chain (r18 session 5): the per-round
+    // kernel scan + replace otherwise run at the SCAN's parallelism
+    // (1 at bench sfs — single row group) for all 65 rounds; the
+    // narrow per-round select/localCheckpoint PRESERVES the spread
+    // layout, so unlike the session-1 per-round repartition (one
+    // exchange per round — measured 1.6x slower, the "deliberately
+    // not applied" note) this pays one round-robin exchange total.
+    // ProbeBpe18, interleaved 3x at sf0.1: chain 6.5-8.0 s at the
+    // scan layout vs 3.3-3.7 s spread (parts 8 and 32 equal within
+    // noise) — counts phase 5.6-6.6 -> 2.4-2.8 s. Results identical:
+    // pair counts are exact integer sums merged commutatively and the
+    // argmax is a deterministic minBy on (-count, symbol).
+    var d = graft.Tables.spread(
+      docsRaw(spark, dir).select(lower(col("text")).as("t")))
       .localCheckpoint()
     val nDocs = d.count()
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
@@ -866,7 +885,13 @@ object TextQueries {
     * as q_bpe_train (the oracle unrolls identically); per stage ONE
     * map-side-combined length sum. */
   def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = docsRaw(spark, dir).select(lower(col("text")).as("t"))
+    // spread once before the merge chain (r18 session 5, the
+    // qBpeTrainDeepVia move: the narrow per-round select preserves the
+    // layout, so every round's kernel count job runs at engine
+    // parallelism for ONE round-robin exchange; counts/argmax exact
+    // either way)
+    val d0 = graft.Tables.spread(
+      docsRaw(spark, dir).select(lower(col("text")).as("t")))
       .localCheckpoint() // every stage + the char total read it
     def stage(df: DataFrame, k: Long, merge: String): DataFrame =
       df.agg(sum(length(col("t")).cast("long")).as("n_tokens"))
@@ -910,8 +935,13 @@ object TextQueries {
     * languages differ in char mass, which the n_chars column keeps
     * visible. */
   def qBpeFertilityLang(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = docsRaw(spark, dir)
-      .select(col("lang"), lower(col("text")).as("t"))
+    // spread once before the merge chain (r18 session 5, the
+    // qBpeTrainDeepVia move: the narrow per-round select preserves the
+    // layout, so every round's kernel count job runs at engine
+    // parallelism for ONE round-robin exchange; counts/argmax exact
+    // either way)
+    val d0 = graft.Tables.spread(docsRaw(spark, dir)
+      .select(col("lang"), lower(col("text")).as("t")))
       .localCheckpoint() // every stage + the per-lang char totals read it
     def stage(df: DataFrame, k: Long, merge: String): DataFrame =
       df.groupBy("lang")
@@ -1180,7 +1210,9 @@ object TextQueries {
     val uniChars = words.toDF()
       .agg(sum(length(col("w")).cast("long") * col("f")).as("n_chars"))
     // BPE twin: replay the exact q_bpe_train merge chain, count tokens
-    val d0 = docsRaw(spark, dir).select(lower(col("text")).as("t"))
+    // (spread once, the qBpeTrainDeepVia move)
+    val d0 = graft.Tables.spread(
+      docsRaw(spark, dir).select(lower(col("text")).as("t")))
     val dFinal = (1 to BpeRounds).foldLeft(d0) { (d, r) =>
       val m = bpeBestMergeLocal(d)
       d.select(replace(col("t"), lit(m), lit(r.toChar.toString)).as("t"))
