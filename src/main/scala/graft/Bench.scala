@@ -213,14 +213,21 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    // COMPACT line: the consumer keeps only the last ~2000 chars of
-    // stdout, so 3-decimal timings and a failures-only errors map (empty
-    // object when all green) keep the whole line inside that window.
+    // ONE metric line with the FULL per-query map (VERDICT r18 item 2):
+    // the r17/r18 compact `qt`-array variant made the driver's parser
+    // return parsed:null both rounds — the parser requires the `queries`
+    // map on the LAST {"metric":"total"} line. Timings trim trailing
+    // zeros to keep the line as short as possible.
     // explicit ROOT locale: a comma-decimal default locale would emit
-    // "0,86" and corrupt the JSON line + its qt/key_order alignment
+    // "0,86" and corrupt the JSON line
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + num(v) }
+    def snum(v: Double): String = {
+      val s = num(v).reverse.dropWhile(_ == '0').dropWhile(_ == '.')
+        .reverse
+      if (s.isEmpty || s == "-") "0" else s
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + snum(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":" + jstr(e)
@@ -232,32 +239,14 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     val cjson = s"""{"start":[${num(cs1)},${num(cs2)}],"end":[${num(ce1)},${num(ce2)}],"floors":[${num(CpuFloorSec)},${num(ShufFloorSec)}]}"""
     val cqjson = contendedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","warmed":$warmed,"warm_sec":${num(warmSec)},"contended":$contended,"floors_n":${floors.size},"floors_status":"$floorsStatus","floor_ratio":$FloorRatio,"contended_queries":$cqjson,"retry_errors":$retryErrs,"canary":$cjson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val nerr = results.count(_._3.isDefined)
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"warmed":$warmed,"warm_sec":${num(warmSec)},"err_n":$nerr,"retry_err_n":${retryErrors.size},"contended":$contended,"floors_n":${floors.size},"floors_status":"$floorsStatus","floor_ratio":$FloorRatio,"contended_queries":$cqjson,"retry_errors":$retryErrs,"canary":$cjson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with [info], which can defeat line-level JSON
     // parsing downstream — also drop the bare line in a file.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LATEST.json"), json + "\n")
     catch { case _: Throwable => () }
-    // The consumer parses only the LAST ~2000 chars of stdout; with 100+
-    // queries the full line above is ~2.6k chars, so its head is clipped
-    // and the parse has failed EVERY round (BENCH_r0*.json parsed=null).
-    // Emit a final COMPACT line that always fits: per-query timings as an
-    // array in sorted-key order (keys = sorted(SparkEntry.queries.keys),
-    // the same order CORRECTNESS rows sort to), full map in the file.
-    def snum(v: Double): String = {
-      val s = num(v).reverse.dropWhile(_ == '0').dropWhile(_ == '.')
-        .reverse
-      if (s.isEmpty || s == "-") "0" else s
-    }
-    val qt = results.map { case (_, v, _) => snum(v) }
-      .mkString("[", ",", "]")
-    val nerr = results.count(_._3.isDefined)
-    // compact line must fit the consumer's ~2000-char window: cap the
-    // flagged-query list here (the full list is in BENCH_LATEST.json)
-    val cqCap = contendedQs.take(8).map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"warm_sec":${num(warmSec)},"err_n":$nerr,"retry_err_n":${retryErrors.size},"contended":$contended,"floors_n":${floors.size},"floors_status":"$floorsStatus","cq_n":${contendedQs.size},"contended_queries":$cqCap,"key_order":"sorted(queries.keys)","qt":$qt,"queries_full":"BENCH_LATEST.json"}""")
     spark.stop()
   }
 }

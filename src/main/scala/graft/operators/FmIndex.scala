@@ -222,15 +222,34 @@ object FmIndex {
     }
   }
 
+  /** rn-range PRUNE of the suffix-order scan (r19, VERDICT r18 item 3):
+    * the resolved intervals are driver-known literals, so an OR-chain of
+    * `rn BETWEEN lo AND hi` predicates reaches the parquet scan as
+    * PushedFilters and prunes to the row groups holding the probed
+    * ranks — `ord` is written by the rank-bucketed stitch, so each file
+    * holds a contiguous rn range and min/max stats prune. Rows outside
+    * every interval can never satisfy the join, so results are
+    * unchanged; at 100 TB the pruned read is occurrence-bounded where
+    * the unpruned one was corpus-sized. */
+  private def rnPruned(ord: DataFrame,
+                       ivs: Seq[(Long, String, Long, Long)]): DataFrame = {
+    val ranges = ivs.collect { case (_, _, lo, hi) if hi >= lo => (lo, hi) }
+    if (ranges.isEmpty) ord.filter(lit(false))
+    else ord.filter(ranges.map { case (lo, hi) =>
+      col("rn") >= lit(lo) && col("rn") <= lit(hi)
+    }.reduce(_ || _))
+  }
+
   /** SERVE: substring counts — backward search to rank intervals, then
-    * a doc-level rollup against `ord` (one scan with the ≤ |patterns|
-    * rank intervals broadcast). */
+    * a doc-level rollup against `ord` (one rn-range-pruned scan with
+    * the ≤ |patterns| rank intervals broadcast). */
   def serve(ord: DataFrame, t: SuffixIndex.FmTables,
             patterns: Seq[(Long, String)]): DataFrame = {
     val spark = ord.sparkSession
     import spark.implicits._
-    val iv = intervals(spark, t, patterns).toDF("pid", "pat", "lo", "hi")
-    val hits = ord.join(broadcast(iv),
+    val ivSeq = intervals(spark, t, patterns)
+    val iv = ivSeq.toDF("pid", "pat", "lo", "hi")
+    val hits = rnPruned(ord, ivSeq).join(broadcast(iv),
       ord("rn") >= iv("lo") && ord("rn") <= iv("hi"))
       .groupBy("pid")
       .agg(count(lit(1)).as("n_occ"),
@@ -257,9 +276,9 @@ object FmIndex {
              patterns: Seq[(Long, String)]): DataFrame = {
     val spark = ord.sparkSession
     import spark.implicits._
-    val iv = intervals(spark, t, patterns)
-      .filter(x => x._4 >= x._3).toDF("pid", "pat", "lo", "hi")
-    ord.join(broadcast(iv),
+    val ivSeq = intervals(spark, t, patterns).filter(x => x._4 >= x._3)
+    val iv = ivSeq.toDF("pid", "pat", "lo", "hi")
+    rnPruned(ord, ivSeq).join(broadcast(iv),
       ord("rn") >= iv("lo") && ord("rn") <= iv("hi"))
       .select(col("pid"), col("pat"), col("doc_id"), col("pos"))
   }
