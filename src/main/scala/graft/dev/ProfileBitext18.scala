@@ -26,6 +26,10 @@ object ProfileBitext18 {
       b3.config("spark.sql.codegen.hugeMethodLimit", t))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine grain for the measured input — matches Bench/Verify/
+    // ScaleDecade shape (r19; without it the 100x attribution ran at a
+    // grain the real harnesses never use)
+    graft.Tune.forInput(spark, sfDir)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {

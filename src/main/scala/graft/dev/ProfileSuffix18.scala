@@ -4,11 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Round-by-round wall attribution for the r18 suffix-index BUILD —
-  * the ~190 s once-per-session artifact cost (the round's biggest
-  * remaining wall chunk). Replays SuffixArray.buildWithBase inline
-  * with per-phase timers: positions/pack, seed stitch, each doubling
-  * round (with its active count), final stitch, LCP descent. */
+/** Round-by-round wall attribution for the suffix-index BUILD — the
+  * once-per-session artifact cost (the biggest wall chunk outside the
+  * bench metric). Replays SuffixArray.buildWithBase inline with
+  * per-phase timers — positions/pack, the width-28 seed stitch (r19),
+  * each doubling round (with its active count), final stitch — then
+  * times the REAL adjacentLcp descent off the replayed levels. Keep
+  * the replay in lockstep with SuffixArray.buildWithBase. */
 object ProfileSuffix18 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -19,10 +21,12 @@ object ProfileSuffix18 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val docs = graft.Tables.load(spark, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // the real serve path spreads the corpus (TextQueries.docs) — match it
+    val docs = graft.Tables.spread(graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text")))
     import graft.operators.SuffixArray
     val PackW = SuffixArray.PackW
+    val SeedW = SuffixArray.SeedW
 
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -38,19 +42,39 @@ object ProfileSuffix18 {
     val nPos = base.count()
     val maxLen = base.agg(max("len")).collect()(0).getLong(0)
     println(s"[prof] nPos=$nPos maxLen=$maxLen")
-    val packed0 = base.select("doc_id", "pos", "r")
-    val r8 = t("seed stitch (width 7)") {
-      val (r, _) = SuffixArray.bucketIndex(packed0,
-        shiftright(col("r"), 8 * (PackW - 2)), Seq("r"), "mr",
-        SuffixArray.MinRank)
+    val docWin = Window.partitionBy("doc_id").orderBy("pos")
+    val wide = t("wide leads+ckpt") {
+      val w = base.select("doc_id", "pos", "r")
+        .withColumn("r7",
+          coalesce(lead(col("r"), PackW).over(docWin), lit(-1L)))
+        .withColumn("r14",
+          coalesce(lead(col("r"), 2 * PackW).over(docWin), lit(-1L)))
+        .withColumn("r21",
+          coalesce(lead(col("r"), 3 * PackW).over(docWin), lit(-1L)))
+        .localCheckpoint()
+      w.count(); w
+    }
+    val levels =
+      scala.collection.mutable.ArrayBuffer[(Long, org.apache.spark.sql.DataFrame)](
+        (PackW.toLong, wide))
+    val r28 = t(s"seed stitch (width $SeedW)") {
+      val (r, _) = SuffixArray.bucketIndex(wide,
+        shiftright(col("r"), 8 * (PackW - 2)),
+        Seq("r", "r7", "r14", "r21"), "mr", SuffixArray.MinRank,
+        sizeOut = Some("gs"))
       r
     }
-    val docWin = Window.partitionBy("doc_id").orderBy("pos")
-    var width = PackW.toLong
-    var settled = List[org.apache.spark.sql.DataFrame]()
-    var nActive = nPos
-    var curFull = r8.select(col("doc_id"), col("pos"),
-      col("mr").as("r"), lit(true).as("__a"))
+    var width = SeedW.toLong
+    var settled = List[org.apache.spark.sql.DataFrame](
+      r28.filter(col("gs") === 1L)
+        .select(col("doc_id"), col("pos"), col("mr").as("r")))
+    var nActive = t("seed active count") {
+      r28.filter(col("gs") > 1L).count()
+    }
+    println(s"[prof]   active=$nActive")
+    var curFull = r28.select(col("doc_id"), col("pos"),
+      col("mr").as("r"), (col("gs") > 1L).as("__a"))
+    levels += ((SeedW.toLong, curFull.select("doc_id", "pos", "r")))
     while (nActive > 0 && width < maxLen) {
       val w0 = width
       val act = t(s"round w=$w0") {
@@ -77,6 +101,7 @@ object ProfileSuffix18 {
           .coalesce(32).localCheckpoint(false)
         na
       }
+      levels += ((width, curFull.select("doc_id", "pos", "r")))
       nActive = act
       println(s"[prof]   active=$nActive")
     }
@@ -91,6 +116,11 @@ object ProfileSuffix18 {
       oc.count(); oc
     }
     println(s"[prof] ord rows=${ord.count()}")
+    val pairs = t("lcp descent (adjacentLcp)") {
+      val p = SuffixArray.adjacentLcp(ord, levels.toSeq).localCheckpoint()
+      p.count(); p
+    }
+    println(s"[prof] pairs rows=${pairs.count()}")
     spark.stop()
   }
 }

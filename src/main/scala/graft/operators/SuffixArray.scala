@@ -136,20 +136,29 @@ object SuffixArray {
     * data, never on physical partitioning.
     * Returns the indexed frame and the total row count. */
   def bucketIndex(df: DataFrame, bucket: Column, keys: Seq[String],
-      out: String, mode: IndexMode): (DataFrame, Long) = {
+      out: String, mode: IndexMode,
+      sizeOut: Option[String] = None): (DataFrame, Long) = {
     val kc = keys.map(col)
     val wb = Window.partitionBy("__b").orderBy(kc: _*)
+    // optional KEY-GROUP SIZE in the same pass (r19, the width-28 seed:
+    // singleton groups are settled before the first doubling round) —
+    // partitioned like wb, so it shares wb's exchange; the unbounded
+    // frame is a second Window operator over the already-shuffled rows
+    val wg = Window.partitionBy(("__b" +: keys).map(col): _*)
     // EAGER checkpoint of the windowed rows BEFORE the offsets
     // aggregate: the round's pipeline (lead window → bucket shuffle →
     // rank window) then runs exactly once — the offsets collect and
     // every downstream consumer read the stored blocks
-    val withLocal = df.withColumn("__b", bucket.cast("long"))
-      .repartition(col("__b"))
-      .withColumn("__lr",
-        (mode match {
-          case Row => row_number()
-          case MinRank => rank()
-        }).over(wb).cast("long"))
+    val withLocal = sizeOut.foldLeft(
+      df.withColumn("__b", bucket.cast("long"))
+        .repartition(col("__b"))
+        .withColumn("__lr",
+          (mode match {
+            case Row => row_number()
+            case MinRank => rank()
+          }).over(wb).cast("long"))) { (d, so) =>
+        d.withColumn(so, count(lit(1)).over(wg))
+      }
       .localCheckpoint()
     val cnts = withLocal.groupBy("__b").agg(count(lit(1)).as("m"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -199,6 +208,21 @@ object SuffixArray {
     * len, r) — consumers that need per-position chars (FmIndex's BWT
     * reads them off the packed key) reuse the blocks instead of paying
     * the position explode + packing scan twice. */
+  /** Seed width: the doubling starts at [[SeedW]] = 4·[[PackW]] = 28
+    * bytes (r19, VERDICT r18 item 4). Three per-doc lead()s extend the
+    * packed word to a 4-word key (r, r@+7, r@+14, r@+21) — ONE window
+    * pass — and the stitched index orders the 4-tuple directly, which
+    * is exactly the order (and the min-rank group structure) three
+    * doubling rounds would reach: each lead word is a monotone
+    * encoding of the next 7-byte slice (0-pad sorts below every real
+    * byte on NUL-free text), and -1 for a missing position sorts below
+    * every packed value, the same shorter-suffix-first convention the
+    * round refinement's coalesce(lead, -1) uses. Kills the two most
+    * expensive doubling rounds (7→14→28 refined the FULL position set
+    * twice; ProfileSuffix18 measured them 5.2 + 4.0 s of the ~40 s
+    * build at sf0.1). */
+  val SeedW = 4 * PackW
+
   def buildWithBase(docs: DataFrame)
       : (DataFrame, Seq[(Long, DataFrame)], DataFrame) = {
     val base = positions(docs).localCheckpoint()
@@ -206,28 +230,50 @@ object SuffixArray {
     val maxLen =
       if (nPos == 0) 0L
       else base.agg(max("len")).collect()(0).getLong(0)
-    val packed0 = base.select("doc_id", "pos", "r")
+    val docWin = Window.partitionBy("doc_id").orderBy("pos")
+    // the WIDE packed table (doc_id, pos, r, r7, r14, r21): one window
+    // pass computes all three leads; checkpointed because BOTH the seed
+    // stitch and the LCP descent's sub-SeedW tail read it (the tail
+    // resolves the final < 28 bytes in ONE join per side instead of the
+    // r18 shape's three level joins + digit refine)
+    val wide = base.select("doc_id", "pos", "r")
+      .withColumn("r7",
+        coalesce(lead(col("r"), PackW).over(docWin), lit(-1L)))
+      .withColumn("r14",
+        coalesce(lead(col("r"), 2 * PackW).over(docWin), lit(-1L)))
+      .withColumn("r21",
+        coalesce(lead(col("r"), 3 * PackW).over(docWin), lit(-1L)))
+      .localCheckpoint()
+    // levels.head is BY CONTRACT the width-PackW wide table (the
+    // descent's tail refine reads r/r7/r14/r21 off it)
     val levels = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)](
-      (PackW.toLong, packed0))
-    // width-PackW min-ranks: the one global stitched index (rank() =
+      (PackW.toLong, wide))
+    // width-SeedW min-ranks: the one global stitched index (rank() =
     // first-peer position = the group id); bucket = the top two packed
-    // BYTES (monotone in the key, ~|charset|^2 logical buckets)
-    val (r8, _) = bucketIndex(packed0, shiftright(col("r"), 8 * (PackW - 2)),
-      Seq("r"), "mr", MinRank)
+    // BYTES (monotone in the key, ~|charset|^2 logical buckets). The
+    // seed also emits each group's SIZE (same exchange), so singleton
+    // groups — rows already distinct at width 28, the vast majority —
+    // are SETTLED before the first round ever windows them: round w=28
+    // refines only the still-tied rows, exactly as it would had the
+    // doubling walked 7→14→28.
+    val (r28, _) = bucketIndex(wide, shiftright(col("r"), 8 * (PackW - 2)),
+      Seq("r", "r7", "r14", "r21"), "mr", MinRank, sizeOut = Some("gs"))
     // r[pos+w] by lead() inside the per-doc window — positions are the
     // contiguous 0..len-1, so a lead of w rows IS pos+w, and the only
     // full-table shuffle per round is this doc_id hash
-    val docWin = Window.partitionBy("doc_id").orderBy("pos")
-    var width = PackW.toLong
-    var settled = List[DataFrame]()
-    var nActive = nPos
+    var width = SeedW.toLong
+    var settled = List[DataFrame](r28.filter(col("gs") === 1L)
+      .select(col("doc_id"), col("pos"), col("mr").as("r")))
+    var nActive =
+      if (nPos == 0) 0L else r28.filter(col("gs") > 1L).count()
     // the working full view carries an __a flag (still tied?); each
     // round's view doubles as that width's level table. LAZY
     // checkpoints: a view materializes inside the next round's one
     // action (the refined checkpoint), so every round runs exactly one
     // full pass — lead lookup + active filter in the same job.
-    var curFull = r8.select(col("doc_id"), col("pos"),
-      col("mr").as("r"), lit(true).as("__a"))
+    var curFull = r28.select(col("doc_id"), col("pos"),
+      col("mr").as("r"), (col("gs") > 1L).as("__a"))
+    levels += ((SeedW.toLong, curFull.select("doc_id", "pos", "r")))
     while (nActive > 0 && width < maxLen) {
       // (doubling from PackW: widths PackW·2^k — the descent's binary
       // decomposition only needs exact halving, not powers of two)
@@ -282,11 +328,19 @@ object SuffixArray {
     var pairs = a.join(b, "rn")
       .withColumn("off", lit(0L)).withColumn("lcp", lit(0L))
     var step = 0
-    for ((w, tbl) <- levels.sortBy(-_._1)) {
+    // min-rank level steps, widest first, widths > PackW only — the
+    // final < SeedW bytes resolve in the wide-table tail below
+    for ((w, tbl) <- levels.sortBy(-_._1) if w > PackW) {
       val ta = tbl.select(col("doc_id").as("da"), col("pos").as("qa"),
         col("r").as("ra"))
       val tb = tbl.select(col("doc_id").as("db"), col("pos").as("qb"),
         col("r").as("rb"))
+      // (A remaining-length level skip — filter can-advance rows, probe
+      // only those, union the rest back — was MEASURED here r19 and
+      // REVERTED: warmed build wall tied, 24.9 vs 25.0 s, and the cold
+      // descent got ~25% slower, 9.8 → 12.4 s: the per-level
+      // filter+union forks the plan and the extra codegen outweighs
+      // the probe-side shrink at any bench sf.)
       pairs = pairs
         .withColumn("qa", col("pa") + col("off"))
         .withColumn("qb", col("pb") + col("off"))
@@ -300,32 +354,55 @@ object SuffixArray {
       step += 1
       if (step % 3 == 0) pairs = pairs.localCheckpoint()
     }
-    // final <PackW-byte refine inside the packed width-PackW block:
-    // first mismatching base-256 BYTE at the post-descent offsets
-    val (_, packed) = levels.head
-    val pa8 = packed.select(col("doc_id").as("da"), col("pos").as("qa"),
-      col("r").as("p8a"))
-    val pb8 = packed.select(col("doc_id").as("db"), col("pos").as("qb"),
-      col("r").as("p8b"))
+    // sub-SeedW TAIL off the wide packed table (r19): leaving the
+    // width-SeedW level the remaining lcp is < 28 = 4 packed words, and
+    // ONE (doc, pos+off) probe per side returns all four (r, r7, r14,
+    // r21) — a row-local word scan + byte refine replaces the r18
+    // shape's width-14/width-7 level joins AND the final digit refine
+    // (6 chained joins → 2). Semantics are byte-identical: a word
+    // advance certifies 7 equal bytes exactly like a level step (-1
+    // never equals a packed value; -1 == -1 means both suffixes ended —
+    // the overshoot the length cap repairs, as before), and the byte
+    // refine inside the first unequal word is the old digit fold.
+    val (_, wide) = levels.head
+    val wa = wide.select(col("doc_id").as("da"), col("pos").as("qa"),
+      col("r").as("w0a"), col("r7").as("w1a"), col("r14").as("w2a"),
+      col("r21").as("w3a"))
+    val wb = wide.select(col("doc_id").as("db"), col("pos").as("qb"),
+      col("r").as("w0b"), col("r7").as("w1b"), col("r14").as("w2b"),
+      col("r21").as("w3b"))
     // digits are 8-bit fields of the packed long — extract by shift,
     // never by double division (a 2^56 packed value exceeds the 2^53
     // exact-double range)
     def digit(c: Column, i: Int): Column =
       shiftright(c, 8 * (PackW - 1 - i)).bitwiseAND(lit(255L))
-    val mismatch = (PackW - 1 to 0 by -1)
-      .foldLeft(lit(PackW.toLong): Column) { (inner, i) =>
-        when(digit(col("p8a"), i) =!= digit(col("p8b"), i), lit(i.toLong))
-          .otherwise(inner)
-      }
+    // first mismatching byte 0..6 inside one word pair (PackW if equal);
+    // a -1 (missing-position) word contributes 0 bytes, the old
+    // null-probe semantics
+    def byteRef(x: Column, y: Column): Column =
+      when(x === -1L || y === -1L, lit(0L)).otherwise(
+        (PackW - 1 to 0 by -1)
+          .foldLeft(lit(PackW.toLong): Column) { (inner, i) =>
+            when(digit(x, i) =!= digit(y, i), lit(i.toLong))
+              .otherwise(inner)
+          })
+    val tailAdd =
+      when(col("w0a").isNull || col("w0b").isNull, lit(0L)).otherwise(
+        when(col("w0a") =!= col("w0b"), byteRef(col("w0a"), col("w0b")))
+          .when(col("w1a") =!= col("w1b"),
+            lit(PackW.toLong) + byteRef(col("w1a"), col("w1b")))
+          .when(col("w2a") =!= col("w2b"),
+            lit(2L * PackW) + byteRef(col("w2a"), col("w2b")))
+          .when(col("w3a") =!= col("w3b"),
+            lit(3L * PackW) + byteRef(col("w3a"), col("w3b")))
+          .otherwise(lit(SeedW.toLong)))
     pairs
       .withColumn("qa", col("pa") + col("off"))
       .withColumn("qb", col("pb") + col("off"))
-      .join(pa8, Seq("da", "qa"), "left")
-      .join(pb8, Seq("db", "qb"), "left")
+      .join(wa, Seq("da", "qa"), "left")
+      .join(wb, Seq("db", "qb"), "left")
       .withColumn("lcp",
-        least(
-          col("lcp") + when(col("p8a").isNull || col("p8b").isNull,
-            lit(0L)).otherwise(mismatch),
+        least(col("lcp") + tailAdd,
           col("la") - col("pa"), col("lb") - col("pb")))
       .select("rn", "da", "pa", "db", "pb", "lcp")
   }

@@ -21,15 +21,12 @@ object TextQueries {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("lang"), col("source")))
 
-  /** UNspread docs for the round-chained trainers (BPE): each of their
-    * R sequential rounds schedules one bounded job over the corpus, so
-    * per-round task count — not map parallelism — is the wall
-    * (measured r18: the 64-round chain ran 1.6x SLOWER behind a spread
-    * 32-partition checkpoint than behind the scan's own layout; each
-    * round's map work is milliseconds). The scan's native partitioning
-    * already scales with corpus bytes, which is the right grain at
-    * every scale. */
-  private def docsRaw(spark: SparkSession, dir: String): DataFrame =
+  /** Raw docs for the round-chained trainers (BPE). The chains spread
+    * ONCE (then checkpoint) before their merge rounds — see
+    * qBpeTrainDeepVia for the full rationale and the r18 session-5
+    * measurements; per-round repartitioning was the variant measured
+    * 1.6x slower. */
+  private[graft] def docsRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("lang"), col("source"))
@@ -710,13 +707,14 @@ object TextQueries {
   private[queries] val BpeRounds = 5
 
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    // spread once before the merge chain (r18 session 5, the
-    // qBpeTrainDeepVia move: the narrow per-round select preserves the
-    // layout, so every round's kernel count job runs at engine
-    // parallelism for ONE round-robin exchange; counts/argmax exact
-    // either way)
+    // spread once before the merge chain — full rationale on
+    // qBpeTrainDeepVia. CHECKPOINTED (r19, ADVICE r18): the rounds
+    // stack replaces lazily, so without the checkpoint every round's
+    // count job re-ran the scan AND the round-robin exchange — the
+    // 'one exchange' claim only held for the checkpointed variants.
     val d0 = graft.Tables.spread(
       docsRaw(spark, dir).select(lower(col("text")).as("t")))
+      .localCheckpoint()
     // each round: ONE map-side-combined pair count (bounded by
     // |alphabet|^2), driver argmax, corpus-wide literal replace - the
     // replaces stack lazily, so round r's count job is still a single
@@ -885,11 +883,8 @@ object TextQueries {
     * as q_bpe_train (the oracle unrolls identically); per stage ONE
     * map-side-combined length sum. */
   def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    // spread once before the merge chain (r18 session 5, the
-    // qBpeTrainDeepVia move: the narrow per-round select preserves the
-    // layout, so every round's kernel count job runs at engine
-    // parallelism for ONE round-robin exchange; counts/argmax exact
-    // either way)
+    // spread once before the merge chain — full rationale on
+    // qBpeTrainDeepVia
     val d0 = graft.Tables.spread(
       docsRaw(spark, dir).select(lower(col("text")).as("t")))
       .localCheckpoint() // every stage + the char total read it
@@ -935,11 +930,8 @@ object TextQueries {
     * languages differ in char mass, which the n_chars column keeps
     * visible. */
   def qBpeFertilityLang(spark: SparkSession, dir: String): DataFrame = {
-    // spread once before the merge chain (r18 session 5, the
-    // qBpeTrainDeepVia move: the narrow per-round select preserves the
-    // layout, so every round's kernel count job runs at engine
-    // parallelism for ONE round-robin exchange; counts/argmax exact
-    // either way)
+    // spread once before the merge chain — full rationale on
+    // qBpeTrainDeepVia
     val d0 = graft.Tables.spread(docsRaw(spark, dir)
       .select(col("lang"), lower(col("text")).as("t")))
       .localCheckpoint() // every stage + the per-lang char totals read it
@@ -1210,9 +1202,12 @@ object TextQueries {
     val uniChars = words.toDF()
       .agg(sum(length(col("w")).cast("long") * col("f")).as("n_chars"))
     // BPE twin: replay the exact q_bpe_train merge chain, count tokens
-    // (spread once, the qBpeTrainDeepVia move)
+    // (spread once + checkpoint, the qBpeTrain shape — see
+    // qBpeTrainDeepVia for the rationale; without the checkpoint each
+    // round's count job re-paid the spread exchange)
     val d0 = graft.Tables.spread(
       docsRaw(spark, dir).select(lower(col("text")).as("t")))
+      .localCheckpoint()
     val dFinal = (1 to BpeRounds).foldLeft(d0) { (d, r) =>
       val m = bpeBestMergeLocal(d)
       d.select(replace(col("t"), lit(m), lit(r.toChar.toString)).as("t"))
