@@ -485,8 +485,36 @@ object Ann {
       .select(col("qid"), col("cluster"),
         array((0 until dim).map(i =>
           col("qe").getItem(i) - col("ce").getItem(i)): _*).as("qr"))
-    // dense m x ksub x dsub ADC literal (a dropped code is zero-filled
-    // and can never be referenced — no vector encodes to it)
+    // ADC distance as ONE kernel call (r19): the r18 form built a flat
+    // m·dsub-term expression grid with the dense codebook literal
+    // embedded per term — a ~190 KB expression the driver re-analyzed
+    // per planning (plans/r19/q_ann_pq_{before,after}.txt); the kernel
+    // replays the identical subspace-major ascending fold and the same
+    // zero-filled dense codebook (graft.functions.AdcKernel scaladoc;
+    // parity vs the grid form pinned in KernelPropertySpec via
+    // [[adcTermsExpr]]).
+    val scored = enc.join(broadcast(probes), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adist6",
+        round(graft.functions.AdcScore(col("codes"), col("qr"),
+          books, ksub, dsub), 6))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKAgg(col("adist6"), col("nid"),
+        col("cluster"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.tie").as("nid"),
+        (col("pos") + 1).as("rank"), col("t.key").as("adist6"),
+        col("t.payload").as("cluster"))
+  }
+
+  /** The r18 ADC expression GRID over (codes, qr) — retained as the
+    * parity oracle for [[graft.functions.AdcScore]] (the kernel that
+    * replaced it): dense zero-filled codebook literal, subspace-major
+    * ascending term fold. KernelPropertySpec asserts kernel == grid
+    * bit-for-bit on random codes/residuals. */
+  private[graft] def adcTermsExpr(
+      books: IndexedSeq[Seq[(Long, Array[Double])]],
+      m: Int, ksub: Int, dsub: Int): Column = {
     val cbDense: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
       val mp = books(s).toMap
       (0 until ksub).map(j =>
@@ -501,16 +529,7 @@ object Ann {
         d * d
       }
     }
-    val scored = enc.join(broadcast(probes), Seq("cluster"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("adist6", round(terms.foldLeft(lit(0.0))(_ + _), 6))
-    scored.groupBy("qid")
-      .agg(graft.functions.TopKAgg(col("adist6"), col("nid"),
-        col("cluster"), k).as("tk"))
-      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "t")))
-      .select(col("qid"), col("t.tie").as("nid"),
-        (col("pos") + 1).as("rank"), col("t.key").as("adist6"),
-        col("t.payload").as("cluster"))
+    terms.foldLeft(lit(0.0))(_ + _)
   }
 
   /** PERSISTED-index IVF-PQ: the build/serve split the inline path

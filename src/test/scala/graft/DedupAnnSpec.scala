@@ -409,6 +409,34 @@ class DedupAnnSpec extends AnyFunSuite with SharedSpark {
     assert(served === inline)
   }
 
+  test("AdcScore kernel == the r18 ADC expression grid, in-plan") {
+    import spark.implicits._
+    val m = 4; val ksub = 4; val dsub = 2
+    val rnd = new scala.util.Random(7)
+    val books: IndexedSeq[Seq[(Long, Array[Double])]] =
+      (0 until m).map { _ =>
+        (0 until ksub).filter(_ => rnd.nextInt(8) > 0).map(c =>
+          (c.toLong, Array.fill(dsub)(rnd.nextDouble() * 2 - 1))).toSeq
+      }
+    val rows = (0 until 50).map { i =>
+      val codes = (0 until m).map { s =>
+        val present = books(s).map(_._1)
+        present(rnd.nextInt(present.length))
+      }
+      val qr = Seq.fill(m * dsub)(rnd.nextDouble() * 2 - 1)
+      (i.toLong, codes, qr)
+    }.toDF("id", "codes", "qr")
+    val both = rows.select(col("id"),
+      round(graft.functions.AdcScore(col("codes"), col("qr"),
+        books, ksub, dsub), 6).as("kernel"),
+      round(Ann.adcTermsExpr(books, m, ksub, dsub), 6).as("grid"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.toString)
+    }
+  }
+
   test("semDedup: duplicate vector marked dup-of its lower-id twin") {
     import spark.implicits._
     val dim = 8

@@ -127,6 +127,43 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ADC kernel equals the expression grid's fold on random books") {
+    // naive replica of the r18 ADC expression grid: dense zero-filled
+    // codebook, subspace-major element-minor ascending left fold
+    val m = 8; val ksub = 8; val dsub = 8
+    for (_ <- 1 to 100) {
+      // random books with a DROPPED code per subspace sometimes (the
+      // zero-fill path a Lloyd-emptied code leaves behind)
+      val books: IndexedSeq[Seq[(Long, Array[Double])]] =
+        (0 until m).map { _ =>
+          (0 until ksub).filter(_ => rnd.nextInt(10) > 0).map(c =>
+            (c.toLong, Array.fill(dsub)(rnd.nextDouble() * 2 - 1))).toSeq
+        }
+      val cb = new Array[Double](m * ksub * dsub)
+      books.zipWithIndex.foreach { case (bk, s) =>
+        bk.foreach { case (code, ce) =>
+          System.arraycopy(ce, 0, cb, (s * ksub + code.toInt) * dsub, dsub)
+        }
+      }
+      val presentCodes = books.map(bk => bk.map(_._1).toArray)
+      val codes = (0 until m).map(s =>
+        presentCodes(s)(rnd.nextInt(presentCodes(s).length))).toArray
+      val qr = Array.fill(m * dsub)(rnd.nextDouble() * 2 - 1)
+      val got = graft.functions.AdcKernel.dist(
+        new GenericArrayData(codes.map(Long.box)),
+        new GenericArrayData(qr.map(Double.box)), cb, m, ksub, dsub)
+      var acc = 0.0
+      for (s <- 0 until m; i <- 0 until dsub) {
+        val mp = books(s).toMap
+        val entry = mp.getOrElse(codes(s), new Array[Double](dsub))
+        val d = qr(s * dsub + i) - entry(i)
+        acc += d * d
+      }
+      assert(java.lang.Double.doubleToLongBits(got) ===
+        java.lang.Double.doubleToLongBits(acc))
+    }
+  }
+
   test("winnow density concentrates near the 2/(w+1) expectation") {
     val w = 4
     val n = 20000
