@@ -60,6 +60,24 @@ object Tune {
     spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       p.toString)
+    // ObjectHashAggregate sort-fallback threshold (r19, measured at the
+    // bitext 100x decade): the default 128 DISTINCT GROUPS per task is
+    // calibrated for opaque, possibly-huge object state; this engine's
+    // object aggregates are bounded by construction (TopKAgg k-heaps of
+    // ≤ k ~100 B entries; collect_list over doc-bounded span/row
+    // structs), so any final-merge task with a few thousand groups fell
+    // into SORT-BASED merge of every partial blob — q_bitext_mine at
+    // 100x spilled 3.5 GB in exactly those merges and dropped 182.8 →
+    // 149.5 s when the fallback was lifted (ProfileBitext18 stage
+    // table). 4096 groups × the engine's largest per-group object state
+    // (~KB) ≈ MBs per task — far under the per-task execution budget at
+    // any scale, so the setting is scale-independent, not a local[32]
+    // tune. (Contrast the hugeMethodLimit note below: that cap was
+    // reverted because the structural fix existed; here the structure —
+    // bounded heaps — is already right and the default threshold is
+    // what defeats it.)
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
     // NOTE (r18, measured twice): spark.sql.codegen.hugeMethodLimit=8000
     // — the textbook fix for fused methods past the JIT's 8000-bytecode
     // compile limit — was TRIED engine-wide here and REVERTED. With the

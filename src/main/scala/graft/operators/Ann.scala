@@ -1102,9 +1102,27 @@ object Ann {
     val rY = knnScaledSum(d2).select(col("qid").as("yid"),
       col("rsum").as("rsy"), col("keff").as("ky"))
     // margin in the ×1e4 integer-anchored space; the two divisions and
-    // the subtraction are single IEEE ops over bit-pinned inputs
-    def withMargin(pairs: DataFrame) = pairs
-      .join(rX, Seq("xid")).join(rY, Seq("yid"))
+    // the subtraction are single IEEE ops over bit-pinned inputs.
+    // The margin chain's two join exchanges carry the FULL candidate
+    // table (pairs × ~30 B) keyed xid then yid — the r18 grain sized
+    // only the pair-scoring join, and at 100× AQE coalesced these to
+    // ~34 tasks whose SMJ sorts spilled 1-3.5 GB (ProfileBitext18
+    // stage table, r19). The operator knows the candidate volume in
+    // closed form, so the same expansion-aware grain (npM, capped like
+    // partsFor, = cpus at the bench sfs — plan unchanged there) sizes
+    // them; pure layout, results untouched.
+    val npM = math.min(2048L, math.max(minParts,
+      (nprobe.toLong * nS * math.max(nT / math.max(nlistTgt, 1), 1L) +
+        nprobe.toLong * nT * math.max(nS / math.max(nlistSrc, 1), 1L))
+        / 200000L)).toInt
+    // no-op at the bench sfs (npM == the engine floor there — AQE keeps
+    // its broadcast freedom and no exchange is added); explicit grain
+    // only when the known expansion exceeds it
+    def grained(df: DataFrame, key: Column): DataFrame =
+      if (npM > minParts) df.repartition(npM, key) else df
+    def withMargin(pairs: DataFrame) = grained(
+      grained(pairs, col("xid")).join(rX, Seq("xid")), col("yid"))
+      .join(rY, Seq("yid"))
       .withColumn("c4s", round(col("cos4") * 10000.0).cast("long"))
       .withColumn("mrg", col("c4s").cast("double")
         - (col("rsx").cast("double") / col("kx").cast("double")

@@ -606,11 +606,12 @@ object Analytics {
     // ONE bounded driver-side scalar (the count reads the checkpointed
     // blocks) sizes the blocking width for this corpus — the Ann
     // corpus-scaled-nlist shape, never a per-row decision
-    val g = adaptiveGramWidth(names.count())
+    val n = names.count()
+    val g = adaptiveGramWidth(n)
     val cg5 = entityBlockingPostings(names, g)
       .localCheckpoint() // df table + candidate join
     val dfTab = cg5.groupBy("ge").agg(count(lit(1)).as("df"))
-    entityResolveOn(names, cg5, dfTab, g)
+    entityResolveOn(names, cg5, dfTab, g, n)
   }
 
   /** The SERVE path: resolution against a standing master given its
@@ -641,8 +642,29 @@ object Analytics {
   val ProbeDfCap = 32L
 
   def entityResolveOn(c: DataFrame, cg5: DataFrame,
-                      dfTab: DataFrame, g: Int): DataFrame = {
+                      dfTab: DataFrame, g: Int,
+                      nRec: Long = -1L): DataFrame = {
     val PrefixK = 4 // rarest grams probed per dirty record, pass 1
+    // EXPANSION-AWARE exchange grain for the candidate join / distinct
+    // / scoring joins (r19, the bitext npM move): the df cap bounds
+    // pass-1 candidates at nRec × PrefixK × ProbeDfCap in closed form,
+    // but Tune's input-proportional grain sizes exchanges by PARQUET
+    // bytes — at the 100x decade AQE coalesced the candidate-volume
+    // exchanges to ~34 tasks whose SMJ sorts and dedup aggregates
+    // spilled 4.2/2.4/1.4 GB (ProfileBitext18 stage table on
+    // q_entity_resolve). Resolves to the engine floor at the bench sfs
+    // (every grained() below is then a no-op — plan unchanged); pure
+    // layout, results untouched. nRec < 0 (serve paths that never
+    // counted) keeps the old shape.
+    val minPartsE = c.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt.toLong
+    val npE =
+      if (nRec < 0) minPartsE.toInt
+      else math.min(2048L, math.max(minPartsE,
+        nRec * PrefixK * ProbeDfCap / 400000L)).toInt
+    def grained(df: DataFrame, key: org.apache.spark.sql.Column*)
+        : DataFrame =
+      if (npE > minPartsE) df.repartition(npE, key: _*) else df
     // dirty twin: drop one char at a suffix position keyed by the id
     val dirty = entityDirty(c)
     // verification frames: raw names (for levenshtein) SEPARATE from
@@ -662,7 +684,11 @@ object Analytics {
       .select(col("ckey"), col("gs").as("gs_c"))
     val dGs = gramArr(dirty, "rid", 3)
       .select(col("rid"), col("gs"))
-    val dg5 = gramArr(dirty, "rid", g)
+    // grain BEFORE the ~len× gram explode (guide §3.3: exchange the
+    // un-exploded rows): moving nRec records beats buffering nRec·len
+    // exploded gram rows through the scan-grain shuffle writers (the
+    // r19 decade profile's 0.9-1.3 GB map-side sorter spills)
+    val dg5 = gramArr(grained(dirty, col("rid")), "rid", g)
       .select(col("rid"), length(col("name")).cast("long").as("dl"),
         explode(col("gs")).as("gm"))
       .select(col("rid"), col("dl"), encGram(col("gm"), g).as("ge"))
@@ -682,8 +708,12 @@ object Analytics {
     // rows per (partition x rid) where the window sorts every posting
     // through one exchange); (df, encoded-gram) ordering == the
     // oracle's (df, gram-string) ordering for equal-length ASCII grams
-    val probesAll = dg5
-      .join(dfTab.filter(col("df") <= ProbeDfCap), Seq("ge"))
+    // the exploded dirty gram table is nRec × ~g·len rows — the probe
+    // join and the rarest-K heap run at the npE grain (a no-op at the
+    // bench sfs); the rid repartition after the join doubles as the
+    // heap's clustering, so groupBy(rid, dl) adds no exchange
+    val probesAll = grained(grained(dg5, col("ge"))
+      .join(dfTab.filter(col("df") <= ProbeDfCap), Seq("ge")), col("rid"))
       .groupBy("rid", "dl")
       .agg(graft.functions.TopKAgg(col("df").cast("double"), col("ge"),
         col("ge"), PrefixK).as("beam"))
@@ -705,16 +735,19 @@ object Analytics {
     // ever pays exact distances, and it re-scores its own pass-1
     // candidates below.
     def score(cand: DataFrame, threshold: Option[Int]): DataFrame = {
-      val survivors = cand
-        .join(dNames, Seq("rid"))
+      // the ckey-keyed exchange carries candidate-volume rows + the
+      // attached dirty name — the npE grain's second application (the
+      // rid join reuses cand1's checkpoint layout, see below)
+      val survivors = grained(cand
+        .join(dNames, Seq("rid")), col("ckey"))
         .join(cNames, Seq("ckey"))
         .select(col("rid"), col("ckey"),
           threshold.fold(levenshtein(col("dn"), col("cn")))(t =>
             levenshtein(col("dn"), col("cn"), t))
             .cast("double").as("lev"))
         .filter(col("lev") >= 0.0) // -1 = above threshold, never a winner
-      survivors
-        .join(dGs, Seq("rid"))
+      grained(grained(survivors, col("rid"))
+        .join(dGs, Seq("rid")), col("ckey"))
         .join(cGs, Seq("ckey"))
         .select(col("rid"), col("ckey"), col("lev"),
           size(array_intersect(col("gs"), col("gs_c"))).cast("long")
@@ -731,10 +764,17 @@ object Analytics {
     // is one deletion away; a rival can only beat it at lev = 1 too),
     // so pairs with |Δlen| > 1 can never win — dropping them changes
     // no output row and cuts the lev+intersect verification volume
-    val cand1 = probesAll
-      .join(cg5, Seq("ge"))
+    // candidate join at the npE grain (both sides, so the equi-join
+    // reuses the layout); the dedup then repartitions by rid ONLY —
+    // HashPartitioning(rid) satisfies the (rid, ckey) distinct's
+    // clustering (same rid ⇒ same partition) AND leaves the checkpoint
+    // rid-keyed, so score()'s dNames join probes it with no exchange
+    // on the candidate side
+    val cand1 = grained(grained(probesAll, col("ge"))
+      .join(grained(cg5, col("ge")), Seq("ge"))
       .filter(abs(col("dl") - col("cl")) <= 1)
-      .select(col("rid"), col("ckey")).distinct()
+      .select(col("rid"), col("ckey")), col("rid"))
+      .distinct()
       .localCheckpoint() // pass-1 scoring + retry re-score share it
     // rank by (lev asc, jac desc, ckey asc): the composite key keeps
     // lev dominant (lev*2 > any 1-jac delta) and 1-jac is monotone in
@@ -777,11 +817,15 @@ object Analytics {
     // scale.
     val retryIds = dirty.select(col("rid"))
       .join(best1.select("rid"), Seq("rid"), "left_anti")
-    val cand2 = dirty.join(retryIds, Seq("rid"))
-      .select(col("rid"), col("name").as("tk"))
-      .join(c.select(col("ckey"), explode(array((11 to 18).map(p =>
+    // the variant side is 8 × |master| name strings — grained so the
+    // string-keyed join never sorts it in a handful of coalesced tasks
+    // (stage-157 of the r19 decade profile: 6.4 GB spill at 34 tasks)
+    val cand2 = grained(dirty.join(retryIds, Seq("rid"))
+      .select(col("rid"), col("name").as("tk")), col("tk"))
+      .join(grained(c.select(col("ckey"), explode(array((11 to 18).map(p =>
           concat(substring(col("name"), 1, p - 1),
             substring(col("name"), p + 1, 64))): _*)).as("tk")),
+        col("tk")),
         Seq("tk"))
       .select(col("rid"), col("ckey")).distinct()
       .localCheckpoint() // thr-1 retry pass + residual re-score share it
